@@ -1,0 +1,179 @@
+"""AQEngine — the user-facing facade.
+
+Query lifecycle (replacing SURVEY.md §3's string-pipeline):
+
+    sql ──rewrite APPROX dialect──► QuerySpec        (frontend/dialect.py)
+        ──sampling planner──────► sampled DataFrame  (plans/sampling.py)
+        ──estimator layer───────► moments agg + CI   (plans/estimators.py)
+        ──[adaptive executor]───► escalation loop    (plans/adaptive.py)
+
+Everything relational stays declarative: Catalyst handles predicate
+pushdown, column pruning, and partial aggregation; our code runs only
+*before* (dialect → sampling spec) and *after* (CI post-processing,
+escalation) the optimizer. Queries outside the reference grammar pass
+through ``spark.sql`` unchanged (exact, full Spark surface).
+
+Routing implements the *documented* reference semantics (README.md:209-218;
+fixes quirk Q1 where ``--sample``/``--error`` could never reach their
+handlers): sample% → fixed-fraction sampling; error% → adaptive CLT;
+``method=`` overrides; ``APPROX()`` with neither → auto-selected method
+(F3 heuristics).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.catalog import Catalog
+from approximatequeryengine_spark.frontend.dialect import (
+    METHODS,
+    QuerySpec,
+    parse_query,
+    rewrite_approx,
+    select_method,
+)
+from approximatequeryengine_spark.plans.adaptive import adaptive_aggregate, error_ladder
+from approximatequeryengine_spark.plans.estimators import AggSpec, approx_aggregate
+from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
+from approximatequeryengine_spark.result import (
+    ApproximationStatus,
+    ApproxResult,
+    heuristic_confidence,
+)
+
+
+class AQEngine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, sf_dir)
+
+    # -- building blocks ---------------------------------------------------
+
+    def _base_df(self, spec: QuerySpec) -> DataFrame:
+        df = self.catalog.table(spec.table)
+        if spec.where:
+            df = df.filter(F.expr(spec.where))
+        return df
+
+    def _sampling_spec(self, spec: QuerySpec, design: str, fraction: float) -> SamplingSpec:
+        return SamplingSpec(
+            design=design,
+            fraction=fraction,
+            key=self.catalog.unique_key(spec.table),
+        )
+
+    # -- public API --------------------------------------------------------
+
+    def run(
+        self,
+        sql: str,
+        sample_pct: float | None = None,
+        error_pct: float | None = None,
+        method: str | None = None,
+        with_ci: bool = True,
+        compare: bool = False,
+    ) -> ApproxResult:
+        t0 = time.time()
+        spec = parse_query(sql)
+        if spec is None:
+            _, is_approx, _ = rewrite_approx(sql)
+            if is_approx:
+                raise ValueError(
+                    "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX "
+                    "aggregate over one table (optional WHERE, one GROUP BY "
+                    f"column); could not parse: {sql!r}"
+                )
+            # Full Spark SQL surface, exact.
+            df = self.spark.sql(sql)
+            return ApproxResult(df=df, method="spark_sql", status=ApproximationStatus.EXACT,
+                                computation_time=time.time() - t0)
+
+        if spec.sample_pct is not None and sample_pct is None:
+            sample_pct = spec.sample_pct
+
+        wants_approx = spec.approx or sample_pct is not None or error_pct is not None or method
+        if not wants_approx:
+            return self._run_exact(spec, t0)
+
+        if method is None:
+            if error_pct is not None:
+                method = "clt"
+            elif sample_pct is not None:
+                method = "parallel" if spec.group_by else "random"
+            else:
+                total = self.catalog.table(spec.table).count()
+                method = select_method(spec.agg, total, spec.group_by is not None)
+        if method not in METHODS:
+            raise ValueError(f"unknown method {method!r}; one of {sorted(METHODS)}")
+        minfo = METHODS[method]
+
+        fraction = (sample_pct / 100.0) if sample_pct else error_ladder(error_pct or 5.0)
+        agg = AggSpec(func=spec.agg.lower(), column=spec.column)
+        s_spec = self._sampling_spec(spec, minfo["design"], fraction)
+
+        if minfo.get("adaptive") and not spec.group_by:
+            res = adaptive_aggregate(
+                self._base_df(spec),
+                agg,
+                s_spec,
+                error_pct=error_pct or 5.0,
+                validators=minfo.get("validators", 0),
+            )
+            res.method = method
+        else:
+            sampled = apply_sampling(self._base_df(spec), s_spec)
+            rdf = approx_aggregate(
+                sampled, agg, group_by=[spec.group_by] if spec.group_by else None,
+                with_ci=with_ci,
+            )
+            res = self._finalize(rdf, agg, spec, method, fraction, t0)
+
+        if compare:
+            exact = self._run_exact(spec, time.time())
+            res.extras = getattr(res, "extras", {})
+            if res.value is not None and exact.value:
+                res.groups["__exact__"] = exact.value
+                res.groups["__actual_error_pct__"] = (
+                    100.0 * abs(res.value - exact.value) / abs(exact.value)
+                )
+                res.groups["__speedup__"] = (
+                    exact.computation_time / res.computation_time
+                    if res.computation_time
+                    else float("inf")
+                )
+        return res
+
+    def _run_exact(self, spec: QuerySpec, t0: float) -> ApproxResult:
+        agg = AggSpec(func=spec.agg.lower(), column=spec.column)
+        sampled = apply_sampling(self._base_df(spec), SamplingSpec(design="none"))
+        rdf = approx_aggregate(
+            sampled, agg, group_by=[spec.group_by] if spec.group_by else None, with_ci=False
+        )
+        res = self._finalize(rdf, agg, spec, "exact", 1.0, t0)
+        res.status = ApproximationStatus.EXACT
+        return res
+
+    def _finalize(
+        self,
+        rdf: DataFrame,
+        agg: AggSpec,
+        spec: QuerySpec,
+        method: str,
+        fraction: float,
+        t0: float,
+    ) -> ApproxResult:
+        res = ApproxResult(df=rdf, method=method, fraction=fraction)
+        if not spec.group_by:
+            row = rdf.collect()[0]
+            res.value = float(row[agg.name()]) if row[agg.name()] is not None else None
+            res.samples_used = int(row["n_samples"])
+            if "ci_lower" in rdf.columns and res.value is not None:
+                res.ci_lower = float(row["ci_lower"])
+                res.ci_upper = float(row["ci_upper"])
+                res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
+            res.confidence_level = min(0.95, heuristic_confidence(res.samples_used))
+        res.computation_time = time.time() - t0
+        return res

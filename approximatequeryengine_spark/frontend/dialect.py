@@ -1,0 +1,147 @@
+"""Dialect frontend: the reference's three query syntaxes → QuerySpec.
+
+Covers (SURVEY.md §2.11):
+- ``APPROX(SUM(amount))`` embedded marker (``enhanced_aqe_cli.py:83-95``),
+- ``APPROX_SUM(amount, 15)`` / ``APPROX_AVG`` / ``APPROX_COUNT`` forms
+  (``enhanced_aqe_cli.py:215``),
+- plain ``SELECT agg(col) FROM t [WHERE ...] [GROUP BY g]``
+  (``src/aqe_backend/parser.cpp:20-76``; the grammar accepts exactly one
+  aggregate, one table, a verbatim WHERE, one GROUP BY column).
+
+Anything outside that grammar is not an error here — the engine falls
+back to ``spark.sql`` (exact, full Spark SQL surface), which strictly
+extends the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class QuerySpec:
+    agg: str  # SUM | AVG | COUNT | MIN | MAX
+    column: str | None  # None for COUNT(*)
+    table: str
+    where: str | None = None
+    group_by: str | None = None
+    approx: bool = False
+    sample_pct: float | None = None  # from APPROX_SUM(col, pct)
+    raw: str = ""
+    extras: dict = field(default_factory=dict)
+
+
+_APPROX_EMBED = re.compile(r"APPROX\s*\(\s*([^()]*\([^()]*\)[^()]*)\s*\)", re.IGNORECASE)
+_APPROX_FUNC = re.compile(
+    r"APPROX_(SUM|AVG|COUNT|MIN|MAX)\s*\(\s*([\w\*]+)\s*(?:,\s*([\d.]+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_approx(query: str) -> tuple[str, bool, float | None]:
+    """Unwrap the APPROX dialect → (clean_query, is_approx, sample_pct)."""
+    pct: float | None = None
+    is_approx = False
+
+    def _embed(m: re.Match) -> str:
+        nonlocal is_approx
+        is_approx = True
+        return m.group(1)
+
+    query = _APPROX_EMBED.sub(_embed, query)
+
+    def _func(m: re.Match) -> str:
+        nonlocal is_approx, pct
+        is_approx = True
+        if m.group(3) is not None:
+            pct = float(m.group(3))
+        return f"{m.group(1).upper()}({m.group(2)})"
+
+    query = _APPROX_FUNC.sub(_func, query)
+    return query, is_approx, pct
+
+
+_SIMPLE = re.compile(
+    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX)\s*\(\s*([\w\*\.]+)\s*\)\s+"
+    r"FROM\s+([\w\.]+)"
+    r"(?:\s+WHERE\s+(.*?))?"
+    r"(?:\s+GROUP\s+BY\s+([\w\.]+))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_query(query: str) -> QuerySpec | None:
+    """Parse the reference grammar; None → not simple, use spark.sql."""
+    clean, is_approx, pct = rewrite_approx(query)
+    m = _SIMPLE.match(clean)
+    if not m:
+        return None
+    agg, column, table, where, group_by = m.groups()
+    return QuerySpec(
+        agg=agg.upper(),
+        column=None if column == "*" else column,
+        table=table,
+        where=where.strip() if where else None,
+        group_by=group_by,
+        approx=is_approx,
+        sample_pct=pct,
+        raw=query,
+    )
+
+
+# Method registry (F5, ``enhanced_aqe_cli.py:36-81``): the reference's six
+# named strategies mapped onto our sampling designs / executors.
+METHODS: dict[str, dict] = {
+    "random": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "description": "Uniform random sampling (deterministic portable hash; "
+        "Bernoulli-equivalent). Best for AVG.",
+    },
+    "clt": {
+        "design": "uniform_hash",
+        "adaptive": True,
+        "description": "CLT-validated adaptive sampling: escalates the sample "
+        "fraction until the 95% CI half-width meets the error budget.",
+    },
+    "block": {
+        "design": "block",
+        "adaptive": False,
+        "description": "Cluster sampling of contiguous key blocks — cheapest "
+        "I/O per sampled row (reads whole blocks), higher variance.",
+    },
+    "adaptive": {
+        "design": "uniform_hash",
+        "adaptive": True,
+        "validators": 3,
+        "description": "Adaptive sampling with independent validation samples "
+        "and STABLE/DRIFTING classification.",
+    },
+    "parallel": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "description": "Grouped aggregation in ONE Spark job (the reference "
+        "re-scanned per group; Spark's hash aggregate replaces that).",
+    },
+    "revolutionary": {
+        "design": "systematic",
+        "adaptive": False,
+        "description": "Systematic (stride) sampling — the memory-stride "
+        "family, scaled by realized probability.",
+    },
+}
+
+
+def select_method(agg: str, total_rows: int, has_group_by: bool) -> str:
+    """Auto-selection heuristic (F3, ``enhanced_aqe_cli.py:116-131``)."""
+    if has_group_by:
+        return "parallel"
+    if agg in ("SUM", "COUNT") and total_rows > 100_000:
+        return "revolutionary"
+    if agg in ("SUM", "COUNT"):
+        return "clt"
+    if agg == "AVG":
+        return "random"
+    return "adaptive"

@@ -1,0 +1,71 @@
+"""Portable deterministic hashing for reproducible, oracle-checkable sampling.
+
+The reference samples via ``rowid % step = offset`` predicates injected
+into SQLite SQL (``executor.cpp:21-26,36-41``) — deterministic, so its
+approximate answers are exactly reproducible. Spark's ``df.sample`` is
+seeded but partition-layout-dependent and not reproducible in any other
+engine, which would make the DuckDB correctness oracle impossible for
+approximate queries.
+
+Instead we hash a unique integer row key with a two-round multiplicative
+(Knuth-style) mix written in plain 64-bit-safe integer arithmetic that
+evaluates identically in Spark SQL and DuckDB SQL:
+
+    t1 = (abs(k) + salt·1000003) % 2^31
+    t2 = (t1 · 2654435761 + 2654435769) % 2^32
+    h  = ((t2 % 2^31) · 1779033703 + 144) % 2^32
+
+A row is in a fraction-``f`` sample iff ``h(k) < f·2^32``. The salt is
+folded into the *input* and two mixing rounds follow, so different salts
+give (empirically verified) near-independent samples — one round with
+the salt in the additive constant only shifts the inclusion window and
+produces heavily-correlated "independent" estimates. Properties:
+
+- deterministic across engines, partitionings, and Spark versions;
+- samples are *nested*: growing ``f`` grows the sample monotonically,
+  which the adaptive CLT executor exploits (escalation reuses all
+  previously sampled rows — no wasted work, matching the reference's
+  "grow the sample until converged" semantics R8-R10);
+- per-row independent inclusion (Bernoulli-like), so Horvitz-Thompson
+  scaling ``1/f`` is unbiased;
+- no overflow: (2^31-1) * 2654435761 < 2^63-1.
+
+This is the *default* sampler; seeded ``df.sample`` (true Bernoulli) and
+the other designs live in ``plans/sampling.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+M31 = 2_147_483_648  # 2^31
+HASH_SPACE = 4_294_967_296  # 2^32
+MULT = 2_654_435_761  # Knuth's multiplicative constant, floor(2^32/phi)
+OFFSET = 2_654_435_769
+MULT2 = 1_779_033_703  # SHA-256 H0 — any odd constant with good mixing
+SALT_STRIDE = 1_000_003
+# Overflow safety: (2^31-1)·2654435761 < 2^63-1 and (2^31-1)·1779033703 < 2^63-1.
+
+
+def portable_hash_col(key: Column | str, salt: int = 0) -> Column:
+    """Spark Column: h(key) in [0, 2^32). ``salt`` derives
+    near-independent hash functions (minhash, validation resamples)."""
+    k = F.col(key) if isinstance(key, str) else key
+    t1 = (F.abs(k.cast("long")) + F.lit(salt * SALT_STRIDE)) % F.lit(M31)
+    t2 = (t1 * F.lit(MULT) + F.lit(OFFSET)) % F.lit(HASH_SPACE)
+    return ((t2 % F.lit(M31)) * F.lit(MULT2) + F.lit(144)) % F.lit(HASH_SPACE)
+
+
+def portable_hash_sql(key_expr: str, salt: int = 0) -> str:
+    """The same hash as ANSI SQL for the DuckDB oracle."""
+    t1 = f"((abs({key_expr}) + {salt * SALT_STRIDE}) % {M31})"
+    t2 = f"(({t1} * {MULT} + {OFFSET}) % {HASH_SPACE})"
+    return f"((({t2} % {M31}) * {MULT2} + 144) % {HASH_SPACE})"
+
+
+def fraction_threshold(fraction: float) -> int:
+    """Inclusion threshold for a given sampling fraction."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    return int(fraction * HASH_SPACE)

@@ -1,0 +1,128 @@
+"""Adaptive / CLT-stopped execution (reference R8-R10, V1-V7).
+
+The reference spawns fast/slow sampling threads that stop when
+``z·√(var/n)/|mean|·100 ≤ max_error%`` (``custom_bplus_db.cpp:953-961``)
+and cross-validates the fast estimate against repeated slow 2% samples
+(``scheduler.cpp:291-397``). Spark can't cheaply stop mid-job, so the
+idiomatic translation (SURVEY.md §7 phase 4) is a driver loop that
+escalates the sample *fraction* geometrically between jobs:
+
+    fraction ← error-ladder(e)            (enhanced_aqe_cli.py:243-250)
+    repeat:  one moments job → margin;  stop if rel. margin ≤ e
+             else fraction ← min(1, 2·fraction)
+
+Because the default ``uniform_hash`` design is *nested* in the fraction
+(h(k) < f·2³²), every escalation step's sample is a superset of the
+last — total rows ever scanned ≤ 2× the final sample, the same bounded
+overshoot the reference gets from incremental growth. Each iteration is
+one Spark job over a cheap codegen'd filter; nothing is collected but
+the (few-row) moments result.
+
+Validation (V1-V5): k independent small samples via different hash
+salts; confidence = max(0, 1 − cv) over their estimates, and the
+fast-vs-validators drift check classifies STABLE / DRIFTING.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+
+from approximatequeryengine_spark.plans.estimators import AggSpec, approx_aggregate
+from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
+from approximatequeryengine_spark.result import (
+    ApproximationStatus,
+    ApproxResult,
+    heuristic_confidence,
+)
+
+
+def error_ladder(error_pct: float) -> float:
+    """Initial sampling fraction from the error budget
+    (``enhanced_aqe_cli.py:243-250``)."""
+    if error_pct <= 1.0:
+        return 0.20
+    if error_pct <= 2.0:
+        return 0.15
+    if error_pct <= 5.0:
+        return 0.10
+    return 0.05
+
+
+def adaptive_aggregate(
+    df: DataFrame,
+    agg: AggSpec,
+    spec: SamplingSpec,
+    error_pct: float = 2.0,
+    confidence: float = 0.95,
+    max_iterations: int = 8,
+    min_samples: int = 50,
+    validators: int = 0,
+    validator_fraction: float = 0.02,
+) -> ApproxResult:
+    """Escalate ``spec.fraction`` until the realized CI half-width is
+    within ``error_pct`` percent of the estimate (global aggregates
+    only — grouped queries use a fixed fraction, as in the reference).
+    """
+    t0 = time.time()
+    fraction = spec.fraction if spec.fraction else error_ladder(error_pct)
+    fraction = max(min(fraction, 1.0), 1e-6)
+
+    est = margin = float("nan")
+    n = 0
+    iterations = 0
+    result_df: DataFrame | None = None
+    while True:
+        iterations += 1
+        cur = replace(spec, fraction=fraction)
+        result_df = approx_aggregate(apply_sampling(df, cur), agg)
+        row = result_df.collect()[0]
+        est = row[agg.name()]
+        n = row["n_samples"]
+        margin = (row["ci_upper"] - row["ci_lower"]) / 2.0 if est is not None else float("nan")
+        rel = 100.0 * margin / abs(est) if est else float("inf")
+        converged = n >= min_samples and rel <= error_pct
+        if converged or fraction >= 1.0 or iterations >= max_iterations:
+            break
+        fraction = min(1.0, fraction * 2.0)
+
+    status = ApproximationStatus.STABLE
+    conf = min(confidence, heuristic_confidence(n))
+    if n < min_samples:
+        status = ApproximationStatus.INSUFFICIENT_DATA
+    elif validators and est:
+        # Cross-validation: independent small samples through different
+        # hash functions (salts), the Spark analogue of the slow-pointer
+        # validator's repeated 2% rowid-offset samples (V2).
+        vals = []
+        for i in range(validators):
+            vspec = replace(spec, fraction=validator_fraction, salt=spec.salt + 17 + i)
+            vrow = approx_aggregate(apply_sampling(df, vspec), agg).collect()[0]
+            if vrow[agg.name()] is not None:
+                vals.append(float(vrow[agg.name()]))
+        if vals:
+            vmean = sum(vals) / len(vals)
+            if len(vals) > 1:
+                vvar = sum((v - vmean) ** 2 for v in vals) / (len(vals) - 1)
+                cv = (vvar**0.5) / abs(vmean) if vmean else float("inf")
+                conf = max(0.0, min(1.0, 1.0 - cv))  # V4
+            drift = abs(est - vmean) / abs(est) if est else float("inf")
+            if drift > error_pct / 100.0:  # V3
+                status = ApproximationStatus.DRIFTING
+
+    return ApproxResult(
+        df=result_df,
+        value=float(est) if est is not None else None,
+        ci_lower=float(est - margin) if est is not None else None,
+        ci_upper=float(est + margin) if est is not None else None,
+        status=status,
+        confidence_level=conf,
+        error_margin=float(margin),
+        samples_used=int(n),
+        fraction=fraction,
+        computation_time=time.time() - t0,
+        method="adaptive_clt",
+        iterations=iterations,
+    )

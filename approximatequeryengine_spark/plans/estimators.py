@@ -1,0 +1,189 @@
+"""Estimator layer: one single-pass aggregate job with closed-form CIs.
+
+The reference computes ``COUNT(x), SUM(x), SUM(x*x)`` in one query and
+derives mean, variance ``(Σx² − (Σx)²/n)/(n−1)``, ``se = √(var/n)`` and
+``margin = z·se`` (``executor.cpp:130-200`` global, ``202-321``
+grouped). We build the same moments as Spark aggregate *expressions* —
+map-side partial aggregation gives the parallel combine the reference
+hand-rolled with atomics (``custom_bplus_db.cpp:2032-2035``) for free —
+and derive:
+
+- ``AVG``:   sample mean, unscaled (``executor.cpp:50-53``); CI ±z·se.
+- ``SUM``:   Horvitz-Thompson ``Σ(x/p)``; CI ``N̂·(x̄ ± z·se)`` — the
+  scaled-sum point estimate (fixes reference quirk Q4, which scaled the
+  *mean* instead of the sum).
+- ``COUNT``: ``Σ(1/p)``; CI from the Bernoulli inclusion variance
+  ``√(n(1−p))/p`` (the reference had no principled COUNT CI — quirk Q3).
+
+GROUP BY runs as ONE ``groupBy().agg()`` job with per-group moments and
+the per-group ``n<2`` fallback (``executor.cpp:255-277``) — replacing
+the reference's 1 + |groups| full scans (§3.3) with a single shuffle.
+At 100 TB this is the difference between one pass and thousands.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.plans.sampling import P_COL
+
+Z_95 = 1.959963984540054  # two-sided 95% normal quantile
+
+
+@dataclass
+class AggSpec:
+    func: str  # sum | avg | count | min | max
+    column: str | None = None  # None → count(*)
+    alias: str | None = None
+
+    def name(self) -> str:
+        if self.alias:
+            return self.alias
+        col = self.column or "star"
+        return f"{self.func}_{col}"
+
+
+def _ci_columns(
+    est: Column, margin: Column, n: Column, name: str, min_n: int = 2
+) -> list[Column]:
+    """est / ci_lower / ci_upper with the reference's n<2 fallback: too
+    few sampled rows → CI collapses to the point estimate
+    (``executor.cpp:255-277``)."""
+    ok = n >= F.lit(min_n)
+    margin = F.when(ok, margin).otherwise(F.lit(0.0))
+    return [
+        est.alias(name),
+        (est - margin).alias("ci_lower"),
+        (est + margin).alias("ci_upper"),
+    ]
+
+
+def approx_aggregate(
+    sampled: DataFrame,
+    agg: AggSpec,
+    group_by: list[str] | None = None,
+    z: float = Z_95,
+    with_ci: bool = True,
+) -> DataFrame:
+    """Aggregate a sampled DataFrame (must carry ``__p`` from
+    ``apply_sampling``) into estimates with confidence intervals.
+
+    Output columns: ``[*group_by, <alias>, ci_lower, ci_upper,
+    n_samples]`` (CI columns only when ``with_ci``).
+    """
+    group_by = group_by or []
+    x = F.col(agg.column).cast("double") if agg.column else F.lit(1.0)
+    p = F.col(P_COL)
+    w = F.lit(1.0) / p
+
+    moments = [
+        F.count(x).alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+        F.sum(x * w).alias("__ht_sum"),
+        F.sum(w).alias("__ht_n"),
+        F.avg(p).alias("__p_avg"),
+        F.min(x).alias("__min"),
+        F.max(x).alias("__max"),
+    ]
+    g = sampled.groupBy(*[F.col(c) for c in group_by])
+    m = g.agg(*moments)
+
+    n = F.col("__n")
+    s1 = F.col("__s1")
+    s2 = F.col("__s2")
+    mean = s1 / n
+    # Sample variance via the single-pass moment identity; guarded for n<2.
+    var = F.when(n >= 2, (s2 - s1 * s1 / n) / (n - F.lit(1.0))).otherwise(F.lit(0.0))
+    var = F.greatest(var, F.lit(0.0))  # numeric noise can drive it < 0
+    se = F.sqrt(var / n)
+
+    func = agg.func.lower()
+    if func == "avg":
+        # Weighted mean Σ(x/p)/Σ(1/p); equals the plain sample mean for
+        # constant p (reference semantics: AVG never scaled).
+        est = F.col("__ht_sum") / F.col("__ht_n")
+        margin = F.lit(z) * se
+    elif func == "sum":
+        est = F.col("__ht_sum")
+        # N̂ · z · se — CI around the scaled sum.
+        margin = F.col("__ht_n") * F.lit(z) * se
+    elif func == "count":
+        est = F.col("__ht_n")
+        pbar = F.col("__p_avg")
+        margin = F.lit(z) * F.sqrt(n * (F.lit(1.0) - pbar)) / pbar
+    elif func == "min":
+        est = F.col("__min")
+        margin = F.lit(0.0)
+    elif func == "max":
+        est = F.col("__max")
+        margin = F.lit(0.0)
+    else:
+        raise ValueError(f"unsupported aggregate {agg.func!r}")
+
+    cols: list[Column] = [F.col(c) for c in group_by]
+    if with_ci:
+        cols += _ci_columns(est, margin, n, agg.name())
+    else:
+        cols.append(est.alias(agg.name()))
+    cols.append(n.cast("long").alias("n_samples"))
+    return m.select(*cols)
+
+
+def moments_sql(
+    table: str,
+    column: str,
+    where: str,
+    agg: str,
+    p_sql: str,
+    alias: str,
+    group_by: str | None = None,
+    z: float = Z_95,
+    with_ci: bool = True,
+    round_to: int | None = None,
+) -> str:
+    """DuckDB oracle SQL computing the *same* estimate + CI formulas over
+    the same deterministic sample (``sampling_where_sql``). ``p_sql`` is
+    the per-row inclusion probability expression
+    (``sampling_p_sql``) — mirrors the ``__p`` column on the Spark side.
+    """
+    x = f"CAST({column} AS DOUBLE)"
+    base = (
+        f"SELECT {group_by + ', ' if group_by else ''}"
+        f"COUNT({x}) AS n, SUM({x}) AS s1, SUM({x}*{x}) AS s2, "
+        f"SUM({x} / {p_sql}) AS htsum, SUM(1.0 / {p_sql}) AS htn, "
+        f"AVG({p_sql}) AS pavg "
+        f"FROM {table} WHERE {where}"
+        f"{' GROUP BY ' + group_by if group_by else ''}"
+    )
+    var = f"CASE WHEN n >= 2 THEN greatest((s2 - s1*s1/n) / (n - 1.0), 0.0) ELSE 0.0 END"
+    se = f"sqrt(({var}) / n)"
+    a = agg.lower()
+    if a == "avg":
+        est = "htsum / htn"
+        margin = f"{z} * {se}"
+    elif a == "sum":
+        est = "htsum"
+        margin = f"htn * {z} * {se}"
+    elif a == "count":
+        est = "htn"
+        margin = f"{z} * sqrt(n * (1.0 - pavg)) / pavg"
+    else:
+        raise ValueError(f"unsupported oracle aggregate {agg!r}")
+    margin = f"CASE WHEN n >= 2 THEN {margin} ELSE 0.0 END"
+
+    def r(expr: str) -> str:
+        return f"round({expr}, {round_to})" if round_to is not None else expr
+
+    sel = [f"{r(est)} AS {alias}"]
+    if with_ci:
+        sel += [
+            f"{r(f'({est}) - ({margin})')} AS ci_lower",
+            f"{r(f'({est}) + ({margin})')} AS ci_upper",
+        ]
+    sel.append("CAST(n AS BIGINT) AS n_samples")
+    head = f"{group_by + ', ' if group_by else ''}{', '.join(sel)}"
+    return f"SELECT {head} FROM ({base}) __m"

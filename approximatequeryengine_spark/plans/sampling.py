@@ -1,0 +1,159 @@
+"""Sampling designs as DataFrame transformations.
+
+The reference's ~30 sampler methods collapse to five designs
+(SURVEY.md §2.7 reduction):
+
+- ``uniform_hash``  — deterministic Bernoulli via a portable hash of a
+  unique row key (default; cross-engine reproducible, nested in the
+  fraction → the adaptive loop grows samples monotonically).
+  Replaces R1/R2/R23.
+- ``bernoulli``     — Spark's native seeded ``df.sample`` (statistically
+  identical, not reproducible outside Spark). R1/R2.
+- ``systematic``    — ``key % step = offset``, the literal Spark form of
+  the reference's ``rowid % step`` predicates (R3-R7, R16, R20-R26,
+  R29). Scaling uses the *realized* probability ``1/step`` (fix for
+  reference quirk Q2, which scaled by the nominal ``100/p``).
+- ``block``         — cluster sampling: contiguous key-blocks of
+  ``block_size`` rows, whole block in or out by hash of the block id
+  (R11-R13, R17, R19, R27, R28).
+- ``stratified``    — per-stratum inclusion fractions (R15; with
+  variance-based allocation computed by the caller this is R14 /
+  Neyman-flavored allocation).
+
+Every design attaches ``__p`` — the per-row inclusion probability — so
+one Horvitz-Thompson estimator layer (``estimators.py``) serves all of
+them. At scale the sample predicate is a cheap per-row integer
+expression inside whole-stage codegen: no shuffle, no driver round-trip,
+and for ``systematic``/``uniform_hash`` Catalyst pushes the surviving
+column pruning straight to the Parquet scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.functions.hashing import (
+    HASH_SPACE,
+    fraction_threshold,
+    portable_hash_col,
+    portable_hash_sql,
+)
+
+P_COL = "__p"  # per-row inclusion probability attached by apply_sampling
+
+
+@dataclass
+class SamplingSpec:
+    design: str = "uniform_hash"  # none|uniform_hash|bernoulli|systematic|block|stratified
+    fraction: float = 0.1
+    key: str = "id"  # SQL expression uniquely identifying a row
+    salt: int = 0  # independent hash function selector (validation resamples)
+    seed: int = 42  # bernoulli only
+    step: int | None = None  # systematic: stride; default round(1/fraction)
+    offset: int = 0  # systematic: which residue class
+    block_size: int = 1000  # block design
+    stratum_col: str | None = None  # stratified
+    strata_fractions: dict = field(default_factory=dict)  # stratum value -> fraction
+
+    def realized_fraction(self) -> float:
+        """Inclusion probability actually achieved by the design."""
+        if self.design == "none":
+            return 1.0
+        if self.design == "systematic":
+            return 1.0 / self._step()
+        return self.fraction
+
+    def _step(self) -> int:
+        if self.step is not None:
+            return self.step
+        return max(1, int(round(1.0 / self.fraction)))
+
+
+def _key_col(spec: SamplingSpec) -> Column:
+    return F.expr(spec.key).cast("long")
+
+
+def apply_sampling(df: DataFrame, spec: SamplingSpec) -> DataFrame:
+    """Filter ``df`` down to the sample and attach ``__p``."""
+    if spec.design == "none":
+        return df.withColumn(P_COL, F.lit(1.0))
+
+    if spec.design == "uniform_hash":
+        h = portable_hash_col(_key_col(spec), salt=spec.salt)
+        thr = fraction_threshold(spec.fraction)
+        return df.filter(h < F.lit(thr)).withColumn(P_COL, F.lit(spec.fraction))
+
+    if spec.design == "bernoulli":
+        return df.sample(withReplacement=False, fraction=spec.fraction, seed=spec.seed).withColumn(
+            P_COL, F.lit(spec.fraction)
+        )
+
+    if spec.design == "systematic":
+        step = spec._step()
+        k = F.abs(_key_col(spec))
+        return df.filter(k % F.lit(step) == F.lit(spec.offset % step)).withColumn(
+            P_COL, F.lit(1.0 / step)
+        )
+
+    if spec.design == "block":
+        block_id = F.floor(F.abs(_key_col(spec)) / F.lit(spec.block_size))
+        h = portable_hash_col(block_id, salt=spec.salt)
+        thr = fraction_threshold(spec.fraction)
+        return df.filter(h < F.lit(thr)).withColumn(P_COL, F.lit(spec.fraction))
+
+    if spec.design == "stratified":
+        if not spec.stratum_col or not spec.strata_fractions:
+            raise ValueError("stratified design needs stratum_col and strata_fractions")
+        h = portable_hash_col(_key_col(spec), salt=spec.salt)
+        # CASE stratum WHEN v THEN thr_v ... ELSE default — a per-row
+        # threshold; rows in un-listed strata fall back to `fraction`.
+        thr: Column = F.lit(fraction_threshold(spec.fraction))
+        p: Column = F.lit(spec.fraction)
+        s = F.col(spec.stratum_col)
+        for value, frac in spec.strata_fractions.items():
+            thr = F.when(s == F.lit(value), F.lit(fraction_threshold(frac))).otherwise(thr)
+            p = F.when(s == F.lit(value), F.lit(float(frac))).otherwise(p)
+        return df.filter(h < thr).withColumn(P_COL, p)
+
+    raise ValueError(f"unknown sampling design {spec.design!r}")
+
+
+def sampling_where_sql(spec: SamplingSpec, key_sql: str | None = None) -> str:
+    """The same sample as an ANSI-SQL predicate (DuckDB oracle parity).
+
+    Only deterministic designs are renderable; ``bernoulli`` raises.
+    """
+    key = key_sql or spec.key
+    if spec.design == "none":
+        return "TRUE"
+    if spec.design == "uniform_hash":
+        return f"{portable_hash_sql(key, spec.salt)} < {fraction_threshold(spec.fraction)}"
+    if spec.design == "systematic":
+        step = spec._step()
+        return f"(abs({key}) % {step}) = {spec.offset % step}"
+    if spec.design == "block":
+        block = f"(abs({key}) // {spec.block_size})"
+        return f"{portable_hash_sql(block, spec.salt)} < {fraction_threshold(spec.fraction)}"
+    if spec.design == "stratified":
+        h = portable_hash_sql(key, spec.salt)
+        cases = " ".join(
+            f"WHEN {spec.stratum_col} = '{v}' THEN {fraction_threshold(f)}"
+            for v, f in spec.strata_fractions.items()
+        )
+        return f"{h} < (CASE {cases} ELSE {fraction_threshold(spec.fraction)} END)"
+    raise ValueError(f"design {spec.design!r} has no portable SQL form")
+
+
+def sampling_p_sql(spec: SamplingSpec) -> str:
+    """Per-row inclusion probability as ANSI SQL (mirrors the ``__p``
+    column ``apply_sampling`` attaches)."""
+    if spec.design == "stratified":
+        cases = " ".join(
+            f"WHEN {spec.stratum_col} = '{v}' THEN {float(f)!r}"
+            for v, f in spec.strata_fractions.items()
+        )
+        return f"(CASE {cases} ELSE {float(spec.fraction)!r} END)"
+    return repr(float(spec.realized_fraction()))

@@ -1,0 +1,251 @@
+"""Declared workload: every implemented operator as a named query with a
+DuckDB oracle.
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver correctness gate) and ``bench.py``. Each entry is
+``name -> (spark_fn, oracle_sql | None)`` where ``spark_fn(spark,
+sf_dir) -> DataFrame`` and the oracle is ANSI SQL DuckDB runs over the
+same parquet tables.
+
+Determinism contract: approximate queries use the portable-hash /
+systematic / block / stratified designs, whose sample membership is a
+pure arithmetic predicate — so Spark and DuckDB compute the *same*
+sample, the same estimate and the same CI, and the driver's value-hash
+comparison passes exactly. Final values are rounded (2-6 decimals) on
+both sides to absorb float summation-order noise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.catalog import Catalog
+from approximatequeryengine_spark.plans.estimators import (
+    AggSpec,
+    approx_aggregate,
+    moments_sql,
+)
+from approximatequeryengine_spark.plans.sampling import (
+    SamplingSpec,
+    apply_sampling,
+    sampling_p_sql,
+    sampling_where_sql,
+)
+
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
+def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    key = (id(spark), sf_dir)
+    if key not in _CATALOGS:
+        _CATALOGS[key] = Catalog(spark, sf_dir)
+    return _CATALOGS[key]
+
+
+def _round_cols(df: DataFrame, spec: dict[str, int | None]) -> DataFrame:
+    cols = []
+    for c in df.columns:
+        if c in spec and spec[c] is not None:
+            cols.append(F.round(F.col(c), spec[c]).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: str | None):
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLE[name] = oracle
+
+
+# ---------------------------------------------------------------------------
+# Exact path — identical SQL both engines (Spark SQL ∩ DuckDB SQL).
+# ---------------------------------------------------------------------------
+
+def _sql_query(name: str, sql: str) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        _catalog(spark, sf_dir)  # registers temp views
+        return spark.sql(_sql)
+
+    _register(name, fn, sql)
+
+
+_sql_query(
+    "exact_sum",
+    "SELECT round(sum(l_extendedprice), 2) AS sum_total FROM lineitem",
+)
+_sql_query(
+    "exact_avg",
+    "SELECT round(avg(l_quantity), 6) AS avg_qty FROM lineitem",
+)
+_sql_query(
+    "exact_count",
+    "SELECT count(*) AS n_rows FROM lineitem",
+)
+_sql_query(
+    "exact_sum_where",
+    "SELECT round(sum(l_extendedprice), 2) AS sum_total FROM lineitem "
+    "WHERE l_discount > 0.05",
+)
+_sql_query(
+    "exact_minmax",
+    "SELECT round(min(l_extendedprice), 2) AS min_price, "
+    "round(max(l_extendedprice), 2) AS max_price FROM lineitem",
+)
+_sql_query(
+    "exact_groupby_sum",
+    "SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_total, "
+    "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag",
+)
+_sql_query(
+    "exact_where_groupby_avg",
+    "SELECT event_type, round(avg(value), 6) AS avg_value FROM events "
+    "WHERE value > 10 GROUP BY event_type",
+)
+# TPC-H Q1-style pricing summary — the flagship relational aggregate.
+_sql_query(
+    "tpch_q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 6) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 6) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+# Join capability (beyond the single-table reference): revenue per nation.
+# Catalyst broadcasts nation/customer (well under the 64 MiB threshold).
+_sql_query(
+    "join_revenue_by_nation",
+    "SELECT n_name, round(sum(o_totalprice), 2) AS revenue, "
+    "count(*) AS n_orders FROM orders "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name",
+)
+_sql_query(
+    "join_top_suppliers",
+    "SELECT s_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "GROUP BY s_name",
+)
+
+
+# ---------------------------------------------------------------------------
+# Approximate path — deterministic samples, oracle-matched estimates + CIs.
+# ---------------------------------------------------------------------------
+
+def _approx_query(
+    name: str,
+    table: str,
+    agg: str,
+    column: str | None,
+    spec: SamplingSpec,
+    group_by: str | None = None,
+    where: str | None = None,
+    round_to: int = 2,
+) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cat = _catalog(spark, sf_dir)
+        df = cat.table(table)
+        if where:
+            df = df.filter(where)
+        sampled = apply_sampling(df, spec)
+        rdf = approx_aggregate(
+            sampled,
+            AggSpec(agg, column),
+            group_by=[group_by] if group_by else None,
+        )
+        alias = AggSpec(agg, column).name()
+        return _round_cols(rdf, {alias: round_to, "ci_lower": round_to, "ci_upper": round_to})
+
+    sample_where = sampling_where_sql(spec)
+    full_where = f"({sample_where}) AND ({where})" if where else sample_where
+    oracle = moments_sql(
+        table=table,
+        column=column if column else "1",
+        where=full_where,
+        agg=agg,
+        p_sql=sampling_p_sql(spec),
+        alias=AggSpec(agg, column).name(),
+        group_by=group_by,
+        round_to=round_to,
+    )
+    _register(name, fn, oracle)
+
+
+_LKEY = "l_orderkey * 8 + l_linenumber"
+
+_approx_query(
+    "approx_sum_uniform10",
+    "lineitem", "sum", "l_extendedprice",
+    SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+)
+_approx_query(
+    "approx_avg_uniform10",
+    "lineitem", "avg", "l_extendedprice",
+    SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    round_to=4,
+)
+_approx_query(
+    "approx_count_uniform10",
+    "lineitem", "count", None,
+    SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+)
+_approx_query(
+    "approx_sum_where_uniform20",
+    "lineitem", "sum", "l_extendedprice",
+    SamplingSpec(design="uniform_hash", fraction=0.20, key=_LKEY),
+    where="l_discount > 0.05",
+)
+_approx_query(
+    "approx_groupby_sum_ci20",
+    "lineitem", "sum", "l_extendedprice",
+    SamplingSpec(design="uniform_hash", fraction=0.20, key=_LKEY),
+    group_by="l_returnflag",
+)
+# Systematic (stride) sampling — realized-probability scaling (quirk Q2 fix):
+# nominal 15% → step 7 → scale ×7, not ×6.67.
+_approx_query(
+    "approx_sum_systematic15",
+    "lineitem", "sum", "l_extendedprice",
+    SamplingSpec(design="systematic", fraction=0.15, key=_LKEY),
+)
+# Cluster/block sampling: 64-row key blocks, whole block in or out.
+_approx_query(
+    "approx_sum_block10",
+    "lineitem", "sum", "l_extendedprice",
+    SamplingSpec(design="block", fraction=0.10, key=_LKEY, block_size=64),
+)
+# Stratified with unequal allocations; HT weights correct the skew.
+_approx_query(
+    "approx_sum_stratified",
+    "lineitem", "sum", "l_extendedprice",
+    SamplingSpec(
+        design="stratified", fraction=0.10, key=_LKEY,
+        stratum_col="l_returnflag", strata_fractions={"N": 0.3, "A": 0.05},
+    ),
+)
+_approx_query(
+    "approx_events_avg_by_type",
+    "events", "avg", "value",
+    SamplingSpec(design="uniform_hash", fraction=0.25, key="event_id"),
+    group_by="event_type",
+    round_to=4,
+)
+_approx_query(
+    "approx_orders_count_systematic",
+    "orders", "count", None,
+    SamplingSpec(design="systematic", fraction=0.10, key="o_orderkey"),
+)

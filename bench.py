@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol notes vs BASELINE.md: the reference's only honest anchor is an
+exact full-scan aggregate (5.123 s / 10M rows); its speedups come from
+sampling 5-25%. We report wall time per headline query (exact AND
+approximate paths) so the driver can compare like for like.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "exact_sum",
+    "tpch_q1_pricing_summary",
+    "join_revenue_by_nation",
+    "approx_sum_uniform10",
+    "approx_groupby_sum_ci20",
+    "approx_sum_systematic15",
+    "approx_sum_stratified",
+]
+
+
+def main() -> None:
+    from approximatequeryengine_spark import get_spark
+    from approximatequeryengine_spark.workload import QUERIES
+
+    spark = get_spark(app_name="aqe-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers so per-query times measure the
+    # engine, not session startup.
+    QUERIES["exact_count"](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).collect()
+        times[name] = round(time.time() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Dialect frontend: APPROX rewrites, grammar parse, method routing."""
+
+from approximatequeryengine_spark.frontend.dialect import (
+    METHODS,
+    parse_query,
+    rewrite_approx,
+    select_method,
+)
+
+
+def test_rewrite_embedded_approx():
+    q, approx, pct = rewrite_approx("SELECT APPROX(SUM(amount)) FROM sales")
+    assert q == "SELECT SUM(amount) FROM sales"
+    assert approx and pct is None
+
+
+def test_rewrite_approx_func_with_pct():
+    q, approx, pct = rewrite_approx("SELECT APPROX_SUM(amount, 15) FROM sales")
+    assert q == "SELECT SUM(amount) FROM sales"
+    assert approx and pct == 15.0
+
+
+def test_rewrite_plain_query_untouched():
+    q, approx, pct = rewrite_approx("SELECT SUM(amount) FROM sales")
+    assert q == "SELECT SUM(amount) FROM sales"
+    assert not approx
+
+
+def test_parse_full_grammar():
+    spec = parse_query(
+        "SELECT SUM(l_extendedprice) FROM lineitem WHERE l_discount > 0.05 "
+        "GROUP BY l_returnflag"
+    )
+    assert spec.agg == "SUM"
+    assert spec.column == "l_extendedprice"
+    assert spec.table == "lineitem"
+    assert spec.where == "l_discount > 0.05"
+    assert spec.group_by == "l_returnflag"
+
+
+def test_parse_count_star():
+    spec = parse_query("SELECT COUNT(*) FROM orders")
+    assert spec.agg == "COUNT" and spec.column is None
+
+
+def test_parse_rejects_complex_sql():
+    assert parse_query("SELECT a, b FROM t JOIN u ON a = b") is None
+
+
+def test_method_selection():
+    # F3 heuristics (enhanced_aqe_cli.py:116-131)
+    assert select_method("SUM", 200_000, False) == "revolutionary"
+    assert select_method("SUM", 50_000, False) == "clt"
+    assert select_method("AVG", 200_000, False) == "random"
+    assert select_method("COUNT", 1_000, True) == "parallel"
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary"}

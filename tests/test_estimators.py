@@ -1,0 +1,129 @@
+"""Estimator semantics: scaling rules, CI formulas vs the SQL oracle,
+unbiasedness over independent hash functions, CI coverage."""
+
+import pytest
+
+from approximatequeryengine_spark.plans.estimators import AggSpec, approx_aggregate, moments_sql
+from approximatequeryengine_spark.plans.sampling import (
+    SamplingSpec,
+    apply_sampling,
+    sampling_p_sql,
+    sampling_where_sql,
+)
+from tests.conftest import assert_df_matches_sql
+
+KEY = "l_orderkey * 8 + l_linenumber"
+
+
+def _estimate(engine, agg, spec, group_by=None, where=None):
+    df = engine.catalog.table("lineitem")
+    if where:
+        df = df.filter(where)
+    sampled = apply_sampling(df, spec)
+    return approx_aggregate(sampled, agg, group_by=group_by)
+
+
+@pytest.mark.parametrize("func", ["sum", "avg", "count"])
+def test_ci_formulas_match_sql_oracle(engine, duck, func):
+    """Same deterministic sample + same closed-form CI in DuckDB must
+    reproduce value, ci_lower, ci_upper bit-for-bit (within fp noise)."""
+    spec = SamplingSpec(fraction=0.1, key=KEY)
+    agg = AggSpec(func=func, column=None if func == "count" else "l_extendedprice")
+    sdf = _estimate(engine, agg, spec)
+    oracle = moments_sql(
+        table="lineitem",
+        column="l_extendedprice" if func != "count" else "1",
+        where=sampling_where_sql(spec),
+        agg=func,
+        p_sql=sampling_p_sql(spec),
+        alias=agg.name(),
+    )
+    assert_df_matches_sql(sdf, duck, oracle, rel=1e-9, abs_tol=1e-4)
+
+
+def test_grouped_ci_matches_sql_oracle(engine, duck):
+    spec = SamplingSpec(fraction=0.2, key=KEY)
+    agg = AggSpec(func="sum", column="l_extendedprice")
+    sdf = _estimate(engine, agg, spec, group_by=["l_returnflag"])
+    oracle = moments_sql(
+        table="lineitem",
+        column="l_extendedprice",
+        where=sampling_where_sql(spec),
+        agg="sum",
+        p_sql=sampling_p_sql(spec),
+        alias=agg.name(),
+        group_by="l_returnflag",
+    )
+    assert_df_matches_sql(sdf, duck, oracle, rel=1e-9, abs_tol=1e-4)
+
+
+def test_avg_is_unscaled(engine, duck):
+    """Reference semantics: AVG is the plain sample mean
+    (executor.cpp:50-53) — must be within a few % of the true mean, and
+    exactly the mean of the sampled rows."""
+    spec = SamplingSpec(fraction=0.1, key=KEY)
+    row = _estimate(engine, AggSpec("avg", "l_extendedprice"), spec).collect()[0]
+    where = sampling_where_sql(spec)
+    truth = duck.execute(
+        f"SELECT AVG(l_extendedprice) FROM lineitem WHERE {where}"
+    ).fetchone()[0]
+    assert row["avg_l_extendedprice"] == pytest.approx(truth, rel=1e-12)
+
+
+def test_sum_unbiased_over_hash_functions(engine, duck):
+    """Mean of HT estimates across independent hash salts ≈ exact sum."""
+    exact = duck.execute("SELECT SUM(l_extendedprice) FROM lineitem").fetchone()[0]
+    ests = []
+    for salt in range(30):
+        spec = SamplingSpec(fraction=0.3, key=KEY, salt=salt)
+        row = _estimate(engine, AggSpec("sum", "l_extendedprice"), spec).collect()[0]
+        ests.append(row["sum_l_extendedprice"])
+    mean_est = sum(ests) / len(ests)
+    assert mean_est == pytest.approx(exact, rel=0.02)
+
+
+def test_ci_coverage(engine, duck):
+    """~95% of CIs over independent hash functions should cover the truth
+    (binomial slack: ≥ 80% of 40 draws)."""
+    exact = duck.execute("SELECT AVG(l_extendedprice) FROM lineitem").fetchone()[0]
+    hits = 0
+    trials = 40
+    for salt in range(trials):
+        spec = SamplingSpec(fraction=0.1, key=KEY, salt=salt)
+        row = _estimate(engine, AggSpec("avg", "l_extendedprice"), spec).collect()[0]
+        if row["ci_lower"] <= exact <= row["ci_upper"]:
+            hits += 1
+    assert hits >= int(0.80 * trials), f"CI coverage too low: {hits}/{trials}"
+
+
+def test_n_lt_2_fallback(engine):
+    """A group with <2 sampled rows collapses its CI to the point
+    estimate (executor.cpp:255-277)."""
+    spec = SamplingSpec(fraction=1e-4, key=KEY)
+    rows = _estimate(engine, AggSpec("sum", "l_extendedprice"), spec).collect()
+    for r in rows:
+        if r["n_samples"] < 2:
+            assert r["ci_lower"] == r["ci_upper"] == r["sum_l_extendedprice"]
+
+
+def test_count_estimator(engine, duck):
+    total = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    spec = SamplingSpec(fraction=0.2, key=KEY)
+    row = _estimate(engine, AggSpec("count", None), spec).collect()[0]
+    assert row["count_star"] == pytest.approx(total, rel=0.1)
+    assert row["ci_lower"] <= total <= row["ci_upper"]
+
+
+def test_stratified_ht_weights(engine, duck):
+    """Unequal per-stratum fractions must still give an unbiased-scaled
+    SUM via per-row 1/p weights."""
+    spec = SamplingSpec(
+        design="stratified",
+        fraction=0.1,
+        key=KEY,
+        stratum_col="l_returnflag",
+        strata_fractions={"N": 0.4, "A": 0.05},
+    )
+    exact = duck.execute("SELECT SUM(l_extendedprice) FROM lineitem").fetchone()[0]
+    row = _estimate(engine, AggSpec("sum", "l_extendedprice"), spec).collect()[0]
+    assert row["sum_l_extendedprice"] == pytest.approx(exact, rel=0.15)

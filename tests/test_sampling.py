@@ -1,0 +1,62 @@
+"""Sampling designs: determinism, cross-engine (DuckDB) reproducibility,
+nestedness, and approximate fraction realization."""
+
+import pytest
+
+from approximatequeryengine_spark.plans.sampling import (
+    SamplingSpec,
+    apply_sampling,
+    sampling_where_sql,
+)
+
+KEY = "l_orderkey * 8 + l_linenumber"
+
+
+def _sample_keys(engine, spec):
+    df = apply_sampling(engine.catalog.table("lineitem"), spec)
+    return sorted(r[0] for r in df.selectExpr(f"{KEY} AS k").collect())
+
+
+@pytest.mark.parametrize("design", ["uniform_hash", "systematic", "block", "stratified"])
+def test_deterministic_and_oracle_match(engine, duck, design):
+    spec = SamplingSpec(
+        design=design,
+        fraction=0.2,
+        key=KEY,
+        block_size=64,
+        stratum_col="l_returnflag" if design == "stratified" else None,
+        strata_fractions={"N": 0.3, "A": 0.1} if design == "stratified" else {},
+    )
+    keys1 = _sample_keys(engine, spec)
+    keys2 = _sample_keys(engine, spec)
+    assert keys1 == keys2, "same spec must produce identical samples"
+    assert len(keys1) > 0
+
+    where = sampling_where_sql(spec)
+    duck_keys = sorted(
+        r[0] for r in duck.execute(f"SELECT {KEY} FROM lineitem WHERE {where}").fetchall()
+    )
+    assert keys1 == duck_keys, f"{design}: Spark and DuckDB samples differ"
+
+
+def test_nested_fractions(engine):
+    small = set(_sample_keys(engine, SamplingSpec(fraction=0.05, key=KEY)))
+    big = set(_sample_keys(engine, SamplingSpec(fraction=0.2, key=KEY)))
+    assert small <= big, "uniform_hash samples must be nested in the fraction"
+
+
+def test_realized_fraction(engine):
+    total = engine.catalog.table("lineitem").count()
+    n = len(_sample_keys(engine, SamplingSpec(fraction=0.1, key=KEY)))
+    assert n / total == pytest.approx(0.1, rel=0.25)
+
+
+def test_systematic_realized_probability():
+    # Quirk Q2 fix: p=15% → step=7 → realized 1/7, not 0.15.
+    spec = SamplingSpec(design="systematic", fraction=0.15, key=KEY)
+    assert spec.realized_fraction() == pytest.approx(1.0 / 7.0)
+
+
+def test_bernoulli_reproducible_in_spark(engine):
+    spec = SamplingSpec(design="bernoulli", fraction=0.1, seed=7, key=KEY)
+    assert _sample_keys(engine, spec) == _sample_keys(engine, spec)
