@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-disciplined for 100 TB corpora:
+
+- **exact**       — md5 fingerprint groupBy (one shuffle on a 16-byte key).
+- **MinHash+LSH** — shingle → 16 salted min-hashes → 4 bands of 4 →
+  equi-join on (band, key). The LSH band join is the scale path: only
+  colliding candidates are ever paired, so cost is O(candidates), not
+  O(n²). Candidates are verified with exact shingle-set Jaccard.
+- **SimHash**     — 32-bit bit-vote signature per doc; hamming-close
+  docs share signatures (or signature halves for 1-2 bit tolerance).
+- **n-gram Jaccard** — exact char-4-gram Jaccard within a blocking key
+  (``source``) — the quadratic verifier, bounded by block size.
+- **embedding near-dup** — cosine over ``array<float>`` within a
+  blocking key (``label``); the LSH-bucketed variant lives in
+  ``operators/similarity.py``.
+
+Everything is built from JVM-side array/lambda expressions (no Python
+UDFs), and every operator has an equivalent DuckDB SQL rendering for
+the correctness oracle. Hash functions are the portable md5-prefix →
+salted multiplicative family (``functions/text.py``), identical in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.functions.hashing import portable_hash_col
+from approximatequeryengine_spark.functions.text import (
+    minhash_sql,
+    str_hash32_col,
+    str_hash32_sql,
+    word_shingles_col,
+    word_shingles_sql,
+    ws_tokens_col,
+    ws_tokens_sql,
+)
+from approximatequeryengine_spark.operators.text import fingerprint_cols, fingerprint_sql_parts
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dup_groups(spark: SparkSession, docs: DataFrame, by: str = "fp_tokenset") -> DataFrame:
+    """Duplicate groups under a fingerprint: one row per fingerprint with
+    >1 member — representative = min doc_id (the canonical survivor)."""
+    fps = fingerprint_cols(F.col("text"))
+    per_doc = docs.select(F.col("doc_id"), fps[by].alias("fp"))
+    return (
+        per_doc.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dup_groups_sql(by: str = "fp_tokenset") -> str:
+    fp = fingerprint_sql_parts()[by]
+    return (
+        f"SELECT fp, count(*) AS group_size, min(doc_id) AS keep_doc_id "
+        f"FROM (SELECT doc_id, {fp} AS fp FROM documents) __f "
+        f"GROUP BY fp HAVING count(*) > 1"
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+
+
+def minhash_signature_cols(text: Column, shingle_size: int = 3) -> tuple[list[Column], Column]:
+    """(16 minhash columns, distinct-shingle array)."""
+    toks = ws_tokens_col(text)
+    shingles = F.array_distinct(word_shingles_col(toks, shingle_size))
+    ints = F.transform(shingles, str_hash32_col)
+
+    def _salted(j: int):
+        # NB: must be a unary lambda — pyspark treats a 2-arg lambda in
+        # transform() as (element, index), silently hijacking a default
+        # arg used to bind the loop variable.
+        return lambda s: portable_hash_col(s, salt=j)
+
+    sigs = [F.array_min(F.transform(ints, _salted(j))) for j in range(N_HASHES)]
+    return sigs, shingles
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding for candidates, exact
+    shingle-Jaccard verification. Returns (doc_a, doc_b, jaccard)."""
+    sigs, shingles = minhash_signature_cols(F.col("text"), shingle_size)
+    sig_df = docs.select(
+        F.col("doc_id"),
+        shingles.alias("sh"),
+        *[s.alias(f"mh{j}") for j, s in enumerate(sigs)],
+    )
+    band_key = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig_df.select("doc_id", F.explode(band_key).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sig_df.select("doc_id", "sh")
+    jac = (
+        cand.join(sh.alias("x"), cand.doc_a == F.col("x.doc_id"))
+        .join(sh.alias("y"), cand.doc_b == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+                / F.size(F.array_union(F.col("x.sh"), F.col("y.sh"))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.5, shingle_size: int = 3) -> str:
+    toks = ws_tokens_sql("text")
+    shing = word_shingles_sql("t", shingle_size)
+    sig_exprs = ", ".join(
+        f"{minhash_sql('si', j)} AS mh{j}" for j in range(N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+shv AS (SELECT doc_id, list_distinct({shing}) AS sh FROM tok),
+ints AS (SELECT doc_id, sh, list_transform(sh, s -> {str_hash32_sql('s')}) AS si FROM shv),
+sig AS (SELECT doc_id, sh, {sig_exprs} FROM ints),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / len(list_distinct(x.sh || y.sh)) AS jaccard
+  FROM cand JOIN shv x ON cand.doc_a = x.doc_id
+            JOIN shv y ON cand.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac
+WHERE jaccard >= {threshold}
+"""
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_col(text: Column) -> Column:
+    """32-bit SimHash over distinct whitespace tokens: per bit, majority
+    vote of token-hash bits."""
+    toks = F.array_distinct(ws_tokens_col(text))
+    hashes = F.transform(toks, str_hash32_col)
+    n = F.size(hashes)
+
+    def _bit_counter(b: int):
+        # binary lambda only — see _salted() note about pyspark lambdas.
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
+    bits = []
+    for b in range(SIMHASH_BITS):
+        ones = F.aggregate(hashes, F.lit(0).cast("long"), _bit_counter(b))
+        bits.append(F.when(ones * 2 > n, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return F.when(n == 0, F.lit(0).cast("long")).otherwise(out)
+
+
+def simhash_sql(text: str = "text") -> str:
+    toks = f"list_distinct({ws_tokens_sql(text)})"
+    hashes = f"list_transform({toks}, tk -> {str_hash32_sql('tk')})"
+    terms = []
+    for b in range(SIMHASH_BITS):
+        ones = f"list_sum(list_transform(h, v -> (v >> {b}) & 1))"
+        terms.append(f"(CASE WHEN {ones} * 2 > len(h) THEN {2**b} ELSE 0 END)")
+    total = " + ".join(terms)
+    return (
+        f"(SELECT CASE WHEN len(h) = 0 THEN 0 ELSE {total} END "
+        f"FROM (SELECT {hashes} AS h) __sh)"
+    )
+
+
+def simhash_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-source SimHash diversity — collisions indicate near-dups."""
+    per_doc = docs.select(F.col("source"), simhash_col(F.col("text")).alias("simhash"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("simhash").alias("n_distinct_simhash"),
+    )
+
+
+def simhash_summary_sql() -> str:
+    return (
+        f"SELECT source, count(*) AS n_docs, "
+        f"count(DISTINCT {simhash_sql('text')}) AS n_distinct_simhash "
+        f"FROM documents GROUP BY source"
+    )
+
+
+# -- n-gram Jaccard within blocks ------------------------------------------
+
+
+def _char_ngrams(text: Column, n: int = 4) -> Column:
+    # substring via expr to use the (col, pos_col, len) form
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(text) - n, F.lit(0))),
+            lambda i: text.substr(i + 1, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, docs: DataFrame, threshold: float = 0.55, n: int = 4
+) -> DataFrame:
+    """Exact char-n-gram Jaccard for all pairs *within a blocking key*
+    (source). Quadratic only inside blocks — the classic verify stage."""
+    grams = docs.select(
+        F.col("source"), F.col("doc_id"), _char_ngrams(F.col("text"), n).alias("g")
+    )
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), on="source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+                / F.size(F.array_union(F.col("a.g"), F.col("b.g"))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "source", "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.55, n: int = 4) -> str:
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(length(text) - {n}, 0) + 1), "
+        f"i -> substring(text, i + 1, {n})))"
+    )
+    return f"""
+WITH g AS (SELECT source, doc_id, {grams} AS g FROM documents)
+SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(a.g || b.g)), 6) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / len(list_distinct(a.g || b.g)) >= {threshold}
+"""

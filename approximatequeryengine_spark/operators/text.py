@@ -1,0 +1,247 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+All hot-path logic is JVM-side built-ins (split/filter/transform/
+aggregate inside whole-stage codegen) — no Python UDFs — so each
+operator is a narrow scan + one partial-aggregated groupBy and scales
+linearly with the corpus. Every operator has an exactly-equivalent
+DuckDB SQL rendering (suffix ``_SQL``) used as the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.functions.text import (
+    TOKEN_REGEX,
+    ws_tokens_col,
+    ws_tokens_sql,
+)
+
+# Minimal public stopword profiles (language ID by stopword hits — the
+# classic cheap heuristic; n-gram-free variant chosen because the fixture
+# corpus is whitespace-tokenized word soup).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "sie"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+    "es": ["el", "los", "se", "las", "por", "para", "con", "una", "del", "como"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break priority
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(words)))
+
+
+def _hits_sql(tokens: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens}, t -> t IN ({lst})))"
+
+
+def predicted_lang_col(text: Column) -> Column:
+    toks = F.transform(ws_tokens_col(text), lambda t: F.lower(t))
+    scores = {lang: _hits(toks, ws) for lang, ws in LANG_PROFILES.items()}
+    # argmax with LANG_ORDER tie-break: first language whose score equals
+    # the max and is > 0.
+    mx = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    pred = F.lit("unknown")
+    for lg in reversed(LANG_ORDER):
+        pred = F.when((scores[lg] == mx) & (mx > 0), F.lit(lg)).otherwise(pred)
+    return pred
+
+
+def predicted_lang_sql(text_expr: str) -> str:
+    toks = f"list_transform({ws_tokens_sql(text_expr)}, t -> lower(t))"
+    scores = {lg: _hits_sql(toks, ws) for lg, ws in LANG_PROFILES.items()}
+    mx = f"greatest({', '.join(scores[lg] for lg in LANG_ORDER)})"
+    expr = "'unknown'"
+    for lg in reversed(LANG_ORDER):
+        expr = (
+            f"CASE WHEN ({scores[lg]}) = ({mx}) AND ({mx}) > 0 "
+            f"THEN '{lg}' ELSE ({expr}) END"
+        )
+    return expr
+
+
+def lang_id_confusion(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Predicted-vs-labeled language counts (the operator's primary
+    correctness artifact — deterministic, oracle-checkable)."""
+    return (
+        docs.select(F.col("lang"), predicted_lang_col(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def lang_id_confusion_sql() -> str:
+    return (
+        f"SELECT lang, {predicted_lang_sql('text')} AS predicted, "
+        f"count(*) AS n_docs FROM documents GROUP BY 1, 2"
+    )
+
+
+# -- quality scoring --------------------------------------------------------
+
+
+def _char_class_count(text: Column, pattern: str) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Per-document quality signals (length / punctuation / stopword
+    ratios + a composite score in [0,1])."""
+    toks = ws_tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    alpha = _char_class_count(text, "[A-Za-z]")
+    digit = _char_class_count(text, "[0-9]")
+    punct = _char_class_count(text, "[^A-Za-z0-9\\s]")
+    stop_hits = _hits(F.transform(toks, lambda t: F.lower(t)), LANG_PROFILES["en"])
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_toks = F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = alpha / safe_chars
+    punct_ratio = punct / safe_chars
+    stop_ratio = stop_hits / safe_toks
+    score = (
+        F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * F.least(F.lit(1.0), n_tokens / F.lit(20.0))
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.25) * F.least(F.lit(1.0), stop_ratio * 5)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_ratio,
+        "digit_ratio": digit / safe_chars,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def _quality_sql_parts(text: str = "text") -> dict[str, str]:
+    toks = ws_tokens_sql(text)
+    n_chars = f"length({text})"
+    n_tokens = f"len({toks})"
+    alpha = f"({n_chars} - length(regexp_replace({text}, '[A-Za-z]', '', 'g')))"
+    digit = f"({n_chars} - length(regexp_replace({text}, '[0-9]', '', 'g')))"
+    punct = f"({n_chars} - length(regexp_replace({text}, '[^A-Za-z0-9\\s]', '', 'g')))"
+    stop = _hits_sql(f"list_transform({toks}, t -> lower(t))", LANG_PROFILES["en"])
+    safe_chars = f"greatest({n_chars}, 1)"
+    safe_toks = f"greatest({n_tokens}, 1)"
+    alpha_ratio = f"(CAST({alpha} AS DOUBLE) / {safe_chars})"
+    punct_ratio = f"(CAST({punct} AS DOUBLE) / {safe_chars})"
+    stop_ratio = f"(CAST({stop} AS DOUBLE) / {safe_toks})"
+    score = (
+        f"(0.25 * {alpha_ratio} + 0.25 * least(1.0, CAST({n_tokens} AS DOUBLE) / 20.0) "
+        f"+ 0.25 * (1.0 - {punct_ratio}) + 0.25 * least(1.0, {stop_ratio} * 5))"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_ratio,
+        "digit_ratio": f"(CAST({digit} AS DOUBLE) / {safe_chars})",
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_by_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    cols = quality_columns(F.col("text"))
+    per_doc = docs.select(F.col("lang"), *[c.alias(n) for n, c in cols.items()])
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha_ratio"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+def quality_by_lang_sql() -> str:
+    p = _quality_sql_parts()
+    return (
+        "SELECT lang, count(*) AS n_docs, "
+        f"round(avg({p['n_chars']}), 4) AS avg_chars, "
+        f"round(avg({p['n_tokens']}), 4) AS avg_tokens, "
+        f"round(avg({p['alpha_ratio']}), 6) AS avg_alpha_ratio, "
+        f"round(avg({p['punct_ratio']}), 6) AS avg_punct_ratio, "
+        f"round(avg({p['stopword_ratio']}), 6) AS avg_stopword_ratio, "
+        f"round(avg({p['quality_score']}), 6) AS avg_quality "
+        "FROM documents GROUP BY lang"
+    )
+
+
+# -- token counting ---------------------------------------------------------
+
+
+def token_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Corpus token accounting: whitespace tokens and BPE-ish regex
+    tokens (letter runs / digit runs / punctuation marks)."""
+    text = F.col("text")
+    ws = F.size(ws_tokens_col(text))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+    per_doc = docs.select(ws.alias("ws"), bpe.alias("bpe"))
+    return per_doc.agg(
+        F.sum("ws").alias("total_ws_tokens"),
+        F.sum("bpe").alias("total_bpe_tokens"),
+        F.max("ws").alias("max_ws_tokens"),
+        F.round(F.avg("ws"), 6).alias("avg_ws_tokens"),
+    )
+
+
+def token_stats_sql() -> str:
+    ws = f"len({ws_tokens_sql('text')})"
+    bpe = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
+    return (
+        f"SELECT sum(ws) AS total_ws_tokens, sum(bpe) AS total_bpe_tokens, "
+        f"max(ws) AS max_ws_tokens, round(avg(ws), 6) AS avg_ws_tokens "
+        f"FROM (SELECT {ws} AS ws, {bpe} AS bpe FROM documents) __t"
+    )
+
+
+# -- fingerprinting ---------------------------------------------------------
+
+
+def fingerprint_cols(text: Column) -> dict[str, Column]:
+    """Exact fingerprint (md5 of raw text) and an order-insensitive
+    token-set fingerprint (md5 of the sorted distinct tokens) — the
+    rolling-hash-style canonical form for shuffle-resistant dedup."""
+    toks = ws_tokens_col(text)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return {
+        "fp_exact": F.md5(text.cast("binary")),
+        "fp_tokenset": F.md5(canon.cast("binary")),
+    }
+
+
+def fingerprint_sql_parts(text: str = "text") -> dict[str, str]:
+    toks = ws_tokens_sql(text)
+    canon = f"array_to_string(list_sort(list_distinct({toks})), ' ')"
+    return {"fp_exact": f"md5({text})", "fp_tokenset": f"md5({canon})"}
+
+
+def fingerprint_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    fps = fingerprint_cols(F.col("text"))
+    per_doc = docs.select(F.col("source"), *[c.alias(n) for n, c in fps.items()])
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp_exact").alias("n_exact_distinct"),
+        F.countDistinct("fp_tokenset").alias("n_tokenset_distinct"),
+    )
+
+
+def fingerprint_summary_sql() -> str:
+    p = fingerprint_sql_parts()
+    return (
+        "SELECT source, count(*) AS n_docs, "
+        f"count(DISTINCT {p['fp_exact']}) AS n_exact_distinct, "
+        f"count(DISTINCT {p['fp_tokenset']}) AS n_tokenset_distinct "
+        "FROM documents GROUP BY source"
+    )

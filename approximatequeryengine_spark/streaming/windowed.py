@@ -1,0 +1,94 @@
+"""Structured Streaming: windowed aggregation over the events table.
+
+The reference has no streaming (SURVEY.md §1.4); its closest concept is
+the continuous-validation loop. The idiomatic Spark extension is a
+watermarked tumbling-window aggregate: ``readStream`` over the events
+parquet → 15-minute windows per event_type → complete-mode memory sink,
+driven to completion with ``Trigger.AvailableNow`` so it's testable and
+oracle-checkable (the batch equivalent is a plain ``time_bucket``
+GROUP BY in DuckDB).
+
+At scale this runs against Kafka/file streams with the same plan; the
+watermark bounds state, and the window+key groupBy is the only shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW = "15 minutes"
+WATERMARK = "30 minutes"
+
+
+def windowed_event_counts_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """The same aggregation as a batch DataFrame (shared logical plan —
+    what the stream produces incrementally, batch computes in one job)."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), WINDOW).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed aggregate as a real stream (file source,
+    AvailableNow trigger, memory sink) and return the final result."""
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    # The file stream source wants a *directory*; expose the read-only
+    # fixture file through a temp-dir symlink.
+    stream_dir = tempfile.mkdtemp(prefix="aqe_stream_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).parquet(stream_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) fixtures read as epoch-ns longs (see catalog.py).
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window(F.col("ts"), WINDOW).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def windowed_event_counts_sql() -> str:
+    return """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""

@@ -249,3 +249,43 @@ _approx_query(
     "orders", "count", None,
     SamplingSpec(design="systematic", fraction=0.10, key="o_orderkey"),
 )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY.md §7 phase 7 / north star): text
+# analysis, dedup, similarity search, multimodal plumbing, streaming.
+# ---------------------------------------------------------------------------
+
+def _docs_query(name: str, op, oracle: str | None, table: str = "documents") -> None:
+    def fn(spark: SparkSession, sf_dir: str, _op=op, _t=table) -> DataFrame:
+        cat = _catalog(spark, sf_dir)
+        return _op(spark, cat.table(_t))
+
+    _register(name, fn, oracle)
+
+
+from approximatequeryengine_spark.operators import dedup as _dedup  # noqa: E402
+from approximatequeryengine_spark.operators import multimodal as _mm  # noqa: E402
+from approximatequeryengine_spark.operators import similarity as _sim  # noqa: E402
+from approximatequeryengine_spark.operators import text as _text  # noqa: E402
+from approximatequeryengine_spark.streaming import windowed as _stream  # noqa: E402
+
+_docs_query("text_lang_id_confusion", _text.lang_id_confusion, _text.lang_id_confusion_sql())
+_docs_query("text_quality_by_lang", _text.quality_by_lang, _text.quality_by_lang_sql())
+_docs_query("text_token_stats", _text.token_stats, _text.token_stats_sql())
+_docs_query("text_fingerprint_summary", _text.fingerprint_summary, _text.fingerprint_summary_sql())
+_docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
+_docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
+_docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())
+_docs_query("dedup_ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql())
+_docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), table="embeddings")
+_docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="embeddings")
+_docs_query("embedding_neardup_pairs", _sim.embedding_neardup_pairs, _sim.embedding_neardup_pairs_sql(), table="embeddings")
+_docs_query("multimodal_blob_stats", _mm.blob_feature_stats, _mm.blob_feature_stats_sql())
+
+
+def _stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream.windowed_event_counts_stream(spark, sf_dir)
+
+
+_register("streaming_windowed_events", _stream_fn, _stream.windowed_event_counts_sql())

@@ -1,0 +1,166 @@
+"""LLM-pipeline operators: functional correctness on synthetic inputs
+(the fixture corpus has few true near-dups, so these tests construct
+known duplicates/neighbors and assert the operators find them)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.operators import dedup, multimodal, similarity
+from approximatequeryengine_spark.operators.text import predicted_lang_col, quality_columns
+
+
+@pytest.fixture(scope="module")
+def synth_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en", "s1", len(base)),
+        # near-dup of 1: one word changed
+        (2, base.replace("lazy", "sleepy"), "en", "s1", len(base)),
+        # exact dup of 1
+        (3, base, "en", "s2", len(base)),
+        # shuffled tokens (same token set → tokenset dup, low shingle overlap)
+        (4, "dog lazy the over jumps fox brown quick the again and again today", "en", "s2", 60),
+        # unrelated German
+        (5, "der hund ist nicht auf der wiese und die katze ist mit ihm", "de", "s1", 58),
+        # unrelated French
+        (6, "le chat est sur la table et les chiens sont pour une promenade", "fr", "s2", 62),
+        (7, "", "en", "s1", 0),  # empty doc edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_finds_dups(spark, synth_docs):
+    groups = dedup.exact_dup_groups(spark, synth_docs, by="fp_exact").collect()
+    assert len(groups) == 1
+    assert groups[0]["group_size"] == 2 and groups[0]["keep_doc_id"] == 1
+
+    # token-set fingerprint additionally catches the shuffled doc 4
+    tgroups = dedup.exact_dup_groups(spark, synth_docs, by="fp_tokenset").collect()
+    assert any(g["group_size"] >= 3 for g in tgroups)
+
+
+def test_minhash_finds_neardup(spark, synth_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.minhash_lsh_pairs(spark, synth_docs, threshold=0.3).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # one-word-changed near-dup
+    assert not any({a, b} == {1, 5} for a, b in pairs)  # unrelated stays apart
+
+
+def test_simhash_identical_for_dups(spark, synth_docs):
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in synth_docs.select(
+            "doc_id", dedup.simhash_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert sh[1] == sh[3]  # exact dup
+    assert sh[1] == sh[4]  # same token set (simhash is order-insensitive)
+    assert sh[1] != sh[5]  # different language content
+    assert sh[7] == 0  # empty doc
+
+
+def test_ngram_jaccard_blocked_pairs(spark, synth_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(spark, synth_docs, threshold=0.5).collect()}
+    # 1 and 2 share source s1 and are near-identical char-wise
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    # 1 and 3 are identical but in different sources → blocked apart
+    assert (1, 3) not in pairs
+
+
+def test_lang_id(spark, synth_docs):
+    preds = {
+        r["doc_id"]: r["p"]
+        for r in synth_docs.select(
+            "doc_id", predicted_lang_col(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert preds[1] == "en" and preds[5] == "de" and preds[6] == "fr"
+    assert preds[7] == "unknown"
+
+
+def test_quality_empty_doc(spark, synth_docs):
+    cols = quality_columns(F.col("text"))
+    row = (
+        synth_docs.filter("doc_id = 7")
+        .select(*[c.alias(n) for n, c in cols.items()])
+        .collect()[0]
+    )
+    assert row["n_tokens"] == 0 and row["n_chars"] == 0
+    assert 0.0 <= row["quality_score"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def synth_emb(spark):
+    import math
+
+    def vec(theta, dim=8):
+        # unit vectors in a 2D subspace, padded — cosine = cos(Δtheta)
+        v = [math.cos(theta), math.sin(theta)] + [0.0] * (dim - 2)
+        return [float(x) for x in v]
+
+    rows = [
+        (0, vec(0.00), 0),
+        (1, vec(0.05), 0),   # near-dup of 0 (cos ≈ 0.9988)
+        (2, vec(1.50), 0),   # far from 0
+        (3, vec(3.10), 1),
+        (4, vec(0.02), 1),   # near 0 but different label block
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_bruteforce_topk(spark, synth_emb):
+    res = similarity.ann_bruteforce_topk(spark, synth_emb, n_queries=1, k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert ranked == [4, 1]  # closest first (0.02 rad then 0.05 rad)
+
+
+def test_embedding_neardup_blocked(spark, synth_emb):
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.embedding_neardup_pairs(spark, synth_emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs          # same label, cosine ~0.9988
+    assert (0, 4) not in pairs      # cosine ~0.9998 but different label block
+
+
+def test_lsh_bucket_invariants_on_fixture(spark, engine):
+    """LSH candidates must share the query's signature, and their cosine
+    must agree with the brute-force scan for the same pair (with random
+    64-dim fixture vectors, rank-1 recall of an 8-bit signature is near
+    zero by design — the invariant worth testing is bucket correctness,
+    not recall)."""
+    emb = engine.catalog.table("embeddings")
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in emb.select(
+            "vec_id", similarity.lsh_signature_col(F.col("embedding")).alias("sig")
+        ).collect()
+    }
+    lsh = similarity.ann_lsh_topk(spark, emb, n_queries=5, k=3).collect()
+    assert lsh, "expected at least one bucket collision on 500 vectors"
+    bf_all = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.ann_bruteforce_topk(spark, emb, n_queries=5, k=10**6).collect()
+    }
+    for r in lsh:
+        assert sigs[r["query_id"]] == sigs[r["neighbor_id"]]
+        assert r["cos_sim"] == pytest.approx(bf_all[(r["query_id"], r["neighbor_id"])], abs=1e-9)
+
+
+def test_multimodal_decode_stub_raises(spark, synth_docs):
+    blobs = multimodal.make_blob_table(synth_docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_blob_features(spark, blobs, allow_fake=False).collect()
+
+
+def test_multimodal_features(spark, synth_docs):
+    import hashlib
+
+    blobs = multimodal.make_blob_table(synth_docs)
+    feats = {r["doc_id"]: r for r in
+             multimodal.extract_blob_features(spark, blobs).collect()}
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    assert feats[1]["payload_len"] == len(base.encode())
+    assert feats[1]["checksum32"] == int(hashlib.md5(base.encode()).hexdigest()[:8], 16)
+    assert feats[1]["media_type"] == "audio/wav"  # odd doc_id
+    assert feats[7]["payload_len"] == 0
