@@ -69,12 +69,16 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: s
 # Exact path — identical SQL both engines (Spark SQL ∩ DuckDB SQL).
 # ---------------------------------------------------------------------------
 
-def _sql_query(name: str, sql: str) -> None:
+def _sql_query(name: str, sql: str, oracle: str | None = "") -> None:
+    """Register a spark.sql query; oracle defaults to the same SQL text
+    (Spark SQL ∩ DuckDB SQL), pass ``oracle=...`` where dialects differ
+    or ``None`` for a rows-only check."""
+
     def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
         _catalog(spark, sf_dir)  # registers temp views
         return spark.sql(_sql)
 
-    _register(name, fn, sql)
+    _register(name, fn, sql if oracle == "" else oracle)
 
 
 _sql_query(
@@ -139,6 +143,54 @@ _sql_query(
     "SELECT s_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
     "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
     "GROUP BY s_name",
+)
+# Exact interpolated median/quantiles (beyond the reference's SUM/AVG/COUNT).
+_sql_query(
+    "exact_quantiles",
+    "SELECT round(percentile(l_extendedprice, 0.5), 4) AS median_price, "
+    "round(percentile(l_extendedprice, 0.95), 4) AS p95_price FROM lineitem",
+    oracle="SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
+    "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price FROM lineitem",
+)
+_sql_query(
+    "exact_count_distinct",
+    "SELECT count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+)
+# Grouping sets: ROLLUP over two keys (NULL super-aggregate rows included).
+_sql_query(
+    "rollup_sum",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+)
+# Window function: top-3 parts by revenue within each brand.
+_sql_query(
+    "window_topk_parts_per_brand",
+    "SELECT p_brand, p_partkey, revenue, rnk FROM ("
+    "  SELECT p_brand, p_partkey, round(sum(l_extendedprice), 2) AS revenue, "
+    "         row_number() OVER (PARTITION BY p_brand "
+    "                            ORDER BY sum(l_extendedprice) DESC, p_partkey) AS rnk "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  GROUP BY p_brand, p_partkey) t WHERE rnk <= 3",
+)
+# Sessionization: 30-minute-gap sessions per user (lag + cumulative sum).
+_sql_query(
+    "sessionize_events",
+    "SELECT user_id, count(*) AS n_events, sum(new_s) + 1 AS n_sessions FROM ("
+    "  SELECT user_id, CASE WHEN ts - lag(ts) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+    "    THEN 1 ELSE 0 END AS new_s FROM events) t GROUP BY user_id",
+)
+# Pivot-shaped conditional aggregation (orderstatus → columns).
+_sql_query(
+    "pivot_order_status",
+    "SELECT o_orderpriority, "
+    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open, "
+    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled, "
+    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial "
+    "FROM orders GROUP BY o_orderpriority",
 )
 
 
@@ -289,3 +341,40 @@ def _stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("streaming_windowed_events", _stream_fn, _stream.windowed_event_counts_sql())
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators → rows-only driver check (no oracle entry).
+# ---------------------------------------------------------------------------
+
+def _adaptive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive CLT loop (R8-R10): iterative driver-side escalation —
+    deterministic, but a multi-job loop has no single-SQL equivalent."""
+    from approximatequeryengine_spark.plans.adaptive import adaptive_aggregate
+    from approximatequeryengine_spark.plans.estimators import AggSpec
+
+    cat = _catalog(spark, sf_dir)
+    res = adaptive_aggregate(
+        cat.table("lineitem"),
+        AggSpec("sum", "l_extendedprice"),
+        SamplingSpec(fraction=0.0, key=_LKEY),
+        error_pct=2.0,
+    )
+    return res.df
+
+
+_register("adaptive_clt_sum", _adaptive_fn, None)
+
+
+def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native sketch-based approximate distinct (HLL++) — no reference
+    counterpart, exposed as a beyond-parity operator; sketch internals
+    are engine-specific, so rows-only."""
+    cat = _catalog(spark, sf_dir)
+    return cat.table("lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_n_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
+    )
+
+
+_register("sketch_approx_distinct", _hll_fn, None)

@@ -1,0 +1,125 @@
+"""Harness protocol, source generators, and CLI routing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark import harness
+from approximatequeryengine_spark.cli import build_parser, format_result, print_methods
+from approximatequeryengine_spark.plans.estimators import AggSpec
+from approximatequeryengine_spark.result import ApproximationStatus, ApproxResult
+from approximatequeryengine_spark.sources.registry import (
+    create_mytable_df,
+    create_records_df,
+    create_sales_df,
+    read_table,
+    write_table,
+)
+
+KEY = "l_orderkey * 8 + l_linenumber"
+
+
+def test_mytable_closed_form(spark):
+    # FIXTURES.md §1.2: SUM=82.5, AVG=8.25, COUNT=10
+    row = create_mytable_df(spark).agg(
+        F.sum("value").alias("s"), F.avg("value").alias("a"), F.count("*").alias("c")
+    ).collect()[0]
+    assert row["s"] == 82.5 and row["a"] == 8.25 and row["c"] == 10
+
+
+def test_sales_schema_and_determinism(spark):
+    df = create_sales_df(spark, n=1000)
+    assert df.columns == ["id", "amount", "category"]
+    stats = df.agg(
+        F.min("amount"), F.max("amount"), F.countDistinct("category")
+    ).collect()[0]
+    assert 1.0 <= stats[0] and stats[1] <= 1000.0 and stats[2] == 4
+    assert df.count() == 1000
+    # same seed → same sum
+    s1 = create_sales_df(spark, 1000).agg(F.sum("amount")).collect()[0][0]
+    s2 = create_sales_df(spark, 1000).agg(F.sum("amount")).collect()[0][0]
+    assert s1 == s2
+
+
+def test_records_schema(spark):
+    df = create_records_df(spark, n=100)
+    assert df.columns == ["id", "amount", "region", "product_id", "timestamp"]
+    assert df.count() == 100
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    df = create_mytable_df(spark)
+    path = str(tmp_path / "t")
+    write_table(df, path, fmt="parquet")
+    back = read_table(spark, path)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["value"] for r in df.collect()
+    )
+    with pytest.raises(ValueError):
+        read_table(spark, path, fmt="avro")
+
+
+def test_sample_rate_sweep(engine):
+    df = engine.catalog.table("lineitem")
+    rows = harness.sample_rate_sweep(
+        df, AggSpec("sum", "l_extendedprice"), KEY, rates=[0, 10, 50], runs=1
+    )
+    assert [r["sample_rate_pct"] for r in rows] == [0, 10, 50]
+    assert rows[0]["relative_error_pct"] == 0.0  # rate 0 = exact
+    assert rows[1]["relative_error_pct"] < 15.0
+    assert rows[2]["relative_error_pct"] < rows[1]["relative_error_pct"] + 10
+
+
+def test_error_threshold_sweep(engine_med):
+    df = engine_med.catalog.table("lineitem")
+    rows = harness.error_threshold_sweep(
+        df, AggSpec("avg", "l_extendedprice"), KEY, thresholds=[2.0, 5.0]
+    )
+    for r in rows:
+        assert r["within_budget"], r
+    # tighter budget needs at least as large a final fraction
+    assert rows[0]["final_fraction"] >= rows[1]["final_fraction"]
+
+
+def test_benchmark_query(engine):
+    res = harness.benchmark_query(
+        engine.catalog.table("lineitem"), AggSpec("sum", "l_extendedprice"), KEY
+    )
+    assert res["error_pct"] < 20
+    assert res["samples_used"] > 0
+
+
+def test_to_csv(tmp_path):
+    p = str(tmp_path / "out.csv")
+    harness.to_csv([{"a": 1, "b": 2}, {"a": 3, "b": 4}], p)
+    text = open(p).read().strip().splitlines()
+    assert text[0] == "a,b" and len(text) == 3
+
+
+def test_cli_parser_routing():
+    p = build_parser()
+    args = p.parse_args(["SELECT SUM(x) FROM t", "-s", "10", "--ci"])
+    assert args.sample == 10.0 and args.ci and args.error is None
+    args = p.parse_args(["q", "-e", "2.5", "--method", "clt"])
+    assert args.error == 2.5 and args.method == "clt"
+    with pytest.raises(SystemExit):
+        p.parse_args(["q", "--method", "nope"])
+
+
+def test_cli_format_result():
+    res = ApproxResult(
+        df=None, value=123.4567, ci_lower=120.0, ci_upper=126.9,
+        status=ApproximationStatus.STABLE, error_margin=3.45,
+        samples_used=500, fraction=0.1, computation_time=0.5, method="random",
+    )
+
+    class A:
+        ci = True
+
+    out = format_result(res, A())
+    assert "123.4567" in out and "STABLE" in out and "95% CI" in out
+
+
+def test_cli_explain_prints(capsys):
+    print_methods()
+    out = capsys.readouterr().out
+    assert "revolutionary" in out and "clt" in out

@@ -52,8 +52,12 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             cols = sorted(sdf.columns)
+
+            def _key(row):
+                return tuple((v is None, str(type(v)), str(v)) for v in row)
+
             srows = sorted(
-                tuple(row[c] for c in cols) for row in sdf.collect()
+                (tuple(row[c] for c in cols) for row in sdf.collect()), key=_key
             )
             if name not in oracles:
                 print(f"  {name}: rows-only check, {len(srows)} rows OK")
@@ -64,7 +68,7 @@ def main() -> int:
             if idx is None:
                 failures.append((name, f"columns {sorted(dcols)} != {cols}"))
                 continue
-            drows = sorted(tuple(r[i] for i in idx) for r in res.fetchall())
+            drows = sorted((tuple(r[i] for i in idx) for r in res.fetchall()), key=_key)
             if len(srows) != len(drows):
                 failures.append((name, f"rowcount spark={len(srows)} duck={len(drows)}"))
                 continue
