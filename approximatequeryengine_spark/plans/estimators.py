@@ -9,10 +9,15 @@ hand-rolled with atomics (``custom_bplus_db.cpp:2032-2035``) for free —
 and derive:
 
 - ``AVG``:   sample mean, unscaled (``executor.cpp:50-53``); CI ±z·se.
-- ``SUM``:   Horvitz-Thompson ``Σ(x/p)``; CI ``N̂·(x̄ ± z·se)`` — the
-  scaled-sum point estimate (fixes reference quirk Q4, which scaled the
-  *mean* instead of the sum).
-- ``COUNT``: ``Σ(1/p)``; CI from the Bernoulli inclusion variance
+- ``SUM``:   Horvitz-Thompson ``Σ(x/p)``; CI ``± z·√(Σ x²(1−p)/p²)`` —
+  the exact HT variance estimator for independent per-row inclusion
+  (Poisson/Bernoulli designs). The reference's ``N̂·z·s/√n`` conditions
+  on a fixed sample size and ignores the variance of n itself, which
+  makes it anti-conservative: measured coverage ≈64% instead of 95%
+  (tests/test_statistical.py). Deliberate deviation, documented as
+  quirk Q8 in SURVEY.md §4.4; the point estimate still fixes Q4
+  (scaled sum, not scaled mean).
+- ``COUNT``: ``Σ(1/p)``; CI from the same HT variance with x≡1:
   ``√(n(1−p))/p`` (the reference had no principled COUNT CI — quirk Q3).
 
 GROUP BY runs as ONE ``groupBy().agg()`` job with per-group moments and
@@ -85,6 +90,9 @@ def approx_aggregate(
         F.sum(x * x).alias("__s2"),
         F.sum(x * w).alias("__ht_sum"),
         F.sum(w).alias("__ht_n"),
+        # HT variance moment: Σ x²(1−p)/p², the unbiased variance
+        # estimator of Σ(x/p) under independent per-row inclusion.
+        F.sum(x * x * (F.lit(1.0) - p) / (p * p)).alias("__vht"),
         F.avg(p).alias("__p_avg"),
         F.min(x).alias("__min"),
         F.max(x).alias("__max"),
@@ -109,8 +117,8 @@ def approx_aggregate(
         margin = F.lit(z) * se
     elif func == "sum":
         est = F.col("__ht_sum")
-        # N̂ · z · se — CI around the scaled sum.
-        margin = F.col("__ht_n") * F.lit(z) * se
+        # z · √(HT variance) — see module docstring (quirk Q8).
+        margin = F.lit(z) * F.sqrt(F.greatest(F.col("__vht"), F.lit(0.0)))
     elif func == "count":
         est = F.col("__ht_n")
         pbar = F.col("__p_avg")
@@ -155,6 +163,7 @@ def moments_sql(
         f"SELECT {group_by + ', ' if group_by else ''}"
         f"COUNT({x}) AS n, SUM({x}) AS s1, SUM({x}*{x}) AS s2, "
         f"SUM({x} / {p_sql}) AS htsum, SUM(1.0 / {p_sql}) AS htn, "
+        f"SUM({x}*{x} * (1.0 - {p_sql}) / ({p_sql} * {p_sql})) AS vht, "
         f"AVG({p_sql}) AS pavg "
         f"FROM {table} WHERE {where}"
         f"{' GROUP BY ' + group_by if group_by else ''}"
@@ -167,7 +176,7 @@ def moments_sql(
         margin = f"{z} * {se}"
     elif a == "sum":
         est = "htsum"
-        margin = f"htn * {z} * {se}"
+        margin = f"{z} * sqrt(greatest(vht, 0.0))"
     elif a == "count":
         est = "htn"
         margin = f"{z} * sqrt(n * (1.0 - pavg)) / pavg"

@@ -30,6 +30,7 @@ column pruning straight to the Parquet scan.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -145,6 +146,54 @@ def sampling_where_sql(spec: SamplingSpec, key_sql: str | None = None) -> str:
         )
         return f"{h} < (CASE {cases} ELSE {fraction_threshold(spec.fraction)} END)"
     raise ValueError(f"design {spec.design!r} has no portable SQL form")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_fraction: float,
+    min_fraction: float = 0.005,
+    max_fraction: float = 1.0,
+    quantum: int = 10,
+) -> dict:
+    """Variance-adaptive (Neyman) allocation — reference R14
+    (``custom_bplus_db.cpp:1273-1329``: per-zone variance → smaller
+    blocks in high-variance zones), done properly: pass 1 computes
+    per-stratum ``(N_h, S_h)`` in ONE ``groupBy`` job, pass 2 samples
+    stratum ``h`` at ``f_h = clamp(f·N·S_h / Σ N_k·S_k)`` so sampling
+    effort concentrates where variance is, minimizing estimator variance
+    for a fixed total sample size.
+
+    ``S_h`` is quantized to an integer multiple of ``quantum`` so every
+    downstream arithmetic step is exact in IEEE doubles — the same
+    allocation is then bit-reproducible in any engine (the DuckDB oracle
+    re-derives it in SQL), and the summation ``Σ N_k·S_k`` is
+    order-independent integer math. At scale pass 1 is a single
+    map-side-combined aggregate over the stratum column; nothing but the
+    |strata|-row stats table ever reaches the driver.
+    """
+    rows = (
+        df.groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.stddev_samp(F.col(value_col).cast("double")).alias("s"),
+        )
+        .collect()
+    )
+    nh = {r[stratum_col]: int(r["nh"]) for r in rows}
+    sh = {
+        r[stratum_col]: int(math.floor((r["s"] or 0.0) / quantum + 0.5)) * quantum
+        for r in rows
+    }
+    n_total = sum(nh.values())
+    ns_sum = sum(nh[k] * sh[k] for k in nh)
+    if ns_sum == 0:
+        return {k: total_fraction for k in nh}
+    return {
+        k: min(max(total_fraction * n_total * sh[k] / ns_sum, min_fraction), max_fraction)
+        for k in nh
+    }
 
 
 def sampling_p_sql(spec: SamplingSpec) -> str:

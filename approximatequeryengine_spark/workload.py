@@ -303,6 +303,68 @@ _approx_query(
 )
 
 
+def _neyman_query(
+    name: str,
+    table: str,
+    value_col: str,
+    stratum_col: str,
+    key: str,
+    total_fraction: float = 0.05,
+    round_to: int = 2,
+) -> None:
+    """Variance-adaptive stratified sampling (R14): pass 1 derives the
+    per-stratum Neyman fractions from (count, quantized stddev); pass 2
+    samples + estimates. The oracle re-derives the identical allocation
+    in SQL — the stddev quantization makes the arithmetic exact in
+    doubles, so both engines compute bit-equal fractions, thresholds,
+    samples, and estimates."""
+    from approximatequeryengine_spark.functions.hashing import HASH_SPACE, portable_hash_sql
+    from approximatequeryengine_spark.plans.sampling import neyman_allocation
+
+    quantum = 10
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cat = _catalog(spark, sf_dir)
+        df = cat.table(table)
+        fracs = neyman_allocation(
+            df, stratum_col, value_col, total_fraction, quantum=quantum
+        )
+        spec = SamplingSpec(
+            design="stratified", fraction=total_fraction, key=key,
+            stratum_col=stratum_col, strata_fractions=fracs,
+        )
+        rdf = approx_aggregate(apply_sampling(df, spec), AggSpec("sum", value_col))
+        alias = AggSpec("sum", value_col).name()
+        return _round_cols(rdf, {alias: round_to, "ci_lower": round_to, "ci_upper": round_to})
+
+    x = f"CAST({value_col} AS DOUBLE)"
+    alloc_f = (
+        f"least(greatest({total_fraction!r} * (SELECT n FROM tot) * sh / (SELECT ns FROM tot), "
+        f"0.005), 1.0)"
+    )
+    oracle = (
+        f"WITH st AS (SELECT {stratum_col} AS stratum, COUNT(*) AS nh, "
+        f"CAST(floor(coalesce(stddev_samp({x}), 0.0) / {quantum} + 0.5) AS BIGINT) * {quantum} AS sh "
+        f"FROM {table} GROUP BY 1), "
+        f"tot AS (SELECT SUM(nh) AS n, SUM(nh * sh) AS ns FROM st), "
+        f"alloc AS (SELECT stratum, {alloc_f} AS f FROM st), "
+        f"samp AS (SELECT t.*, a.f AS p FROM {table} t "
+        f"JOIN alloc a ON t.{stratum_col} = a.stratum "
+        f"WHERE {portable_hash_sql(key)} < CAST(floor(a.f * {HASH_SPACE}) AS BIGINT)) "
+        + moments_sql(
+            table="samp", column=value_col, where="TRUE", agg="sum",
+            p_sql="p", alias=AggSpec("sum", value_col).name(), round_to=round_to,
+        )
+    )
+    _register(name, fn, oracle)
+
+
+_neyman_query(
+    "approx_sum_neyman",
+    "lineitem", "l_extendedprice", "l_returnflag", _LKEY,
+)
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY.md §7 phase 7 / north star): text
 # analysis, dedup, similarity search, multimodal plumbing, streaming.

@@ -57,6 +57,26 @@ def test_systematic_realized_probability():
     assert spec.realized_fraction() == pytest.approx(1.0 / 7.0)
 
 
+def test_neyman_allocation(engine):
+    # R14: fractions proportional to per-stratum stddev, clamped, and the
+    # high-variance stratum gets the larger fraction.
+    from approximatequeryengine_spark.plans.sampling import neyman_allocation
+
+    df = engine.catalog.table("lineitem")
+    fracs = neyman_allocation(df, "l_returnflag", "l_extendedprice", 0.05)
+    assert set(fracs) == {"A", "N", "R"}
+    for f in fracs.values():
+        assert 0.005 <= f <= 1.0
+    # Expected sample size ≈ total_fraction · N (within clamping slack).
+    import pyspark.sql.functions as F
+
+    counts = {r["l_returnflag"]: r["n"] for r in
+              df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    expected = sum(counts[k] * fracs[k] for k in fracs)
+    total = sum(counts.values())
+    assert expected / total == pytest.approx(0.05, rel=0.15)
+
+
 def test_bernoulli_reproducible_in_spark(engine):
     spec = SamplingSpec(design="bernoulli", fraction=0.1, seed=7, key=KEY)
     assert _sample_keys(engine, spec) == _sample_keys(engine, spec)

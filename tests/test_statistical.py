@@ -1,0 +1,96 @@
+"""Statistical correctness of the estimator layer (SURVEY.md §5):
+unbiasedness and 95% CI coverage over many independent samples.
+
+All replicate estimates are computed in ONE Spark job: cross-join the
+table with a salt dimension, filter each (row, salt) pair through the
+salted portable hash, and aggregate per salt — the distributed-friendly
+form of "run the estimator 100 times", with no driver loop.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.functions.hashing import (
+    HASH_SPACE,
+    M31,
+    MULT,
+    MULT2,
+    OFFSET,
+    SALT_STRIDE,
+    fraction_threshold,
+)
+from approximatequeryengine_spark.plans.estimators import Z_95
+
+KEY = "l_orderkey * 8 + l_linenumber"
+FRACTION = 0.1
+N_SALTS = 100
+
+
+def _salted_hash(k, salt):
+    t1 = (F.abs(k.cast("long")) + salt * F.lit(SALT_STRIDE)) % F.lit(M31)
+    t2 = (t1 * F.lit(MULT) + F.lit(OFFSET)) % F.lit(HASH_SPACE)
+    return ((t2 % F.lit(M31)) * F.lit(MULT2) + F.lit(144)) % F.lit(HASH_SPACE)
+
+
+@pytest.fixture(scope="module")
+def replicates(engine, spark):
+    """Per-salt (estimate, ci_lower, ci_upper) for a fraction-0.1
+    HT SUM of l_extendedprice, plus the exact answer."""
+    df = engine.catalog.table("lineitem").selectExpr(
+        f"{KEY} AS k", "l_extendedprice AS x"
+    )
+    truth = df.agg(F.sum("x")).collect()[0][0]
+
+    salts = spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt"))
+    thr = fraction_threshold(FRACTION)
+    sampled = df.crossJoin(salts).filter(
+        _salted_hash(F.col("k"), F.col("salt")) < F.lit(thr)
+    )
+    m = sampled.groupBy("salt").agg(
+        F.count("x").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    est = s1 / F.lit(FRACTION)
+    # The engine's HT-variance CI (estimators.py, quirk Q8):
+    # margin = z·√(Σ x²(1−p)/p²) = z·√(s2·(1−f)/f²) for constant f.
+    margin = F.lit(Z_95) * F.sqrt(
+        s2 * F.lit((1.0 - FRACTION) / (FRACTION * FRACTION))
+    )
+    rows = m.select(
+        "salt", "n",
+        est.alias("est"),
+        (est - margin).alias("lo"),
+        (est + margin).alias("hi"),
+    ).collect()
+    assert len(rows) == N_SALTS
+    return truth, rows
+
+
+def test_ci_coverage_near_nominal(replicates):
+    truth, rows = replicates
+    covered = sum(1 for r in rows if r["lo"] <= truth <= r["hi"])
+    # Binomial(100, 0.95): ±3σ ≈ ±6.5 around 95.
+    assert covered >= 87, f"CI coverage {covered}/100 far below nominal 95%"
+
+
+def test_unbiasedness(replicates):
+    truth, rows = replicates
+    mean_est = sum(r["est"] for r in rows) / len(rows)
+    # SE of the replicate mean ≈ 0.25%; 1% tolerance = ~4σ.
+    assert mean_est == pytest.approx(truth, rel=0.01), (
+        f"mean of {len(rows)} estimates {mean_est} vs truth {truth}"
+    )
+
+
+def test_salt_independence(replicates):
+    """Different salts must give genuinely different samples — near-zero
+    variance across replicates would mean correlated hash functions."""
+    truth, rows = replicates
+    ests = [r["est"] for r in rows]
+    mean = sum(ests) / len(ests)
+    cv = (sum((e - mean) ** 2 for e in ests) / (len(ests) - 1)) ** 0.5 / mean
+    assert cv > 0.001, "replicate estimates are suspiciously identical"
+    sizes = {r["n"] for r in rows}
+    assert len(sizes) > 10, "per-salt sample sizes almost constant — salts correlated"
