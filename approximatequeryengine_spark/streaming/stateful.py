@@ -1,0 +1,131 @@
+"""Custom stateful streaming operator: continuously-refining estimates.
+
+The reference's continuous-validation thread re-samples in a loop and
+keeps a sliding window of estimates until told to stop
+(``core/scheduler.cpp:291-367``); its CLI classifies the result STABLE /
+DRIFTING / INSUFFICIENT_DATA (V1-V5). The Structured Streaming analogue
+of "the estimate keeps refining as more data is seen" is a stateful
+per-key operator: ``applyInPandasWithState`` holds cumulative moments
+``(n, Σx, Σx²)`` per event type across micro-batches and emits, on every
+batch, the current running mean with a 95% CI and a drift status
+(|Δmean|/|mean| vs. the V3 threshold, insufficient-data below the V5
+minimum).
+
+Scale notes: state is three doubles per key — bounded regardless of
+stream length; each micro-batch shuffles once on the key; the pandas
+function sees Arrow batches, never per-row Python. Against Kafka the
+same code runs unmodified; the test/driver path feeds a directory of
+parquet part-files with ``maxFilesPerTrigger=1`` + ``availableNow`` so
+multiple micro-batches replay deterministically.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from approximatequeryengine_spark.plans.estimators import Z_95
+
+OUTPUT_SCHEMA = (
+    "event_type STRING, n_seen BIGINT, running_avg DOUBLE, "
+    "ci_lower DOUBLE, ci_upper DOUBLE, status STRING"
+)
+STATE_SCHEMA = "n BIGINT, s1 DOUBLE, s2 DOUBLE"
+
+DRIFT_THRESHOLD = 0.02  # V3: |fast − slow|/|fast| ≤ e
+MIN_SAMPLES = 50  # V5 floor
+
+
+def _refine(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n0, s10, s20 = state.get if state.exists else (0, 0.0, 0.0)
+    bn, bs1, bs2 = 0, 0.0, 0.0
+    for pdf in pdfs:
+        v = pdf["value"].astype("float64")
+        bn += int(len(v))
+        bs1 += float(v.sum())
+        bs2 += float((v * v).sum())
+    n, s1, s2 = n0 + bn, s10 + bs1, s20 + bs2
+    state.update((n, s1, s2))
+    if n == 0:
+        return
+    mean = s1 / n
+    var = max((s2 - s1 * s1 / n) / (n - 1), 0.0) if n > 1 else 0.0
+    margin = Z_95 * math.sqrt(var / n)
+    if n < MIN_SAMPLES:
+        status = "INSUFFICIENT_DATA"
+    elif n0 == 0:
+        status = "STABLE"
+    else:
+        prev = s10 / n0
+        drift = abs(mean - prev) / abs(mean) if mean else float("inf")
+        status = "STABLE" if drift <= DRIFT_THRESHOLD else "DRIFTING"
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "running_avg": [mean],
+            "ci_lower": [mean - margin],
+            "ci_upper": [mean + margin],
+            "status": [status],
+        }
+    )
+
+
+def running_estimates_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ts_is_long: bool = False,
+) -> DataFrame:
+    """Run the stateful refinement over a directory of parquet files,
+    one file per micro-batch; returns every per-batch emission."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    if ts_is_long and "ts" in schema.fieldNames():
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    refined = (
+        stream.select("event_type", F.col("value").cast("double").alias("value"))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _refine,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        refined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def split_events_for_replay(
+    events: DataFrame, directory: str, n_batches: int = 4
+) -> None:
+    """Write the events table as ``n_batches`` part files ordered by time
+    so the file stream replays them as successive micro-batches."""
+    os.makedirs(directory, exist_ok=True)
+    # repartitionByRange on ts → each part file is one contiguous time
+    # slice (a real replay, not an arbitrary shuffle split).
+    events.repartitionByRange(n_batches, "ts").write.mode("overwrite").parquet(directory)

@@ -394,7 +394,15 @@ _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summ
 _docs_query("dedup_ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql())
 _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="embeddings")
-_docs_query("embedding_neardup_pairs", _sim.embedding_neardup_pairs, _sim.embedding_neardup_pairs_sql(), table="embeddings")
+# τ=0.35 (not the 0.95 production default): the synthetic fixture's max
+# within-label cosine is ~0.47, so 0.95 would make the check vacuous
+# (always 0 rows); 0.35 yields nonzero matches at every SF.
+_docs_query(
+    "embedding_neardup_pairs",
+    lambda spark, df: _sim.embedding_neardup_pairs(spark, df, threshold=0.35),
+    _sim.embedding_neardup_pairs_sql(threshold=0.35),
+    table="embeddings",
+)
 _docs_query("multimodal_blob_stats", _mm.blob_feature_stats, _mm.blob_feature_stats_sql())
 
 
@@ -426,6 +434,31 @@ def _adaptive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("adaptive_clt_sum", _adaptive_fn, None)
+
+
+def _stateful_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-event-type cumulative moments state emitting a refining estimate
+    + CI + V3/V5 drift status every micro-batch. Genuinely non-SQL-
+    expressible (multi-batch state evolution) → rows-only check."""
+    import tempfile
+
+    from approximatequeryengine_spark.streaming.stateful import (
+        running_estimates_stream,
+        split_events_for_replay,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    events = cat.table("events")
+    replay_dir = tempfile.mkdtemp(prefix="aqe_replay_")
+    split_events_for_replay(events, replay_dir, n_batches=4)
+    out = running_estimates_stream(
+        spark, replay_dir, spark.read.parquet(replay_dir).schema
+    )
+    return out.orderBy("event_type", "n_seen")
+
+
+_register("streaming_running_estimate", _stateful_stream_fn, None)
 
 
 def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

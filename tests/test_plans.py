@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB
+must be visible in the plan, not assumed (column pruning, broadcast
+joins, whole-stage codegen, map-side partial aggregation)."""
+
+import re
+
+import pytest
+
+from approximatequeryengine_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name, mode="formatted"):
+    df = QUERIES[name](spark, SF)
+    qe = df._jdf.queryExecution()
+    m = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return qe.explainString(m)
+
+
+def test_sampled_agg_prunes_columns(spark):
+    """The fraction-0.1 SUM over lineitem must read only the key and
+    value columns — a scan of all 16 lineitem columns would multiply I/O
+    ~5x at scale."""
+    plan = _plan(spark, "approx_sum_uniform10")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan in plan"
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice"}, cols
+
+
+def test_sampled_agg_is_codegen(spark):
+    """Sample predicate + moments must stay inside whole-stage codegen —
+    the hash filter is plain integer arithmetic, no Python boundary."""
+    df = QUERIES["approx_sum_uniform10"](spark, SF)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # Codegen stages print as "*(n) Operator" in the executed plan.
+    assert re.search(r"\*\(\d+\) (HashAggregate|Filter|Project)", final), final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_dim_joins_broadcast(spark):
+    """customer⋈orders⋈lineitem revenue rollup: the dim sides must
+    broadcast — a sort-merge join here shuffles the fact table for no
+    reason."""
+    plan = _plan(spark, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_partial_final(spark):
+    """Exact SUM must show map-side partial aggregation (two
+    HashAggregate levels) — the distributed combine the reference
+    hand-rolled with atomic CAS."""
+    plan = _plan(spark, "exact_sum")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_groupby_ci_single_shuffle(spark):
+    """Grouped CI estimation runs as ONE job with ONE shuffle on the
+    group key (vs the reference's 1 + |groups| full scans)."""
+    plan = _plan(spark, "approx_groupby_sum_ci20")
+    # Exactly one Exchange node (AQE may append a result-stage read).
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected a single shuffle, saw {n_exchanges}"
+
+
+def test_where_pushdown(spark):
+    """A WHERE on a scanned column must reach the parquet reader as a
+    pushed filter."""
+    plan = _plan(spark, "approx_sum_where_uniform20")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_discount" in m.group(1), f"filter not pushed: {m and m.group(1)}"
