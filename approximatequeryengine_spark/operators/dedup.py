@@ -15,11 +15,15 @@ Five families, all shuffle-disciplined for 100 TB corpora:
   blocking key (``label``); the LSH-bucketed variant lives in
   ``operators/similarity.py``.
 
-Everything is built from JVM-side array/lambda expressions (no Python
-UDFs), and every operator has an equivalent DuckDB SQL rendering for
-the correctness oracle. Hash functions are the portable md5-prefix →
+Every operator has an equivalent DuckDB SQL rendering for the
+correctness oracle. Hash functions are the portable md5-prefix →
 salted multiplicative family (``functions/text.py``), identical in both
-engines.
+engines. Operators are JVM-side array/lambda expressions, with one
+deliberate exception: the MinHash *signature stage* defaults to an
+Arrow-batched numpy kernel (``_minhash_sig_pandas``) because Catalyst
+evaluates higher-order array lambdas interpreted, per element — the
+vectorized kernel computes bit-identical signatures ~10-20× faster
+(equivalence is tested; a pure-expression path remains available).
 """
 
 from __future__ import annotations
@@ -73,20 +77,102 @@ BANDS = 4
 ROWS_PER_BAND = N_HASHES // BANDS
 
 
-def minhash_signature_cols(text: Column, shingle_size: int = 3) -> tuple[list[Column], Column]:
-    """(16 minhash columns, distinct-shingle array)."""
-    toks = ws_tokens_col(text)
-    shingles = F.array_distinct(word_shingles_col(toks, shingle_size))
-    ints = F.transform(shingles, str_hash32_col)
+def minhash_array_col(ints: Column) -> Column:
+    """All ``N_HASHES`` minhashes in ONE pass over the shingle-int
+    array: ``aggregate`` folds each element's 16 salted hashes into a
+    running element-wise minimum. Crucially the expensive
+    text→tokens→shingles→hash32 chain feeding ``ints`` is referenced
+    exactly ONCE — a 16-separate-columns formulation gets inlined by
+    projection collapse and re-evaluates the whole chain per column
+    (measured 17× slower on the documents fixture). Sentinel 2³² for
+    empty shingle sets (instead of NULL) keeps the fold total."""
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        M31,
+        MULT,
+        MULT2,
+        OFFSET,
+        SALT_STRIDE,
+    )
 
-    def _salted(j: int):
-        # NB: must be a unary lambda — pyspark treats a 2-arg lambda in
-        # transform() as (element, index), silently hijacking a default
-        # arg used to bind the loop variable.
-        return lambda s: portable_hash_col(s, salt=j)
+    def salted(s: Column, j: Column) -> Column:
+        t1 = (F.abs(s.cast("long")) + j.cast("long") * F.lit(SALT_STRIDE)) % F.lit(M31)
+        t2 = (t1 * F.lit(MULT) + F.lit(OFFSET)) % F.lit(HASH_SPACE)
+        return ((t2 % F.lit(M31)) * F.lit(MULT2) + F.lit(144)) % F.lit(HASH_SPACE)
 
-    sigs = [F.array_min(F.transform(ints, _salted(j))) for j in range(N_HASHES)]
-    return sigs, shingles
+    idx = F.sequence(F.lit(0), F.lit(N_HASHES - 1))
+    init = F.expr(f"array_repeat(CAST({HASH_SPACE} AS BIGINT), {N_HASHES})")
+    return F.aggregate(
+        ints,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, F.transform(idx, lambda j: salted(s, j)), lambda a, b: F.least(a, b)
+        ),
+    )
+
+
+_JAVA_WS = "".join(chr(c) for c in range(0x21))  # String.trim strips ≤ U+0020
+
+
+def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> DataFrame:
+    """Arrow fast path: per-batch numpy minhash. Bit-identical to the
+    expression path (same Java-regex tokenization ``[ \\t\\n\\x0b\\f\\r]+``,
+    same md5-prefix string hash, same salted arithmetic in int64 — no
+    overflow: (2³¹−1)·MULT < 2⁶³−1), ~20× faster because the per-shingle
+    work is two vectorized matrix ops instead of an interpreted
+    expression tree per element."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        M31,
+        MULT,
+        MULT2,
+        OFFSET,
+        SALT_STRIDE,
+    )
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    salts = (np.arange(N_HASHES, dtype=np.int64) * SALT_STRIDE)[None, :]
+
+    def batches(it):
+        for pdf in it:
+            ids, shs, mhs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text.strip(_JAVA_WS)
+                toks = ws_re.split(t) if t else []
+                if len(toks) >= shingle_size:
+                    sh = [
+                        " ".join(toks[i : i + shingle_size])
+                        for i in range(len(toks) - shingle_size + 1)
+                    ]
+                else:
+                    sh = [" ".join(toks)]
+                sh = list(dict.fromkeys(sh))  # array_distinct
+                ints = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                t1 = (np.abs(ints)[:, None] + salts) % M31
+                t2 = (t1 * MULT + OFFSET) % HASH_SPACE
+                h = ((t2 % M31) * MULT2 + 144) % HASH_SPACE
+                mh = h.min(axis=0) if len(sh) else np.full(N_HASHES, HASH_SPACE, dtype=np.int64)
+                ids.append(doc_id)
+                shs.append(sh)
+                mhs.append(mh.tolist())
+            yield pd.DataFrame({"doc_id": ids, "sh": shs, "mh": mhs})
+
+    return docs.repartition(n_parts, "doc_id").select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, sh array<string>, mh array<long>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -94,21 +180,45 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     shingle_size: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding for candidates, exact
-    shingle-Jaccard verification. Returns (doc_a, doc_b, jaccard)."""
-    sigs, shingles = minhash_signature_cols(F.col("text"), shingle_size)
-    sig_df = docs.select(
-        F.col("doc_id"),
-        shingles.alias("sh"),
-        *[s.alias(f"mh{j}") for j, s in enumerate(sigs)],
-    )
+    shingle-Jaccard verification. Returns (doc_a, doc_b, jaccard).
+
+    Shuffle discipline: one repartition BEFORE the signature chain (the
+    per-row CPU cost dominates — a single input file must not mean a
+    single task) and one AFTER it (an exchange barrier, so the band
+    fan-out below reads ``mh``/``sh`` as physical columns instead of
+    re-inlining the signature expression 16×). ``use_arrow`` picks the
+    vectorized numpy signature stage (default); the pure-JVM expression
+    path computes the identical signatures and exists for environments
+    where Arrow is unavailable (equivalence is tested)."""
+    n_parts = spark.sparkContext.defaultParallelism
+    if use_arrow:
+        sig_df = _minhash_sig_pandas(docs, shingle_size, n_parts)
+    else:
+        toks = ws_tokens_col(F.col("text"))
+        shingles = F.array_distinct(word_shingles_col(toks, shingle_size))
+        ints = F.transform(shingles, str_hash32_col)
+        sig_df = (
+            docs.repartition(n_parts, "doc_id")
+            .select(
+                F.col("doc_id"),
+                shingles.alias("sh"),
+                minhash_array_col(ints).alias("mh"),
+            )
+            .repartition(n_parts, "doc_id")
+        )
     band_key = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    ":", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    ":",
+                    *[
+                        F.element_at("mh", b * ROWS_PER_BAND + r + 1).cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
                 ).alias("key"),
             )
             for b in range(BANDS)
@@ -133,9 +243,12 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            (
+            # Guard 0/0: two empty shingle sets collide on the sentinel
+            # signature; their Jaccard is undefined → NULL → filtered.
+            F.when(
+                F.size(F.array_union(F.col("x.sh"), F.col("y.sh"))) > 0,
                 F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
-                / F.size(F.array_union(F.col("x.sh"), F.col("y.sh"))).cast("double")
+                / F.size(F.array_union(F.col("x.sh"), F.col("y.sh"))).cast("double"),
             ).alias("jaccard"),
         )
     )

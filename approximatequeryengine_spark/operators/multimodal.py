@@ -99,6 +99,55 @@ def blob_feature_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(payload: bytes, media_type: str, width: int, height: int):  # pragma: no cover - stub
+    """Real resize (PIL.Image.resize / ffmpeg scale) — unavailable in
+    this container by design; the Spark-side plumbing to call it is
+    ``extract_blob_features``-shaped (mapInPandas over bounded Arrow
+    batches)."""
+    raise NotImplementedError(
+        "media resizing requires image codecs not present in this environment"
+    )
+
+
+def video_frame_sample(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: each blob expands into its sampled
+    frames via ``explode(sequence(...))`` — pure JVM row generation, no
+    Python in the expansion. The per-frame "decoded feature" is a
+    deterministic stand-in (md5 of payload + frame index, as the real
+    frame decode needs codecs); the per-media-type rollup keeps the
+    result driver-small. At scale the explode multiplies rows
+    partition-locally (no shuffle until the final rollup)."""
+    blobs = make_blob_table(docs)
+    # Fake "duration": payload_len % 5 + 1 frames per blob.
+    n_frames = F.octet_length("payload") % 5 + 1
+    frames = blobs.withColumn(
+        "frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1))
+    )
+    sig_hex = F.substring(
+        F.md5(F.concat(F.col("payload"), F.encode(F.col("frame_idx").cast("string"), "utf-8"))),
+        1, 8,
+    )
+    frames = frames.withColumn("frame_sig", F.conv(sig_hex, 16, 10).cast("long"))
+    return frames.groupBy("media_type").agg(
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_sig").alias("sig_sum"),
+    )
+
+
+def video_frame_sample_sql() -> str:
+    return """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+       count(DISTINCT doc_id) AS n_videos,
+       count(*) AS n_frames,
+       sum(('0x' || substring(md5(text || CAST(g AS VARCHAR)), 1, 8))::BIGINT) AS sig_sum
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, octet_length(encode(text)) % 5)) AS g
+      FROM documents) frames
+GROUP BY 1
+"""
+
+
 def blob_feature_stats_sql() -> str:
     return """
 SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,

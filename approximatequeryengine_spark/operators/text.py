@@ -237,6 +237,52 @@ def fingerprint_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_clean_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """End-to-end training-data cleaning pass, composed from the
+    operator layers: language-ID filter (predicted en) → quality filter
+    (score ≥ 0.5) → token-set-fingerprint dedup (keep lowest doc_id) →
+    corpus accounting. One Spark job: the filters are scan-time
+    predicates, the dedup is a single shuffle on the fingerprint."""
+    q = quality_columns(F.col("text"))
+    fp = fingerprint_cols(F.col("text"))["fp_tokenset"]
+    enriched = docs.select(
+        "doc_id",
+        predicted_lang_col(F.col("text")).alias("plang"),
+        q["quality_score"].alias("score"),
+        q["n_tokens"].alias("n_tokens"),
+        fp.alias("fp"),
+    ).filter((F.col("plang") == "en") & (F.col("score") >= 0.5))
+    kept = enriched.groupBy("fp").agg(
+        F.min_by(F.struct("doc_id", "score", "n_tokens"), F.col("doc_id")).alias("k"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        (F.sum("group_size") - F.count(F.lit(1))).alias("n_dups_removed"),
+        F.sum("k.n_tokens").alias("total_tokens_kept"),
+        F.round(F.avg("k.score"), 6).alias("avg_quality_kept"),
+    )
+
+
+def corpus_clean_pipeline_sql() -> str:
+    p = _quality_sql_parts()
+    fp = fingerprint_sql_parts()["fp_tokenset"]
+    return (
+        "WITH enriched AS ("
+        f"  SELECT doc_id, {p['quality_score']} AS score, {p['n_tokens']} AS n_tokens, "
+        f"         {fp} AS fp FROM documents "
+        f"  WHERE {predicted_lang_sql('text')} = 'en' AND {p['quality_score']} >= 0.5"
+        "), kept AS ("
+        "  SELECT fp, min_by(score, doc_id) AS score, "
+        "         min_by(n_tokens, doc_id) AS n_tokens, count(*) AS group_size "
+        "  FROM enriched GROUP BY fp) "
+        "SELECT count(*) AS n_docs_kept, "
+        "       sum(group_size) - count(*) AS n_dups_removed, "
+        "       sum(n_tokens) AS total_tokens_kept, "
+        "       round(avg(score), 6) AS avg_quality_kept FROM kept"
+    )
+
+
 def fingerprint_summary_sql() -> str:
     p = fingerprint_sql_parts()
     return (

@@ -301,6 +301,15 @@ _approx_query(
     "orders", "count", None,
     SamplingSpec(design="systematic", fraction=0.10, key="o_orderkey"),
 )
+# WHERE + GROUP BY together (SURVEY §7 hard part: per-group realized
+# fractions — handled by the per-row __p weights, n varies per group).
+_approx_query(
+    "approx_where_groupby_sum20",
+    "lineitem", "sum", "l_extendedprice",
+    SamplingSpec(design="uniform_hash", fraction=0.20, key=_LKEY),
+    group_by="l_linestatus",
+    where="l_quantity >= 25",
+)
 
 
 def _neyman_query(
@@ -404,6 +413,8 @@ _docs_query(
     table="embeddings",
 )
 _docs_query("multimodal_blob_stats", _mm.blob_feature_stats, _mm.blob_feature_stats_sql())
+_docs_query("multimodal_frame_sample", _mm.video_frame_sample, _mm.video_frame_sample_sql())
+_docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())
 
 
 def _stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 HEADLINE = [
+    # AQP core (the reference's own query shapes)
     "exact_sum",
     "tpch_q1_pricing_summary",
     "join_revenue_by_nation",
@@ -30,6 +31,12 @@ HEADLINE = [
     "approx_groupby_sum_ci20",
     "approx_sum_systematic15",
     "approx_sum_stratified",
+    "approx_sum_neyman",
+    # LLM-pipeline flagships (beyond-reference scope)
+    "text_quality_by_lang",
+    "dedup_minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "corpus_clean_pipeline",
 ]
 
 

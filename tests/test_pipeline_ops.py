@@ -47,6 +47,16 @@ def test_minhash_finds_neardup(spark, synth_docs):
     assert not any({a, b} == {1, 5} for a, b in pairs)  # unrelated stays apart
 
 
+def test_minhash_arrow_matches_expression_path(spark, synth_docs):
+    """The numpy signature kernel and the pure-JVM expression path must
+    produce identical pairs and jaccards (bit-equal hash arithmetic)."""
+    fast = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, synth_docs, threshold=0.0).collect()))
+    slow = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, synth_docs, threshold=0.0, use_arrow=False).collect()))
+    assert fast == slow and fast
+
+
 def test_simhash_identical_for_dups(spark, synth_docs):
     sh = {
         r["doc_id"]: r["sh"]
@@ -145,6 +155,40 @@ def test_lsh_bucket_invariants_on_fixture(spark, engine):
     for r in lsh:
         assert sigs[r["query_id"]] == sigs[r["neighbor_id"]]
         assert r["cos_sim"] == pytest.approx(bf_all[(r["query_id"], r["neighbor_id"])], abs=1e-9)
+
+
+def test_frame_sample_counts(spark, synth_docs):
+    # Each blob expands to (payload_len % 5) + 1 frames.
+    from approximatequeryengine_spark.operators.multimodal import video_frame_sample
+
+    rows = video_frame_sample(spark, synth_docs).collect()
+    got = {r["media_type"]: (r["n_videos"], r["n_frames"]) for r in rows}
+    texts = {r["doc_id"]: r["text"] for r in synth_docs.collect()}
+    expect = {"image/png": [0, 0], "audio/wav": [0, 0]}
+    for doc_id, text in texts.items():
+        mt = "image/png" if doc_id % 2 == 0 else "audio/wav"
+        expect[mt][0] += 1
+        expect[mt][1] += len(text.encode()) % 5 + 1
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_resize_stub_raises():
+    from approximatequeryengine_spark.operators.multimodal import resize_media
+
+    with pytest.raises(NotImplementedError):
+        resize_media(b"", "image/png", 64, 64)
+
+
+def test_corpus_clean_pipeline(spark, synth_docs):
+    """Docs 1/3 are exact dups and 4 is a token-set dup of them; 5/6 are
+    non-English; 7 is empty (filtered by quality)."""
+    from approximatequeryengine_spark.operators.text import corpus_clean_pipeline
+
+    row = corpus_clean_pipeline(spark, synth_docs).collect()[0]
+    # kept: one of {1,3,4} + doc 2 → 2 docs, 2 dups removed
+    assert row["n_docs_kept"] == 2
+    assert row["n_dups_removed"] == 2
+    assert 0.5 <= row["avg_quality_kept"] <= 1.0
 
 
 def test_multimodal_decode_stub_raises(spark, synth_docs):

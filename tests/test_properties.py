@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis) for the deterministic layers that
+need no SparkSession: the portable hash, the threshold arithmetic, and
+the estimator SQL formulas (exercised via DuckDB, which shares the SQL
+text with the driver's oracle)."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from approximatequeryengine_spark.functions.hashing import (
+    HASH_SPACE,
+    M31,
+    MULT,
+    MULT2,
+    OFFSET,
+    SALT_STRIDE,
+    fraction_threshold,
+)
+from approximatequeryengine_spark.plans.estimators import moments_sql
+from approximatequeryengine_spark.plans.sampling import SamplingSpec, sampling_p_sql, sampling_where_sql
+
+
+def py_hash(k: int, salt: int = 0) -> int:
+    """Reference implementation of the portable hash in plain Python."""
+    t1 = (abs(k) + salt * SALT_STRIDE) % M31
+    t2 = (t1 * MULT + OFFSET) % HASH_SPACE
+    return ((t2 % M31) * MULT2 + 144) % HASH_SPACE
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62), st.integers(0, 1000))
+def test_hash_range(k, salt):
+    assert 0 <= py_hash(k, salt) < HASH_SPACE
+
+
+@given(
+    st.integers(min_value=0, max_value=2**40),
+    st.floats(min_value=1e-6, max_value=1.0),
+    st.floats(min_value=1e-6, max_value=1.0),
+)
+def test_sample_nestedness(k, f1, f2):
+    """Membership is monotone in the fraction — the property the
+    adaptive escalation loop relies on."""
+    lo, hi = sorted([f1, f2])
+    in_lo = py_hash(k) < fraction_threshold(lo)
+    in_hi = py_hash(k) < fraction_threshold(hi)
+    assert not in_lo or in_hi  # in_lo ⇒ in_hi
+
+
+@given(st.floats(min_value=1e-9, max_value=1.0))
+def test_threshold_bounds(f):
+    t = fraction_threshold(f)
+    assert 0 <= t <= HASH_SPACE
+
+
+@given(st.floats(max_value=0.0), st.floats(min_value=1.0000001, allow_infinity=True))
+def test_threshold_rejects_bad_fractions(bad_lo, bad_hi):
+    with pytest.raises(ValueError):
+        fraction_threshold(bad_lo)
+    with pytest.raises(ValueError):
+        fraction_threshold(bad_hi)
+
+
+@st.composite
+def table_and_fraction(draw):
+    values = draw(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=3,
+            max_size=60,
+        )
+    )
+    fraction = draw(st.sampled_from([0.05, 0.1, 0.25, 0.5, 1.0]))
+    return values, fraction
+
+
+def _duck_with(values):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(values, 1)))
+    return con
+
+
+@settings(max_examples=25, deadline=None)
+@given(table_and_fraction())
+def test_estimator_formulas_via_oracle_sql(tf):
+    """The oracle SQL (shared text with the driver gate) must satisfy:
+    f=1 reproduces the exact sum with zero margin; any f gives
+    ci_lower ≤ est ≤ ci_upper and realized-n consistency."""
+    values, fraction = tf
+    spec = SamplingSpec(design="uniform_hash", fraction=fraction, key="id")
+    sql = moments_sql(
+        table="t",
+        column="x",
+        where=sampling_where_sql(spec),
+        agg="sum",
+        p_sql=sampling_p_sql(spec),
+        alias="est",
+    )
+    con = _duck_with(values)
+    est, lo, hi, n = con.execute(sql).fetchone()
+    in_sample = [v for k, v in enumerate(values, 1) if py_hash(k) < fraction_threshold(fraction)]
+    assert n == len(in_sample)
+    if n == 0:
+        assert est is None
+        return
+    assert lo <= est <= hi
+    if fraction == 1.0:
+        assert est == pytest.approx(sum(values), rel=1e-12, abs=1e-9)
+        assert hi - lo == pytest.approx(0.0, abs=1e-9)  # 1−p = 0 ⇒ HT margin 0
+    else:
+        assert est == pytest.approx(sum(in_sample) / fraction, rel=1e-9, abs=1e-6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(table_and_fraction())
+def test_avg_estimator_within_sample_range(tf):
+    values, fraction = tf
+    spec = SamplingSpec(design="uniform_hash", fraction=fraction, key="id")
+    sql = moments_sql(
+        table="t",
+        column="x",
+        where=sampling_where_sql(spec),
+        agg="avg",
+        p_sql=sampling_p_sql(spec),
+        alias="est",
+    )
+    con = _duck_with(values)
+    est, lo, hi, n = con.execute(sql).fetchone()
+    in_sample = [v for k, v in enumerate(values, 1) if py_hash(k) < fraction_threshold(fraction)]
+    if n == 0:
+        return
+    assert min(in_sample) - 1e-9 <= est <= max(in_sample) + 1e-9
+    assert lo <= est <= hi
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.tuples(st.integers(10, 10_000), st.integers(0, 100_000)),
+        min_size=2,
+        max_size=4,
+    ),
+    st.sampled_from([0.01, 0.05, 0.2]),
+)
+def test_neyman_arithmetic(strata, total_fraction):
+    """Pure-arithmetic core of neyman_allocation: fractions ∝ stddev,
+    clamped to [min_f, 1], and expected sample size ≈ f·N when no
+    clamping binds."""
+    nh = {k: v[0] for k, v in strata.items()}
+    sh = {k: v[1] for k, v in strata.items()}
+    n_total = sum(nh.values())
+    ns_sum = sum(nh[k] * sh[k] for k in nh)
+    if ns_sum == 0:
+        return
+    fracs = {
+        k: min(max(total_fraction * n_total * sh[k] / ns_sum, 0.005), 1.0) for k in nh
+    }
+    for f in fracs.values():
+        assert 0.005 <= f <= 1.0
+    unclamped = {
+        k: total_fraction * n_total * sh[k] / ns_sum for k in nh
+    }
+    if all(0.005 <= u <= 1.0 for u in unclamped.values()):
+        expected = sum(nh[k] * fracs[k] for k in nh)
+        assert expected == pytest.approx(total_fraction * n_total, rel=1e-9)
