@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.operators import ensure_parallelism
+
 from approximatequeryengine_spark.functions.hashing import portable_hash_col
 from approximatequeryengine_spark.functions.text import (
     minhash_sql,
@@ -337,6 +339,7 @@ def simhash_sql(text: str = "text") -> str:
 
 def simhash_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Per-source SimHash diversity — collisions indicate near-dups."""
+    docs = ensure_parallelism(docs)
     per_doc = docs.select(F.col("source"), simhash_col(F.col("text")).alias("simhash"))
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -370,6 +373,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact char-n-gram Jaccard for all pairs *within a blocking key*
     (source). Quadratic only inside blocks — the classic verify stage."""
+    docs = ensure_parallelism(docs)
     grams = docs.select(
         F.col("source"), F.col("doc_id"), _char_ngrams(F.col("text"), n).alias("g")
     )

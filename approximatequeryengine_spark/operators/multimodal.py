@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.operators import ensure_parallelism
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -90,6 +92,7 @@ def extract_blob_features(
 
 def blob_feature_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """media_type → payload stats; the end-to-end mapInPandas query."""
+    docs = ensure_parallelism(docs)
     feats = extract_blob_features(spark, make_blob_table(docs))
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_blobs"),
@@ -117,6 +120,7 @@ def video_frame_sample(spark: SparkSession, docs: DataFrame) -> DataFrame:
     frame decode needs codecs); the per-media-type rollup keeps the
     result driver-small. At scale the explode multiplies rows
     partition-locally (no shuffle until the final rollup)."""
+    docs = ensure_parallelism(docs)
     blobs = make_blob_table(docs)
     # Fake "duration": payload_len % 5 + 1 frames per blob.
     n_frames = F.octet_length("payload") % 5 + 1

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.operators import ensure_parallelism
+
 from approximatequeryengine_spark.functions.text import (
     TOKEN_REGEX,
     ws_tokens_col,
@@ -69,6 +71,7 @@ def predicted_lang_sql(text_expr: str) -> str:
 def lang_id_confusion(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Predicted-vs-labeled language counts (the operator's primary
     correctness artifact — deterministic, oracle-checkable)."""
+    docs = ensure_parallelism(docs)
     return (
         docs.select(F.col("lang"), predicted_lang_col(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
@@ -151,6 +154,7 @@ def _quality_sql_parts(text: str = "text") -> dict[str, str]:
 
 
 def quality_by_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    docs = ensure_parallelism(docs)
     cols = quality_columns(F.col("text"))
     per_doc = docs.select(F.col("lang"), *[c.alias(n) for n, c in cols.items()])
     return per_doc.groupBy("lang").agg(
@@ -184,6 +188,7 @@ def quality_by_lang_sql() -> str:
 def token_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Corpus token accounting: whitespace tokens and BPE-ish regex
     tokens (letter runs / digit runs / punctuation marks)."""
+    docs = ensure_parallelism(docs)
     text = F.col("text")
     ws = F.size(ws_tokens_col(text))
     bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
@@ -228,6 +233,7 @@ def fingerprint_sql_parts(text: str = "text") -> dict[str, str]:
 
 
 def fingerprint_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    docs = ensure_parallelism(docs)
     fps = fingerprint_cols(F.col("text"))
     per_doc = docs.select(F.col("source"), *[c.alias(n) for n, c in fps.items()])
     return per_doc.groupBy("source").agg(
@@ -243,6 +249,7 @@ def corpus_clean_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
     (score ≥ 0.5) → token-set-fingerprint dedup (keep lowest doc_id) →
     corpus accounting. One Spark job: the filters are scan-time
     predicates, the dedup is a single shuffle on the fingerprint."""
+    docs = ensure_parallelism(docs)
     q = quality_columns(F.col("text"))
     fp = fingerprint_cols(F.col("text"))["fp_tokenset"]
     enriched = docs.select(
