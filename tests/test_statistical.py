@@ -84,6 +84,39 @@ def test_unbiasedness(replicates):
     )
 
 
+def test_stratified_ci_coverage(engine, spark):
+    """Coverage must also hold with per-row varying inclusion
+    probabilities (stratified design): the HT variance term
+    Σ x²(1−p)/p² handles unequal p by construction."""
+    fracs = {"N": 0.25, "A": 0.05, "R": 0.1}
+    df = engine.catalog.table("lineitem").selectExpr(
+        f"{KEY} AS k", "l_extendedprice AS x", "l_returnflag AS g"
+    )
+    truth = df.agg(F.sum("x")).collect()[0][0]
+    p = F.lit(None).cast("double")
+    for v, f in fracs.items():
+        p = F.when(F.col("g") == v, F.lit(float(f))).otherwise(p)
+    salts = spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt"))
+    joined = df.withColumn("p", p).crossJoin(salts)
+    thr = F.floor(F.col("p") * F.lit(float(HASH_SPACE))).cast("long")
+    sampled = joined.filter(_salted_hash(F.col("k"), F.col("salt")) < thr)
+    x, pp = F.col("x"), F.col("p")
+    m = sampled.groupBy("salt").agg(
+        F.sum(x / pp).alias("est"),
+        F.sum(x * x * (F.lit(1.0) - pp) / (pp * pp)).alias("vht"),
+    )
+    rows = m.select(
+        "est",
+        (F.col("est") - F.lit(Z_95) * F.sqrt("vht")).alias("lo"),
+        (F.col("est") + F.lit(Z_95) * F.sqrt("vht")).alias("hi"),
+    ).collect()
+    assert len(rows) == N_SALTS
+    covered = sum(1 for r in rows if r["lo"] <= truth <= r["hi"])
+    assert covered >= 87, f"stratified CI coverage {covered}/100"
+    mean_est = sum(r["est"] for r in rows) / len(rows)
+    assert mean_est == pytest.approx(truth, rel=0.02)
+
+
 def test_salt_independence(replicates):
     """Different salts must give genuinely different samples — near-zero
     variance across replicates would mean correlated hash functions."""

@@ -1,5 +1,8 @@
-"""Streaming operators: watermarked windows (batch-parity) and the
-custom stateful refinement operator."""
+"""Streaming operators: watermarked windows (batch-parity), late-data
+dropping, and the custom stateful refinement operator."""
+
+import os
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -8,6 +11,70 @@ from approximatequeryengine_spark.streaming.stateful import (
     running_estimates_stream,
     split_events_for_replay,
 )
+
+
+def test_watermark_drops_late_data_after_eviction(spark, tmp_path):
+    """Append-mode watermark guarantees: a window is emitted exactly
+    once, after the watermark passes its end; a late event arriving
+    AFTER its window's state was evicted is dropped (not merged, not
+    re-emitted); a still-open window is never emitted. (A late event
+    arriving while its window state still exists MAY be merged — Spark's
+    documented 'may or may not drop' latitude — so the test constructs a
+    definitive post-eviction arrival.)"""
+    from datetime import datetime
+
+    d = str(tmp_path / "wm")
+    os.makedirs(d)
+    schema = "event_type string, ts timestamp, value double"
+
+    def write_batch(name, rows, mtime):
+        rows = [(t, datetime.fromisoformat(ts), v) for t, ts, v in rows]
+        p = os.path.join(d, name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # b1: seeds the 09:00 window; 11:00 pushes the watermark to 10:30.
+    write_batch("b1", [
+        ("click", "2024-01-01 09:00:00", 1.0),
+        ("click", "2024-01-01 11:00:00", 1.0),
+    ], 1_000)
+    # b2: watermark 10:30 now active → [09:00,09:15) is emitted+evicted.
+    write_batch("b2", [("click", "2024-01-01 12:00:00", 1.0)], 2_000)
+    # b3: 09:05 arrives into the evicted window → must be dropped.
+    write_batch("b3", [
+        ("click", "2024-01-01 09:05:00", 99.0),
+        ("click", "2024-01-01 13:00:00", 1.0),
+    ], 3_000)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [(str(r["ws"]), r["n"], r["s"]) for r in spark.table(sink).collect()]
+    by_ws = {}
+    for ws, n, s in rows:
+        assert ws not in by_ws, f"window {ws} emitted more than once: {rows}"
+        by_ws[ws] = (n, s)
+    # The evicted window holds only its pre-eviction event; 99.0 dropped.
+    assert by_ws["2024-01-01 09:00:00"] == (1, 1.0), by_ws
+    # Watermark (12:30) passed 12:00's window end → emitted; 13:00 open.
+    assert "2024-01-01 12:00:00" in by_ws
+    assert "2024-01-01 13:00:00" not in by_ws, "open window must not emit"
 
 
 @pytest.fixture(scope="module")
