@@ -69,7 +69,11 @@ class Catalog:
             df = self.spark.read.parquet(path)
             for col in NANO_TS_COLUMNS.get(name, []):
                 if col in df.columns and dict(df.dtypes)[col] == "bigint":
-                    df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+                    # Integer division: epoch-ns exceeds double's exact
+                    # integer range (2^53), so `/ 1000` via double can be
+                    # off by ±1 µs; `div` truncates exactly, matching how
+                    # DuckDB narrows TIMESTAMP(NANOS) to µs.
+                    df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
             self._cache[name] = df
         return self._cache[name]
 

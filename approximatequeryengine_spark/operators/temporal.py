@@ -1,0 +1,161 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and
+time-range join, expressed as compositions of existing DataFrame ops
+(SURVEY.md custom-operator rule (a): composition before UDFs).
+
+**As-of join** (each left row ↔ most recent right row at or before its
+timestamp) is implemented with the union + partitioned-window
+last-non-null pattern: tag both inputs, union them, and propagate the
+right side's fields with ``last(..., ignorenulls=True)`` over
+``(user, ts, side)`` ordering. Cost: ONE shuffle on the partition key —
+no range explosion, no per-row lookup, state bounded by the window
+frame. This is the standard scalable formulation (a sort-merge as-of);
+a broadcast variant would apply when one side is tiny.
+
+**Time-range join** (left row ↔ right rows within a trailing interval)
+buckets time into interval-width buckets and equi-joins on
+``(user, bucket)`` for the two candidate buckets, then applies the
+exact range filter. This turns an inequality join (which Spark would
+execute as BroadcastNestedLoop at any size) into an equi-join whose
+fan-out is bounded by per-bucket density — the classic scale rewrite.
+
+Both have exact DuckDB oracles (``ASOF JOIN`` is native there; the
+range join is a plain inequality join at oracle scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def asof_purchase_click(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """For every purchase event: the most recent click by the same user
+    at or before the purchase time (NULLs when none). Output:
+    (purchase_id, user_id, purchase_ts, click_id, click_ts, gap_s).
+
+    Clicks are first deduplicated to one per (user, ts) — max event_id —
+    so the at-or-before tie is deterministic in both engines."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("ts"),
+            F.lit(0).alias("side"),
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = clicks.unionByName(purchases)
+    # click (side=0) sorts before a same-ts purchase (side=1) → "at or
+    # before" includes equal timestamps, as ASOF's >= does.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_last = u.select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("asof_click_id"),
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_click_ts"),
+    )
+    return (
+        with_last.filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("asof_click_id").alias("click_id"),
+            F.col("asof_click_ts").alias("click_ts"),
+            (F.col("ts").cast("long") - F.col("asof_click_ts").cast("long")).alias("gap_s"),
+        )
+    )
+
+
+def asof_purchase_click_sql() -> str:
+    return """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.click_id, c.ts AS click_ts,
+       (epoch_us(p.ts) // 1000000) - (epoch_us(c.ts) // 1000000) AS gap_s
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+RANGE_MINUTES = 60
+
+
+def range_join_purchase_clicks(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Per purchase: how many clicks the same user made in the trailing
+    60 minutes (inclusive bounds). Bucketed equi-join — see module
+    docstring. Output: (purchase_id, user_id, n_clicks_1h)."""
+    bucket_s = RANGE_MINUTES * 60
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        (F.col("ts").cast("long") / bucket_s).cast("long").alias("bucket"),
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("pts"),
+            (F.col("ts").cast("long") / bucket_s).cast("long").alias("pbucket"),
+        )
+        # each purchase probes its own bucket and the previous one —
+        # together they cover the whole trailing interval.
+        .withColumn("bucket", F.explode(F.array(F.col("pbucket") - 1, F.col("pbucket"))))
+    )
+    clicks = clicks.withColumnRenamed("user_id", "c_user_id").withColumnRenamed(
+        "bucket", "c_bucket"
+    )
+    # The range predicate must live IN the join condition: as a
+    # post-filter it would drop a purchase whose probe rows all matched
+    # only out-of-range clicks (left-join rows exist but none survive).
+    cond = (
+        (purchases["user_id"] == clicks["c_user_id"])
+        & (purchases["bucket"] == clicks["c_bucket"])
+        & (clicks["cts"] <= purchases["pts"])
+        & (clicks["cts"] >= purchases["pts"] - F.expr(f"INTERVAL {RANGE_MINUTES} MINUTES"))
+    )
+    joined = purchases.join(clicks, cond, "left")
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(F.count("cts").alias("n_clicks_1h"))
+    )
+
+
+def range_join_purchase_clicks_sql() -> str:
+    return f"""
+WITH clicks AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, count(c.cts) AS n_clicks_1h
+FROM purchases p LEFT JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL {RANGE_MINUTES} MINUTE
+GROUP BY p.purchase_id, p.user_id
+"""

@@ -95,7 +95,7 @@ def running_estimates_stream(
     )
     if ts_is_long and "ts" in schema.fieldNames():
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     refined = (
         stream.select("event_type", F.col("value").cast("double").alias("value"))

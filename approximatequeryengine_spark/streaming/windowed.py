@@ -58,7 +58,7 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(raw.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) fixtures read as epoch-ns longs (see catalog.py).
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     agg = (
         stream.withWatermark("ts", WATERMARK)

@@ -390,6 +390,7 @@ def _docs_query(name: str, op, oracle: str | None, table: str = "documents") -> 
 from approximatequeryengine_spark.operators import dedup as _dedup  # noqa: E402
 from approximatequeryengine_spark.operators import multimodal as _mm  # noqa: E402
 from approximatequeryengine_spark.operators import similarity as _sim  # noqa: E402
+from approximatequeryengine_spark.operators import temporal as _temporal  # noqa: E402
 from approximatequeryengine_spark.operators import text as _text  # noqa: E402
 from approximatequeryengine_spark.streaming import windowed as _stream  # noqa: E402
 
@@ -414,6 +415,8 @@ _docs_query(
 )
 _docs_query("multimodal_blob_stats", _mm.blob_feature_stats, _mm.blob_feature_stats_sql())
 _docs_query("multimodal_frame_sample", _mm.video_frame_sample, _mm.video_frame_sample_sql())
+_docs_query("asof_join_purchase_click", _temporal.asof_purchase_click, _temporal.asof_purchase_click_sql(), table="events")
+_docs_query("range_join_purchase_clicks", _temporal.range_join_purchase_clicks, _temporal.range_join_purchase_clicks_sql(), table="events")
 _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())
 
 

@@ -191,6 +191,38 @@ def test_corpus_clean_pipeline(spark, synth_docs):
     assert 0.5 <= row["avg_quality_kept"] <= 1.0
 
 
+def test_asof_and_range_join(spark):
+    from datetime import datetime, timedelta
+
+    from approximatequeryengine_spark.operators import temporal
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, etype, minutes, uid=1):
+        return (eid, t0 + timedelta(minutes=minutes), uid, etype, 1.0, "")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, "click", 0),
+            ev(2, "click", 90),
+            ev(3, "purchase", 50),    # asof → click 1 (gap 50m); range: 1 click
+            ev(4, "purchase", 90),    # same-ts click 2 → gap 0; range: click 2 only (click1 is 90m back)
+            ev(5, "purchase", 200),   # asof → click 2 (gap 110m); range: none
+            ev(6, "purchase", 10, uid=2),  # user 2: no clicks at all
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    asof = {r["purchase_id"]: r for r in temporal.asof_purchase_click(spark, events).collect()}
+    assert asof[3]["click_id"] == 1 and asof[3]["gap_s"] == 50 * 60
+    assert asof[4]["click_id"] == 2 and asof[4]["gap_s"] == 0
+    assert asof[5]["click_id"] == 2 and asof[5]["gap_s"] == 110 * 60
+    assert asof[6]["click_id"] is None and asof[6]["gap_s"] is None
+
+    rng = {r["purchase_id"]: r["n_clicks_1h"] for r in
+           temporal.range_join_purchase_clicks(spark, events).collect()}
+    assert rng == {3: 1, 4: 1, 5: 0, 6: 0}
+
+
 def test_multimodal_decode_stub_raises(spark, synth_docs):
     blobs = multimodal.make_blob_table(synth_docs)
     with pytest.raises(NotImplementedError):
