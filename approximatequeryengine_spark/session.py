@@ -47,8 +47,11 @@ def get_spark(
         # broadcast) stay broadcast-able without hints.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow batches for the pandas-UDF operators (similarity search,
-        # multimodal decode plumbing).
+        # multimodal decode plumbing). Batch size bounds executor memory
+        # per batch — the knob that matters when payload columns carry
+        # multi-MB binary blobs (10k-row default × 5 MB blobs = 50 GB).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # Oracle comparison: Spark timestamps are session-TZ, DuckDB's are
         # UTC-naive — pin UTC so TIMESTAMP columns hash identically.
         .config("spark.sql.session.timeZone", "UTC")

@@ -404,6 +404,9 @@ _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summ
 _docs_query("dedup_ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql())
 _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="embeddings")
+# IVF ANN: k-means training is iterative (no single-SQL oracle) → the
+# driver records a rows-only check; invariants live in tests.
+_docs_query("ann_ivf_topk", _sim.ann_ivf_topk, None, table="embeddings")
 # τ=0.35 (not the 0.95 production default): the synthetic fixture's max
 # within-label cosine is ~0.47, so 0.95 would make the check vacuous
 # (always 0 rows); 0.35 yields nonzero matches at every SF.

@@ -223,6 +223,55 @@ def test_asof_and_range_join(spark):
     assert rng == {3: 1, 4: 1, 5: 0, 6: 0}
 
 
+def test_ivf_cosines_match_bruteforce(spark, engine):
+    """IVF results must carry exact cosines (verified against the
+    brute-force scan) and only neighbors from probed clusters."""
+    emb = engine.catalog.table("embeddings")
+    ivf = similarity.ann_ivf_topk(spark, emb, n_queries=5, k=3).collect()
+    assert ivf
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.ann_bruteforce_topk(spark, emb, n_queries=5, k=10**6).collect()
+    }
+    for r in ivf:
+        assert r["cos_sim"] == pytest.approx(bf[(r["query_id"], r["neighbor_id"])], abs=1e-9)
+        assert 1 <= r["rank"] <= 3
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On well-separated clusters, probing the nearest centroid(s) must
+    recover the true top-k (which lives in the query's own cluster)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, per_cluster = 8, 30
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = [0.0] * dim
+        center[2 * c] = 10.0  # orthogonal, far-apart cluster centers
+        for _ in range(per_cluster):
+            v = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    ivf = similarity.ann_ivf_topk(
+        spark, emb, n_queries=4, k=5, n_centroids=4, n_probe=1
+    ).collect()
+    bf = similarity.ann_bruteforce_topk(spark, emb, n_queries=4, k=5).collect()
+    ivf_sets = {}
+    bf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(ivf_sets.get(q, set()) & bf_sets[q]) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+
+
 def test_multimodal_decode_stub_raises(spark, synth_docs):
     blobs = multimodal.make_blob_table(synth_docs)
     with pytest.raises(NotImplementedError):
