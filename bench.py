@@ -52,11 +52,17 @@ def main() -> None:
     # engine, not session startup.
     QUERIES["exact_count"](spark, SF_DIR).collect()
 
+    # Best of 2 runs per query: run 1 pays plan compilation + codegen
+    # (amortized at scale), run 2 measures steady-state execution; min
+    # also damps background-load outliers.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, SF_DIR).collect()
-        times[name] = round(time.time() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

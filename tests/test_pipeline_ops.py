@@ -223,6 +223,29 @@ def test_asof_and_range_join(spark):
     assert rng == {3: 1, 4: 1, 5: 0, 6: 0}
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Salting changes the physical key distribution only — results must
+    equal the plain equi-join on skewed data (one key = 90% of rows)."""
+    from approximatequeryengine_spark.operators.joins import salted_join
+
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val"))
+    plain = big.join(dim, on="k", how="inner")
+    salted = salted_join(big, dim, on="k", how="inner", salt_buckets=8)
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, plain.select("k", "payload", "dim_val").collect()))
+    b = sorted(map(tuple, salted.select("k", "payload", "dim_val").collect()))
+    assert a == b
+    # left join keeps unmatched rows too
+    dim_small = dim.filter("k < 10")
+    pl = big.join(dim_small, on="k", how="left")
+    sl = salted_join(big, dim_small, on="k", how="left", salt_buckets=4)
+    assert sl.count() == pl.count()
+
+
 def test_ivf_cosines_match_bruteforce(spark, engine):
     """IVF results must carry exact cosines (verified against the
     brute-force scan) and only neighbors from probed clusters."""
