@@ -148,6 +148,40 @@ def sampling_where_sql(spec: SamplingSpec, key_sql: str | None = None) -> str:
     raise ValueError(f"design {spec.design!r} has no portable SQL form")
 
 
+def head_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Reference R30 (``scheduler.cpp:599-668``): take the head of the
+    table — ``rowid <= block_size``. Reproduced faithfully behind this
+    explicit helper because it is **statistically biased** (rows are not
+    exchangeable with the tail; any drift over insertion order skews the
+    estimate). Membership: ``abs(key) <= fraction·max(abs(key))`` — one
+    tiny max() job, then a scan-time predicate; ``__p`` is set to the
+    *realized* fraction so the HT estimator at least scales by what was
+    actually taken."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    k = F.expr(key).cast("long")
+    mx = df.agg(F.max(F.abs(k)).alias("m")).collect()[0]["m"]
+    thr = int(mx * fraction)
+    total = df.count()
+    taken = df.filter(F.abs(k) <= F.lit(thr))
+    realized = max(taken.count() / total, 1e-12) if total else 1.0
+    return taken.withColumn(P_COL, F.lit(realized))
+
+
+def head_sample_sql(table: str, key: str, fraction: float) -> tuple[str, str]:
+    """(where, p) SQL for the same head sample — the realized fraction is
+    re-derived in SQL so both engines scale identically."""
+    # floor, not CAST: DuckDB CAST(double AS BIGINT) rounds, Python int()
+    # truncates — floor matches for the non-negative threshold.
+    mx = f"(SELECT CAST(floor(max(abs({key})) * {fraction!r}) AS BIGINT) FROM {table})"
+    where = f"abs({key}) <= {mx}"
+    p = (
+        f"(SELECT CAST(count(*) FILTER (WHERE abs({key}) <= {mx}) AS DOUBLE)"
+        f" / count(*) FROM {table})"
+    )
+    return where, p
+
+
 def neyman_allocation(
     df: DataFrame,
     stratum_col: str,

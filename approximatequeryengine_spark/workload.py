@@ -31,6 +31,8 @@ from approximatequeryengine_spark.plans.estimators import (
 from approximatequeryengine_spark.plans.sampling import (
     SamplingSpec,
     apply_sampling,
+    head_sample,
+    head_sample_sql,
     sampling_p_sql,
     sampling_where_sql,
 )
@@ -312,6 +314,33 @@ _approx_query(
 )
 
 
+# R30 head sample — the reference's `rowid <= block_size` shortcut,
+# reproduced behind an explicit helper because it is statistically
+# biased (documented in head_sample's docstring).
+def _head_query(
+    name: str, table: str, agg: str, column: str, key: str,
+    fraction: float, round_to: int = 2,
+) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cat = _catalog(spark, sf_dir)
+        sampled = head_sample(cat.table(table), key, fraction)
+        rdf = approx_aggregate(sampled, AggSpec(agg, column))
+        alias = AggSpec(agg, column).name()
+        return _round_cols(rdf, {alias: round_to, "ci_lower": round_to, "ci_upper": round_to})
+
+    where, p = head_sample_sql(table, key, fraction)
+    oracle = moments_sql(
+        table=table, column=column, where=where, agg=agg, p_sql=p,
+        alias=AggSpec(agg, column).name(), round_to=round_to,
+    )
+    _register(name, fn, oracle)
+
+
+_head_query(
+    "approx_sum_head5", "orders", "sum", "o_totalprice", "o_orderkey", 0.05,
+)
+
+
 def _neyman_query(
     name: str,
     table: str,
@@ -371,6 +400,28 @@ def _neyman_query(
 _neyman_query(
     "approx_sum_neyman",
     "lineitem", "l_extendedprice", "l_returnflag", _LKEY,
+)
+
+
+def _quantile_query(name: str, table: str, column: str, q: float, spec: SamplingSpec) -> None:
+    from approximatequeryengine_spark.plans.quantiles import (
+        approx_quantile_ci,
+        approx_quantile_ci_sql,
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cat = _catalog(spark, sf_dir)
+        return approx_quantile_ci(cat.table(table), column, q, spec)
+
+    _register(name, fn, approx_quantile_ci_sql(table, column, q, spec))
+
+
+# Sampled median with a distribution-free (binomial order-statistic) CI
+# — an AQP capability beyond the reference's SUM/AVG/COUNT surface.
+_quantile_query(
+    "approx_median_ci",
+    "lineitem", "l_extendedprice", 0.5,
+    SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
 )
 
 

@@ -114,6 +114,44 @@ def test_count_estimator(engine, duck):
     assert row["ci_lower"] <= total <= row["ci_upper"]
 
 
+def test_quantile_ci_covers_true_median(engine, duck):
+    from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
+
+    truth = duck.execute(
+        "SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem"
+    ).fetchone()[0]
+    row = approx_quantile_ci(
+        engine.catalog.table("lineitem"),
+        "l_extendedprice",
+        0.5,
+        SamplingSpec(fraction=0.2, key=KEY),
+    ).collect()[0]
+    assert row["ci_lower"] <= row["l_extendedprice_q"] <= row["ci_upper"]
+    assert row["ci_lower"] <= truth <= row["ci_upper"], (
+        f"median CI [{row['ci_lower']}, {row['ci_upper']}] misses {truth}"
+    )
+    with pytest.raises(ValueError, match="q must be"):
+        approx_quantile_ci(
+            engine.catalog.table("lineitem"), "l_extendedprice", 1.5,
+            SamplingSpec(fraction=0.2, key=KEY),
+        )
+
+
+def test_head_sample_is_flagged_biased(engine):
+    """R30 head sample: membership = key prefix, __p = realized
+    fraction; the helper exists for parity, and its docstring marks the
+    bias explicitly."""
+    from approximatequeryengine_spark.plans.sampling import head_sample
+
+    df = engine.catalog.table("orders")
+    sampled = head_sample(df, "o_orderkey", 0.1)
+    n, total = sampled.count(), df.count()
+    p = sampled.select("__p").first()["__p"]
+    assert p == pytest.approx(n / total)
+    assert 0 < n < total
+    assert "biased" in head_sample.__doc__
+
+
 def test_stratified_ht_weights(engine, duck):
     """Unequal per-stratum fractions must still give an unbiased-scaled
     SUM via per-row 1/p weights."""
