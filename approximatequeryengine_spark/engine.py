@@ -82,9 +82,9 @@ class AQEngine:
             _, is_approx, _ = rewrite_approx(sql)
             if is_approx:
                 raise ValueError(
-                    "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX "
-                    "aggregate over one table (optional WHERE, one GROUP BY "
-                    f"column); could not parse: {sql!r}"
+                    "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX/"
+                    "MEDIAN aggregate over one table (optional WHERE, one "
+                    f"GROUP BY column); could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
             df = self.spark.sql(sql)
@@ -95,6 +95,10 @@ class AQEngine:
             sample_pct = spec.sample_pct
 
         wants_approx = spec.approx or sample_pct is not None or error_pct is not None or method
+
+        if spec.agg == "MEDIAN":
+            return self._run_median(spec, sample_pct, wants_approx, t0)
+
         if not wants_approx:
             return self._run_exact(spec, t0)
 
@@ -144,6 +148,44 @@ class AQEngine:
                     if res.computation_time
                     else float("inf")
                 )
+        return res
+
+    def _run_median(
+        self, spec: QuerySpec, sample_pct: float | None, approx: bool, t0: float
+    ) -> ApproxResult:
+        """MEDIAN: order-statistic point estimate with the binomial
+        distribution-free CI (plans/quantiles.py). Exact mode = the same
+        machinery over the full data (design 'none')."""
+        from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
+
+        if spec.group_by:
+            raise ValueError(
+                "MEDIAN does not support GROUP BY in the dialect; use "
+                "spark.sql with percentile(...) instead"
+            )
+        if not spec.column:
+            raise ValueError("MEDIAN requires a column")
+        if approx:
+            s_spec = self._sampling_spec(
+                spec, "uniform_hash", (sample_pct or 10.0) / 100.0
+            )
+        else:
+            s_spec = SamplingSpec(design="none", key=self.catalog.unique_key(spec.table))
+        rdf = approx_quantile_ci(self._base_df(spec), spec.column, 0.5, s_spec)
+        row = rdf.collect()[0]
+        res = ApproxResult(
+            df=rdf,
+            value=row[f"{spec.column}_q"],
+            ci_lower=row["ci_lower"],
+            ci_upper=row["ci_upper"],
+            samples_used=int(row["n_samples"]),
+            fraction=s_spec.realized_fraction(),
+            method="quantile" if approx else "exact",
+            status=ApproximationStatus.STABLE if approx else ApproximationStatus.EXACT,
+            computation_time=time.time() - t0,
+        )
+        res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
+        res.confidence_level = min(0.95, heuristic_confidence(res.samples_used))
         return res
 
     def _run_exact(self, spec: QuerySpec, t0: float) -> ApproxResult:

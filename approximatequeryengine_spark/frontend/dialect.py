@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 @dataclass
 class QuerySpec:
-    agg: str  # SUM | AVG | COUNT | MIN | MAX
+    agg: str  # SUM | AVG | COUNT | MIN | MAX | MEDIAN
     column: str | None  # None for COUNT(*)
     table: str
     where: str | None = None
@@ -34,7 +34,7 @@ class QuerySpec:
 
 _APPROX_EMBED = re.compile(r"APPROX\s*\(\s*([^()]*\([^()]*\)[^()]*)\s*\)", re.IGNORECASE)
 _APPROX_FUNC = re.compile(
-    r"APPROX_(SUM|AVG|COUNT|MIN|MAX)\s*\(\s*([\w\*]+)\s*(?:,\s*([\d.]+)\s*)?\)",
+    r"APPROX_(SUM|AVG|COUNT|MIN|MAX|MEDIAN)\s*\(\s*([\w\*]+)\s*(?:,\s*([\d.]+)\s*)?\)",
     re.IGNORECASE,
 )
 
@@ -63,7 +63,7 @@ def rewrite_approx(query: str) -> tuple[str, bool, float | None]:
 
 
 _SIMPLE = re.compile(
-    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX)\s*\(\s*([\w\*\.]+)\s*\)\s+"
+    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN)\s*\(\s*([\w\*\.]+)\s*\)\s+"
     r"FROM\s+([\w\.]+)"
     r"(?:\s+WHERE\s+(.*?))?"
     r"(?:\s+GROUP\s+BY\s+([\w\.]+))?"

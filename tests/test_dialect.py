@@ -47,6 +47,29 @@ def test_parse_rejects_complex_sql():
     assert parse_query("SELECT a, b FROM t JOIN u ON a = b") is None
 
 
+def test_parse_median():
+    spec = parse_query("SELECT APPROX(MEDIAN(l_extendedprice)) FROM lineitem")
+    assert spec.agg == "MEDIAN" and spec.approx
+    spec = parse_query("SELECT MEDIAN(value) FROM events")
+    assert spec.agg == "MEDIAN" and not spec.approx
+
+
+def test_engine_median(engine):
+    import duckdb  # noqa: F401
+
+    import pytest
+
+    res = engine.run("SELECT APPROX(MEDIAN(l_extendedprice)) FROM lineitem", sample_pct=20)
+    assert res.ci_lower <= res.value <= res.ci_upper
+    assert res.method == "quantile" and res.samples_used > 0
+    exact = engine.run("SELECT MEDIAN(l_extendedprice) FROM lineitem")
+    assert exact.status.name == "EXACT"
+    # the approximate CI should cover the exact median
+    assert res.ci_lower <= exact.value <= res.ci_upper
+    with pytest.raises(ValueError, match="GROUP BY"):
+        engine.run("SELECT APPROX(MEDIAN(value)) FROM events GROUP BY event_type")
+
+
 def test_method_selection():
     # F3 heuristics (enhanced_aqe_cli.py:116-131)
     assert select_method("SUM", 200_000, False) == "revolutionary"
