@@ -172,8 +172,14 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
                 mhs.append(mh.tolist())
             yield pd.DataFrame({"doc_id": ids, "sh": shs, "mh": mhs})
 
-    return docs.repartition(n_parts, "doc_id").select("doc_id", "text").mapInPandas(
-        batches, schema="doc_id long, sh array<string>, mh array<long>"
+    # Trailing repartition = exchange barrier ABOVE the kernel: every
+    # consumer reads the computed signatures from the shuffle (AQE
+    # ReusedExchange) instead of re-running the kernel per plan subtree.
+    return (
+        docs.repartition(n_parts, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, sh array<string>, mh array<long>")
+        .repartition(n_parts, "doc_id")
     )
 
 
@@ -194,7 +200,18 @@ def minhash_lsh_pairs(
     re-inlining the signature expression 16×). ``use_arrow`` picks the
     vectorized numpy signature stage (default); the pure-JVM expression
     path computes the identical signatures and exists for environments
-    where Arrow is unavailable (equivalence is tested)."""
+    where Arrow is unavailable (equivalence is tested).
+
+    The shingle arrays ride along through the band fan-out, so the
+    band self-join's output pairs already carry both sides' shingles and
+    verification is join-free — the signature stage is computed exactly
+    ONCE (the band exchange is reused for both self-join sides). The
+    alternative (separate sh lookup joins) recomputes the signature
+    stage per verification side and shuffles every document's shingles
+    to verify a tiny candidate set. Cost: the band shuffle carries sh
+    ``BANDS``× — the right trade while candidate sets are sparse; at
+    petabyte scale you'd materialize the signature table to storage and
+    join against it instead (SCALING.md)."""
     n_parts = spark.sparkContext.defaultParallelism
     if use_arrow:
         sig_df = _minhash_sig_pandas(docs, shingle_size, n_parts)
@@ -226,33 +243,32 @@ def minhash_lsh_pairs(
             for b in range(BANDS)
         ]
     )
-    bands = sig_df.select("doc_id", F.explode(band_key).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bands = sig_df.select("doc_id", "sh", F.explode(band_key).alias("bk")).select(
+        "doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), on=["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
-        .distinct()
+        # A pair colliding in k bands appears k times — keep one.
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = sig_df.select("doc_id", "sh")
-    jac = (
-        cand.join(sh.alias("x"), cand.doc_a == F.col("x.doc_id"))
-        .join(sh.alias("y"), cand.doc_b == F.col("y.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            # Guard 0/0: two empty shingle sets collide on the sentinel
-            # signature; their Jaccard is undefined → NULL → filtered.
-            F.when(
-                F.size(F.array_union(F.col("x.sh"), F.col("y.sh"))) > 0,
-                F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
-                / F.size(F.array_union(F.col("x.sh"), F.col("y.sh"))).cast("double"),
-            ).alias("jaccard"),
-        )
+    jac = cand.select(
+        "doc_a",
+        "doc_b",
+        # Guard 0/0: two empty shingle sets collide on the sentinel
+        # signature; their Jaccard is undefined → NULL → filtered.
+        F.when(
+            F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))) > 0,
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+            / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double"),
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")

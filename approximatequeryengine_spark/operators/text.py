@@ -243,22 +243,100 @@ def fingerprint_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-def corpus_clean_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
+_JAVA_WS = "".join(chr(c) for c in range(0x21))  # String.trim strips ≤ U+0020
+
+
+def _enrich_pandas(docs: DataFrame, n_parts: int) -> DataFrame:
+    """Arrow fast path for the corpus-clean enrichment: per-batch Python
+    computing (plang, score, n_tokens, fp) with the *en+quality filter
+    applied inside the kernel*. Bit-identical to the expression path
+    (same Java-regex tokenization, same IEEE-double score arithmetic in
+    the same order, same md5 token-set fingerprint) — equivalence is
+    pinned by ``test_corpus_clean_arrow_matches_expression_path``.
+
+    Why it exists: the language-ID / quality / fingerprint chains are
+    interpreted higher-order array expressions, and Catalyst's
+    filter-through-project pushdown re-inlines ``plang`` and ``score``
+    into the filter — computing each chain twice per row. The kernel
+    computes everything once per row and filters before returning, so
+    only surviving (doc_id, score, n_tokens, fp) rows cross Arrow."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s
+    alpha_re = re.compile(r"[A-Za-z]")
+    punct_re = re.compile(r"[^A-Za-z0-9 \t\n\x0b\f\r]")  # [^A-Za-z0-9\s], Java \s
+    profiles = {lg: frozenset(ws) for lg, ws in LANG_PROFILES.items()}
+
+    def batches(it):
+        for pdf in it:
+            ids, scores, ntoks, fps = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text.strip(_JAVA_WS)
+                toks = ws_re.split(t) if t else []
+                low = [tk.lower() for tk in toks]
+                counts = {
+                    lg: sum(1 for tk in low if tk in ws)
+                    for lg, ws in profiles.items()
+                }
+                mx = max(counts[lg] for lg in LANG_ORDER)
+                if mx <= 0 or next(lg for lg in LANG_ORDER if counts[lg] == mx) != "en":
+                    continue
+                n_chars = len(text)
+                n_tokens = len(toks)
+                alpha = len(alpha_re.findall(text))
+                punct = len(punct_re.findall(text))
+                stop_hits = counts["en"]
+                safe_chars = max(n_chars, 1)
+                safe_toks = max(n_tokens, 1)
+                score = (
+                    0.25 * (alpha / safe_chars)
+                    + 0.25 * min(1.0, n_tokens / 20.0)
+                    + 0.25 * (1.0 - punct / safe_chars)
+                    + 0.25 * min(1.0, (stop_hits / safe_toks) * 5)
+                )
+                if score < 0.5:
+                    continue
+                canon = " ".join(sorted(set(toks)))
+                ids.append(doc_id)
+                scores.append(score)
+                ntoks.append(n_tokens)
+                fps.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "score": scores, "n_tokens": ntoks, "fp": fps}
+            )
+
+    return docs.repartition(n_parts, "doc_id").select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, score double, n_tokens int, fp string"
+    )
+
+
+def corpus_clean_pipeline(
+    spark: SparkSession, docs: DataFrame, use_arrow: bool = True
+) -> DataFrame:
     """End-to-end training-data cleaning pass, composed from the
     operator layers: language-ID filter (predicted en) → quality filter
     (score ≥ 0.5) → token-set-fingerprint dedup (keep lowest doc_id) →
     corpus accounting. One Spark job: the filters are scan-time
-    predicates, the dedup is a single shuffle on the fingerprint."""
+    predicates, the dedup is a single shuffle on the fingerprint.
+    ``use_arrow`` (default) computes the enrichment in a vectorized
+    Arrow kernel (see ``_enrich_pandas``); the pure-JVM expression path
+    computes identical values and is kept for equivalence testing."""
     docs = ensure_parallelism(docs)
-    q = quality_columns(F.col("text"))
-    fp = fingerprint_cols(F.col("text"))["fp_tokenset"]
-    enriched = docs.select(
-        "doc_id",
-        predicted_lang_col(F.col("text")).alias("plang"),
-        q["quality_score"].alias("score"),
-        q["n_tokens"].alias("n_tokens"),
-        fp.alias("fp"),
-    ).filter((F.col("plang") == "en") & (F.col("score") >= 0.5))
+    if use_arrow:
+        enriched = _enrich_pandas(docs, docs.sparkSession.sparkContext.defaultParallelism)
+    else:
+        q = quality_columns(F.col("text"))
+        fp = fingerprint_cols(F.col("text"))["fp_tokenset"]
+        enriched = docs.select(
+            "doc_id",
+            predicted_lang_col(F.col("text")).alias("plang"),
+            q["quality_score"].alias("score"),
+            q["n_tokens"].alias("n_tokens"),
+            fp.alias("fp"),
+        ).filter((F.col("plang") == "en") & (F.col("score") >= 0.5))
     kept = enriched.groupBy("fp").agg(
         F.min_by(F.struct("doc_id", "score", "n_tokens"), F.col("doc_id")).alias("k"),
         F.count(F.lit(1)).alias("group_size"),

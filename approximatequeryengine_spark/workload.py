@@ -194,6 +194,34 @@ _sql_query(
     "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial "
     "FROM orders GROUP BY o_orderpriority",
 )
+# SURVEY §2.5 — ORDER BY + LIMIT top-k. Spark plans this as
+# TakeOrderedAndProject: per-partition heap of k, no global sort — the
+# scale-correct top-k at 100 TB. Deterministic tie-break on o_orderkey.
+_sql_query(
+    "orderby_limit_topk",
+    "SELECT o_orderkey, round(o_totalprice, 2) AS totalprice "
+    "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+# SURVEY §2.5 — set operators (INTERSECT / EXCEPT / UNION ALL), distinct
+# semantics on both engines. Counts keep the result tiny at any SF.
+_sql_query(
+    "setops_customer_cohorts",
+    "SELECT 'with_orders' AS cohort, count(*) AS n_customers FROM ("
+    "  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) t "
+    "UNION ALL "
+    "SELECT 'without_orders' AS cohort, count(*) AS n_customers FROM ("
+    "  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t",
+)
+# SURVEY §2.6 — scalar-function surface (string/date/math), all JVM-side
+# builtins inside whole-stage codegen; identical semantics in DuckDB.
+_sql_query(
+    "scalar_functions_profile",
+    "SELECT year(o_orderdate) AS o_year, count(*) AS n_orders, "
+    "round(sum(sqrt(o_totalprice)), 2) AS sum_sqrt_price, "
+    "round(avg(length(o_orderpriority)), 4) AS avg_prio_len, "
+    "max(upper(substr(o_orderstatus, 1, 1))) AS max_status "
+    "FROM orders GROUP BY year(o_orderdate)",
+)
 
 
 # ---------------------------------------------------------------------------

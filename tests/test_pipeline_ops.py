@@ -191,6 +191,19 @@ def test_corpus_clean_pipeline(spark, synth_docs):
     assert 0.5 <= row["avg_quality_kept"] <= 1.0
 
 
+def test_corpus_clean_arrow_matches_expression_path(spark):
+    """The Arrow enrichment kernel and the pure-JVM expression path must
+    produce identical aggregates (bit-equal score arithmetic and
+    fingerprints) on real fixture documents."""
+    from approximatequeryengine_spark.operators.text import corpus_clean_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = corpus_clean_pipeline(spark, docs, use_arrow=True).collect()[0]
+    slow = corpus_clean_pipeline(spark, docs, use_arrow=False).collect()[0]
+    assert fast.asDict() == slow.asDict()
+    assert fast["n_docs_kept"] > 0
+
+
 def test_asof_and_range_join(spark):
     from datetime import datetime, timedelta
 
