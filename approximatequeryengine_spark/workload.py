@@ -222,6 +222,95 @@ _sql_query(
     "max(upper(substr(o_orderstatus, 1, 1))) AS max_status "
     "FROM orders GROUP BY year(o_orderdate)",
 )
+# TPC-H Q3-style shipping priority: 3-way join (customer⋈orders⋈lineitem)
+# + selective date filters + grouped top-10. At scale: both filters reach
+# the scans (pushdown), join order is fact-last, and the LIMIT plans as
+# TakeOrderedAndProject. Deterministic tie-break on l_orderkey.
+_sql_query(
+    "tpch_q3_shipping_priority",
+    "SELECT l_orderkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+# TPC-H Q5-style local supplier volume: 6-way join with the
+# c_nationkey = s_nationkey cross-dimension constraint. All four dims
+# broadcast (region/nation/customer/supplier at any SF); only
+# orders⋈lineitem shuffles — the plan AQE picks on local[32] and the
+# right shape at 100 TB.
+_sql_query(
+    "tpch_q5_local_supplier_volume",
+    "SELECT n_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n_name",
+)
+# SURVEY §2.4 beyond-reference — GROUPING SETS (subtotals + grand total
+# in one shuffle via Expand, vs three scans). coalesce() disambiguates
+# the rollup NULLs identically on both engines.
+_sql_query(
+    "grouping_sets_revenue",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+    "coalesce(l_linestatus, 'ALL') AS linestatus, "
+    "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows "
+    "FROM lineitem GROUP BY GROUPING SETS "
+    "((l_returnflag, l_linestatus), (l_returnflag), ())",
+)
+# SURVEY §2.3 beyond-reference — correlated EXISTS / NOT EXISTS, planned
+# as left-semi / left-anti hash joins (no subquery re-execution per row).
+_sql_query(
+    "semi_anti_join_parts",
+    "SELECT 'ever_bulk_ordered' AS cohort, count(*) AS n_parts FROM part "
+    "WHERE EXISTS (SELECT 1 FROM lineitem "
+    "  WHERE l_partkey = p_partkey AND l_quantity >= 49) "
+    "UNION ALL "
+    "SELECT 'never_ordered' AS cohort, count(*) AS n_parts FROM part "
+    "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)",
+)
+# SURVEY §2.5 beyond-reference — window-function surface: running sum
+# (explicit ROWS frame), lag delta, rank. One shuffle on o_custkey serves
+# all three (same partition spec). Unique (o_orderdate, o_orderkey)
+# ordering makes every value deterministic; the modulo filter keeps the
+# result set small at any SF.
+_sql_query(
+    "window_customer_order_history",
+    "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, "
+    "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderdate, o_orderkey "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total, "
+    "round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev, "
+    "rank() OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_totalprice DESC, o_orderkey) AS price_rank "
+    "FROM orders WHERE o_custkey % 500 = 7",
+)
+# Heavy hitters: exact global token top-k over documents. The partial
+# aggregate absorbs the explode fan-out map-side, so the shuffle carries
+# one row per distinct token per partition — the scalable exact form
+# (the sketch path is `sketch_approx_distinct`). Dialects differ only in
+# the UNNEST spelling.
+_sql_query(
+    "heavy_hitters_tokens",
+    "SELECT token, count(*) AS cnt FROM ("
+    "  SELECT explode(split(lower(text), ' ')) AS token FROM documents) t "
+    "WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20",
+    oracle=(
+        "SELECT token, count(*) AS cnt FROM ("
+        "  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t "
+        "WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20"
+    ),
+)
 
 
 # ---------------------------------------------------------------------------

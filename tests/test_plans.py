@@ -72,3 +72,49 @@ def test_where_pushdown(spark):
     plan = _plan(spark, "approx_sum_where_uniform20")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "l_discount" in m.group(1), f"filter not pushed: {m and m.group(1)}"
+
+
+def test_q3_topk_avoids_global_sort(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heap of k, merge on the driver) — a global Sort before the limit
+    shuffles every surviving row at scale."""
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_q5_all_joins_broadcast_and_pushed(spark):
+    """The 6-way Q5 join at fixture scale: every dim side broadcasts
+    (no sort-merge), and the region-name + order-date filters reach
+    their scans."""
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert len(re.findall(r"\n\(\d+\) BroadcastHashJoin", plan)) == 5
+    assert "SortMergeJoin" not in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(r_name,ASIA)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS computes subtotals + grand total via one Expand +
+    one shuffle — not three separate scans."""
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert len(re.findall(r"\n\(\d+\) Expand", plan)) == 1
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected a single shuffle, saw {n_exchanges}"
+
+
+def test_exists_plans_as_semi_anti_join(spark):
+    """Correlated EXISTS / NOT EXISTS must decorrelate to left-semi /
+    left-anti hash joins, not per-row subquery execution."""
+    plan = _plan(spark, "semi_anti_join_parts")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_window_suite_single_partition_exchange(spark):
+    """All three window functions share the o_custkey partition spec —
+    the plan must shuffle on o_custkey once, not per-function."""
+    plan = _plan(spark, "window_customer_order_history")
+    exchanges = re.findall(r"\n\(\d+\) Exchange[^\n]*", plan)
+    assert len(exchanges) <= 2, exchanges  # rank's sort order differs → ≤2
