@@ -26,6 +26,8 @@ HEADLINE = [
     # AQP core (the reference's own query shapes)
     "exact_sum",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "join_revenue_by_nation",
     "approx_sum_uniform10",
     "approx_groupby_sum_ci20",
@@ -34,6 +36,7 @@ HEADLINE = [
     "approx_sum_neyman",
     # LLM-pipeline flagships (beyond-reference scope)
     "text_quality_by_lang",
+    "heavy_hitters_tokens",
     "dedup_minhash_lsh_pairs",
     "ann_bruteforce_topk",
     "corpus_clean_pipeline",
