@@ -1,0 +1,96 @@
+"""Structured Streaming pipeline operators beyond windowed aggregation:
+watermarked streaming deduplication and stream-static enrichment joins.
+
+The reference has no streaming at all (SURVEY.md §1.4 / §2.9); these are
+the training-data-pipeline shapes a streaming ingest needs. Both run as
+real streams (file source via ``events_stream``, AvailableNow trigger,
+memory sink) so they are testable and DuckDB-oracle-checkable, and both
+keep the 100 TB plan shape:
+
+- **Streaming dedup**: ``withWatermark + dropDuplicates`` keeps one
+  state entry per key and *purges keys once the watermark passes their
+  event time* — bounded state on an unbounded stream. The dedup key
+  includes the time bucket, so state size is O(active keys within the
+  watermark horizon), not O(stream history).
+- **Stream-static join**: the static dimension is broadcast to every
+  task; the stream side never shuffles before the join. The only
+  shuffle is the downstream aggregation on the enrichment key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.catalog import Catalog
+from approximatequeryengine_spark.streaming.windowed import (
+    events_stream,
+    run_to_memory_sink,
+)
+
+DEDUP_BUCKET = "1 hour"
+DEDUP_WATERMARK = "2 hours"
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup of events on (user_id, event_type, hour bucket).
+
+    The stream emits each first-seen key exactly once (append mode —
+    the natural mode for dedup: a row is final the moment it survives).
+    Which *row* survives a duplicate group is racy, so the streamed
+    columns are exactly the dedup key — every downstream answer is then
+    deterministic and the DuckDB oracle is a COUNT(DISTINCT ...).
+    The returned DataFrame aggregates the sink per event_type.
+    """
+    stream = events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", DEDUP_WATERMARK)
+        .select(
+            "user_id",
+            "event_type",
+            F.window(F.col("ts"), DEDUP_BUCKET).alias("w"),
+        )
+        .dropDuplicates(["user_id", "event_type", "w"])
+    )
+    sink = run_to_memory_sink(deduped, "append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+def dedup_events_sql() -> str:
+    return """
+SELECT event_type,
+       count(DISTINCT (user_id, time_bucket(INTERVAL 1 HOUR, ts))) AS n_unique
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def enriched_revenue_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with the static
+    customer dimension (broadcast — re-resolved per micro-batch, so a
+    slowly-changing dimension refreshes without restarting the query),
+    aggregated per market segment in complete mode."""
+    customer = F.broadcast(
+        Catalog(spark, sf_dir, register_views=False).table("customer")
+    )
+    stream = events_stream(spark, sf_dir)
+    joined = stream.join(customer, stream.user_id == customer.c_custkey)
+    agg = (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory_sink(agg, "complete").orderBy("c_mktsegment")
+
+
+def enriched_revenue_sql() -> str:
+    return """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

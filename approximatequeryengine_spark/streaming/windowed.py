@@ -45,13 +45,12 @@ def windowed_event_counts_batch(spark: SparkSession, events: DataFrame) -> DataF
     )
 
 
-def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the windowed aggregate as a real stream (file source,
-    AvailableNow trigger, memory sink) and return the final result."""
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with ``ts`` restored
+    to TimestampType. The file stream source wants a *directory*; the
+    read-only fixture file is exposed through a temp-dir symlink."""
     path = f"{sf_dir}/events.parquet"
     raw = spark.read.parquet(path)
-    # The file stream source wants a *directory*; expose the read-only
-    # fixture file through a temp-dir symlink.
     stream_dir = tempfile.mkdtemp(prefix="aqe_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).parquet(stream_dir)
@@ -60,6 +59,28 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    return stream
+
+
+def run_to_memory_sink(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion (AvailableNow) into a
+    uniquely named memory sink; return the sink as a batch DataFrame."""
+    sink = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink)
+
+
+def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed aggregate as a real stream (file source,
+    AvailableNow trigger, memory sink) and return the final result."""
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy(F.window(F.col("ts"), WINDOW).alias("w"), F.col("event_type"))
@@ -74,16 +95,7 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    sink = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return run_to_memory_sink(agg, "complete")
 
 
 def windowed_event_counts_sql() -> str:

@@ -598,6 +598,29 @@ def _stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_windowed_events", _stream_fn, _stream.windowed_event_counts_sql())
 
 
+def _stream_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.dedup_events_stream(spark, sf_dir)
+
+
+def _stream_enrich_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.enriched_revenue_stream(spark, sf_dir)
+
+
+def _streaming_pipeline_oracles():
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.dedup_events_sql(), _p.enriched_revenue_sql()
+
+
+_DEDUP_SQL, _ENRICH_SQL = _streaming_pipeline_oracles()
+_register("streaming_dedup_events", _stream_dedup_fn, _DEDUP_SQL)
+_register("streaming_enriched_revenue", _stream_enrich_fn, _ENRICH_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators → rows-only driver check (no oracle entry).
 # ---------------------------------------------------------------------------

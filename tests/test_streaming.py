@@ -139,3 +139,61 @@ def test_stateful_ci_narrows(refined):
             w_first = first["ci_upper"] - first["ci_lower"]
             w_last = last["ci_upper"] - last["ci_lower"]
             assert w_last <= w_first * 1.5
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """Streaming dropDuplicates over the watermarked key must reproduce
+    the batch COUNT(DISTINCT key) exactly (AvailableNow drains the whole
+    fixture, so no rows are late)."""
+    from approximatequeryengine_spark.streaming.pipeline import (
+        DEDUP_BUCKET,
+        dedup_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["n_unique"]
+        for r in dedup_events_stream(spark, sf).collect()
+    }
+    events = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count_distinct(
+                "user_id", F.window("ts", DEDUP_BUCKET)
+            ).alias("n")
+        )
+        .collect()
+    }
+    assert got == want
+    # The key must actually have duplicates, or the test proves nothing.
+    total = events.count()
+    assert sum(want.values()) < total
+
+
+def test_stream_static_join_broadcasts(spark):
+    """The stream-static enrichment must broadcast the dimension and
+    match the batch join exactly."""
+    from approximatequeryengine_spark.streaming.pipeline import (
+        enriched_revenue_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = enriched_revenue_stream(spark, sf).collect()
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    want = {
+        r["c_mktsegment"]: (r["n_events"], r["sum_value"])
+        for r in events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    got = {r["c_mktsegment"]: (r["n_events"], r["sum_value"]) for r in rows}
+    assert got == want and len(got) >= 4
