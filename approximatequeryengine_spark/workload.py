@@ -621,6 +621,24 @@ _register("streaming_dedup_events", _stream_dedup_fn, _DEDUP_SQL)
 _register("streaming_enriched_revenue", _stream_enrich_fn, _ENRICH_SQL)
 
 
+def _bucketed_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over bucket-partitioned tables
+    (sources/layout.py) — the storage-layout lever that removes the two
+    biggest exchanges of a fact-fact join at scale."""
+    from approximatequeryengine_spark.sources.layout import bucketed_join_revenue
+
+    return bucketed_join_revenue(spark, sf_dir)
+
+
+def _bucketed_join_oracle() -> str:
+    from approximatequeryengine_spark.sources.layout import bucketed_join_revenue_sql
+
+    return bucketed_join_revenue_sql()
+
+
+_register("bucketed_join_revenue", _bucketed_join_fn, _bucketed_join_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators → rows-only driver check (no oracle entry).
 # ---------------------------------------------------------------------------

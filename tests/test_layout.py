@@ -1,0 +1,69 @@
+"""Storage-layout operators: bucketed co-located joins and partitioned
+writes with partition pruning."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.sources.layout import (
+    bucketed_join_revenue,
+    read_pruned,
+    write_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both join sides are bucketed on the key, so the sort-merge join
+    must have NO Exchange below it — the only shuffle in the whole plan
+    is the tiny post-join aggregation."""
+    df = bucketed_join_revenue(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in plan
+    # In the tree section everything printed after the SortMergeJoin
+    # line is its subtree: no Exchange (buckets ARE the partitioning)
+    # and no Sort (one file per bucket exposes the sortBy order).
+    tree = plan.split("\n(1) ")[0]
+    subtree = tree.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in subtree, subtree
+    assert "Sort" not in subtree, subtree
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    got = {
+        r["o_orderpriority"]: (r["revenue"], r["n_lineitems"])
+        for r in bucketed_join_revenue(spark, SF).collect()
+    }
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    want = {
+        r["o_orderpriority"]: (r["revenue"], r["n_lineitems"])
+        for r in l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 3
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan
+    time: the scan's partition count is 1 and other values are absent."""
+    path = str(tmp_path / "events_by_type")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    write_partitioned(events, path, "event_type")
+    one = read_pruned(spark, path, "event_type", "click")
+    plan = one._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    got = one.count()
+    want = events.filter(F.col("event_type") == "click").count()
+    assert got == want > 0
