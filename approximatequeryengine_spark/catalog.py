@@ -51,8 +51,17 @@ class Catalog:
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
         if register_views:
-            for name in self.table_names():
-                self.table(name).createOrReplaceTempView(name)
+            self.refresh_views()
+
+    def refresh_views(self) -> None:
+        """(Re-)register this catalog's tables as session temp views.
+
+        Temp-view names are session-global, so two Catalogs over
+        different sf_dirs on one SparkSession clobber each other; any
+        holder about to run view-based SQL must refresh first (a cheap
+        metadata-only operation)."""
+        for name in self.table_names():
+            self.table(name).createOrReplaceTempView(name)
 
     def table_names(self) -> list[str]:
         names = []

@@ -87,6 +87,9 @@ class AQEngine:
                     f"GROUP BY column); could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
+            # Temp views are session-global; another catalog (different
+            # sf_dir, same session) may have clobbered ours — re-assert.
+            self.catalog.refresh_views()
             df = self.spark.sql(sql)
             return ApproxResult(df=df, method="spark_sql", status=ApproximationStatus.EXACT,
                                 computation_time=time.time() - t0)

@@ -44,6 +44,10 @@ def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     key = (id(spark), sf_dir)
     if key not in _CATALOGS:
         _CATALOGS[key] = Catalog(spark, sf_dir)
+    else:
+        # Another sf_dir's catalog may have re-pointed the session's
+        # temp views since we registered — re-assert ours.
+        _CATALOGS[key].refresh_views()
     return _CATALOGS[key]
 
 
@@ -637,6 +641,59 @@ def _bucketed_join_oracle() -> str:
 
 
 _register("bucketed_join_revenue", _bucketed_join_fn, _bucketed_join_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregation OVER A JOIN — beyond the reference (it has no
+# joins at all): sample the fact table FIRST (the 10× row reduction
+# happens before any join work), then join dims and HT-scale. Valid
+# because each lineitem row joins exactly one orders/customer/nation row
+# (key-preserving star join → no fan-out → per-row p is unchanged).
+# At 100 TB the sampled probe side shrinks the orders shuffle 10×; the
+# small dims broadcast either way.
+# ---------------------------------------------------------------------------
+
+_JOIN_SPEC = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+_JOIN_FROM = (
+    "lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey"
+)
+
+
+def _approx_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    sampled = apply_sampling(cat.table("lineitem"), _JOIN_SPEC)
+    joined = (
+        sampled.join(cat.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("revenue_item", F.expr("l_extendedprice * (1 - l_discount)"))
+    )
+    rdf = approx_aggregate(
+        joined, AggSpec("sum", "revenue_item", alias="revenue_est"), group_by=["n_name"]
+    )
+    # round_to=3, not 2: the 2dp×2dp revenue grid HT-scaled by 10 puts
+    # estimates on a 1e-3 grid, which can land EXACTLY on a 2dp rounding
+    # boundary (x.xx5) — engine summation-order noise then flips the
+    # round. A 1e-3-grid value is never within 5e-4 of a 3dp boundary.
+    return _round_cols(rdf, {"revenue_est": 3, "ci_lower": 3, "ci_upper": 3})
+
+
+_register(
+    "approx_join_revenue_by_nation",
+    _approx_join_fn,
+    moments_sql(
+        table=_JOIN_FROM,
+        column="l_extendedprice * (1 - l_discount)",
+        where=sampling_where_sql(_JOIN_SPEC),
+        agg="sum",
+        p_sql=sampling_p_sql(_JOIN_SPEC),
+        alias="revenue_est",
+        group_by="n_name",
+        round_to=3,
+    ),
+)
 
 
 # ---------------------------------------------------------------------------

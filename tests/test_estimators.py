@@ -165,3 +165,37 @@ def test_stratified_ht_weights(engine, duck):
     exact = duck.execute("SELECT SUM(l_extendedprice) FROM lineitem").fetchone()[0]
     row = _estimate(engine, AggSpec("sum", "l_extendedprice"), spec).collect()[0]
     assert row["sum_l_extendedprice"] == pytest.approx(exact, rel=0.15)
+
+
+def test_approx_join_ci_covers_exact(spark):
+    """Sample-then-join HT estimation: the star join is key-preserving
+    (no fan-out), so per-row inclusion probabilities survive the join
+    and the 95% CI should cover the exact per-nation revenue for the
+    overwhelming majority of groups (deterministic sample → stable)."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["n_name"]: (r["revenue_est"], r["ci_lower"], r["ci_upper"])
+        for r in QUERIES["approx_join_revenue_by_nation"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["n_name"]: r["rev"]
+        for r in li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.expr("l_extendedprice * (1 - l_discount)")).alias("rev"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    covered = sum(
+        1 for n, (_, lo, hi) in est.items() if lo <= exact[n] <= hi
+    )
+    assert covered >= 0.85 * len(est), f"{covered}/{len(est)} groups covered"
