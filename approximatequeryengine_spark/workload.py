@@ -299,6 +299,51 @@ _sql_query(
     "  ORDER BY o_totalprice DESC, o_orderkey) AS price_rank "
     "FROM orders WHERE o_custkey % 500 = 7",
 )
+# Semi-structured surface: JSON extraction from the events props column
+# (get_json_object stays JVM-side inside codegen — no Python, no UDF).
+_sql_query(
+    "json_props_stats",
+    "SELECT event_type, "
+    "round(avg(CAST(get_json_object(props, '$.k') AS INT)), 4) AS avg_k, "
+    "max(CAST(get_json_object(props, '$.k') AS INT)) AS max_k, "
+    "count(*) AS n_events "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    oracle=(
+        "SELECT event_type, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k, "
+        "max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k, "
+        "count(*) AS n_events "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+# Time-series gap-fill: hourly resample over a generated time spine with
+# last-observation-carried-forward. The spine is sequence()+explode (a
+# few thousand rows at any SF — generated, not scanned); the hourly
+# rollup is one shuffle; LOCF is a single running window. The hypertable
+# rollup shape, Spark-first.
+_sql_query(
+    "resample_hourly_locf",
+    "WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS t0, "
+    "                       date_trunc('hour', max(ts)) AS t1 FROM events), "
+    "spine AS (SELECT explode(sequence(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds), "
+    "hourly AS (SELECT date_trunc('hour', ts) AS hour, "
+    "           round(sum(value), 2) AS v, count(*) AS n FROM events GROUP BY 1) "
+    "SELECT s.hour, coalesce(h.n, 0) AS n_events, "
+    "last_value(h.v, true) OVER (ORDER BY s.hour "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled "
+    "FROM spine s LEFT JOIN hourly h ON s.hour = h.hour ORDER BY s.hour",
+    oracle=(
+        "WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS t0, "
+        "                       date_trunc('hour', max(ts)) AS t1 FROM events), "
+        "spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds), "
+        "hourly AS (SELECT date_trunc('hour', ts) AS hour, "
+        "           round(sum(value), 2) AS v, count(*) AS n FROM events GROUP BY 1) "
+        "SELECT s.hour, coalesce(h.n, 0) AS n_events, "
+        "last_value(h.v IGNORE NULLS) OVER (ORDER BY s.hour "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled "
+        "FROM spine s LEFT JOIN hourly h ON s.hour = h.hour ORDER BY s.hour"
+    ),
+)
 # Heavy hitters: exact global token top-k over documents. The partial
 # aggregate absorbs the explode fan-out map-side, so the shuffle carries
 # one row per distinct token per partition — the scalable exact form

@@ -77,3 +77,20 @@ def test_sql_passthrough(engine, duck):
         "SELECT n_name, count(*) AS cnt FROM customer "
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
     )
+
+
+def test_resample_locf_fills_gaps(spark):
+    """At sf0.001 (~1.4 events/hour) the hourly spine has empty hours;
+    each must appear with n_events=0 and carry the previous hour's
+    filled value forward."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    rows = QUERIES["resample_hourly_locf"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 720  # 30 days of hourly spine, gaps included
+    gaps = [i for i, r in enumerate(rows) if r["n_events"] == 0]
+    assert gaps, "fixture should contain empty hours at this SF"
+    for i in gaps:
+        if i > 0:
+            assert rows[i]["v_filled"] == rows[i - 1]["v_filled"]
