@@ -72,9 +72,36 @@ _SIMPLE = re.compile(
 )
 
 
+_TABLESAMPLE = re.compile(
+    r"\s+TABLESAMPLE\s*\(\s*([\d.]+)\s*PERCENT\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_tablesample(query: str) -> tuple[str, float | None]:
+    """Strip SQL-standard ``TABLESAMPLE (p PERCENT)`` → (clean, p).
+
+    In this engine TABLESAMPLE on a simple aggregate means *sampled
+    estimation*: the deterministic hash design with HT scaling and CIs —
+    not Spark's native row sample (which is nondeterministic and
+    unscaled). Queries outside the simple grammar keep their
+    TABLESAMPLE and fall through to ``spark.sql`` native semantics."""
+    pct: float | None = None
+
+    def _strip(m: re.Match) -> str:
+        nonlocal pct
+        pct = float(m.group(1))
+        return ""
+
+    return _TABLESAMPLE.sub(_strip, query, count=1), pct
+
+
 def parse_query(query: str) -> QuerySpec | None:
     """Parse the reference grammar; None → not simple, use spark.sql."""
     clean, is_approx, pct = rewrite_approx(query)
+    clean, ts_pct = rewrite_tablesample(clean)
+    if ts_pct is not None:
+        is_approx = True
+        pct = pct if pct is not None else ts_pct
     m = _SIMPLE.match(clean)
     if not m:
         return None

@@ -689,6 +689,37 @@ _register("bucketed_join_revenue", _bucketed_join_fn, _bucketed_join_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Sample-based DISTINCT-count estimation (Chao1). The naive "count
+# distinct in the sample" severely underestimates (unseen values); the
+# Chao1 richness estimator D_obs + f1²/(2·f2) corrects from the
+# singleton/doubleton frequencies — all integer-derived arithmetic over
+# the deterministic hash sample, so the oracle matches bit-exactly (no
+# float summation anywhere). One scan, one shuffle on the value, a
+# 3-integer reduce. Complements the HLL sketch (`sketch_approx_distinct`):
+# Chao1 needs only a sample; HLL needs the full scan.
+# ---------------------------------------------------------------------------
+
+_CHAO1_SQL = (
+    "WITH s AS (SELECT l_partkey FROM lineitem WHERE "
+    + sampling_where_sql(SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY))
+    + "), freq AS (SELECT l_partkey, count(*) AS c FROM s GROUP BY l_partkey) "
+    "SELECT count(*) AS d_obs, "
+    "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1, "
+    "sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2, "
+    # CAST AS DOUBLE inside round: DuckDB would otherwise type this
+    # integer-derived expression DECIMAL while Spark says double, and
+    # the driver's typed compare rejects Decimal('x') != x.
+    "round(CAST(count(*) + CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0 "
+    "  THEN (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) "
+    "       / (2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) "
+    "  ELSE (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)) / 2.0 "
+    "END AS DOUBLE), 2) AS d_chao1 "
+    "FROM freq"
+)
+_sql_query("approx_distinct_chao1", _CHAO1_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregation OVER A JOIN — beyond the reference (it has no
 # joins at all): sample the fact table FIRST (the 10× row reduction
 # happens before any join work), then join dims and HT-scale. Valid

@@ -77,3 +77,47 @@ def test_method_selection():
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
     assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary"}
+
+
+def test_tablesample_routes_to_sampled_estimation():
+    from approximatequeryengine_spark.frontend.dialect import parse_query
+
+    spec = parse_query(
+        "SELECT SUM(l_extendedprice) FROM lineitem TABLESAMPLE (10 PERCENT)"
+    )
+    assert spec is not None and spec.approx and spec.sample_pct == 10.0
+    assert spec.table == "lineitem"
+    # WHERE and GROUP BY survive the rewrite.
+    spec2 = parse_query(
+        "SELECT AVG(value) FROM events TABLESAMPLE (20 PERCENT) "
+        "WHERE value > 5 GROUP BY event_type"
+    )
+    assert spec2 is not None and spec2.sample_pct == 20.0
+    assert spec2.where == "value > 5" and spec2.group_by == "event_type"
+    # Explicit APPROX_SUM pct wins over TABLESAMPLE pct.
+    spec3 = parse_query(
+        "SELECT APPROX_SUM(l_quantity, 5) FROM lineitem TABLESAMPLE (50 PERCENT)"
+    )
+    assert spec3 is not None and spec3.sample_pct == 5.0
+
+
+def test_tablesample_complex_query_falls_through():
+    from approximatequeryengine_spark.frontend.dialect import parse_query
+
+    assert (
+        parse_query(
+            "SELECT a, b FROM t TABLESAMPLE (10 PERCENT) JOIN u ON t.x = u.x"
+        )
+        is None
+    )
+
+
+def test_tablesample_end_to_end(spark):
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    r = eng.run("SELECT SUM(l_extendedprice) FROM lineitem TABLESAMPLE (10 PERCENT)")
+    assert r.method != "spark_sql" and r.fraction == 0.10
+    exact = eng.run("SELECT SUM(l_extendedprice) FROM lineitem")
+    assert abs(r.value - exact.value) / exact.value < 0.15
+    assert r.ci_lower <= r.value <= r.ci_upper
