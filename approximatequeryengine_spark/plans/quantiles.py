@@ -72,6 +72,47 @@ def approx_quantile_ci(
     )
 
 
+def grouped_quantile_ci_sql(
+    table: str,
+    column: str,
+    group_col: str,
+    q: float,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> str:
+    """Per-group sampled quantile + binomial order-statistic CI as ONE
+    engine-portable SQL text (Spark SQL ∩ DuckDB — identical
+    least/greatest/ceil/floor/sqrt/window semantics), so the same string
+    is both the Spark plan and the oracle.
+
+    Unlike the global version there is no driver-side ``count()``: the
+    per-group n is a window count computed in-plan, so the whole thing
+    is one shuffle on the group key + per-group sort of the *sample*.
+    At scale: |group| sample rows sort within their partition; no
+    global sort, no driver round-trip."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    where = sampling_where_sql(spec)
+    x = f"CAST({column} AS DOUBLE)"
+    key = f"CAST({spec.key} AS BIGINT)"
+    half = f"{z!r} * sqrt(n * {q!r} * (1.0 - {q!r}))"
+    point = f"least(greatest(CAST(ceil({q!r} * n) AS BIGINT), 1), n)"
+    lo = f"least(greatest(CAST(floor({q!r} * n - {half}) AS BIGINT), 1), n)"
+    hi = f"least(greatest(CAST(ceil({q!r} * n + {half}) AS BIGINT), 1), n)"
+    return f"""
+WITH s AS (SELECT {group_col} AS g, {x} AS x, {key} AS k FROM {table} WHERE {where}),
+r AS (SELECT g, x,
+             row_number() OVER (PARTITION BY g ORDER BY x, k) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM s)
+SELECT g AS {group_col}, max(n) AS n_samples,
+       min(CASE WHEN rn = {point} THEN x END) AS {column}_q,
+       min(CASE WHEN rn = {lo} THEN x END) AS ci_lower,
+       min(CASE WHEN rn = {hi} THEN x END) AS ci_upper
+FROM r GROUP BY g ORDER BY g
+"""
+
+
 def approx_quantile_ci_sql(
     table: str,
     column: str,

@@ -719,6 +719,24 @@ _CHAO1_SQL = (
 _sql_query("approx_distinct_chao1", _CHAO1_SQL)
 
 
+def _grouped_median_sql() -> str:
+    from approximatequeryengine_spark.plans.quantiles import grouped_quantile_ci_sql
+
+    return grouped_quantile_ci_sql(
+        "lineitem",
+        "l_extendedprice",
+        "l_returnflag",
+        q=0.5,
+        spec=SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    )
+
+
+# Per-group sampled median with distribution-free CI — one portable SQL
+# text is both the Spark plan and the DuckDB oracle (order statistics,
+# no float summation → deterministic without rounding).
+_sql_query("approx_grouped_median_ci", _grouped_median_sql())
+
+
 # ---------------------------------------------------------------------------
 # Approximate aggregation OVER A JOIN — beyond the reference (it has no
 # joins at all): sample the fact table FIRST (the 10× row reduction

@@ -127,3 +127,25 @@ def test_salt_independence(replicates):
     assert cv > 0.001, "replicate estimates are suspiciously identical"
     sizes = {r["n"] for r in rows}
     assert len(sizes) > 10, "per-salt sample sizes almost constant — salts correlated"
+
+
+def test_grouped_median_ci_covers_true_medians(spark):
+    """Each group's binomial order-statistic CI must cover the group's
+    true (full-data) median — deterministic sample, so stable."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["l_returnflag"]: (r["ci_lower"], r["ci_upper"])
+        for r in QUERIES["approx_grouped_median_ci"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    truth = {
+        r["l_returnflag"]: r["med"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med"))
+        .collect()
+    }
+    assert set(est) == set(truth) and len(est) >= 3
+    for g, (lo, hi) in est.items():
+        assert lo <= truth[g] <= hi, (g, lo, truth[g], hi)
