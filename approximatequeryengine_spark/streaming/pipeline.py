@@ -94,3 +94,48 @@ SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+SESSION_GAP = "30 minutes"
+SESSION_WATERMARK = "2 hours"
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows: ``F.session_window`` merges events
+    into gap-bounded sessions *incrementally* — the state store holds
+    open sessions per user and the watermark closes+evicts them. The
+    returned DataFrame aggregates the sink per user (session count +
+    event count), which the gaps-and-islands batch SQL reproduces.
+
+    Session-boundary convention: a session spans ``[first_ts,
+    last_ts + gap)`` (half-open), so an event arriving exactly ``gap``
+    after the previous one starts a NEW session — hence the oracle's
+    ``>= INTERVAL`` (not ``>``)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", SESSION_WATERMARK)
+        .groupBy(
+            F.session_window(F.col("ts"), SESSION_GAP).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = run_to_memory_sink(agg, "complete")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def session_windows_sql() -> str:
+    return """
+SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id, CASE WHEN ts - lag(ts) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+    THEN 1 ELSE 0 END AS new_s FROM events) t
+GROUP BY user_id ORDER BY user_id
+"""

@@ -670,6 +670,21 @@ _register("streaming_dedup_events", _stream_dedup_fn, _DEDUP_SQL)
 _register("streaming_enriched_revenue", _stream_enrich_fn, _ENRICH_SQL)
 
 
+def _stream_sessions_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.session_windows_stream(spark, sf_dir)
+
+
+def _stream_sessions_oracle() -> str:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.session_windows_sql()
+
+
+_register("streaming_session_windows", _stream_sessions_fn, _stream_sessions_oracle())
+
+
 def _bucketed_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join over bucket-partitioned tables
     (sources/layout.py) — the storage-layout lever that removes the two

@@ -197,3 +197,37 @@ def test_stream_static_join_broadcasts(spark):
     }
     got = {r["c_mktsegment"]: (r["n_events"], r["sum_value"]) for r in rows}
     assert got == want and len(got) >= 4
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """session_window's merged state must reproduce the batch
+    gaps-and-islands sessionization (>= gap starts a new session)."""
+    from approximatequeryengine_spark.streaming.pipeline import (
+        session_windows_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in session_windows_stream(spark, sf).collect()
+    }
+    events = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    events.createOrReplaceTempView("ev_batch")
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            """
+            SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events
+            FROM (SELECT user_id, CASE WHEN ts - lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                  FROM ev_batch) t
+            GROUP BY user_id
+            """
+        ).collect()
+    }
+    assert got == want and len(got) >= 10
+    # Multi-event sessions must exist, or the gap logic proved nothing.
+    assert any(s < e for s, e in got.values())
