@@ -703,6 +703,31 @@ def _bucketed_join_oracle() -> str:
 _register("bucketed_join_revenue", _bucketed_join_fn, _bucketed_join_oracle())
 
 
+def _salted_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust salted equi-join (operators/joins.py): identical
+    result to the plain join — same oracle as bucketed_join_revenue —
+    with hot keys fanned across salt_buckets reducers. The salt values
+    themselves are nondeterministic (partition position); only the
+    physical distribution changes, so the aggregate is exact."""
+    from approximatequeryengine_spark.operators.joins import salted_join
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    od = cat.table("orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    return (
+        salted_join(li, od, on="l_orderkey", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_register("salted_join_revenue", _salted_join_fn, _bucketed_join_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Sample-based DISTINCT-count estimation (Chao1). The naive "count
 # distinct in the sample" severely underestimates (unseen values); the
@@ -714,24 +739,19 @@ _register("bucketed_join_revenue", _bucketed_join_fn, _bucketed_join_oracle())
 # Chao1 needs only a sample; HLL needs the full scan.
 # ---------------------------------------------------------------------------
 
-_CHAO1_SQL = (
-    "WITH s AS (SELECT l_partkey FROM lineitem WHERE "
-    + sampling_where_sql(SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY))
-    + "), freq AS (SELECT l_partkey, count(*) AS c FROM s GROUP BY l_partkey) "
-    "SELECT count(*) AS d_obs, "
-    "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1, "
-    "sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2, "
-    # CAST AS DOUBLE inside round: DuckDB would otherwise type this
-    # integer-derived expression DECIMAL while Spark says double, and
-    # the driver's typed compare rejects Decimal('x') != x.
-    "round(CAST(count(*) + CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0 "
-    "  THEN (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) "
-    "       / (2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) "
-    "  ELSE (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)) / 2.0 "
-    "END AS DOUBLE), 2) AS d_chao1 "
-    "FROM freq"
-)
+def _chao1_queries() -> tuple[str, str]:
+    from approximatequeryengine_spark.plans.distinct import chao1_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return (
+        chao1_sql("lineitem", "l_partkey", spec),
+        chao1_sql("lineitem", "l_partkey", spec, group_col="l_returnflag"),
+    )
+
+
+_CHAO1_SQL, _CHAO1_GROUPED_SQL = _chao1_queries()
 _sql_query("approx_distinct_chao1", _CHAO1_SQL)
+_sql_query("approx_grouped_distinct_chao1", _CHAO1_GROUPED_SQL)
 
 
 def _grouped_median_sql() -> str:

@@ -149,3 +149,20 @@ def test_grouped_median_ci_covers_true_medians(spark):
     assert set(est) == set(truth) and len(est) >= 3
     for g, (lo, hi) in est.items():
         assert lo <= truth[g] <= hi, (g, lo, truth[g], hi)
+
+
+def test_chao1_beats_naive_sample_distinct(spark):
+    """Chao1's undercount correction must move the estimate strictly
+    closer to the true distinct count than the raw sample-distinct."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    row = QUERIES["approx_distinct_chao1"](spark, sf).collect()[0]
+    truth = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert abs(row["d_chao1"] - truth) < abs(row["d_obs"] - truth)
+    assert abs(row["d_chao1"] - truth) / truth < 0.10
