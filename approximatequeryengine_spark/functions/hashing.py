@@ -64,6 +64,54 @@ def portable_hash_sql(key_expr: str, salt: int = 0) -> str:
     return f"((({t2} % {M31}) * {MULT2} + 144) % {HASH_SPACE})"
 
 
+AVALANCHE_MULT = 73_244_475  # 0x45d9f3b (Wellons' hash32 constant, < 2^31)
+
+
+def avalanche_hash_col(key: Column | str, salt: Column) -> Column:
+    """Salted xor-shift/multiply avalanche hash in [0, 2^32).
+
+    Structurally DIFFERENT from ``portable_hash_col`` on purpose: the
+    multiplicative hash family is affine-shift-related across salts
+    (h_s(k) = g(k + s·stride)), so values conditioned on a
+    *g-selected* set (e.g. "rows sampled because g(k) < θ") are badly
+    non-uniform under other salts of the same family — measured: the
+    bootstrap replicate weights drifted 0.12–2.09 instead of mean 1.
+    The xor-shift rounds break the affine structure; uniformity and
+    cross-salt independence conditioned on selection are pinned by
+    ``test_avalanche_uniform_on_selected_keys``.
+
+    All ops stay exact in 64-bit: x < 2^32, divisor 2^16 is a power of
+    two (double division exact), product < 2^32·2^27 < 2^63.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    x = (F.abs(k.cast("long")) + salt) % F.lit(HASH_SPACE)
+    for _ in range(2):
+        x = x.bitwiseXOR((x / F.lit(65536)).cast("long"))
+        x = (x * F.lit(AVALANCHE_MULT)) % F.lit(HASH_SPACE)
+    return x.bitwiseXOR((x / F.lit(65536)).cast("long"))
+
+
+def avalanche_hash_sql_steps(key_expr: str, salt_expr: str, prefix: str = "__h") -> tuple[str, str]:
+    """DuckDB spelling as chained lateral-alias SELECT expressions.
+
+    Returns ``(select_fragment, final_name)``: the fragment defines the
+    intermediate columns step by step (DuckDB resolves aliases defined
+    earlier in the same SELECT), avoiding exponential text blowup from
+    inlining each xor twice."""
+    steps = []
+    cur = f"((abs({key_expr}) + {salt_expr}) % {HASH_SPACE})"
+    names = []
+    for i in range(2):
+        a = f"{prefix}a{i}"
+        steps.append(f"{cur if i == 0 else names[-1]} AS {prefix}x{i}")
+        base = f"{prefix}x{i}"
+        steps.append(f"xor({base}, ({base} // 65536)) AS {a}")
+        names.append(f"(({a} * {AVALANCHE_MULT}) % {HASH_SPACE})")
+    steps.append(f"{names[-1]} AS {prefix}x2")
+    steps.append(f"xor({prefix}x2, ({prefix}x2 // 65536)) AS {prefix}final")
+    return ", ".join(steps), f"{prefix}final"
+
+
 def fraction_threshold(fraction: float) -> int:
     """Inclusion threshold for a given sampling fraction."""
     if not 0.0 < fraction <= 1.0:

@@ -1,0 +1,150 @@
+"""One-pass Poissonized bootstrap confidence intervals.
+
+The closed-form CIs in ``estimators.py`` cover SUM/AVG/COUNT. The
+bootstrap gives CIs for aggregates with no tractable variance formula —
+at the cost of computing the aggregate R extra times. The Poissonized
+(online) bootstrap makes that a SINGLE pass: instead of resampling rows,
+each replicate ``r`` re-weights every sampled row by an independent
+Poisson(1) draw (Σw ≈ n, the multinomial bootstrap's large-n limit —
+Oza & Russell's online bagging / the "bag of little bootstraps" family).
+
+Determinism contract: the Poisson draw for (row, replicate) is the
+inverse CDF applied to ``portable_hash(key, salt=BOOT_SALT0 + r) / 2³²``
+— pure integer/CASE arithmetic, identical in Spark SQL and DuckDB, so
+the driver's value-hash gate covers the bootstrap CI too.
+
+Plan shape at scale: scan with the codegen sample predicate →
+``explode(sequence(-1, R-1))`` fan-out (R+1 rows per sampled row, like
+the MinHash band fan-out) → ONE map-side-combined aggregation to R+1
+rows → a trivial final reduce. Replicate −1 has weight ≡ 1: the point
+estimate rides the same single pass as the replicates.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+from approximatequeryengine_spark.functions.hashing import (
+    HASH_SPACE,
+    SALT_STRIDE,
+    avalanche_hash_col,
+    avalanche_hash_sql_steps,
+)
+from approximatequeryengine_spark.plans.estimators import Z_95
+from approximatequeryengine_spark.plans.sampling import (
+    SamplingSpec,
+    apply_sampling,
+    sampling_where_sql,
+)
+
+BOOT_SALT0 = 7001  # replicate r hashes with salt BOOT_SALT0 + r
+DEFAULT_REPLICATES = 32
+
+# Cumulative Poisson(1): P(X <= k) = e^-1 * Σ_{i<=k} 1/i!. repr()'d so
+# Spark and DuckDB parse the identical double literal.
+_POISSON_CDF = [
+    sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1))
+    for k in range(9)
+]
+
+
+def _poisson_icdf_col(u: Column) -> Column:
+    w = F.lit(9)
+    for k in reversed(range(9)):
+        w = F.when(u < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _poisson_icdf_sql(u: str) -> str:
+    expr = "9"
+    for k in reversed(range(9)):
+        expr = f"CASE WHEN {u} < {_POISSON_CDF[k]!r} THEN {k} ELSE {expr} END"
+    return expr
+
+
+def bootstrap_sum_ci(
+    df: DataFrame,
+    column: str,
+    spec: SamplingSpec,
+    replicates: int = DEFAULT_REPLICATES,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> DataFrame:
+    """1-row DataFrame: (estimate, ci_lower, ci_upper, n_samples,
+    n_replicates) for the HT-scaled SUM, with the CI from the bootstrap
+    standard error (est ± z·sd of the replicate estimates)."""
+    x = F.col(column).cast("double")
+    key = F.expr(spec.key).cast("long")
+    sampled = apply_sampling(df, spec).select(
+        x.alias("x"), key.alias("k"), F.col("__p").alias("p")
+    )
+    rep = sampled.select(
+        "x",
+        "p",
+        "k",
+        F.explode(F.sequence(F.lit(-1), F.lit(replicates - 1))).alias("r"),
+    )
+    # Avalanche hash, NOT the sampling hash family: the sampled keys
+    # are selected by the multiplicative hash, and its salted siblings
+    # are non-uniform conditioned on that selection (see hashing.py).
+    salt = (F.lit(BOOT_SALT0) + F.col("r")).cast("long") * F.lit(SALT_STRIDE)
+    h = avalanche_hash_col(F.col("k"), salt)
+    u = h.cast("double") / F.lit(float(HASH_SPACE))
+    w = F.when(F.col("r") == -1, F.lit(1)).otherwise(_poisson_icdf_col(u))
+    boot = rep.groupBy("r").agg(
+        F.sum(w.cast("double") * F.col("x") / F.col("p")).alias("est_r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    agg = boot.agg(
+        F.min(F.when(F.col("r") == -1, F.col("est_r"))).alias("ht"),
+        F.stddev_samp(F.when(F.col("r") >= 0, F.col("est_r"))).alias("sd"),
+        F.min(F.when(F.col("r") == -1, F.col("n"))).alias("n_samples"),
+    )
+    return agg.select(
+        F.round(F.col("ht"), round_to).alias("estimate"),
+        F.round(F.col("ht") - F.lit(z) * F.col("sd"), round_to).alias("ci_lower"),
+        F.round(F.col("ht") + F.lit(z) * F.col("sd"), round_to).alias("ci_upper"),
+        F.col("n_samples"),
+        F.lit(replicates).alias("n_replicates"),
+    )
+
+
+def bootstrap_sum_ci_sql(
+    table: str,
+    column: str,
+    spec: SamplingSpec,
+    p_sql: str,
+    replicates: int = DEFAULT_REPLICATES,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> str:
+    """DuckDB oracle: the same fan-out, hash, weights, and reductions.
+    Only the replicate-sequence spelling differs from the Spark plan
+    (generate_series vs sequence+explode)."""
+    where = sampling_where_sql(spec)
+    x = f"CAST({column} AS DOUBLE)"
+    key = f"CAST({spec.key} AS BIGINT)"
+    salt = f"(({BOOT_SALT0} + r) * {SALT_STRIDE})"
+    hash_steps, h_final = avalanche_hash_sql_steps("k", salt)
+    u = f"(CAST({h_final} AS DOUBLE) / {float(HASH_SPACE)!r})"
+    w = f"CASE WHEN r = -1 THEN 1 ELSE {_poisson_icdf_sql(u)} END"
+    return f"""
+WITH s AS (SELECT {x} AS x, {key} AS k, {p_sql} AS p FROM {table} WHERE {where}),
+rep AS (SELECT s.*, v.r FROM s, (SELECT unnest(generate_series(-1, {replicates - 1})) AS r) v),
+hashed AS (SELECT rep.*, {hash_steps} FROM rep),
+boot AS (SELECT r, sum(CAST({w} AS DOUBLE) * x / p) AS est_r, count(*) AS n
+         FROM hashed GROUP BY r),
+agg AS (SELECT min(CASE WHEN r = -1 THEN est_r END) AS ht,
+               stddev_samp(CASE WHEN r >= 0 THEN est_r END) AS sd,
+               min(CASE WHEN r = -1 THEN n END) AS n_samples
+        FROM boot)
+SELECT round(ht, {round_to}) AS estimate,
+       round(ht - {z!r} * sd, {round_to}) AS ci_lower,
+       round(ht + {z!r} * sd, {round_to}) AS ci_upper,
+       n_samples, {replicates} AS n_replicates
+FROM agg
+"""

@@ -749,6 +749,29 @@ def _chao1_queries() -> tuple[str, str]:
     )
 
 
+def _bootstrap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poissonized bootstrap CI for the HT-scaled SUM
+    (plans/bootstrap.py) — replicate weights from the salted portable
+    hash, so the whole thing (CI included) is oracle-checkable."""
+    from approximatequeryengine_spark.plans.bootstrap import bootstrap_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return bootstrap_sum_ci(cat.table("lineitem"), "l_extendedprice", spec)
+
+
+def _bootstrap_oracle() -> str:
+    from approximatequeryengine_spark.plans.bootstrap import bootstrap_sum_ci_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return bootstrap_sum_ci_sql(
+        "lineitem", "l_extendedprice", spec, p_sql=sampling_p_sql(spec)
+    )
+
+
+_register("approx_sum_bootstrap32", _bootstrap_fn, _bootstrap_oracle())
+
+
 _CHAO1_SQL, _CHAO1_GROUPED_SQL = _chao1_queries()
 _sql_query("approx_distinct_chao1", _CHAO1_SQL)
 _sql_query("approx_grouped_distinct_chao1", _CHAO1_GROUPED_SQL)

@@ -166,3 +166,60 @@ def test_chao1_beats_naive_sample_distinct(spark):
     )
     assert abs(row["d_chao1"] - truth) < abs(row["d_obs"] - truth)
     assert abs(row["d_chao1"] - truth) / truth < 0.10
+
+
+def test_bootstrap_ci_covers_and_agrees_with_ht(spark):
+    """The Poissonized bootstrap CI must cover the exact SUM, and its
+    width must agree with the closed-form HT-variance CI within 2×
+    (both estimate the same sampling variance)."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    b = QUERIES["approx_sum_bootstrap32"](spark, sf).collect()[0]
+    exact = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .agg(F.sum("l_extendedprice"))
+        .collect()[0][0]
+    )
+    assert b["ci_lower"] <= exact <= b["ci_upper"]
+    ht = QUERIES["approx_sum_uniform10"](spark, sf).collect()[0]
+    w_boot = b["ci_upper"] - b["ci_lower"]
+    w_ht = ht["ci_upper"] - ht["ci_lower"]
+    assert 0.5 < w_boot / w_ht < 2.0, (w_boot, w_ht)
+    # Same deterministic sample → same point estimate (both HT-scaled).
+    assert b["estimate"] == pytest.approx(ht["sum_l_extendedprice"], rel=1e-6)
+
+
+def test_avalanche_uniform_on_selected_keys():
+    """The bootstrap's avalanche hash must stay uniform and
+    cross-salt-independent when conditioned on keys SELECTED by the
+    sampling hash (where the multiplicative family fails badly)."""
+    import math
+
+    from approximatequeryengine_spark.functions.hashing import (
+        AVALANCHE_MULT,
+        HASH_SPACE,
+        SALT_STRIDE,
+    )
+
+    def g(k):  # the sampling hash (salt 0)
+        t1 = abs(k) % (1 << 31)
+        t2 = (t1 * 2654435761 + 2654435769) % HASH_SPACE
+        return ((t2 % (1 << 31)) * 1779033703 + 144) % HASH_SPACE
+
+    def av(k, salt):
+        x = (abs(k) + salt * SALT_STRIDE) % HASH_SPACE
+        for _ in range(2):
+            x ^= x >> 16
+            x = (x * AVALANCHE_MULT) % HASH_SPACE
+        return x ^ (x >> 16)
+
+    keys = [o * 8 + l for o in range(1, 20000) for l in range(1, 4)]
+    sel = [k for k in keys if g(k) < 0.1 * HASH_SPACE]
+    assert len(sel) > 5000
+    p0 = math.exp(-1.0)
+    for r in range(4):
+        us = [av(k, 7001 + r) / HASH_SPACE for k in sel]
+        assert abs(sum(us) / len(us) - 0.5) < 0.02
+        frac0 = sum(1 for u in us if u < p0) / len(us)
+        assert abs(frac0 - p0) < 0.02
