@@ -121,7 +121,20 @@ class AQEngine:
         agg = AggSpec(func=spec.agg.lower(), column=spec.column)
         s_spec = self._sampling_spec(spec, minfo["design"], fraction)
 
-        if minfo.get("adaptive") and not spec.group_by:
+        if minfo.get("bootstrap"):
+            from approximatequeryengine_spark.plans.bootstrap import (
+                bootstrap_sum_ci,
+            )
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='bootstrap' supports a global SUM only; use "
+                    "the closed-form methods for AVG/COUNT/GROUP BY"
+                )
+            rdf = bootstrap_sum_ci(self._base_df(spec), spec.column, s_spec)
+            rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
+            res = self._finalize(rdf, agg, spec, method, fraction, t0)
+        elif minfo.get("adaptive") and not spec.group_by:
             res = adaptive_aggregate(
                 self._base_df(spec),
                 agg,

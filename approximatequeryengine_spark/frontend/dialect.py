@@ -158,6 +158,14 @@ METHODS: dict[str, dict] = {
         "description": "Systematic (stride) sampling — the memory-stride "
         "family, scaled by realized probability.",
     },
+    "bootstrap": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "bootstrap": True,
+        "description": "One-pass Poissonized bootstrap: CI from 32 "
+        "hash-seeded replicate re-weightings (SUM only) — for when no "
+        "closed-form variance applies.",
+    },
 }
 
 

@@ -76,7 +76,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -121,3 +121,30 @@ def test_tablesample_end_to_end(spark):
     exact = eng.run("SELECT SUM(l_extendedprice) FROM lineitem")
     assert abs(r.value - exact.value) / exact.value < 0.15
     assert r.ci_lower <= r.value <= r.ci_upper
+
+
+def test_bootstrap_method_end_to_end(spark):
+    import pytest
+
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    r = eng.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem",
+        method="bootstrap",
+        compare=True,
+    )
+    assert r.method == "bootstrap"
+    assert r.ci_lower <= r.groups["__exact__"] <= r.ci_upper
+    # Same deterministic sample as the closed-form path → same estimate.
+    ht = eng.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem", sample_pct=10
+    )
+    assert r.value == pytest.approx(ht.value, rel=1e-6)
+    with pytest.raises(ValueError):
+        eng.run("SELECT APPROX(AVG(l_quantity)) FROM lineitem", method="bootstrap")
+    with pytest.raises(ValueError):
+        eng.run(
+            "SELECT APPROX(SUM(value)) FROM events GROUP BY event_type",
+            method="bootstrap",
+        )
