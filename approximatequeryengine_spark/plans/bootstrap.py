@@ -29,9 +29,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import Column
 
 from approximatequeryengine_spark.functions.hashing import (
+    AVALANCHE_MULT,
     HASH_SPACE,
     SALT_STRIDE,
-    avalanche_hash_col,
     avalanche_hash_sql_steps,
 )
 from approximatequeryengine_spark.plans.estimators import Z_95
@@ -77,10 +77,17 @@ def bootstrap_sum_ci(
     """1-row DataFrame: (estimate, ci_lower, ci_upper, n_samples,
     n_replicates) for the HT-scaled SUM, with the CI from the bootstrap
     standard error (est ± z·sd of the replicate estimates)."""
+    from approximatequeryengine_spark.operators import ensure_parallelism
+
     x = F.col(column).cast("double")
     key = F.expr(spec.key).cast("long")
-    sampled = apply_sampling(df, spec).select(
-        x.alias("x"), key.alias("k"), F.col("__p").alias("p")
+    # The R+1× fan-out below multiplies per-row CPU; a single-file scan
+    # (few input splits) must not serialize it — spread the *sample*
+    # (cheap shuffle of fraction·N slim rows) across all cores first.
+    sampled = ensure_parallelism(
+        apply_sampling(df, spec).select(
+            x.alias("x"), key.alias("k"), F.col("__p").alias("p")
+        )
     )
     rep = sampled.select(
         "x",
@@ -91,12 +98,43 @@ def bootstrap_sum_ci(
     # Avalanche hash, NOT the sampling hash family: the sampled keys
     # are selected by the multiplicative hash, and its salted siblings
     # are non-uniform conditioned on that selection (see hashing.py).
-    salt = (F.lit(BOOT_SALT0) + F.col("r")).cast("long") * F.lit(SALT_STRIDE)
-    h = avalanche_hash_col(F.col("k"), salt)
-    u = h.cast("double") / F.lit(float(HASH_SPACE))
-    w = F.when(F.col("r") == -1, F.lit(1)).otherwise(_poisson_icdf_col(u))
+    #
+    # Built STEPWISE (one withColumn per round), not as one Column tree:
+    # each xor references its input twice and the Poisson ladder
+    # references u nine times, so a single inline tree is exponentially
+    # large (measured 4× slower via codegen bloat). Distinct projection
+    # steps evaluate each stage once per row; CollapseProject's
+    # reference-count guard keeps multi-referenced stages materialized.
+    rep = rep.withColumn(
+        "__x0",
+        (
+            F.abs(F.col("k"))
+            + (F.lit(BOOT_SALT0) + F.col("r")).cast("long") * F.lit(SALT_STRIDE)
+        )
+        % F.lit(HASH_SPACE),
+    )
+    cur = "__x0"
+    for i in range(2):
+        rep = rep.withColumn(
+            f"__a{i}",
+            F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long")),
+        ).withColumn(
+            f"__x{i + 1}",
+            (F.col(f"__a{i}") * F.lit(AVALANCHE_MULT)) % F.lit(HASH_SPACE),
+        )
+        cur = f"__x{i + 1}"
+    rep = rep.withColumn(
+        "__u",
+        F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long")).cast("double")
+        / F.lit(float(HASH_SPACE)),
+    ).withColumn(
+        "__w",
+        F.when(F.col("r") == -1, F.lit(1)).otherwise(
+            _poisson_icdf_col(F.col("__u"))
+        ),
+    )
     boot = rep.groupBy("r").agg(
-        F.sum(w.cast("double") * F.col("x") / F.col("p")).alias("est_r"),
+        F.sum(F.col("__w").cast("double") * F.col("x") / F.col("p")).alias("est_r"),
         F.count(F.lit(1)).alias("n"),
     )
     agg = boot.agg(

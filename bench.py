@@ -34,6 +34,8 @@ HEADLINE = [
     "approx_sum_systematic15",
     "approx_sum_stratified",
     "approx_sum_neyman",
+    "approx_sum_bootstrap32",
+    "bucketed_join_revenue",
     # LLM-pipeline flagships (beyond-reference scope)
     "text_quality_by_lang",
     "heavy_hitters_tokens",
