@@ -121,7 +121,23 @@ class AQEngine:
         agg = AggSpec(func=spec.agg.lower(), column=spec.column)
         s_spec = self._sampling_spec(spec, minfo["design"], fraction)
 
-        if minfo.get("bootstrap"):
+        if minfo.get("pps"):
+            from approximatequeryengine_spark.plans.pps import pps_sum_ci
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='pps' supports a global SUM only; use the "
+                    "closed-form methods for AVG/COUNT/GROUP BY"
+                )
+            rdf = pps_sum_ci(
+                self._base_df(spec),
+                spec.column,
+                self.catalog.unique_key(spec.table),
+                fraction,
+            )
+            rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
+            res = self._finalize(rdf, agg, spec, method, fraction, t0)
+        elif minfo.get("bootstrap"):
             from approximatequeryengine_spark.plans.bootstrap import (
                 bootstrap_sum_ci,
             )

@@ -166,6 +166,15 @@ METHODS: dict[str, dict] = {
         "hash-seeded replicate re-weightings (SUM only) — for when no "
         "closed-form variance applies.",
     },
+    "pps": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "pps": True,
+        "description": "Probability-proportional-to-size sampling (SUM "
+        "over a positive column only): heavy rows become certainties, "
+        "light rows are sampled — tightest CI per sampled row on "
+        "skewed data.",
+    },
 }
 
 

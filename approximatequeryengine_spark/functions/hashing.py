@@ -36,7 +36,7 @@ the other designs live in ``plans/sampling.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 M31 = 2_147_483_648  # 2^31
@@ -89,6 +89,42 @@ def avalanche_hash_col(key: Column | str, salt: Column) -> Column:
         x = x.bitwiseXOR((x / F.lit(65536)).cast("long"))
         x = (x * F.lit(AVALANCHE_MULT)) % F.lit(HASH_SPACE)
     return x.bitwiseXOR((x / F.lit(65536)).cast("long"))
+
+
+def with_avalanche_u(
+    df: DataFrame,
+    key: Column,
+    salt: Column,
+    u_col: str = "__u",
+    prefix: str = "__av",
+) -> DataFrame:
+    """Attach ``u_col`` = avalanche_hash(key, salt)/2³² ∈ [0,1) via
+    STEPWISE projections (one withColumn per round). Building the hash
+    as a single Column tree is exponentially large — every xor round
+    references its operand twice — and measurably slower through
+    codegen; distinct steps evaluate each stage once per row
+    (CollapseProject's reference-count guard preserves the sharing).
+    Intermediates are dropped."""
+    df = df.withColumn(
+        f"{prefix}0",
+        (F.abs(key.cast("long")) + salt.cast("long") * F.lit(SALT_STRIDE))
+        % F.lit(HASH_SPACE),
+    )
+    cur = f"{prefix}0"
+    tmp = [cur]
+    for i in range(2):
+        a, b = f"{prefix}a{i}", f"{prefix}{i + 1}"
+        df = df.withColumn(
+            a, F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long"))
+        ).withColumn(b, (F.col(a) * F.lit(AVALANCHE_MULT)) % F.lit(HASH_SPACE))
+        tmp += [a, b]
+        cur = b
+    df = df.withColumn(
+        u_col,
+        F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long")).cast("double")
+        / F.lit(float(HASH_SPACE)),
+    )
+    return df.drop(*tmp)
 
 
 def avalanche_hash_sql_steps(key_expr: str, salt_expr: str, prefix: str = "__h") -> tuple[str, str]:

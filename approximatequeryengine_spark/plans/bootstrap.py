@@ -29,10 +29,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Column
 
 from approximatequeryengine_spark.functions.hashing import (
-    AVALANCHE_MULT,
     HASH_SPACE,
     SALT_STRIDE,
     avalanche_hash_sql_steps,
+    with_avalanche_u,
 )
 from approximatequeryengine_spark.plans.estimators import Z_95
 from approximatequeryengine_spark.plans.sampling import (
@@ -97,36 +97,10 @@ def bootstrap_sum_ci(
     )
     # Avalanche hash, NOT the sampling hash family: the sampled keys
     # are selected by the multiplicative hash, and its salted siblings
-    # are non-uniform conditioned on that selection (see hashing.py).
-    #
-    # Built STEPWISE (one withColumn per round), not as one Column tree:
-    # each xor references its input twice and the Poisson ladder
-    # references u nine times, so a single inline tree is exponentially
-    # large (measured 4× slower via codegen bloat). Distinct projection
-    # steps evaluate each stage once per row; CollapseProject's
-    # reference-count guard keeps multi-referenced stages materialized.
-    rep = rep.withColumn(
-        "__x0",
-        (
-            F.abs(F.col("k"))
-            + (F.lit(BOOT_SALT0) + F.col("r")).cast("long") * F.lit(SALT_STRIDE)
-        )
-        % F.lit(HASH_SPACE),
-    )
-    cur = "__x0"
-    for i in range(2):
-        rep = rep.withColumn(
-            f"__a{i}",
-            F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long")),
-        ).withColumn(
-            f"__x{i + 1}",
-            (F.col(f"__a{i}") * F.lit(AVALANCHE_MULT)) % F.lit(HASH_SPACE),
-        )
-        cur = f"__x{i + 1}"
-    rep = rep.withColumn(
-        "__u",
-        F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long")).cast("double")
-        / F.lit(float(HASH_SPACE)),
+    # are non-uniform conditioned on that selection (see hashing.py,
+    # which also explains the stepwise build).
+    rep = with_avalanche_u(
+        rep, F.col("k"), F.lit(BOOT_SALT0) + F.col("r"), u_col="__u"
     ).withColumn(
         "__w",
         F.when(F.col("r") == -1, F.lit(1)).otherwise(

@@ -772,6 +772,25 @@ def _bootstrap_oracle() -> str:
 _register("approx_sum_bootstrap32", _bootstrap_fn, _bootstrap_oracle())
 
 
+def _pps_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SUM (plans/pps.py): heavy rows
+    are certainties, light rows sampled — lower HT variance than
+    uniform at the same expected sample size."""
+    from approximatequeryengine_spark.plans.pps import pps_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    return pps_sum_ci(cat.table("lineitem"), "l_extendedprice", _LKEY, fraction=0.10)
+
+
+def _pps_oracle() -> str:
+    from approximatequeryengine_spark.plans.pps import pps_sum_ci_sql
+
+    return pps_sum_ci_sql("lineitem", "l_extendedprice", _LKEY, fraction=0.10)
+
+
+_register("approx_sum_pps10", _pps_fn, _pps_oracle())
+
+
 _CHAO1_SQL, _CHAO1_GROUPED_SQL = _chao1_queries()
 _sql_query("approx_distinct_chao1", _CHAO1_SQL)
 _sql_query("approx_grouped_distinct_chao1", _CHAO1_GROUPED_SQL)

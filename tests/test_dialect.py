@@ -76,7 +76,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -148,3 +148,21 @@ def test_bootstrap_method_end_to_end(spark):
             "SELECT APPROX(SUM(value)) FROM events GROUP BY event_type",
             method="bootstrap",
         )
+
+
+def test_pps_method_end_to_end(spark):
+    import pytest
+
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    r = eng.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem",
+        method="pps",
+        sample_pct=10,
+        compare=True,
+    )
+    assert r.method == "pps"
+    assert r.ci_lower <= r.groups["__exact__"] <= r.ci_upper
+    with pytest.raises(ValueError):
+        eng.run("SELECT APPROX(AVG(l_quantity)) FROM lineitem", method="pps")
