@@ -791,6 +791,37 @@ def _pps_oracle() -> str:
 _register("approx_sum_pps10", _pps_fn, _pps_oracle())
 
 
+def _cluster_join_sql() -> str:
+    """Fan-out-join estimation: sample PARENTS (orders), keep ALL their
+    children (lineitem), scale cluster totals by 1/p. This is the
+    correct design when the sampled side fans out — sampling children
+    independently would break within-order correlation; sampling
+    parents keeps each cluster intact, so HT over cluster totals is
+    unbiased and the CI uses the cluster-level variance Σt²(1−p)/p².
+    One portable SQL text for both engines. At scale: the semi-join
+    probe side is the 10% parent sample (broadcast at most SFs), and
+    the per-cluster rollup shuffles only surviving children."""
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key="o_orderkey")
+    where = sampling_where_sql(spec)
+    p = sampling_p_sql(spec)
+    return (
+        f"WITH par AS (SELECT o_orderkey FROM orders WHERE {where}), "
+        "ch AS (SELECT l.l_orderkey, l.l_extendedprice FROM lineitem l "
+        "       JOIN par ON l.l_orderkey = par.o_orderkey), "
+        "per AS (SELECT l_orderkey, sum(l_extendedprice) AS t FROM ch "
+        "        GROUP BY l_orderkey) "
+        f"SELECT round(sum(t) / {p}, 3) AS estimate, "
+        f"round(sum(t) / {p} - 1.959963984540054 * "
+        f"  sqrt(sum(t * t) * (1.0 - {p}) / ({p} * {p})), 3) AS ci_lower, "
+        f"round(sum(t) / {p} + 1.959963984540054 * "
+        f"  sqrt(sum(t * t) * (1.0 - {p}) / ({p} * {p})), 3) AS ci_upper, "
+        "count(*) AS n_clusters FROM per"
+    )
+
+
+_sql_query("approx_cluster_join_sum", _cluster_join_sql())
+
+
 _CHAO1_SQL, _CHAO1_GROUPED_SQL = _chao1_queries()
 _sql_query("approx_distinct_chao1", _CHAO1_SQL)
 _sql_query("approx_grouped_distinct_chao1", _CHAO1_GROUPED_SQL)

@@ -223,3 +223,57 @@ def test_avalanche_uniform_on_selected_keys():
         assert abs(sum(us) / len(us) - 0.5) < 0.02
         frac0 = sum(1 for u in us if u < p0) / len(us)
         assert abs(frac0 - p0) < 0.02
+
+
+def test_pps_covers_and_tightens_vs_uniform(spark):
+    """PPS must cover the exact SUM and yield a narrower CI than
+    uniform sampling at the same expected sample size (it allocates
+    inclusion probability where the variance lives)."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    p = QUERIES["approx_sum_pps10"](spark, sf).collect()[0]
+    exact = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .agg(F.sum("l_extendedprice"))
+        .collect()[0][0]
+    )
+    assert p["ci_lower"] <= exact <= p["ci_upper"]
+    u = QUERIES["approx_sum_uniform10"](spark, sf).collect()[0]
+    w_pps = p["ci_upper"] - p["ci_lower"]
+    w_uni = u["ci_upper"] - u["ci_lower"]
+    assert w_pps < w_uni, (w_pps, w_uni)
+    # Comparable budget: expected n is f·N for both designs.
+    assert 0.8 < p["n_samples"] / u["n_samples"] < 1.2
+
+
+def test_pps_rejects_nonpositive_measure(spark):
+    from approximatequeryengine_spark.plans.pps import pps_sum_ci
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    has_nonpos = events.filter(F.col("value") <= 0).count() > 0
+    if not has_nonpos:
+        events = events.withColumn(
+            "value", F.when(F.col("event_id") % 100 == 0, -1.0).otherwise(F.col("value"))
+        )
+    import pytest
+
+    with pytest.raises(ValueError, match="strictly positive"):
+        pps_sum_ci(events, "value", "event_id", fraction=0.10)
+
+
+def test_cluster_join_ci_covers_exact(spark):
+    """Parent-sampled (cluster) fan-out join estimation: the CI over
+    cluster totals must cover the exact child-table SUM."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    r = QUERIES["approx_cluster_join_sum"](spark, sf).collect()[0]
+    exact = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .agg(F.sum("l_extendedprice"))
+        .collect()[0][0]
+    )
+    assert r["ci_lower"] <= exact <= r["ci_upper"]
+    assert abs(r["estimate"] - exact) / exact < 0.10
+    assert r["n_clusters"] > 100
