@@ -116,10 +116,14 @@ def bootstrap_sum_ci(
         F.stddev_samp(F.when(F.col("r") >= 0, F.col("est_r"))).alias("sd"),
         F.min(F.when(F.col("r") == -1, F.col("n"))).alias("n_samples"),
     )
+    # Integer margin: keeps ci bounds on the estimate's decimal grid so
+    # k-decimal rounding never sits inside cross-engine float noise
+    # (see estimators._ci_columns).
+    margin = F.round(F.lit(z) * F.col("sd"), 0)
     return agg.select(
         F.round(F.col("ht"), round_to).alias("estimate"),
-        F.round(F.col("ht") - F.lit(z) * F.col("sd"), round_to).alias("ci_lower"),
-        F.round(F.col("ht") + F.lit(z) * F.col("sd"), round_to).alias("ci_upper"),
+        F.round(F.col("ht") - margin, round_to).alias("ci_lower"),
+        F.round(F.col("ht") + margin, round_to).alias("ci_upper"),
         F.col("n_samples"),
         F.lit(replicates).alias("n_replicates"),
     )
@@ -155,8 +159,8 @@ agg AS (SELECT min(CASE WHEN r = -1 THEN est_r END) AS ht,
                min(CASE WHEN r = -1 THEN n END) AS n_samples
         FROM boot)
 SELECT round(ht, {round_to}) AS estimate,
-       round(ht - {z!r} * sd, {round_to}) AS ci_lower,
-       round(ht + {z!r} * sd, {round_to}) AS ci_upper,
+       round(ht - round({z!r} * sd, 0), {round_to}) AS ci_lower,
+       round(ht + round({z!r} * sd, 0), {round_to}) AS ci_upper,
        n_samples, {replicates} AS n_replicates
 FROM agg
 """

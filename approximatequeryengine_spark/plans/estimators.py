@@ -56,9 +56,22 @@ def _ci_columns(
 ) -> list[Column]:
     """est / ci_lower / ci_upper with the reference's n<2 fallback: too
     few sampled rows → CI collapses to the point estimate
-    (``executor.cpp:255-277``)."""
+    (``executor.cpp:255-277``).
+
+    The margin is rounded to an INTEGER before forming the bounds (both
+    engines, see ``moments_sql``): ``z·sd`` carries engine-dependent
+    float-summation noise (~1e-4 absolute at sf0.1), and ``est − z·sd``
+    is not on any decimal grid, so rounding the *bound* to k decimals
+    lands within noise of an x.5 boundary with probability ~noise/10⁻ᵏ
+    — a real oracle mismatch observed at sf0.1. An integer margin keeps
+    the bounds on est's decimal grid (boundary-safe) and widens/narrows
+    the CI by <1 unit against margins of ~10⁶⁺."""
     ok = n >= F.lit(min_n)
     margin = F.when(ok, margin).otherwise(F.lit(0.0))
+    # Floor at 1 so a sub-0.5 margin can't round to a collapsed CI.
+    margin = F.when(
+        margin > 0, F.greatest(F.round(margin, 0), F.lit(1.0))
+    ).otherwise(F.lit(0.0))
     return [
         est.alias(name),
         (est - margin).alias("ci_lower"),
@@ -182,7 +195,9 @@ def moments_sql(
         margin = f"{z} * sqrt(n * (1.0 - pavg)) / pavg"
     else:
         raise ValueError(f"unsupported oracle aggregate {agg!r}")
+    # Integer margin — see _ci_columns for the boundary-noise rationale.
     margin = f"CASE WHEN n >= 2 THEN {margin} ELSE 0.0 END"
+    margin = f"CASE WHEN ({margin}) > 0 THEN greatest(round({margin}, 0), 1.0) ELSE 0.0 END"
 
     def r(expr: str) -> str:
         return f"round({expr}, {round_to})" if round_to is not None else expr

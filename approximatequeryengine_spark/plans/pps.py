@@ -81,7 +81,8 @@ def pps_sum_ci(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum(F.when(F.col("pi") >= 1.0, 1).otherwise(0)).alias("n_certain"),
     )
-    margin = F.lit(z) * F.sqrt(F.greatest(F.col("vht"), F.lit(0.0)))
+    # Integer margin — boundary-noise rationale in estimators._ci_columns.
+    margin = F.round(F.lit(z) * F.sqrt(F.greatest(F.col("vht"), F.lit(0.0))), 0)
     return agg.select(
         F.round(F.col("ht"), round_to).alias("estimate"),
         F.round(F.col("ht") - margin, round_to).alias("ci_lower"),
@@ -121,8 +122,8 @@ agg AS (SELECT sum(x / pi) AS ht,
                sum(CASE WHEN pi >= 1.0 THEN 1 ELSE 0 END) AS n_certain
         FROM s)
 SELECT round(ht, {round_to}) AS estimate,
-       round(ht - {z!r} * sqrt(greatest(vht, 0.0)), {round_to}) AS ci_lower,
-       round(ht + {z!r} * sqrt(greatest(vht, 0.0)), {round_to}) AS ci_upper,
+       round(ht - round({z!r} * sqrt(greatest(vht, 0.0)), 0), {round_to}) AS ci_lower,
+       round(ht + round({z!r} * sqrt(greatest(vht, 0.0)), 0), {round_to}) AS ci_upper,
        n_samples, n_certain
 FROM agg
 """

@@ -811,10 +811,11 @@ def _cluster_join_sql() -> str:
         "per AS (SELECT l_orderkey, sum(l_extendedprice) AS t FROM ch "
         "        GROUP BY l_orderkey) "
         f"SELECT round(sum(t) / {p}, 3) AS estimate, "
-        f"round(sum(t) / {p} - 1.959963984540054 * "
-        f"  sqrt(sum(t * t) * (1.0 - {p}) / ({p} * {p})), 3) AS ci_lower, "
-        f"round(sum(t) / {p} + 1.959963984540054 * "
-        f"  sqrt(sum(t * t) * (1.0 - {p}) / ({p} * {p})), 3) AS ci_upper, "
+        # Integer margin — boundary-noise rationale in estimators._ci_columns.
+        f"round(sum(t) / {p} - round(1.959963984540054 * "
+        f"  sqrt(sum(t * t) * (1.0 - {p}) / ({p} * {p})), 0), 3) AS ci_lower, "
+        f"round(sum(t) / {p} + round(1.959963984540054 * "
+        f"  sqrt(sum(t * t) * (1.0 - {p}) / ({p} * {p})), 0), 3) AS ci_upper, "
         "count(*) AS n_clusters FROM per"
     )
 
