@@ -67,3 +67,56 @@ def test_partitioned_write_prunes(spark, tmp_path):
     got = one.count()
     want = events.filter(F.col("event_type") == "click").count()
     assert got == want > 0
+
+
+def test_clustered_write_skips_row_groups(spark, tmp_path):
+    """Range-clustered writes make row-group min/max stats tight: a
+    narrow pushed range predicate must leave most row groups entirely
+    outside its range (skippable via footer stats), while the same data
+    written unclustered overlaps every group."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    cl = str(tmp_path / "cl")
+    uncl = str(tmp_path / "uncl")
+    from approximatequeryengine_spark.sources.layout import write_clustered
+
+    write_clustered(events, cl, "value")
+    events.write.option("parquet.block.size", 64 * 1024).parquet(uncl)
+
+    def overlap(path, lo, hi):
+        tot = hit = 0
+        vi = None
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            if vi is None:
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                vi = names.index("value")
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(vi).statistics
+                tot += 1
+                if st is None or not (st.max < lo or st.min >= hi):
+                    hit += 1
+        return hit, tot
+
+    hit_cl, tot_cl = overlap(cl, 50.0, 51.0)
+    hit_un, tot_un = overlap(uncl, 50.0, 51.0)
+    assert tot_cl >= 8 and tot_un >= 4, (tot_cl, tot_un)
+    assert hit_cl / tot_cl <= 0.25, (hit_cl, tot_cl)
+    assert hit_un == tot_un  # unclustered stats span everything
+
+    # Same answers, and the range predicate reaches the scan.
+    from pyspark.sql import functions as F
+
+    pred = (F.col("value") >= 50.0) & (F.col("value") < 51.0)
+    want = events.filter(pred).count()
+    got_df = spark.read.parquet(cl).filter(pred)
+    assert got_df.count() == want > 0
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThanOrEqual(value,50.0)" in plan
