@@ -34,6 +34,10 @@ def write_table(
     partition_by: list[str] | None = None,
     **options,
 ) -> None:
+    if fmt == "csv":
+        # Symmetric with read_table's header=true default — a headerless
+        # CSV round-trip silently renames every column to _c0, _c1, …
+        options.setdefault("header", "true")
     writer = df.write.mode(mode).options(**options)
     if partition_by:
         # Partitioned layout → partition pruning on read; the 100 TB

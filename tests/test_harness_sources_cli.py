@@ -152,3 +152,33 @@ def test_cli_explain_prints(capsys):
     print_methods()
     out = capsys.readouterr().out
     assert "revolutionary" in out and "clt" in out
+
+
+def test_format_roundtrip_all_readers(spark, tmp_path):
+    """read_table/write_table round-trip through every supported format
+    (values preserved; csv via header+inferSchema)."""
+    from approximatequeryengine_spark.sources.registry import (
+        READERS,
+        read_table,
+        write_table,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    want = {(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in src.collect()}
+    for fmt in READERS:
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(src, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt)
+        got = {
+            (r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in back.collect()
+        }
+        assert got == want, fmt
+
+
+def test_cli_explain_lists_new_methods(capsys):
+    from approximatequeryengine_spark.cli import print_methods
+
+    print_methods()
+    out = capsys.readouterr().out
+    for m in ("bootstrap", "pps", "random", "clt"):
+        assert m in out
