@@ -129,6 +129,96 @@ def bootstrap_sum_ci(
     )
 
 
+def bootstrap_grouped_sum_ci(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    spec: SamplingSpec,
+    replicates: int = DEFAULT_REPLICATES,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> DataFrame:
+    """Per-group bootstrap SUM CI — same single-pass shape as the
+    global version, with (group, replicate) aggregation keys: still one
+    map-side-combined shuffle, now to |groups|·(R+1) rows."""
+    from approximatequeryengine_spark.operators import ensure_parallelism
+
+    x = F.col(column).cast("double")
+    key = F.expr(spec.key).cast("long")
+    sampled = ensure_parallelism(
+        apply_sampling(df, spec).select(
+            F.col(group_col).alias("g"), x.alias("x"), key.alias("k"),
+            F.col("__p").alias("p"),
+        )
+    )
+    rep = sampled.select(
+        "g", "x", "p", "k",
+        F.explode(F.sequence(F.lit(-1), F.lit(replicates - 1))).alias("r"),
+    )
+    rep = with_avalanche_u(
+        rep, F.col("k"), F.lit(BOOT_SALT0) + F.col("r"), u_col="__u"
+    ).withColumn(
+        "__w",
+        F.when(F.col("r") == -1, F.lit(1)).otherwise(
+            _poisson_icdf_col(F.col("__u"))
+        ),
+    )
+    boot = rep.groupBy("g", "r").agg(
+        F.sum(F.col("__w").cast("double") * F.col("x") / F.col("p")).alias("est_r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    agg = boot.groupBy("g").agg(
+        F.min(F.when(F.col("r") == -1, F.col("est_r"))).alias("ht"),
+        F.stddev_samp(F.when(F.col("r") >= 0, F.col("est_r"))).alias("sd"),
+        F.min(F.when(F.col("r") == -1, F.col("n"))).alias("n_samples"),
+    )
+    margin = F.round(F.lit(z) * F.col("sd"), 0)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.round(F.col("ht"), round_to).alias("estimate"),
+        F.round(F.col("ht") - margin, round_to).alias("ci_lower"),
+        F.round(F.col("ht") + margin, round_to).alias("ci_upper"),
+        F.col("n_samples"),
+    ).orderBy(group_col)
+
+
+def bootstrap_grouped_sum_ci_sql(
+    table: str,
+    column: str,
+    group_col: str,
+    spec: SamplingSpec,
+    p_sql: str,
+    replicates: int = DEFAULT_REPLICATES,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> str:
+    where = sampling_where_sql(spec)
+    x = f"CAST({column} AS DOUBLE)"
+    key = f"CAST({spec.key} AS BIGINT)"
+    salt = f"(({BOOT_SALT0} + r) * {SALT_STRIDE})"
+    hash_steps, h_final = avalanche_hash_sql_steps("k", salt)
+    u = f"(CAST({h_final} AS DOUBLE) / {float(HASH_SPACE)!r})"
+    w = f"CASE WHEN r = -1 THEN 1 ELSE {_poisson_icdf_sql(u)} END"
+    return f"""
+WITH s AS (SELECT {group_col} AS g, {x} AS x, {key} AS k, {p_sql} AS p
+           FROM {table} WHERE {where}),
+rep AS (SELECT s.*, v.r FROM s, (SELECT unnest(generate_series(-1, {replicates - 1})) AS r) v),
+hashed AS (SELECT rep.*, {hash_steps} FROM rep),
+boot AS (SELECT g, r, sum(CAST({w} AS DOUBLE) * x / p) AS est_r, count(*) AS n
+         FROM hashed GROUP BY g, r),
+agg AS (SELECT g, min(CASE WHEN r = -1 THEN est_r END) AS ht,
+               stddev_samp(CASE WHEN r >= 0 THEN est_r END) AS sd,
+               min(CASE WHEN r = -1 THEN n END) AS n_samples
+        FROM boot GROUP BY g)
+SELECT g AS {group_col},
+       round(ht, {round_to}) AS estimate,
+       round(ht - round({z!r} * sd, 0), {round_to}) AS ci_lower,
+       round(ht + round({z!r} * sd, 0), {round_to}) AS ci_upper,
+       n_samples
+FROM agg ORDER BY {group_col}
+"""
+
+
 def bootstrap_sum_ci_sql(
     table: str,
     column: str,

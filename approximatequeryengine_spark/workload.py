@@ -772,6 +772,35 @@ def _bootstrap_oracle() -> str:
 _register("approx_sum_bootstrap32", _bootstrap_fn, _bootstrap_oracle())
 
 
+def _grouped_bootstrap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.plans.bootstrap import bootstrap_grouped_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return bootstrap_grouped_sum_ci(
+        cat.table("lineitem"), "l_extendedprice", "l_returnflag", spec
+    )
+
+
+def _grouped_bootstrap_oracle() -> str:
+    from approximatequeryengine_spark.plans.bootstrap import (
+        bootstrap_grouped_sum_ci_sql,
+    )
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return bootstrap_grouped_sum_ci_sql(
+        "lineitem", "l_extendedprice", "l_returnflag", spec,
+        p_sql=sampling_p_sql(spec),
+    )
+
+
+_register(
+    "approx_grouped_sum_bootstrap32",
+    _grouped_bootstrap_fn,
+    _grouped_bootstrap_oracle(),
+)
+
+
 def _pps_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probability-proportional-to-size SUM (plans/pps.py): heavy rows
     are certainties, light rows sampled — lower HT variance than

@@ -277,3 +277,24 @@ def test_cluster_join_ci_covers_exact(spark):
     assert r["ci_lower"] <= exact <= r["ci_upper"]
     assert abs(r["estimate"] - exact) / exact < 0.10
     assert r["n_clusters"] > 100
+
+
+def test_grouped_bootstrap_ci_covers_per_group(spark):
+    """Each group's bootstrap CI must cover that group's exact SUM."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["l_returnflag"]: (r["ci_lower"], r["ci_upper"])
+        for r in QUERIES["approx_grouped_sum_bootstrap32"](spark, sf).collect()
+    }
+    truth = {
+        r["l_returnflag"]: r["s"]
+        for r in spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .collect()
+    }
+    assert set(est) == set(truth) and len(est) >= 3
+    covered = sum(1 for g, (lo, hi) in est.items() if lo <= truth[g] <= hi)
+    assert covered == len(est), (covered, est, truth)
