@@ -344,6 +344,32 @@ _sql_query(
         "FROM spine s LEFT JOIN hourly h ON s.hour = h.hour ORDER BY s.hour"
     ),
 )
+# Time-weighted average over irregular samples — the value is held
+# until the next observation (right-open step function), so each value
+# is weighted by its holding interval. Integer-microsecond epochs
+# (unix_micros / epoch_us) keep Δt exact in both engines; one window
+# pass + one aggregation.
+_sql_query(
+    "timeseries_twa_by_type",
+    "WITH d AS (SELECT event_type, value, "
+    "  unix_micros(ts) AS t_us, "
+    "  lead(unix_micros(ts)) OVER (PARTITION BY event_type "
+    "    ORDER BY ts, event_id) AS nxt_us FROM events) "
+    "SELECT event_type, "
+    "round(sum(value * (nxt_us - t_us)) / sum(nxt_us - t_us), 6) AS twa, "
+    "count(*) AS n_intervals "
+    "FROM d WHERE nxt_us IS NOT NULL GROUP BY event_type ORDER BY event_type",
+    oracle=(
+        "WITH d AS (SELECT event_type, value, "
+        "  epoch_us(ts) AS t_us, "
+        "  lead(epoch_us(ts)) OVER (PARTITION BY event_type "
+        "    ORDER BY ts, event_id) AS nxt_us FROM events) "
+        "SELECT event_type, "
+        "round(sum(value * (nxt_us - t_us)) / sum(nxt_us - t_us), 6) AS twa, "
+        "count(*) AS n_intervals "
+        "FROM d WHERE nxt_us IS NOT NULL GROUP BY event_type ORDER BY event_type"
+    ),
+)
 # Heavy hitters: exact global token top-k over documents. The partial
 # aggregate absorbs the explode fan-out map-side, so the shuffle carries
 # one row per distinct token per partition — the scalable exact form
