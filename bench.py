@@ -57,13 +57,14 @@ def main() -> None:
     # engine, not session startup.
     QUERIES["exact_count"](spark, SF_DIR).collect()
 
-    # Best of 2 runs per query: run 1 pays plan compilation + codegen
-    # (amortized at scale), run 2 measures steady-state execution; min
-    # also damps background-load outliers.
+    # Best of 3 runs per query: run 1 pays plan compilation + codegen
+    # (amortized at scale), later runs measure steady-state execution;
+    # min damps background-load outliers (observed 7× spikes from
+    # co-tenant load at measurement time).
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             QUERIES[name](spark, SF_DIR).collect()
             best = min(best, time.time() - t0)
