@@ -958,6 +958,27 @@ _register(
 # Non-SQL-expressible operators → rows-only driver check (no oracle entry).
 # ---------------------------------------------------------------------------
 
+# Mergeable sketch rollup (Apache DataSketches HLL via hll_sketch_agg):
+# per-group sketches UNION to the correct global distinct count — the
+# re-aggregatable-rollup pattern that makes pre-aggregated cubes work at
+# 100 TB (a sum of per-group distinct counts would double-count; the
+# union doesn't). Rows-only: the sketch estimate is DataSketches-
+# specific, not reproducible in DuckDB; accuracy vs exact is pinned in
+# `test_hll_union_rollup_accuracy`.
+_sql_query(
+    "sketch_mergeable_rollup",
+    "WITH per AS (SELECT l_returnflag, hll_sketch_agg(l_partkey) AS sk "
+    "             FROM lineitem GROUP BY l_returnflag) "
+    "SELECT 'global_from_group_sketches' AS level, "
+    "hll_sketch_estimate(hll_union_agg(sk)) AS est_distinct FROM per "
+    "UNION ALL "
+    "SELECT concat('group_', l_returnflag) AS level, "
+    "hll_sketch_estimate(hll_sketch_agg(l_partkey)) AS est_distinct "
+    "FROM lineitem GROUP BY l_returnflag "
+    "ORDER BY level",
+    oracle=None,
+)
+
 def _adaptive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive CLT loop (R8-R10): iterative driver-side escalation —
     deterministic, but a multi-job loop has no single-SQL equivalent."""

@@ -298,3 +298,21 @@ def test_grouped_bootstrap_ci_covers_per_group(spark):
     assert set(est) == set(truth) and len(est) >= 3
     covered = sum(1 for g, (lo, hi) in est.items() if lo <= truth[g] <= hi)
     assert covered == len(est), (covered, est, truth)
+
+
+def test_hll_union_rollup_accuracy(spark):
+    """Per-group HLL sketches unioned to a global estimate must land
+    within 5% of the exact global distinct count (and NOT equal the
+    sum of per-group distincts, which double-counts the overlap)."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["level"]: r["est_distinct"] for r in QUERIES[
+        "sketch_mergeable_rollup"
+    ](spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    est = rows["global_from_group_sketches"]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    group_sum = sum(v for k, v in rows.items() if k.startswith("group_"))
+    assert group_sum > 1.5 * exact  # overlap double-counted if summed
