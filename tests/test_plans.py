@@ -118,3 +118,56 @@ def test_window_suite_single_partition_exchange(spark):
     plan = _plan(spark, "window_customer_order_history")
     exchanges = re.findall(r"\n\(\d+\) Exchange[^\n]*", plan)
     assert len(exchanges) <= 2, exchanges  # rank's sort order differs → ≤2
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A hot join key (50% of rows) must trigger AQE's skew-join
+    splitting — SortMergeJoin(skew=true) with a skewed AQEShuffleRead —
+    once the skew thresholds are scaled to the data (the production
+    defaults, 5x median + 256 MiB, are tuned for real partition sizes;
+    at 100 TB they fire as-is). Results must equal the unskewed plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(10_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        j = left.hint("merge").join(right, "k").select(
+            F.sum(F.length("pad")).alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        row = j.collect()[0]
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in final, final[:2000]
+        assert "AQEShuffleRead skewed" in final
+        want = (
+            left.join(F.broadcast(right), "k")
+            .select(F.sum(F.length("pad")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        assert (row["s"], row["n"]) == (want["s"], want["n"])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
