@@ -164,3 +164,51 @@ def test_neyman_arithmetic(strata, total_fraction):
     if all(0.005 <= u <= 1.0 for u in unclamped.values()):
         expected = sum(nh[k] * fracs[k] for k in nh)
         assert expected == pytest.approx(total_fraction * n_total, rel=1e-9)
+
+
+@given(
+    k=st.integers(min_value=0, max_value=2**62),
+    salt=st.integers(min_value=-64, max_value=10_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_avalanche_hash_python_model_range_and_determinism(k, salt):
+    """The python model of the avalanche hash (mirroring the Column and
+    SQL builders) stays in [0, 2^32) with no 64-bit overflow anywhere,
+    for every key/salt — including the bootstrap's negative replicate
+    offsets folded into the salt."""
+    from approximatequeryengine_spark.functions.hashing import (
+        AVALANCHE_MULT,
+        HASH_SPACE,
+        SALT_STRIDE,
+    )
+
+    x = (abs(k) + salt * SALT_STRIDE) % HASH_SPACE
+    assert 0 <= x < HASH_SPACE
+    for _ in range(2):
+        x ^= x >> 16
+        prod = x * AVALANCHE_MULT
+        assert prod < 2**63  # stays inside BIGINT on both engines
+        x = prod % HASH_SPACE
+    x ^= x >> 16
+    assert 0 <= x < HASH_SPACE
+
+
+@given(u=st.floats(min_value=0.0, max_value=1.0, exclude_max=True))
+@settings(max_examples=300, deadline=None)
+def test_poisson_ladder_is_monotone_inverse_cdf(u):
+    """The Poisson(1) inverse-CDF ladder maps [0,1) onto 0..9,
+    monotonically, with breakpoints exactly at the CDF values."""
+    from approximatequeryengine_spark.plans.bootstrap import _POISSON_CDF
+
+    def w_of(u):
+        for k, c in enumerate(_POISSON_CDF):
+            if u < c:
+                return k
+        return 9
+
+    w = w_of(u)
+    assert 0 <= w <= 9
+    if w > 0:
+        assert u >= _POISSON_CDF[w - 1]
+    if w < 9:
+        assert u < _POISSON_CDF[w]
