@@ -316,3 +316,48 @@ def test_hll_union_rollup_accuracy(spark):
     assert abs(est - exact) / exact < 0.05, (est, exact)
     group_sum = sum(v for k, v in rows.items() if k.startswith("group_"))
     assert group_sum > 1.5 * exact  # overlap double-counted if summed
+
+
+def test_pps_ci_coverage_over_salts(spark):
+    """PPS CI coverage sweep: 100 independent salt draws in ONE job
+    (salt fan-out, per-salt HT estimate + HT-variance margin); the 95%
+    CI must cover the exact SUM for >= 88/100 draws (binomial slack)."""
+    from approximatequeryengine_spark.functions.hashing import with_avalanche_u
+    from approximatequeryengine_spark.plans.estimators import Z_95
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = li.agg(F.sum("l_extendedprice")).collect()[0][0]
+    f = 0.10
+    base = li.select(
+        F.col("l_extendedprice").cast("double").alias("x"),
+        F.expr("l_orderkey * 8 + l_linenumber").cast("long").alias("k"),
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("N"), F.sum("x").alias("sx"))
+    rep = base.select(
+        "x", "k", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("s")
+    )
+    hashed = with_avalanche_u(rep, F.col("k"), F.lit(211) + F.col("s") * 17)
+    withp = hashed.crossJoin(F.broadcast(tot)).withColumn(
+        "pi", F.least(F.lit(1.0), F.lit(f) * F.col("N") * F.col("x") / F.col("sx"))
+    )
+    agg = (
+        withp.filter(F.col("__u") < F.col("pi"))
+        .groupBy("s")
+        .agg(
+            F.sum(F.col("x") / F.col("pi")).alias("ht"),
+            F.sum(
+                F.col("x") * F.col("x") * (F.lit(1.0) - F.col("pi"))
+                / (F.col("pi") * F.col("pi"))
+            ).alias("vht"),
+        )
+        .select(
+            "s",
+            (F.col("ht") - F.lit(Z_95) * F.sqrt("vht")).alias("lo"),
+            (F.col("ht") + F.lit(Z_95) * F.sqrt("vht")).alias("hi"),
+        )
+        .collect()
+    )
+    assert len(agg) == 100
+    covered = sum(1 for r in agg if r["lo"] <= exact <= r["hi"])
+    assert covered >= 88, f"coverage {covered}/100"
