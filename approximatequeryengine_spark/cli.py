@@ -36,7 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max relative error %% → adaptive CLT sampling")
     p.add_argument("--method", choices=sorted(METHODS), default=None,
                    help="force a sampling method")
-    p.add_argument("--ci", action="store_true", help="show 95%% confidence intervals")
+    p.add_argument("--ci", action="store_true", help="show confidence intervals")
+    p.add_argument("--confidence", type=float, default=0.95,
+                   help="confidence level for CIs (default 0.95)")
+    p.add_argument("--threads", type=int, default=None,
+                   help="reference-compat flag; parallelism is the Spark "
+                   "master's core count here (local[N])")
     p.add_argument("--compare", action="store_true",
                    help="also run exact and report actual error + speedup")
     p.add_argument("--explain", action="store_true",
@@ -58,7 +63,7 @@ def format_result(res, args) -> str:
         lines.append(f"Result: {res.value:,.4f}")
         if args.ci and res.ci_lower is not None:
             lines.append(
-                f"95% CI: [{res.ci_lower:,.4f}, {res.ci_upper:,.4f}] "
+                f"{res.confidence_level:.0%} CI: [{res.ci_lower:,.4f}, {res.ci_upper:,.4f}] "
                 f"(±{res.error_margin:,.4f})"
             )
     lines.append(
@@ -94,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
             error_pct=args.error,
             method=args.method,
             compare=args.compare,
+            confidence=args.confidence,
         )
         if res.value is None and res.df is not None:
             # grouped / passthrough results: print the table itself

@@ -75,8 +75,18 @@ class AQEngine:
         method: str | None = None,
         with_ci: bool = True,
         compare: bool = False,
+        confidence: float = 0.95,
     ) -> ApproxResult:
         t0 = time.time()
+        if not 0.5 <= confidence < 1.0:
+            raise ValueError(
+                f"confidence must be in [0.5, 1), got {confidence}"
+            )
+        # Two-sided normal quantile for the requested level (z=1.96 at
+        # the reference's default 0.95); stdlib, no scipy.
+        from statistics import NormalDist
+
+        z = NormalDist().inv_cdf((1.0 + confidence) / 2.0)
         spec = parse_query(sql)
         if spec is None:
             _, is_approx, _ = rewrite_approx(sql)
@@ -100,7 +110,7 @@ class AQEngine:
         wants_approx = spec.approx or sample_pct is not None or error_pct is not None or method
 
         if spec.agg == "MEDIAN":
-            return self._run_median(spec, sample_pct, wants_approx, t0)
+            return self._run_median(spec, sample_pct, wants_approx, t0, z=z, confidence=confidence)
 
         if not wants_approx:
             return self._run_exact(spec, t0)
@@ -134,6 +144,7 @@ class AQEngine:
                 spec.column,
                 self.catalog.unique_key(spec.table),
                 fraction,
+                z=z,
             )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0)
@@ -147,7 +158,7 @@ class AQEngine:
                     "method='bootstrap' supports a global SUM only; use "
                     "the closed-form methods for AVG/COUNT/GROUP BY"
                 )
-            rdf = bootstrap_sum_ci(self._base_df(spec), spec.column, s_spec)
+            rdf = bootstrap_sum_ci(self._base_df(spec), spec.column, s_spec, z=z)
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0)
         elif minfo.get("adaptive") and not spec.group_by:
@@ -156,6 +167,7 @@ class AQEngine:
                 agg,
                 s_spec,
                 error_pct=error_pct or 5.0,
+                confidence=confidence,
                 validators=minfo.get("validators", 0),
             )
             res.method = method
@@ -163,9 +175,10 @@ class AQEngine:
             sampled = apply_sampling(self._base_df(spec), s_spec)
             rdf = approx_aggregate(
                 sampled, agg, group_by=[spec.group_by] if spec.group_by else None,
-                with_ci=with_ci,
+                z=z, with_ci=with_ci,
             )
             res = self._finalize(rdf, agg, spec, method, fraction, t0)
+        res.confidence_level = confidence
 
         if compare:
             exact = self._run_exact(spec, time.time())
@@ -183,7 +196,8 @@ class AQEngine:
         return res
 
     def _run_median(
-        self, spec: QuerySpec, sample_pct: float | None, approx: bool, t0: float
+        self, spec: QuerySpec, sample_pct: float | None, approx: bool, t0: float,
+        z: float = 1.959963984540054, confidence: float = 0.95,
     ) -> ApproxResult:
         """MEDIAN: order-statistic point estimate with the binomial
         distribution-free CI (plans/quantiles.py). Exact mode = the same
@@ -203,7 +217,7 @@ class AQEngine:
             )
         else:
             s_spec = SamplingSpec(design="none", key=self.catalog.unique_key(spec.table))
-        rdf = approx_quantile_ci(self._base_df(spec), spec.column, 0.5, s_spec)
+        rdf = approx_quantile_ci(self._base_df(spec), spec.column, 0.5, s_spec, z=z)
         row = rdf.collect()[0]
         res = ApproxResult(
             df=rdf,
@@ -217,7 +231,7 @@ class AQEngine:
             computation_time=time.time() - t0,
         )
         res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
-        res.confidence_level = min(0.95, heuristic_confidence(res.samples_used))
+        res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
         return res
 
     def _run_exact(self, spec: QuerySpec, t0: float) -> ApproxResult:
@@ -238,6 +252,7 @@ class AQEngine:
         method: str,
         fraction: float,
         t0: float,
+        confidence: float = 0.95,
     ) -> ApproxResult:
         res = ApproxResult(df=rdf, method=method, fraction=fraction)
         if not spec.group_by:
@@ -248,6 +263,6 @@ class AQEngine:
                 res.ci_lower = float(row["ci_lower"])
                 res.ci_upper = float(row["ci_upper"])
                 res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
-            res.confidence_level = min(0.95, heuristic_confidence(res.samples_used))
+            res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
         res.computation_time = time.time() - t0
         return res

@@ -166,3 +166,25 @@ def test_pps_method_end_to_end(spark):
     assert r.ci_lower <= r.groups["__exact__"] <= r.ci_upper
     with pytest.raises(ValueError):
         eng.run("SELECT APPROX(AVG(l_quantity)) FROM lineitem", method="pps")
+
+
+def test_confidence_level_widens_ci(spark):
+    """Higher confidence → wider CI; the z quantile must track the
+    requested level (reference's --confidence flag)."""
+    import pytest
+
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    q = "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem"
+    r90 = eng.run(q, sample_pct=10, confidence=0.90)
+    r99 = eng.run(q, sample_pct=10, confidence=0.99)
+    assert r90.value == r99.value  # same deterministic sample
+    w90 = r90.ci_upper - r90.ci_lower
+    w99 = r99.ci_upper - r99.ci_lower
+    # z(0.99)/z(0.90) = 2.576/1.645 ≈ 1.566 (integer-margin rounding
+    # perturbs the ratio by <1 part in 1e5 at these magnitudes)
+    assert w99 / w90 == pytest.approx(2.5758293035489004 / 1.6448536269514722, rel=1e-3)
+    assert r99.confidence_level == 0.99
+    with pytest.raises(ValueError, match="confidence"):
+        eng.run(q, confidence=1.5)
