@@ -171,3 +171,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# Queries whose fn() runs eager jobs (streams, iterative fits, table
+# writes, driver loops) — their plans aren't cheaply inspectable here.
+_EAGER = (
+    "streaming_", "adaptive_clt_sum", "ann_ivf_topk",
+    "approx_sum_neyman", "bucketed_join_revenue", "approx_sum_pps10",
+    "sketch_mergeable_rollup",
+)
+
+
+def test_all_lazy_plans_stay_off_the_slow_paths(spark):
+    """Global plan invariants over the whole workload: no row-at-a-time
+    Python evaluation (BatchEvalPython) anywhere, and no cartesian
+    product — the two silent scale-killers. Arrow-batched operators
+    (MapInPandas / FlatMapGroupsInPandas) are the sanctioned Python
+    path and remain allowed."""
+    checked = 0
+    for name, fn in QUERIES.items():
+        if any(name.startswith(p) or name == p for p in _EAGER):
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        checked += 1
+    assert checked >= 60, checked
