@@ -161,3 +161,158 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_t
        sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS checksum_sum
 FROM documents GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Real byte-level header parsing (no codecs needed): PNG IHDR and WAV
+# RIFF/fmt are fixed-layout structs. The blob GENERATOR embeds metadata
+# as pure functions of doc_id; the PARSER recovers them from the bytes
+# alone — so a DuckDB oracle computed arithmetically from doc_id
+# certifies that generation and parsing are exact inverses end-to-end
+# through the Arrow batch boundary.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_width(doc_id: int) -> int:
+    return 16 + doc_id % 1024
+
+
+def _png_height(doc_id: int) -> int:
+    return 16 + (doc_id * 7) % 768
+
+
+def _wav_rate(doc_id: int) -> int:
+    return 8000 + (doc_id % 8) * 4000
+
+
+def _wav_samples(doc_id: int) -> int:
+    return 1000 + doc_id % 9000
+
+
+def make_media_blob_table(docs: DataFrame) -> DataFrame:
+    """Documents → blobs with REAL file headers: even doc_ids get a PNG
+    signature + IHDR chunk, odd get a WAV RIFF/fmt/data header; the
+    text bytes ride behind the header as filler 'pixel/sample' data."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                if doc_id % 2 == 0:
+                    ihdr = struct.pack(
+                        ">IIBBBBB", _png_width(doc_id), _png_height(doc_id),
+                        8, 6, 0, 0, 0,
+                    )
+                    chunk = (
+                        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                        + b"\x00\x00\x00\x00"  # CRC placeholder
+                    )
+                    payloads.append(_PNG_SIG + chunk + body)
+                else:
+                    rate = _wav_rate(doc_id)
+                    n = _wav_samples(doc_id)
+                    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                    data_len = n * 2
+                    payloads.append(
+                        b"RIFF"
+                        + struct.pack("<I", 36 + data_len)
+                        + b"WAVE"
+                        + b"fmt " + struct.pack("<I", 16) + fmt
+                        + b"data" + struct.pack("<I", data_len)
+                        + body
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def parse_media_metadata(blobs: DataFrame) -> DataFrame:
+    """Recover (kind, width, height, sample_rate, duration_ms) by
+    parsing the payload BYTES — signature sniffing + struct unpacking,
+    no metadata column consulted."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            kinds, widths, heights, rates, durs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if b.startswith(_PNG_SIG) and b[12:16] == b"IHDR":
+                    w, h = struct.unpack(">II", b[16:24])
+                    kinds.append("png")
+                    widths.append(w)
+                    heights.append(h)
+                    rates.append(None)
+                    durs.append(None)
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    rate = struct.unpack("<I", b[24:28])[0]
+                    bits = struct.unpack("<H", b[34:36])[0]
+                    data_len = struct.unpack("<I", b[40:44])[0]
+                    n = data_len // (bits // 8)
+                    kinds.append("wav")
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(rate)
+                    durs.append(n * 1000.0 / rate)
+                else:
+                    kinds.append("unknown")
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(None)
+                    durs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": kinds,
+                    "width": pd.array(widths, dtype="Int64"),
+                    "height": pd.array(heights, dtype="Int64"),
+                    "sample_rate": pd.array(rates, dtype="Int64"),
+                    "duration_ms": pd.array(durs, dtype="Float64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        batches,
+        schema="doc_id long, kind string, width long, height long, "
+        "sample_rate long, duration_ms double",
+    )
+
+
+def media_metadata_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Generate headers → parse them back → aggregate per kind."""
+    docs = ensure_parallelism(docs)
+    meta = parse_media_metadata(make_media_blob_table(docs))
+    return (
+        meta.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.round(F.avg("sample_rate"), 4).alias("avg_rate"),
+            F.round(F.avg("duration_ms"), 4).alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+def media_metadata_summary_sql() -> str:
+    """DuckDB oracle: the same aggregates from doc_id arithmetic alone
+    (never sees the bytes) — matches iff the parser exactly inverts the
+    generator."""
+    return """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+       count(*) AS n,
+       round(avg(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1024 END), 4) AS avg_width,
+       round(avg(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 768 END), 4) AS avg_height,
+       round(avg(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 4000 END), 4) AS avg_rate,
+       round(avg(CASE WHEN doc_id % 2 = 1
+                 THEN (1000 + doc_id % 9000) * 1000.0 / (8000 + (doc_id % 8) * 4000)
+            END), 4) AS avg_duration_ms
+FROM documents GROUP BY 1 ORDER BY 1
+"""

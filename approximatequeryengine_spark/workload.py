@@ -711,6 +711,29 @@ def _stream_sessions_oracle() -> str:
 _register("streaming_session_windows", _stream_sessions_fn, _stream_sessions_oracle())
 
 
+def _media_metadata_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real byte-level media header parsing (PNG IHDR / WAV RIFF) —
+    generate headers, parse them back, aggregate; the oracle recomputes
+    from doc_id arithmetic, certifying generator∘parser == identity."""
+    from approximatequeryengine_spark.operators.multimodal import (
+        media_metadata_summary,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    return media_metadata_summary(spark, cat.table("documents"))
+
+
+def _media_metadata_oracle() -> str:
+    from approximatequeryengine_spark.operators.multimodal import (
+        media_metadata_summary_sql,
+    )
+
+    return media_metadata_summary_sql()
+
+
+_register("multimodal_header_metadata", _media_metadata_fn, _media_metadata_oracle())
+
+
 def _bucketed_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join over bucket-partitioned tables
     (sources/layout.py) — the storage-layout lever that removes the two

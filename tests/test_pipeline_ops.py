@@ -325,3 +325,30 @@ def test_multimodal_features(spark, synth_docs):
     assert feats[1]["checksum32"] == int(hashlib.md5(base.encode()).hexdigest()[:8], 16)
     assert feats[1]["media_type"] == "audio/wav"  # odd doc_id
     assert feats[7]["payload_len"] == 0
+
+
+def test_media_header_roundtrip_per_row(spark):
+    """Parsing the generated PNG/WAV headers must recover the exact
+    per-row metadata the generator embedded (byte-level inverse)."""
+    from approximatequeryengine_spark.operators.multimodal import (
+        make_media_blob_table,
+        parse_media_metadata,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    meta = {r["doc_id"]: r for r in parse_media_metadata(
+        make_media_blob_table(docs)
+    ).collect()}
+    assert len(meta) == 200
+    for doc_id, r in meta.items():
+        if doc_id % 2 == 0:
+            assert r["kind"] == "png"
+            assert r["width"] == 16 + doc_id % 1024
+            assert r["height"] == 16 + (doc_id * 7) % 768
+            assert r["sample_rate"] is None
+        else:
+            assert r["kind"] == "wav"
+            assert r["sample_rate"] == 8000 + (doc_id % 8) * 4000
+            n = 1000 + doc_id % 9000
+            assert r["duration_ms"] == n * 1000.0 / r["sample_rate"]
+            assert r["width"] is None
