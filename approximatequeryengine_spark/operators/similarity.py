@@ -293,3 +293,88 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
+
+
+# -- int8 quantization (4x memory vs float32 at 100 TB) ---------------------
+
+
+def quantize_embeddings_int8(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q = round(x·127/s) with
+    s = max|x| (stored alongside for dequantization). A numpy
+    mapInPandas kernel — quantizing a billion-vector corpus is
+    embarrassingly parallel, and int8+scale is 4× smaller than float32
+    (the difference between an in-memory and a spilled ANN index)."""
+    import numpy as np
+
+    def batches(it):
+        for pdf in it:
+            ids, qs, scales = [], [], []
+            for vec_id, v in zip(pdf["vec_id"], pdf["embedding"]):
+                x = np.asarray(v, dtype=np.float64)
+                s = float(np.max(np.abs(x))) or 1.0
+                q = np.clip(np.rint(x * 127.0 / s), -127, 127).astype(np.int8)
+                ids.append(vec_id)
+                qs.append(q.tolist())
+                scales.append(s)
+            yield pd.DataFrame({"vec_id": ids, "q": qs, "scale": scales})
+
+    import pandas as pd  # noqa: F811 (local for executor pickling)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_id long, q array<tinyint>, scale double"
+    )
+
+
+def ann_bruteforce_topk_int8(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Brute-force top-k over the int8-quantized corpus: integer dot
+    products (numpy, SIMD-friendly) rescaled by the stored per-vector
+    scales — the memory-bound scale path. Recall vs the float path is
+    pinned in ``test_int8_topk_overlap``."""
+    import numpy as np
+
+    q8 = quantize_embeddings_int8(emb)
+    queries = q8.filter(F.col("vec_id") < n_queries)
+
+    def score(it, qrows):
+        qids = np.array([r["vec_id"] for r in qrows])
+        qmat = np.stack([np.asarray(r["q"], dtype=np.int32) for r in qrows])
+        qscale = np.array([r["scale"] for r in qrows]) / 127.0
+        qnorm = np.linalg.norm(qmat * qscale[:, None], axis=1)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.int32) for v in pdf["q"]]
+            )
+            scale = pdf["scale"].to_numpy() / 127.0
+            dots = (mat @ qmat.T) * scale[:, None] * qscale[None, :]
+            norms = np.linalg.norm(mat * scale[:, None], axis=1)
+            denom = norms[:, None] * qnorm[None, :]
+            cos = np.where(denom > 0, dots / denom, 0.0)
+            n, m = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), m),
+                    "cos_sim": cos.T.ravel(),
+                }
+            )
+
+    import pandas as pd  # noqa: F811
+
+    qrows = queries.collect()  # n_queries rows — tiny, broadcast by closure
+    scored = q8.mapInPandas(
+        lambda it: score(it, qrows),
+        schema="query_id long, neighbor_id long, cos_sim double",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -352,3 +352,25 @@ def test_media_header_roundtrip_per_row(spark):
             n = 1000 + doc_id % 9000
             assert r["duration_ms"] == n * 1000.0 / r["sample_rate"]
             assert r["width"] is None
+
+
+def test_int8_topk_overlap(spark):
+    """int8-quantized brute-force top-k must agree with the float path
+    on >= 80% of (query, neighbor) pairs — the quantization error is
+    ~1/254 per dimension, far below typical neighbor gaps."""
+    from approximatequeryengine_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_bruteforce_topk_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(spark, emb, n_queries=5, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk_int8(spark, emb, n_queries=5, k=5).collect()
+    }
+    assert len(exact) == len(quant) == 25
+    assert len(exact & quant) / len(exact) >= 0.80
