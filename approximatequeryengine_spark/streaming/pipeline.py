@@ -26,6 +26,7 @@ from approximatequeryengine_spark.catalog import Catalog
 from approximatequeryengine_spark.streaming.windowed import (
     events_stream,
     run_to_memory_sink,
+    table_stream,
 )
 
 DEDUP_BUCKET = "1 hour"
@@ -138,4 +139,41 @@ SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events FROM (
     (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
     THEN 1 ELSE 0 END AS new_s FROM events) t
 GROUP BY user_id ORDER BY user_id
+"""
+
+
+def corpus_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest deduplicated on the exact content
+    fingerprint (md5 of the raw text) — the incremental form of the
+    batch cleaning pipeline's dedup stage: as documents arrive, only
+    first-seen content passes downstream.
+
+    Content has no event time, so the dedup state is keyed purely by
+    fingerprint and NOT watermark-purged — state grows with the number
+    of distinct documents (at 100 TB you'd shard the state store by fp
+    or periodically compact against the served corpus; documented
+    trade-off, unlike time-keyed dedup which self-bounds). Duplicates
+    share identical text, so every surviving row's (lang, n_chars) is
+    deterministic and the per-language aggregate is oracle-checkable."""
+    stream = table_stream(spark, sf_dir, "documents").select(
+        "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    deduped = stream.dropDuplicates(["fp"])
+    sink = run_to_memory_sink(deduped, "append")
+    return (
+        sink.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_dedup_sql() -> str:
+    return """
+WITH d AS (SELECT md5(text) AS fp, min(lang) AS lang, min(n_chars) AS n_chars
+           FROM documents GROUP BY fp)
+SELECT lang, count(*) AS n_unique_docs, sum(n_chars) AS total_chars
+FROM d GROUP BY lang ORDER BY lang
 """

@@ -45,17 +45,22 @@ def windowed_event_counts_batch(spark: SparkSession, events: DataFrame) -> DataF
     )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture with ``ts`` restored
-    to TimestampType. The file stream source wants a *directory*; the
-    read-only fixture file is exposed through a temp-dir symlink."""
-    path = f"{sf_dir}/events.parquet"
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over any fixture table. The file stream
+    source wants a *directory*; the read-only fixture file is exposed
+    through a temp-dir symlink."""
+    path = f"{sf_dir}/{table}.parquet"
     raw = spark.read.parquet(path)
     stream_dir = tempfile.mkdtemp(prefix="aqe_stream_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw.schema).parquet(stream_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) fixtures read as epoch-ns longs (see catalog.py).
+    os.symlink(path, os.path.join(stream_dir, f"{table}.parquet"))
+    return spark.readStream.schema(raw.schema).parquet(stream_dir)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream with ``ts`` restored to TimestampType (the
+    TIMESTAMP(NANOS) fixture reads as epoch-ns longs — see catalog.py)."""
+    stream = table_stream(spark, sf_dir, "events")
+    if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
