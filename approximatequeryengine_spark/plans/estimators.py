@@ -211,3 +211,94 @@ def moments_sql(
     sel.append("CAST(n AS BIGINT) AS n_samples")
     head = f"{group_by + ', ' if group_by else ''}{', '.join(sel)}"
     return f"SELECT {head} FROM ({base}) __m"
+
+
+def ratio_estimate_ci(
+    sampled: DataFrame,
+    numerator: str,
+    denominator: str,
+    group_by: list[str] | None = None,
+    z: float = Z_95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ratio estimation R = Σa/Σb from one sampled pass, with the
+    delta-method CI — the estimator for "rates" (revenue per unit,
+    discount rate, average order size) that neither AVG (single column)
+    nor SUM (no ratio) covers.
+
+    Under per-row inclusion with probability p, R̂ = Σ(a/p)/Σ(b/p) and
+
+        Var(R̂) ≈ (Var_a + R̂²·Var_b − 2·R̂·Cov_ab) / (Σb/p)²
+
+    with the HT moments Var_a = Σa²(1−p)/p², Var_b = Σb²(1−p)/p²,
+    Cov_ab = Σab(1−p)/p² — all computed in the same single aggregate.
+    The CI margin is NOT integer-rounded (ratios are O(1)); a ratio is
+    never on a decimal grid, so bound rounding is boundary-safe as-is.
+    """
+    group_by = group_by or []
+    a = F.col(numerator).cast("double")
+    b = F.col(denominator).cast("double")
+    p = F.col(P_COL)
+    inv2 = (F.lit(1.0) - p) / (p * p)
+    m = sampled.groupBy(*[F.col(c) for c in group_by]).agg(
+        F.sum(a / p).alias("__ha"),
+        F.sum(b / p).alias("__hb"),
+        F.sum(a * a * inv2).alias("__va"),
+        F.sum(b * b * inv2).alias("__vb"),
+        F.sum(a * b * inv2).alias("__cab"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    r = F.col("__ha") / F.col("__hb")
+    var = (
+        F.col("__va") + r * r * F.col("__vb") - F.lit(2.0) * r * F.col("__cab")
+    ) / (F.col("__hb") * F.col("__hb"))
+    margin = F.when(
+        F.col("__n") >= 2, F.lit(z) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    ).otherwise(F.lit(0.0))
+    cols = [F.col(c) for c in group_by]
+    cols += [
+        F.round(r, round_to).alias("ratio_est"),
+        F.round(r - margin, round_to).alias("ci_lower"),
+        F.round(r + margin, round_to).alias("ci_upper"),
+        F.col("__n").cast("long").alias("n_samples"),
+    ]
+    out = m.select(*cols)
+    return out.orderBy(*group_by) if group_by else out
+
+
+def ratio_estimate_ci_sql(
+    table: str,
+    numerator: str,
+    denominator: str,
+    where: str,
+    p_sql: str,
+    group_by: str | None = None,
+    z: float = Z_95,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle for ``ratio_estimate_ci`` (same moments, same
+    delta-method arithmetic)."""
+    a = f"CAST({numerator} AS DOUBLE)"
+    b = f"CAST({denominator} AS DOUBLE)"
+    inv2 = f"((1.0 - {p_sql}) / ({p_sql} * {p_sql}))"
+    g_sel = f"{group_by}, " if group_by else ""
+    base = (
+        f"SELECT {g_sel}"
+        f"SUM({a} / {p_sql}) AS ha, SUM({b} / {p_sql}) AS hb, "
+        f"SUM({a}*{a}*{inv2}) AS va, SUM({b}*{b}*{inv2}) AS vb, "
+        f"SUM({a}*{b}*{inv2}) AS cab, COUNT(*) AS n "
+        f"FROM {table} WHERE {where}"
+        f"{' GROUP BY ' + group_by if group_by else ''}"
+    )
+    r = "(ha / hb)"
+    var = f"((va + {r}*{r}*vb - 2.0*{r}*cab) / (hb * hb))"
+    margin = f"CASE WHEN n >= 2 THEN {z!r} * sqrt(greatest({var}, 0.0)) ELSE 0.0 END"
+    head = (
+        f"{g_sel}"
+        f"round({r}, {round_to}) AS ratio_est, "
+        f"round({r} - ({margin}), {round_to}) AS ci_lower, "
+        f"round({r} + ({margin}), {round_to}) AS ci_upper, "
+        "CAST(n AS BIGINT) AS n_samples"
+    )
+    tail = f" ORDER BY {group_by}" if group_by else ""
+    return f"SELECT {head} FROM ({base}) __m{tail}"

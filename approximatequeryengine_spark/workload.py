@@ -862,6 +862,39 @@ def _grouped_bootstrap_oracle() -> str:
     )
 
 
+def _ratio_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective discount rate = SUM(price*disc)/SUM(price) per return
+    flag — ratio estimation with a delta-method CI from one sampled
+    pass (plans/estimators.py::ratio_estimate_ci)."""
+    from approximatequeryengine_spark.plans.estimators import ratio_estimate_ci
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    sampled = apply_sampling(cat.table("lineitem"), spec).withColumn(
+        "disc_amt", F.expr("l_extendedprice * l_discount")
+    )
+    return ratio_estimate_ci(
+        sampled, "disc_amt", "l_extendedprice", group_by=["l_returnflag"]
+    )
+
+
+def _ratio_oracle() -> str:
+    from approximatequeryengine_spark.plans.estimators import ratio_estimate_ci_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return ratio_estimate_ci_sql(
+        "lineitem",
+        "l_extendedprice * l_discount",
+        "l_extendedprice",
+        where=sampling_where_sql(spec),
+        p_sql=sampling_p_sql(spec),
+        group_by="l_returnflag",
+    )
+
+
+_register("approx_ratio_discount_rate", _ratio_fn, _ratio_oracle())
+
+
 _register(
     "approx_grouped_sum_bootstrap32",
     _grouped_bootstrap_fn,

@@ -361,3 +361,31 @@ def test_pps_ci_coverage_over_salts(spark):
     assert len(agg) == 100
     covered = sum(1 for r in agg if r["lo"] <= exact <= r["hi"])
     assert covered >= 88, f"coverage {covered}/100"
+
+
+def test_ratio_ci_covers_true_rate(spark):
+    """The delta-method ratio CI must cover each group's true discount
+    rate SUM(price*disc)/SUM(price)."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["l_returnflag"]: (r["ratio_est"], r["ci_lower"], r["ci_upper"])
+        for r in QUERIES["approx_ratio_discount_rate"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    truth = {
+        r["l_returnflag"]: r["rate"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.expr("l_extendedprice * l_discount"))
+                / F.sum("l_extendedprice")
+            ).alias("rate")
+        )
+        .collect()
+    }
+    assert set(est) == set(truth) and len(est) >= 3
+    for g, (r, lo, hi) in est.items():
+        assert lo <= truth[g] <= hi, (g, lo, truth[g], hi)
+        assert abs(r - truth[g]) / truth[g] < 0.05
