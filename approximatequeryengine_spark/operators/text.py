@@ -376,3 +376,65 @@ def fingerprint_summary_sql() -> str:
         f"count(DISTINCT {p['fp_tokenset']}) AS n_tokenset_distinct "
         "FROM documents GROUP BY source"
     )
+
+
+def corpus_mix_balanced(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Data mixing: downsample every language stratum to the size of the
+    smallest one, so the output corpus is language-balanced — the
+    pre-training mix-rebalancing operation, as a deterministic two-pass
+    plan: pass 1 counts strata (tiny aggregate, broadcast back); pass 2
+    keeps a row iff its avalanche-hash u < min_count/count(lang). The
+    hash is keyed on doc_id with a mixing-specific salt, so membership
+    is reproducible across engines and independent of the sampling
+    designs' hash family. Expected kept count per language ≈ min_count;
+    realized counts are exactly oracle-checkable."""
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        with_avalanche_u,
+    )
+
+    docs = ensure_parallelism(docs)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("min_n"))
+    hashed = with_avalanche_u(
+        docs.select("doc_id", "lang", "n_chars"), F.col("doc_id"), F.lit(401)
+    )
+    kept = (
+        hashed.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(min_n))
+        .filter(
+            F.col("__u")
+            < F.col("min_n").cast("double") / F.col("n_lang").cast("double")
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("n_lang").alias("n_before"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_mix_balanced_sql() -> str:
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        SALT_STRIDE,
+        avalanche_hash_sql_steps,
+    )
+
+    steps, final = avalanche_hash_sql_steps("doc_id", f"(401 * {SALT_STRIDE})")
+    u = f"(CAST({final} AS DOUBLE) / {float(HASH_SPACE)!r})"
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+mn AS (SELECT min(n_lang) AS min_n FROM counts),
+hashed AS (SELECT d.doc_id, d.lang, d.n_chars, {steps}
+           FROM documents d),
+kept AS (SELECT h.lang, h.n_chars, c.n_lang
+         FROM hashed h JOIN counts c ON h.lang = c.lang
+         WHERE {u} < CAST((SELECT min_n FROM mn) AS DOUBLE) / CAST(c.n_lang AS DOUBLE))
+SELECT lang, count(*) AS n_kept, max(n_lang) AS n_before, sum(n_chars) AS chars_kept
+FROM kept GROUP BY lang ORDER BY lang
+"""

@@ -668,6 +668,8 @@ _docs_query("multimodal_frame_sample", _mm.video_frame_sample, _mm.video_frame_s
 _docs_query("asof_join_purchase_click", _temporal.asof_purchase_click, _temporal.asof_purchase_click_sql(), table="events")
 _docs_query("range_join_purchase_clicks", _temporal.range_join_purchase_clicks, _temporal.range_join_purchase_clicks_sql(), table="events")
 _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())
+# Data mixing: language-balanced downsampling (two-pass, deterministic).
+_docs_query("corpus_mix_balanced", _text.corpus_mix_balanced, _text.corpus_mix_balanced_sql())
 
 
 def _stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

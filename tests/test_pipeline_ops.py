@@ -374,3 +374,25 @@ def test_int8_topk_overlap(spark):
     }
     assert len(exact) == len(quant) == 25
     assert len(exact & quant) / len(exact) >= 0.80
+
+
+def test_corpus_mix_balances_languages(spark):
+    """The balanced mix must bring every language's kept count close to
+    the smallest stratum (within binomial noise), shrinking the
+    max/min imbalance by at least 2x when input is imbalanced."""
+    from approximatequeryengine_spark.operators.text import corpus_mix_balanced
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = corpus_mix_balanced(spark, docs).collect()
+    assert len(rows) >= 3
+    before = [r["n_before"] for r in rows]
+    kept = [r["n_kept"] for r in rows]
+    min_before = min(before)
+    for r in rows:
+        # Expected kept ≈ min_before; allow 4σ binomial slack.
+        import math
+
+        slack = 4 * math.sqrt(min_before) + 1
+        assert abs(r["n_kept"] - min_before) <= slack, (r, min_before)
+    if max(before) / min(before) > 1.5:
+        assert (max(kept) / max(1, min(kept))) < (max(before) / min(before)) / 2
