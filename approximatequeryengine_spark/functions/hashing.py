@@ -67,30 +67,6 @@ def portable_hash_sql(key_expr: str, salt: int = 0) -> str:
 AVALANCHE_MULT = 73_244_475  # 0x45d9f3b (Wellons' hash32 constant, < 2^31)
 
 
-def avalanche_hash_col(key: Column | str, salt: Column) -> Column:
-    """Salted xor-shift/multiply avalanche hash in [0, 2^32).
-
-    Structurally DIFFERENT from ``portable_hash_col`` on purpose: the
-    multiplicative hash family is affine-shift-related across salts
-    (h_s(k) = g(k + s·stride)), so values conditioned on a
-    *g-selected* set (e.g. "rows sampled because g(k) < θ") are badly
-    non-uniform under other salts of the same family — measured: the
-    bootstrap replicate weights drifted 0.12–2.09 instead of mean 1.
-    The xor-shift rounds break the affine structure; uniformity and
-    cross-salt independence conditioned on selection are pinned by
-    ``test_avalanche_uniform_on_selected_keys``.
-
-    All ops stay exact in 64-bit: x < 2^32, divisor 2^16 is a power of
-    two (double division exact), product < 2^32·2^27 < 2^63.
-    """
-    k = F.col(key) if isinstance(key, str) else key
-    x = (F.abs(k.cast("long")) + salt) % F.lit(HASH_SPACE)
-    for _ in range(2):
-        x = x.bitwiseXOR((x / F.lit(65536)).cast("long"))
-        x = (x * F.lit(AVALANCHE_MULT)) % F.lit(HASH_SPACE)
-    return x.bitwiseXOR((x / F.lit(65536)).cast("long"))
-
-
 def with_avalanche_u(
     df: DataFrame,
     key: Column,
