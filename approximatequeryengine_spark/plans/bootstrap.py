@@ -9,9 +9,11 @@ Poisson(1) draw (Σw ≈ n, the multinomial bootstrap's large-n limit —
 Oza & Russell's online bagging / the "bag of little bootstraps" family).
 
 Determinism contract: the Poisson draw for (row, replicate) is the
-inverse CDF applied to ``portable_hash(key, salt=BOOT_SALT0 + r) / 2³²``
-— pure integer/CASE arithmetic, identical in Spark SQL and DuckDB, so
-the driver's value-hash gate covers the bootstrap CI too.
+inverse CDF applied to ``avalanche_hash(key, salt=BOOT_SALT0 + r) / 2³²``
+(hashing.py — NOT the sampling hash family, whose salted siblings are
+non-uniform on hash-selected keys) — pure integer/CASE arithmetic,
+identical in Spark SQL and DuckDB, so the driver's value-hash gate
+covers the bootstrap CI too.
 
 Plan shape at scale: scan with the codegen sample predicate →
 ``explode(sequence(-1, R-1))`` fan-out (R+1 rows per sampled row, like
