@@ -149,16 +149,21 @@ def corpus_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen content passes downstream.
 
     Content has no event time, so the dedup state is keyed purely by
-    fingerprint and NOT watermark-purged — state grows with the number
-    of distinct documents (at 100 TB you'd shard the state store by fp
-    or periodically compact against the served corpus; documented
-    trade-off, unlike time-keyed dedup which self-bounds). Duplicates
-    share identical text, so every surviving row's (lang, n_chars) is
-    deterministic and the per-language aggregate is oracle-checkable."""
+    (lang, fingerprint) and NOT watermark-purged — state grows with the
+    number of distinct documents (at 100 TB you'd shard the state store
+    by fp or periodically compact against the served corpus; documented
+    trade-off, unlike time-keyed dedup which self-bounds).
+
+    The key includes ``lang``, not just fp: the same text CAN appear
+    under two languages (observed at sf0.1), and a global fp-only dedup
+    keeps an arbitrary-language survivor — nondeterministic per-lang
+    counts. Within-language dedup is the standard corpus-curation
+    semantics and every surviving row's (lang, n_chars) is then
+    deterministic, so the per-language aggregate is oracle-checkable."""
     stream = table_stream(spark, sf_dir, "documents").select(
         "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("fp")
     )
-    deduped = stream.dropDuplicates(["fp"])
+    deduped = stream.dropDuplicates(["lang", "fp"])
     sink = run_to_memory_sink(deduped, "append")
     return (
         sink.groupBy("lang")
@@ -172,8 +177,8 @@ def corpus_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_dedup_sql() -> str:
     return """
-WITH d AS (SELECT md5(text) AS fp, min(lang) AS lang, min(n_chars) AS n_chars
-           FROM documents GROUP BY fp)
+WITH d AS (SELECT lang, md5(text) AS fp, min(n_chars) AS n_chars
+           FROM documents GROUP BY lang, md5(text))
 SELECT lang, count(*) AS n_unique_docs, sum(n_chars) AS total_chars
 FROM d GROUP BY lang ORDER BY lang
 """
