@@ -150,15 +150,21 @@ class AQEngine:
             res = self._finalize(rdf, agg, spec, method, fraction, t0)
         elif minfo.get("bootstrap"):
             from approximatequeryengine_spark.plans.bootstrap import (
+                bootstrap_grouped_sum_ci,
                 bootstrap_sum_ci,
             )
 
-            if spec.agg != "SUM" or spec.group_by:
+            if spec.agg != "SUM":
                 raise ValueError(
-                    "method='bootstrap' supports a global SUM only; use "
-                    "the closed-form methods for AVG/COUNT/GROUP BY"
+                    "method='bootstrap' supports SUM only; use the "
+                    "closed-form methods for AVG/COUNT"
                 )
-            rdf = bootstrap_sum_ci(self._base_df(spec), spec.column, s_spec, z=z)
+            if spec.group_by:
+                rdf = bootstrap_grouped_sum_ci(
+                    self._base_df(spec), spec.column, spec.group_by, s_spec, z=z
+                )
+            else:
+                rdf = bootstrap_sum_ci(self._base_df(spec), spec.column, s_spec, z=z)
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0)
         elif minfo.get("adaptive") and not spec.group_by:

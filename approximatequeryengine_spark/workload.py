@@ -226,6 +226,15 @@ _sql_query(
     "max(upper(substr(o_orderstatus, 1, 1))) AS max_status "
     "FROM orders GROUP BY year(o_orderdate)",
 )
+# TPC-H Q6-style forecasting revenue change: the classic selective
+# filter + single aggregate; every predicate reaches the scan.
+_sql_query(
+    "tpch_q6_forecast_revenue",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24",
+)
 # TPC-H Q3-style shipping priority: 3-way join (customer⋈orders⋈lineitem)
 # + selective date filters + grouped top-10. At scale: both filters reach
 # the scans (pushdown), join order is fact-last, and the LIMIT plans as

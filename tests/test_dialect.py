@@ -143,11 +143,6 @@ def test_bootstrap_method_end_to_end(spark):
     assert r.value == pytest.approx(ht.value, rel=1e-6)
     with pytest.raises(ValueError):
         eng.run("SELECT APPROX(AVG(l_quantity)) FROM lineitem", method="bootstrap")
-    with pytest.raises(ValueError):
-        eng.run(
-            "SELECT APPROX(SUM(value)) FROM events GROUP BY event_type",
-            method="bootstrap",
-        )
 
 
 def test_pps_method_end_to_end(spark):
@@ -188,3 +183,18 @@ def test_confidence_level_widens_ci(spark):
     assert r99.confidence_level == 0.99
     with pytest.raises(ValueError, match="confidence"):
         eng.run(q, confidence=1.5)
+
+
+def test_grouped_bootstrap_via_engine(spark):
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    r = eng.run(
+        "SELECT APPROX(SUM(value)) FROM events GROUP BY event_type",
+        method="bootstrap",
+        sample_pct=20,
+    )
+    rows = {x["event_type"]: x for x in r.df.collect()}
+    assert len(rows) == 5
+    for x in rows.values():
+        assert x["ci_lower"] <= x["sum_value"] <= x["ci_upper"]
