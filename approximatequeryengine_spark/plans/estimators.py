@@ -93,7 +93,9 @@ def approx_aggregate(
     n_samples]`` (CI columns only when ``with_ci``).
     """
     group_by = group_by or []
-    x = F.col(agg.column).cast("double") if agg.column else F.lit(1.0)
+    # F.expr: the measure may be an expression (e.g. price * discount),
+    # not just a column name.
+    x = F.expr(agg.column).cast("double") if agg.column else F.lit(1.0)
     p = F.col(P_COL)
     w = F.lit(1.0) / p
 

@@ -410,7 +410,10 @@ def _approx_query(
     group_by: str | None = None,
     where: str | None = None,
     round_to: int = 2,
+    alias: str | None = None,
 ) -> None:
+    aspec = AggSpec(agg, column, alias=alias)
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat = _catalog(spark, sf_dir)
         df = cat.table(table)
@@ -419,11 +422,10 @@ def _approx_query(
         sampled = apply_sampling(df, spec)
         rdf = approx_aggregate(
             sampled,
-            AggSpec(agg, column),
+            aspec,
             group_by=[group_by] if group_by else None,
         )
-        alias = AggSpec(agg, column).name()
-        return _round_cols(rdf, {alias: round_to, "ci_lower": round_to, "ci_upper": round_to})
+        return _round_cols(rdf, {aspec.name(): round_to, "ci_lower": round_to, "ci_upper": round_to})
 
     sample_where = sampling_where_sql(spec)
     full_where = f"({sample_where}) AND ({where})" if where else sample_where
@@ -433,7 +435,7 @@ def _approx_query(
         where=full_where,
         agg=agg,
         p_sql=sampling_p_sql(spec),
-        alias=AggSpec(agg, column).name(),
+        alias=aspec.name(),
         group_by=group_by,
         round_to=round_to,
     )
@@ -469,6 +471,18 @@ _approx_query(
     "lineitem", "sum", "l_extendedprice",
     SamplingSpec(design="uniform_hash", fraction=0.20, key=_LKEY),
     group_by="l_returnflag",
+)
+# The AQP form of TPC-H Q6: same predicate, 10% deterministic sample,
+# HT-scaled revenue with CI — approximate analytics on a real query
+# shape, not just bare columns.
+_approx_query(
+    "approx_q6_revenue_uniform10",
+    "lineitem", "sum", "l_extendedprice * l_discount",
+    SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    alias="revenue_est",
+    where="l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24",
 )
 # Systematic (stride) sampling — realized-probability scaling (quirk Q2 fix):
 # nominal 15% → step 7 → scale ×7, not ×6.67.
