@@ -181,12 +181,15 @@ _sql_query(
     "  FROM lineitem JOIN part ON l_partkey = p_partkey "
     "  GROUP BY p_brand, p_partkey) t WHERE rnk <= 3",
 )
-# Sessionization: 30-minute-gap sessions per user (lag + cumulative sum).
+# Sessionization: 30-minute-gap sessions per user (lag + cumulative
+# sum). `>=` on the gap matches Spark's session_window half-open
+# [first, last+gap) convention, so this batch query and
+# `streaming_session_windows` agree row-for-row.
 _sql_query(
     "sessionize_events",
     "SELECT user_id, count(*) AS n_events, sum(new_s) + 1 AS n_sessions FROM ("
     "  SELECT user_id, CASE WHEN ts - lag(ts) OVER "
-    "    (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+    "    (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE "
     "    THEN 1 ELSE 0 END AS new_s FROM events) t GROUP BY user_id",
 )
 # Pivot-shaped conditional aggregation (orderstatus → columns).
