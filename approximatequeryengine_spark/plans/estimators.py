@@ -304,3 +304,115 @@ def ratio_estimate_ci_sql(
     )
     tail = f" ORDER BY {group_by}" if group_by else ""
     return f"SELECT {head} FROM ({base}) __m{tail}"
+
+
+def approx_multi_aggregate(
+    sampled: DataFrame,
+    aggs: list[AggSpec],
+    group_by: list[str] | None = None,
+    z: float = Z_95,
+) -> DataFrame:
+    """Several estimates + CIs from ONE sampled pass — the whole
+    TPC-H-Q1-style aggregate block at sample cost. Each measure gets its
+    own HT moments inside the same HashAggregate (map-side combined
+    once); output columns per measure m: ``m, m_lo, m_hi``.
+
+    Supports sum/avg/count measures (the CI-bearing kinds); min/max are
+    order statistics a sample can't bound and are rejected."""
+    group_by = group_by or []
+    p = F.col(P_COL)
+    moments: list = [F.count(F.lit(1)).alias("__n")]
+    for i, a in enumerate(aggs):
+        if a.func.lower() not in ("sum", "avg", "count"):
+            raise ValueError(f"unsupported multi-aggregate {a.func!r}")
+        x = F.expr(a.column).cast("double") if a.column else F.lit(1.0)
+        moments += [
+            F.sum(x).alias(f"__s1_{i}"),
+            F.sum(x * x).alias(f"__s2_{i}"),
+            F.sum(x / p).alias(f"__ht_{i}"),
+            F.sum(F.lit(1.0) / p).alias(f"__htn_{i}"),
+            F.sum(x * x * (F.lit(1.0) - p) / (p * p)).alias(f"__vht_{i}"),
+            F.avg(p).alias(f"__pavg_{i}"),
+        ]
+    m = sampled.groupBy(*[F.col(c) for c in group_by]).agg(*moments)
+    n = F.col("__n")
+    cols: list = [F.col(c) for c in group_by]
+    for i, a in enumerate(aggs):
+        s1, s2 = F.col(f"__s1_{i}"), F.col(f"__s2_{i}")
+        var = F.when(n >= 2, (s2 - s1 * s1 / n) / (n - F.lit(1.0))).otherwise(F.lit(0.0))
+        var = F.greatest(var, F.lit(0.0))
+        f = a.func.lower()
+        if f == "avg":
+            est = F.col(f"__ht_{i}") / F.col(f"__htn_{i}")
+            margin = F.lit(z) * F.sqrt(var / n)
+        elif f == "sum":
+            est = F.col(f"__ht_{i}")
+            margin = F.lit(z) * F.sqrt(F.greatest(F.col(f"__vht_{i}"), F.lit(0.0)))
+        else:  # count
+            est = F.col(f"__htn_{i}")
+            pb = F.col(f"__pavg_{i}")
+            margin = F.lit(z) * F.sqrt(n * (F.lit(1.0) - pb)) / pb
+        cols += _ci_columns(est, margin, n, a.name())
+        # _ci_columns names bounds ci_lower/ci_upper; rename per-measure.
+        lo, hi = cols[-2], cols[-1]
+        cols[-2] = lo.alias(f"{a.name()}_lo")
+        cols[-1] = hi.alias(f"{a.name()}_hi")
+    cols.append(n.cast("long").alias("n_samples"))
+    out = m.select(*cols)
+    return out.orderBy(*group_by) if group_by else out
+
+
+def multi_moments_sql(
+    table: str,
+    aggs: list[AggSpec],
+    where: str,
+    p_sql: str,
+    group_by: str | None = None,
+    z: float = Z_95,
+    round_spec: dict[str, int] | None = None,
+) -> str:
+    """DuckDB oracle for ``approx_multi_aggregate`` (same per-measure
+    moments, estimates, integer-rounded margins). ``round_spec`` maps
+    measure alias → decimals (bounds inherit the same rounding)."""
+    round_spec = round_spec or {}
+    g_sel = f"{group_by}, " if group_by else ""
+    parts = ["COUNT(*) AS n"]
+    for i, a in enumerate(aggs):
+        x = f"CAST({a.column} AS DOUBLE)" if a.column else "1.0"
+        parts += [
+            f"SUM({x}) AS s1_{i}", f"SUM({x}*{x}) AS s2_{i}",
+            f"SUM({x} / {p_sql}) AS ht_{i}", f"SUM(1.0 / {p_sql}) AS htn_{i}",
+            f"SUM({x}*{x} * (1.0 - {p_sql}) / ({p_sql} * {p_sql})) AS vht_{i}",
+            f"AVG({p_sql}) AS pavg_{i}",
+        ]
+    base = (
+        f"SELECT {g_sel}{', '.join(parts)} FROM {table} WHERE {where}"
+        f"{' GROUP BY ' + group_by if group_by else ''}"
+    )
+    sel = [g_sel.rstrip(", ")] if group_by else []
+    for i, a in enumerate(aggs):
+        var = (
+            f"CASE WHEN n >= 2 THEN greatest((s2_{i} - s1_{i}*s1_{i}/n) / (n - 1.0), 0.0) "
+            f"ELSE 0.0 END"
+        )
+        f_ = a.func.lower()
+        if f_ == "avg":
+            est, margin = f"(ht_{i} / htn_{i})", f"{z!r} * sqrt(({var}) / n)"
+        elif f_ == "sum":
+            est, margin = f"ht_{i}", f"{z!r} * sqrt(greatest(vht_{i}, 0.0))"
+        else:
+            est, margin = f"htn_{i}", f"{z!r} * sqrt(n * (1.0 - pavg_{i})) / pavg_{i}"
+        margin = f"CASE WHEN n >= 2 THEN {margin} ELSE 0.0 END"
+        margin = f"CASE WHEN ({margin}) > 0 THEN greatest(round({margin}, 0), 1.0) ELSE 0.0 END"
+        name = a.name()
+        r = round_spec.get(name)
+        def rr(e, r=r):
+            return f"round({e}, {r})" if r is not None else e
+        sel += [
+            f"{rr(est)} AS {name}",
+            f"{rr(f'({est}) - ({margin})')} AS {name}_lo",
+            f"{rr(f'({est}) + ({margin})')} AS {name}_hi",
+        ]
+    sel.append("CAST(n AS BIGINT) AS n_samples")
+    tail = f" ORDER BY {group_by}" if group_by else ""
+    return f"SELECT {', '.join(sel)} FROM ({base}) __m{tail}"

@@ -487,6 +487,54 @@ _approx_query(
     "AND l_shipdate < TIMESTAMP '1997-01-01' "
     "AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24",
 )
+# The whole Q1-style block — three measures with CIs — from ONE 10%
+# sampled pass (multi-measure moments in a single HashAggregate).
+def _approx_q1_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.plans.estimators import approx_multi_aggregate
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    sampled = apply_sampling(cat.table("lineitem"), spec)
+    rdf = approx_multi_aggregate(
+        sampled,
+        [
+            AggSpec("sum", "l_quantity", alias="sum_qty"),
+            AggSpec("sum", "l_extendedprice * (1 - l_discount)", alias="sum_disc_price"),
+            AggSpec("avg", "l_quantity", alias="avg_qty"),
+        ],
+        group_by=["l_returnflag"],
+    )
+    return _round_cols(
+        rdf,
+        {
+            "sum_qty": 2, "sum_qty_lo": 2, "sum_qty_hi": 2,
+            "sum_disc_price": 3, "sum_disc_price_lo": 3, "sum_disc_price_hi": 3,
+            "avg_qty": 4, "avg_qty_lo": 4, "avg_qty_hi": 4,
+        },
+    )
+
+
+def _approx_q1_oracle() -> str:
+    from approximatequeryengine_spark.plans.estimators import multi_moments_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return multi_moments_sql(
+        "lineitem",
+        [
+            AggSpec("sum", "l_quantity", alias="sum_qty"),
+            AggSpec("sum", "l_extendedprice * (1 - l_discount)", alias="sum_disc_price"),
+            AggSpec("avg", "l_quantity", alias="avg_qty"),
+        ],
+        where=sampling_where_sql(spec),
+        p_sql=sampling_p_sql(spec),
+        group_by="l_returnflag",
+        round_spec={"sum_qty": 2, "sum_disc_price": 3, "avg_qty": 4},
+    )
+
+
+_register("approx_q1_block_uniform10", _approx_q1_fn, _approx_q1_oracle())
+
+
 # Systematic (stride) sampling — realized-probability scaling (quirk Q2 fix):
 # nominal 15% → step 7 → scale ×7, not ×6.67.
 _approx_query(

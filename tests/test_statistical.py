@@ -389,3 +389,30 @@ def test_ratio_ci_covers_true_rate(spark):
     for g, (r, lo, hi) in est.items():
         assert lo <= truth[g] <= hi, (g, lo, truth[g], hi)
         assert abs(r - truth[g]) / truth[g] < 0.05
+
+
+def test_multi_measure_block_cis_cover(spark):
+    """Every measure in the one-pass Q1-style block must have its CI
+    cover the corresponding exact per-group value."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = {r["l_returnflag"]: r for r in QUERIES[
+        "approx_q1_block_uniform10"
+    ](spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    truth = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.expr("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+        )
+        .collect()
+    }
+    assert set(est) == set(truth) and len(est) >= 3
+    for g, e in est.items():
+        t = truth[g]
+        for m in ("sum_qty", "sum_disc_price", "avg_qty"):
+            assert e[f"{m}_lo"] <= t[m] <= e[f"{m}_hi"], (g, m, e[f"{m}_lo"], t[m], e[f"{m}_hi"])
