@@ -30,6 +30,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "join_revenue_by_nation",
     "approx_sum_uniform10",
+    "approx_q1_block_uniform10",
     "approx_groupby_sum_ci20",
     "approx_sum_systematic15",
     "approx_sum_stratified",
