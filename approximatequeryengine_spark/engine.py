@@ -147,7 +147,7 @@ class AQEngine:
                 z=z,
             )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
-            res = self._finalize(rdf, agg, spec, method, fraction, t0)
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("bootstrap"):
             from approximatequeryengine_spark.plans.bootstrap import (
                 bootstrap_grouped_sum_ci,
@@ -166,7 +166,7 @@ class AQEngine:
             else:
                 rdf = bootstrap_sum_ci(self._base_df(spec), spec.column, s_spec, z=z)
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
-            res = self._finalize(rdf, agg, spec, method, fraction, t0)
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("adaptive") and not spec.group_by:
             res = adaptive_aggregate(
                 self._base_df(spec),
@@ -175,6 +175,7 @@ class AQEngine:
                 error_pct=error_pct or 5.0,
                 confidence=confidence,
                 validators=minfo.get("validators", 0),
+                z=z,
             )
             res.method = method
         else:
@@ -183,8 +184,12 @@ class AQEngine:
                 sampled, agg, group_by=[spec.group_by] if spec.group_by else None,
                 z=z, with_ci=with_ci,
             )
-            res = self._finalize(rdf, agg, spec, method, fraction, t0)
-        res.confidence_level = confidence
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
+        # Cap, never overwrite: the adaptive path's V4 validation
+        # confidence (max(0, 1−cv)) and the small-sample heuristic
+        # downgrade must survive — a DRIFTING result reporting the full
+        # requested level would silently disable the V4/V5 semantics.
+        res.confidence_level = min(confidence, res.confidence_level)
 
         if compare:
             exact = self._run_exact(spec, time.time())
@@ -265,7 +270,11 @@ class AQEngine:
             row = rdf.collect()[0]
             res.value = float(row[agg.name()]) if row[agg.name()] is not None else None
             res.samples_used = int(row["n_samples"])
-            if "ci_lower" in rdf.columns and res.value is not None:
+            if (
+                "ci_lower" in rdf.columns
+                and res.value is not None
+                and row["ci_lower"] is not None
+            ):
                 res.ci_lower = float(row["ci_lower"])
                 res.ci_upper = float(row["ci_upper"])
                 res.error_margin = (res.ci_upper - res.ci_lower) / 2.0

@@ -144,7 +144,7 @@ def video_frame_sample_sql() -> str:
 SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
        count(DISTINCT doc_id) AS n_videos,
        count(*) AS n_frames,
-       sum(('0x' || substring(md5(text || CAST(g AS VARCHAR)), 1, 8))::BIGINT) AS sig_sum
+       CAST(sum(('0x' || substring(md5(text || CAST(g AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS sig_sum
 FROM (SELECT doc_id, text,
              unnest(generate_series(0, octet_length(encode(text)) % 5)) AS g
       FROM documents) frames
@@ -156,9 +156,9 @@ def blob_feature_stats_sql() -> str:
     return """
 SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
        count(*) AS n_blobs,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes,
-       sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS checksum_sum
+       CAST(sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum_sum
 FROM documents GROUP BY 1
 """
 

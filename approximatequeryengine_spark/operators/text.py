@@ -205,7 +205,11 @@ def token_stats_sql() -> str:
     ws = f"len({ws_tokens_sql('text')})"
     bpe = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
     return (
-        f"SELECT sum(ws) AS total_ws_tokens, sum(bpe) AS total_bpe_tokens, "
+        # DuckDB types sum(integer) as HUGEINT (int128), which its Arrow
+        # fetch surfaces as float64 while Spark's side is LongType — the
+        # driver's value hash distinguishes 1.0 from 1, so cast to BIGINT.
+        f"SELECT CAST(sum(ws) AS BIGINT) AS total_ws_tokens, "
+        f"CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens, "
         f"max(ws) AS max_ws_tokens, round(avg(ws), 6) AS avg_ws_tokens "
         f"FROM (SELECT {ws} AS ws, {bpe} AS bpe FROM documents) __t"
     )
@@ -362,8 +366,8 @@ def corpus_clean_pipeline_sql() -> str:
         "         min_by(n_tokens, doc_id) AS n_tokens, count(*) AS group_size "
         "  FROM enriched GROUP BY fp) "
         "SELECT count(*) AS n_docs_kept, "
-        "       sum(group_size) - count(*) AS n_dups_removed, "
-        "       sum(n_tokens) AS total_tokens_kept, "
+        "       CAST(sum(group_size) - count(*) AS BIGINT) AS n_dups_removed, "
+        "       CAST(sum(n_tokens) AS BIGINT) AS total_tokens_kept, "
         "       round(avg(score), 6) AS avg_quality_kept FROM kept"
     )
 
@@ -435,6 +439,6 @@ hashed AS (SELECT d.doc_id, d.lang, d.n_chars, {steps}
 kept AS (SELECT h.lang, h.n_chars, c.n_lang
          FROM hashed h JOIN counts c ON h.lang = c.lang
          WHERE {u} < CAST((SELECT min_n FROM mn) AS DOUBLE) / CAST(c.n_lang AS DOUBLE))
-SELECT lang, count(*) AS n_kept, max(n_lang) AS n_before, sum(n_chars) AS chars_kept
+SELECT lang, count(*) AS n_kept, max(n_lang) AS n_before, CAST(sum(n_chars) AS BIGINT) AS chars_kept
 FROM kept GROUP BY lang ORDER BY lang
 """

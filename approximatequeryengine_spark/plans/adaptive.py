@@ -30,7 +30,7 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame
 
-from approximatequeryengine_spark.plans.estimators import AggSpec, approx_aggregate
+from approximatequeryengine_spark.plans.estimators import Z_95, AggSpec, approx_aggregate
 from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
 from approximatequeryengine_spark.result import (
     ApproximationStatus,
@@ -61,6 +61,7 @@ def adaptive_aggregate(
     min_samples: int = 50,
     validators: int = 0,
     validator_fraction: float = 0.02,
+    z: float = Z_95,
 ) -> ApproxResult:
     """Escalate ``spec.fraction`` until the realized CI half-width is
     within ``error_pct`` percent of the estimate (global aggregates
@@ -77,7 +78,7 @@ def adaptive_aggregate(
     while True:
         iterations += 1
         cur = replace(spec, fraction=fraction)
-        result_df = approx_aggregate(apply_sampling(df, cur), agg)
+        result_df = approx_aggregate(apply_sampling(df, cur), agg, z=z)
         row = result_df.collect()[0]
         est = row[agg.name()]
         n = row["n_samples"]
@@ -99,7 +100,7 @@ def adaptive_aggregate(
         vals = []
         for i in range(validators):
             vspec = replace(spec, fraction=validator_fraction, salt=spec.salt + 17 + i)
-            vrow = approx_aggregate(apply_sampling(df, vspec), agg).collect()[0]
+            vrow = approx_aggregate(apply_sampling(df, vspec), agg, z=z).collect()[0]
             if vrow[agg.name()] is not None:
                 vals.append(float(vrow[agg.name()]))
         if vals:

@@ -53,7 +53,7 @@ def chao1_sql(
         f"freq AS (SELECT {g_key}{column}, count(*) AS c FROM s "
         f"         GROUP BY {g_key}{column}) "
         f"SELECT {g_head}count(*) AS d_obs, "
-        f"{f1} AS f1, {f2} AS f2, "
+        f"CAST({f1} AS BIGINT) AS f1, CAST({f2} AS BIGINT) AS f2, "
         f"round(CAST(count(*) + {chao} AS DOUBLE), 2) AS d_chao1 "
         f"FROM freq{g_tail}"
     )

@@ -52,26 +52,39 @@ class AggSpec:
 
 
 def _ci_columns(
-    est: Column, margin: Column, n: Column, name: str, min_n: int = 2
+    est: Column,
+    margin: Column,
+    n: Column,
+    name: str,
+    min_n: int = 2,
+    integer_margin: bool = True,
 ) -> list[Column]:
     """est / ci_lower / ci_upper with the reference's n<2 fallback: too
     few sampled rows → CI collapses to the point estimate
     (``executor.cpp:255-277``).
 
-    The margin is rounded to an INTEGER before forming the bounds (both
-    engines, see ``moments_sql``): ``z·sd`` carries engine-dependent
-    float-summation noise (~1e-4 absolute at sf0.1), and ``est − z·sd``
-    is not on any decimal grid, so rounding the *bound* to k decimals
-    lands within noise of an x.5 boundary with probability ~noise/10⁻ᵏ
-    — a real oracle mismatch observed at sf0.1. An integer margin keeps
-    the bounds on est's decimal grid (boundary-safe) and widens/narrows
-    the CI by <1 unit against margins of ~10⁶⁺."""
+    For SUM/COUNT the margin is rounded to an INTEGER before forming
+    the bounds (both engines, see ``moments_sql``): ``z·sd`` carries
+    engine-dependent float-summation noise (~1e-4 absolute at sf0.1),
+    and ``est − z·sd`` is not on any decimal grid, so rounding the
+    *bound* to k decimals lands within noise of an x.5 boundary with
+    probability ~noise/10⁻ᵏ — a real oracle mismatch observed at sf0.1.
+    An integer margin keeps the bounds on est's decimal grid
+    (boundary-safe) and widens/narrows the CI by <1 unit against
+    margins of ~10⁶⁺. AVG margins are O(0.01–1), where an integer
+    floor would force every CI to at least ±1 (10×+ wider than z·se)
+    and make different z levels indistinguishable — and an AVG
+    estimate is a *quotient*, never on a decimal grid, so bound
+    rounding is boundary-safe without any margin rounding (the same
+    argument ``ratio_estimate_ci`` documents). Callers pass
+    ``integer_margin=False`` for AVG-class measures."""
     ok = n >= F.lit(min_n)
     margin = F.when(ok, margin).otherwise(F.lit(0.0))
-    # Floor at 1 so a sub-0.5 margin can't round to a collapsed CI.
-    margin = F.when(
-        margin > 0, F.greatest(F.round(margin, 0), F.lit(1.0))
-    ).otherwise(F.lit(0.0))
+    if integer_margin:
+        # Floor at 1 so a sub-0.5 margin can't round to a collapsed CI.
+        margin = F.when(
+            margin > 0, F.greatest(F.round(margin, 0), F.lit(1.0))
+        ).otherwise(F.lit(0.0))
     return [
         est.alias(name),
         (est - margin).alias("ci_lower"),
@@ -109,6 +122,7 @@ def approx_aggregate(
         # estimator of Σ(x/p) under independent per-row inclusion.
         F.sum(x * x * (F.lit(1.0) - p) / (p * p)).alias("__vht"),
         F.avg(p).alias("__p_avg"),
+        F.min(p).alias("__p_min"),
         F.min(x).alias("__min"),
         F.max(x).alias("__max"),
     ]
@@ -138,18 +152,31 @@ def approx_aggregate(
         est = F.col("__ht_n")
         pbar = F.col("__p_avg")
         margin = F.lit(z) * F.sqrt(n * (F.lit(1.0) - pbar)) / pbar
-    elif func == "min":
-        est = F.col("__min")
-        margin = F.lit(0.0)
-    elif func == "max":
-        est = F.col("__max")
-        margin = F.lit(0.0)
+    elif func in ("min", "max"):
+        # A sampled extremum is biased toward the interior; no CLT CI
+        # exists for it. Over the FULL data (design 'none', every
+        # __p == 1) the value is exact → zero-width CI is honest;
+        # over a real sample emit NULL bounds instead of false
+        # certainty (mirrors approx_multi_aggregate's rejection).
+        est = F.col("__min") if func == "min" else F.col("__max")
+        exact = F.col("__p_min") >= F.lit(1.0)
+        cols: list[Column] = [F.col(c) for c in group_by]
+        if with_ci:
+            cols += [
+                est.alias(agg.name()),
+                F.when(exact, est).otherwise(F.lit(None)).alias("ci_lower"),
+                F.when(exact, est).otherwise(F.lit(None)).alias("ci_upper"),
+            ]
+        else:
+            cols.append(est.alias(agg.name()))
+        cols.append(n.cast("long").alias("n_samples"))
+        return m.select(*cols)
     else:
         raise ValueError(f"unsupported aggregate {agg.func!r}")
 
-    cols: list[Column] = [F.col(c) for c in group_by]
+    cols = [F.col(c) for c in group_by]
     if with_ci:
-        cols += _ci_columns(est, margin, n, agg.name())
+        cols += _ci_columns(est, margin, n, agg.name(), integer_margin=func != "avg")
     else:
         cols.append(est.alias(agg.name()))
     cols.append(n.cast("long").alias("n_samples"))
@@ -197,9 +224,11 @@ def moments_sql(
         margin = f"{z} * sqrt(n * (1.0 - pavg)) / pavg"
     else:
         raise ValueError(f"unsupported oracle aggregate {agg!r}")
-    # Integer margin — see _ci_columns for the boundary-noise rationale.
+    # Integer margin for SUM/COUNT; AVG margins stay unrounded — see
+    # _ci_columns for the boundary-noise rationale.
     margin = f"CASE WHEN n >= 2 THEN {margin} ELSE 0.0 END"
-    margin = f"CASE WHEN ({margin}) > 0 THEN greatest(round({margin}, 0), 1.0) ELSE 0.0 END"
+    if a != "avg":
+        margin = f"CASE WHEN ({margin}) > 0 THEN greatest(round({margin}, 0), 1.0) ELSE 0.0 END"
 
     def r(expr: str) -> str:
         return f"round({expr}, {round_to})" if round_to is not None else expr
@@ -352,7 +381,7 @@ def approx_multi_aggregate(
             est = F.col(f"__htn_{i}")
             pb = F.col(f"__pavg_{i}")
             margin = F.lit(z) * F.sqrt(n * (F.lit(1.0) - pb)) / pb
-        cols += _ci_columns(est, margin, n, a.name())
+        cols += _ci_columns(est, margin, n, a.name(), integer_margin=f != "avg")
         # _ci_columns names bounds ci_lower/ci_upper; rename per-measure.
         lo, hi = cols[-2], cols[-1]
         cols[-2] = lo.alias(f"{a.name()}_lo")
@@ -403,7 +432,8 @@ def multi_moments_sql(
         else:
             est, margin = f"htn_{i}", f"{z!r} * sqrt(n * (1.0 - pavg_{i})) / pavg_{i}"
         margin = f"CASE WHEN n >= 2 THEN {margin} ELSE 0.0 END"
-        margin = f"CASE WHEN ({margin}) > 0 THEN greatest(round({margin}, 0), 1.0) ELSE 0.0 END"
+        if f_ != "avg":
+            margin = f"CASE WHEN ({margin}) > 0 THEN greatest(round({margin}, 0), 1.0) ELSE 0.0 END"
         name = a.name()
         r = round_spec.get(name)
         def rr(e, r=r):

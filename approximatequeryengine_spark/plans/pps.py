@@ -119,7 +119,7 @@ s AS (SELECT x, pi FROM withp WHERE u < pi),
 agg AS (SELECT sum(x / pi) AS ht,
                sum(x * x * (1.0 - pi) / (pi * pi)) AS vht,
                count(*) AS n_samples,
-               sum(CASE WHEN pi >= 1.0 THEN 1 ELSE 0 END) AS n_certain
+               CAST(sum(CASE WHEN pi >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_certain
         FROM s)
 SELECT round(ht, {round_to}) AS estimate,
        round(ht - round({z!r} * sqrt(greatest(vht, 0.0)), 0), {round_to}) AS ci_lower,

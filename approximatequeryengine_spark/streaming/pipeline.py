@@ -134,7 +134,7 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def session_windows_sql() -> str:
     return """
-SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id, CASE WHEN ts - lag(ts) OVER
     (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
     THEN 1 ELSE 0 END AS new_s FROM events) t
@@ -179,6 +179,6 @@ def corpus_dedup_sql() -> str:
     return """
 WITH d AS (SELECT lang, md5(text) AS fp, min(n_chars) AS n_chars
            FROM documents GROUP BY lang, md5(text))
-SELECT lang, count(*) AS n_unique_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_unique_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM d GROUP BY lang ORDER BY lang
 """

@@ -57,14 +57,12 @@ def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events stream with ``ts`` restored to TimestampType (the
-    TIMESTAMP(NANOS) fixture reads as epoch-ns longs — see catalog.py)."""
-    stream = table_stream(spark, sf_dir, "events")
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    """Events stream with ``ts`` restored to TimestampType (watermarks
+    reject TIMESTAMP_NTZ; the fixture encoding varies — see
+    catalog.normalize_ts)."""
+    from approximatequeryengine_spark.catalog import normalize_ts
+
+    return normalize_ts(table_stream(spark, sf_dir, "events"), ["ts"])
 
 
 def run_to_memory_sink(df: DataFrame, output_mode: str) -> DataFrame:

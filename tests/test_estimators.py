@@ -106,6 +106,34 @@ def test_n_lt_2_fallback(engine):
             assert r["ci_lower"] == r["ci_upper"] == r["sum_l_extendedprice"]
 
 
+def test_sampled_minmax_ci_is_null(engine):
+    """A sampled extremum is biased toward the interior — a zero-width
+    CI around it would claim false certainty, so the bounds must be
+    NULL over a real sample and exact (zero-width) only over the full
+    data (ADVICE round 1)."""
+    row = _estimate(
+        engine, AggSpec("max", "l_extendedprice"), SamplingSpec(fraction=0.1, key=KEY)
+    ).collect()[0]
+    assert row["max_l_extendedprice"] is not None
+    assert row["ci_lower"] is None and row["ci_upper"] is None
+    full = _estimate(
+        engine, AggSpec("min", "l_extendedprice"), SamplingSpec(design="none")
+    ).collect()[0]
+    assert full["ci_lower"] == full["ci_upper"] == full["min_l_extendedprice"]
+
+
+def test_avg_margin_not_integer_floored(engine):
+    """AVG margins are O(0.01–1); the SUM/COUNT integer-margin rounding
+    must NOT apply (it forced every AVG CI to ≥ ±1 and made different z
+    levels indistinguishable — ADVICE round 1). l_discount's mean is
+    ~0.05, so a correct z·se margin is far below 1."""
+    row = _estimate(
+        engine, AggSpec("avg", "l_discount"), SamplingSpec(fraction=0.2, key=KEY)
+    ).collect()[0]
+    margin = (row["ci_upper"] - row["ci_lower"]) / 2.0
+    assert 0.0 < margin < 0.1
+
+
 def test_count_estimator(engine, duck):
     total = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
     spec = SamplingSpec(fraction=0.2, key=KEY)

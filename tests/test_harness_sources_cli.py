@@ -175,6 +175,42 @@ def test_format_roundtrip_all_readers(spark, tmp_path):
         assert got == want, fmt
 
 
+def test_register_external_source_runs_through_engine(spark, tmp_path):
+    """Reference S1 parity: an arbitrary non-fixture database/path can
+    be mounted into the catalog and queried — exact SQL through the
+    temp view AND the APPROX dialect with deterministic sampling on the
+    registered key (``core/db.cpp:33-46`` opens any SQLite file; here
+    any readable path)."""
+    from approximatequeryengine_spark import AQEngine
+
+    ext = str(tmp_path / "external_sales")
+    spark.range(0, 1000).selectExpr(
+        "id AS sale_id", "CAST(id % 7 AS DOUBLE) * 10.0 AS amount"
+    ).write.parquet(ext)
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog.register_path("ext_sales", ext, fmt="parquet", key="sale_id")
+    assert "ext_sales" in eng.catalog.table_names()
+
+    exact = eng.run("SELECT sum(amount) AS s FROM ext_sales")
+    truth = sum((i % 7) * 10.0 for i in range(1000))
+    assert exact.df.collect()[0]["s"] == truth
+
+    approx = eng.run("SELECT APPROX(SUM(amount)) FROM ext_sales", sample_pct=20)
+    assert approx.value == pytest.approx(truth, rel=0.25)
+    assert approx.ci_lower <= approx.value <= approx.ci_upper
+
+    # csv path with reader options works through the same entry point
+    csv = str(tmp_path / "external_csv")
+    spark.range(0, 50).selectExpr("id", "id * 2 AS v").write.option(
+        "header", "true"
+    ).csv(csv)
+    eng.catalog.register_path(
+        "ext_csv", csv, fmt="csv", key="id", header="true", inferSchema="true"
+    )
+    assert eng.run("SELECT count(*) AS n FROM ext_csv").df.collect()[0]["n"] == 50
+
+
 def test_cli_explain_lists_new_methods(capsys):
     from approximatequeryengine_spark.cli import print_methods
 

@@ -79,6 +79,46 @@ def test_ngram_jaccard_blocked_pairs(spark, synth_docs):
     assert (1, 3) not in pairs
 
 
+def test_ngram_blocking_lossless_on_fixture(spark, engine):
+    """The size-class blocked n-gram Jaccard must equal the full
+    within-source quadratic bit-for-bit (the blocking is provably
+    lossless for τ > 0.5), and the blocks must subdivide sources."""
+    docs = engine.catalog.table("documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, docs, threshold=0.55).collect()
+    }
+    grams = docs.select(
+        F.col("source"), F.col("doc_id"), dedup._char_ngrams(F.col("text"), 4).alias("g")
+    )
+    brute = (
+        grams.alias("a")
+        .join(grams.alias("b"), on="source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+                / F.size(F.array_union(F.col("a.g"), F.col("b.g"))).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.55)
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6) for r in brute.collect()
+    }
+    assert got == want
+    # block sizes: (source, size-class) strictly subdivides (source)
+    sized = grams.withColumn("blen", F.length(F.bin(F.greatest(F.size("g"), F.lit(1)))))
+    per_block = sized.groupBy("source", "blen").count().agg(F.max("count")).collect()[0][0]
+    per_source = sized.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    assert per_block < per_source
+    # loose thresholds must be rejected (blocking soundness boundary)
+    with pytest.raises(ValueError, match="0.5"):
+        dedup.ngram_jaccard_pairs(spark, docs, threshold=0.49)
+
+
 def test_lang_id(spark, synth_docs):
     preds = {
         r["doc_id"]: r["p"]
@@ -134,27 +174,97 @@ def test_embedding_neardup_blocked(spark, synth_emb):
 
 
 def test_lsh_bucket_invariants_on_fixture(spark, engine):
-    """LSH candidates must share the query's signature, and their cosine
-    must agree with the brute-force scan for the same pair (with random
-    64-dim fixture vectors, rank-1 recall of an 8-bit signature is near
-    zero by design — the invariant worth testing is bucket correctness,
-    not recall)."""
+    """Multi-table LSH candidates must share ≥1 table key with the
+    query, and their cosine must agree with the brute-force scan for
+    the same pair."""
     emb = engine.catalog.table("embeddings")
+    keys = similarity.lsh_band_keys_col(
+        F.transform(F.col("embedding"), lambda v: v.cast("double")),
+        similarity.ANN_TABLES,
+        similarity.ANN_BITS,
+    )
     sigs = {
-        r["vec_id"]: r["sig"]
+        r["vec_id"]: [r[f"k{t}"] for t in range(similarity.ANN_TABLES)]
         for r in emb.select(
-            "vec_id", similarity.lsh_signature_col(F.col("embedding")).alias("sig")
+            "vec_id", *[k.alias(f"k{t}") for t, k in enumerate(keys)]
         ).collect()
     }
     lsh = similarity.ann_lsh_topk(spark, emb, n_queries=5, k=3).collect()
-    assert lsh, "expected at least one bucket collision on 500 vectors"
+    assert lsh, "expected bucket collisions on 500 vectors"
     bf_all = {
         (r["query_id"], r["neighbor_id"]): r["cos_sim"]
         for r in similarity.ann_bruteforce_topk(spark, emb, n_queries=5, k=10**6).collect()
     }
     for r in lsh:
-        assert sigs[r["query_id"]] == sigs[r["neighbor_id"]]
+        shared = sum(
+            a == b for a, b in zip(sigs[r["query_id"]], sigs[r["neighbor_id"]])
+        )
+        assert shared >= 1
         assert r["cos_sim"] == pytest.approx(bf_all[(r["query_id"], r["neighbor_id"])], abs=1e-9)
+
+
+def test_ann_lsh_recall_on_fixture(spark, engine):
+    """Multi-table banded LSH (16×4 default) must recall ≥0.9 of the
+    brute-force top-3 for the 5 fixture queries — the round-1 review's
+    acceptance bar for the widened signature scheme."""
+    emb = engine.catalog.table("embeddings")
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_bruteforce_topk(spark, emb, n_queries=5, k=3).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(spark, emb, n_queries=5, k=3).collect()
+    }
+    assert len(bf & lsh) / len(bf) >= 0.9
+
+
+def test_neardup_blocks_bounded_and_verified(spark, engine):
+    """Banded-LSH near-dup blocking must (a) subdivide every label
+    stratum (max bucket ≪ max stratum) and (b) return only
+    cosine-verified pairs that the full quadratic would also emit."""
+    emb = engine.catalog.table("embeddings")
+    keys = similarity.lsh_band_keys_col(
+        F.transform(F.col("embedding"), lambda v: v.cast("double")),
+        similarity.NEARDUP_BANDS,
+        similarity.NEARDUP_BITS,
+    )
+    buckets = (
+        emb.select(F.col("label"), *[k.alias(f"k{t}") for t, k in enumerate(keys)])
+        .groupBy("label", "k0")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    stratum = (
+        emb.groupBy("label").count().agg(F.max("count").alias("mx")).collect()[0]["mx"]
+    )
+    assert buckets < stratum  # blocking subdivides the label stratum
+    got = similarity.embedding_neardup_pairs(spark, emb, threshold=0.35).collect()
+    assert got, "τ=0.35 must stay non-vacuous on the fixture"
+    # every emitted pair is genuine (verification is exact)
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in spark.createDataFrame(got).collect()
+    }
+    base = emb.select("label", "vec_id", F.col("embedding"))
+    brute = (
+        base.alias("a")
+        .join(base.alias("b"), on="label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            similarity.cosine_sim(
+                F.transform(F.col("a.embedding"), lambda v: v.cast("double")),
+                F.transform(F.col("b.embedding"), lambda v: v.cast("double")),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+    brute_pairs = {(r["vec_a"], r["vec_b"]) for r in brute.collect()}
+    assert full <= brute_pairs  # no false positives
+    assert len(full) / len(brute_pairs) >= 0.5  # candidate recall sanity
 
 
 def test_frame_sample_counts(spark, synth_docs):

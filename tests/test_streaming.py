@@ -155,9 +155,9 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         r["event_type"]: r["n_unique"]
         for r in dedup_events_stream(spark, sf).collect()
     }
-    events = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from approximatequeryengine_spark.catalog import normalize_ts
+
+    events = normalize_ts(spark.read.parquet(f"{sf}/events.parquet"), ["ts"])
     want = {
         r["event_type"]: r["n"]
         for r in events.groupBy("event_type")
@@ -211,9 +211,9 @@ def test_streaming_session_windows_match_batch(spark):
         r["user_id"]: (r["n_sessions"], r["n_events"])
         for r in session_windows_stream(spark, sf).collect()
     }
-    events = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from approximatequeryengine_spark.catalog import normalize_ts
+
+    events = normalize_ts(spark.read.parquet(f"{sf}/events.parquet"), ["ts"])
     events.createOrReplaceTempView("ev_batch")
     want = {
         r["user_id"]: (r["n_sessions"], r["n_events"])

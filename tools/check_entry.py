@@ -63,12 +63,36 @@ def main() -> int:
                 print(f"  {name}: rows-only check, {len(srows)} rows OK")
                 continue
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
+            # Fetch via Arrow: DuckDB's Python fetchall() coerces HUGEINT
+            # (sum over any integer type) to int, hiding a type mismatch
+            # the driver's hasher DOES see (its pandas fetch turns
+            # HUGEINT into float64 — 1.0 vs 1). Compare type classes.
+            atbl = res.fetch_arrow_table()
+            dcols = atbl.column_names
             idx = [dcols.index(c) for c in cols] if sorted(dcols) == cols else None
             if idx is None:
                 failures.append((name, f"columns {sorted(dcols)} != {cols}"))
                 continue
-            drows = sorted((tuple(r[i] for i in idx) for r in res.fetchall()), key=_key)
+            stypes = dict(sdf.dtypes)
+            tbad = None
+            for c in cols:
+                dt = str(atbl.schema.field(c).type)
+                st = stypes[c]
+                d_int = dt.startswith(("int", "uint"))
+                d_float = dt in ("float", "double", "halffloat") or dt.startswith("decimal")
+                s_int = st in ("tinyint", "smallint", "int", "bigint")
+                s_float = st in ("float", "double")
+                if "decimal" in dt and s_int:
+                    tbad = f"{c}: oracle {dt} (HUGEINT?) vs spark {st} — CAST the oracle"
+                    break
+                if (d_int and s_float) or (d_float and s_int):
+                    tbad = f"{c}: oracle {dt} vs spark {st}"
+                    break
+            if tbad:
+                failures.append((name, f"dtype mismatch {tbad}"))
+                continue
+            draw = [tuple(r.values()) for r in atbl.select(cols).to_pylist()]
+            drows = sorted(draw, key=_key)
             if len(srows) != len(drows):
                 failures.append((name, f"rowcount spark={len(srows)} duck={len(drows)}"))
                 continue
