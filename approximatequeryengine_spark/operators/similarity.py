@@ -110,12 +110,23 @@ def _hyperplane_sign(bit: int, dim: int) -> int:
 
 
 def _hyperplane_bit_col(vec: Column, bit: int) -> Column:
-    """Sign bit of hyperplane ``bit``'s projection (0/1 as long)."""
+    """Sign bit of hyperplane ``bit``'s projection (0/1 as long).
+
+    The sign array is sliced to the vector's length: the projection
+    runs over the first ``min(len, DIM)`` dimensions in both engines
+    (DuckDB's rendering already truncates via ``range(1, len+1)``;
+    an unsliced zip_with would null-pad short vectors and zero out
+    every bit)."""
     signs = [_hyperplane_sign(bit, d) for d in range(DIM)]
+    sign_arr = F.slice(
+        F.array(*[F.lit(s).cast("double") for s in signs]),
+        F.lit(1),
+        F.least(F.size(vec), F.lit(DIM)),
+    )
     proj = F.aggregate(
         F.zip_with(
-            vec,
-            F.array(*[F.lit(s).cast("double") for s in signs]),
+            F.slice(vec, F.lit(1), F.least(F.size(vec), F.lit(DIM))),
+            sign_arr,
             lambda v, s: v.cast("double") * s,
         ),
         F.lit(0.0),
@@ -127,7 +138,7 @@ def _hyperplane_bit_col(vec: Column, bit: int) -> Column:
 def _hyperplane_bit_sql(vec: str, bit: int) -> str:
     signs = ", ".join(f"{_hyperplane_sign(bit, d)}.0" for d in range(DIM))
     proj = (
-        f"list_sum(list_transform(range(1, len({vec}) + 1), "
+        f"list_sum(list_transform(range(1, least(len({vec}), {DIM}) + 1), "
         f"i -> CAST({vec}[i] AS DOUBLE) * ([{signs}])[i]))"
     )
     return f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END)"
@@ -172,6 +183,80 @@ def lsh_band_keys_sql(vec: str, n_bands: int, bits_per_band: int) -> list[str]:
     return keys
 
 
+def lsh_band_keys_arrow(
+    emb: DataFrame,
+    n_bands: int,
+    bits_per_band: int,
+    carry: tuple[str, ...] = (),
+    carry_schema: str = "",
+) -> DataFrame:
+    """Arrow fast path for the band keys: Catalyst evaluates the
+    higher-order zip_with/aggregate projections *interpreted, per
+    element* — 64 hyperplane bits over 64-dim vectors measured ~20×
+    slower than brute-force cosine at sf0.1. This kernel computes the
+    identical bits with one vectorized accumulation per dimension.
+
+    Bit parity with the expression path (and hence the DuckDB oracle):
+    the accumulation loops over dimensions IN ORDER with a single
+    accumulator — the exact left-to-right float64 summation of the
+    fold / list_sum — so the ``proj > 0`` sign can never disagree (a
+    numpy matmul's pairwise summation could, at |proj| ≈ ulp).
+    Equivalence is pinned in ``test_band_keys_arrow_matches_expression``.
+
+    Returns ``[*carry, vec_id, v (double), keys (array<long>)]``."""
+    import numpy as np
+    import pandas as pd
+
+    nbits = n_bands * bits_per_band
+    signs = np.array(
+        [[_hyperplane_sign(b, d) for d in range(DIM)] for b in range(nbits)],
+        dtype=np.float64,
+    )
+    weights = 2 ** np.arange(bits_per_band, dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lens = pdf["embedding"].map(len)
+            for dim_val, sub in pdf.groupby(lens):
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in sub["embedding"]]
+                )
+                dim = min(int(dim_val), DIM)
+                acc = np.zeros((len(sub), nbits))
+                for d in range(dim):  # sequential: fold-order parity
+                    acc += x[:, d : d + 1] * signs[None, :, d]
+                bits = (acc > 0).astype(np.int64)
+                keys = np.stack(
+                    [
+                        bits[:, t * bits_per_band : (t + 1) * bits_per_band] @ weights
+                        for t in range(n_bands)
+                    ],
+                    axis=1,
+                )
+                data = {c: sub[c] for c in carry}
+                data["vec_id"] = sub["vec_id"]
+                data["v"] = list(x)
+                data["keys"] = list(keys)
+                yield pd.DataFrame(data)
+
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    prefix = f"{carry_schema}, " if carry_schema else ""
+    return (
+        emb.repartition(n_parts, "vec_id")
+        .select(*carry, "vec_id", "embedding")
+        .mapInPandas(
+            batches,
+            schema=f"{prefix}vec_id long, v array<double>, keys array<long>",
+        )
+        # Exchange barrier: downstream plans consume the signatures
+        # from the shuffle (ReusedExchange) instead of re-running the
+        # kernel per subtree (corpus + query branches).
+        .repartition(n_parts, "vec_id")
+    )
+
+
 ANN_TABLES = 16
 ANN_BITS = 4
 
@@ -183,6 +268,7 @@ def ann_lsh_topk(
     k: int = 3,
     n_tables: int = ANN_TABLES,
     bits_per_table: int = ANN_BITS,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k via **multi-table banded LSH**: ``n_tables``
     independent signatures of ``bits_per_table`` hyperplane bits each;
@@ -202,20 +288,31 @@ def ann_lsh_topk(
     partition key: each query probes T buckets, never the corpus.
 
     The tiny query set is broadcast; dedup of the union of bucket hits
-    happens before any cosine is computed."""
-    keys = lsh_band_keys_col(_vec_double(F.col("embedding")), n_tables, bits_per_table)
-    banded = emb.select(
-        F.col("vec_id"),
-        _vec_double(F.col("embedding")).alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), key.alias("key"))
-                    for t, key in enumerate(keys)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "v", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
+    happens before any cosine is computed. ``use_arrow`` (default)
+    computes the signatures in the vectorized kernel
+    (``lsh_band_keys_arrow``); the pure-expression path computes
+    identical bits and remains for equivalence testing."""
+    if use_arrow:
+        sigs = lsh_band_keys_arrow(emb, n_tables, bits_per_table)
+        banded = sigs.select(
+            "vec_id", "v", F.posexplode("keys").alias("tbl", "key")
+        )
+    else:
+        keys = lsh_band_keys_col(
+            _vec_double(F.col("embedding")), n_tables, bits_per_table
+        )
+        banded = emb.select(
+            F.col("vec_id"),
+            _vec_double(F.col("embedding")).alias("v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("tbl"), key.alias("key"))
+                        for t, key in enumerate(keys)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("vec_id", "v", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
     queries = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -347,6 +444,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_bands: int = NEARDUP_BANDS,
     bits_per_band: int = NEARDUP_BITS,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ τ): banded-LSH candidate
     generation + exact cosine verification inside buckets.
@@ -364,21 +462,30 @@ def embedding_neardup_pairs(
     band and ≈0.999 at the production τ=0.95. The DuckDB oracle mirrors
     the same bands bit-for-bit (hyperplane signs are the portable-hash
     family; dot products use identical left-to-right summation), so the
-    driver check certifies the full candidate+verify pipeline."""
-    keys = lsh_band_keys_col(_vec_double(F.col("embedding")), n_bands, bits_per_band)
-    base = emb.select(
-        "label",
-        "vec_id",
-        _vec_double(F.col("embedding")).alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("band"), k.alias("key"))
-                    for t, k in enumerate(keys)
-                ]
-            )
-        ).alias("bk"),
-    ).select("label", "vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    driver check certifies the full candidate+verify pipeline.
+    ``use_arrow`` (default) computes the signatures vectorized."""
+    if use_arrow:
+        sigs = lsh_band_keys_arrow(
+            emb, n_bands, bits_per_band, carry=("label",), carry_schema="label int"
+        )
+        base = sigs.select(
+            "label", "vec_id", "v", F.posexplode("keys").alias("band", "key")
+        )
+    else:
+        keys = lsh_band_keys_col(_vec_double(F.col("embedding")), n_bands, bits_per_band)
+        base = emb.select(
+            "label",
+            "vec_id",
+            _vec_double(F.col("embedding")).alias("v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("band"), k.alias("key"))
+                        for t, k in enumerate(keys)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("label", "vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     cand = (
         base.alias("a")
         .join(base.alias("b"), on=["label", "band", "key"])

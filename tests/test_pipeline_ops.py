@@ -203,6 +203,31 @@ def test_lsh_bucket_invariants_on_fixture(spark, engine):
         assert r["cos_sim"] == pytest.approx(bf_all[(r["query_id"], r["neighbor_id"])], abs=1e-9)
 
 
+def test_band_keys_arrow_matches_expression(spark, engine):
+    """The vectorized signature kernel must produce bit-identical band
+    keys to the expression path (sequential float64 accumulation —
+    same fold order, so the proj>0 sign can never differ)."""
+    emb = engine.catalog.table("embeddings").limit(200)
+    fast = {
+        r["vec_id"]: list(r["keys"])
+        for r in similarity.lsh_band_keys_arrow(
+            emb, similarity.ANN_TABLES, similarity.ANN_BITS
+        ).collect()
+    }
+    keys = similarity.lsh_band_keys_col(
+        F.transform(F.col("embedding"), lambda v: v.cast("double")),
+        similarity.ANN_TABLES,
+        similarity.ANN_BITS,
+    )
+    slow = {
+        r["vec_id"]: [r[f"k{t}"] for t in range(similarity.ANN_TABLES)]
+        for r in emb.select(
+            "vec_id", *[k.alias(f"k{t}") for t, k in enumerate(keys)]
+        ).collect()
+    }
+    assert fast == slow and fast
+
+
 def test_ann_lsh_recall_on_fixture(spark, engine):
     """Multi-table banded LSH (16×4 default) must recall ≥0.9 of the
     brute-force top-3 for the 5 fixture queries — the round-1 review's
