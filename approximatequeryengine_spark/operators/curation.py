@@ -1,0 +1,357 @@
+"""Corpus-curation operators for LLM training-data pipelines, beyond
+the dedup/quality/token layers in ``operators/text.py``:
+
+- **Sequence packing** — pack the token stream into fixed-capacity
+  training sequences (the GPT-style "pack then split every N tokens"
+  step). Sharded: the running-offset window runs PER SHARD, so the
+  cumulative sum parallelizes across shards instead of forcing a
+  global single-partition sort — the standard way packing scales to a
+  100 TB corpus.
+- **Contamination screening** — flag training documents sharing any
+  word-n-gram with a held-out evaluation set (the decontamination pass
+  every benchmark-honest pipeline runs). One shuffle: the eval
+  shingle-hash set is distinct-reduced (small) and hash-joined against
+  the exploded train shingles; Catalyst broadcasts the eval side.
+- **Repetition scoring** — distinct-token ratio and top-token
+  frequency per document (boilerplate / degenerate-repetition signal),
+  rolled up per language.
+- **PII scrubbing stats** — email / phone / digit-run occurrence
+  counts per source (the pre-redaction accounting pass). Patterns are
+  deliberately RE2-compatible so Spark (Java regex) and DuckDB (RE2)
+  agree.
+
+Every operator has an exact DuckDB oracle rendering; integer sums are
+CAST to BIGINT (DuckDB types sum(int) as HUGEINT — round-1 lesson).
+No reference counterpart (the reference is a single-table AQP engine,
+SURVEY.md §2); these extend the training-data-pipeline surface the
+brief asks for as first-class components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.functions.text import (
+    str_hash32_col,
+    str_hash32_sql,
+    word_shingles_col,
+    word_shingles_sql,
+    ws_tokens_col,
+    ws_tokens_sql,
+)
+from approximatequeryengine_spark.operators import ensure_parallelism
+
+# -- sequence packing -------------------------------------------------------
+
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+
+
+def pack_sequences(
+    spark: SparkSession,
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Greedy contiguous packing: within each shard (``doc_id %
+    n_shards``), documents are concatenated in doc_id order into one
+    token stream split every ``capacity`` tokens. Emits one row per
+    shard: document count, token total, number of full+partial
+    sequences, docs straddling a sequence boundary, and the fill ratio
+    of the packed stream.
+
+    The window runs ``PARTITION BY shard`` — cumulative offsets never
+    serialize globally, so shards scale out like any keyed aggregate."""
+    docs = ensure_parallelism(docs)
+    toks = F.size(ws_tokens_col(F.col("text")))
+    per_doc = docs.select(
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.col("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = per_doc.select(
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+        (F.sum("n_tokens").over(w)).alias("end"),
+    )
+    straddle = (
+        (F.col("n_tokens") > 0)
+        & (
+            F.floor(F.col("start") / capacity)
+            != F.floor((F.col("end") - 1) / capacity)
+        )
+    ).cast("long")
+    return (
+        offs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.max("end") / capacity).cast("long").alias("n_sequences"),
+            F.sum(straddle).alias("n_straddlers"),
+            F.round(
+                F.when(
+                    F.max("end") > 0,
+                    F.max("end") / (F.ceil(F.max("end") / capacity) * capacity),
+                ),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("shard")
+    )
+
+
+def pack_sequences_sql(
+    capacity: int = PACK_CAPACITY, n_shards: int = PACK_SHARDS
+) -> str:
+    toks = f"len({ws_tokens_sql('text')})"
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id % {n_shards} AS shard, doc_id,
+         CAST({toks} AS BIGINT) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT shard, n_tokens,
+         CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS "end"
+  FROM per_doc
+  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(CAST(max("end") AS DOUBLE) / {capacity}) AS BIGINT) AS n_sequences,
+       CAST(sum(CASE WHEN n_tokens > 0
+                 AND floor(CAST(start AS DOUBLE) / {capacity})
+                     != floor(CAST("end" - 1 AS DOUBLE) / {capacity})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       round(CASE WHEN max("end") > 0 THEN CAST(max("end") AS DOUBLE)
+             / (ceil(CAST(max("end") AS DOUBLE) / {capacity}) * {capacity}) END, 6)
+           AS fill_ratio
+FROM offs GROUP BY shard ORDER BY shard
+"""
+
+
+# -- contamination screening ------------------------------------------------
+
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 → held-out "benchmark" set
+CONTAM_NGRAM = 8
+
+
+def contamination_screen(
+    spark: SparkSession, docs: DataFrame, n: int = CONTAM_NGRAM
+) -> DataFrame:
+    """Decontamination accounting: a training document (``doc_id %
+    EVAL_MOD != 0``) is *contaminated* if it shares ≥1 word-``n``-gram
+    with any held-out document (``doc_id % EVAL_MOD == 0``). Emits per
+    source: train docs, contaminated docs, contamination rate.
+
+    Plan shape at scale: the eval shingle-hash set is distinct-reduced
+    (tiny vs the corpus) and broadcast; the train side explodes its
+    shingles and LEFT SEMI joins — one scan of each side, no pairwise
+    anything."""
+    docs = ensure_parallelism(docs)
+    toks = ws_tokens_col(F.col("text"))
+    sh = word_shingles_col(toks, n)
+    hashed = docs.select(
+        F.col("doc_id"),
+        F.col("source"),
+        F.explode(F.array_distinct(F.transform(sh, str_hash32_col))).alias("h"),
+    )
+    evald = (
+        hashed.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
+    )
+    train = hashed.filter(F.col("doc_id") % EVAL_MOD != 0)
+    contaminated = (
+        train.join(F.broadcast(evald), on="h", how="left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    totals = (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    )
+    hits = contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        totals.join(hits, on="source", how="left")
+        .select(
+            "source",
+            "n_train_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_train_docs"),
+                6,
+            ).alias("contam_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def contamination_screen_sql(n: int = CONTAM_NGRAM) -> str:
+    toks = ws_tokens_sql("text")
+    sh = word_shingles_sql("t", n)
+    return f"""
+WITH tok AS (SELECT doc_id, source, {toks} AS t FROM documents),
+hashed AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform({sh}, s -> {str_hash32_sql('s')}))) AS h
+  FROM tok
+),
+evald AS (SELECT DISTINCT h FROM hashed WHERE doc_id % {EVAL_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id, source FROM hashed
+  WHERE doc_id % {EVAL_MOD} != 0 AND h IN (SELECT h FROM evald)
+),
+totals AS (
+  SELECT source, count(*) AS n_train_docs FROM documents
+  WHERE doc_id % {EVAL_MOD} != 0 GROUP BY source
+),
+hits AS (
+  SELECT source, count(*) AS n_contaminated FROM contaminated GROUP BY source
+)
+SELECT t.source, t.n_train_docs,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_train_docs, 6)
+           AS contam_rate
+FROM totals t LEFT JOIN hits h ON t.source = h.source
+ORDER BY t.source
+"""
+
+
+# -- repetition / boilerplate scoring ---------------------------------------
+
+REPETITIVE_TOP_FREQ = 0.2
+
+
+def repetition_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-language repetition profile: average distinct-token ratio,
+    average top-token frequency ratio, and the count of documents whose
+    single most frequent token exceeds ``REPETITIVE_TOP_FREQ`` of all
+    tokens (degenerate/boilerplate text). Pure JVM array expressions —
+    per-doc cost is O(tokens · distinct), fine for document-sized
+    strings and embarrassingly parallel."""
+    docs = ensure_parallelism(docs)
+    toks = ws_tokens_col(F.col("text"))
+    per_doc = docs.select(F.col("lang"), toks.alias("t")).select(
+        "lang",
+        F.size("t").alias("n"),
+        F.size(F.array_distinct("t")).alias("nd"),
+        F.when(
+            F.size("t") > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct("t"),
+                    lambda d: F.size(F.filter(F.col("t"), lambda x: x == d)),
+                )
+            )
+            / F.size("t"),
+        ).alias("top_freq"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(
+                    F.when(F.col("n") > 0, F.col("nd") / F.col("n"))
+                ),
+                6,
+            ).alias("avg_distinct_ratio"),
+            F.round(F.avg("top_freq"), 6).alias("avg_top_freq"),
+            F.sum(
+                (F.col("top_freq") > REPETITIVE_TOP_FREQ).cast("long")
+            ).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+def repetition_stats_sql() -> str:
+    toks = ws_tokens_sql("text")
+    top = (
+        "list_max(list_transform(list_distinct(t), "
+        "d -> len(list_filter(t, x -> x = d))))"
+    )
+    return f"""
+WITH tok AS (SELECT lang, {toks} AS t FROM documents),
+per_doc AS (
+  SELECT lang, len(t) AS n, len(list_distinct(t)) AS nd,
+         CASE WHEN len(t) > 0
+              THEN CAST({top} AS DOUBLE) / len(t) END AS top_freq
+  FROM tok
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(CASE WHEN n > 0 THEN CAST(nd AS DOUBLE) / n END), 6)
+           AS avg_distinct_ratio,
+       round(avg(top_freq), 6) AS avg_top_freq,
+       CAST(sum(CASE WHEN top_freq > {REPETITIVE_TOP_FREQ} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+# -- PII scrubbing stats ----------------------------------------------------
+
+# RE2-compatible (no lookaround/backrefs) so Spark and DuckDB agree.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+DIGIT_RUN_RE = "[0-9]{4,}"
+
+
+def pii_scrub_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Pre-redaction accounting: per source, how many documents carry
+    email/phone-shaped strings and how many long digit runs exist (the
+    conservative catch-all most scrubbers redact). The redaction itself
+    is ``regexp_replace`` with the same patterns — counting first is
+    how a pipeline decides scrubbing is worth a full rewrite pass."""
+    docs = ensure_parallelism(docs)
+    text = F.col("text")
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
+    n_digits = F.size(F.regexp_extract_all(text, F.lit(DIGIT_RUN_RE), 0))
+    per_doc = docs.select(
+        F.col("source"),
+        n_email.cast("long").alias("e"),
+        n_phone.cast("long").alias("p"),
+        n_digits.cast("long").alias("d"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("e") + F.col("p") > 0).cast("long")).alias("n_docs_with_pii"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("d").alias("n_digit_runs"),
+        )
+        .orderBy("source")
+    )
+
+
+def pii_scrub_stats_sql() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS e,
+         len(regexp_extract_all(text, '{PHONE_RE}')) AS p,
+         len(regexp_extract_all(text, '{DIGIT_RUN_RE}')) AS d
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN e + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(d) AS BIGINT) AS n_digit_runs
+FROM per_doc GROUP BY source ORDER BY source
+"""

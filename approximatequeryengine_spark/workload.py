@@ -1291,6 +1291,21 @@ _register(
 )
 
 
+# Corpus-curation layer (operators/curation.py): packing, decontamination,
+# repetition profiling, PII accounting — the remaining first-class
+# training-data-pipeline passes.
+from approximatequeryengine_spark.operators import curation as _cur  # noqa: E402
+
+_docs_query("curation_pack_sequences", _cur.pack_sequences, _cur.pack_sequences_sql())
+_docs_query(
+    "curation_contamination_screen",
+    _cur.contamination_screen,
+    _cur.contamination_screen_sql(),
+)
+_docs_query("curation_repetition_stats", _cur.repetition_stats, _cur.repetition_stats_sql())
+_docs_query("curation_pii_stats", _cur.pii_scrub_stats, _cur.pii_scrub_stats_sql())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

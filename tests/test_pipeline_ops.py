@@ -531,3 +531,77 @@ def test_corpus_mix_balances_languages(spark):
         assert abs(r["n_kept"] - min_before) <= slack, (r, min_before)
     if max(before) / min(before) > 1.5:
         assert (max(kept) / max(1, min(kept))) < (max(before) / min(before)) / 2
+
+
+# -- curation layer (operators/curation.py) ---------------------------------
+
+
+def test_pack_sequences_invariants(spark, engine):
+    from approximatequeryengine_spark.operators import curation
+
+    docs = engine.catalog.table("documents")
+    rows = curation.pack_sequences(spark, docs).collect()
+    assert len(rows) == curation.PACK_SHARDS
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 < r["fill_ratio"] <= 1.0
+        # the packed stream can't need more sequences than tokens/capacity + 1
+        assert r["n_sequences"] >= r["total_tokens"] // curation.PACK_CAPACITY
+        assert r["n_straddlers"] <= r["n_docs"]
+
+
+def test_contamination_flags_eval_duplicates(spark):
+    from approximatequeryengine_spark.operators import curation
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # doc_id 0 → eval set (0 % 97 == 0)
+        (0, text, "en", "s1", len(text)),
+        # exact copy in the train split → must be contaminated
+        (1, text, "en", "s1", len(text)),
+        # shares no 8-gram with eval → clean
+        (2, "one two three four five six seven eight nine ten", "en", "s2", 48),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["source"]: (r["n_train_docs"], r["n_contaminated"])
+        for r in curation.contamination_screen(spark, docs).collect()
+    }
+    assert got["s1"] == (1, 1)
+    assert got["s2"] == (1, 0)
+
+
+def test_repetition_scores_degenerate_text(spark):
+    from approximatequeryengine_spark.operators import curation
+
+    rows = [
+        (1, "spam spam spam spam eggs", "en", "s1", 24),   # top_freq 0.8
+        (2, "all tokens here are unique words", "en", "s1", 32),  # 1/6 < 0.2
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = curation.repetition_stats(spark, docs).collect()[0]
+    assert row["n_repetitive"] == 1
+    assert row["avg_distinct_ratio"] == pytest.approx((2 / 5 + 1.0) / 2, abs=1e-6)
+
+
+def test_pii_stats_counts_matches(spark):
+    from approximatequeryengine_spark.operators import curation
+
+    rows = [
+        (1, "contact me at jane.doe@example.com or 555-123-4567", "en", "s1", 50),
+        (2, "serial 123456789 has no contact info", "en", "s1", 36),
+        (3, "nothing sensitive here", "en", "s2", 22),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in curation.pii_scrub_stats(spark, docs).collect()}
+    assert got["s1"]["n_docs_with_pii"] == 1
+    assert got["s1"]["n_emails"] == 1
+    assert got["s1"]["n_phones"] == 1
+    assert got["s1"]["n_digit_runs"] == 2  # 4567 tail + 123456789
+    assert got["s2"]["n_docs_with_pii"] == 0
