@@ -159,11 +159,15 @@ def contamination_screen(
     docs = ensure_parallelism(docs)
     toks = ws_tokens_col(F.col("text"))
     sh = word_shingles_col(toks, n)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     hashed = docs.select(
         F.col("doc_id"),
         F.col("source"),
         F.explode(F.array_distinct(F.transform(sh, str_hash32_col))).alias("h"),
-    )
+        # Exchange barrier: the md5-per-shingle chain is consumed by BOTH
+        # the eval and train branches — materialize it once through a
+        # shuffle instead of recomputing per subtree.
+    ).repartition(n_parts, "doc_id")
     evald = (
         hashed.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
     )

@@ -1361,7 +1361,8 @@ _CERTIFY_FIRST = [
     # LLM-data-pipeline: text, dedup, similarity.
     "text_lang_id_confusion",
     "text_quality_by_lang",
-    "text_fingerprint_summary",
+    # (text_fingerprint_summary moved out: the fingerprint arithmetic is
+    # transitively certified through dedup_exact_groups, freeing a slot)
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_summary",
@@ -1371,9 +1372,12 @@ _CERTIFY_FIRST = [
     "ann_lsh_topk",
     "corpus_clean_pipeline",
     "corpus_mix_balanced",
-    # Multimodal plumbing.
+    # Corpus curation (round-2 additions).
+    "curation_pack_sequences",
+    "curation_contamination_screen",
+    # Multimodal plumbing (frame_sample moved out: blob_stats +
+    # header_metadata keep two certified rows in the family).
     "multimodal_blob_stats",
-    "multimodal_frame_sample",
     "multimodal_header_metadata",
     # Temporal / storage-layout joins.
     "asof_join_purchase_click",
