@@ -184,6 +184,173 @@ def bootstrap_grouped_sum_ci(
     ).orderBy(group_col)
 
 
+BLB_ASSIGN_SALT = 4243
+BLB_SALT0 = 8101  # replicate r hashes with salt BLB_SALT0 + r
+
+
+def _poisson_cdf_table(lam: float) -> list[float]:
+    """Cumulative Poisson(λ) out to a ~1e-12 tail, as repr-stable doubles."""
+    table = []
+    p = math.exp(-lam)
+    c = p
+    k = 0
+    while c < 1.0 - 1e-12 and k < 200:
+        table.append(c)
+        k += 1
+        p *= lam / k
+        c += p
+    table.append(c)
+    return table
+
+
+def _icdf_col(u: Column, cdf: list[float]) -> Column:
+    w = F.lit(len(cdf))
+    for k in reversed(range(len(cdf))):
+        w = F.when(u < F.lit(cdf[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _icdf_sql(u: str, cdf: list[float]) -> str:
+    expr = str(len(cdf))
+    for k in reversed(range(len(cdf))):
+        expr = f"CASE WHEN {u} < {cdf[k]!r} THEN {k} ELSE {expr} END"
+    return expr
+
+
+def blb_sum_ci(
+    df: DataFrame,
+    column: str,
+    key: str,
+    n_subsamples: int = 4,
+    fraction: float = 0.05,
+    replicates: int = 20,
+    z: float = Z_95,
+    round_to: int = 2,
+) -> DataFrame:
+    """Bag of Little Bootstraps (Kleiner et al. 2014) for the full-data
+    SUM: ``n_subsamples`` disjoint hash subsamples of ``fraction`` each
+    (total scan = s·f of the data), and within each subsample a
+    Poissonized bootstrap whose weights are Poisson(1/f) — each
+    replicate simulates a FULL-size resample, so the replicate spread
+    estimates the error of the full estimator, not of the little
+    subsample. This is BLB's whole trick: bootstrap quality assessment
+    at full scale while only ever touching s·f of the corpus — at
+    100 TB the difference between rereading 20% and rereading 3200%
+    (R×full bootstrap).
+
+    Determinism contract: subsample membership and index come from one
+    avalanche uniform (``u < s·f``; ``j = floor(u/f)``) and the weights
+    from the salted family, so the DuckDB oracle reproduces estimate
+    and CI bit-for-bit.
+
+    Returns 1 row: (estimate, ci_lower, ci_upper, n_rows_scanned,
+    n_subsamples, n_replicates). estimate = mean over subsamples of the
+    λ-weighted total (each unbiased for the full SUM); margin = mean
+    over subsamples of z·sd(replicates) — the BLB average of
+    per-subsample CI widths."""
+    from approximatequeryengine_spark.operators import ensure_parallelism
+
+    lam = 1.0 / fraction
+    cdf = _poisson_cdf_table(lam)
+    x = F.col(column).cast("double")
+    k = F.expr(key).cast("long")
+    base = df.select(x.alias("x"), k.alias("k"))
+    base = with_avalanche_u(base, F.col("k"), F.lit(BLB_ASSIGN_SALT), u_col="__ua")
+    take = base.filter(F.col("__ua") < F.lit(n_subsamples * fraction)).withColumn(
+        "j", F.floor(F.col("__ua") / F.lit(fraction)).cast("int")
+    )
+    take = ensure_parallelism(take)
+    rep = take.select(
+        "x", "k", "j",
+        F.explode(F.sequence(F.lit(-1), F.lit(replicates - 1))).alias("r"),
+    )
+    rep = with_avalanche_u(
+        rep, F.col("k"), F.lit(BLB_SALT0) + F.col("r"), u_col="__u"
+    ).withColumn(
+        "__w",
+        F.when(F.col("r") == -1, F.lit(lam)).otherwise(
+            _icdf_col(F.col("__u"), cdf).cast("double")
+        ),
+    )
+    boot = rep.groupBy("j", "r").agg(
+        F.sum(F.col("__w") * F.col("x")).alias("est_jr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_j = boot.groupBy("j").agg(
+        F.min(F.when(F.col("r") == -1, F.col("est_jr"))).alias("est_j"),
+        F.stddev_samp(F.when(F.col("r") >= 0, F.col("est_jr"))).alias("sd_j"),
+        F.min(F.when(F.col("r") == -1, F.col("n"))).alias("n_j"),
+    )
+    agg = per_j.agg(
+        F.avg("est_j").alias("est"),
+        F.avg(F.lit(z) * F.col("sd_j")).alias("xi"),
+        F.sum("n_j").alias("n_rows_scanned"),
+    )
+    margin = F.round(F.col("xi"), 0)
+    return agg.select(
+        F.round(F.col("est"), round_to).alias("estimate"),
+        F.round(F.col("est") - margin, round_to).alias("ci_lower"),
+        F.round(F.col("est") + margin, round_to).alias("ci_upper"),
+        F.col("n_rows_scanned"),
+        F.lit(n_subsamples).alias("n_subsamples"),
+        F.lit(replicates).alias("n_replicates"),
+    )
+
+
+def blb_sum_ci_sql(
+    table: str,
+    column: str,
+    key: str,
+    n_subsamples: int = 4,
+    fraction: float = 0.05,
+    replicates: int = 20,
+    z: float = Z_95,
+    round_to: int = 2,
+) -> str:
+    """DuckDB oracle for ``blb_sum_ci`` — identical assignment uniform,
+    weight ladder, and three-level reduction."""
+    lam = 1.0 / fraction
+    cdf = _poisson_cdf_table(lam)
+    x = f"CAST({column} AS DOUBLE)"
+    kk = f"CAST({key} AS BIGINT)"
+    # CAST: DuckDB folds bare int literals as INT32 and 4243·1000003
+    # overflows; the replicate salts below dodge this via the BIGINT r.
+    a_salt = f"(CAST({BLB_ASSIGN_SALT} AS BIGINT) * {SALT_STRIDE})"
+    a_steps, a_final = avalanche_hash_sql_steps("k", a_salt)
+    ua = f"(CAST({a_final} AS DOUBLE) / {float(HASH_SPACE)!r})"
+    r_salt = f"(({BLB_SALT0} + r) * {SALT_STRIDE})"
+    r_steps, r_final = avalanche_hash_sql_steps("k", r_salt)
+    u = f"(CAST({r_final} AS DOUBLE) / {float(HASH_SPACE)!r})"
+    w = (
+        f"CASE WHEN r = -1 THEN {lam!r} "
+        f"ELSE CAST({_icdf_sql(u, cdf)} AS DOUBLE) END"
+    )
+    return f"""
+WITH base AS (SELECT {x} AS x, {kk} AS k FROM {table}),
+ua AS (SELECT base.*, {a_steps} FROM base),
+take AS (SELECT x, k,
+                CAST(floor(({ua}) / {fraction!r}) AS INT) AS j
+         FROM ua WHERE ({ua}) < {float(n_subsamples * fraction)!r}),
+rep AS (SELECT take.*, v.r FROM take,
+        (SELECT unnest(generate_series(-1, {replicates - 1})) AS r) v),
+hashed AS (SELECT rep.*, {r_steps} FROM rep),
+boot AS (SELECT j, r, sum(({w}) * x) AS est_jr, count(*) AS n
+         FROM hashed GROUP BY j, r),
+per_j AS (SELECT j, min(CASE WHEN r = -1 THEN est_jr END) AS est_j,
+                 stddev_samp(CASE WHEN r >= 0 THEN est_jr END) AS sd_j,
+                 min(CASE WHEN r = -1 THEN n END) AS n_j
+          FROM boot GROUP BY j),
+agg AS (SELECT avg(est_j) AS est, avg({z!r} * sd_j) AS xi,
+               CAST(sum(n_j) AS BIGINT) AS n_rows_scanned FROM per_j)
+SELECT round(est, {round_to}) AS estimate,
+       round(est - round(xi, 0), {round_to}) AS ci_lower,
+       round(est + round(xi, 0), {round_to}) AS ci_upper,
+       n_rows_scanned, {n_subsamples} AS n_subsamples,
+       {replicates} AS n_replicates
+FROM agg
+"""
+
+
 def bootstrap_grouped_sum_ci_sql(
     table: str,
     column: str,

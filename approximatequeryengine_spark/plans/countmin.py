@@ -1,0 +1,156 @@
+"""Count-Min sketch over a token stream (Cormode & Muthukrishnan 2005).
+
+The exact heavy-hitter query (``heavy_hitters_tokens``) shuffles one row
+per distinct token per partition; a Count-Min sketch replaces that with
+``depth × width`` integer counters — constant memory however large the
+vocabulary, mergeable across partitions/days/shards by plain addition
+(the same re-aggregatable property as the HLL rollup). Estimates are
+biased UP only: ``exact ≤ est ≤ exact + ε·total`` w.h.p., with
+``ε ≈ e/width``.
+
+The depth rows use the AVALANCHE hash family (``with_avalanche_u``),
+not the multiplicative sampling hash: the latter folds its salt
+additively into the input, so two tokens colliding in one row collide
+in EVERY row (constant pairwise delta survives the mixing) and the
+min-over-depth never recovers — measured 2× inflation on the fixture.
+The avalanche xor-mix rounds destroy pairwise deltas, making the depth
+rows behave independently (the same reason the bootstrap uses it for
+replicate weights — see ``plans/bootstrap.py``).
+
+Spark-first shape: token explode → depth fan-out → ONE
+map-side-combined ``groupBy(row, idx)`` — the sketch never exists as a
+driver-side object. Point queries broadcast the candidate tokens
+against the (tiny) sketch and take the min over rows. Everything is
+integer/float arithmetic identical in both engines, so the DuckDB
+oracle reproduces the sketch — and therefore every estimate —
+bit-for-bit (unlike the DataSketches HLL entries, which are rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.functions.hashing import (
+    HASH_SPACE,
+    SALT_STRIDE,
+    avalanche_hash_sql_steps,
+    with_avalanche_u,
+)
+from approximatequeryengine_spark.functions.text import str_hash32_col, str_hash32_sql
+from approximatequeryengine_spark.operators import ensure_parallelism
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_SALT0 = 9203  # sketch row r hashes with avalanche salt CM_SALT0 + r
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def _with_idx(df: DataFrame, width: int) -> DataFrame:
+    """Attach idx = floor(u·width) for (h, row). u·width is exact in
+    doubles (h < 2³², width a power of two), so floor can never
+    straddle an engine boundary."""
+    df = with_avalanche_u(
+        df, F.col("h"), F.lit(CM_SALT0) + F.col("row"), u_col="__u"
+    )
+    return df.withColumn(
+        "idx", F.floor(F.col("__u") * F.lit(width)).cast("long")
+    ).drop("__u")
+
+
+def countmin_sketch(
+    docs: DataFrame, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """The sketch as a DataFrame of (row, idx, cnt) — ≤ depth·width rows,
+    built in one map-side-combined aggregation."""
+    toks = ensure_parallelism(_tokens(docs))
+    fan = toks.select(
+        str_hash32_col(F.col("token")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    return (
+        _with_idx(fan, width)
+        .groupBy("row", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_topk_estimates(
+    spark: SparkSession,
+    docs: DataFrame,
+    k: int = 20,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """For the exact top-``k`` tokens: exact count, Count-Min estimate,
+    and the inflation ratio — certifying the sketch arithmetic against
+    ground truth in one result. At scale the exact side would be a
+    candidate list from any source (the sketch answers point queries);
+    here it doubles as the accuracy report."""
+    sketch = countmin_sketch(docs, depth, width)
+    toks = ensure_parallelism(_tokens(docs))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(k)
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        str_hash32_col(F.col("token")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    probes = _with_idx(probes, width).select("token", "exact_cnt", "row", "idx")
+    est = (
+        probes.join(F.broadcast(sketch), on=["row", "idx"], how="left")
+        .groupBy("token", "exact_cnt")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        F.round(F.col("cms_est") / F.col("exact_cnt"), 6).alias("inflation"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("token"))
+
+
+def countmin_topk_sql(
+    k: int = 20, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> str:
+    h32 = str_hash32_sql("token")
+    salt = f"(({CM_SALT0} + row) * {SALT_STRIDE})"
+    steps, h_final = avalanche_hash_sql_steps("h", salt)
+    u = f"(CAST({h_final} AS DOUBLE) / {float(HASH_SPACE)!r})"
+    idx = f"CAST(floor(({u}) * {width}) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), toks_f AS (SELECT token FROM toks WHERE token <> ''),
+hashed AS (SELECT token, {h32} AS h FROM toks_f),
+fan AS (SELECT h, v.row FROM hashed,
+        (SELECT unnest(generate_series(0, {depth - 1})) AS row) v),
+cells AS (SELECT h, row, {steps} FROM fan),
+sketch AS (SELECT row, {idx} AS idx, count(*) AS cnt FROM cells GROUP BY row, idx),
+top AS (
+  SELECT token, count(*) AS exact_cnt FROM toks_f GROUP BY token
+  ORDER BY exact_cnt DESC, token ASC LIMIT {k}
+),
+top_fan AS (SELECT token, exact_cnt, {h32} AS h, v.row FROM top,
+            (SELECT unnest(generate_series(0, {depth - 1})) AS row) v),
+top_cells AS (SELECT token, exact_cnt, row, h, {steps} FROM top_fan),
+probes AS (SELECT token, exact_cnt, row, {idx} AS idx FROM top_cells),
+est AS (
+  SELECT p.token, p.exact_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.idx = s.idx
+  GROUP BY p.token, p.exact_cnt
+)
+SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+       round(CAST(cms_est AS DOUBLE) / exact_cnt, 6) AS inflation
+FROM est ORDER BY exact_cnt DESC, token ASC
+"""

@@ -1306,6 +1306,44 @@ _docs_query("curation_repetition_stats", _cur.repetition_stats, _cur.repetition_
 _docs_query("curation_pii_stats", _cur.pii_scrub_stats, _cur.pii_scrub_stats_sql())
 
 
+def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag of Little Bootstraps SUM (plans/bootstrap.py::blb_sum_ci):
+    full-scale error assessment from 4 disjoint 5% hash subsamples —
+    the bootstrap that never rereads the corpus R times."""
+    from approximatequeryengine_spark.plans.bootstrap import blb_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    return blb_sum_ci(cat.table("lineitem"), "l_extendedprice", _LKEY)
+
+
+def _blb_oracle() -> str:
+    from approximatequeryengine_spark.plans.bootstrap import blb_sum_ci_sql
+
+    return blb_sum_ci_sql("lineitem", "l_extendedprice", _LKEY)
+
+
+_register("approx_sum_blb", _blb_fn, _blb_oracle())
+
+
+def _countmin_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token sketch vs exact top-20 (plans/countmin.py):
+    constant-memory mergeable counters; estimates certified against
+    ground truth in one result."""
+    from approximatequeryengine_spark.plans.countmin import countmin_topk_estimates
+
+    cat = _catalog(spark, sf_dir)
+    return countmin_topk_estimates(spark, cat.table("documents"))
+
+
+def _countmin_oracle() -> str:
+    from approximatequeryengine_spark.plans.countmin import countmin_topk_sql
+
+    return countmin_topk_sql()
+
+
+_register("sketch_countmin_tokens", _countmin_fn, _countmin_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

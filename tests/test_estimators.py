@@ -227,3 +227,54 @@ def test_approx_join_ci_covers_exact(spark):
         1 for n, (_, lo, hi) in est.items() if lo <= exact[n] <= hi
     )
     assert covered >= 0.85 * len(est), f"{covered}/{len(est)} groups covered"
+
+
+def test_blb_sum_width_tracks_full_bootstrap(engine, duck):
+    """BLB: (a) the subsample-averaged estimate is unbiased for the
+    exact sum within the expected subsample-selection error; (b) the
+    margin — BLB's estimate of the FULL-SIZE resampling sd
+    √(N·E[x²]) under Poisson(1/f) weights — lands within 2× of the
+    analytically computed value; (c) only ~s·f of the corpus was
+    scanned (the whole point of BLB at scale)."""
+    import math
+
+    from approximatequeryengine_spark.plans.bootstrap import blb_sum_ci
+
+    df = engine.catalog.table("lineitem")
+    row = blb_sum_ci(df, "l_extendedprice", KEY).collect()[0]
+    exact, sum_sq, n = duck.execute(
+        "SELECT SUM(l_extendedprice), SUM(l_extendedprice * l_extendedprice), "
+        "count(*) FROM lineitem"
+    ).fetchone()
+    # subsample-selection rel. sd ≈ √((1-f)/(s·f·n)) · (√E[x²]/E[x])
+    cv = math.sqrt(sum_sq / n) / (exact / n)
+    sel_sd = exact * cv * math.sqrt(0.8 / (0.2 * n))
+    assert abs(row["estimate"] - exact) < 5 * sel_sd
+    margin = (row["ci_upper"] - row["ci_lower"]) / 2.0
+    full_resample_sd = 1.959963984540054 * math.sqrt(sum_sq)
+    assert 0.5 * full_resample_sd < margin < 2.0 * full_resample_sd
+    assert row["n_rows_scanned"] < 0.35 * df.count()  # s·f = 20% nominal
+
+
+def test_countmin_overestimates_within_bound(engine, duck):
+    """Count-Min guarantees exact ≤ est ≤ exact + ε·total with
+    ε = e/width (per row; min over depth rows tightens it) — assert the
+    one-sided bias and the ε bound with slack."""
+    import math
+
+    from approximatequeryengine_spark.plans.countmin import (
+        CM_WIDTH,
+        countmin_topk_estimates,
+    )
+
+    docs = engine.catalog.table("documents")
+    rows = countmin_topk_estimates(None, docs).collect()
+    assert len(rows) == 20
+    total = duck.execute(
+        "SELECT count(*) FROM (SELECT unnest(string_split(lower(text), ' ')) AS t"
+        " FROM documents) x WHERE t <> ''"
+    ).fetchone()[0]
+    eps = math.e / CM_WIDTH
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["cms_est"] <= r["exact_cnt"] + 3 * eps * total
