@@ -148,6 +148,23 @@ class AQEngine:
             )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
+        elif minfo.get("blb"):
+            from approximatequeryengine_spark.plans.bootstrap import blb_sum_ci
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='blb' supports a global SUM only; use "
+                    "method='bootstrap' for grouped bootstrap CIs"
+                )
+            rdf = blb_sum_ci(
+                self._base_df(spec),
+                spec.column,
+                self.catalog.unique_key(spec.table),
+                z=z,
+            )
+            rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
+            rdf = rdf.withColumnRenamed("n_rows_scanned", "n_samples")
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("bootstrap"):
             from approximatequeryengine_spark.plans.bootstrap import (
                 bootstrap_grouped_sum_ci,

@@ -175,6 +175,14 @@ METHODS: dict[str, dict] = {
         "light rows are sampled — tightest CI per sampled row on "
         "skewed data.",
     },
+    "blb": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "blb": True,
+        "description": "Bag of Little Bootstraps (SUM only): disjoint "
+        "hash subsamples + Poisson(1/f) replicate weights — full-size "
+        "resample error assessment from a fraction of the data.",
+    },
 }
 
 

@@ -182,3 +182,79 @@ WITH d AS (SELECT lang, md5(text) AS fp, min(n_chars) AS n_chars
 SELECT lang, count(*) AS n_unique_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM d GROUP BY lang ORDER BY lang
 """
+
+
+SAMPLED_FRACTION = 0.10
+
+
+def sampled_revenue_stream(
+    spark: SparkSession, sf_dir: str, fraction: float = SAMPLED_FRACTION
+) -> DataFrame:
+    """Approximate aggregation ON A STREAM: the events stream is
+    filtered by the deterministic uniform-hash predicate (the same
+    scan-time sample the batch engine uses), the micro-batch pipeline
+    maintains per-type moments (n, Σx, Σx²), and the sink finalizes
+    Horvitz-Thompson estimates + CIs with arithmetic identical to
+    ``plans/estimators.moments_sql`` — so the refining streaming
+    estimate is DuckDB-oracle-checkable once the stream drains.
+
+    This is the reference's continuous-refinement idea (scheduler V1/V2)
+    expressed idiomatically: state is 3 doubles per group (bounded), the
+    sample predicate is evaluated at ingest (10× less state and shuffle
+    at any scale), and the estimate sharpens every micro-batch."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.plans.estimators import Z_95, _ci_columns
+
+    stream = events_stream(spark, sf_dir)
+    thr = fraction_threshold(fraction)
+    sampled = stream.filter(
+        portable_hash_col(F.col("event_id").cast("long")) < F.lit(thr)
+    )
+    x = F.col("value").cast("double")
+    agg = sampled.groupBy("event_type").agg(
+        F.count(x).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    sink = run_to_memory_sink(agg, "complete")
+    p = float(fraction)
+    est = F.col("s1") / F.lit(p)
+    vht = F.col("s2") * (1.0 - p) / (p * p)
+    margin = F.lit(Z_95) * F.sqrt(F.greatest(vht, F.lit(0.0)))
+    cols = _ci_columns(est, margin, F.col("n"), "sum_value")
+    out = sink.select(
+        F.col("event_type"),
+        *cols,
+        F.col("n").cast("long").alias("n_samples"),
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("ci_lower", 2).alias("ci_lower"),
+        F.round("ci_upper", 2).alias("ci_upper"),
+        "n_samples",
+    ).orderBy("event_type")
+
+
+def sampled_revenue_sql(fraction: float = SAMPLED_FRACTION) -> str:
+    from approximatequeryengine_spark.plans.estimators import moments_sql
+    from approximatequeryengine_spark.plans.sampling import (
+        SamplingSpec,
+        sampling_p_sql,
+        sampling_where_sql,
+    )
+
+    spec = SamplingSpec(design="uniform_hash", fraction=fraction, key="event_id")
+    return moments_sql(
+        table="events",
+        column="value",
+        where=sampling_where_sql(spec),
+        agg="sum",
+        p_sql=sampling_p_sql(spec),
+        alias="sum_value",
+        group_by="event_type",
+        round_to=2,
+    )

@@ -807,6 +807,21 @@ def _stream_corpus_dedup_oracle() -> str:
 _register("streaming_corpus_dedup", _stream_corpus_dedup_fn, _stream_corpus_dedup_oracle())
 
 
+def _stream_sampled_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.sampled_revenue_stream(spark, sf_dir)
+
+
+def _stream_sampled_oracle() -> str:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.sampled_revenue_sql()
+
+
+_register("streaming_sampled_revenue", _stream_sampled_fn, _stream_sampled_oracle())
+
+
 def _media_metadata_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real byte-level media header parsing (PNG IHDR / WAV RIFF) —
     generate headers, parse them back, aggregate; the oracle recomputes

@@ -76,7 +76,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -204,3 +204,18 @@ def test_grouped_bootstrap_via_engine(spark):
     assert len(rows) == 5
     for x in rows.values():
         assert x["ci_lower"] <= x["sum_value"] <= x["ci_upper"]
+
+
+def test_blb_method_via_engine(spark):
+    import pytest
+
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    r = eng.run("SELECT APPROX(SUM(l_extendedprice)) FROM lineitem", method="blb")
+    assert r.value is not None and r.ci_lower < r.value < r.ci_upper
+    with pytest.raises(ValueError, match="blb"):
+        eng.run(
+            "SELECT APPROX(SUM(value)) FROM events GROUP BY event_type",
+            method="blb",
+        )

@@ -274,3 +274,36 @@ def test_checkpointed_file_sink_is_exactly_once(spark, tmp_path):
     assert sunk.count() == events.count()  # no replays, no losses
     # Every event id exactly once.
     assert sunk.select("event_id").distinct().count() == events.count()
+
+
+def test_sampled_revenue_stream_matches_batch_estimator(spark):
+    """The streaming HT estimate (sample predicate at ingest, moments in
+    state, finalize at the sink) must equal the batch estimator over the
+    same deterministic sample — estimate, CI, and n per group."""
+    from approximatequeryengine_spark.catalog import normalize_ts
+    from approximatequeryengine_spark.plans.estimators import AggSpec, approx_aggregate
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
+    from approximatequeryengine_spark.streaming.pipeline import sampled_revenue_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["sum_value"], r["ci_lower"], r["ci_upper"], r["n_samples"])
+        for r in sampled_revenue_stream(spark, sf).collect()
+    }
+    events = normalize_ts(spark.read.parquet(f"{sf}/events.parquet"), ["ts"])
+    sampled = apply_sampling(
+        events, SamplingSpec(design="uniform_hash", fraction=0.10, key="event_id")
+    )
+    batch = approx_aggregate(
+        sampled, AggSpec("sum", "value", alias="sum_value"), group_by=["event_type"]
+    )
+    want = {
+        r["event_type"]: (
+            round(r["sum_value"], 2),
+            round(r["ci_lower"], 2),
+            round(r["ci_upper"], 2),
+            r["n_samples"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want
