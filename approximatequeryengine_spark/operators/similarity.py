@@ -571,9 +571,19 @@ def ann_bruteforce_topk_int8(
     k: int = 3,
 ) -> DataFrame:
     """Brute-force top-k over the int8-quantized corpus: integer dot
-    products (numpy, SIMD-friendly) rescaled by the stored per-vector
-    scales — the memory-bound scale path. Recall vs the float path is
-    pinned in ``test_int8_topk_overlap``."""
+    products (numpy, SIMD-friendly) — the memory-bound scale path
+    (int8 + one scale double is 4× smaller than float32).
+
+    Cosine is scale-invariant, so it is computed PURELY from the
+    quantized integers: ``cos = dot(qa,qb) / √(Σqa²·Σqb²)`` — the dot
+    and squared norms are exact int64 sums (127²·64 ≪ 2⁶³), and the
+    single float division+sqrt at the end is one IEEE op sequence both
+    engines share. That makes the quantized search fully
+    DuckDB-oracle-checkable (round-1 shipped it rows-only); the
+    remaining float sensitivity — the quantization rounding itself —
+    uses banker's rounding in both engines (numpy ``rint`` /
+    DuckDB ``round_even``). Recall vs the float path is pinned in
+    ``test_int8_topk_overlap``."""
     import numpy as np
 
     q8 = quantize_embeddings_int8(emb)
@@ -581,20 +591,18 @@ def ann_bruteforce_topk_int8(
 
     def score(it, qrows):
         qids = np.array([r["vec_id"] for r in qrows])
-        qmat = np.stack([np.asarray(r["q"], dtype=np.int32) for r in qrows])
-        qscale = np.array([r["scale"] for r in qrows]) / 127.0
-        qnorm = np.linalg.norm(qmat * qscale[:, None], axis=1)
+        qmat = np.stack([np.asarray(r["q"], dtype=np.int64) for r in qrows])
+        qsq = (qmat * qmat).sum(axis=1)  # exact integer Σq²
         for pdf in it:
             if not len(pdf):
                 continue
-            mat = np.stack(
-                [np.asarray(v, dtype=np.int32) for v in pdf["q"]]
+            mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            sq = (mat * mat).sum(axis=1)
+            dots = mat @ qmat.T  # exact integer
+            denom2 = np.outer(sq, qsq)  # exact integer
+            cos = np.where(
+                denom2 > 0, dots / np.sqrt(denom2.astype(np.float64)), 0.0
             )
-            scale = pdf["scale"].to_numpy() / 127.0
-            dots = (mat @ qmat.T) * scale[:, None] * qscale[None, :]
-            norms = np.linalg.norm(mat * scale[:, None], axis=1)
-            denom = norms[:, None] * qnorm[None, :]
-            cos = np.where(denom > 0, dots / denom, 0.0)
             n, m = cos.shape
             yield pd.DataFrame(
                 {
@@ -617,3 +625,45 @@ def ann_bruteforce_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def ann_int8_topk_sql(n_queries: int = 5, k: int = 3) -> str:
+    """DuckDB oracle for the int8 path: same symmetric quantization
+    (banker's rounding), same integer dot/norm arithmetic, same single
+    ``dot/√(sqa·sqb)`` float step."""
+    s = "greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 0.0)"
+    qexpr = (
+        "list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0, "
+        "round_even(CAST(v AS DOUBLE) * 127.0 / s1, 0))) AS BIGINT))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))"
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         CASE WHEN {s} = 0.0 THEN 1.0 ELSE {s} END AS s1
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id, {qexpr} AS q,
+         CAST(list_sum(list_transform({qexpr}, x -> x * x)) AS BIGINT) AS sq
+  FROM scaled
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CASE WHEN a.sq * b.sq > 0
+              THEN CAST({dot} AS DOUBLE) / sqrt(CAST(a.sq * b.sq AS DOUBLE))
+              ELSE 0.0 END AS cos_sim
+  FROM q8 a JOIN q8 b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""

@@ -725,10 +725,12 @@ _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="e
 # IVF ANN: k-means training is iterative (no single-SQL oracle) → the
 # driver records a rows-only check; invariants live in tests.
 _docs_query("ann_ivf_topk", _sim.ann_ivf_topk, None, table="embeddings")
-# int8-quantized brute force (4x memory; rows-only — quantized cosines
-# deliberately differ in the last decimals; overlap vs float pinned in
-# test_int8_topk_overlap).
-_docs_query("ann_int8_topk", _sim.ann_bruteforce_topk_int8, None, table="embeddings")
+# int8-quantized brute force (4x memory): cosine computed purely from
+# integer dots/norms of the quantized vectors (scale-invariance), so
+# the whole quantize→search path is oracle-checked (promoted from
+# rows-only in round 2); overlap vs float pinned in
+# test_int8_topk_overlap.
+_docs_query("ann_int8_topk", _sim.ann_bruteforce_topk_int8, _sim.ann_int8_topk_sql(), table="embeddings")
 # τ=0.35 (not the 0.95 production default): the synthetic fixture's max
 # within-label cosine is ~0.47, so 0.95 would make the check vacuous
 # (always 0 rows); 0.35 yields nonzero matches at every SF.
