@@ -313,6 +313,109 @@ WHERE jaccard >= {threshold}
 """
 
 
+# -- connected-component cluster resolution ---------------------------------
+
+
+def dedup_connected_clusters(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components) and pick one survivor per cluster — the step a
+    production dedup pipeline runs after candidate detection, since
+    near-duplication is transitive in effect (A≈B, B≈C ⇒ keep one of
+    {A,B,C}) but pairwise output alone can't say so.
+
+    Algorithm: hash-min label propagation — every doc starts labeled
+    with its own id; each round joins labels across the (undirected)
+    near-dup edges and keeps the minimum; converges in ≤ diameter
+    rounds (components here are near-cliques from LSH candidates, so
+    2-3 rounds in practice). Each round is one join + one groupBy —
+    the standard BSP connected-components shape that scales out (for
+    web-scale graphs you'd switch to large-star/small-star to bound
+    skew, same API). The driver-side convergence check mirrors the
+    adaptive CLT loop's bounded sync.
+
+    Deterministic (min over ids), so the DuckDB oracle re-derives the
+    same components with a recursive transitive-closure CTE over the
+    same MinHash pairs. Returns (cluster_id, n_members, n_dups_removed)
+    per multi-member cluster; cluster_id doubles as the surviving
+    doc_id."""
+    edges = minhash_lsh_pairs(spark, docs, threshold=threshold).select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    )
+    edges = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    edges = edges.distinct().persist()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dups_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+    edges.unpersist()
+    return out
+
+
+def dedup_connected_clusters_sql(threshold: float = 0.5) -> str:
+    pairs = minhash_lsh_pairs_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs}) __p),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+cc(n, m) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e) __v
+  UNION
+  SELECT cc.n, e.d FROM cc JOIN e ON cc.m = e.s
+)
+SELECT min_m AS cluster_id, count(*) AS n_members,
+       count(*) - 1 AS n_dups_removed
+FROM (SELECT n, min(m) AS min_m FROM cc GROUP BY n) __l
+GROUP BY min_m HAVING count(*) > 1
+ORDER BY cluster_id
+"""
+
+
 # -- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -5,17 +5,25 @@
   codegen) → Window top-k per query. Exact; cost O(|queries|·n) — the
   correctness baseline, and still the right plan whenever the query set
   broadcasts.
-- **LSH-bucketed ANN**: 8-bit random-hyperplane signature (hyperplane
-  weights ±1 derived from the portable hash, so both engines and any
-  cluster layout compute identical signatures), equi-join on bucket,
-  cosine verify inside the bucket. The scale path: candidate set is
-  |bucket| instead of n.
-- **Embedding near-dup pairs**: cosine ≥ τ within a blocking key
-  (label), the vector analogue of n-gram Jaccard verification.
+- **Multi-table banded LSH ANN** (round-2 rework): ``ANN_TABLES``
+  independent random-hyperplane signatures of ``ANN_BITS`` each;
+  candidates = union of per-table bucket hits, deduped, then
+  cosine-verified. Recall (1−(1−p^b)^T) and bucket width (2^-b) are
+  independent dials; hyperplane weights ±1 derive from the portable
+  hash so both engines and any cluster layout compute identical
+  signatures. Signatures come from an Arrow kernel with fold-order bit
+  parity (``lsh_band_keys_arrow``).
+- **Embedding near-dup pairs** (round-2 rework): banded-LSH candidate
+  buckets ``(label, band, key)`` + exact cosine verify — bounded
+  blocks instead of the within-label quadratic.
+- **IVF ANN**: MLlib k-means coarse quantizer + probed inverted lists
+  (iterative training → rows-only driver check).
+- **int8-quantized brute force**: 4× memory; cosine from exact integer
+  dot/norm arithmetic (scale-invariance), fully oracle-checked.
 
-All operators have DuckDB oracle renderings; dot products are written
-with the same left-to-right summation order in both engines so the
-doubles agree bit-for-bit.
+All operators except IVF have DuckDB oracle renderings; float dot
+products are written with the same left-to-right summation order in
+both engines so the doubles agree bit-for-bit.
 """
 
 from __future__ import annotations

@@ -719,6 +719,11 @@ _docs_query("text_fingerprint_summary", _text.fingerprint_summary, _text.fingerp
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())
+_docs_query(
+    "dedup_connected_clusters",
+    _dedup.dedup_connected_clusters,
+    _dedup.dedup_connected_clusters_sql(),
+)
 _docs_query("dedup_ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql())
 _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="embeddings")

@@ -605,3 +605,25 @@ def test_pii_stats_counts_matches(spark):
     assert got["s1"]["n_phones"] == 1
     assert got["s1"]["n_digit_runs"] == 2  # 4567 tail + 123456789
     assert got["s2"]["n_docs_with_pii"] == 0
+
+
+def test_connected_clusters_resolve_transitive_dups(spark):
+    """A≈B and B≈C near-dup pairs must land in ONE cluster with the min
+    doc_id as survivor, even when A and C alone wouldn't pair."""
+    from approximatequeryengine_spark.operators.dedup import dedup_connected_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (10, base, "en", "s1", len(base)),
+        (11, base.replace("lazy", "sleepy"), "en", "s1", len(base)),
+        (12, base.replace("lazy", "sleepy").replace("quick", "rapid"), "en", "s1", len(base)),
+        (13, "voellig anderer deutscher text ohne jede ueberlappung hier", "de", "s2", 58),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["cluster_id"]: (r["n_members"], r["n_dups_removed"])
+        for r in dedup_connected_clusters(spark, docs, threshold=0.3).collect()
+    }
+    assert got == {10: (3, 2)}
