@@ -1366,6 +1366,25 @@ def _countmin_oracle() -> str:
 _register("sketch_countmin_tokens", _countmin_fn, _countmin_oracle())
 
 
+def _hist_quantiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-histogram quantiles (plans/histogram.py): the mergeable,
+    oracle-exact alternative to the engine-specific approx_percentile
+    sketch."""
+    from approximatequeryengine_spark.plans.histogram import hist_quantiles
+
+    cat = _catalog(spark, sf_dir)
+    return hist_quantiles(cat.table("lineitem"), "l_extendedprice")
+
+
+def _hist_quantiles_oracle() -> str:
+    from approximatequeryengine_spark.plans.histogram import hist_quantiles_sql
+
+    return hist_quantiles_sql("lineitem", "l_extendedprice")
+
+
+_register("sketch_hist_quantiles", _hist_quantiles_fn, _hist_quantiles_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -278,3 +278,30 @@ def test_countmin_overestimates_within_bound(engine, duck):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"]
         assert r["cms_est"] <= r["exact_cnt"] + 3 * eps * total
+
+
+def test_hist_quantiles_within_bin_width(engine, duck):
+    """Grid-histogram quantile error is bounded by one bin width
+    (max−min)/bins; estimates must land within that of the true
+    interpolated quantiles, and degenerate inputs must not crash."""
+    from approximatequeryengine_spark.plans.histogram import HIST_BINS, hist_quantiles
+
+    df = engine.catalog.table("lineitem")
+    rows = {r["q"]: r["estimate"] for r in hist_quantiles(df, "l_extendedprice").collect()}
+    mn, mx = duck.execute(
+        "SELECT min(l_extendedprice), max(l_extendedprice) FROM lineitem"
+    ).fetchone()
+    bin_w = (mx - mn) / HIST_BINS
+    for q in (0.5, 0.95, 0.99):
+        truth = duck.execute(
+            f"SELECT quantile_cont(l_extendedprice, {q}) FROM lineitem"
+        ).fetchone()[0]
+        assert abs(rows[q] - truth) <= bin_w, (q, rows[q], truth, bin_w)
+    # constant column → all quantiles equal the constant
+    const = df.selectExpr("CAST(7.5 AS DOUBLE) AS c")
+    crows = {r["q"]: r["estimate"] for r in hist_quantiles(const, "c").collect()}
+    assert set(crows.values()) == {7.5}
+    # empty input → NULL estimates, 0 rows
+    empty = df.filter("1=0")
+    erows = hist_quantiles(empty, "l_extendedprice").collect()
+    assert all(r["estimate"] is None and r["n_rows"] == 0 for r in erows)
