@@ -258,3 +258,66 @@ def sampled_revenue_sql(fraction: float = SAMPLED_FRACTION) -> str:
         group_by="event_type",
         round_to=2,
     )
+
+
+def countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained Count-Min sketch over a streaming corpus:
+    documents arrive as a stream, tokens explode statelessly, and the
+    depth×width counters accumulate in micro-batch state (complete
+    mode) — streaming heavy-hitter tracking with constant state however
+    large the vocabulary grows. Once the stream drains, the counters
+    EQUAL the batch sketch (counter addition is order-insensitive), so
+    the returned top-k estimate table reuses the batch Count-Min oracle
+    verbatim — certifying the incremental maintenance end-to-end."""
+    from approximatequeryengine_spark.functions.text import str_hash32_col
+    from approximatequeryengine_spark.plans.countmin import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _with_idx,
+        countmin_topk_estimates,
+    )
+
+    stream = table_stream(spark, sf_dir, "documents")
+    toks = stream.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    fan = toks.select(
+        str_hash32_col(F.col("token")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("row"),
+    )
+    cells = _with_idx(fan, CM_WIDTH)
+    sketch_stream = cells.groupBy("row", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    sketch = run_to_memory_sink(sketch_stream, "complete")
+
+    # Probe the drained sketch with the exact top-20 (batch side), same
+    # shape as countmin_topk_estimates but against the STREAMED counters.
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.operators import ensure_parallelism
+    from approximatequeryengine_spark.plans.countmin import _tokens
+
+    docs = Catalog(spark, sf_dir, register_views=False).table("documents")
+    btoks = ensure_parallelism(_tokens(docs))
+    top = (
+        btoks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        str_hash32_col(F.col("token")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("row"),
+    )
+    probes = _with_idx(probes, CM_WIDTH).select("token", "exact_cnt", "row", "idx")
+    est = (
+        probes.join(F.broadcast(sketch), on=["row", "idx"], how="left")
+        .groupBy("token", "exact_cnt")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        F.round(F.col("cms_est") / F.col("exact_cnt"), 6).alias("inflation"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("token"))

@@ -829,6 +829,23 @@ def _stream_sampled_oracle() -> str:
 _register("streaming_sampled_revenue", _stream_sampled_fn, _stream_sampled_oracle())
 
 
+def _stream_cms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.countmin_stream(spark, sf_dir)
+
+
+def _stream_cms_oracle() -> str:
+    # The drained streaming sketch equals the batch sketch (counter
+    # addition is order-insensitive) — same oracle text.
+    from approximatequeryengine_spark.plans.countmin import countmin_topk_sql
+
+    return countmin_topk_sql()
+
+
+_register("streaming_countmin_tokens", _stream_cms_fn, _stream_cms_oracle())
+
+
 def _media_metadata_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real byte-level media header parsing (PNG IHDR / WAV RIFF) —
     generate headers, parse them back, aggregate; the oracle recomputes

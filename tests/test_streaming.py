@@ -307,3 +307,18 @@ def test_sampled_revenue_stream_matches_batch_estimator(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, engine):
+    """The drained streaming Count-Min counters must yield the same
+    top-k estimates as the batch sketch (counter addition is
+    order-insensitive across micro-batches)."""
+    from approximatequeryengine_spark.plans.countmin import countmin_topk_estimates
+    from approximatequeryengine_spark.streaming.pipeline import countmin_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, countmin_stream(spark, sf).collect()))
+    want = sorted(
+        map(tuple, countmin_topk_estimates(spark, engine.catalog.table("documents")).collect())
+    )
+    assert got == want and got
