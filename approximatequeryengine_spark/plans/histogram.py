@@ -7,8 +7,11 @@ alternative: two passes — an exact (min, max) aggregate, then bin
 counts on a fixed grid — and interpolated quantiles from the cumulative
 histogram. The histogram is a plain ``groupBy(bin)``: map-side
 combined, mergeable across partitions/shards/days by addition (the
-same property as the Count-Min and HLL rollups), and its error is
-bounded by one bin width ``(max−min)/bins``.
+same property as the Count-Min and HLL rollups). The estimate is
+within one bin width ``(max−min)/bins`` of the ⌈q·n⌉-th order
+statistic (on dense data that coincides with interpolated quantiles;
+a sparse column can place the interpolated quantile between distant
+points — the histogram answers the empirical-CDF inverse).
 
 Every step is arithmetic both engines share bit-for-bit (double
 subtraction/division/floor on the same values), so the DuckDB oracle

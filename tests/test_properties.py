@@ -212,3 +212,85 @@ def test_poisson_ladder_is_monotone_inverse_cdf(u):
         assert u >= _POISSON_CDF[w - 1]
     if w < 9:
         assert u < _POISSON_CDF[w]
+
+
+# -- round-2 additions: avalanche family, BLB weights, histogram, CMS -------
+
+
+AVALANCHE_MULT = 73_244_475
+
+
+def py_avalanche(k: int, salt: int) -> int:
+    h = (abs(k) + salt * SALT_STRIDE) % HASH_SPACE
+    for _ in range(2):
+        h = h ^ (h // 65536)
+        h = (h * AVALANCHE_MULT) % HASH_SPACE
+    return h ^ (h // 65536)
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62), st.integers(0, 10_000))
+def test_avalanche_range(k, salt):
+    assert 0 <= py_avalanche(k, salt) < HASH_SPACE
+
+
+@given(st.floats(min_value=1.0, max_value=60.0))
+@settings(max_examples=25, deadline=None)
+def test_poisson_cdf_table_is_valid(lam):
+    """BLB/bootstrap weight ladder: strictly increasing CDF starting at
+    e^-λ and reaching ~1 — for any λ the Poisson(1/f) construction may
+    use."""
+    import math
+
+    from approximatequeryengine_spark.plans.bootstrap import _poisson_cdf_table
+
+    t = _poisson_cdf_table(lam)
+    assert t[0] == pytest.approx(math.exp(-lam), rel=1e-12)
+    assert all(b > a for a, b in zip(t, t[1:]))
+    assert t[-1] >= 1.0 - 1e-9
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=60
+    ),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=25, deadline=None)
+def test_hist_quantile_sql_within_bin_width(values, q):
+    """The histogram-quantile SQL (the driver's oracle text) is within
+    one bin width of the ⌈q·n⌉-th order statistic for arbitrary data
+    (the exact guarantee — it coincides with interpolated quantiles on
+    dense data, but sparse data can place the interpolated quantile
+    between distant points)."""
+    import math
+
+    from approximatequeryengine_spark.plans.histogram import hist_quantiles_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    est = con.execute(hist_quantiles_sql("t", "x", qs=(q,), bins=64)).fetchone()[1]
+    n = len(values)
+    order_stat = sorted(values)[max(0, math.ceil(q * n) - 1)]
+    bin_w = (max(values) - min(values)) / 64
+    # round_to=4 in the SQL adds ≤5e-5 on top of the bin-width bound
+    assert abs(est - order_stat) <= bin_w + 1e-4
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg ", min_size=1, max_size=40), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_countmin_sql_never_undercounts(texts):
+    """Count-Min one-sided guarantee holds for arbitrary corpora: every
+    top-k estimate from the oracle SQL is >= the exact count."""
+    from approximatequeryengine_spark.plans.countmin import countmin_topk_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    rows = con.execute(countmin_topk_sql(k=10, depth=2, width=16)).fetchall()
+    for _token, exact_cnt, cms_est, _infl in rows:
+        assert cms_est >= exact_cnt
