@@ -296,5 +296,10 @@ class AQEngine:
                 res.ci_upper = float(row["ci_upper"])
                 res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
             res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
+        else:
+            # Grouped path: z/CI columns were computed for the requested
+            # level, so report it — otherwise the dataclass default (0.95)
+            # caps a 0.99 request at line ~209's min().
+            res.confidence_level = confidence
         res.computation_time = time.time() - t0
         return res

@@ -354,6 +354,7 @@ def dedup_connected_clusters(
         .withColumn("lbl", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["s"] == labels["node"])
@@ -378,7 +379,20 @@ def dedup_connected_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A silent exit here would split one component into several
+        # clusters and diverge from the oracle's transitive closure with
+        # no hint at the cause. LSH components are near-cliques (diameter
+        # 2-3), so hitting this means pathological chain-shaped data —
+        # surface it rather than return wrong clusters.
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_connected_clusters: label propagation did not "
+            f"converge within max_iterations={max_iterations}; component "
+            f"diameter exceeds the round budget — raise max_iterations"
+        )
     out = (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))

@@ -240,8 +240,12 @@ def blb_sum_ci(
 
     Determinism contract: subsample membership and index come from one
     avalanche uniform (``u < s·f``; ``j = floor(u/f)``) and the weights
-    from the salted family, so the DuckDB oracle reproduces estimate
-    and CI bit-for-bit.
+    from the salted family, so both engines select identical rows with
+    identical weights. The per-subsample totals are float SUMs whose
+    accumulation order differs (Spark partial aggregation vs DuckDB
+    scan order), so agreement rests on the round(·, 2)/integer-margin
+    grid absorbing ~1e-4 float noise — the same boundary-risk tradeoff
+    ``_ci_columns`` documents — not on bit-identical floats.
 
     Returns 1 row: (estimate, ci_lower, ci_upper, n_rows_scanned,
     n_subsamples, n_replicates). estimate = mean over subsamples of the

@@ -112,6 +112,7 @@ def approx_aggregate(
     p = F.col(P_COL)
     w = F.lit(1.0) / p
 
+    func = agg.func.lower()
     moments = [
         F.count(x).alias("__n"),
         F.sum(x).alias("__s1"),
@@ -122,10 +123,16 @@ def approx_aggregate(
         # estimator of Σ(x/p) under independent per-row inclusion.
         F.sum(x * x * (F.lit(1.0) - p) / (p * p)).alias("__vht"),
         F.avg(p).alias("__p_avg"),
-        F.min(p).alias("__p_min"),
-        F.min(x).alias("__min"),
-        F.max(x).alias("__max"),
     ]
+    if func in ("min", "max"):
+        # Extremum moments are opt-in: only MIN/MAX consume them, and
+        # paying three extra aggregate buffers on every SUM/AVG/COUNT
+        # estimate is measurable at bench scale.
+        moments += [
+            F.min(p).alias("__p_min"),
+            F.min(x).alias("__min"),
+            F.max(x).alias("__max"),
+        ]
     g = sampled.groupBy(*[F.col(c) for c in group_by])
     m = g.agg(*moments)
 
@@ -138,7 +145,6 @@ def approx_aggregate(
     var = F.greatest(var, F.lit(0.0))  # numeric noise can drive it < 0
     se = F.sqrt(var / n)
 
-    func = agg.func.lower()
     if func == "avg":
         # Weighted mean Σ(x/p)/Σ(1/p); equals the plain sample mean for
         # constant p (reference semantics: AVG never scaled).

@@ -61,7 +61,11 @@ def hist_quantiles(
     bin_col = F.least(
         F.lit(bins - 1), F.floor((x - F.lit(float(mn))) / F.lit(float(width)))
     ).cast("long")
-    hist = df.select(bin_col.alias("bin")).groupBy("bin").agg(
+    # NULLs must not reach the binning expression: floor(NULL/width) is
+    # NULL and F.least skips NULLs, which would land every NULL row in
+    # the top bin while n = count(x) excludes them — cumulative counts
+    # would overshoot the q·n targets on any nullable column.
+    hist = df.filter(x.isNotNull()).select(bin_col.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -114,7 +118,7 @@ hist AS (
                CAST(floor(({x} - (SELECT mn FROM stats))
                     / ((SELECT (mx - mn) / {bins} FROM stats))) AS BIGINT)) AS bin,
          count(*) AS cnt
-  FROM {table} GROUP BY 1
+  FROM {table} WHERE {x} IS NOT NULL GROUP BY 1
 ),
 cum AS (
   SELECT bin, cnt,

@@ -214,15 +214,19 @@ def sampled_revenue_stream(
         portable_hash_col(F.col("event_id").cast("long")) < F.lit(thr)
     )
     x = F.col("value").cast("double")
+    p = float(fraction)
+    # Weight per row INSIDE the aggregation (sum(x/p), sum(x²·(1-p)/p²))
+    # so the finalization arithmetic is term-for-term identical to the
+    # oracle's moments_sql — post-hoc sum(x)/p associates the floats
+    # differently and adds avoidable cross-engine divergence.
     agg = sampled.groupBy("event_type").agg(
         F.count(x).alias("n"),
-        F.sum(x).alias("s1"),
-        F.sum(x * x).alias("s2"),
+        F.sum(x / F.lit(p)).alias("s_est"),
+        F.sum(x * x * F.lit(1.0 - p) / F.lit(p * p)).alias("s_vht"),
     )
     sink = run_to_memory_sink(agg, "complete")
-    p = float(fraction)
-    est = F.col("s1") / F.lit(p)
-    vht = F.col("s2") * (1.0 - p) / (p * p)
+    est = F.col("s_est")
+    vht = F.col("s_vht")
     margin = F.lit(Z_95) * F.sqrt(F.greatest(vht, F.lit(0.0)))
     cols = _ci_columns(est, margin, F.col("n"), "sum_value")
     out = sink.select(

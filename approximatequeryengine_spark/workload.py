@@ -37,11 +37,14 @@ from approximatequeryengine_spark.plans.sampling import (
     sampling_where_sql,
 )
 
-_CATALOGS: dict[tuple[int, str], Catalog] = {}
+_CATALOGS: dict[tuple[str, str], Catalog] = {}
 
 
 def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): id() is reusable after GC, so a
+    # long-lived driver cycling SparkSessions could alias a stale
+    # catalog whose temp views point at dead plans.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CATALOGS:
         _CATALOGS[key] = Catalog(spark, sf_dir)
     else:
