@@ -1419,8 +1419,15 @@ _register("sketch_hist_quantiles", _hist_quantiles_fn, _hist_quantiles_oracle())
 # the full set.
 # ---------------------------------------------------------------------------
 
+# Round-3 cut. Goal: the UNION of r1+r2+r3 driver rows covers every
+# oracle-backed entry. Rounds 1-2 certified 74 of 96; the 22 that have
+# never had a driver row all go in this round, behind a ~15-row anchor
+# block (reference core A1-A4, the relational flagships, one row per
+# sampler design, adaptive) that stays certified every round. The
+# rotated-out r1/r2 entries remain registered and
+# pytest/check_entry-verified.
 _CERTIFY_FIRST = [
-    # Reference core (A1-A4, P2/P4) + relational flagships.
+    # Anchors: reference core (A1-A4, P2/P4) + relational flagships.
     "exact_sum",
     "exact_avg",
     "exact_count",
@@ -1430,60 +1437,54 @@ _CERTIFY_FIRST = [
     "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "join_revenue_by_nation",
-    # Fixed this round (oracle sum() HUGEINT cast) — re-certify.
-    "sessionize_events",
-    "pivot_order_status",
-    "text_token_stats",
-    # §2.5 window / §2.6 scalar-function representatives.
-    "window_topk_parts_per_brand",
-    "scalar_functions_profile",
-    # One representative per sampling design (R1-R30).
+    # Anchors: one row per sampling design (R1-R30) + adaptive (R8-R10).
     "approx_sum_uniform10",
     "approx_groupby_sum_ci20",
     "approx_sum_systematic15",
     "approx_sum_block10",
     "approx_sum_stratified",
     "approx_sum_neyman",
-    "approx_q1_block_uniform10",
-    # Advanced estimators.
-    "approx_median_ci",
-    "approx_sum_bootstrap32",
-    "approx_sum_pps10",
-    "approx_distinct_chao1",
-    "approx_ratio_discount_rate",
-    "approx_cluster_join_sum",
-    "approx_join_revenue_by_nation",
     "adaptive_clt_sum",
-    # Reference file format (S5).
-    "recordfile_roundtrip",
-    # LLM-data-pipeline: text, dedup, similarity.
-    "text_lang_id_confusion",
-    "text_quality_by_lang",
-    # (text_fingerprint_summary moved out: the fingerprint arithmetic is
-    # transitively certified through dedup_exact_groups, freeing a slot)
-    "dedup_exact_groups",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_summary",
-    "dedup_ngram_jaccard_pairs",
-    "embedding_neardup_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "corpus_clean_pipeline",
-    "corpus_mix_balanced",
-    # Corpus curation (round-2 additions).
-    "curation_pack_sequences",
-    "curation_contamination_screen",
-    # Multimodal plumbing (frame_sample moved out: blob_stats +
-    # header_metadata keep two certified rows in the family).
-    "multimodal_blob_stats",
-    "multimodal_header_metadata",
-    # Temporal / storage-layout joins.
-    "asof_join_purchase_click",
-    "bucketed_join_revenue",
+    # --- never driver-certified before round 3 (22 entries) ---
+    # Dedup / similarity.
+    "dedup_connected_clusters",
+    "ann_ivf_topk",
+    "ann_int8_topk",
+    # Multimodal / temporal / skew joins.
+    "multimodal_frame_sample",
+    "range_join_purchase_clicks",
+    "salted_join_revenue",
     # Structured Streaming.
-    "streaming_session_windows",
-    "streaming_corpus_dedup",
+    "streaming_windowed_events",
+    "streaming_dedup_events",
+    "streaming_enriched_revenue",
+    "streaming_sampled_revenue",
+    "streaming_countmin_tokens",
+    "streaming_running_estimate",
+    # Grouped advanced estimators.
+    "approx_grouped_sum_bootstrap32",
+    "approx_grouped_distinct_chao1",
+    "approx_grouped_median_ci",
+    # Sketches / BLB.
+    "sketch_mergeable_rollup",
+    "sketch_approx_distinct",
+    "sketch_countmin_tokens",
+    "sketch_hist_quantiles",
+    "approx_sum_blb",
+    # Curation.
+    "curation_repetition_stats",
+    "curation_pii_stats",
+    # --- reference-core approx variants certified only in round 1:
+    # re-certify A6/A7/A8/R30 representatives on the fixed estimator path.
+    "approx_avg_uniform10",
+    "approx_count_uniform10",
+    "approx_sum_where_uniform20",
+    "approx_sum_head5",
+    # Q1-block multi-estimate (regression suspect in round 2's bench —
+    # keep its correctness row while the perf question is open).
+    "approx_q1_block_uniform10",
+    # Remaining slots (round-3 additions are appended here as they land;
+    # see the registrations below for adaptive_grouped_sum etc.)
 ]
 
 
