@@ -51,6 +51,63 @@ def error_ladder(error_pct: float) -> float:
     return 0.05
 
 
+def adaptive_grouped_aggregate(
+    df: DataFrame,
+    agg: AggSpec,
+    group_by: list[str],
+    spec: SamplingSpec,
+    error_pct: float = 2.0,
+    max_iterations: int = 8,
+    min_samples: int = 50,
+    z: float = Z_95,
+) -> tuple[DataFrame, float, int]:
+    """Grouped adaptive escalation (R8-R10 extended beyond the
+    reference, which runs grouped queries at a FIXED fraction,
+    ``enhanced_aqe_cli.py:243-250``): double the sampling fraction until
+    the *worst group's* relative CI half-width meets ``error_pct``.
+
+    One grouped moments job per rung; the driver sees only ≤|groups|
+    rows per iteration, so the sync cost is the same bounded shape as
+    the global loop. Samples are nested in the fraction
+    (``uniform_hash``: h(k) < f·2³²), so total rows scanned ≤ 2× the
+    final rung. A group must have ``n ≥ min_samples`` and a nonzero
+    estimate to count as converged; a rung with no rows at all never
+    converges. The terminal rung is a pure function of the data —
+    the DuckDB oracle re-derives it by evaluating every rung's grouped
+    moments and applying the identical all-groups stop rule
+    (``workload._adaptive_grouped_oracle``).
+
+    Returns ``(result_df, final_fraction, iterations)`` where
+    ``result_df`` is the terminal rung's grouped estimate + CI frame.
+    """
+    fraction = spec.fraction if spec.fraction else error_ladder(error_pct)
+    fraction = max(min(fraction, 1.0), 1e-6)
+    iterations = 0
+    rdf: DataFrame | None = None
+    while True:
+        iterations += 1
+        cur = replace(spec, fraction=fraction)
+        rdf = approx_aggregate(
+            apply_sampling(df, cur), agg, group_by=group_by, z=z
+        )
+        rows = rdf.collect()  # ≤ |groups| rows — bounded driver sync
+
+        def _rel(row) -> float:
+            est = row[agg.name()]
+            if est is None or est == 0:
+                return float("inf")
+            return 100.0 * (row["ci_upper"] - row["ci_lower"]) / 2.0 / abs(est)
+
+        converged = bool(rows) and all(
+            r["n_samples"] >= min_samples and _rel(r) <= error_pct for r in rows
+        )
+        if converged or fraction >= 1.0 or iterations >= max_iterations:
+            break
+        fraction = min(1.0, fraction * 2.0)
+    assert rdf is not None
+    return rdf, fraction, iterations
+
+
 def adaptive_aggregate(
     df: DataFrame,
     agg: AggSpec,

@@ -1246,6 +1246,76 @@ def _adaptive_oracle() -> str:
 _register("adaptive_clt_sum", _adaptive_fn, _adaptive_oracle())
 
 
+def _adaptive_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped adaptive escalation: stop when the WORST group's relative
+    CI half-width meets the budget (beyond-reference — the reference
+    runs grouped queries at a fixed fraction). Terminal rung re-derived
+    by the oracle below, per group."""
+    from approximatequeryengine_spark.plans.adaptive import adaptive_grouped_aggregate
+    from approximatequeryengine_spark.plans.estimators import AggSpec
+
+    cat = _catalog(spark, sf_dir)
+    rdf, _, _ = adaptive_grouped_aggregate(
+        cat.table("lineitem"),
+        AggSpec("sum", "l_extendedprice"),
+        ["l_returnflag"],
+        SamplingSpec(fraction=0.0, key=_LKEY),
+        error_pct=_ADAPTIVE_ERROR_PCT,
+        min_samples=_ADAPTIVE_MIN_SAMPLES,
+    )
+    return _round_cols(
+        rdf.orderBy("l_returnflag"),
+        {"sum_l_extendedprice": 2, "ci_lower": 2, "ci_upper": 2},
+    )
+
+
+def _adaptive_grouped_oracle() -> str:
+    """Per-group ladder re-derivation: grouped moments on every rung
+    (nested samples — each rung is exactly what the loop saw), the same
+    integer-rounded margin, and the first rung where EVERY group has
+    ``n ≥ min_samples ∧ est ≠ 0 ∧ rel ≤ e`` (else the full-scan rung)."""
+    from approximatequeryengine_spark.plans.adaptive import error_ladder
+    from approximatequeryengine_spark.plans.estimators import Z_95
+
+    ladder = [error_ladder(_ADAPTIVE_ERROR_PCT)]
+    while ladder[-1] < 1.0:
+        ladder.append(min(1.0, ladder[-1] * 2.0))
+    parts = []
+    for i, f in enumerate(ladder, 1):
+        s = SamplingSpec(design="uniform_hash", fraction=f, key=_LKEY)
+        where = sampling_where_sql(s)
+        p = sampling_p_sql(s)
+        x = "CAST(l_extendedprice AS DOUBLE)"
+        parts.append(
+            f"SELECT {i} AS i, l_returnflag, COUNT(*) AS n, "
+            f"SUM({x} / {p}) AS est, "
+            f"SUM({x} * {x} * (1.0 - {p}) / ({p} * {p})) AS vht "
+            f"FROM lineitem WHERE {where} GROUP BY l_returnflag"
+        )
+    last = len(ladder)
+    z = Z_95
+    return (
+        f"WITH m AS ({' UNION ALL '.join(parts)}), "
+        f"sel AS (SELECT i, l_returnflag, n, est, "
+        f"  CASE WHEN n >= 2 THEN {z!r} * sqrt(greatest(vht, 0.0)) ELSE 0.0 END AS rawm "
+        f"  FROM m), "
+        f"mm AS (SELECT i, l_returnflag, n, est, "
+        f"  CASE WHEN rawm > 0 THEN greatest(round(rawm, 0), 1.0) ELSE 0.0 END AS margin "
+        f"  FROM sel), "
+        f"rung AS (SELECT i, bool_and(n >= {_ADAPTIVE_MIN_SAMPLES} AND est <> 0 "
+        f"  AND 100.0 * margin / abs(est) <= {_ADAPTIVE_ERROR_PCT!r}) AS ok "
+        f"  FROM mm GROUP BY i), "
+        f"pick AS (SELECT i FROM rung WHERE ok OR i = {last} ORDER BY i LIMIT 1) "
+        f"SELECT l_returnflag, round(est, 2) AS sum_l_extendedprice, "
+        f"round(est - margin, 2) AS ci_lower, round(est + margin, 2) AS ci_upper, "
+        f"CAST(n AS BIGINT) AS n_samples "
+        f"FROM mm JOIN pick USING (i) ORDER BY l_returnflag"
+    )
+
+
+_register("adaptive_grouped_sum", _adaptive_grouped_fn, _adaptive_grouped_oracle())
+
+
 def _stateful_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-event-type cumulative moments state emitting a refining estimate
@@ -1445,6 +1515,8 @@ _CERTIFY_FIRST = [
     "approx_sum_stratified",
     "approx_sum_neyman",
     "adaptive_clt_sum",
+    # Round-3 addition: grouped adaptive escalation (worst-group budget).
+    "adaptive_grouped_sum",
     # --- never driver-certified before round 3 (22 entries) ---
     # Dedup / similarity.
     "dedup_connected_clusters",

@@ -71,3 +71,56 @@ def test_insufficient_data(engine):
         max_iterations=2,
     )
     assert res.status == ApproximationStatus.INSUFFICIENT_DATA
+
+
+def test_adaptive_grouped_worst_group_budget(engine_med, duck_med):
+    """Grouped escalation: every group's realized relative margin meets
+    the budget at the terminal rung, and the terminal frame matches the
+    per-group ladder-re-derivation oracle exactly."""
+    from approximatequeryengine_spark.plans.adaptive import adaptive_grouped_aggregate
+    from approximatequeryengine_spark.workload import (
+        _adaptive_grouped_oracle,
+        _round_cols,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    df = engine_med.catalog.table("lineitem")
+    rdf, fraction, iterations = adaptive_grouped_aggregate(
+        df,
+        AggSpec("sum", "l_extendedprice"),
+        ["l_returnflag"],
+        SamplingSpec(fraction=0.0, key=KEY),
+        error_pct=2.0,
+    )
+    rows = rdf.collect()
+    assert len(rows) == 3  # A/N/R
+    if fraction < 1.0:
+        # Converged before the full-scan rung: every group within budget.
+        for r in rows:
+            margin = (r["ci_upper"] - r["ci_lower"]) / 2.0
+            assert 100.0 * margin / abs(r["sum_l_extendedprice"]) <= 2.0
+            assert r["n_samples"] >= 50
+    assert iterations >= 1
+    out = _round_cols(
+        rdf.orderBy("l_returnflag"),
+        {"sum_l_extendedprice": 2, "ci_lower": 2, "ci_upper": 2},
+    )
+    assert_df_matches_sql(out, duck_med, _adaptive_grouped_oracle())
+
+
+def test_adaptive_grouped_tight_budget_escalates(engine):
+    """sf0.001 with a 0.5% budget: the loop must escalate past the
+    first rung (or run out of ladder at fraction=1.0)."""
+    from approximatequeryengine_spark.plans.adaptive import adaptive_grouped_aggregate
+
+    df = engine.catalog.table("lineitem")
+    rdf, fraction, iterations = adaptive_grouped_aggregate(
+        df,
+        AggSpec("sum", "l_extendedprice"),
+        ["l_returnflag"],
+        SamplingSpec(fraction=0.0, key=KEY),
+        error_pct=0.5,
+    )
+    assert iterations > 1
+    assert fraction > error_ladder(0.5)
+    assert rdf.count() == 3
