@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed per-batch with ``mapInPandas`` (Arrow transfer).
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``NotImplementedError`` unless
-``allow_fake=True``); everything around it — schema, Arrow batching,
-partition-parallel UDF execution, metadata extraction — is real and
-tested. The fake feature extractor is deterministic (byte length +
-md5-derived checksum via Python hashlib == Spark/DuckDB ``md5``), so
-even the pandas-UDF path has an exact DuckDB oracle.
+Decode is REAL for PNG and WAV as of round 3 — dependency-free codecs
+in ``functions/media.py`` (full PNG unfilter incl. Paeth; 16-bit PCM
+WAV), used by ``png_decode_stats``/``wav_decode_stats`` which
+round-trip genuine bytes through the distributed kernel under an
+arithmetic DuckDB oracle. Pillow/soundfile are picked up instead when
+importable; JPEG/MP3/video still raise ``NotImplementedError`` (a
+faithful codec for those is out of scope). The older synthetic-blob
+operators keep their deterministic stand-in features (byte length +
+md5 checksum, exact DuckDB oracle).
 
 At scale: binary payloads ride in their own parquet column (columnar
 pruning keeps metadata-only queries from touching bytes); the UDF is
@@ -55,23 +57,56 @@ def make_blob_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Real decode (PIL / soundfile / av) — unavailable in this
-    container by design."""
+def decode_media(payload: bytes, media_type: str):
+    """Real decode for the formats with dependency-free codecs
+    (round 3): PNG → uint8 array, WAV → (int16 samples, rate) via
+    ``functions/media.py``. Pillow/soundfile are tried first when
+    importable (not baked into this container); formats needing real
+    codec libraries (JPEG, MP3, video) still raise."""
+    if media_type == "image/png":
+        try:  # pragma: no cover - Pillow absent in this container
+            import io as _io
+
+            import numpy as _np
+            from PIL import Image
+
+            return _np.asarray(Image.open(_io.BytesIO(payload)))
+        except ImportError:
+            from approximatequeryengine_spark.functions.media import decode_png
+
+            return decode_png(payload)
+    if media_type == "audio/wav":
+        try:  # pragma: no cover - soundfile absent in this container
+            import io as _io
+
+            import soundfile
+
+            return soundfile.read(_io.BytesIO(payload))
+        except ImportError:
+            from approximatequeryengine_spark.functions.media import decode_wav
+
+            return decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio codecs not present in this "
-        "environment; pass allow_fake=True for the deterministic stand-in"
+        f"no codec available for {media_type!r}; supported without "
+        "optional dependencies: image/png, audio/wav (stdlib codecs); "
+        "JPEG/MP3/video need Pillow/soundfile/av"
     )
 
 
 def extract_blob_features(
     spark: SparkSession, blobs: DataFrame, allow_fake: bool = True
 ) -> DataFrame:
-    """Per-blob features via mapInPandas. ``allow_fake=False`` exercises
-    the real-decoder path (raises NotImplementedError)."""
+    """Per-blob features via mapInPandas over the SYNTHETIC blob table
+    (payload = utf-8 text bytes, not real media). ``allow_fake=False``
+    refuses up front: these payloads cannot be decoded as media — the
+    real decode path is ``png_decode_stats`` / ``wav_decode_stats``,
+    which round-trip genuine PNG/WAV bytes through the codecs."""
     if not allow_fake:
-        # Surface the stub contract eagerly rather than inside executors.
-        decode_media(b"", "image/png")
+        raise NotImplementedError(
+            "blob payloads here are synthetic text bytes, not decodable "
+            "media; use png_decode_stats/wav_decode_stats for the real "
+            "codec path"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -102,13 +137,21 @@ def blob_feature_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-def resize_media(payload: bytes, media_type: str, width: int, height: int):  # pragma: no cover - stub
-    """Real resize (PIL.Image.resize / ffmpeg scale) — unavailable in
-    this container by design; the Spark-side plumbing to call it is
-    ``extract_blob_features``-shaped (mapInPandas over bounded Arrow
-    batches)."""
+def resize_media(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    """Real resize (round 3): decode → nearest-neighbor resample →
+    re-encode, all via the stdlib codecs. PNG only; audio/video
+    resampling still needs real codec libraries."""
+    if media_type == "image/png":
+        from approximatequeryengine_spark.functions.media import (
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        return encode_png(resize_nearest(decode_png(payload), width, height))
     raise NotImplementedError(
-        "media resizing requires image codecs not present in this environment"
+        f"resize for {media_type!r} needs codecs not present in this "
+        "environment (supported: image/png)"
     )
 
 
@@ -315,4 +358,178 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
                  THEN (1000 + doc_id % 9000) * 1000.0 / (8000 + (doc_id % 8) * 4000)
             END), 4) AS avg_duration_ms
 FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Real codec round trips (round 3). The synthetic pixel/sample data is
+# a pure function of doc_id, so the oracle can recompute every decoded
+# feature ARITHMETICALLY (generate_series) while the Spark side must
+# come by them the hard way: encode a genuine PNG/WAV, ship the bytes
+# through the Arrow batch boundary, decode with the real codec, and
+# compute features from the decoded arrays only. A hash-match therefore
+# certifies encoder ∘ decoder = identity inside the distributed kernel.
+# PNG filter type cycles doc_id % 5 → all five unfilter branches
+# (None/Sub/Up/Average/Paeth) are exercised in the certified row.
+# ---------------------------------------------------------------------------
+
+PNG_SIDE = 8  # synthetic images are 8×8 greyscale
+WAV_N = 64  # samples per synthetic clip
+
+
+def png_decode_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-bucket stats of decoded (and nearest-resized 8→4) synthetic
+    PNGs; see the section comment for the oracle contract."""
+    import numpy as np
+
+    from approximatequeryengine_spark.functions.media import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    docs = ensure_parallelism(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "mean_px": [], "sum_px": [], "mean_resized": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pix = ((d * 31 + np.arange(PNG_SIDE * PNG_SIDE)) % 256).astype(
+                    np.uint8
+                ).reshape(PNG_SIDE, PNG_SIDE)
+                payload = encode_png(pix, filter_type=d % 5)
+                arr = decode_png(payload).astype(np.int64)
+                small = resize_nearest(arr, PNG_SIDE // 2, PNG_SIDE // 2)
+                out["doc_id"].append(d)
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["channels"].append(arr.shape[2])
+                out["mean_px"].append(float(arr.mean()))
+                out["sum_px"].append(int(arr.sum()))
+                out["mean_resized"].append(float(small.mean()))
+            yield pd.DataFrame(out)
+
+    feats = docs.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, width long, height long, channels long, "
+        "mean_px double, sum_px long, mean_resized double",
+    )
+    return (
+        feats.groupBy((F.col("doc_id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("width").alias("width"),
+            F.min("height").alias("height"),
+            F.min("channels").alias("channels"),
+            F.round(F.avg("mean_px"), 6).alias("avg_mean_px"),
+            F.sum("sum_px").alias("sum_px"),
+            F.round(F.avg("mean_resized"), 6).alias("avg_mean_resized"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def png_decode_stats_sql() -> str:
+    """Oracle: decoded-pixel stats from doc_id arithmetic alone — the
+    SQL never builds or parses a PNG."""
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, g.i, (d.doc_id * 31 + g.i) % 256 AS p
+  FROM documents d CROSS JOIN generate_series(0, {PNG_SIDE * PNG_SIDE - 1}) g(i)
+),
+per_doc AS (
+  SELECT doc_id,
+         avg(p) AS mean_px,
+         sum(p) AS sum_px,
+         avg(CASE WHEN (g_row % 2 = 0) AND (g_col % 2 = 0) THEN p END) AS mean_resized
+  FROM (SELECT doc_id, p, i // {PNG_SIDE} AS g_row, i % {PNG_SIDE} AS g_col FROM px) q
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST({PNG_SIDE} AS BIGINT) AS width,
+       CAST({PNG_SIDE} AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       round(avg(mean_px), 6) AS avg_mean_px,
+       CAST(sum(sum_px) AS BIGINT) AS sum_px,
+       round(avg(mean_resized), 6) AS avg_mean_resized
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+def wav_decode_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-bucket stats of decoded synthetic WAV clips (16-bit PCM,
+    rate varies by doc_id % 4); same oracle contract as the PNG row."""
+    import numpy as np
+
+    from approximatequeryengine_spark.functions.media import (
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = ensure_parallelism(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "mean_amp": [], "peak": [], "energy": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                s = ((d * 7 + np.arange(WAV_N)) % 201 - 100).astype(np.int16)
+                rate = 8000 + (d % 4) * 2000
+                payload = encode_wav(s, rate)
+                dec, got_rate = decode_wav(payload)
+                v = dec.reshape(-1).astype(np.int64)
+                out["doc_id"].append(d)
+                out["n_samples"].append(len(v))
+                out["sample_rate"].append(got_rate)
+                out["mean_amp"].append(float(v.mean()))
+                out["peak"].append(int(np.abs(v).max()))
+                out["energy"].append(int((v * v).sum()))
+            yield pd.DataFrame(out)
+
+    feats = docs.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, n_samples long, sample_rate long, "
+        "mean_amp double, peak long, energy long",
+    )
+    return (
+        feats.groupBy((F.col("doc_id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("n_samples").alias("n_samples"),
+            F.min("sample_rate").alias("sample_rate"),
+            F.round(F.avg("mean_amp"), 6).alias("avg_mean_amp"),
+            F.max("peak").alias("peak"),
+            F.sum("energy").alias("energy"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def wav_decode_stats_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT d.doc_id, ((d.doc_id * 7 + g.i) % 201) - 100 AS v
+  FROM documents d CROSS JOIN generate_series(0, {WAV_N - 1}) g(i)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_samples, avg(v) AS mean_amp,
+         max(abs(v)) AS peak, sum(v * v) AS energy
+  FROM s GROUP BY doc_id
+)
+SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(min(n_samples) AS BIGINT) AS n_samples,
+       CAST(min(8000 + (doc_id % 4) * 2000) AS BIGINT) AS sample_rate,
+       round(avg(mean_amp), 6) AS avg_mean_amp,
+       CAST(max(peak) AS BIGINT) AS peak,
+       CAST(sum(energy) AS BIGINT) AS energy
+FROM per_doc GROUP BY 1 ORDER BY 1
 """

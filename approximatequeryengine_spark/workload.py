@@ -739,6 +739,12 @@ _docs_query("ann_ivf_topk", _sim.ann_ivf_topk, None, table="embeddings")
 # rows-only in round 2); overlap vs float pinned in
 # test_int8_topk_overlap.
 _docs_query("ann_int8_topk", _sim.ann_bruteforce_topk_int8, _sim.ann_int8_topk_sql(), table="embeddings")
+# Round-3: data-driven LSH parameter tuning. The full derivation —
+# portable-hash sample, pairwise-cosine moments, (T, b) grid search,
+# feasibility verdict — is deterministic, so the DuckDB oracle re-runs
+# it end to end (the ladder-re-derivation trick from adaptive_clt_sum
+# applied to index tuning). `ann_auto_topk` dispatches on this row.
+_docs_query("ann_autotune_profile", _sim.ann_tune_profile, _sim.ann_tune_profile_sql(), table="embeddings")
 # τ=0.35 (not the 0.95 production default): the synthetic fixture's max
 # within-label cosine is ~0.47, so 0.95 would make the check vacuous
 # (always 0 rows); 0.35 yields nonzero matches at every SF.
@@ -750,6 +756,14 @@ _docs_query(
 )
 _docs_query("multimodal_blob_stats", _mm.blob_feature_stats, _mm.blob_feature_stats_sql())
 _docs_query("multimodal_frame_sample", _mm.video_frame_sample, _mm.video_frame_sample_sql())
+# Round-3: REAL codec round trips. Spark encodes genuine PNG/WAV bytes
+# per doc, decodes them with the dependency-free codecs inside the
+# mapInPandas kernel, and aggregates features of the DECODED arrays;
+# the oracle recomputes everything arithmetically from doc_id — a hash
+# match certifies encoder ∘ decoder = identity (all 5 PNG filter types
+# cycle through the row).
+_docs_query("multimodal_png_decode", _mm.png_decode_stats, _mm.png_decode_stats_sql())
+_docs_query("multimodal_wav_decode", _mm.wav_decode_stats, _mm.wav_decode_stats_sql())
 _docs_query("asof_join_purchase_click", _temporal.asof_purchase_click, _temporal.asof_purchase_click_sql(), table="events")
 _docs_query("range_join_purchase_clicks", _temporal.range_join_purchase_clicks, _temporal.range_join_purchase_clicks_sql(), table="events")
 _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())
@@ -1555,6 +1569,10 @@ _CERTIFY_FIRST = [
     # Q1-block multi-estimate (regression suspect in round 2's bench —
     # keep its correctness row while the perf question is open).
     "approx_q1_block_uniform10",
+    # Round-3 additions (new operators, certified the round they land).
+    "ann_autotune_profile",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
     # Remaining slots (round-3 additions are appended here as they land;
     # see the registrations below for adaptive_grouped_sum etc.)
 ]

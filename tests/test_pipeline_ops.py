@@ -307,11 +307,21 @@ def test_frame_sample_counts(spark, synth_docs):
     assert got == {k: tuple(v) for k, v in expect.items()}
 
 
-def test_resize_stub_raises():
+def test_resize_media_real_roundtrip():
+    """Round 3: PNG resize is real (decode → nearest → re-encode);
+    audio/video resize still declares itself unsupported."""
+    import numpy as np
+
+    from approximatequeryengine_spark.functions.media import decode_png, encode_png
     from approximatequeryengine_spark.operators.multimodal import resize_media
 
+    arr = (np.arange(64, dtype=np.uint8) * 3).reshape(8, 8)
+    out = resize_media(encode_png(arr), "image/png", 4, 4)
+    small = decode_png(out)
+    assert small.shape == (4, 4, 1)
+    assert (small[:, :, 0] == arr[::2, ::2]).all()
     with pytest.raises(NotImplementedError):
-        resize_media(b"", "image/png", 64, 64)
+        resize_media(b"", "video/mp4", 64, 64)
 
 
 def test_corpus_clean_pipeline(spark, synth_docs):
@@ -627,3 +637,114 @@ def test_connected_clusters_resolve_transitive_dups(spark):
         for r in dedup_connected_clusters(spark, docs, threshold=0.3).collect()
     }
     assert got == {10: (3, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Round-3: LSH parameter autotuning
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """LSH-friendly corpus: 50 very tight clusters of 10 (member-member
+    cosine ≈ 0.9998) in 64 dims — strong contrast against the
+    ~N(0, 1/64) background cosines of random unit vectors. Looser
+    variants (16 dims, or noise scale ≥ 0.01) were tried first and the
+    tuner correctly refused them: hyperplane bits over few dimensions
+    are rank-limited, and moderate-cosine neighbors need more tables
+    than a 5% candidate budget admits — exactly the regimes where IVF
+    is the right index."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 50, 10, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        v = centers[c] + rng.normal(scale=0.005, size=dim)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ann_autotune_weak_corpus_recommends_ivf(spark, engine):
+    """On the fixture corpus (99th-pct pair cosine ≈ 0.28, barely above
+    background) no (T, b) on the grid can hit recall 0.9 within a 5%
+    candidate budget — round 2's ~60%-candidates admission. The tuner
+    must say so and route to IVF instead of shipping a bad index."""
+    emb = engine.catalog.table("embeddings")
+    row = similarity.ann_tune_profile(spark, emb).collect()[0]
+    assert row["method"] == "ivf"
+    assert row["n_pairs"] == 64 * 63 // 2
+
+
+def test_ann_autotune_clustered_feasible_bounded_recall(spark, clustered_emb):
+    """On a clusterable corpus the tuner must find a feasible (T, b):
+    predicted candidate fraction ≤ 5%, and the ACTUAL bucket-join
+    candidate fraction and brute-force recall must honor the model
+    (recall ≥ 0.9, candidates ≲ 2× the sampled-moment prediction)."""
+    row = similarity.ann_tune_profile(spark, clustered_emb).collect()[0]
+    assert row["method"] == "lsh"
+    assert row["n_tables"] <= similarity.TUNE_MAX_TABLES
+    assert row["est_cand_frac"] <= similarity.TUNE_MAX_CAND
+
+    t, b = int(row["n_tables"]), int(row["bits"])
+    keys = similarity.lsh_band_keys_col(
+        F.transform(F.col("embedding"), lambda v: v.cast("double")), t, b
+    )
+    sigs = {
+        r["vec_id"]: [r[f"k{i}"] for i in range(t)]
+        for r in clustered_emb.select(
+            "vec_id", *[k.alias(f"k{i}") for i, k in enumerate(keys)]
+        ).collect()
+    }
+    n = len(sigs)
+    fracs = []
+    for q in range(5):
+        cands = sum(
+            1
+            for v, s in sigs.items()
+            if v != q and any(a == c for a, c in zip(sigs[q], s))
+        )
+        fracs.append(cands / (n - 1))
+    mean_frac = sum(fracs) / len(fracs)
+    assert mean_frac <= max(2 * row["est_cand_frac"], 0.10), (row, fracs)
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_bruteforce_topk(
+            spark, clustered_emb, n_queries=5, k=3
+        ).collect()
+    }
+    tuned = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(
+            spark, clustered_emb, n_queries=5, k=3, n_tables=t, bits_per_table=b
+        ).collect()
+    }
+    assert len(bf & tuned) / len(bf) >= 0.9, (row, len(bf & tuned), len(bf))
+
+
+def test_ann_auto_topk_dispatches_both_ways(spark, engine, clustered_emb):
+    """ann_auto_topk must return the same result shape whichever index
+    the tuner picks: LSH on the clustered corpus, IVF on the weak one."""
+    lsh_res = similarity.ann_auto_topk(spark, clustered_emb, n_queries=2, k=2)
+    assert lsh_res.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+    assert lsh_res.count() > 0
+    ivf_res = similarity.ann_auto_topk(
+        spark, engine.catalog.table("embeddings"), n_queries=2, k=2
+    )
+    assert ivf_res.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+    assert ivf_res.count() > 0
+
+
+def test_ann_autotune_arrow_matches_expression(spark, clustered_emb):
+    """The Arrow probe-key path must reach the identical tuning
+    decision as the pure-expression path (which is what the DuckDB
+    oracle renders)."""
+    fast = similarity.ann_tune_profile(spark, clustered_emb, use_arrow=True).collect()
+    slow = similarity.ann_tune_profile(spark, clustered_emb, use_arrow=False).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
