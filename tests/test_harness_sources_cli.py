@@ -218,3 +218,40 @@ def test_cli_explain_lists_new_methods(capsys):
     out = capsys.readouterr().out
     for m in ("bootstrap", "pps", "random", "clt"):
         assert m in out
+
+
+def test_register_jdbc_end_to_end_via_derby(spark, tmp_path):
+    """Reference S1 parity, JDBC edition (``core/db.cpp:33-46`` opens an
+    external SQLite file; Spark's analogue is any JDBC database). Runs
+    END TO END against Apache Derby embedded — whose driver ships in
+    Spark's own jars directory, so no external download: write a table
+    through Spark's JDBC sink, mount it with ``register_jdbc``, and run
+    exact SQL + the APPROX dialect over it."""
+    import py4j
+
+    # Keep Derby's log out of the repo root.
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    url = f"jdbc:derby:{tmp_path}/aqedb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    try:
+        spark.range(0, 500).selectExpr(
+            "id AS sale_id", "CAST(id % 5 AS DOUBLE) * 3.0 AS amount"
+        ).write.jdbc(url, "sales", mode="overwrite", properties=props)
+    except py4j.protocol.Py4JJavaError as e:  # pragma: no cover - env-dependent
+        pytest.skip(f"Derby embedded unavailable in this Spark build: {e}")
+
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    eng.catalog.register_jdbc("jdbc_sales", url, "sales", key="sale_id", **props)
+    assert "jdbc_sales" in eng.catalog.table_names()
+
+    truth = sum((i % 5) * 3.0 for i in range(500))
+    exact = eng.run("SELECT sum(amount) AS s FROM jdbc_sales")
+    assert exact.df.collect()[0]["s"] == truth
+
+    approx = eng.run("SELECT APPROX(SUM(amount)) FROM jdbc_sales", sample_pct=25)
+    assert approx.value == pytest.approx(truth, rel=0.25)
+    assert approx.ci_lower <= approx.value <= approx.ci_upper
