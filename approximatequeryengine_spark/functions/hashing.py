@@ -67,20 +67,23 @@ def portable_hash_sql(key_expr: str, salt: int = 0) -> str:
 AVALANCHE_MULT = 73_244_475  # 0x45d9f3b (Wellons' hash32 constant, < 2^31)
 
 
-def with_avalanche_u(
+def with_avalanche_h(
     df: DataFrame,
     key: Column,
     salt: Column,
-    u_col: str = "__u",
+    h_col: str = "__h",
     prefix: str = "__av",
 ) -> DataFrame:
-    """Attach ``u_col`` = avalanche_hash(key, salt)/2³² ∈ [0,1) via
-    STEPWISE projections (one withColumn per round). Building the hash
-    as a single Column tree is exponentially large — every xor round
+    """Attach ``h_col`` = 32-bit avalanche hash(key, salt) via STEPWISE
+    projections (one withColumn per round). Building the hash as a
+    single Column tree is exponentially large — every xor round
     references its operand twice — and measurably slower through
     codegen; distinct steps evaluate each stage once per row
     (CollapseProject's reference-count guard preserves the sharing).
-    Intermediates are dropped."""
+    Intermediates are dropped. Unlike ``portable_hash_col`` (two
+    multiplicative rounds, good enough for threshold sampling), this
+    xorshift-multiply construction avalanches well enough for
+    register-indexed sketches (HLL) and validation resampling."""
     df = df.withColumn(
         f"{prefix}0",
         (F.abs(key.cast("long")) + salt.cast("long") * F.lit(SALT_STRIDE))
@@ -96,11 +99,26 @@ def with_avalanche_u(
         tmp += [a, b]
         cur = b
     df = df.withColumn(
-        u_col,
-        F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long")).cast("double")
-        / F.lit(float(HASH_SPACE)),
+        h_col,
+        F.col(cur).bitwiseXOR((F.col(cur) / F.lit(65536)).cast("long")),
     )
     return df.drop(*tmp)
+
+
+def with_avalanche_u(
+    df: DataFrame,
+    key: Column,
+    salt: Column,
+    u_col: str = "__u",
+    prefix: str = "__av",
+) -> DataFrame:
+    """Attach ``u_col`` = avalanche_hash(key, salt)/2³² ∈ [0,1); see
+    :func:`with_avalanche_h`."""
+    df = with_avalanche_h(df, key, salt, h_col=f"{prefix}h", prefix=prefix)
+    df = df.withColumn(
+        u_col, F.col(f"{prefix}h").cast("double") / F.lit(float(HASH_SPACE))
+    )
+    return df.drop(f"{prefix}h")
 
 
 def avalanche_hash_sql_steps(key_expr: str, salt_expr: str, prefix: str = "__h") -> tuple[str, str]:

@@ -1369,6 +1369,28 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("sketch_approx_distinct", _hll_fn, None)
 
 
+def _portable_hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (round 3): per-group distinct estimates
+    plus a global row derived by MERGING the per-group registers —
+    deterministic avalanche-hash registers, so the DuckDB oracle
+    reproduces the whole sketch (register maxima, merge law, estimator,
+    small-range correction) exactly. Complements the rows-only Spark
+    HLL++ rows above and the sample-based Chao1 estimators."""
+    cat = _catalog(spark, sf_dir)
+    from approximatequeryengine_spark.plans.hll import portable_hll_rollup
+
+    return portable_hll_rollup(cat.table("lineitem"), "l_partkey", "l_returnflag")
+
+
+def _portable_hll_oracle() -> str:
+    from approximatequeryengine_spark.plans.hll import portable_hll_rollup_sql
+
+    return portable_hll_rollup_sql("lineitem", "l_partkey", "l_returnflag")
+
+
+_register("sketch_portable_hll", _portable_hll_fn, _portable_hll_oracle())
+
+
 def _recordfile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference S5 file-format parity, certified end-to-end: project
     orders into the reference's fixed 5-column ``Record`` struct
@@ -1573,6 +1595,7 @@ _CERTIFY_FIRST = [
     "ann_autotune_profile",
     "multimodal_png_decode",
     "multimodal_wav_decode",
+    "sketch_portable_hll",
     # Remaining slots (round-3 additions are appended here as they land;
     # see the registrations below for adaptive_grouped_sum etc.)
 ]

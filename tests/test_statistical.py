@@ -416,3 +416,54 @@ def test_multi_measure_block_cis_cover(spark):
         t = truth[g]
         for m in ("sum_qty", "sum_disc_price", "avg_qty"):
             assert e[f"{m}_lo"] <= t[m] <= e[f"{m}_hi"], (g, m, e[f"{m}_lo"], t[m], e[f"{m}_hi"])
+
+
+# ---------------------------------------------------------------------------
+# Round-3: portable HyperLogLog
+
+
+def test_portable_hll_accuracy_across_cardinalities(spark):
+    """m=64 → ~13% standard error; the avalanche-hash registers must
+    land within 3σ of truth across three orders of magnitude (the
+    cheaper portable_hash measurably does NOT — 2-10× bias)."""
+    from approximatequeryengine_spark.plans.hll import portable_hll_rollup
+
+    for n in (100, 2000, 50000):
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("k"), F.lit("g").alias("grp")
+        )
+        row = portable_hll_rollup(df, "k", "grp").collect()
+        est = {r["level"]: r["est_distinct"] for r in row}
+        assert est["group_g"] == est["merged_global"]
+        assert abs(est["group_g"] / n - 1.0) < 0.4, (n, est)
+
+
+def test_portable_hll_merge_equals_whole(spark):
+    """Merge law: registers of two disjoint halves, merged by max,
+    must equal the registers (and estimate) of the union."""
+    from approximatequeryengine_spark.plans.hll import (
+        hll_registers,
+        portable_hll_rollup,
+    )
+
+    whole = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5000, "lo").otherwise("hi").alias("grp"),
+    )
+    # Per-group registers merged by max == registers of the union.
+    regs = hll_registers(whole, "k", "grp")
+    merged = {
+        (r["j"]): r["r"]
+        for r in regs.groupBy("j").agg(F.max("r").alias("r")).collect()
+    }
+    union_regs = {
+        (r["j"]): r["r"]
+        for r in hll_registers(
+            whole.withColumn("grp", F.lit("all")), "k", "grp"
+        ).collect()
+    }
+    assert merged == union_regs
+    # And the rollup's merged_global row reflects exactly that.
+    rows = {r["level"]: r["est_distinct"]
+            for r in portable_hll_rollup(whole, "k", "grp").collect()}
+    assert rows["merged_global"] >= max(rows["group_lo"], rows["group_hi"])
