@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from approximatequeryengine_spark.operators import ensure_parallelism
 
@@ -441,4 +442,144 @@ kept AS (SELECT h.lang, h.n_chars, c.n_lang
          WHERE {u} < CAST((SELECT min_n FROM mn) AS DOUBLE) / CAST(c.n_lang AS DOUBLE))
 SELECT lang, count(*) AS n_kept, max(n_lang) AS n_before, CAST(sum(n_chars) AS BIGINT) AS chars_kept
 FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (round 3). Classic Okapi BM25 as a pure DataFrame plan:
+# the "search query" is itself derived from the corpus (the 3 most
+# frequent tokens, ties broken lexically) so the whole thing — query
+# selection, document frequencies, length normalization, scoring,
+# ranking — is deterministic and re-runs as ONE DuckDB oracle.
+#
+# Float discipline: per-(doc, term) scores are single arithmetic chains
+# (no order-dependent summation) rounded to 9dp; the per-doc total adds
+# the ≤3 term scores in FIXED query-rank order (CASE-pivoted columns,
+# not an aggregate over rows), then rounds to 6dp — so no float sum
+# depends on row order in either engine, and only ln()'s last ulp needs
+# the rounding grid.
+#
+# At 100 TB: tokenize+explode is partition-local; tf is one shuffle on
+# (doc_id, token) with map-side combine; df/query-term selection
+# reduces to |vocabulary| rows; qterms (3 rows) and the corpus stats
+# (1 row) broadcast back — the scan dominates, as it should.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QTERMS = 3
+BM25_TOPK = 10
+
+
+def bm25_search_top10(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Top-10 documents by BM25 for the corpus' 3 hottest tokens.
+    Output: ``(rank, doc_id, n_terms_matched, score)``."""
+    docs = ensure_parallelism(docs)
+    toks_arr = F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
+    lens = docs.select("doc_id", F.size(toks_arr).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = docs.select("doc_id", F.explode(toks_arr).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    qterms = (
+        vocab.withColumn("qrank", F.row_number().over(w))
+        .filter(F.col("qrank") <= BM25_QTERMS)
+        .select("tok", "df", "qrank")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), on="tok")
+        .join(lens, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    s = F.round(idf * tf_d * F.lit(BM25_K1 + 1.0) / denom, 9)
+    per_term = scored.select("doc_id", "qrank", s.alias("s"))
+    # Fixed-order total: one column per query rank (each holds ≤1 value,
+    # so the aggregate itself never sums floats), then q1+q2+q3.
+    parts = [
+        F.coalesce(
+            F.sum(F.when(F.col("qrank") == i + 1, F.col("s"))), F.lit(0.0)
+        ).alias(f"s{i + 1}")
+        for i in range(BM25_QTERMS)
+    ]
+    per_doc = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"), *parts
+    )
+    total = F.col("s1")
+    for i in range(1, BM25_QTERMS):
+        total = total + F.col(f"s{i + 1}")
+    ranked = per_doc.select(
+        "doc_id", "n_terms_matched", F.round(total, 6).alias("score")
+    )
+    w2 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("rank", "doc_id", "n_terms_matched", "score")
+    )
+
+
+def bm25_search_top10_sql() -> str:
+    toks = f"list_transform({ws_tokens_sql('text')}, t -> lower(t))"
+    s_parts = " + ".join(f"s{i + 1}" for i in range(BM25_QTERMS))
+    pivot = ",\n         ".join(
+        f"coalesce(sum(CASE WHEN qrank = {i + 1} THEN s END), 0.0) AS s{i + 1}"
+        for i in range(BM25_QTERMS)
+    )
+    return f"""
+WITH lens AS (
+  SELECT doc_id, len({toks}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens
+),
+toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+vocab AS (
+  SELECT tok, count(*) AS df, sum(tf) AS cnt FROM tf GROUP BY tok
+),
+qterms AS (
+  SELECT tok, df, row_number() OVER (ORDER BY cnt DESC, tok) AS qrank
+  FROM vocab QUALIFY qrank <= {BM25_QTERMS}
+),
+per_term AS (
+  SELECT t.doc_id, q.qrank,
+         round(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0}
+               / (CAST(t.tf AS DOUBLE)
+                  + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * l.dl / s.avgdl)),
+               9) AS s
+  FROM tf t JOIN qterms q ON t.tok = q.tok
+  JOIN lens l ON t.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_terms_matched,
+         {pivot}
+  FROM per_term GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms_matched, round({s_parts}, 6) AS score,
+         row_number() OVER (ORDER BY round({s_parts}, 6) DESC, doc_id) AS rank
+  FROM per_doc
+)
+SELECT rank, doc_id, n_terms_matched, score
+FROM ranked WHERE rank <= {BM25_TOPK} ORDER BY rank
 """

@@ -719,6 +719,11 @@ _docs_query("text_lang_id_confusion", _text.lang_id_confusion, _text.lang_id_con
 _docs_query("text_quality_by_lang", _text.quality_by_lang, _text.quality_by_lang_sql())
 _docs_query("text_token_stats", _text.token_stats, _text.token_stats_sql())
 _docs_query("text_fingerprint_summary", _text.fingerprint_summary, _text.fingerprint_summary_sql())
+# Round-3: Okapi BM25 ranking, query terms derived from the corpus so
+# selection + scoring + ranking re-run as one DuckDB oracle; per-doc
+# totals add the <=3 term scores in fixed query-rank order (no
+# order-dependent float aggregation in either engine).
+_docs_query("text_bm25_search", _text.bm25_search_top10, _text.bm25_search_top10_sql())
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())
@@ -1596,6 +1601,7 @@ _CERTIFY_FIRST = [
     "multimodal_png_decode",
     "multimodal_wav_decode",
     "sketch_portable_hll",
+    "text_bm25_search",
     # Remaining slots (round-3 additions are appended here as they land;
     # see the registrations below for adaptive_grouped_sum etc.)
 ]

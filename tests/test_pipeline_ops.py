@@ -748,3 +748,19 @@ def test_ann_autotune_arrow_matches_expression(spark, clustered_emb):
     fast = similarity.ann_tune_profile(spark, clustered_emb, use_arrow=True).collect()
     slow = similarity.ann_tune_profile(spark, clustered_emb, use_arrow=False).collect()
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_bm25_search_ranking_invariants(spark, synth_docs):
+    """BM25 top-k on the synthetic corpus: contiguous ranks, scores
+    non-increasing, every hit matches >=1 of the 3 query terms, and the
+    empty doc (id 7) can never appear."""
+    from approximatequeryengine_spark.operators.text import bm25_search_top10
+
+    rows = bm25_search_top10(spark, synth_docs).collect()
+    assert rows, "corpus has repeated tokens; top-k must be non-empty"
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_matched"] <= 3 for r in rows)
+    assert all(r["doc_id"] != 7 for r in rows)
