@@ -162,3 +162,106 @@ SELECT coalesce('group_' || grp, 'merged_global') AS level,
                   ELSE {raw} END, 4) AS est_distinct
 FROM est ORDER BY level
 """
+
+
+def portable_hll_overlap(sides: DataFrame) -> DataFrame:
+    """Cross-corpus overlap WITHOUT a join: |A|, |B| from per-side
+    registers, |A∪B| from their max-merge, and |A∩B| by
+    inclusion–exclusion — the standard sketch answer to "how much do
+    these corpora share?" at any scale (the alternative is a distinct
+    equi-join that shuffles both sides).
+
+    ``sides`` must carry ``side ∈ {'a','b'}`` and an integer key ``k``
+    (hash text keys first — the workload row uses the portable
+    md5-prefix). Output: 4 rows ``(level, est_distinct)`` with level ∈
+    side_a / side_b / union / intersection_est. Intersection is clamped
+    at 0 (inclusion–exclusion of ±13%-error estimates can go negative
+    on disjoint corpora — by design, visible, and still within the
+    sketch's error contract)."""
+    regs = hll_registers(sides, "k", "side")
+    term = F.pow(F.lit(2.0), -F.col("r"))
+    per = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("np"), F.sum(term).alias("sp")
+    )
+    per_est = per.select("grp", _estimate(F.col("np"), F.col("sp")).alias("est"))
+    # ≤1 row per side feeds each conditional sum — no float ordering.
+    ab = per_est.groupBy().agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == "a", F.col("est"))), F.lit(0.0)).alias("a"),
+        F.coalesce(F.sum(F.when(F.col("grp") == "b", F.col("est"))), F.lit(0.0)).alias("b"),
+    )
+    u = (
+        regs.groupBy("j")
+        .agg(F.max("r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("np"), F.sum(term).alias("sp"))
+        .select(_estimate(F.col("np"), F.col("sp")).alias("u"))
+    )
+    one = ab.crossJoin(u)
+    rows = F.array(
+        F.struct(F.lit("side_a").alias("level"), F.col("a").alias("est_distinct")),
+        F.struct(F.lit("side_b").alias("level"), F.col("b").alias("est_distinct")),
+        F.struct(F.lit("union").alias("level"), F.col("u").alias("est_distinct")),
+        F.struct(
+            F.lit("intersection_est").alias("level"),
+            F.round(
+                F.greatest(F.lit(0.0), F.col("a") + F.col("b") - F.col("u")), 4
+            ).alias("est_distinct"),
+        ),
+    )
+    return (
+        one.select(F.explode(rows).alias("x"))
+        .select("x.level", "x.est_distinct")
+        .orderBy("level")
+    )
+
+
+def portable_hll_overlap_sql(sides_sql: str) -> str:
+    """Oracle over any ``(side, k)`` subquery (same derivation)."""
+    steps, final = avalanche_hash_sql_steps("k", "0")
+    alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+
+    def est(np: str, sp: str) -> str:
+        raw = f"({alpha} * {HLL_M} * {HLL_M} / ({sp} + ({HLL_M} - {np})))"
+        return (
+            f"round(CASE WHEN {raw} <= {2.5 * HLL_M} AND ({HLL_M} - {np}) > 0 "
+            f"THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - {np} AS DOUBLE)) "
+            f"ELSE {raw} END, 4)"
+        )
+
+    return f"""
+WITH sides AS ({sides_sql}),
+hashed AS (
+  SELECT side, {steps} FROM sides
+),
+ranked AS (
+  SELECT side, {final} // {_W_SPACE} AS j,
+         CASE WHEN {final} % {_W_SPACE} = 0 THEN {_RHO_MAX}
+              ELSE {_RHO_MAX} - length(bin({final} % {_W_SPACE})) END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT side, j, max(rho) AS r FROM ranked GROUP BY side, j
+),
+per AS (
+  SELECT side, count(*) AS np, sum(power(2.0, -r)) AS sp FROM regs GROUP BY side
+),
+per_est AS (
+  SELECT side, {est('np', 'sp')} AS est FROM per
+),
+ab AS (
+  SELECT coalesce(sum(CASE WHEN side = 'a' THEN est END), 0.0) AS a,
+         coalesce(sum(CASE WHEN side = 'b' THEN est END), 0.0) AS b
+  FROM per_est
+),
+u AS (
+  SELECT {est('np', 'sp')} AS u
+  FROM (SELECT count(*) AS np, sum(power(2.0, -r)) AS sp
+        FROM (SELECT j, max(r) AS r FROM regs GROUP BY j))
+),
+one AS (SELECT a, b, u FROM ab CROSS JOIN u)
+SELECT level, est_distinct FROM (
+  SELECT 'side_a' AS level, a AS est_distinct FROM one
+  UNION ALL SELECT 'side_b', b FROM one
+  UNION ALL SELECT 'union', u FROM one
+  UNION ALL SELECT 'intersection_est', round(greatest(0.0, a + b - u), 4) FROM one
+) ORDER BY level
+"""

@@ -1396,6 +1396,50 @@ def _portable_hll_oracle() -> str:
 _register("sketch_portable_hll", _portable_hll_fn, _portable_hll_oracle())
 
 
+_HLL_SIDES_SQL = (
+    "SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS side, "
+    "('0x' || substring(md5(tok), 1, 8))::BIGINT AS k "
+    "FROM (SELECT lang, unnest(list_transform("
+    "  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "  ELSE string_split_regex(trim(text), '\\s+') END, t -> lower(t))) AS tok "
+    "FROM documents) __t"
+)
+
+
+def _hll_overlap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between the English and non-English corpus
+    halves WITHOUT a join (round 3): per-side portable-HLL registers,
+    max-merged union, inclusion-exclusion intersection — the sketch
+    answer to cross-corpus contamination/coverage at 100 TB."""
+    from approximatequeryengine_spark.functions.text import ws_tokens_col
+    from approximatequeryengine_spark.plans.hll import portable_hll_overlap
+
+    cat = _catalog(spark, sf_dir)
+    docs = cat.table("documents")
+    toks = docs.select(
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("side"),
+        F.explode(
+            F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
+        ).alias("tok"),
+    )
+    sides = toks.select(
+        "side",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("k"),
+    )
+    return portable_hll_overlap(sides)
+
+
+def _hll_overlap_oracle() -> str:
+    from approximatequeryengine_spark.plans.hll import portable_hll_overlap_sql
+
+    return portable_hll_overlap_sql(_HLL_SIDES_SQL)
+
+
+_register("sketch_hll_overlap", _hll_overlap_fn, _hll_overlap_oracle())
+
+
 def _recordfile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference S5 file-format parity, certified end-to-end: project
     orders into the reference's fixed 5-column ``Record`` struct
@@ -1601,6 +1645,7 @@ _CERTIFY_FIRST = [
     "multimodal_png_decode",
     "multimodal_wav_decode",
     "sketch_portable_hll",
+    "sketch_hll_overlap",
     "text_bm25_search",
     # Remaining slots (round-3 additions are appended here as they land;
     # see the registrations below for adaptive_grouped_sum etc.)

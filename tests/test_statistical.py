@@ -467,3 +467,21 @@ def test_portable_hll_merge_equals_whole(spark):
     rows = {r["level"]: r["est_distinct"]
             for r in portable_hll_rollup(whole, "k", "grp").collect()}
     assert rows["merged_global"] >= max(rows["group_lo"], rows["group_hi"])
+
+
+def test_portable_hll_overlap_inclusion_exclusion(spark):
+    """Known overlap: A = [0, 2000), B = [1000, 3000) → |A∩B| = 1000,
+    |A∪B| = 3000. The sketch's inclusion-exclusion must land within the
+    m=64 error contract (a few σ at 13% each, compounded 3×), and the
+    union estimate must dominate both sides."""
+    from approximatequeryengine_spark.plans.hll import portable_hll_overlap
+
+    a = spark.range(0, 2000).select(F.lit("a").alias("side"), F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.lit("b").alias("side"), F.col("id").alias("k"))
+    rows = {r["level"]: r["est_distinct"]
+            for r in portable_hll_overlap(a.unionByName(b)).collect()}
+    assert abs(rows["side_a"] / 2000 - 1) < 0.4
+    assert abs(rows["side_b"] / 2000 - 1) < 0.4
+    assert abs(rows["union"] / 3000 - 1) < 0.4
+    assert rows["union"] >= max(rows["side_a"], rows["side_b"])
+    assert 200 < rows["intersection_est"] < 2200, rows
