@@ -112,6 +112,11 @@ class AQEngine:
         if spec.agg == "MEDIAN":
             return self._run_median(spec, sample_pct, wants_approx, t0, z=z, confidence=confidence)
 
+        if spec.distinct:
+            return self._run_count_distinct(
+                spec, sample_pct, method, wants_approx, t0, z=z, confidence=confidence
+            )
+
         if not wants_approx:
             return self._run_exact(spec, t0)
 
@@ -260,6 +265,94 @@ class AQEngine:
         )
         res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
         res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
+        return res
+
+    def _run_count_distinct(
+        self,
+        spec: QuerySpec,
+        sample_pct: float | None,
+        method: str | None,
+        wants_approx: bool,
+        t0: float,
+        z: float = 1.959963984540054,
+        confidence: float = 0.95,
+    ) -> ApproxResult:
+        """COUNT(DISTINCT col) routes (round 3): exact ``countDistinct``;
+        ``method='hll'`` (default) = the portable HyperLogLog — one full
+        scan, constant memory, CI from the sketch's 1.04/√m standard
+        error; ``method='chao1'`` (default when ``sample_pct`` is given)
+        = sample-based species-richness correction (point estimate, no
+        closed-form CI)."""
+        if spec.group_by:
+            raise ValueError(
+                "COUNT(DISTINCT ...) with GROUP BY is outside the dialect; "
+                "use spark.sql, or the grouped Chao1 workload query"
+            )
+        if not spec.column:
+            raise ValueError("COUNT(DISTINCT ...) requires a column")
+        if not wants_approx:
+            rdf = self._base_df(spec).agg(
+                F.countDistinct(spec.column).alias("count_distinct")
+            )
+            res = ApproxResult(
+                df=rdf, method="exact", status=ApproximationStatus.EXACT
+            )
+            row = rdf.collect()[0]
+            res.value = float(row["count_distinct"])
+            res.samples_used = int(row["count_distinct"])
+            res.computation_time = time.time() - t0
+            return res
+
+        if method is None:
+            method = "chao1" if sample_pct is not None else "hll"
+        if method not in ("hll", "chao1"):
+            raise ValueError(
+                f"COUNT(DISTINCT ...) supports method 'hll' or 'chao1', got {method!r}"
+            )
+
+        if method == "hll":
+            from approximatequeryengine_spark.plans.hll import (
+                HLL_M,
+                portable_hll_rollup,
+            )
+
+            base = self._base_df(spec).select(
+                F.lit("all").alias("__g"), F.col(spec.column)
+            )
+            rdf = portable_hll_rollup(base, spec.column, "__g").filter(
+                F.col("level") == "merged_global"
+            )
+            res = ApproxResult(df=rdf, method="hll", fraction=1.0)
+            row = rdf.collect()[0]
+            res.value = float(row["est_distinct"])
+            # Flajolet et al.: SE(E) ≈ 1.04/√m — an honest, known-form
+            # interval unlike the sampled-sum CLT margins.
+            se = 1.04 / (HLL_M ** 0.5)
+            res.error_margin = z * se * res.value
+            res.ci_lower = res.value - res.error_margin
+            res.ci_upper = res.value + res.error_margin
+            res.confidence_level = confidence
+            res.samples_used = int(HLL_M)
+            res.computation_time = time.time() - t0
+            return res
+
+        from approximatequeryengine_spark.plans.distinct import chao1_sql
+
+        fraction = (sample_pct / 100.0) if sample_pct else 0.2
+        table_expr = (
+            f"(SELECT * FROM {spec.table} WHERE {spec.where})"
+            if spec.where
+            else spec.table
+        )
+        s_spec = self._sampling_spec(spec, "uniform_hash", fraction)
+        self.catalog.refresh_views()
+        rdf = self.spark.sql(chao1_sql(table_expr, spec.column, s_spec))
+        res = ApproxResult(df=rdf, method="chao1", fraction=fraction)
+        row = rdf.collect()[0]
+        res.value = float(row["d_chao1"])
+        res.samples_used = int(row["d_obs"])
+        res.confidence_level = confidence
+        res.computation_time = time.time() - t0
         return res
 
     def _run_exact(self, spec: QuerySpec, t0: float) -> ApproxResult:

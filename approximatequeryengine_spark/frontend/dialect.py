@@ -30,6 +30,7 @@ class QuerySpec:
     sample_pct: float | None = None  # from APPROX_SUM(col, pct)
     raw: str = ""
     extras: dict = field(default_factory=dict)
+    distinct: bool = False  # COUNT(DISTINCT col) — round-3 extension
 
 
 _APPROX_EMBED = re.compile(r"APPROX\s*\(\s*([^()]*\([^()]*\)[^()]*)\s*\)", re.IGNORECASE)
@@ -63,7 +64,7 @@ def rewrite_approx(query: str) -> tuple[str, bool, float | None]:
 
 
 _SIMPLE = re.compile(
-    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN)\s*\(\s*([\w\*\.]+)\s*\)\s+"
+    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN)\s*\(\s*(?:(DISTINCT)\s+)?([\w\*\.]+)\s*\)\s+"
     r"FROM\s+([\w\.]+)"
     r"(?:\s+WHERE\s+(.*?))?"
     r"(?:\s+GROUP\s+BY\s+([\w\.]+))?"
@@ -105,7 +106,11 @@ def parse_query(query: str) -> QuerySpec | None:
     m = _SIMPLE.match(clean)
     if not m:
         return None
-    agg, column, table, where, group_by = m.groups()
+    agg, distinct, column, table, where, group_by = m.groups()
+    if distinct and agg.upper() != "COUNT":
+        # SUM(DISTINCT ...) etc. are outside the dialect — exact
+        # fallback through spark.sql.
+        return None
     return QuerySpec(
         agg=agg.upper(),
         column=None if column == "*" else column,
@@ -115,6 +120,7 @@ def parse_query(query: str) -> QuerySpec | None:
         approx=is_approx,
         sample_pct=pct,
         raw=query,
+        distinct=bool(distinct),
     )
 
 
@@ -174,6 +180,23 @@ METHODS: dict[str, dict] = {
         "over a positive column only): heavy rows become certainties, "
         "light rows are sampled — tightest CI per sampled row on "
         "skewed data.",
+    },
+    "hll": {
+        "design": "none",
+        "adaptive": False,
+        "hll": True,
+        "description": "Portable HyperLogLog for COUNT(DISTINCT): one "
+        "full scan, constant memory, mergeable registers; CI from the "
+        "sketch's 1.04/sqrt(m) standard error.",
+    },
+    "chao1": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "chao1": True,
+        "description": "Chao1 species-richness correction for "
+        "COUNT(DISTINCT) over a deterministic sample — corrects the "
+        "sample's unseen-value undercount from its f1/f2 abundance "
+        "spectrum (point estimate; no closed-form CI).",
     },
     "blb": {
         "design": "uniform_hash",

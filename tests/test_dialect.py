@@ -76,7 +76,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -218,4 +218,50 @@ def test_blb_method_via_engine(spark):
         eng.run(
             "SELECT APPROX(SUM(value)) FROM events GROUP BY event_type",
             method="blb",
+        )
+
+
+def test_count_distinct_parse_and_fallback():
+    from approximatequeryengine_spark.frontend.dialect import parse_query
+
+    s = parse_query("SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem")
+    assert s and s.distinct and s.agg == "COUNT" and s.approx
+    s2 = parse_query("SELECT COUNT(DISTINCT x) FROM t WHERE a > 1")
+    assert s2 and s2.distinct and not s2.approx and s2.where == "a > 1"
+    # DISTINCT with any other aggregate is outside the dialect
+    assert parse_query("SELECT SUM(DISTINCT x) FROM t") is None
+
+
+def test_count_distinct_via_engine(spark):
+    """Round 3: APPROX(COUNT(DISTINCT col)) routes — portable HLL by
+    default (sketch-SE interval), Chao1 when a sample_pct is given,
+    exact countDistinct without the APPROX marker."""
+    import pytest
+
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    exact = eng.run("SELECT COUNT(DISTINCT l_partkey) FROM lineitem")
+    assert exact.method == "exact" and exact.value == exact.samples_used
+
+    hll = eng.run("SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem")
+    assert hll.method == "hll"
+    assert hll.ci_lower < hll.value < hll.ci_upper
+    assert abs(hll.value / exact.value - 1.0) < 0.45  # m=64 → ~13% SE
+
+    ch = eng.run(
+        "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem", sample_pct=30
+    )
+    assert ch.method == "chao1"
+    assert ch.samples_used <= exact.value  # observed distinct in sample
+    assert ch.value >= ch.samples_used  # Chao1 only corrects UP
+
+    with pytest.raises(ValueError, match="hll.*chao1|chao1.*hll"):
+        eng.run(
+            "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem",
+            method="random",
+        )
+    with pytest.raises(ValueError, match="GROUP BY"):
+        eng.run(
+            "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem GROUP BY l_returnflag"
         )
