@@ -102,7 +102,13 @@ def portable_hll_rollup(df: DataFrame, key: str, group: str) -> DataFrame:
     computed by MERGING the per-group registers (max) — certifying the
     sketch's merge law end-to-end. Output:
     ``(level, v_zero, est_distinct)``."""
-    regs = hll_registers(df, key, group)
+    return rollup_from_registers(hll_registers(df, key, group))
+
+
+def rollup_from_registers(regs: DataFrame) -> DataFrame:
+    """Estimate stage over a ``(grp, j, r)`` register table — shared by
+    the batch rollup and the streaming maintenance path (whose drained
+    complete-mode registers are identical, max being order-free)."""
     term = F.pow(F.lit(2.0), -F.col("r"))
     per = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("np"), F.sum(term).alias("sp")

@@ -325,3 +325,26 @@ def countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         F.round(F.col("cms_est") / F.col("exact_cnt"), 6).alias("inflation"),
     ).orderBy(F.desc("exact_cnt"), F.asc("token"))
+
+
+def hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained portable-HLL registers over a streaming
+    table: lineitem rows arrive as a stream, the avalanche hash and
+    rank are stateless projections, and the per-(group, register) MAX
+    accumulates in micro-batch state (complete mode) — constant state
+    (groups × 64 rows) however many rows stream past. Register max is
+    order-insensitive, so the drained stream's registers EQUAL the
+    batch sketch and the result reuses the batch
+    ``sketch_portable_hll`` oracle verbatim — certifying the
+    incremental maintenance end-to-end."""
+    from approximatequeryengine_spark.plans.hll import (
+        hll_registers,
+        rollup_from_registers,
+    )
+
+    stream = table_stream(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_partkey").alias("k")
+    )
+    regs_stream = hll_registers(stream, "k", "grp")
+    regs = run_to_memory_sink(regs_stream, "complete")
+    return rollup_from_registers(regs)

@@ -1440,6 +1440,18 @@ def _hll_overlap_oracle() -> str:
 _register("sketch_hll_overlap", _hll_overlap_fn, _hll_overlap_oracle())
 
 
+def _hll_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming portable-HLL maintenance; drained registers equal the
+    batch sketch (max is order-free), so this row reuses the batch
+    oracle verbatim."""
+    from approximatequeryengine_spark.streaming.pipeline import hll_stream
+
+    return hll_stream(spark, sf_dir)
+
+
+_register("streaming_hll_distinct", _hll_stream_fn, _portable_hll_oracle())
+
+
 def _recordfile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference S5 file-format parity, certified end-to-end: project
     orders into the reference's fixed 5-column ``Record`` struct

@@ -322,3 +322,20 @@ def test_streaming_countmin_equals_batch_sketch(spark, engine):
         map(tuple, countmin_topk_estimates(spark, engine.catalog.table("documents")).collect())
     )
     assert got == want and got
+
+
+def test_streaming_hll_equals_batch_sketch(spark):
+    """Drained streaming registers must equal the batch portable-HLL
+    rollup row-for-row (register max is order-insensitive)."""
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.plans.hll import portable_hll_rollup
+    from approximatequeryengine_spark.streaming.pipeline import hll_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in hll_stream(spark, sf).collect()]
+    li = Catalog(spark, sf, register_views=False).table("lineitem")
+    want = [
+        tuple(r)
+        for r in portable_hll_rollup(li, "l_partkey", "l_returnflag").collect()
+    ]
+    assert got == want and got
