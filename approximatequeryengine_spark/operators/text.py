@@ -485,11 +485,13 @@ def bm25_search_top10(spark: SparkSession, docs: DataFrame) -> DataFrame:
     vocab = tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cnt")
     )
+    # TakeOrdered (distributed top-N), not a global row_number window —
+    # a single-partition sort of the whole vocabulary would not scale;
+    # the rank window then runs over BM25_QTERMS rows only.
+    top_toks = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(BM25_QTERMS)
     w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    qterms = (
-        vocab.withColumn("qrank", F.row_number().over(w))
-        .filter(F.col("qrank") <= BM25_QTERMS)
-        .select("tok", "df", "qrank")
+    qterms = top_toks.withColumn("qrank", F.row_number().over(w)).select(
+        "tok", "df", "qrank"
     )
     scored = (
         tf.join(F.broadcast(qterms), on="tok")
@@ -524,11 +526,12 @@ def bm25_search_top10(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ranked = per_doc.select(
         "doc_id", "n_terms_matched", F.round(total, 6).alias("score")
     )
+    # Same shape for the final ranking: top-K via TakeOrdered, then the
+    # contiguous rank numbers come from a window over K rows.
+    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
     w2 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        ranked.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= BM25_TOPK)
-        .select("rank", "doc_id", "n_terms_matched", "score")
+    return topk.withColumn("rank", F.row_number().over(w2)).select(
+        "rank", "doc_id", "n_terms_matched", "score"
     )
 
 
