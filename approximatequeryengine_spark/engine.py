@@ -200,6 +200,27 @@ class AQEngine:
                 z=z,
             )
             res.method = method
+        elif minfo.get("adaptive") and spec.group_by:
+            # Round 3: grouped adaptive escalation — double the fraction
+            # until the WORST group's relative CI half-width meets the
+            # budget (the reference ran grouped queries at a fixed
+            # fraction).
+            from approximatequeryengine_spark.plans.adaptive import (
+                adaptive_grouped_aggregate,
+            )
+
+            rdf, final_fraction, iters = adaptive_grouped_aggregate(
+                self._base_df(spec),
+                agg,
+                [spec.group_by],
+                s_spec,
+                error_pct=error_pct or 5.0,
+                z=z,
+            )
+            res = self._finalize(
+                rdf, agg, spec, method, final_fraction, t0, confidence=confidence
+            )
+            res.iterations = iters
         else:
             sampled = apply_sampling(self._base_df(spec), s_spec)
             rdf = approx_aggregate(

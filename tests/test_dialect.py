@@ -265,3 +265,25 @@ def test_count_distinct_via_engine(spark):
         eng.run(
             "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem GROUP BY l_returnflag"
         )
+
+
+def test_grouped_adaptive_via_engine(spark):
+    """Round 3: method='clt' with GROUP BY escalates until the worst
+    group's relative CI half-width meets the error budget (previously
+    grouped queries silently ran at a fixed fraction)."""
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.01")
+    r = eng.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem GROUP BY l_returnflag",
+        method="clt",
+        error_pct=2.0,
+    )
+    assert r.method == "clt" and r.iterations >= 1
+    rows = r.df.collect()
+    assert len(rows) == 3
+    for row in rows:
+        est = row["sum_l_extendedprice"]
+        half = (row["ci_upper"] - row["ci_lower"]) / 2.0
+        # converged (or hit fraction 1.0, where the CI is still honest)
+        assert half <= 0.021 * est or r.fraction == 1.0, (row, r.fraction)
