@@ -81,3 +81,58 @@ def test_decode_media_dispatch():
     assert rate == 16000 and (np.asarray(s)[:, 0] == samples).all()
     with pytest.raises(NotImplementedError, match="no codec"):
         decode_media(b"", "video/mp4")
+
+
+# -- property-based round trips (hypothesis) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 17),
+        w=st.integers(1, 17),
+        ch=st.integers(1, 4),
+        filter_type=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(h, w, ch, filter_type, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert (decode_png(encode_png(arr, filter_type=filter_type)) == arr).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        chs=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, chs, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32767, size=(n, chs), dtype=np.int16)
+        dec, got = decode_wav(encode_wav(s, rate))
+        assert got == rate and (dec == s).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        th=st.integers(1, 24),
+        tw=st.integers(1, 24),
+    )
+    def test_resize_nearest_property(h, w, th, tw):
+        arr = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+        out = resize_nearest(arr, tw, th)
+        assert out.shape == (th, tw)
+        # every output pixel must exist at its mapped source index
+        for r in range(th):
+            for c in range(tw):
+                assert out[r, c] == arr[(r * h) // th, (c * w) // tw]
