@@ -2,7 +2,7 @@
 
 The container ships no Pillow/soundfile/ffmpeg, so round 2 left media
 *decode* as a declared stub. These are real, dependency-free codecs for
-the two formats whose specs are simple enough to implement honestly:
+the three formats whose specs are simple enough to implement honestly:
 
 - **PNG** (subset): 8-bit greyscale / grey+alpha / RGB / RGBA,
   non-interlaced — zlib inflate + full scanline unfilter (all five
@@ -11,11 +11,14 @@ the two formats whose specs are simple enough to implement honestly:
   caller-chosen filter type, which gives the tests a way to exercise
   every unfilter branch without an external library.
 - **WAV**: 16-bit PCM via the stdlib ``wave`` module.
+- **Y4M** (YUV4MPEG2, C420): uncompressed planar video — text header +
+  raw frames, which is what makes real frame extraction possible
+  without a codec library.
 
-JPEG / MP3 / video codecs remain out of scope (a faithful
-implementation is a project in itself); ``operators/multimodal.py``
-still raises ``NotImplementedError`` for those media types, now with
-the supported formats listed.
+JPEG / MP3 / compressed video (H.264 etc.) remain out of scope (a
+faithful implementation is a project in itself);
+``operators/multimodal.py`` still raises ``NotImplementedError`` for
+those media types, with the supported formats listed.
 
 Scale note: these run inside ``mapInPandas`` kernels over bounded
 Arrow batches — per-blob CPU, no shuffle, no driver involvement. On a
@@ -201,3 +204,65 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return arr[rows][:, cols]
+
+
+# -- Y4M (YUV4MPEG2) video ---------------------------------------------------
+# The one video container simple enough to implement honestly without a
+# codec library: a text header, then per frame a "FRAME\n" marker and
+# raw planar YCbCr 4:2:0 bytes. No compression — which is exactly what
+# makes real frame extraction possible here; compressed video (H.264
+# etc.) stays behind the NotImplementedError boundary.
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode grayscale frames ``(n, h, w)`` uint8 as YUV4MPEG2 C420
+    (Y = the frame, U = V = neutral 128). h and w must be even (4:2:0
+    chroma subsampling halves each dimension)."""
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"C420 needs even dimensions, got {h}x{w}")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode("ascii")
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = bytearray(header)
+    for f in range(n):
+        out += b"FRAME\n"
+        out += frames[f].astype(np.uint8).tobytes()
+        out += uv + uv
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a YUV4MPEG2 C420 stream → ``(Y frames (n, h, w) uint8,
+    fps)``. Chroma planes are parsed (to advance correctly) and
+    discarded."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", errors="replace")
+    parts = header.split()
+    if not parts or parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    colorspace = "C420"
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            fps = int(p[1:].split(":")[0])
+        elif p.startswith("C"):
+            colorspace = p
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    frame_bytes = h * w + 2 * (h // 2) * (w // 2)
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frame params allowed
+        y = np.frombuffer(payload, dtype=np.uint8, count=h * w, offset=pos)
+        frames.append(y.reshape(h, w))
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps or 25

@@ -1,15 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed per-batch with ``mapInPandas`` (Arrow transfer).
 
-Decode is REAL for PNG and WAV as of round 3 — dependency-free codecs
-in ``functions/media.py`` (full PNG unfilter incl. Paeth; 16-bit PCM
-WAV), used by ``png_decode_stats``/``wav_decode_stats`` which
-round-trip genuine bytes through the distributed kernel under an
-arithmetic DuckDB oracle. Pillow/soundfile are picked up instead when
-importable; JPEG/MP3/video still raise ``NotImplementedError`` (a
-faithful codec for those is out of scope). The older synthetic-blob
-operators keep their deterministic stand-in features (byte length +
-md5 checksum, exact DuckDB oracle).
+Decode is REAL for PNG, WAV, and Y4M video as of round 3 —
+dependency-free codecs in ``functions/media.py`` (full PNG unfilter
+incl. Paeth; 16-bit PCM WAV; uncompressed YUV4MPEG2 C420), used by
+``png_decode_stats``/``wav_decode_stats``/``y4m_frame_extract_stats``
+which round-trip genuine bytes through the distributed kernel under
+arithmetic DuckDB oracles. Pillow/soundfile are picked up instead when
+importable; JPEG/MP3/compressed video still raise
+``NotImplementedError`` (a faithful codec for those is out of scope).
+The older synthetic-blob operators keep their deterministic stand-in
+features (byte length + md5 checksum, exact DuckDB oracle).
 
 At scale: binary payloads ride in their own parquet column (columnar
 pruning keeps metadata-only queries from touching bytes); the UDF is
@@ -86,10 +87,14 @@ def decode_media(payload: bytes, media_type: str):
             from approximatequeryengine_spark.functions.media import decode_wav
 
             return decode_wav(payload)
+    if media_type == "video/y4m":
+        from approximatequeryengine_spark.functions.media import decode_y4m
+
+        return decode_y4m(payload)
     raise NotImplementedError(
         f"no codec available for {media_type!r}; supported without "
-        "optional dependencies: image/png, audio/wav (stdlib codecs); "
-        "JPEG/MP3/video need Pillow/soundfile/av"
+        "optional dependencies: image/png, audio/wav, video/y4m (stdlib "
+        "codecs); JPEG/MP3/compressed video need Pillow/soundfile/av"
     )
 
 
@@ -532,4 +537,105 @@ SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
        CAST(max(peak) AS BIGINT) AS peak,
        CAST(sum(energy) AS BIGINT) AS energy
 FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+def y4m_frame_extract_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """REAL video frame extraction (round 3): per doc, synthesize a
+    genuine YUV4MPEG2 C420 stream ((doc_id % 3) + 2 frames of 8×8 luma,
+    Y[f][i] = (doc_id·13 + f·7 + i) mod 256), encode it, decode it back
+    with the stdlib Y4M codec inside the Arrow kernel, and SAMPLE every
+    2nd frame (frame_idx % 2 == 0 — the frame-sampling step a training
+    pipeline runs on video). Features come from the DECODED luma only;
+    the oracle recomputes them arithmetically from doc_id, so a hash
+    match certifies encoder ∘ decoder = identity plus the sampling
+    logic. Per-doc outputs are pure INTEGERS (sums/counts); the group
+    mean is one division after integer aggregation, so no float depends
+    on row order in either engine."""
+    import numpy as np
+
+    from approximatequeryengine_spark.functions.media import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    docs = ensure_parallelism(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_frames": [], "n_sampled": [],
+                "width": [], "height": [], "fps": [],
+                "luma_sum": [], "luma_px": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 3 + 2
+                idx = np.arange(64)
+                frames = np.stack(
+                    [((d * 13 + f * 7 + idx) % 256).reshape(8, 8) for f in range(n)]
+                ).astype(np.uint8)
+                payload = encode_y4m(frames, fps=24)
+                dec, fps = decode_y4m(payload)
+                sampled = dec[::2].astype(np.int64)
+                out["doc_id"].append(d)
+                out["n_frames"].append(dec.shape[0])
+                out["n_sampled"].append(sampled.shape[0])
+                out["height"].append(dec.shape[1])
+                out["width"].append(dec.shape[2])
+                out["fps"].append(fps)
+                out["luma_sum"].append(int(sampled.sum()))
+                out["luma_px"].append(int(sampled.size))
+            yield pd.DataFrame(out)
+
+    feats = docs.select("doc_id").mapInPandas(
+        batches,
+        schema="doc_id long, n_frames long, n_sampled long, width long, "
+        "height long, fps long, luma_sum long, luma_px long",
+    )
+    return (
+        feats.groupBy((F.col("doc_id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_sampled").alias("sampled_frames"),
+            F.min("width").alias("width"),
+            F.min("height").alias("height"),
+            F.min("fps").alias("fps"),
+            F.sum("luma_sum").alias("luma_sum"),
+            F.round(
+                F.sum("luma_sum").cast("double") / F.sum("luma_px"), 6
+            ).alias("avg_luma"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def y4m_frame_extract_stats_sql() -> str:
+    """Oracle: frame/pixel stats from doc_id arithmetic alone — the SQL
+    never touches Y4M bytes. Frames f ∈ [0, doc_id%3+2); sampled iff
+    f % 2 = 0; pixel value (doc_id·13 + f·7 + i) mod 256."""
+    return """
+WITH px AS (
+  SELECT d.doc_id, f.f, (d.doc_id * 13 + f.f * 7 + g.i) % 256 AS y
+  FROM documents d
+  CROSS JOIN generate_series(0, 3) f(f)
+  CROSS JOIN generate_series(0, 63) g(i)
+  WHERE f.f < d.doc_id % 3 + 2 AND f.f % 2 = 0
+),
+per_doc AS (
+  SELECT doc_id, count(DISTINCT f) AS n_sampled,
+         sum(y) AS luma_sum, count(*) AS luma_px
+  FROM px GROUP BY doc_id
+)
+SELECT CAST(p.doc_id % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(sum(p.doc_id % 3 + 2) AS BIGINT) AS total_frames,
+       CAST(sum(p.n_sampled) AS BIGINT) AS sampled_frames,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS fps,
+       CAST(sum(p.luma_sum) AS BIGINT) AS luma_sum,
+       round(CAST(sum(p.luma_sum) AS DOUBLE) / sum(p.luma_px), 6) AS avg_luma
+FROM per_doc p GROUP BY 1 ORDER BY 1
 """

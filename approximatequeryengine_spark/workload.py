@@ -769,6 +769,11 @@ _docs_query("multimodal_frame_sample", _mm.video_frame_sample, _mm.video_frame_s
 # cycle through the row).
 _docs_query("multimodal_png_decode", _mm.png_decode_stats, _mm.png_decode_stats_sql())
 _docs_query("multimodal_wav_decode", _mm.wav_decode_stats, _mm.wav_decode_stats_sql())
+# Round-3: REAL video frame extraction over a genuine (uncompressed)
+# Y4M container — encode, decode, sample every 2nd frame, all inside
+# the kernel; arithmetic oracle. Outside the 50-row window this round
+# (it is full); certified by check_entry + pytest, rotates next round.
+_docs_query("multimodal_y4m_frames", _mm.y4m_frame_extract_stats, _mm.y4m_frame_extract_stats_sql())
 _docs_query("asof_join_purchase_click", _temporal.asof_purchase_click, _temporal.asof_purchase_click_sql(), table="events")
 _docs_query("range_join_purchase_clicks", _temporal.range_join_purchase_clicks, _temporal.range_join_purchase_clicks_sql(), table="events")
 _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())

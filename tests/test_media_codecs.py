@@ -136,3 +136,20 @@ if HAVE_HYPOTHESIS:
         for r in range(th):
             for c in range(tw):
                 assert out[r, c] == arr[(r * h) // th, (c * w) // tw]
+
+
+def test_y4m_roundtrip_and_dispatch():
+    from approximatequeryengine_spark.functions.media import decode_y4m, encode_y4m
+    from approximatequeryengine_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    payload = encode_y4m(frames, fps=30)
+    dec, fps = decode_y4m(payload)
+    assert fps == 30 and (dec == frames).all()
+    dec2, _ = decode_media(payload, "video/y4m")
+    assert (np.asarray(dec2) == frames).all()
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"garbage\n")
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m(np.zeros((1, 3, 4), dtype=np.uint8))
