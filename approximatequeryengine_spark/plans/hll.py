@@ -109,6 +109,12 @@ def rollup_from_registers(regs: DataFrame) -> DataFrame:
     """Estimate stage over a ``(grp, j, r)`` register table — shared by
     the batch rollup and the streaming maintenance path (whose drained
     complete-mode registers are identical, max being order-free)."""
+    # Exchange barrier: the register table feeds BOTH the per-group and
+    # the merged-global branch; an explicit repartition gives the two
+    # consumers one shuffle to reuse (ReusedExchange) instead of
+    # re-scanning the base table per branch — the same idiom as the LSH
+    # signature kernel. groups × 64 rows, so the shuffle is tiny.
+    regs = regs.repartition("grp", "j")
     term = F.pow(F.lit(2.0), -F.col("r"))
     per = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("np"), F.sum(term).alias("sp")
