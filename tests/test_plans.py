@@ -202,3 +202,21 @@ def test_all_lazy_plans_stay_off_the_slow_paths(spark):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         checked += 1
     assert checked >= 60, checked
+
+
+def test_hll_rollup_single_scan_with_reused_exchange(spark):
+    """The per-group and merged-global branches must share the register
+    shuffle: exactly one parquet scan and a ReusedExchange in the
+    EXECUTED (AQE-final) plan — re-scanning the base table per branch
+    would double the dominant cost at scale."""
+    import re
+
+    from approximatequeryengine_spark.plans.hll import portable_hll_rollup
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = portable_hll_rollup(li, "l_partkey", "l_returnflag")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert len(re.findall(r"Scan parquet", final)) == 1, final
+    assert "ReusedExchange" in final, final
