@@ -71,7 +71,10 @@ def _estimate(n_present: Column, s_present: Column) -> Column:
     them); empty registers contribute 2⁰ = 1 each."""
     m = F.lit(float(HLL_M))
     v = F.lit(HLL_M) - n_present
-    s = s_present + v.cast("double")
+    # coalesce: SUM over an empty register table is NULL; an empty
+    # corpus must estimate 0 (all 64 registers empty → linear counting
+    # with V = m → m·ln(1) = 0), not NULL.
+    s = F.coalesce(s_present, F.lit(0.0)) + v.cast("double")
     raw = F.lit(HLL_ALPHA) * m * m / s
     lin = m * F.log(m / v.cast("double"))
     return F.round(
@@ -140,7 +143,7 @@ def rollup_from_registers(regs: DataFrame) -> DataFrame:
 def portable_hll_rollup_sql(table: str, key: str, group: str) -> str:
     steps, final = avalanche_hash_sql_steps(key, "0")
     alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
-    raw = f"({alpha} * {HLL_M} * {HLL_M} / (sp + ({HLL_M} - np)))"
+    raw = f"({alpha} * {HLL_M} * {HLL_M} / (coalesce(sp, 0.0) + ({HLL_M} - np)))"
     return f"""
 WITH hashed AS (
   SELECT {group} AS grp, {steps} FROM {table}
@@ -232,7 +235,7 @@ def portable_hll_overlap_sql(sides_sql: str) -> str:
     alpha = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
 
     def est(np: str, sp: str) -> str:
-        raw = f"({alpha} * {HLL_M} * {HLL_M} / ({sp} + ({HLL_M} - {np})))"
+        raw = f"({alpha} * {HLL_M} * {HLL_M} / (coalesce({sp}, 0.0) + ({HLL_M} - {np})))"
         return (
             f"round(CASE WHEN {raw} <= {2.5 * HLL_M} AND ({HLL_M} - {np}) > 0 "
             f"THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - {np} AS DOUBLE)) "

@@ -64,3 +64,30 @@ def test_quantile_on_empty_sample_raises(spark):
                         key="l_orderkey * 8 + l_linenumber")
     with pytest.raises(ValueError, match="empty sample"):
         approx_quantile_ci(_empty_lineitem(spark), "l_extendedprice", 0.5, spec)
+
+
+def test_round3_ops_on_empty_inputs(spark):
+    """Round-3 operators: empty corpus → empty/zero results, no crash."""
+    from approximatequeryengine_spark.operators.multimodal import (
+        png_decode_stats,
+        y4m_frame_extract_stats,
+    )
+    from approximatequeryengine_spark.operators.text import bm25_search_top10
+    from approximatequeryengine_spark.plans.hll import (
+        portable_hll_overlap,
+        portable_hll_rollup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.lit(False))
+    assert bm25_search_top10(spark, docs).collect() == []
+    assert png_decode_stats(spark, docs).collect() == []
+    assert y4m_frame_extract_stats(spark, docs).collect() == []
+
+    li = _empty_lineitem(spark)
+    rows = portable_hll_rollup(li, "l_partkey", "l_returnflag").collect()
+    # no groups survive, but the merged-global row exists and says 0
+    assert [(r["level"], r["est_distinct"]) for r in rows] == [("merged_global", 0.0)]
+
+    sides = spark.range(0).select(F.lit("a").alias("side"), F.col("id").alias("k"))
+    ov = {r["level"]: r["est_distinct"] for r in portable_hll_overlap(sides).collect()}
+    assert ov == {"side_a": 0.0, "side_b": 0.0, "union": 0.0, "intersection_est": 0.0}
