@@ -154,3 +154,102 @@ SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
        round(CAST(cms_est AS DOUBLE) / exact_cnt, 6) AS inflation
 FROM est ORDER BY exact_cnt DESC, token ASC
 """
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    depth: int = CM_DEPTH,
+    width: int = 4096,
+) -> DataFrame:
+    """Equi-join SIZE estimation from two Count-Min sketches WITHOUT
+    running the join (AMS/CMS inner product, Cormode & Muthukrishnan §4):
+    |L ⋈ R on k| = Σ_k c_L(k)·c_R(k), estimated by
+    ``min_row Σ_idx cmsL[row][idx]·cmsR[row][idx]``. One-sided like all
+    CMS estimates: exact ≤ est ≤ exact + (e/width)·|L|·|R| w.h.p. —
+    the answer a planner needs ("will this join explode?") from two
+    constant-memory, mergeable sketches that never shuffle the tables
+    against each other. The default width is wider than the heavy-hitter
+    sketch because the inner-product noise scales with |L|·|R|/width,
+    not |L|/width.
+
+    Output (1 row): ``(exact_join_size, cms_est, width, depth)`` — the
+    exact side is the |key|-cardinality groupBy product, feasible at
+    fixture scale and doubling as the accuracy report (the oracle
+    recomputes both identically)."""
+
+    def sketch_of(df: DataFrame) -> DataFrame:
+        fan = df.select(
+            F.abs(F.col(key)).alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        )
+        return (
+            _with_idx(fan, width)
+            .groupBy("row", "idx")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    sl = sketch_of(left).withColumnRenamed("cnt", "cl")
+    sr = sketch_of(right).withColumnRenamed("cnt", "cr")
+    per_row = (
+        sl.join(sr, on=["row", "idx"])  # absent cells contribute 0
+        .groupBy("row")
+        .agg(F.sum(F.col("cl") * F.col("cr")).alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").alias("cms_est"))
+    lc = left.groupBy(F.abs(F.col(key)).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rc = right.groupBy(F.abs(F.col(key)).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = (
+        lc.join(rc, on="k")
+        .agg(F.sum(lc["c"] * rc["c"]).alias("exact_join_size"))
+    )
+    return exact.crossJoin(est).select(
+        F.coalesce(F.col("exact_join_size"), F.lit(0)).cast("long").alias("exact_join_size"),
+        F.coalesce(F.col("cms_est"), F.lit(0)).cast("long").alias("cms_est"),
+        F.lit(width).cast("long").alias("width"),
+        F.lit(depth).cast("long").alias("depth"),
+    )
+
+
+def cms_join_size_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    depth: int = CM_DEPTH,
+    width: int = 4096,
+) -> str:
+    """Oracle over two ``SELECT {key} FROM ...`` subqueries."""
+    salt = f"(({CM_SALT0} + row) * {SALT_STRIDE})"
+    steps, h_final = avalanche_hash_sql_steps("h", salt)
+    u = f"(CAST({h_final} AS DOUBLE) / {float(HASH_SPACE)!r})"
+    idx = f"CAST(floor(({u}) * {width}) AS BIGINT)"
+    return f"""
+WITH l AS ({left_sql}), r AS ({right_sql}),
+lfan AS (SELECT abs({key}) AS h, v.row FROM l,
+         (SELECT unnest(generate_series(0, {depth - 1})) AS row) v),
+lcells AS (SELECT h, row, {steps} FROM lfan),
+lsketch AS (SELECT row, {idx} AS idx, count(*) AS cl FROM lcells GROUP BY row, idx),
+rfan AS (SELECT abs({key}) AS h, v.row FROM r,
+         (SELECT unnest(generate_series(0, {depth - 1})) AS row) v),
+rcells AS (SELECT h, row, {steps} FROM rfan),
+rsketch AS (SELECT row, {idx} AS idx, count(*) AS cr FROM rcells GROUP BY row, idx),
+per_row AS (
+  SELECT a.row, sum(a.cl * b.cr) AS ip
+  FROM lsketch a JOIN rsketch b ON a.row = b.row AND a.idx = b.idx
+  GROUP BY a.row
+),
+est AS (SELECT min(ip) AS cms_est FROM per_row),
+lc AS (SELECT abs({key}) AS k, count(*) AS c FROM l GROUP BY 1),
+rc AS (SELECT abs({key}) AS k, count(*) AS c FROM r GROUP BY 1),
+exact AS (SELECT sum(lc.c * rc.c) AS exact_join_size FROM lc JOIN rc ON lc.k = rc.k)
+SELECT CAST(coalesce(exact_join_size, 0) AS BIGINT) AS exact_join_size,
+       CAST(coalesce(cms_est, 0) AS BIGINT) AS cms_est,
+       CAST({width} AS BIGINT) AS width,
+       CAST({depth} AS BIGINT) AS depth
+FROM exact CROSS JOIN est
+"""

@@ -1457,6 +1457,29 @@ def _hll_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_hll_distinct", _hll_stream_fn, _portable_hll_oracle())
 
 
+def _cms_join_size_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches (round 3):
+    |lineitem ⋈ lineitem on l_partkey| via the CMS inner product —
+    "will this join explode?" answered without shuffling the tables
+    against each other. One-sided (est ≥ exact), both sides in the
+    output, oracle recomputes both."""
+    from approximatequeryengine_spark.plans.countmin import cms_join_size
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    return cms_join_size(li, li, "l_partkey")
+
+
+def _cms_join_size_oracle() -> str:
+    from approximatequeryengine_spark.plans.countmin import cms_join_size_sql
+
+    q = "SELECT l_partkey FROM lineitem"
+    return cms_join_size_sql(q, q, "l_partkey")
+
+
+_register("sketch_cms_join_size", _cms_join_size_fn, _cms_join_size_oracle())
+
+
 def _recordfile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference S5 file-format parity, certified end-to-end: project
     orders into the reference's fixed 5-column ``Record`` struct

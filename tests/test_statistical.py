@@ -485,3 +485,32 @@ def test_portable_hll_overlap_inclusion_exclusion(spark):
     assert abs(rows["union"] / 3000 - 1) < 0.4
     assert rows["union"] >= max(rows["side_a"], rows["side_b"])
     assert 200 < rows["intersection_est"] < 2200, rows
+
+
+def test_cms_join_size_one_sided_bound(spark):
+    """CMS inner-product join-size: never under exact, over by at most
+    the e/width · |L|·|R| noise bound."""
+    import math
+
+    from approximatequeryengine_spark.plans.countmin import cms_join_size
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    row = cms_join_size(li, li, "l_partkey").collect()[0]
+    n = li.count()
+    assert row["cms_est"] >= row["exact_join_size"] > 0
+    bound = math.e / row["width"] * n * n
+    assert row["cms_est"] - row["exact_join_size"] <= bound, (dict(row.asDict()), bound)
+
+
+def test_cms_join_size_disjoint_keys_is_small(spark):
+    """Disjoint key ranges: the true join is empty; the estimate is
+    pure collision noise, bounded by the same one-sided margin."""
+    import math
+
+    from approximatequeryengine_spark.plans.countmin import cms_join_size
+
+    a = spark.range(0, 3000).selectExpr("id AS k")
+    b = spark.range(100000, 103000).selectExpr("id AS k")
+    row = cms_join_size(a, b, "k").collect()[0]
+    assert row["exact_join_size"] == 0
+    assert row["cms_est"] <= math.e / row["width"] * 3000 * 3000
