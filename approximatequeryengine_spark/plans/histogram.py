@@ -68,6 +68,22 @@ def hist_quantiles(
     hist = df.filter(x.isNotNull()).select(bin_col.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return quantiles_from_hist(hist, float(mn), float(width), int(n), qs, round_to)
+
+
+def quantiles_from_hist(
+    hist: DataFrame,
+    mn: float,
+    width: float,
+    n: int,
+    qs: tuple[float, ...],
+    round_to: int = 4,
+) -> DataFrame:
+    """Interpolated-quantile stage over a ``(bin, cnt)`` table — shared
+    by the batch path and the streaming maintenance path (bin counts
+    add, so a drained complete-mode stream's histogram is identical)."""
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "bin",

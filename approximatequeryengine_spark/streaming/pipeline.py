@@ -348,3 +348,42 @@ def hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs_stream = hll_registers(stream, "k", "grp")
     regs = run_to_memory_sink(regs_stream, "complete")
     return rollup_from_registers(regs)
+
+
+def hist_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained grid-histogram over a streaming table:
+    the grid (min, max, bin width) comes from the same batch pre-pass
+    the two-pass batch estimator runs; STREAMED rows then bin
+    statelessly and the per-bin counts accumulate in complete-mode
+    micro-batch state (≤ bins rows of state forever). Bin counts add,
+    so the drained histogram equals the batch one and the quantile
+    stage — and the batch ``sketch_hist_quantiles`` oracle — apply
+    verbatim."""
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.plans.histogram import (
+        HIST_BINS,
+        quantiles_from_hist,
+    )
+
+    column = "l_extendedprice"
+    batch = Catalog(spark, sf_dir, register_views=False).table("lineitem")
+    x = F.col(column).cast("double")
+    mn, mx, n = batch.agg(
+        F.min(x).alias("mn"), F.max(x).alias("mx"), F.count(x).alias("n")
+    ).collect()[0]
+    width = (mx - mn) / HIST_BINS
+
+    stream = table_stream(spark, sf_dir, "lineitem")
+    sx = F.col(column).cast("double")
+    bin_col = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((sx - F.lit(float(mn))) / F.lit(float(width))),
+    ).cast("long")
+    hist_stream = (
+        stream.filter(sx.isNotNull())
+        .select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = run_to_memory_sink(hist_stream, "complete")
+    return quantiles_from_hist(hist, float(mn), float(width), int(n), (0.5, 0.95, 0.99))

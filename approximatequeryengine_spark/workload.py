@@ -1600,6 +1600,18 @@ def _hist_quantiles_oracle() -> str:
 _register("sketch_hist_quantiles", _hist_quantiles_fn, _hist_quantiles_oracle())
 
 
+def _hist_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming grid-histogram maintenance; the drained bin counts
+    equal the batch histogram (addition is order-free), so this row
+    reuses the batch sketch_hist_quantiles oracle verbatim."""
+    from approximatequeryengine_spark.streaming.pipeline import hist_quantile_stream
+
+    return hist_quantile_stream(spark, sf_dir)
+
+
+_register("streaming_hist_quantiles", _hist_stream_fn, _hist_quantiles_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

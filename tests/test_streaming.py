@@ -339,3 +339,17 @@ def test_streaming_hll_equals_batch_sketch(spark):
         for r in portable_hll_rollup(li, "l_partkey", "l_returnflag").collect()
     ]
     assert got == want and got
+
+
+def test_streaming_hist_equals_batch_quantiles(spark):
+    """Drained streaming bin counts must reproduce the batch grid-
+    histogram quantiles row-for-row (bin-count addition is order-free)."""
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.plans.histogram import hist_quantiles
+    from approximatequeryengine_spark.streaming.pipeline import hist_quantile_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in hist_quantile_stream(spark, sf).collect()]
+    li = Catalog(spark, sf, register_views=False).table("lineitem")
+    want = [tuple(r) for r in hist_quantiles(li, "l_extendedprice").collect()]
+    assert got == want and got
