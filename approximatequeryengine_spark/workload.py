@@ -1634,7 +1634,12 @@ _register("streaming_hist_quantiles", _hist_stream_fn, _hist_quantiles_oracle())
 # rotated-out r1/r2 entries remain registered and
 # pytest/check_entry-verified.
 _CERTIFY_FIRST = [
-    # Anchors: reference core (A1-A4, P2/P4) + relational flagships.
+    # Anchors (17): reference core (A1-A4, P2/P4), relational
+    # flagships, one row per sampling design, adaptive, and the
+    # Q1-block multi-estimate. The A6/A7/A8/R30 parameter variants
+    # certified in round 1 rotate out to make room — their shared
+    # estimator path stays pinned by approx_sum_uniform10 and the
+    # Q1 block (which carries AVG/COUNT estimates).
     "exact_sum",
     "exact_avg",
     "exact_count",
@@ -1644,7 +1649,6 @@ _CERTIFY_FIRST = [
     "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    # Anchors: one row per sampling design (R1-R30) + adaptive (R8-R10).
     "approx_sum_uniform10",
     "approx_groupby_sum_ci20",
     "approx_sum_systematic15",
@@ -1652,55 +1656,43 @@ _CERTIFY_FIRST = [
     "approx_sum_stratified",
     "approx_sum_neyman",
     "adaptive_clt_sum",
-    # Round-3 addition: grouped adaptive escalation (worst-group budget).
+    "approx_q1_block_uniform10",
+    # --- every oracle-backed query with no r1/r2 driver row (29) ---
     "adaptive_grouped_sum",
-    # --- never driver-certified before round 3 (22 entries) ---
-    # Dedup / similarity.
     "dedup_connected_clusters",
-    "ann_ivf_topk",
     "ann_int8_topk",
-    # Multimodal / temporal / skew joins.
     "multimodal_frame_sample",
     "range_join_purchase_clicks",
     "salted_join_revenue",
-    # Structured Streaming.
     "streaming_windowed_events",
     "streaming_dedup_events",
     "streaming_enriched_revenue",
     "streaming_sampled_revenue",
     "streaming_countmin_tokens",
-    "streaming_running_estimate",
-    # Grouped advanced estimators.
     "approx_grouped_sum_bootstrap32",
     "approx_grouped_distinct_chao1",
     "approx_grouped_median_ci",
-    # Sketches / BLB.
-    "sketch_mergeable_rollup",
-    "sketch_approx_distinct",
     "sketch_countmin_tokens",
     "sketch_hist_quantiles",
     "approx_sum_blb",
-    # Curation.
     "curation_repetition_stats",
     "curation_pii_stats",
-    # --- reference-core approx variants certified only in round 1:
-    # re-certify A6/A7/A8/R30 representatives on the fixed estimator path.
-    "approx_avg_uniform10",
-    "approx_count_uniform10",
-    "approx_sum_where_uniform20",
-    "approx_sum_head5",
-    # Q1-block multi-estimate (regression suspect in round 2's bench —
-    # keep its correctness row while the perf question is open).
-    "approx_q1_block_uniform10",
-    # Round-3 additions (new operators, certified the round they land).
     "ann_autotune_profile",
     "multimodal_png_decode",
     "multimodal_wav_decode",
     "sketch_portable_hll",
     "sketch_hll_overlap",
     "text_bm25_search",
-    # Remaining slots (round-3 additions are appended here as they land;
-    # see the registrations below for adaptive_grouped_sum etc.)
+    "multimodal_y4m_frames",
+    "streaming_hll_distinct",
+    "sketch_cms_join_size",
+    "streaming_hist_quantiles",
+    # --- rows-only entries never driver-run (4): weaker rows-only
+    # check, but a driver row beats none.
+    "ann_ivf_topk",
+    "streaming_running_estimate",
+    "sketch_mergeable_rollup",
+    "sketch_approx_distinct",
 ]
 
 
