@@ -304,13 +304,12 @@ class AQEngine:
         error; ``method='chao1'`` (default when ``sample_pct`` is given)
         = sample-based species-richness correction (point estimate, no
         closed-form CI)."""
-        if spec.group_by:
-            raise ValueError(
-                "COUNT(DISTINCT ...) with GROUP BY is outside the dialect; "
-                "use spark.sql, or the grouped Chao1 workload query"
-            )
         if not spec.column:
             raise ValueError("COUNT(DISTINCT ...) requires a column")
+        if spec.group_by:
+            return self._run_grouped_count_distinct(
+                spec, sample_pct, method, wants_approx, t0, confidence
+            )
         if not wants_approx:
             rdf = self._base_df(spec).agg(
                 F.countDistinct(spec.column).alias("count_distinct")
@@ -372,6 +371,52 @@ class AQEngine:
         row = rdf.collect()[0]
         res.value = float(row["d_chao1"])
         res.samples_used = int(row["d_obs"])
+        res.confidence_level = confidence
+        res.computation_time = time.time() - t0
+        return res
+
+    def _run_grouped_count_distinct(
+        self,
+        spec: QuerySpec,
+        sample_pct: float | None,
+        method: str | None,
+        wants_approx: bool,
+        t0: float,
+        confidence: float,
+    ) -> ApproxResult:
+        """Grouped COUNT(DISTINCT col): exact via ``countDistinct``, or
+        per-group Chao1 over the deterministic sample (the grouped HLL
+        lives in the workload's ``sketch_portable_hll``; Chao1 is the
+        sampled route the dialect exposes)."""
+        if not wants_approx:
+            rdf = self._base_df(spec).groupBy(spec.group_by).agg(
+                F.countDistinct(spec.column).alias("count_distinct")
+            )
+            res = ApproxResult(
+                df=rdf, method="exact", status=ApproximationStatus.EXACT
+            )
+            res.computation_time = time.time() - t0
+            return res
+        if method is not None and method != "chao1":
+            raise ValueError(
+                "grouped COUNT(DISTINCT ...) supports method='chao1' only "
+                "(the HLL route is global; grouped sketches live in "
+                "sketch_portable_hll)"
+            )
+        from approximatequeryengine_spark.plans.distinct import chao1_sql
+
+        fraction = (sample_pct / 100.0) if sample_pct else 0.2
+        table_expr = (
+            f"(SELECT * FROM {spec.table} WHERE {spec.where})"
+            if spec.where
+            else spec.table
+        )
+        s_spec = self._sampling_spec(spec, "uniform_hash", fraction)
+        self.catalog.refresh_views()
+        rdf = self.spark.sql(
+            chao1_sql(table_expr, spec.column, s_spec, group_col=spec.group_by)
+        )
+        res = ApproxResult(df=rdf, method="chao1", fraction=fraction)
         res.confidence_level = confidence
         res.computation_time = time.time() - t0
         return res

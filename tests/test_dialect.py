@@ -261,9 +261,26 @@ def test_count_distinct_via_engine(spark):
             "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem",
             method="random",
         )
-    with pytest.raises(ValueError, match="GROUP BY"):
+    grouped = eng.run(
+        "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem GROUP BY l_returnflag",
+        sample_pct=30,
+    )
+    assert grouped.method == "chao1"
+    grows = grouped.df.collect()
+    assert len(grows) == 3
+    exact_rows = {
+        r["l_returnflag"]: r["count_distinct"]
+        for r in eng.run(
+            "SELECT COUNT(DISTINCT l_partkey) FROM lineitem GROUP BY l_returnflag"
+        ).df.collect()
+    }
+    for r in grows:
+        assert r["d_chao1"] >= r["d_obs"]  # Chao1 only corrects UP
+        assert r["d_obs"] <= exact_rows[r["l_returnflag"]]
+    with pytest.raises(ValueError, match="chao1"):
         eng.run(
-            "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem GROUP BY l_returnflag"
+            "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem GROUP BY l_returnflag",
+            method="hll",
         )
 
 
