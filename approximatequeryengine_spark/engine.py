@@ -333,15 +333,21 @@ class AQEngine:
         if method == "hll":
             from approximatequeryengine_spark.plans.hll import (
                 HLL_M,
-                portable_hll_rollup,
+                _estimate,
+                hll_registers,
             )
 
             base = self._base_df(spec).select(
                 F.lit("all").alias("__g"), F.col(spec.column)
             )
-            rdf = portable_hll_rollup(base, spec.column, "__g").filter(
-                F.col("level") == "merged_global"
-            )
+            # Single aggregate straight off the 64 register rows — the
+            # full rollup's per-group/merged union + barrier is for the
+            # grouped workload query, not this hot path.
+            regs = hll_registers(base, spec.column, "__g")
+            rdf = regs.agg(
+                F.count(F.lit(1)).alias("np"),
+                F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sp"),
+            ).select(_estimate(F.col("np"), F.col("sp")).alias("est_distinct"))
             res = ApproxResult(df=rdf, method="hll", fraction=1.0)
             row = rdf.collect()[0]
             res.value = float(row["est_distinct"])
@@ -356,6 +362,23 @@ class AQEngine:
             res.computation_time = time.time() - t0
             return res
 
+        res = self._run_chao1(spec, sample_pct, t0, confidence)
+        row = res.df.collect()[0]
+        res.value = float(row["d_chao1"])
+        res.samples_used = int(row["d_obs"])
+        return res
+
+    def _run_chao1(
+        self,
+        spec: QuerySpec,
+        sample_pct: float | None,
+        t0: float,
+        confidence: float,
+        group_col: str | None = None,
+    ) -> ApproxResult:
+        """Shared Chao1 routing (global + grouped): deterministic sample
+        via the portable hash, species-richness correction in one SQL
+        statement over the catalog's temp views."""
         from approximatequeryengine_spark.plans.distinct import chao1_sql
 
         fraction = (sample_pct / 100.0) if sample_pct else 0.2
@@ -366,11 +389,10 @@ class AQEngine:
         )
         s_spec = self._sampling_spec(spec, "uniform_hash", fraction)
         self.catalog.refresh_views()
-        rdf = self.spark.sql(chao1_sql(table_expr, spec.column, s_spec))
+        rdf = self.spark.sql(
+            chao1_sql(table_expr, spec.column, s_spec, group_col=group_col)
+        )
         res = ApproxResult(df=rdf, method="chao1", fraction=fraction)
-        row = rdf.collect()[0]
-        res.value = float(row["d_chao1"])
-        res.samples_used = int(row["d_obs"])
         res.confidence_level = confidence
         res.computation_time = time.time() - t0
         return res
@@ -403,23 +425,9 @@ class AQEngine:
                 "(the HLL route is global; grouped sketches live in "
                 "sketch_portable_hll)"
             )
-        from approximatequeryengine_spark.plans.distinct import chao1_sql
-
-        fraction = (sample_pct / 100.0) if sample_pct else 0.2
-        table_expr = (
-            f"(SELECT * FROM {spec.table} WHERE {spec.where})"
-            if spec.where
-            else spec.table
+        return self._run_chao1(
+            spec, sample_pct, t0, confidence, group_col=spec.group_by
         )
-        s_spec = self._sampling_spec(spec, "uniform_hash", fraction)
-        self.catalog.refresh_views()
-        rdf = self.spark.sql(
-            chao1_sql(table_expr, spec.column, s_spec, group_col=spec.group_by)
-        )
-        res = ApproxResult(df=rdf, method="chao1", fraction=fraction)
-        res.confidence_level = confidence
-        res.computation_time = time.time() - t0
-        return res
 
     def _run_exact(self, spec: QuerySpec, t0: float) -> ApproxResult:
         agg = AggSpec(func=spec.agg.lower(), column=spec.column)

@@ -388,6 +388,7 @@ def dedup_connected_clusters(
         # 2-3), so hitting this means pathological chain-shaped data —
         # surface it rather than return wrong clusters.
         edges.unpersist()
+        labels.unpersist()  # the last persisted rung — don't leak it
         raise RuntimeError(
             f"dedup_connected_clusters: label propagation did not "
             f"converge within max_iterations={max_iterations}; component "

@@ -82,6 +82,12 @@ def adaptive_grouped_aggregate(
     """
     fraction = spec.fraction if spec.fraction else error_ladder(error_pct)
     fraction = max(min(fraction, 1.0), 1e-6)
+    # The stop rule must see groups the sample MISSED, not just the ones
+    # present at the current rung — a rare group whose keys all hash
+    # outside the threshold would otherwise be silently dropped from a
+    # "converged" result. One column-pruned distinct count up front
+    # (grouped estimation already assumes |groups| is small).
+    n_groups = df.select(*group_by).distinct().count()
     iterations = 0
     rdf: DataFrame | None = None
     while True:
@@ -96,10 +102,21 @@ def adaptive_grouped_aggregate(
             est = row[agg.name()]
             if est is None or est == 0:
                 return float("inf")
-            return 100.0 * (row["ci_upper"] - row["ci_lower"]) / 2.0 / abs(est)
+            lo, hi = row["ci_lower"], row["ci_upper"]
+            if lo is None or hi is None:
+                # Sampled extrema (MIN/MAX) carry no CLT CI — keep
+                # escalating to the full-scan rung, where the estimator
+                # emits the exact zero-width interval and rel = 0.
+                return float("inf")
+            return 100.0 * (hi - lo) / 2.0 / abs(est)
 
-        converged = bool(rows) and all(
-            r["n_samples"] >= min_samples and _rel(r) <= error_pct for r in rows
+        converged = (
+            bool(rows)
+            and len(rows) == n_groups
+            and all(
+                r["n_samples"] >= min_samples and _rel(r) <= error_pct
+                for r in rows
+            )
         )
         if converged or fraction >= 1.0 or iterations >= max_iterations:
             break

@@ -197,13 +197,18 @@ def cms_join_size(
         .groupBy("row")
         .agg(F.sum(F.col("cl") * F.col("cr")).alias("ip"))
     )
+    # A sketch row where NO cell coincides must still contribute its
+    # true inner product of 0 to the min — dropping it from the join
+    # would inflate disjoint-key estimates past the documented bound.
+    spine = left.sparkSession.range(depth).select(F.col("id").alias("row"))
+    per_row = spine.join(per_row, on="row", how="left").select(
+        "row", F.coalesce("ip", F.lit(0)).alias("ip")
+    )
     est = per_row.agg(F.min("ip").alias("cms_est"))
-    lc = left.groupBy(F.abs(F.col(key)).alias("k")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    rc = right.groupBy(F.abs(F.col(key)).alias("k")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # Exact side groups the RAW key (abs() is only for the hash; folding
+    # -k onto k here would overstate the exact join size).
+    lc = left.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    rc = right.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
     exact = (
         lc.join(rc, on="k")
         .agg(F.sum(lc["c"] * rc["c"]).alias("exact_join_size"))
@@ -238,14 +243,19 @@ rfan AS (SELECT abs({key}) AS h, v.row FROM r,
          (SELECT unnest(generate_series(0, {depth - 1})) AS row) v),
 rcells AS (SELECT h, row, {steps} FROM rfan),
 rsketch AS (SELECT row, {idx} AS idx, count(*) AS cr FROM rcells GROUP BY row, idx),
-per_row AS (
+per_row0 AS (
   SELECT a.row, sum(a.cl * b.cr) AS ip
   FROM lsketch a JOIN rsketch b ON a.row = b.row AND a.idx = b.idx
   GROUP BY a.row
 ),
+spine AS (SELECT unnest(generate_series(0, {depth - 1})) AS row),
+per_row AS (
+  SELECT s.row, coalesce(p.ip, 0) AS ip
+  FROM spine s LEFT JOIN per_row0 p ON s.row = p.row
+),
 est AS (SELECT min(ip) AS cms_est FROM per_row),
-lc AS (SELECT abs({key}) AS k, count(*) AS c FROM l GROUP BY 1),
-rc AS (SELECT abs({key}) AS k, count(*) AS c FROM r GROUP BY 1),
+lc AS (SELECT {key} AS k, count(*) AS c FROM l GROUP BY 1),
+rc AS (SELECT {key} AS k, count(*) AS c FROM r GROUP BY 1),
 exact AS (SELECT sum(lc.c * rc.c) AS exact_join_size FROM lc JOIN rc ON lc.k = rc.k)
 SELECT CAST(coalesce(exact_join_size, 0) AS BIGINT) AS exact_join_size,
        CAST(coalesce(cms_est, 0) AS BIGINT) AS cms_est,

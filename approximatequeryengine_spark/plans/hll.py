@@ -84,9 +84,28 @@ def _estimate(n_present: Column, s_present: Column) -> Column:
 
 def hll_registers(df: DataFrame, key: str, group: str) -> DataFrame:
     """Per-(group, register) rank maxima — the sketch itself. Merge two
-    register tables by ``groupBy(j).agg(max(r))``."""
+    register tables by ``groupBy(j).agg(max(r))``.
+
+    Key handling mirrors ``COUNT(DISTINCT ...)`` semantics: NULL keys
+    are excluded, and non-integral key types (strings, floats, dates)
+    are first mapped through the portable md5-prefix integer hash —
+    the avalanche hash's ``cast('long')`` would otherwise TRUNCATE
+    floats (silently collapsing distinct values) or crash on strings
+    under ANSI mode. Integral keys feed the hash directly, which is
+    what the SQL oracles (integer-key contract) render."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    kcol = F.col(key)
+    if not isinstance(
+        df.schema[key].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        kcol = F.conv(F.substring(F.md5(kcol.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
     hashed = with_avalanche_h(
-        df.select(F.col(group).alias("grp"), F.col(key).alias("k")),
+        df.filter(F.col(key).isNotNull()).select(
+            F.col(group).alias("grp"), kcol.alias("k")
+        ),
         F.col("k"),
         F.lit(0),
         h_col="h",
@@ -122,22 +141,24 @@ def rollup_from_registers(regs: DataFrame) -> DataFrame:
     per = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("np"), F.sum(term).alias("sp")
     )
-    merged = (
-        regs.groupBy("j")
-        .agg(F.max("r").alias("r"))
-        .agg(F.count(F.lit(1)).alias("np"), F.sum(term).alias("sp"))
-        .withColumn("grp", F.lit(None).cast("string"))
+    merged = regs.groupBy("j").agg(F.max("r").alias("r")).agg(
+        F.count(F.lit(1)).alias("np"), F.sum(term).alias("sp")
     )
-    out_cols = [
-        F.coalesce(
-            F.concat(F.lit("group_"), F.col("grp")), F.lit("merged_global")
-        ).alias("level"),
-        (F.lit(HLL_M) - F.col("np")).cast("long").alias("v_zero"),
-        _estimate(F.col("np"), F.col("sp")).alias("est_distinct"),
-    ]
-    return (
-        per.select(*out_cols).unionByName(merged.select(*out_cols)).orderBy("level")
+
+    def _out(src: DataFrame, level: Column) -> DataFrame:
+        return src.select(
+            level.alias("level"),
+            (F.lit(HLL_M) - F.col("np")).cast("long").alias("v_zero"),
+            _estimate(F.col("np"), F.col("sp")).alias("est_distinct"),
+        )
+
+    # NULL group values get an explicit label — a coalesce-to-
+    # 'merged_global' here would collide with the genuine merged row.
+    per_out = _out(
+        per, F.concat(F.lit("group_"), F.coalesce(F.col("grp"), F.lit("<null>")))
     )
+    merged_out = _out(merged, F.lit("merged_global"))
+    return per_out.unionByName(merged_out).orderBy("level")
 
 
 def portable_hll_rollup_sql(table: str, key: str, group: str) -> str:
@@ -146,7 +167,10 @@ def portable_hll_rollup_sql(table: str, key: str, group: str) -> str:
     raw = f"({alpha} * {HLL_M} * {HLL_M} / (coalesce(sp, 0.0) + ({HLL_M} - np)))"
     return f"""
 WITH hashed AS (
-  SELECT {group} AS grp, {steps} FROM {table}
+  -- NULL keys excluded (COUNT DISTINCT semantics); NULL groups get an
+  -- explicit label so they cannot collide with the merged row.
+  SELECT coalesce(CAST({group} AS VARCHAR), '<null>') AS grp, {steps}
+  FROM {table} WHERE {key} IS NOT NULL
 ),
 ranked AS (
   SELECT grp, {final} // {_W_SPACE} AS j,
@@ -245,7 +269,7 @@ def portable_hll_overlap_sql(sides_sql: str) -> str:
     return f"""
 WITH sides AS ({sides_sql}),
 hashed AS (
-  SELECT side, {steps} FROM sides
+  SELECT side, {steps} FROM sides WHERE k IS NOT NULL
 ),
 ranked AS (
   SELECT side, {final} // {_W_SPACE} AS j,

@@ -365,12 +365,18 @@ def hist_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles_from_hist,
     )
 
+    from approximatequeryengine_spark.plans.histogram import hist_quantiles
+
     column = "l_extendedprice"
     batch = Catalog(spark, sf_dir, register_views=False).table("lineitem")
     x = F.col(column).cast("double")
     mn, mx, n = batch.agg(
         F.min(x).alias("mn"), F.max(x).alias("mx"), F.count(x).alias("n")
     ).collect()[0]
+    if n == 0 or mn is None or mx == mn:
+        # Degenerate grid (empty/all-NULL/constant column): nothing to
+        # stream — the batch estimator's guarded paths give the answer.
+        return hist_quantiles(batch, column)
     width = (mx - mn) / HIST_BINS
 
     stream = table_stream(spark, sf_dir, "lineitem")

@@ -37,14 +37,17 @@ from approximatequeryengine_spark.plans.sampling import (
     sampling_where_sql,
 )
 
-_CATALOGS: dict[tuple[str, str], Catalog] = {}
+_CATALOGS: dict[tuple[str, int, str], Catalog] = {}
 
 
 def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    # applicationId, not id(spark): id() is reusable after GC, so a
-    # long-lived driver cycling SparkSessions could alias a stale
-    # catalog whose temp views point at dead plans.
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # (applicationId, id(session)): applicationId alone aliases
+    # distinct sessions sharing one SparkContext (spark.newSession()) —
+    # temp views are SESSION-scoped, so the second session would see
+    # TABLE_OR_VIEW_NOT_FOUND; id() alone is reusable after GC. A stale
+    # aliased entry needs BOTH an app-id restart and an id() reuse to
+    # collide — vanishingly unlikely together.
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     if key not in _CATALOGS:
         _CATALOGS[key] = Catalog(spark, sf_dir)
     else:
@@ -1327,7 +1330,11 @@ def _adaptive_grouped_oracle() -> str:
         f"  CASE WHEN rawm > 0 THEN greatest(round(rawm, 0), 1.0) ELSE 0.0 END AS margin "
         f"  FROM sel), "
         f"rung AS (SELECT i, bool_and(n >= {_ADAPTIVE_MIN_SAMPLES} AND est <> 0 "
-        f"  AND 100.0 * margin / abs(est) <= {_ADAPTIVE_ERROR_PCT!r}) AS ok "
+        f"  AND 100.0 * margin / abs(est) <= {_ADAPTIVE_ERROR_PCT!r}) "
+        # every group of the FULL table must be present at the rung —
+        # mirrors the loop's n_groups requirement (a rare group missed
+        # by the sample blocks convergence).
+        f"  AND count(*) = (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS ok "
         f"  FROM mm GROUP BY i), "
         f"pick AS (SELECT i FROM rung WHERE ok OR i = {last} ORDER BY i LIMIT 1) "
         f"SELECT l_returnflag, round(est, 2) AS sum_l_extendedprice, "

@@ -124,3 +124,18 @@ def test_adaptive_grouped_tight_budget_escalates(engine):
     assert iterations > 1
     assert fraction > error_ladder(0.5)
     assert rdf.count() == 3
+
+
+def test_grouped_adaptive_minmax_escalates_to_exact(spark, engine):
+    """Review regression: grouped adaptive MIN/MAX crashed on the NULL
+    CI bounds sampled extrema carry; they must instead escalate to the
+    full-scan rung, where the interval is exact and zero-width."""
+    r = engine.run(
+        "SELECT APPROX(MIN(l_extendedprice)) FROM lineitem GROUP BY l_returnflag",
+        method="clt",
+        error_pct=2.0,
+    )
+    rows = r.df.collect()
+    assert len(rows) == 3 and r.fraction == 1.0
+    for row in rows:
+        assert row["ci_lower"] == row["min_l_extendedprice"] == row["ci_upper"]

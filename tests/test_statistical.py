@@ -514,3 +514,39 @@ def test_cms_join_size_disjoint_keys_is_small(spark):
     row = cms_join_size(a, b, "k").collect()[0]
     assert row["exact_join_size"] == 0
     assert row["cms_est"] <= math.e / row["width"] * 3000 * 3000
+
+
+def test_cms_join_size_zero_overlap_row_reaches_min(spark):
+    """Review regression: a sketch row with NO coincident cells must
+    contribute inner product 0 — tiny disjoint tables estimate exactly
+    0, matching the exact join size."""
+    from approximatequeryengine_spark.plans.countmin import cms_join_size
+
+    a = spark.range(0, 10).selectExpr("id AS k")
+    b = spark.range(1000, 1010).selectExpr("id AS k")
+    row = cms_join_size(a, b, "k").collect()[0]
+    assert row["exact_join_size"] == 0
+    assert row["cms_est"] == 0, row
+
+
+def test_portable_hll_non_integer_and_null_keys(spark):
+    """Review regression: float keys must not truncate (silent 10x
+    error), string keys must not crash under ANSI casts, and NULL keys
+    are excluded like COUNT(DISTINCT)."""
+    from approximatequeryengine_spark.plans.hll import portable_hll_rollup
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") / 100.0).alias("f"),  # 1000 distinct floats in [0, 10)
+        F.concat(F.lit("s"), (F.col("id") % 57).cast("string")).alias("s"),
+        F.when(F.col("id") % 10 == 0, F.col("id")).alias("nullable_k"),
+        F.lit("g").alias("grp"),
+    )
+    est_f = {r["level"]: r["est_distinct"]
+             for r in portable_hll_rollup(df, "f", "grp").collect()}["group_g"]
+    assert abs(est_f / 1000 - 1) < 0.4, est_f  # was ~0.01x under truncation
+    est_s = {r["level"]: r["est_distinct"]
+             for r in portable_hll_rollup(df, "s", "grp").collect()}["group_g"]
+    assert abs(est_s / 57 - 1) < 0.5, est_s
+    est_n = {r["level"]: r["est_distinct"]
+             for r in portable_hll_rollup(df, "nullable_k", "grp").collect()}["group_g"]
+    assert abs(est_n / 100 - 1) < 0.5, est_n  # 100 non-NULL distinct
