@@ -586,3 +586,79 @@ ranked AS (
 SELECT rank, doc_id, n_terms_matched, score
 FROM ranked WHERE rank <= {BM25_TOPK} ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter calibration (round 3): before committing a corpus to a
+# quality cutoff, a pipeline wants the survival curve — how many
+# documents and tokens each candidate threshold keeps. ONE pass over
+# the corpus computes every threshold's counts as conditional sums
+# (no per-threshold rescans); the curve unpivots from the single
+# aggregate row. Threshold comparisons are safe cross-engine because
+# the quality score is a ratio of small integers (bit-identical in
+# both engines — the certified corpus_clean_pipeline already filters
+# on `quality_score >= 0.5`).
+
+QUALITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def quality_threshold_sweep(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Survival curve: ``(threshold, n_docs_kept, n_tokens_kept,
+    pct_docs_kept)``, one row per candidate cutoff, one corpus scan."""
+    docs = ensure_parallelism(docs)
+    cols = quality_columns(F.col("text"))
+    per_doc = docs.select(
+        cols["quality_score"].alias("score"), cols["n_tokens"].alias("nt")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    for i, t in enumerate(QUALITY_THRESHOLDS):
+        keep = F.col("score") >= F.lit(t)
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"d{i}"))
+        aggs.append(F.sum(F.when(keep, F.col("nt")).otherwise(0)).alias(f"t{i}"))
+    one = per_doc.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"d{i}").cast("long").alias("n_docs_kept"),
+                F.col(f"t{i}").cast("long").alias("n_tokens_kept"),
+                F.round(F.col(f"d{i}") / F.col("n_total"), 6).alias(
+                    "pct_docs_kept"
+                ),
+            )
+            for i, t in enumerate(QUALITY_THRESHOLDS)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("x"))
+        .select("x.threshold", "x.n_docs_kept", "x.n_tokens_kept", "x.pct_docs_kept")
+        .orderBy("threshold")
+    )
+
+
+def quality_threshold_sweep_sql() -> str:
+    p = _quality_sql_parts()
+    conds = ",\n         ".join(
+        f"CAST(sum(CASE WHEN score >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS d{i},\n         "
+        f"CAST(sum(CASE WHEN score >= {t} THEN nt ELSE 0 END) AS BIGINT) AS t{i}"
+        for i, t in enumerate(QUALITY_THRESHOLDS)
+    )
+    case_d = " ".join(f"WHEN {t} THEN d{i}" for i, t in enumerate(QUALITY_THRESHOLDS))
+    case_t = " ".join(f"WHEN {t} THEN t{i}" for i, t in enumerate(QUALITY_THRESHOLDS))
+    grid = ", ".join(f"({t})" for t in QUALITY_THRESHOLDS)
+    return f"""
+WITH per_doc AS (
+  SELECT {p['quality_score']} AS score, {p['n_tokens']} AS nt FROM documents
+),
+one AS (
+  SELECT count(*) AS n_total,
+         {conds}
+  FROM per_doc
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       CASE threshold {case_d} END AS n_docs_kept,
+       CASE threshold {case_t} END AS n_tokens_kept,
+       round(CAST(CASE threshold {case_d} END AS DOUBLE) / n_total, 6) AS pct_docs_kept
+FROM one CROSS JOIN (VALUES {grid}) g(threshold)
+ORDER BY threshold
+"""

@@ -727,6 +727,10 @@ _docs_query("text_fingerprint_summary", _text.fingerprint_summary, _text.fingerp
 # totals add the <=3 term scores in fixed query-rank order (no
 # order-dependent float aggregation in either engine).
 _docs_query("text_bm25_search", _text.bm25_search_top10, _text.bm25_search_top10_sql())
+# Round-3: quality-filter calibration — the survival curve over 7
+# candidate cutoffs from ONE corpus scan (conditional sums, no
+# per-threshold rescans).
+_docs_query("text_quality_threshold_sweep", _text.quality_threshold_sweep, _text.quality_threshold_sweep_sql())
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())

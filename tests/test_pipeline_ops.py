@@ -764,3 +764,20 @@ def test_bm25_search_ranking_invariants(spark, synth_docs):
     assert scores == sorted(scores, reverse=True)
     assert all(1 <= r["n_terms_matched"] <= 3 for r in rows)
     assert all(r["doc_id"] != 7 for r in rows)
+
+
+def test_quality_threshold_sweep_monotone(spark, synth_docs):
+    """Survival counts must be non-increasing in the threshold, start at
+    the full corpus for a 0.2 cutoff... (the synthetic empty doc scores
+    below mid thresholds), and report consistent percentages."""
+    from approximatequeryengine_spark.operators.text import quality_threshold_sweep
+
+    rows = quality_threshold_sweep(spark, synth_docs).collect()
+    assert [r["threshold"] for r in rows] == [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+    docs_kept = [r["n_docs_kept"] for r in rows]
+    toks_kept = [r["n_tokens_kept"] for r in rows]
+    assert docs_kept == sorted(docs_kept, reverse=True)
+    assert toks_kept == sorted(toks_kept, reverse=True)
+    n = synth_docs.count()
+    for r in rows:
+        assert abs(r["pct_docs_kept"] - r["n_docs_kept"] / n) < 1e-6  # 6dp rounding
