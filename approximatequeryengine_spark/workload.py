@@ -1652,7 +1652,9 @@ _CERTIFY_FIRST = [
     # estimator path stays pinned by approx_sum_uniform10 and the
     # Q1 block (which carries AVG/COUNT estimates).
     "exact_sum",
-    "exact_avg",
+    # exact_avg (A2) rotated out for round 3 — certified green in BOTH
+    # r1 and r2, and it shares exact_sum's code path; its slot funds the
+    # round-3 quality-sweep row.
     "exact_count",
     "exact_sum_where",
     "exact_groupby_sum",
@@ -1698,6 +1700,7 @@ _CERTIFY_FIRST = [
     "streaming_hll_distinct",
     "sketch_cms_join_size",
     "streaming_hist_quantiles",
+    "text_quality_threshold_sweep",
     # --- rows-only entries never driver-run (4): weaker rows-only
     # check, but a driver row beats none.
     "ann_ivf_topk",
