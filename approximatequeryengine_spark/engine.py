@@ -93,8 +93,8 @@ class AQEngine:
             if is_approx:
                 raise ValueError(
                     "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX/"
-                    "MEDIAN aggregate over one table (optional WHERE, one "
-                    f"GROUP BY column); could not parse: {sql!r}"
+                    "MEDIAN/PERCENTILE aggregate over one table (optional "
+                    f"WHERE, one GROUP BY column); could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
             # Temp views are session-global; another catalog (different
@@ -109,8 +109,10 @@ class AQEngine:
 
         wants_approx = spec.approx or sample_pct is not None or error_pct is not None or method
 
-        if spec.agg == "MEDIAN":
-            return self._run_median(spec, sample_pct, wants_approx, t0, z=z, confidence=confidence)
+        if spec.agg in ("MEDIAN", "PERCENTILE"):
+            return self._run_quantile(
+                spec, sample_pct, wants_approx, t0, z=z, confidence=confidence
+            )
 
         if spec.distinct:
             return self._run_count_distinct(
@@ -249,29 +251,31 @@ class AQEngine:
                 )
         return res
 
-    def _run_median(
+    def _run_quantile(
         self, spec: QuerySpec, sample_pct: float | None, approx: bool, t0: float,
         z: float = 1.959963984540054, confidence: float = 0.95,
     ) -> ApproxResult:
-        """MEDIAN: order-statistic point estimate with the binomial
-        distribution-free CI (plans/quantiles.py). Exact mode = the same
-        machinery over the full data (design 'none')."""
+        """MEDIAN / PERCENTILE(col, q): order-statistic point estimate
+        with the binomial distribution-free CI (plans/quantiles.py).
+        Exact mode = the same machinery over the full data (design
+        'none')."""
         from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
 
         if spec.group_by:
             raise ValueError(
-                "MEDIAN does not support GROUP BY in the dialect; use "
+                f"{spec.agg} does not support GROUP BY in the dialect; use "
                 "spark.sql with percentile(...) instead"
             )
         if not spec.column:
-            raise ValueError("MEDIAN requires a column")
+            raise ValueError(f"{spec.agg} requires a column")
+        q = spec.q if spec.q is not None else 0.5
         if approx:
             s_spec = self._sampling_spec(
                 spec, "uniform_hash", (sample_pct or 10.0) / 100.0
             )
         else:
             s_spec = SamplingSpec(design="none", key=self.catalog.unique_key(spec.table))
-        rdf = approx_quantile_ci(self._base_df(spec), spec.column, 0.5, s_spec, z=z)
+        rdf = approx_quantile_ci(self._base_df(spec), spec.column, q, s_spec, z=z)
         row = rdf.collect()[0]
         res = ApproxResult(
             df=rdf,

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 @dataclass
 class QuerySpec:
-    agg: str  # SUM | AVG | COUNT | MIN | MAX | MEDIAN
+    agg: str  # SUM | AVG | COUNT | MIN | MAX | MEDIAN | PERCENTILE
     column: str | None  # None for COUNT(*)
     table: str
     where: str | None = None
@@ -31,11 +31,18 @@ class QuerySpec:
     raw: str = ""
     extras: dict = field(default_factory=dict)
     distinct: bool = False  # COUNT(DISTINCT col) — round-3 extension
+    q: float | None = None  # PERCENTILE(col, q) — round-3 extension
 
 
 _APPROX_EMBED = re.compile(r"APPROX\s*\(\s*([^()]*\([^()]*\)[^()]*)\s*\)", re.IGNORECASE)
 _APPROX_FUNC = re.compile(
     r"APPROX_(SUM|AVG|COUNT|MIN|MAX|MEDIAN)\s*\(\s*([\w\*]+)\s*(?:,\s*([\d.]+)\s*)?\)",
+    re.IGNORECASE,
+)
+# APPROX_PERCENTILE(col, q[, pct]) — q is part of the aggregate, the
+# optional third argument is the sample percentage (mirrors APPROX_SUM).
+_APPROX_PCTL = re.compile(
+    r"APPROX_PERCENTILE\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*(?:,\s*([\d.]+)\s*)?\)",
     re.IGNORECASE,
 )
 
@@ -60,11 +67,21 @@ def rewrite_approx(query: str) -> tuple[str, bool, float | None]:
         return f"{m.group(1).upper()}({m.group(2)})"
 
     query = _APPROX_FUNC.sub(_func, query)
+
+    def _pctl(m: re.Match) -> str:
+        nonlocal is_approx, pct
+        is_approx = True
+        if m.group(3) is not None:
+            pct = float(m.group(3))
+        return f"PERCENTILE({m.group(1)}, {m.group(2)})"
+
+    query = _APPROX_PCTL.sub(_pctl, query)
     return query, is_approx, pct
 
 
 _SIMPLE = re.compile(
-    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN)\s*\(\s*(?:(DISTINCT)\s+)?([\w\*\.]+)\s*\)\s+"
+    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN|PERCENTILE)\s*"
+    r"\(\s*(?:(DISTINCT)\s+)?([\w\*\.]+)\s*(?:,\s*([\d.]+)\s*)?\)\s+"
     r"FROM\s+([\w\.]+)"
     r"(?:\s+WHERE\s+(.*?))?"
     r"(?:\s+GROUP\s+BY\s+([\w\.]+))?"
@@ -106,11 +123,20 @@ def parse_query(query: str) -> QuerySpec | None:
     m = _SIMPLE.match(clean)
     if not m:
         return None
-    agg, distinct, column, table, where, group_by = m.groups()
+    agg, distinct, column, q_arg, table, where, group_by = m.groups()
     if distinct and agg.upper() != "COUNT":
         # SUM(DISTINCT ...) etc. are outside the dialect — exact
         # fallback through spark.sql.
         return None
+    if q_arg is not None and agg.upper() != "PERCENTILE":
+        # A second aggregate argument only exists for PERCENTILE(col, q).
+        return None
+    q = float(q_arg) if q_arg is not None else None
+    if agg.upper() == "PERCENTILE":
+        if q is None:
+            raise ValueError("PERCENTILE requires a quantile: PERCENTILE(col, q)")
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"PERCENTILE q must be in (0, 1), got {q}")
     return QuerySpec(
         agg=agg.upper(),
         column=None if column == "*" else column,
@@ -121,6 +147,7 @@ def parse_query(query: str) -> QuerySpec | None:
         sample_pct=pct,
         raw=query,
         distinct=bool(distinct),
+        q=q,
     )
 
 

@@ -696,6 +696,13 @@ _quantile_query(
     "lineitem", "l_extendedprice", 0.5,
     SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
 )
+# Round-3: the same machinery at an arbitrary quantile — the dialect's
+# APPROX_PERCENTILE(col, q[, pct]) route (engine._run_quantile).
+_quantile_query(
+    "approx_p90_ci",
+    "lineitem", "l_extendedprice", 0.9,
+    SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,44 @@ def test_engine_median(engine):
         engine.run("SELECT APPROX(MEDIAN(value)) FROM events GROUP BY event_type")
 
 
+def test_parse_percentile():
+    spec = parse_query("SELECT APPROX(PERCENTILE(l_extendedprice, 0.9)) FROM lineitem")
+    assert spec.agg == "PERCENTILE" and spec.approx and spec.q == 0.9
+    spec = parse_query("SELECT PERCENTILE(value, 0.25) FROM events")
+    assert spec.agg == "PERCENTILE" and not spec.approx and spec.q == 0.25
+    # APPROX_PERCENTILE(col, q, pct): q stays with the aggregate, pct routes
+    spec = parse_query("SELECT APPROX_PERCENTILE(l_extendedprice, 0.75, 20) FROM lineitem")
+    assert spec.agg == "PERCENTILE" and spec.approx
+    assert spec.q == 0.75 and spec.sample_pct == 20.0
+    # a second argument on any other aggregate is outside the grammar
+    assert parse_query("SELECT SUM(l_extendedprice, 0.9) FROM lineitem") is None
+    import pytest
+
+    with pytest.raises(ValueError, match="q must be in"):
+        parse_query("SELECT PERCENTILE(value, 1.5) FROM events")
+
+
+def test_engine_percentile(engine):
+    import pytest
+
+    res = engine.run(
+        "SELECT APPROX(PERCENTILE(l_extendedprice, 0.9)) FROM lineitem",
+        sample_pct=20,
+    )
+    assert res.ci_lower <= res.value <= res.ci_upper
+    assert res.method == "quantile" and res.samples_used > 0
+    exact = engine.run("SELECT PERCENTILE(l_extendedprice, 0.9) FROM lineitem")
+    assert exact.status.name == "EXACT"
+    # the approximate CI should cover the exact p90, and p90 > median
+    assert res.ci_lower <= exact.value <= res.ci_upper
+    med = engine.run("SELECT PERCENTILE(l_extendedprice, 0.5) FROM lineitem")
+    assert med.value < exact.value
+    with pytest.raises(ValueError, match="GROUP BY"):
+        engine.run(
+            "SELECT APPROX(PERCENTILE(value, 0.9)) FROM events GROUP BY event_type"
+        )
+
+
 def test_method_selection():
     # F3 heuristics (enhanced_aqe_cli.py:116-131)
     assert select_method("SUM", 200_000, False) == "revolutionary"
