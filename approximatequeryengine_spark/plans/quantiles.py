@@ -134,7 +134,7 @@ def approx_quantile_ci_sql(
 WITH s AS (SELECT {x} AS x, {key} AS k FROM {table} WHERE {where}),
 nn AS (SELECT count(*) AS n FROM s),
 r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS rn FROM s)
-SELECT {q!r} AS q, (SELECT n FROM nn) AS n_samples,
+SELECT CAST({q!r} AS DOUBLE) AS q, (SELECT n FROM nn) AS n_samples,
        min(CASE WHEN rn = (SELECT {point} FROM nn) THEN x END) AS {column}_q,
        min(CASE WHEN rn = (SELECT {lo} FROM nn) THEN x END) AS ci_lower,
        min(CASE WHEN rn = (SELECT {hi} FROM nn) THEN x END) AS ci_upper

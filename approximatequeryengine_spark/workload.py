@@ -953,6 +953,34 @@ def _salted_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("salted_join_revenue", _salted_join_fn, _bucketed_join_oracle())
 
 
+def _bloom_prune_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter semi-join pruning (plans/bloom.py): filter
+    the orders fact by a 4096-bit/4-hash Bloom over BUILDING-segment
+    customer keys, then the exact broadcast semi join — one accounting
+    row proving losslessness (sum over exact matches) and measuring the
+    realized false-positive rate. The oracle rebuilds the identical
+    bitmap from the same deterministic hashes."""
+    from approximatequeryengine_spark.plans.bloom import bloom_prune_semi_join
+
+    cat = _catalog(spark, sf_dir)
+    dim = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return bloom_prune_semi_join(
+        spark, cat.table("orders"), dim, "o_custkey", "c_custkey", "o_totalprice"
+    )
+
+
+def _bloom_prune_oracle() -> str:
+    from approximatequeryengine_spark.plans.bloom import bloom_prune_semi_join_sql
+
+    return bloom_prune_semi_join_sql(
+        "orders", "customer", "o_custkey", "c_custkey", "o_totalprice",
+        "c_mktsegment = 'BUILDING'",
+    )
+
+
+_register("bloom_prune_semi_join", _bloom_prune_fn, _bloom_prune_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Sample-based DISTINCT-count estimation (Chao1). The naive "count
 # distinct in the sample" severely underestimates (unseen values); the
