@@ -304,6 +304,79 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+# -- deterministic train/val/test split -------------------------------------
+
+SPLIT_SALT = 7  # independent of every sampling-design salt in use
+SPLIT_CUTS = (("train", 0.8), ("val", 0.9), ("test", 1.0))
+
+
+def dataset_split(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic corpus split: a document lands in train/val/test by
+    the portable hash of its ``doc_id`` (cumulative cuts 80/10/10) — the
+    split is stable across runs, engines, partitionings and corpus
+    growth (a document never changes split when new data arrives), which
+    is the property a training pipeline needs for honest eval sets.
+
+    Emits one row per split: document count, corpus share, token total,
+    mean document length, and distinct languages — the balance check run
+    before accepting a split. One map-side-combined aggregate; the share
+    is a 3-row window, nothing else leaves the executors."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+
+    docs = ensure_parallelism(docs)
+    h = portable_hash_col(F.col("doc_id"), salt=SPLIT_SALT)
+    split = F.lit(SPLIT_CUTS[-1][0])
+    for name, cut in reversed(SPLIT_CUTS[:-1]):
+        split = F.when(h < F.lit(fraction_threshold(cut)), F.lit(name)).otherwise(split)
+    toks = F.size(ws_tokens_col(F.col("text")))
+    per_doc = docs.select(
+        split.alias("split"),
+        toks.cast("long").alias("t"),
+        F.col("n_chars"),
+        F.col("lang"),
+    )
+    agg = per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    total = Window.partitionBy()
+    return agg.withColumn(
+        "share", F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6)
+    ).orderBy("split")
+
+
+def dataset_split_sql() -> str:
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_sql,
+    )
+
+    h = portable_hash_sql("doc_id", SPLIT_SALT)
+    cases = " ".join(
+        f"WHEN {h} < {fraction_threshold(cut)} THEN '{name}'"
+        for name, cut in SPLIT_CUTS[:-1]
+    )
+    toks = ws_tokens_sql("text")
+    return f"""
+WITH per_doc AS (
+  SELECT CASE {cases} ELSE '{SPLIT_CUTS[-1][0]}' END AS split,
+         CAST(len({toks}) AS BIGINT) AS t, n_chars, lang
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 6) AS avg_chars,
+       count(DISTINCT lang) AS n_langs,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+FROM per_doc GROUP BY split ORDER BY split
+"""
+
+
 # -- PII scrubbing stats ----------------------------------------------------
 
 # RE2-compatible (no lookaround/backrefs) so Spark and DuckDB agree.

@@ -1587,6 +1587,7 @@ _docs_query(
 )
 _docs_query("curation_repetition_stats", _cur.repetition_stats, _cur.repetition_stats_sql())
 _docs_query("curation_pii_stats", _cur.pii_scrub_stats, _cur.pii_scrub_stats_sql())
+_docs_query("curation_dataset_split", _cur.dataset_split, _cur.dataset_split_sql())
 
 
 def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

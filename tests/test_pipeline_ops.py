@@ -617,6 +617,31 @@ def test_pii_stats_counts_matches(spark):
     assert got["s2"]["n_docs_with_pii"] == 0
 
 
+def test_dataset_split_deterministic_and_balanced(spark, engine, duck):
+    from approximatequeryengine_spark.operators import curation
+    from tests.conftest import assert_df_matches_sql
+
+    docs = engine.catalog.table("documents")
+    rows = {r["split"]: r for r in curation.dataset_split(spark, docs).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = sum(r["n_docs"] for r in rows.values())
+    assert total == docs.count()
+    # 80/10/10 cuts within sampling noise on the fixture corpus
+    assert rows["train"]["n_docs"] / total == pytest.approx(0.8, abs=0.1)
+    assert rows["val"]["n_docs"] / total == pytest.approx(0.1, abs=0.07)
+    assert sum(r["share"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+    # deterministic: a second run assigns identically
+    again = {r["split"]: r["n_docs"] for r in curation.dataset_split(spark, docs).collect()}
+    assert again == {k: r["n_docs"] for k, r in rows.items()}
+    # growth-stable: dropping documents never moves a survivor's split
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half_rows = {r["split"]: r["n_docs"] for r in curation.dataset_split(spark, half).collect()}
+    assert sum(half_rows.values()) == half.count()
+    assert_df_matches_sql(
+        curation.dataset_split(spark, docs), duck, curation.dataset_split_sql()
+    )
+
+
 def test_connected_clusters_resolve_transitive_dups(spark):
     """A≈B and B≈C near-dup pairs must land in ONE cluster with the min
     doc_id as survivor, even when A and C alone wouldn't pair."""
