@@ -93,8 +93,8 @@ class AQEngine:
             if is_approx:
                 raise ValueError(
                     "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX/"
-                    "MEDIAN/PERCENTILE aggregate over one table (optional "
-                    f"WHERE, one GROUP BY column); could not parse: {sql!r}"
+                    "MEDIAN/PERCENTILE/STDDEV aggregate over one table "
+                    f"(optional WHERE, one GROUP BY column); could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
             # Temp views are session-global; another catalog (different
@@ -111,6 +111,11 @@ class AQEngine:
 
         if spec.agg in ("MEDIAN", "PERCENTILE"):
             return self._run_quantile(
+                spec, sample_pct, wants_approx, t0, z=z, confidence=confidence
+            )
+
+        if spec.agg == "STDDEV":
+            return self._run_stddev(
                 spec, sample_pct, wants_approx, t0, z=z, confidence=confidence
             )
 
@@ -286,6 +291,50 @@ class AQEngine:
             fraction=s_spec.realized_fraction(),
             method="quantile" if approx else "exact",
             status=ApproximationStatus.STABLE if approx else ApproximationStatus.EXACT,
+            computation_time=time.time() - t0,
+        )
+        res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
+        res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
+        return res
+
+    def _run_stddev(
+        self, spec: QuerySpec, sample_pct: float | None, approx: bool, t0: float,
+        z: float = 1.959963984540054, confidence: float = 0.95,
+    ) -> ApproxResult:
+        """STDDEV: sampled standard deviation with the fourth-moment
+        CLT CI (plans/variance.py); exact mode = ``stddev_samp`` over
+        the full data."""
+        if spec.group_by:
+            raise ValueError(
+                "STDDEV does not support GROUP BY in the dialect; use "
+                "spark.sql with stddev_samp(...) instead"
+            )
+        if not spec.column:
+            raise ValueError("STDDEV requires a column")
+        if not approx:
+            rdf = self._base_df(spec).agg(
+                F.stddev_samp(F.col(spec.column).cast("double")).alias("stddev")
+            )
+            res = ApproxResult(df=rdf, method="exact", status=ApproximationStatus.EXACT)
+            res.value = float(rdf.collect()[0]["stddev"])
+            res.computation_time = time.time() - t0
+            return res
+        from approximatequeryengine_spark.plans.variance import approx_stddev_ci
+
+        s_spec = self._sampling_spec(
+            spec, "uniform_hash", (sample_pct or 10.0) / 100.0
+        )
+        rdf = approx_stddev_ci(self._base_df(spec), spec.column, s_spec, z=z)
+        row = rdf.collect()[0]
+        res = ApproxResult(
+            df=rdf,
+            value=row["stddev"],
+            ci_lower=row["ci_lower"],
+            ci_upper=row["ci_upper"],
+            samples_used=int(row["n_samples"]),
+            fraction=s_spec.realized_fraction(),
+            method="moment",
+            status=ApproximationStatus.STABLE,
             computation_time=time.time() - t0,
         )
         res.error_margin = (res.ci_upper - res.ci_lower) / 2.0

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 @dataclass
 class QuerySpec:
-    agg: str  # SUM | AVG | COUNT | MIN | MAX | MEDIAN | PERCENTILE
+    agg: str  # SUM | AVG | COUNT | MIN | MAX | MEDIAN | PERCENTILE | STDDEV
     column: str | None  # None for COUNT(*)
     table: str
     where: str | None = None
@@ -36,7 +36,7 @@ class QuerySpec:
 
 _APPROX_EMBED = re.compile(r"APPROX\s*\(\s*([^()]*\([^()]*\)[^()]*)\s*\)", re.IGNORECASE)
 _APPROX_FUNC = re.compile(
-    r"APPROX_(SUM|AVG|COUNT|MIN|MAX|MEDIAN)\s*\(\s*([\w\*]+)\s*(?:,\s*([\d.]+)\s*)?\)",
+    r"APPROX_(SUM|AVG|COUNT|MIN|MAX|MEDIAN|STDDEV)\s*\(\s*([\w\*]+)\s*(?:,\s*([\d.]+)\s*)?\)",
     re.IGNORECASE,
 )
 # APPROX_PERCENTILE(col, q[, pct]) — q is part of the aggregate, the
@@ -80,7 +80,7 @@ def rewrite_approx(query: str) -> tuple[str, bool, float | None]:
 
 
 _SIMPLE = re.compile(
-    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN|PERCENTILE)\s*"
+    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN|PERCENTILE|STDDEV)\s*"
     r"\(\s*(?:(DISTINCT)\s+)?([\w\*\.]+)\s*(?:,\s*([\d.]+)\s*)?\)\s+"
     r"FROM\s+([\w\.]+)"
     r"(?:\s+WHERE\s+(.*?))?"

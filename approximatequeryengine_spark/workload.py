@@ -705,6 +705,30 @@ _quantile_query(
 )
 
 
+def _stddev_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled standard deviation with a fourth-moment CLT CI
+    (plans/variance.py) — the dialect's APPROX(STDDEV(col)) route."""
+    from approximatequeryengine_spark.plans.variance import approx_stddev_ci
+
+    cat = _catalog(spark, sf_dir)
+    return approx_stddev_ci(
+        cat.table("lineitem"), "l_extendedprice",
+        SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    )
+
+
+def _stddev_oracle() -> str:
+    from approximatequeryengine_spark.plans.variance import approx_stddev_ci_sql
+
+    return approx_stddev_ci_sql(
+        "lineitem", "l_extendedprice",
+        SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    )
+
+
+_register("approx_stddev_ci", _stddev_fn, _stddev_oracle())
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY.md §7 phase 7 / north star): text
 # analysis, dedup, similarity search, multimodal plumbing, streaming.
