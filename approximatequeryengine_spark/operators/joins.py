@@ -47,3 +47,65 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted.join(replicated, on=[*on, SALT_COL], how=how).drop(SALT_COL)
+
+
+def profile_key_skew(df: DataFrame, key: str, top: int = 5) -> DataFrame:
+    """The diagnostic that decides between a plain, salted, or broadcast
+    join: the join-key frequency profile.
+
+    One row: total rows, distinct keys, the heaviest key's share of all
+    rows, the top-``top`` keys' combined share, the mean rows-per-key,
+    and the max/mean frequency ratio (``skew_ratio`` — 1.0 is perfectly
+    uniform; a shuffle partition stuck with the max key runs
+    ``skew_ratio``× the average task, which is exactly the straggler
+    multiple AQE's skew split or :func:`salted_join` must absorb).
+
+    Plan shape: one groupBy on the key (the same exchange the join
+    itself would pay), then a ``top``-row TakeOrdered — no global sort,
+    nothing wide on the driver. Run it on a sample for a free estimate;
+    frequencies scale linearly under uniform sampling.
+    """
+    freq = df.groupBy(F.expr(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    topk = freq.orderBy(F.desc("c"), F.asc("k")).limit(top)
+    stats = freq.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_freq"),
+    )
+    top_sum = topk.agg(F.sum("c").alias("top_freq"))
+    return (
+        stats.crossJoin(top_sum)
+        .select(
+            "n_rows",
+            "n_keys",
+            F.col("max_freq"),
+            F.round(F.col("max_freq") / F.col("n_rows"), 6).alias("max_share"),
+            F.round(F.col("top_freq") / F.col("n_rows"), 6).alias(f"top{top}_share"),
+            F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_freq"),
+            F.round(
+                F.col("max_freq") / (F.col("n_rows") / F.col("n_keys")), 6
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def profile_key_skew_sql(table: str, key: str, top: int = 5) -> str:
+    """DuckDB oracle: identical frequency algebra (integer counts, so
+    the only floats are final rounded quotients)."""
+    return f"""
+WITH freq AS (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY 1),
+topk AS (SELECT c FROM freq ORDER BY c DESC, k ASC LIMIT {top}),
+stats AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_freq
+  FROM freq
+),
+ts AS (SELECT CAST(sum(c) AS BIGINT) AS top_freq FROM topk)
+SELECT n_rows, n_keys, max_freq,
+       round(CAST(max_freq AS DOUBLE) / n_rows, 6) AS max_share,
+       round(CAST(top_freq AS DOUBLE) / n_rows, 6) AS top{top}_share,
+       round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_freq,
+       round(CAST(max_freq AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+           AS skew_ratio
+FROM stats, ts
+"""

@@ -1005,6 +1005,25 @@ def _bloom_prune_oracle() -> str:
 _register("bloom_prune_semi_join", _bloom_prune_fn, _bloom_prune_oracle())
 
 
+def _key_skew_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile (operators/joins.py): the one-exchange
+    diagnostic that decides plain vs salted vs broadcast join — max and
+    top-5 key shares plus the straggler multiple (max/mean frequency)."""
+    from approximatequeryengine_spark.operators.joins import profile_key_skew
+
+    cat = _catalog(spark, sf_dir)
+    return profile_key_skew(cat.table("lineitem"), "l_suppkey")
+
+
+def _key_skew_oracle() -> str:
+    from approximatequeryengine_spark.operators.joins import profile_key_skew_sql
+
+    return profile_key_skew_sql("lineitem", "l_suppkey")
+
+
+_register("profile_join_key_skew", _key_skew_fn, _key_skew_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Sample-based DISTINCT-count estimation (Chao1). The naive "count
 # distinct in the sample" severely underestimates (unseen values); the

@@ -404,6 +404,33 @@ def test_salted_join_matches_plain_join(spark):
     assert sl.count() == pl.count()
 
 
+def test_key_skew_profile(spark, engine, duck):
+    from approximatequeryengine_spark.operators.joins import (
+        profile_key_skew,
+        profile_key_skew_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    # synthetic 90%-hot-key table: the profile must expose the straggler
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50).alias("k")
+    )
+    row = profile_key_skew(big, "k").collect()[0]
+    assert row["n_rows"] == 2000
+    assert row["max_freq"] >= 1800
+    assert row["max_share"] >= 0.9
+    assert row["skew_ratio"] > 10
+    # near-uniform key: ratio close to 1
+    uni = spark.range(0, 2000).select((F.col("id") % 50).alias("k"))
+    assert profile_key_skew(uni, "k").collect()[0]["skew_ratio"] == 1.0
+    # oracle parity on the fixture
+    assert_df_matches_sql(
+        profile_key_skew(engine.catalog.table("lineitem"), "l_suppkey"),
+        duck,
+        profile_key_skew_sql("lineitem", "l_suppkey"),
+    )
+
+
 def test_ivf_cosines_match_bruteforce(spark, engine):
     """IVF results must carry exact cosines (verified against the
     brute-force scan) and only neighbors from probed clusters."""
