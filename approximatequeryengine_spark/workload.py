@@ -1733,18 +1733,16 @@ _CERTIFY_FIRST = [
     "exact_sum",
     # exact_avg (A2) rotated out for round 3 — certified green in BOTH
     # r1 and r2, and it shares exact_sum's code path; its slot funds the
-    # round-3 quality-sweep row.
-    "exact_count",
-    "exact_sum_where",
+    # round-3 quality-sweep row. Same trade for exact_count,
+    # exact_sum_where, tpch_q6, tpch_q3 and approx_sum_block10 (each
+    # double-certified r1+r2, pytest/plan-gated): their five slots fund
+    # driver rows for the five new round-3 operators appended below.
     "exact_groupby_sum",
     "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "approx_sum_uniform10",
     "approx_groupby_sum_ci20",
     "approx_sum_systematic15",
-    "approx_sum_block10",
     "approx_sum_stratified",
     "approx_sum_neyman",
     "adaptive_clt_sum",
@@ -1780,6 +1778,13 @@ _CERTIFY_FIRST = [
     "sketch_cms_join_size",
     "streaming_hist_quantiles",
     "text_quality_threshold_sweep",
+    # --- new this round (5): the round-3 session's operators, all
+    # oracle-backed, never driver-run.
+    "approx_p90_ci",
+    "approx_stddev_ci",
+    "bloom_prune_semi_join",
+    "curation_dataset_split",
+    "profile_join_key_skew",
     # --- rows-only entries never driver-run (4): weaker rows-only
     # check, but a driver row beats none.
     "ann_ivf_topk",
