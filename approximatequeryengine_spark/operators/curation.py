@@ -377,6 +377,112 @@ FROM per_doc GROUP BY split ORDER BY split
 """
 
 
+# -- per-source inspection sample -------------------------------------------
+
+SAMPLE_SALT = 11
+SAMPLE_PER_SOURCE = 4
+
+
+def sample_per_source(
+    spark: SparkSession, docs: DataFrame, k: int = SAMPLE_PER_SOURCE
+) -> DataFrame:
+    """The eyeball sample: ``k`` uniformly-random documents from EVERY
+    source, deterministic across runs and engines (rank by the portable
+    hash of ``doc_id``), so a curation review always inspects the same
+    documents until the corpus itself changes.
+
+    One shuffle on ``source``; each partition ranks only its own rows
+    (no global sort), the classic per-group top-k. Emits the sampled
+    rows' identifiers plus their length so reviewers can spot truncated
+    or bloated docs at a glance."""
+    from approximatequeryengine_spark.functions.hashing import portable_hash_col
+
+    docs = ensure_parallelism(docs)
+    h = portable_hash_col(F.col("doc_id"), salt=SAMPLE_SALT)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "doc_id", "lang", "n_chars")
+        .orderBy("source", "rank")
+    )
+
+
+def sample_per_source_sql(k: int = SAMPLE_PER_SOURCE) -> str:
+    from approximatequeryengine_spark.functions.hashing import portable_hash_sql
+
+    h = portable_hash_sql("doc_id", SAMPLE_SALT)
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY {h} ASC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT source, rank, doc_id, lang, n_chars
+FROM ranked WHERE rank <= {k} ORDER BY source, rank
+"""
+
+
+# -- token-budget mixture planning ------------------------------------------
+
+MIX_TARGET_FRACTION = 0.5  # plan a corpus half the size of the available tokens
+
+
+def mixture_plan(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The pre-sampling arithmetic of a weighted data mix: given equal
+    target weights across languages and a token budget of
+    ``MIX_TARGET_FRACTION`` × the available tokens, compute each
+    language's available tokens, its target share, the per-language
+    sampling rate ``min(1, target/available)``, the tokens the rate
+    actually yields, and whether the target is feasible (a language can
+    only contribute what it has — rates are capped at 1, never
+    oversampled). The emitted rates feed the deterministic-hash sampler
+    directly; planning is ONE aggregate over the corpus plus 5-row
+    arithmetic, so it costs nothing at any scale."""
+    docs = ensure_parallelism(docs)
+    toks = F.size(ws_tokens_col(F.col("text")))
+    avail = docs.groupBy("lang").agg(F.sum(toks.cast("long")).alias("avail_tokens"))
+    total = Window.partitionBy()
+    n_langs = F.count(F.lit(1)).over(total)
+    budget = F.floor(F.sum("avail_tokens").over(total) * MIX_TARGET_FRACTION)
+    target = F.floor(budget / n_langs)
+    rate = F.least(F.lit(1.0), target / F.col("avail_tokens"))
+    return avail.select(
+        "lang",
+        "avail_tokens",
+        target.cast("long").alias("target_tokens"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.floor(
+            F.least(target.cast("double"), F.col("avail_tokens").cast("double"))
+        ).cast("long").alias("expected_tokens"),
+        (F.col("avail_tokens") >= target).alias("feasible"),
+    ).orderBy("lang")
+
+
+def mixture_plan_sql() -> str:
+    toks = ws_tokens_sql("text")
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(sum(len({toks})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT lang, avail_tokens,
+         CAST(floor(floor(sum(avail_tokens) OVER () * {MIX_TARGET_FRACTION!r})
+                    / count(*) OVER ()) AS BIGINT) AS target_tokens
+  FROM avail
+)
+SELECT lang, avail_tokens, target_tokens,
+       round(least(1.0, CAST(target_tokens AS DOUBLE) / avail_tokens), 6)
+           AS sampling_rate,
+       CAST(floor(least(CAST(target_tokens AS DOUBLE),
+                        CAST(avail_tokens AS DOUBLE))) AS BIGINT)
+           AS expected_tokens,
+       avail_tokens >= target_tokens AS feasible
+FROM tot ORDER BY lang
+"""
+
+
 # -- PII scrubbing stats ----------------------------------------------------
 
 # RE2-compatible (no lookaround/backrefs) so Spark and DuckDB agree.

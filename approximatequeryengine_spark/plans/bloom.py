@@ -114,6 +114,7 @@ def bloom_prune_semi_join(
     measure: str,
     m_bits: int = M_BITS,
     k: int = K_HASHES,
+    words: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Prune ``fact`` by a Bloom filter over ``dim``'s keys, then run
     the exact semi join on the survivors. One row of accounting:
@@ -128,10 +129,16 @@ def bloom_prune_semi_join(
       lossless (no false negatives).
 
     At scale the probe prunes the fact scan before any exchange, so the
-    join shuffles only ``n_bloom_pass`` rows instead of ``n_fact``."""
-    words = [
-        (r["word_idx"], r["word"]) for r in bloom_build_words(dim, dim_key, m_bits, k).collect()
-    ]
+    join shuffles only ``n_bloom_pass`` rows instead of ``n_fact``.
+
+    ``words`` overrides the filter bitmap (e.g. one maintained
+    incrementally by a stream — ``streaming/pipeline.py::bloom_stream``);
+    by default it is built from ``dim`` here."""
+    if words is None:
+        words = [
+            (r["word_idx"], r["word"])
+            for r in bloom_build_words(dim, dim_key, m_bits, k).collect()
+        ]
     passed = fact.withColumn(
         "__bloom", bloom_probe_column(words, F.expr(fact_key), m_bits, k)
     )

@@ -350,6 +350,36 @@ def hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_from_registers(regs)
 
 
+def bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained Bloom filter over a streaming dimension:
+    BUILDING-segment customer keys arrive as a stream, the k hash
+    positions are stateless projections, and the per-word ``bit_or``
+    accumulates in complete-mode micro-batch state — constant state
+    (≤ m_bits/32 rows) however many keys stream past. OR is
+    order-insensitive, so the drained words EQUAL the batch filter and
+    the downstream prune-then-exact-join accounting — and the batch
+    ``bloom_prune_semi_join`` oracle — apply verbatim. This is the
+    continuous-ingest form of the prune: the filter stays current as
+    the dimension grows, and fact scans always probe the latest bitmap."""
+    from approximatequeryengine_spark.plans.bloom import (
+        bloom_build_words,
+        bloom_prune_semi_join,
+    )
+
+    stream = table_stream(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words_df = run_to_memory_sink(bloom_build_words(stream, "c_custkey"), "complete")
+    words = [(r["word_idx"], r["word"]) for r in words_df.collect()]
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    dim = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return bloom_prune_semi_join(
+        spark, cat.table("orders"), dim, "o_custkey", "c_custkey", "o_totalprice",
+        words=words,
+    )
+
+
 def hist_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained grid-histogram over a streaming table:
     the grid (min, max, bin width) comes from the same batch pre-pass

@@ -1546,6 +1546,18 @@ def _hll_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_hll_distinct", _hll_stream_fn, _portable_hll_oracle())
 
 
+def _bloom_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-filter maintenance; drained words equal the
+    batch bitmap (OR is order-free), so this row reuses the batch
+    bloom_prune_semi_join oracle verbatim."""
+    from approximatequeryengine_spark.streaming.pipeline import bloom_stream
+
+    return bloom_stream(spark, sf_dir)
+
+
+_register("streaming_bloom_filter", _bloom_stream_fn, _bloom_prune_oracle())
+
+
 def _cms_join_size_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from two Count-Min sketches (round 3):
     |lineitem ⋈ lineitem on l_partkey| via the CMS inner product —
@@ -1631,6 +1643,8 @@ _docs_query(
 _docs_query("curation_repetition_stats", _cur.repetition_stats, _cur.repetition_stats_sql())
 _docs_query("curation_pii_stats", _cur.pii_scrub_stats, _cur.pii_scrub_stats_sql())
 _docs_query("curation_dataset_split", _cur.dataset_split, _cur.dataset_split_sql())
+_docs_query("curation_sample_per_source", _cur.sample_per_source, _cur.sample_per_source_sql())
+_docs_query("curation_mixture_plan", _cur.mixture_plan, _cur.mixture_plan_sql())
 
 
 def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -669,6 +669,49 @@ def test_dataset_split_deterministic_and_balanced(spark, engine, duck):
     )
 
 
+def test_sample_per_source_deterministic(spark, engine, duck):
+    from approximatequeryengine_spark.operators import curation
+    from tests.conftest import assert_df_matches_sql
+
+    docs = engine.catalog.table("documents")
+    rows = curation.sample_per_source(spark, docs, k=4).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    n_sources = docs.select("source").distinct().count()
+    assert len(per_src) == n_sources
+    assert all(len(v) <= 4 for v in per_src.values())
+    # deterministic across runs
+    again = curation.sample_per_source(spark, docs, k=4).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    assert_df_matches_sql(
+        curation.sample_per_source(spark, docs), duck, curation.sample_per_source_sql()
+    )
+
+
+def test_mixture_plan_caps_rates(spark, engine, duck):
+    from approximatequeryengine_spark.operators import curation
+    from tests.conftest import assert_df_matches_sql
+
+    docs = engine.catalog.table("documents")
+    rows = curation.mixture_plan(spark, docs).collect()
+    assert len(rows) == docs.select("lang").distinct().count()
+    for r in rows:
+        assert 0.0 < r["sampling_rate"] <= 1.0
+        assert r["expected_tokens"] <= r["avail_tokens"]
+        assert r["expected_tokens"] <= r["target_tokens"]
+        if r["feasible"]:
+            assert r["expected_tokens"] == r["target_tokens"]
+        else:
+            assert r["sampling_rate"] == 1.0
+    # the plan never promises more than the budget
+    total_avail = sum(r["avail_tokens"] for r in rows)
+    assert sum(r["expected_tokens"] for r in rows) <= total_avail * 0.5 + len(rows)
+    assert_df_matches_sql(
+        curation.mixture_plan(spark, docs), duck, curation.mixture_plan_sql()
+    )
+
+
 def test_connected_clusters_resolve_transitive_dups(spark):
     """A≈B and B≈C near-dup pairs must land in ONE cluster with the min
     doc_id as survivor, even when A and C alone wouldn't pair."""

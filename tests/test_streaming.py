@@ -353,3 +353,25 @@ def test_streaming_hist_equals_batch_quantiles(spark):
     li = Catalog(spark, sf, register_views=False).table("lineitem")
     want = [tuple(r) for r in hist_quantiles(li, "l_extendedprice").collect()]
     assert got == want and got
+
+
+def test_streaming_bloom_equals_batch_filter(spark):
+    """Drained streaming Bloom words must equal the batch bitmap
+    (bit_or is order-insensitive), so the downstream prune accounting
+    is identical to the batch operator's."""
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.plans.bloom import bloom_prune_semi_join
+    from approximatequeryengine_spark.streaming.pipeline import bloom_stream
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in bloom_stream(spark, sf).collect()]
+    cat = Catalog(spark, sf, register_views=False)
+    dim = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    want = [
+        tuple(r)
+        for r in bloom_prune_semi_join(
+            spark, cat.table("orders"), dim, "o_custkey", "c_custkey", "o_totalprice"
+        ).collect()
+    ]
+    assert got == want and got
