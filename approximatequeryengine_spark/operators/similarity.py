@@ -100,6 +100,84 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_bruteforce_topk_arrow(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Arrow fast path for exact brute-force top-k — identical results
+    to :func:`ann_bruteforce_topk` (and its oracle), different engine
+    path: Catalyst evaluates the zip_with/aggregate cosine *interpreted,
+    per element*, so the per-pair cost carries expression-tree overhead;
+    this kernel computes all |batch|×|queries| cosines with vectorized
+    numpy accumulation and emits only each batch's local top-k per query
+    (the global top-k is a subset of the per-partition top-k's union —
+    the combiner pattern), so the shuffle carries k·|queries| rows per
+    partition no matter the corpus size.
+
+    Bit parity with the expression path: dot products and norms
+    accumulate SEQUENTIALLY over dimensions (one vectorized step per
+    dimension — the exact left-to-right float64 fold of ``aggregate`` /
+    ``list_sum``), so the cosines are bit-identical, not merely close
+    (a matmul's pairwise summation would differ at the ulp). Pinned in
+    ``test_bruteforce_arrow_matches_expression_path``."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not q_rows:
+        raise ValueError("no query vectors with vec_id < n_queries")
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    dim = Q.shape[1]
+    qn = np.zeros(len(Q))
+    for d in range(dim):  # sequential: fold-order parity
+        qn += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            ids = pdf["vec_id"].to_numpy()
+            dot = np.zeros((len(X), len(Q)))
+            xn = np.zeros(len(X))
+            for d in range(dim):  # sequential: fold-order parity
+                dot += X[:, d : d + 1] * Q[None, :, d]
+                xn += X[:, d] * X[:, d]
+            cos = dot / (qn[None, :] * np.sqrt(xn)[:, None])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(Q)):
+                mask = ids != qids[j]
+                c, nb = cos[mask, j], ids[mask]
+                take = np.lexsort((nb, -c))[:k]  # cos desc, neighbor asc
+                out_q.extend([qids[j]] * len(take))
+                out_n.extend(nb[take])
+                out_c.extend(c[take])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_c}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 # -- LSH (random hyperplane) ------------------------------------------------
 
 

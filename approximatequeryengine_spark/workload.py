@@ -772,6 +772,10 @@ _docs_query(
 )
 _docs_query("dedup_ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql())
 _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), table="embeddings")
+# Arrow fast path — identical results (fold-order bit parity), so it
+# shares the brute-force oracle; per-partition local top-k bounds the
+# shuffle at k·|queries| rows per partition.
+_docs_query("ann_bruteforce_matmul_topk", _sim.ann_bruteforce_topk_arrow, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="embeddings")
 # IVF ANN: k-means training is iterative (no single-SQL oracle) → the
 # driver records a rows-only check; invariants live in tests.

@@ -166,6 +166,21 @@ def test_bruteforce_topk(spark, synth_emb):
     assert ranked == [4, 1]  # closest first (0.02 rad then 0.05 rad)
 
 
+def test_bruteforce_arrow_matches_expression_path(spark, engine):
+    """The Arrow matmul kernel must reproduce the expression path's
+    top-k EXACTLY (fold-order parity ⇒ bit-identical cosines, same
+    tie-breaks) on the fixture corpus."""
+    from approximatequeryengine_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_bruteforce_topk_arrow,
+    )
+
+    emb = engine.catalog.table("embeddings")
+    want = sorted(map(tuple, ann_bruteforce_topk(spark, emb).collect()))
+    got = sorted(map(tuple, ann_bruteforce_topk_arrow(spark, emb).collect()))
+    assert got == want and got
+
+
 def test_embedding_neardup_blocked(spark, synth_emb):
     pairs = {(r["vec_a"], r["vec_b"]) for r in
              similarity.embedding_neardup_pairs(spark, synth_emb, threshold=0.99).collect()}
