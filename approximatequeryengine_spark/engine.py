@@ -93,7 +93,7 @@ class AQEngine:
             if is_approx:
                 raise ValueError(
                     "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX/"
-                    "MEDIAN/PERCENTILE/STDDEV aggregate over one table "
+                    "MEDIAN/PERCENTILE/STDDEV/CORR aggregate over one table "
                     f"(optional WHERE, one GROUP BY column); could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
@@ -116,6 +116,11 @@ class AQEngine:
 
         if spec.agg == "STDDEV":
             return self._run_stddev(
+                spec, sample_pct, wants_approx, t0, z=z, confidence=confidence
+            )
+
+        if spec.agg == "CORR":
+            return self._run_corr(
                 spec, sample_pct, wants_approx, t0, z=z, confidence=confidence
             )
 
@@ -334,6 +339,55 @@ class AQEngine:
             samples_used=int(row["n_samples"]),
             fraction=s_spec.realized_fraction(),
             method="moment",
+            status=ApproximationStatus.STABLE,
+            computation_time=time.time() - t0,
+        )
+        res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
+        res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
+        return res
+
+    def _run_corr(
+        self, spec: QuerySpec, sample_pct: float | None, approx: bool, t0: float,
+        z: float = 1.959963984540054, confidence: float = 0.95,
+    ) -> ApproxResult:
+        """CORR(x, y): sampled Pearson correlation with the Fisher-z
+        interval (plans/variance.py); exact mode = ``corr`` over the
+        full data."""
+        if spec.group_by:
+            raise ValueError(
+                "CORR does not support GROUP BY in the dialect; use "
+                "spark.sql with corr(...) instead"
+            )
+        if not spec.column or not spec.column2:
+            raise ValueError("CORR requires two columns: CORR(x, y)")
+        if not approx:
+            rdf = self._base_df(spec).agg(
+                F.corr(
+                    F.col(spec.column).cast("double"),
+                    F.col(spec.column2).cast("double"),
+                ).alias("corr")
+            )
+            res = ApproxResult(df=rdf, method="exact", status=ApproximationStatus.EXACT)
+            res.value = float(rdf.collect()[0]["corr"])
+            res.computation_time = time.time() - t0
+            return res
+        from approximatequeryengine_spark.plans.variance import approx_corr_ci
+
+        s_spec = self._sampling_spec(
+            spec, "uniform_hash", (sample_pct or 10.0) / 100.0
+        )
+        rdf = approx_corr_ci(
+            self._base_df(spec), spec.column, spec.column2, s_spec, z=z
+        )
+        row = rdf.collect()[0]
+        res = ApproxResult(
+            df=rdf,
+            value=row["corr"],
+            ci_lower=row["ci_lower"],
+            ci_upper=row["ci_upper"],
+            samples_used=int(row["n_samples"]),
+            fraction=s_spec.realized_fraction(),
+            method="fisher_z",
             status=ApproximationStatus.STABLE,
             computation_time=time.time() - t0,
         )

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 @dataclass
 class QuerySpec:
-    agg: str  # SUM | AVG | COUNT | MIN | MAX | MEDIAN | PERCENTILE | STDDEV
+    agg: str  # SUM | AVG | COUNT | MIN | MAX | MEDIAN | PERCENTILE | STDDEV | CORR
     column: str | None  # None for COUNT(*)
     table: str
     where: str | None = None
@@ -32,6 +32,7 @@ class QuerySpec:
     extras: dict = field(default_factory=dict)
     distinct: bool = False  # COUNT(DISTINCT col) — round-3 extension
     q: float | None = None  # PERCENTILE(col, q) — round-3 extension
+    column2: str | None = None  # CORR(x, y) — round-3 extension
 
 
 _APPROX_EMBED = re.compile(r"APPROX\s*\(\s*([^()]*\([^()]*\)[^()]*)\s*\)", re.IGNORECASE)
@@ -80,8 +81,8 @@ def rewrite_approx(query: str) -> tuple[str, bool, float | None]:
 
 
 _SIMPLE = re.compile(
-    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN|PERCENTILE|STDDEV)\s*"
-    r"\(\s*(?:(DISTINCT)\s+)?([\w\*\.]+)\s*(?:,\s*([\d.]+)\s*)?\)\s+"
+    r"^\s*SELECT\s+(SUM|AVG|COUNT|MIN|MAX|MEDIAN|PERCENTILE|STDDEV|CORR)\s*"
+    r"\(\s*(?:(DISTINCT)\s+)?([\w\*\.]+)\s*(?:,\s*([\w.]+)\s*)?\)\s+"
     r"FROM\s+([\w\.]+)"
     r"(?:\s+WHERE\s+(.*?))?"
     r"(?:\s+GROUP\s+BY\s+([\w\.]+))?"
@@ -128,15 +129,25 @@ def parse_query(query: str) -> QuerySpec | None:
         # SUM(DISTINCT ...) etc. are outside the dialect — exact
         # fallback through spark.sql.
         return None
-    if q_arg is not None and agg.upper() != "PERCENTILE":
-        # A second aggregate argument only exists for PERCENTILE(col, q).
+    if q_arg is not None and agg.upper() not in ("PERCENTILE", "CORR"):
+        # A second aggregate argument only exists for PERCENTILE(col, q)
+        # and CORR(x, y).
         return None
-    q = float(q_arg) if q_arg is not None else None
+    q: float | None = None
+    column2: str | None = None
     if agg.upper() == "PERCENTILE":
-        if q is None:
+        if q_arg is None:
             raise ValueError("PERCENTILE requires a quantile: PERCENTILE(col, q)")
+        try:
+            q = float(q_arg)
+        except ValueError:
+            raise ValueError(f"PERCENTILE q must be numeric, got {q_arg!r}") from None
         if not 0.0 < q < 1.0:
             raise ValueError(f"PERCENTILE q must be in (0, 1), got {q}")
+    if agg.upper() == "CORR":
+        if q_arg is None:
+            raise ValueError("CORR requires two columns: CORR(x, y)")
+        column2 = q_arg
     return QuerySpec(
         agg=agg.upper(),
         column=None if column == "*" else column,
@@ -148,6 +159,7 @@ def parse_query(query: str) -> QuerySpec | None:
         raw=query,
         distinct=bool(distinct),
         q=q,
+        column2=column2,
     )
 
 

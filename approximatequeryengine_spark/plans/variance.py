@@ -87,6 +87,103 @@ def approx_stddev_ci(
     )
 
 
+def approx_corr_ci(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> DataFrame:
+    """Sampled Pearson correlation with the Fisher-z interval:
+    ``atanh(r) ± z/√(n−3)``, mapped back through tanh — the standard
+    normalizing transform (Fisher 1921), far better calibrated than a
+    naive CLT on ``r`` near ±1.
+
+    Same numeric discipline as :func:`approx_stddev_ci`: both columns
+    center on integer-quantized means from a first pass, cross/self
+    second moments come from ONE aggregate, and atanh/tanh are spelled
+    as log/exp identities because DuckDB lacks the hyperbolic inverses
+    — identical formula text on both engines. 1-row DataFrame:
+    (n_samples, corr, ci_lower, ci_upper)."""
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    sampled = apply_sampling(df, spec).select(x.alias("x"), y.alias("y"))
+    mrow = sampled.agg(F.avg("x").alias("mx"), F.avg("y").alias("my")).collect()[0]
+    if mrow["mx"] is None or mrow["my"] is None:
+        raise ValueError("empty sample; increase the fraction")
+    cx = float(math.floor(mrow["mx"] + 0.5))
+    cy = float(math.floor(mrow["my"] + 0.5))
+    dx = F.col("x") - F.lit(cx)
+    dy = F.col("y") - F.lit(cy)
+    m = sampled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(dx).alias("dx1"),
+        F.avg(dy).alias("dy1"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - n * F.col("dx1") * F.col("dy1")) / (n - 1)
+    vx = (F.col("sxx") - n * F.col("dx1") * F.col("dx1")) / (n - 1)
+    vy = (F.col("syy") - n * F.col("dy1") * F.col("dy1")) / (n - 1)
+    r = cov / F.sqrt(vx * vy)
+    # atanh/tanh via log/exp so the oracle's text is identical
+    zr = F.lit(0.5) * F.log((1 + r) / (1 - r))
+    half = F.lit(z) / F.sqrt(n - 3)
+    lo_e = F.exp(F.lit(2.0) * (zr - half))
+    hi_e = F.exp(F.lit(2.0) * (zr + half))
+    return m.select(
+        n.cast("long").alias("n_samples"),
+        F.round(r, 6).alias("corr"),
+        F.round((lo_e - 1) / (lo_e + 1), 6).alias("ci_lower"),
+        F.round((hi_e - 1) / (hi_e + 1), 6).alias("ci_upper"),
+    )
+
+
+def approx_corr_ci_sql(
+    table: str,
+    col_x: str,
+    col_y: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> str:
+    """DuckDB oracle for :func:`approx_corr_ci` — identical two-pass
+    centered-moment algebra and log/exp hyperbolic identities."""
+    where = sampling_where_sql(spec)
+    r = (
+        "((sxy - n * dx1 * dy1) / (n - 1))"
+        " / sqrt(((sxx - n * dx1 * dx1) / (n - 1))"
+        " * ((syy - n * dy1 * dy1) / (n - 1)))"
+    )
+    return f"""
+WITH s AS (SELECT CAST({col_x} AS DOUBLE) AS x, CAST({col_y} AS DOUBLE) AS y
+           FROM {table} WHERE {where}),
+c AS (SELECT floor(avg(x) + 0.5) AS cx, floor(avg(y) + 0.5) AS cy FROM s),
+m AS (
+  SELECT count(*) AS n,
+         avg(x - (SELECT cx FROM c)) AS dx1,
+         avg(y - (SELECT cy FROM c)) AS dy1,
+         sum((x - (SELECT cx FROM c)) * (x - (SELECT cx FROM c))) AS sxx,
+         sum((y - (SELECT cy FROM c)) * (y - (SELECT cy FROM c))) AS syy,
+         sum((x - (SELECT cx FROM c)) * (y - (SELECT cy FROM c))) AS sxy
+  FROM s
+),
+f AS (
+  SELECT n, {r} AS r, 0.5 * ln((1 + {r}) / (1 - {r})) AS zr,
+         {z!r} / sqrt(n - 3) AS half
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_samples,
+       round(r, 6) AS corr,
+       round((exp(2.0 * (zr - half)) - 1) / (exp(2.0 * (zr - half)) + 1), 6)
+           AS ci_lower,
+       round((exp(2.0 * (zr + half)) - 1) / (exp(2.0 * (zr + half)) + 1), 6)
+           AS ci_upper
+FROM f
+"""
+
+
 def approx_stddev_ci_sql(
     table: str,
     column: str,

@@ -729,6 +729,30 @@ def _stddev_oracle() -> str:
 _register("approx_stddev_ci", _stddev_fn, _stddev_oracle())
 
 
+def _corr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Pearson correlation with the Fisher-z interval
+    (plans/variance.py) — the dialect's APPROX(CORR(x, y)) route."""
+    from approximatequeryengine_spark.plans.variance import approx_corr_ci
+
+    cat = _catalog(spark, sf_dir)
+    return approx_corr_ci(
+        cat.table("lineitem"), "l_quantity", "l_extendedprice",
+        SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    )
+
+
+def _corr_oracle() -> str:
+    from approximatequeryengine_spark.plans.variance import approx_corr_ci_sql
+
+    return approx_corr_ci_sql(
+        "lineitem", "l_quantity", "l_extendedprice",
+        SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    )
+
+
+_register("approx_corr_ci", _corr_fn, _corr_oracle())
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY.md §7 phase 7 / north star): text
 # analysis, dedup, similarity search, multimodal plumbing, streaming.

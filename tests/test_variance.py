@@ -73,4 +73,41 @@ def test_dialect_route(engine):
         engine.run("SELECT APPROX(STDDEV(value)) FROM events GROUP BY event_type")
     # still-unsupported aggregates keep raising the dialect error
     with pytest.raises(ValueError, match="APPROX dialect supports"):
-        engine.run("SELECT APPROX(CORR(l_extendedprice)) FROM lineitem")
+        engine.run("SELECT APPROX(SKEWNESS(l_extendedprice)) FROM lineitem")
+
+
+def test_corr_ci_covers_exact(spark, lineitem, duck):
+    from approximatequeryengine_spark.plans.variance import (
+        approx_corr_ci,
+        approx_corr_ci_sql,
+    )
+
+    exact = lineitem.agg(
+        F.corr(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+        ).alias("r")
+    ).collect()[0]["r"]
+    row = approx_corr_ci(lineitem, "l_quantity", "l_extendedprice", SPEC).collect()[0]
+    assert -1.0 <= row["ci_lower"] < row["ci_upper"] <= 1.0
+    assert row["ci_lower"] <= exact <= row["ci_upper"]
+    assert row["corr"] == pytest.approx(exact, abs=0.1)
+    assert_df_matches_sql(
+        approx_corr_ci(lineitem, "l_quantity", "l_extendedprice", SPEC),
+        duck,
+        approx_corr_ci_sql("lineitem", "l_quantity", "l_extendedprice", SPEC),
+    )
+
+
+def test_corr_dialect_route(engine):
+    res = engine.run(
+        "SELECT APPROX(CORR(l_quantity, l_extendedprice)) FROM lineitem",
+        sample_pct=20,
+    )
+    assert res.method == "fisher_z"
+    assert res.ci_lower <= res.value <= res.ci_upper
+    exact = engine.run("SELECT CORR(l_quantity, l_extendedprice) FROM lineitem")
+    assert exact.status.name == "EXACT"
+    assert res.ci_lower <= exact.value <= res.ci_upper
+    with pytest.raises(ValueError, match="CORR requires two columns"):
+        engine.run("SELECT APPROX(CORR(l_quantity)) FROM lineitem")
