@@ -159,3 +159,112 @@ FROM purchases p LEFT JOIN clicks c
  AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL {RANGE_MINUTES} MINUTE
 GROUP BY p.purchase_id, p.user_id
 """
+
+
+FUNNEL_WINDOW = "1 DAY"  # max gap between consecutive funnel steps
+
+
+def funnel_conversion(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Strictly-ordered funnel with conversion windows: per user, the
+    earliest ``view``, then the earliest ``click`` within
+    ``FUNNEL_WINDOW`` AFTER that view, then the earliest ``purchase``
+    within ``FUNNEL_WINDOW`` after that click — the sequential funnel
+    every product-analytics engine ships (out-of-order or too-late
+    events don't count, matching real conversion semantics).
+
+    Plan shape: ONE shuffle on ``user_id``; the three stage timestamps
+    are windowed conditional minima over the same partition spec, so
+    Catalyst reuses the exchange across all three selects, and the
+    final rollup reduces per-user flags to a single accounting row:
+    users entering each stage plus step-to-step and overall conversion
+    rates."""
+    w = Window.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn("tv", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (et == "click")
+                    & (ts > F.col("tv"))
+                    & (ts <= F.col("tv") + F.expr(f"INTERVAL {FUNNEL_WINDOW}")),
+                    ts,
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (et == "purchase")
+                    & (ts > F.col("tc"))
+                    & (ts <= F.col("tc") + F.expr(f"INTERVAL {FUNNEL_WINDOW}")),
+                    ts,
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("tv").isNotNull().cast("long")).alias("s1"),
+        F.max(F.col("tc").isNotNull().cast("long")).alias("s2"),
+        F.max(F.col("tp").isNotNull().cast("long")).alias("s3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click"),
+        F.sum("s3").alias("n_full_funnel"),
+        F.round(F.sum("s2") / F.greatest(F.sum("s1"), F.lit(1)), 6).alias("rate_click_given_view"),
+        F.round(F.sum("s3") / F.greatest(F.sum("s2"), F.lit(1)), 6).alias("rate_purchase_given_click"),
+        F.round(F.sum("s3") / F.greatest(F.sum("s1"), F.lit(1)), 6).alias("rate_full_funnel"),
+    )
+
+
+def funnel_conversion_sql() -> str:
+    """DuckDB oracle: identical windowed conditional minima."""
+    return f"""
+WITH staged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS tv
+  FROM events
+),
+staged2 AS (
+  SELECT e.user_id, s.tv,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > s.tv
+                       AND e.ts <= s.tv + INTERVAL {FUNNEL_WINDOW}
+                  THEN e.ts END)
+             OVER (PARTITION BY e.user_id) AS tc
+  FROM events e
+  JOIN (SELECT DISTINCT user_id, tv FROM staged) s USING (user_id)
+),
+staged3 AS (
+  SELECT e.user_id, s.tv, s.tc,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > s.tc
+                       AND e.ts <= s.tc + INTERVAL {FUNNEL_WINDOW}
+                  THEN e.ts END)
+             OVER (PARTITION BY e.user_id) AS tp
+  FROM events e
+  JOIN (SELECT DISTINCT user_id, tv, tc FROM staged2) s USING (user_id)
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+         max(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS s3
+  FROM staged3 GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(s1) AS BIGINT) AS n_view,
+       CAST(sum(s2) AS BIGINT) AS n_view_click,
+       CAST(sum(s3) AS BIGINT) AS n_full_funnel,
+       round(CAST(sum(s2) AS DOUBLE) / greatest(sum(s1), 1), 6)
+           AS rate_click_given_view,
+       round(CAST(sum(s3) AS DOUBLE) / greatest(sum(s2), 1), 6)
+           AS rate_purchase_given_click,
+       round(CAST(sum(s3) AS DOUBLE) / greatest(sum(s1), 1), 6)
+           AS rate_full_funnel
+FROM per_user
+"""

@@ -842,6 +842,7 @@ _docs_query("multimodal_wav_decode", _mm.wav_decode_stats, _mm.wav_decode_stats_
 _docs_query("multimodal_y4m_frames", _mm.y4m_frame_extract_stats, _mm.y4m_frame_extract_stats_sql())
 _docs_query("asof_join_purchase_click", _temporal.asof_purchase_click, _temporal.asof_purchase_click_sql(), table="events")
 _docs_query("range_join_purchase_clicks", _temporal.range_join_purchase_clicks, _temporal.range_join_purchase_clicks_sql(), table="events")
+_docs_query("events_funnel_conversion", _temporal.funnel_conversion, _temporal.funnel_conversion_sql(), table="events")
 _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())
 # Data mixing: language-balanced downsampling (two-pass, deterministic).
 _docs_query("corpus_mix_balanced", _text.corpus_mix_balanced, _text.corpus_mix_balanced_sql())

@@ -396,6 +396,58 @@ def test_asof_and_range_join(spark):
     assert rng == {3: 1, 4: 1, 5: 0, 6: 0}
 
 
+def test_funnel_strict_ordering(spark):
+    """A user whose click precedes every view must NOT count as
+    view→click; only in-order sequences advance the funnel."""
+    from datetime import datetime
+
+    from approximatequeryengine_spark.operators.temporal import funnel_conversion
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    rows = [
+        # u1: full in-order funnel
+        (1, t("2024-01-01 09:00:00"), 1, "view", 1.0, "{}"),
+        (2, t("2024-01-01 09:05:00"), 1, "click", 1.0, "{}"),
+        (3, t("2024-01-01 09:10:00"), 1, "purchase", 1.0, "{}"),
+        # u2: click BEFORE view → funnel stops at view
+        (4, t("2024-01-01 08:00:00"), 2, "click", 1.0, "{}"),
+        (5, t("2024-01-01 09:00:00"), 2, "view", 1.0, "{}"),
+        # u3: view then purchase, no click → stops after view
+        (6, t("2024-01-01 09:00:00"), 3, "view", 1.0, "{}"),
+        (7, t("2024-01-01 09:30:00"), 3, "purchase", 1.0, "{}"),
+        # u4: no view at all
+        (8, t("2024-01-01 09:00:00"), 4, "error", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = funnel_conversion(spark, events).collect()[0]
+    assert row["n_users"] == 4
+    assert row["n_view"] == 3
+    assert row["n_view_click"] == 1
+    assert row["n_full_funnel"] == 1
+    assert row["rate_full_funnel"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_funnel_oracle_parity(spark, engine, duck):
+    from approximatequeryengine_spark.operators.temporal import (
+        funnel_conversion,
+        funnel_conversion_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    events = engine.catalog.table("events")
+    row = funnel_conversion(spark, events).collect()[0]
+    assert row["n_users"] >= row["n_view"] >= row["n_view_click"] >= row["n_full_funnel"]
+    assert_df_matches_sql(
+        funnel_conversion(spark, events), duck, funnel_conversion_sql()
+    )
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting changes the physical key distribution only — results must
     equal the plain equi-join on skewed data (one key = 90% of rows)."""
