@@ -268,3 +268,73 @@ SELECT count(*) AS n_users,
            AS rate_full_funnel
 FROM per_user
 """
+
+
+COHORT_EPOCH = "2024-01-01"  # fixture stream start; any fixed origin works
+
+
+def cohort_retention(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    first event (week = integer days-since-epoch // 7, identical
+    arithmetic in both engines — no locale-dependent date_trunc), and
+    each (cohort_week, week_offset) cell counts the cohort's users
+    active that week, as a retention rate against the cohort size.
+
+    Plan shape: one distinct-reduce to (user, week) pairs, the cohort
+    min as a window over the SAME user partitioning (exchange reused),
+    then a cells×1 aggregate — the whole matrix costs two exchanges
+    regardless of stream length, and the output is |cohorts|·|weeks|
+    rows, driver-tiny at any scale."""
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit(COHORT_EPOCH).cast("date"))
+        / 7
+    ).cast("long")
+    uw = events.select(F.col("user_id"), week.alias("week")).distinct()
+    w = Window.partitionBy("user_id")
+    cohorted = uw.withColumn("cohort_week", F.min("week").over(w))
+    cells = (
+        cohorted.groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, on="cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_retention_sql() -> str:
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS week
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM uw
+),
+cells AS (
+  SELECT cohort_week, week - cohort_week AS week_offset,
+         count(*) AS n_active
+  FROM cohorted GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.week_offset
+"""

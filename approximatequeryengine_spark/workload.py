@@ -843,6 +843,7 @@ _docs_query("multimodal_y4m_frames", _mm.y4m_frame_extract_stats, _mm.y4m_frame_
 _docs_query("asof_join_purchase_click", _temporal.asof_purchase_click, _temporal.asof_purchase_click_sql(), table="events")
 _docs_query("range_join_purchase_clicks", _temporal.range_join_purchase_clicks, _temporal.range_join_purchase_clicks_sql(), table="events")
 _docs_query("events_funnel_conversion", _temporal.funnel_conversion, _temporal.funnel_conversion_sql(), table="events")
+_docs_query("events_cohort_retention", _temporal.cohort_retention, _temporal.cohort_retention_sql(), table="events")
 _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())
 # Data mixing: language-balanced downsampling (two-pass, deterministic).
 _docs_query("corpus_mix_balanced", _text.corpus_mix_balanced, _text.corpus_mix_balanced_sql())

@@ -448,6 +448,31 @@ def test_funnel_oracle_parity(spark, engine, duck):
     )
 
 
+def test_cohort_retention_invariants(spark, engine, duck):
+    from approximatequeryengine_spark.operators.temporal import (
+        cohort_retention,
+        cohort_retention_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    events = engine.catalog.table("events")
+    rows = cohort_retention(spark, events).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert 0 < r["retention"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+    # cohort sizes sum to the distinct-user count (every user is in
+    # exactly one cohort)
+    sizes = {r["cohort_week"]: r["cohort_size"] for r in rows}
+    assert sum(sizes.values()) == events.select("user_id").distinct().count()
+    assert_df_matches_sql(
+        cohort_retention(spark, events), duck, cohort_retention_sql()
+    )
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting changes the physical key distribution only — results must
     equal the plain equi-join on skewed data (one key = 90% of rows)."""

@@ -204,6 +204,24 @@ def test_all_lazy_plans_stay_off_the_slow_paths(spark):
     assert checked >= 60, checked
 
 
+def test_funnel_single_exchange(spark):
+    """The three funnel-stage windows share one partition spec — the
+    plan must pay exactly ONE hash exchange and ONE scan (a second
+    exchange would re-shuffle the events per stage)."""
+    import re
+
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.operators.temporal import funnel_conversion
+
+    ev = Catalog(spark, SF).table("events")
+    df = funnel_conversion(spark, ev)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final
+    assert len(re.findall(r"Scan parquet", final)) == 1, final
+
+
 def test_hll_rollup_single_scan_with_reused_exchange(spark):
     """The per-group and merged-global branches must share the register
     shuffle: exactly one parquet scan and a ReusedExchange in the
