@@ -184,6 +184,107 @@ FROM f
 """
 
 
+def approx_ab_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> DataFrame:
+    """Sampled A/B mean difference with the Welch (unequal-variance)
+    interval — the experiment-readout shape: ``mean(A) − mean(B) ±
+    z·√(s²_A/n_A + s²_B/n_B)``.
+
+    One shared integer center (from a 1-row first pass over both arms)
+    keeps the per-arm moment algebra cancellation-free and
+    engine-reproducible; the second pass is ONE grouped aggregate over
+    the sample, so the whole readout costs two jobs at any scale.
+    1-row DataFrame: (n_a, n_b, mean_a, mean_b, diff, ci_lower,
+    ci_upper)."""
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    sampled = (
+        apply_sampling(df, spec)
+        .filter(g.isin(group_a, group_b))
+        .select(g.alias("g"), x.alias("x"))
+    )
+    mu = sampled.agg(F.avg("x").alias("mu")).collect()[0]["mu"]
+    if mu is None:
+        raise ValueError("empty sample; increase the fraction")
+    c = float(math.floor(mu + 0.5))
+    d = F.col("x") - F.lit(c)
+    per = sampled.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(d).alias("d1"),
+        F.sum(d * d).alias("sd2"),
+    )
+    a = per.filter(F.col("g") == group_a).select(
+        F.col("n").alias("na"), F.col("d1").alias("da"), F.col("sd2").alias("sa")
+    )
+    b = per.filter(F.col("g") == group_b).select(
+        F.col("n").alias("nb"), F.col("d1").alias("db"), F.col("sd2").alias("sb")
+    )
+    j = a.crossJoin(b)
+    var_a = (F.col("sa") - F.col("na") * F.col("da") * F.col("da")) / (F.col("na") - 1)
+    var_b = (F.col("sb") - F.col("nb") * F.col("db") * F.col("db")) / (F.col("nb") - 1)
+    diff = F.col("da") - F.col("db")
+    se = F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.lit(c) + F.col("da"), 6).alias("mean_a"),
+        F.round(F.lit(c) + F.col("db"), 6).alias("mean_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(diff - F.lit(z) * se, 6).alias("ci_lower"),
+        F.round(diff + F.lit(z) * se, 6).alias("ci_upper"),
+    )
+
+
+def approx_ab_diff_ci_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> str:
+    """DuckDB oracle for :func:`approx_ab_diff_ci` — identical shared
+    center and Welch algebra."""
+    where = sampling_where_sql(spec)
+    va = "((sa - na * da * da) / (na - 1))"
+    vb = "((sb - nb * db * db) / (nb - 1))"
+    return f"""
+WITH s AS (
+  SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS x
+  FROM {table}
+  WHERE ({where}) AND {group_col} IN ('{group_a}', '{group_b}')
+),
+c AS (SELECT floor(avg(x) + 0.5) AS c FROM s),
+per AS (
+  SELECT g, count(*) AS n,
+         avg(x - (SELECT c FROM c)) AS d1,
+         sum((x - (SELECT c FROM c)) * (x - (SELECT c FROM c))) AS sd2
+  FROM s GROUP BY g
+),
+j AS (
+  SELECT a.n AS na, a.d1 AS da, a.sd2 AS sa,
+         b.n AS nb, b.d1 AS db, b.sd2 AS sb
+  FROM (SELECT * FROM per WHERE g = '{group_a}') a,
+       (SELECT * FROM per WHERE g = '{group_b}') b
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round((SELECT c FROM c) + da, 6) AS mean_a,
+       round((SELECT c FROM c) + db, 6) AS mean_b,
+       round(da - db, 6) AS diff,
+       round((da - db) - {z!r} * sqrt({va} / na + {vb} / nb), 6) AS ci_lower,
+       round((da - db) + {z!r} * sqrt({va} / na + {vb} / nb), 6) AS ci_upper
+FROM j
+"""
+
+
 def approx_stddev_ci_sql(
     table: str,
     column: str,

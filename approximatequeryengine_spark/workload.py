@@ -753,6 +753,30 @@ def _corr_oracle() -> str:
 _register("approx_corr_ci", _corr_fn, _corr_oracle())
 
 
+def _ab_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled A/B mean-difference readout with a Welch CI
+    (plans/variance.py): purchase vs click event values."""
+    from approximatequeryengine_spark.plans.variance import approx_ab_diff_ci
+
+    cat = _catalog(spark, sf_dir)
+    return approx_ab_diff_ci(
+        cat.table("events"), "value", "event_type", "purchase", "click",
+        SamplingSpec(design="uniform_hash", fraction=0.4, key="event_id"),
+    )
+
+
+def _ab_diff_oracle() -> str:
+    from approximatequeryengine_spark.plans.variance import approx_ab_diff_ci_sql
+
+    return approx_ab_diff_ci_sql(
+        "events", "value", "event_type", "purchase", "click",
+        SamplingSpec(design="uniform_hash", fraction=0.4, key="event_id"),
+    )
+
+
+_register("approx_ab_diff_ci", _ab_diff_fn, _ab_diff_oracle())
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY.md §7 phase 7 / north star): text
 # analysis, dedup, similarity search, multimodal plumbing, streaming.

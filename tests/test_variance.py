@@ -111,3 +111,36 @@ def test_corr_dialect_route(engine):
     assert res.ci_lower <= exact.value <= res.ci_upper
     with pytest.raises(ValueError, match="CORR requires two columns"):
         engine.run("SELECT APPROX(CORR(l_quantity)) FROM lineitem")
+
+
+def test_ab_diff_ci_covers_exact(spark, engine, duck):
+    from approximatequeryengine_spark.plans.variance import (
+        approx_ab_diff_ci,
+        approx_ab_diff_ci_sql,
+    )
+
+    events = engine.catalog.table("events")
+    spec = SamplingSpec(design="uniform_hash", fraction=0.5, key="event_id")
+    exact = {
+        r["event_type"]: r["m"]
+        for r in events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.avg(F.col("value").cast("double")).alias("m"))
+        .collect()
+    }
+    true_diff = exact["purchase"] - exact["click"]
+    row = approx_ab_diff_ci(
+        events, "value", "event_type", "purchase", "click", spec
+    ).collect()[0]
+    assert row["ci_lower"] <= true_diff <= row["ci_upper"]
+    assert row["ci_lower"] < row["diff"] < row["ci_upper"]
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    # the arm means reconstruct from the shared center exactly
+    assert row["diff"] == pytest.approx(row["mean_a"] - row["mean_b"], abs=1e-5)
+    assert_df_matches_sql(
+        approx_ab_diff_ci(events, "value", "event_type", "purchase", "click", spec),
+        duck,
+        approx_ab_diff_ci_sql(
+            "events", "value", "event_type", "purchase", "click", spec
+        ),
+    )
