@@ -271,14 +271,13 @@ class AQEngine:
         'none')."""
         from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
 
-        if spec.group_by:
-            raise ValueError(
-                f"{spec.agg} does not support GROUP BY in the dialect; use "
-                "spark.sql with percentile(...) instead"
-            )
         if not spec.column:
             raise ValueError(f"{spec.agg} requires a column")
         q = spec.q if spec.q is not None else 0.5
+        if spec.group_by:
+            return self._run_grouped_quantile(
+                spec, q, sample_pct, approx, t0, z=z, confidence=confidence
+            )
         if approx:
             s_spec = self._sampling_spec(
                 spec, "uniform_hash", (sample_pct or 10.0) / 100.0
@@ -300,6 +299,45 @@ class AQEngine:
         )
         res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
         res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
+        return res
+
+    def _run_grouped_quantile(
+        self, spec: QuerySpec, q: float, sample_pct: float | None, approx: bool,
+        t0: float, z: float = 1.959963984540054, confidence: float = 0.95,
+    ) -> ApproxResult:
+        """Grouped MEDIAN/PERCENTILE: the per-group order-statistic CI
+        as ONE engine-portable SQL text (plans/quantiles.py::
+        grouped_quantile_ci_sql) — one shuffle on the group key,
+        per-group sort of the sample only."""
+        from approximatequeryengine_spark.plans.quantiles import (
+            grouped_quantile_ci_sql,
+        )
+
+        if approx:
+            s_spec = self._sampling_spec(
+                spec, "uniform_hash", (sample_pct or 10.0) / 100.0
+            )
+        else:
+            s_spec = SamplingSpec(design="none", key=self.catalog.unique_key(spec.table))
+        table_expr = (
+            f"(SELECT * FROM {spec.table} WHERE {spec.where})"
+            if spec.where
+            else spec.table
+        )
+        self.catalog.refresh_views()
+        rdf = self.spark.sql(
+            grouped_quantile_ci_sql(
+                table_expr, spec.column, spec.group_by, q, s_spec, z=z
+            )
+        )
+        res = ApproxResult(
+            df=rdf,
+            method="quantile" if approx else "exact",
+            fraction=s_spec.realized_fraction(),
+            status=ApproximationStatus.STABLE if approx else ApproximationStatus.EXACT,
+            computation_time=time.time() - t0,
+        )
+        res.confidence_level = confidence
         return res
 
     def _run_stddev(

@@ -66,8 +66,15 @@ def test_engine_median(engine):
     assert exact.status.name == "EXACT"
     # the approximate CI should cover the exact median
     assert res.ci_lower <= exact.value <= res.ci_upper
-    with pytest.raises(ValueError, match="GROUP BY"):
-        engine.run("SELECT APPROX(MEDIAN(value)) FROM events GROUP BY event_type")
+    # grouped median routes to the per-group order-statistic CI
+    grouped = engine.run(
+        "SELECT APPROX(MEDIAN(value)) FROM events GROUP BY event_type",
+        sample_pct=50,
+    )
+    rows = grouped.df.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["ci_lower"] <= r["value_q"] <= r["ci_upper"]
 
 
 def test_parse_percentile():
@@ -102,10 +109,13 @@ def test_engine_percentile(engine):
     assert res.ci_lower <= exact.value <= res.ci_upper
     med = engine.run("SELECT PERCENTILE(l_extendedprice, 0.5) FROM lineitem")
     assert med.value < exact.value
-    with pytest.raises(ValueError, match="GROUP BY"):
-        engine.run(
-            "SELECT APPROX(PERCENTILE(value, 0.9)) FROM events GROUP BY event_type"
-        )
+    # grouped percentile: exact per-group p90 via the same machinery
+    grouped = engine.run(
+        "SELECT PERCENTILE(value, 0.9) FROM events GROUP BY event_type"
+    )
+    assert grouped.status.name == "EXACT"
+    rows = {r["event_type"]: r["value_q"] for r in grouped.df.collect()}
+    assert len(rows) == 5 and all(v is not None for v in rows.values())
 
 
 def test_method_selection():
