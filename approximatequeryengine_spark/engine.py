@@ -301,6 +301,19 @@ class AQEngine:
         res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
         return res
 
+    def _passthrough_exact(self, spec: QuerySpec, t0: float) -> ApproxResult:
+        """Run the original query text through plain Spark SQL — for
+        grammar shapes the dialect recognizes but has no estimator for,
+        when no approximation was requested (the pre-widening behavior)."""
+        self.catalog.refresh_views()
+        df = self.spark.sql(spec.raw)
+        return ApproxResult(
+            df=df,
+            method="spark_sql",
+            status=ApproximationStatus.EXACT,
+            computation_time=time.time() - t0,
+        )
+
     def _run_grouped_quantile(
         self, spec: QuerySpec, q: float, sample_pct: float | None, approx: bool,
         t0: float, z: float = 1.959963984540054, confidence: float = 0.95,
@@ -348,8 +361,12 @@ class AQEngine:
         CLT CI (plans/variance.py); exact mode = ``stddev_samp`` over
         the full data."""
         if spec.group_by:
+            if not approx:
+                # Plain grouped STDDEV is ordinary Spark SQL — don't
+                # regress the passthrough the grammar widening captured.
+                return self._passthrough_exact(spec, t0)
             raise ValueError(
-                "STDDEV does not support GROUP BY in the dialect; use "
+                "APPROX(STDDEV(...)) does not support GROUP BY; use "
                 "spark.sql with stddev_samp(...) instead"
             )
         if not spec.column:
@@ -359,7 +376,8 @@ class AQEngine:
                 F.stddev_samp(F.col(spec.column).cast("double")).alias("stddev")
             )
             res = ApproxResult(df=rdf, method="exact", status=ApproximationStatus.EXACT)
-            res.value = float(rdf.collect()[0]["stddev"])
+            v = rdf.collect()[0]["stddev"]
+            res.value = float(v) if v is not None else None  # n<2 → NULL
             res.computation_time = time.time() - t0
             return res
         from approximatequeryengine_spark.plans.variance import approx_stddev_ci
@@ -392,8 +410,10 @@ class AQEngine:
         interval (plans/variance.py); exact mode = ``corr`` over the
         full data."""
         if spec.group_by:
+            if not approx:
+                return self._passthrough_exact(spec, t0)
             raise ValueError(
-                "CORR does not support GROUP BY in the dialect; use "
+                "APPROX(CORR(...)) does not support GROUP BY; use "
                 "spark.sql with corr(...) instead"
             )
         if not spec.column or not spec.column2:
@@ -406,7 +426,8 @@ class AQEngine:
                 ).alias("corr")
             )
             res = ApproxResult(df=rdf, method="exact", status=ApproximationStatus.EXACT)
-            res.value = float(rdf.collect()[0]["corr"])
+            v = rdf.collect()[0]["corr"]
+            res.value = float(v) if v is not None else None  # n<2 / constant arm
             res.computation_time = time.time() - t0
             return res
         from approximatequeryengine_spark.plans.variance import approx_corr_ci

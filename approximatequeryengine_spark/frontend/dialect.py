@@ -42,9 +42,14 @@ _APPROX_FUNC = re.compile(
 )
 # APPROX_PERCENTILE(col, q[, pct]) — q is part of the aggregate, the
 # optional third argument is the sample percentage (mirrors APPROX_SUM).
+# Deliberately CASE-SENSITIVE, unlike every other dialect marker: Spark
+# SQL has a native approx_percentile(col, q[, accuracy]) aggregate whose
+# third argument means something entirely different, and function names
+# resolve case-insensitively — so only the exact uppercase dialect
+# spelling is intercepted; any other casing passes through to Spark's
+# builtin untouched.
 _APPROX_PCTL = re.compile(
-    r"APPROX_PERCENTILE\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*(?:,\s*([\d.]+)\s*)?\)",
-    re.IGNORECASE,
+    r"APPROX_PERCENTILE\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*(?:,\s*([\d.]+)\s*)?\)"
 )
 
 

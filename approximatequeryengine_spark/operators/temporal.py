@@ -275,17 +275,19 @@ COHORT_EPOCH = "2024-01-01"  # fixture stream start; any fixed origin works
 
 def cohort_retention(spark: SparkSession, events: DataFrame) -> DataFrame:
     """Weekly cohort retention: users are cohorted by the week of their
-    first event (week = integer days-since-epoch // 7, identical
-    arithmetic in both engines — no locale-dependent date_trunc), and
-    each (cohort_week, week_offset) cell counts the cohort's users
-    active that week, as a retention rate against the cohort size.
+    first event (week = floor(days-since-epoch / 7) — floor, not
+    truncation, so pre-epoch days bucket into uniform 7-day weeks too;
+    identical arithmetic in both engines, no locale-dependent
+    date_trunc), and each (cohort_week, week_offset) cell counts the
+    cohort's users active that week, as a retention rate against the
+    cohort size.
 
     Plan shape: one distinct-reduce to (user, week) pairs, the cohort
     min as a window over the SAME user partitioning (exchange reused),
     then a cells×1 aggregate — the whole matrix costs two exchanges
     regardless of stream length, and the output is |cohorts|·|weeks|
     rows, driver-tiny at any scale."""
-    week = (
+    week = F.floor(
         F.datediff(F.col("ts").cast("date"), F.lit(COHORT_EPOCH).cast("date"))
         / 7
     ).cast("long")
@@ -316,8 +318,8 @@ def cohort_retention_sql() -> str:
     return f"""
 WITH uw AS (
   SELECT DISTINCT user_id,
-         CAST(date_diff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE)) // 7
-              AS BIGINT) AS week
+         CAST(floor(date_diff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE))
+                    / 7.0) AS BIGINT) AS week
   FROM events
 ),
 cohorted AS (

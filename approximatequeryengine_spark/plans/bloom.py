@@ -142,22 +142,25 @@ def bloom_prune_semi_join(
     passed = fact.withColumn(
         "__bloom", bloom_probe_column(words, F.expr(fact_key), m_bits, k)
     )
-    pruned = passed.filter(F.col("__bloom"))
+    # ONE fact scan: the broadcast left join attaches a match flag to
+    # every row, and a single conditional aggregate produces the whole
+    # accounting (aggregating the probe and the exact join separately
+    # would scan the fact twice — the cost this operator exists to cut).
     dim_keys = dim.select(F.expr(dim_key).cast("long").alias("__dk")).distinct()
-    joined = pruned.join(
+    flagged = passed.join(
         F.broadcast(dim_keys),
-        pruned[fact_key].cast("long") == F.col("__dk"),
-        "left_semi",
+        F.expr(fact_key).cast("long") == F.col("__dk"),
+        "left",
     )
-    stats = passed.agg(
+    matched = F.col("__bloom") & F.col("__dk").isNotNull()
+    return flagged.agg(
         F.count(F.lit(1)).alias("n_fact"),
         F.sum(F.col("__bloom").cast("long")).alias("n_bloom_pass"),
-    )
-    exact = joined.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.round(F.sum(F.col(measure).cast("double")), 2).alias("sum_measure"),
-    )
-    return stats.crossJoin(exact).select(
+        F.sum(matched.cast("long")).alias("n_exact"),
+        F.round(F.sum(F.when(matched, F.col(measure).cast("double"))), 2).alias(
+            "sum_measure"
+        ),
+    ).select(
         "n_fact",
         "n_bloom_pass",
         "n_exact",

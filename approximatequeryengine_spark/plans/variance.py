@@ -57,10 +57,14 @@ def approx_stddev_ci(
     """1-row DataFrame: (n_samples, stddev, ci_lower, ci_upper)."""
     x = F.col(column).cast("double")
     sampled = apply_sampling(df, spec).select(x.alias("x"))
-    mu = sampled.agg(F.avg("x").alias("mu")).collect()[0]["mu"]
-    if mu is None:
-        raise ValueError("empty sample; increase the fraction")
-    c = float(math.floor(mu + 0.5))
+    first = sampled.agg(
+        F.avg("x").alias("mu"), F.count("x").alias("n")
+    ).collect()[0]
+    if first["mu"] is None or first["n"] < 2:
+        raise ValueError(
+            "stddev needs at least 2 sampled non-null rows; increase the fraction"
+        )
+    c = float(math.floor(first["mu"] + 0.5))
     d = F.col("x") - F.lit(c)
     m = sampled.agg(
         F.count(F.lit(1)).alias("n"),
@@ -69,7 +73,10 @@ def approx_stddev_ci(
         F.avg(d * d * d * d).alias("m4"),
     )
     n = F.col("n")
-    s2 = (F.col("sd2") - n * F.col("d1") * F.col("d1")) / (n - 1)
+    # greatest(…, 0): mathematically non-negative, but float rounding of
+    # sd2 − n·d̄² can dip a hair below zero on constant columns — and
+    # DuckDB's sqrt RAISES on negatives where Spark returns NaN.
+    s2 = F.greatest(F.col("sd2") - n * F.col("d1") * F.col("d1"), F.lit(0.0)) / (n - 1)
     var_s2 = (
         F.greatest(
             F.col("m4") - s2 * s2 * (n - 3) / (n - 1),
@@ -78,7 +85,11 @@ def approx_stddev_ci(
         / n
     )
     sd = F.sqrt(s2)
-    half = F.lit(z) * F.sqrt(var_s2) / (F.lit(2.0) * sd)
+    # Constant column: sd = 0 with zero spread — a degenerate [sd, sd]
+    # interval, not a 0/0 NaN.
+    half = F.when(sd > 0, F.lit(z) * F.sqrt(var_s2) / (F.lit(2.0) * sd)).otherwise(
+        F.lit(0.0)
+    )
     return m.select(
         n.cast("long").alias("n_samples"),
         F.round(sd, 4).alias("stddev"),
@@ -108,9 +119,14 @@ def approx_corr_ci(
     x = F.col(col_x).cast("double")
     y = F.col(col_y).cast("double")
     sampled = apply_sampling(df, spec).select(x.alias("x"), y.alias("y"))
-    mrow = sampled.agg(F.avg("x").alias("mx"), F.avg("y").alias("my")).collect()[0]
-    if mrow["mx"] is None or mrow["my"] is None:
-        raise ValueError("empty sample; increase the fraction")
+    mrow = sampled.agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if mrow["mx"] is None or mrow["my"] is None or mrow["n"] <= 3:
+        raise ValueError(
+            "corr needs more than 3 sampled rows for the Fisher-z "
+            "interval; increase the fraction"
+        )
     cx = float(math.floor(mrow["mx"] + 0.5))
     cy = float(math.floor(mrow["my"] + 0.5))
     dx = F.col("x") - F.lit(cx)
@@ -127,9 +143,12 @@ def approx_corr_ci(
     cov = (F.col("sxy") - n * F.col("dx1") * F.col("dy1")) / (n - 1)
     vx = (F.col("sxx") - n * F.col("dx1") * F.col("dx1")) / (n - 1)
     vy = (F.col("syy") - n * F.col("dy1") * F.col("dy1")) / (n - 1)
-    r = cov / F.sqrt(vx * vy)
+    # Degenerate inputs (a constant column → vx/vy ≤ 0, or |r| = 1 where
+    # atanh diverges) yield NULL, not NaN/crash — the identical CASE
+    # conditions in the oracle produce the same NULLs.
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
     # atanh/tanh via log/exp so the oracle's text is identical
-    zr = F.lit(0.5) * F.log((1 + r) / (1 - r))
+    zr = F.when(F.abs(r) < 1, F.lit(0.5) * F.log((1 + r) / (1 - r)))
     half = F.lit(z) / F.sqrt(n - 3)
     lo_e = F.exp(F.lit(2.0) * (zr - half))
     hi_e = F.exp(F.lit(2.0) * (zr + half))
@@ -151,11 +170,6 @@ def approx_corr_ci_sql(
     """DuckDB oracle for :func:`approx_corr_ci` — identical two-pass
     centered-moment algebra and log/exp hyperbolic identities."""
     where = sampling_where_sql(spec)
-    r = (
-        "((sxy - n * dx1 * dy1) / (n - 1))"
-        " / sqrt(((sxx - n * dx1 * dx1) / (n - 1))"
-        " * ((syy - n * dy1 * dy1) / (n - 1)))"
-    )
     return f"""
 WITH s AS (SELECT CAST({col_x} AS DOUBLE) AS x, CAST({col_y} AS DOUBLE) AS y
            FROM {table} WHERE {where}),
@@ -169,10 +183,23 @@ m AS (
          sum((x - (SELECT cx FROM c)) * (y - (SELECT cy FROM c))) AS sxy
   FROM s
 ),
-f AS (
-  SELECT n, {r} AS r, 0.5 * ln((1 + {r}) / (1 - {r})) AS zr,
-         {z!r} / sqrt(n - 3) AS half
+v AS (
+  SELECT n,
+         (sxy - n * dx1 * dy1) / (n - 1) AS cov,
+         (sxx - n * dx1 * dx1) / (n - 1) AS vx,
+         (syy - n * dy1 * dy1) / (n - 1) AS vy
   FROM m
+),
+f AS (
+  SELECT n,
+         CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END AS r,
+         {z!r} / sqrt(n - 3) AS half
+  FROM v
+),
+g AS (
+  SELECT n, r, half,
+         CASE WHEN abs(r) < 1 THEN 0.5 * ln((1 + r) / (1 - r)) END AS zr
+  FROM f
 )
 SELECT CAST(n AS BIGINT) AS n_samples,
        round(r, 6) AS corr,
@@ -180,7 +207,7 @@ SELECT CAST(n AS BIGINT) AS n_samples,
            AS ci_lower,
        round((exp(2.0 * (zr + half)) - 1) / (exp(2.0 * (zr + half)) + 1), 6)
            AS ci_upper
-FROM f
+FROM g
 """
 
 
@@ -210,9 +237,22 @@ def approx_ab_diff_ci(
         .filter(g.isin(group_a, group_b))
         .select(g.alias("g"), x.alias("x"))
     )
-    mu = sampled.agg(F.avg("x").alias("mu")).collect()[0]["mu"]
-    if mu is None:
-        raise ValueError("empty sample; increase the fraction")
+    arms = {
+        r["g"]: r
+        for r in sampled.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("m"))
+        .collect()
+    }
+    for arm in (group_a, group_b):
+        if arm not in arms or arms[arm]["n"] < 2:
+            raise ValueError(
+                f"arm {arm!r} has fewer than 2 sampled rows; increase the fraction"
+            )
+    # Combined mean from the per-arm stats (mathematically the pooled
+    # mean; the integer quantization below absorbs the float-association
+    # difference vs the oracle's direct avg).
+    n_tot = sum(arms[a]["n"] for a in (group_a, group_b))
+    mu = sum(arms[a]["n"] * arms[a]["m"] for a in (group_a, group_b)) / n_tot
     c = float(math.floor(mu + 0.5))
     d = F.col("x") - F.lit(c)
     per = sampled.groupBy("g").agg(
@@ -303,19 +343,24 @@ m AS (
          avg((x - (SELECT c FROM c)) * (x - (SELECT c FROM c))
              * (x - (SELECT c FROM c)) * (x - (SELECT c FROM c))) AS m4
   FROM s
+),
+v AS (
+  SELECT n,
+         sqrt(greatest(sd2 - n * d1 * d1, 0.0) / (n - 1)) AS sd,
+         greatest(m4 - (greatest(sd2 - n * d1 * d1, 0.0) / (n - 1))
+                       * (greatest(sd2 - n * d1 * d1, 0.0) / (n - 1))
+                       * (n - 3) / (n - 1), 0) / n AS var_s2
+  FROM m
+),
+h AS (
+  SELECT n, sd,
+         CASE WHEN sd > 0 THEN {z!r} * sqrt(var_s2) / (2.0 * sd)
+              ELSE 0.0 END AS half
+  FROM v
 )
 SELECT CAST(n AS BIGINT) AS n_samples,
-       round(sqrt((sd2 - n * d1 * d1) / (n - 1)), 4) AS stddev,
-       round(greatest(
-         sqrt((sd2 - n * d1 * d1) / (n - 1))
-         - {z!r} * sqrt(greatest(m4 - ((sd2 - n * d1 * d1) / (n - 1))
-                                      * ((sd2 - n * d1 * d1) / (n - 1))
-                                      * (n - 3) / (n - 1), 0) / n)
-           / (2.0 * sqrt((sd2 - n * d1 * d1) / (n - 1))), 0.0), 4) AS ci_lower,
-       round(sqrt((sd2 - n * d1 * d1) / (n - 1))
-         + {z!r} * sqrt(greatest(m4 - ((sd2 - n * d1 * d1) / (n - 1))
-                                      * ((sd2 - n * d1 * d1) / (n - 1))
-                                      * (n - 3) / (n - 1), 0) / n)
-           / (2.0 * sqrt((sd2 - n * d1 * d1) / (n - 1))), 4) AS ci_upper
-FROM m
+       round(sd, 4) AS stddev,
+       round(greatest(sd - half, 0.0), 4) AS ci_lower,
+       round(sd + half, 4) AS ci_upper
+FROM h
 """

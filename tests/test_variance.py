@@ -58,8 +58,22 @@ def test_oracle_parity(spark, lineitem, duck):
 
 def test_empty_sample_raises(spark):
     df = spark.range(0).select(F.col("id").alias("x"))
-    with pytest.raises(ValueError, match="empty sample"):
+    with pytest.raises(ValueError, match="at least 2 sampled"):
         approx_stddev_ci(df, "x", SamplingSpec(design="uniform_hash", fraction=0.5, key="x"))
+
+
+def test_stddev_constant_column_degenerate_interval(spark, duck):
+    """A constant column has sd = 0: the interval must be [0, 0] (not
+    NaN/NULL), and the oracle must agree — including the greatest(…,0)
+    guard that keeps DuckDB's sqrt off float-rounding negatives."""
+    duck.execute("CREATE OR REPLACE VIEW const_t AS SELECT range AS k, 7.5 AS x FROM range(100)")
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(7.5).alias("x"))
+    spec = SamplingSpec(design="uniform_hash", fraction=0.9, key="k")
+    sdf = approx_stddev_ci(df, "x", spec)
+    row = sdf.collect()[0]
+    assert row["stddev"] == 0.0
+    assert row["ci_lower"] == 0.0 and row["ci_upper"] == 0.0
+    assert_df_matches_sql(sdf, duck, approx_stddev_ci_sql("const_t", "x", spec))
 
 
 def test_dialect_route(engine):
@@ -144,3 +158,76 @@ def test_ab_diff_ci_covers_exact(spark, engine, duck):
             "events", "value", "event_type", "purchase", "click", spec
         ),
     )
+
+
+def test_corr_degenerate_constant_arm_is_null(spark, duck):
+    """corr over a constant x column: vx = 0 → NULL corr and CI in BOTH
+    engines (no NaN, no DuckDB sqrt crash)."""
+    from approximatequeryengine_spark.plans.variance import (
+        approx_corr_ci,
+        approx_corr_ci_sql,
+    )
+
+    duck.execute(
+        "CREATE OR REPLACE VIEW constc_t AS "
+        "SELECT range AS k, 3.0 AS x, range * 1.5 AS y FROM range(200)"
+    )
+    df = spark.range(200).select(
+        F.col("id").alias("k"), F.lit(3.0).alias("x"), (F.col("id") * 1.5).alias("y")
+    )
+    spec = SamplingSpec(design="uniform_hash", fraction=0.5, key="k")
+    sdf = approx_corr_ci(df, "x", "y", spec)
+    row = sdf.collect()[0]
+    assert row["corr"] is None and row["ci_lower"] is None
+    assert_df_matches_sql(sdf, duck, approx_corr_ci_sql("constc_t", "x", "y", spec))
+
+
+def test_corr_tiny_sample_raises(spark):
+    from approximatequeryengine_spark.plans.variance import approx_corr_ci
+
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="more than 3 sampled"):
+        approx_corr_ci(df, "x", "y", SamplingSpec(design="none", key="k"))
+
+
+def test_ab_diff_missing_arm_raises(spark, engine):
+    from approximatequeryengine_spark.plans.variance import approx_ab_diff_ci
+
+    events = engine.catalog.table("events")
+    with pytest.raises(ValueError, match="fewer than 2 sampled"):
+        approx_ab_diff_ci(
+            events, "value", "event_type", "purchase", "no_such_arm",
+            SamplingSpec(design="uniform_hash", fraction=0.5, key="event_id"),
+        )
+
+
+def test_plain_grouped_stddev_and_corr_pass_through(engine):
+    """Plain (non-APPROX) grouped STDDEV/CORR must still run exact via
+    spark.sql — the grammar widening must not regress passthrough."""
+    res = engine.run("SELECT STDDEV(value) FROM events GROUP BY event_type")
+    assert res.status.name == "EXACT" and res.method == "spark_sql"
+    assert res.df.count() == 5
+    res2 = engine.run(
+        "SELECT CORR(value, user_id) FROM events GROUP BY event_type"
+    )
+    assert res2.status.name == "EXACT" and res2.method == "spark_sql"
+    assert res2.df.count() == 5
+    # exact STDDEV over an empty selection returns NULL, not a crash
+    res3 = engine.run("SELECT STDDEV(value) FROM events WHERE value < -1e18")
+    assert res3.value is None
+
+
+def test_native_approx_percentile_passthrough_preserved(engine):
+    """Spark's native lowercase approx_percentile(col, q, accuracy) must
+    NOT be captured by the dialect's uppercase APPROX_PERCENTILE form —
+    its third argument means accuracy, not a sample percentage."""
+    res = engine.run(
+        "SELECT approx_percentile(l_extendedprice, 0.9, 10000) AS p FROM lineitem"
+    )
+    assert res.method == "spark_sql"
+    v = res.df.collect()[0]["p"]
+    assert v is not None and v > 0
