@@ -294,3 +294,35 @@ def test_countmin_sql_never_undercounts(texts):
     rows = con.execute(countmin_topk_sql(k=10, depth=2, width=16)).fetchall()
     for _token, exact_cnt, cms_est, _infl in rows:
         assert cms_est >= exact_cnt
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=60, unique=True),
+)
+def test_bloom_oracle_no_false_negatives_any_keys(members, probes):
+    """The Bloom accounting SQL must hold its invariants for ARBITRARY
+    key sets, not just the fixture: every true member passes (n_exact
+    equals the true match count — no false negatives), passes never
+    exceed the fact count, and false positives are non-negative."""
+    from approximatequeryengine_spark.plans.bloom import bloom_prune_semi_join_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE dimt AS SELECT unnest(?::BIGINT[]) AS dk, 1 AS flag",
+        [members],
+    )
+    con.execute(
+        "CREATE TABLE factt AS SELECT unnest(?::BIGINT[]) AS fk, 1.0 AS m",
+        [probes],
+    )
+    row = con.execute(
+        bloom_prune_semi_join_sql("factt", "dimt", "fk", "dk", "m", "flag = 1")
+    ).fetchone()
+    n_fact, n_pass, n_exact, n_fp, fp_rate, _ = row
+    true_matches = len(set(members) & set(probes))
+    assert n_fact == len(probes)
+    assert n_exact == true_matches  # no false negatives, ever
+    assert 0 <= n_fp == n_pass - n_exact
+    assert n_pass <= n_fact
