@@ -662,3 +662,93 @@ SELECT CAST(threshold AS DOUBLE) AS threshold,
 FROM one CROSS JOIN (VALUES {grid}) g(threshold)
 ORDER BY threshold
 """
+
+
+# -- unigram log-probability quality scoring --------------------------------
+
+
+def unigram_logprob_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The perplexity-proxy quality filter (the CCNet-style pass every
+    web-scale pipeline runs): score each document by its mean unigram
+    log-probability under the corpus's own add-one-smoothed unigram
+    model, then report per language how many documents fall below the
+    corpus-wide mean — the outlier tail a filter would drop.
+
+    lp(t) = ln((count(t) + 1) / (N + V)); doc score = mean over its
+    tokens; empty documents carry no token rows and are excluded.
+
+    Plan shape at scale: one token shuffle for the frequency table, the
+    per-token score joined back BROADCAST (the model is |vocab| rows —
+    switch to a shuffle join past ~10M types), one (doc, lang) combine
+    for the per-doc means, a 1-row global mean broadcast, and a
+    |langs|-row rollup. No window over an unpartitioned frame anywhere,
+    so nothing serializes on one task."""
+    docs = ensure_parallelism(docs)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
+        ).alias("token"),
+    )
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = freqs.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    model = freqs.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v"))).alias("lp"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), on="token")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("lp").alias("doc_lp"))
+    )
+    global_mean = per_doc.agg(F.avg("doc_lp").alias("g"))
+    return (
+        per_doc.crossJoin(F.broadcast(global_mean))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("doc_lp"), 6).alias("avg_logprob"),
+            F.sum((F.col("doc_lp") < F.col("g")).cast("long")).alias("n_below_global"),
+            F.round(
+                F.sum((F.col("doc_lp") < F.col("g")).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("share_below"),
+        )
+        .orderBy("lang")
+    )
+
+
+def unigram_logprob_stats_sql() -> str:
+    toks = ws_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_transform({toks}, t -> lower(t))) AS token
+  FROM documents
+),
+freqs AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+totals AS (SELECT sum(c) AS n_total, count(*) AS v FROM freqs),
+model AS (
+  SELECT token,
+         ln(CAST(c + 1 AS DOUBLE) / ((SELECT n_total FROM totals)
+                                     + (SELECT v FROM totals))) AS lp
+  FROM freqs
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang, avg(m.lp) AS doc_lp
+  FROM tok t JOIN model m USING (token)
+  GROUP BY t.doc_id, t.lang
+),
+g AS (SELECT avg(doc_lp) AS g FROM per_doc)
+SELECT lang, count(*) AS n_docs,
+       round(avg(doc_lp), 6) AS avg_logprob,
+       CAST(sum(CASE WHEN doc_lp < (SELECT g FROM g) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below_global,
+       round(CAST(sum(CASE WHEN doc_lp < (SELECT g FROM g) THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS share_below
+FROM per_doc GROUP BY lang ORDER BY lang
+"""

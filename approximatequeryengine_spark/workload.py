@@ -806,6 +806,10 @@ _docs_query("text_fingerprint_summary", _text.fingerprint_summary, _text.fingerp
 # totals add the <=3 term scores in fixed query-rank order (no
 # order-dependent float aggregation in either engine).
 _docs_query("text_bm25_search", _text.bm25_search_top10, _text.bm25_search_top10_sql())
+# Round-3 second session: the CCNet-style perplexity-proxy filter —
+# mean unigram logprob per doc under the corpus's own smoothed model,
+# rolled up per language with the below-corpus-mean tail.
+_docs_query("text_unigram_logprob", _text.unigram_logprob_stats, _text.unigram_logprob_stats_sql())
 # Round-3: quality-filter calibration — the survival curve over 7
 # candidate cutoffs from ONE corpus scan (conditional sums, no
 # per-threshold rescans).

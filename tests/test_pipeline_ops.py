@@ -396,6 +396,39 @@ def test_asof_and_range_join(spark):
     assert rng == {3: 1, 4: 1, 5: 0, 6: 0}
 
 
+def test_unigram_logprob_flags_gibberish(spark):
+    """A document of unique gibberish tokens must score far below docs
+    built from the corpus's common vocabulary."""
+    from approximatequeryengine_spark.operators.text import unigram_logprob_stats
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        (1, common, "en", "s1", len(common)),
+        (2, "the dog and the cat on the mat", "en", "s1", 30),
+        (3, "zqx vbnm kjhg wers plmo qazx", "xx", "s2", 28),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["lang"]: r for r in unigram_logprob_stats(spark, docs).collect()}
+    assert got["en"]["avg_logprob"] > got["xx"]["avg_logprob"]
+    assert got["xx"]["n_below_global"] == 1 and got["xx"]["share_below"] == 1.0
+    assert got["en"]["n_docs"] == 2
+
+
+def test_unigram_logprob_oracle_parity(spark, engine, duck):
+    from approximatequeryengine_spark.operators.text import (
+        unigram_logprob_stats,
+        unigram_logprob_stats_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    docs = engine.catalog.table("documents")
+    assert_df_matches_sql(
+        unigram_logprob_stats(spark, docs), duck, unigram_logprob_stats_sql()
+    )
+
+
 def test_funnel_strict_ordering(spark):
     """A user whose click precedes every view must NOT count as
     view→click; only in-order sequences advance the funnel."""
