@@ -211,14 +211,16 @@ def funnel_conversion(spark: SparkSession, events: DataFrame) -> DataFrame:
         F.max(F.col("tc").isNotNull().cast("long")).alias("s2"),
         F.max(F.col("tp").isNotNull().cast("long")).alias("s3"),
     )
+    z = F.lit(0).cast("long")
+    s1, s2, s3 = (F.coalesce(F.sum(c), z) for c in ("s1", "s2", "s3"))
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum("s1").alias("n_view"),
-        F.sum("s2").alias("n_view_click"),
-        F.sum("s3").alias("n_full_funnel"),
-        F.round(F.sum("s2") / F.greatest(F.sum("s1"), F.lit(1)), 6).alias("rate_click_given_view"),
-        F.round(F.sum("s3") / F.greatest(F.sum("s2"), F.lit(1)), 6).alias("rate_purchase_given_click"),
-        F.round(F.sum("s3") / F.greatest(F.sum("s1"), F.lit(1)), 6).alias("rate_full_funnel"),
+        s1.alias("n_view"),
+        s2.alias("n_view_click"),
+        s3.alias("n_full_funnel"),
+        F.round(s2 / F.greatest(s1, F.lit(1)), 6).alias("rate_click_given_view"),
+        F.round(s3 / F.greatest(s2, F.lit(1)), 6).alias("rate_purchase_given_click"),
+        F.round(s3 / F.greatest(s1, F.lit(1)), 6).alias("rate_full_funnel"),
     )
 
 
@@ -257,14 +259,14 @@ per_user AS (
   FROM staged3 GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       CAST(sum(s1) AS BIGINT) AS n_view,
-       CAST(sum(s2) AS BIGINT) AS n_view_click,
-       CAST(sum(s3) AS BIGINT) AS n_full_funnel,
-       round(CAST(sum(s2) AS DOUBLE) / greatest(sum(s1), 1), 6)
+       CAST(coalesce(sum(s1), 0) AS BIGINT) AS n_view,
+       CAST(coalesce(sum(s2), 0) AS BIGINT) AS n_view_click,
+       CAST(coalesce(sum(s3), 0) AS BIGINT) AS n_full_funnel,
+       round(CAST(coalesce(sum(s2), 0) AS DOUBLE) / greatest(coalesce(sum(s1), 0), 1), 6)
            AS rate_click_given_view,
-       round(CAST(sum(s3) AS DOUBLE) / greatest(sum(s2), 1), 6)
+       round(CAST(coalesce(sum(s3), 0) AS DOUBLE) / greatest(coalesce(sum(s2), 0), 1), 6)
            AS rate_purchase_given_click,
-       round(CAST(sum(s3) AS DOUBLE) / greatest(sum(s1), 1), 6)
+       round(CAST(coalesce(sum(s3), 0) AS DOUBLE) / greatest(coalesce(sum(s1), 0), 1), 6)
            AS rate_full_funnel
 FROM per_user
 """

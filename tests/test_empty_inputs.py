@@ -91,3 +91,61 @@ def test_round3_ops_on_empty_inputs(spark):
     sides = spark.range(0).select(F.lit("a").alias("side"), F.col("id").alias("k"))
     ov = {r["level"]: r["est_distinct"] for r in portable_hll_overlap(sides).collect()}
     assert ov == {"side_a": 0.0, "side_b": 0.0, "union": 0.0, "intersection_est": 0.0}
+
+
+def test_funnel_and_cohort_on_empty_events(spark):
+    from approximatequeryengine_spark.operators.temporal import (
+        cohort_retention,
+        funnel_conversion,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").filter(F.lit(False))
+    row = funnel_conversion(spark, events).collect()[0]
+    assert row["n_users"] == 0 and row["n_full_funnel"] == 0
+    assert cohort_retention(spark, events).collect() == []
+
+
+def test_curation_new_ops_on_empty_docs(spark):
+    from approximatequeryengine_spark.operators.curation import (
+        dataset_split,
+        mixture_plan,
+        sample_per_source,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.lit(False))
+    assert dataset_split(spark, docs).collect() == []
+    assert sample_per_source(spark, docs).collect() == []
+    assert mixture_plan(spark, docs).collect() == []
+
+
+def test_skew_profile_on_empty_table(spark):
+    from approximatequeryengine_spark.operators.joins import profile_key_skew
+
+    li = _empty_lineitem(spark)
+    row = profile_key_skew(li, "l_suppkey").collect()[0]
+    assert row["n_rows"] is None or row["n_rows"] == 0
+
+
+def test_bloom_on_empty_dim_passes_nothing(spark):
+    from approximatequeryengine_spark.plans.bloom import (
+        bloom_build_words,
+        bloom_probe_column,
+    )
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    empty_dim = cust.filter(F.lit(False))
+    words = [
+        (r["word_idx"], r["word"])
+        for r in bloom_build_words(empty_dim, "c_custkey").collect()
+    ]
+    assert words == []
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    passed = orders.filter(bloom_probe_column(words, F.col("o_custkey"))).count()
+    assert passed == 0  # an empty filter admits nothing
+
+
+def test_unigram_logprob_on_empty_docs(spark):
+    from approximatequeryengine_spark.operators.text import unigram_logprob_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.lit(False))
+    assert unigram_logprob_stats(spark, docs).collect() == []
