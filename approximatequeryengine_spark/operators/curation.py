@@ -483,6 +483,78 @@ FROM tot ORDER BY lang
 """
 
 
+# -- RAG-style chunk inventory ----------------------------------------------
+
+CHUNK_SIZE = 128
+CHUNK_OVERLAP = 32
+
+
+def chunk_inventory(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The retrieval-prep accounting pass: split every document into
+    fixed-size token chunks with overlap (stride = size − overlap; a
+    short document is one chunk) and report per source how many chunks
+    the corpus yields, the padding waste in the final partial chunks,
+    and the duplicated-token overhead the overlap costs — the numbers
+    that size a vector index before anything is embedded.
+
+    Unlike sequence *packing* (which concatenates documents into
+    training rows), chunking splits documents individually, so it is a
+    pure per-doc arithmetic projection — embarrassingly parallel, one
+    aggregate, no shuffle beyond the source rollup."""
+    docs = ensure_parallelism(docs)
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    toks = F.size(ws_tokens_col(F.col("text"))).cast("long")
+    n_chunks = F.when(toks <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((toks - CHUNK_OVERLAP) / stride).cast("long")
+    )
+    # tokens emitted across chunks = tokens + (n_chunks − 1)·overlap
+    emitted = toks + (n_chunks - 1) * CHUNK_OVERLAP
+    per_doc = docs.select(
+        "source",
+        toks.alias("t"),
+        n_chunks.alias("nc"),
+        emitted.alias("em"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("total_tokens"),
+            F.sum("nc").alias("n_chunks"),
+            F.round(F.avg("nc"), 6).alias("avg_chunks_per_doc"),
+            F.round(
+                (F.sum("em") - F.sum("t")) / F.sum("em"), 6
+            ).alias("overlap_overhead"),
+            F.round(
+                F.sum("em") / (F.sum("nc") * CHUNK_SIZE), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def chunk_inventory_sql() -> str:
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    toks = f"CAST(len({ws_tokens_sql('text')}) AS BIGINT)"
+    return f"""
+WITH per_doc AS (
+  SELECT source, {toks} AS t,
+         CASE WHEN {toks} <= {CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil(CAST({toks} - {CHUNK_OVERLAP} AS DOUBLE)
+                             / {stride}) AS BIGINT) END AS nc
+  FROM documents
+),
+em AS (SELECT source, t, nc, t + (nc - 1) * {CHUNK_OVERLAP} AS em FROM per_doc)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chunks,
+       round(avg(nc), 6) AS avg_chunks_per_doc,
+       round(CAST(sum(em) - sum(t) AS DOUBLE) / sum(em), 6) AS overlap_overhead,
+       round(CAST(sum(em) AS DOUBLE) / (sum(nc) * {CHUNK_SIZE}), 6) AS fill_ratio
+FROM em GROUP BY source ORDER BY source
+"""
+
+
 # -- PII scrubbing stats ----------------------------------------------------
 
 # RE2-compatible (no lookaround/backrefs) so Spark and DuckDB agree.

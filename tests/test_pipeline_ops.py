@@ -837,6 +837,36 @@ def test_mixture_plan_caps_rates(spark, engine, duck):
     )
 
 
+def test_chunk_inventory_arithmetic(spark, engine, duck):
+    from approximatequeryengine_spark.operators import curation
+    from tests.conftest import assert_df_matches_sql
+
+    # 300 tokens, size 128, overlap 32 → stride 96 → ceil(268/96) = 3 chunks
+    text300 = " ".join(f"w{i}" for i in range(300))
+    short = "just a few tokens here"
+    rows = [
+        (1, text300, "en", "s1", len(text300)),
+        (2, short, "en", "s1", len(short)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = curation.chunk_inventory(spark, docs).collect()[0]
+    assert row["n_chunks"] == 3 + 1
+    assert row["total_tokens"] == 300 + 5
+    # emitted = 300 + 2*32 (long doc) + 5 (short doc)
+    emitted = 300 + 2 * 32 + 5
+    assert row["overlap_overhead"] == pytest.approx(
+        (emitted - 305) / emitted, abs=1e-6
+    )
+    assert 0 < row["fill_ratio"] <= 1.0
+    assert_df_matches_sql(
+        curation.chunk_inventory(spark, engine.catalog.table("documents")),
+        duck,
+        curation.chunk_inventory_sql(),
+    )
+
+
 def test_connected_clusters_resolve_transitive_dups(spark):
     """A≈B and B≈C near-dup pairs must land in ONE cluster with the min
     doc_id as survivor, even when A and C alone wouldn't pair."""
