@@ -28,7 +28,7 @@ vectorized kernel computes bit-identical signatures ~10-20× faster
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from approximatequeryengine_spark.operators import ensure_parallelism
@@ -70,6 +70,89 @@ def exact_dup_groups_sql(by: str = "fp_tokenset") -> str:
         f"FROM (SELECT doc_id, {fp} AS fp FROM documents) __f "
         f"GROUP BY fp HAVING count(*) > 1"
     )
+
+
+INGEST_MOD = 10  # doc_id % INGEST_MOD == 0 → the "incoming batch" slice
+
+
+def ingest_dedup_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Incremental-ingest dedup accounting — the nightly-batch shape: an
+    incoming slice of documents is screened against the existing corpus
+    by token-set fingerprint, classifying each incoming doc as (a) a
+    duplicate of the existing corpus, (b) a within-batch duplicate
+    (first-by-doc_id survives), or (c) genuinely new. One row per
+    source: incoming count, the three buckets, and the accept rate.
+
+    Plan shape at scale: the existing side reduces to its DISTINCT
+    fingerprints before the join (one shuffle each side on a 32-hex
+    key); within-batch dedup is a window over the same fingerprint key.
+    Nothing rescans the corpus per batch beyond that fingerprint
+    projection — and in a real deployment the existing-fingerprint
+    table is the thing you'd persist between runs."""
+    fps = fingerprint_cols(F.col("text"))
+    tagged = docs.select(
+        "doc_id", "source", fps["fp_tokenset"].alias("fp"),
+        (F.col("doc_id") % INGEST_MOD == 0).alias("incoming"),
+    )
+    existing_fps = tagged.filter(~F.col("incoming")).select("fp").distinct()
+    incoming = tagged.filter(F.col("incoming"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        incoming.join(
+            existing_fps.withColumn("in_existing", F.lit(True)), on="fp", how="left"
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            F.coalesce(F.col("in_existing"), F.lit(False)).alias("dup_existing"),
+            (F.col("rk") > 1).alias("dup_batch"),
+        )
+    )
+    new_doc = ~F.col("dup_existing") & ~F.col("dup_batch")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum(F.col("dup_existing").cast("long")).alias("n_dup_existing"),
+            F.sum((F.col("dup_batch") & ~F.col("dup_existing")).cast("long")).alias(
+                "n_dup_batch"
+            ),
+            F.sum(new_doc.cast("long")).alias("n_new"),
+            F.round(
+                F.sum(new_doc.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("accept_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def ingest_dedup_stats_sql() -> str:
+    fp = fingerprint_sql_parts()["fp_tokenset"]
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, source, {fp} AS fp,
+         doc_id % {INGEST_MOD} = 0 AS incoming
+  FROM documents
+),
+existing AS (SELECT DISTINCT fp FROM tagged WHERE NOT incoming),
+flagged AS (
+  SELECT t.source,
+         e.fp IS NOT NULL AS dup_existing,
+         row_number() OVER (PARTITION BY t.fp ORDER BY t.doc_id) > 1 AS dup_batch
+  FROM tagged t LEFT JOIN existing e USING (fp)
+  WHERE t.incoming
+)
+SELECT source, count(*) AS n_incoming,
+       CAST(sum(CASE WHEN dup_existing THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_existing,
+       CAST(sum(CASE WHEN dup_batch AND NOT dup_existing THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_batch,
+       CAST(sum(CASE WHEN NOT dup_existing AND NOT dup_batch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       round(CAST(sum(CASE WHEN NOT dup_existing AND NOT dup_batch THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accept_rate
+FROM flagged GROUP BY source ORDER BY source
+"""
 
 
 # -- MinHash + LSH ----------------------------------------------------------

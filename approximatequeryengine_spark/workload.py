@@ -1704,6 +1704,7 @@ _docs_query("curation_dataset_split", _cur.dataset_split, _cur.dataset_split_sql
 _docs_query("curation_sample_per_source", _cur.sample_per_source, _cur.sample_per_source_sql())
 _docs_query("curation_mixture_plan", _cur.mixture_plan, _cur.mixture_plan_sql())
 _docs_query("curation_chunk_inventory", _cur.chunk_inventory, _cur.chunk_inventory_sql())
+_docs_query("dedup_ingest_stats", _dedup.ingest_dedup_stats, _dedup.ingest_dedup_stats_sql())
 
 
 def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -867,6 +867,42 @@ def test_chunk_inventory_arithmetic(spark, engine, duck):
     )
 
 
+def test_ingest_dedup_classifies_three_ways(spark, engine, duck):
+    from approximatequeryengine_spark.operators.dedup import ingest_dedup_stats
+    from tests.conftest import assert_df_matches_sql
+
+    # incoming slice = doc_id % 10 == 0; doc 10 duplicates existing doc
+    # 1, docs 20/30 duplicate each other (within batch), doc 40 is new.
+    rows = [
+        (1, "alpha beta gamma", "en", "s1", 16),
+        (2, "some existing corpus text", "en", "s1", 25),
+        (10, "alpha beta gamma", "en", "s1", 16),
+        (20, "fresh duplicate pair", "en", "s1", 20),
+        (30, "fresh duplicate pair", "en", "s1", 20),
+        (40, "entirely new document", "en", "s1", 21),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = ingest_dedup_stats(spark, docs).collect()[0]
+    assert row["n_incoming"] == 4
+    assert row["n_dup_existing"] == 1  # doc 10
+    assert row["n_dup_batch"] == 1  # doc 30 (20 survives)
+    assert row["n_new"] == 2  # docs 20, 40
+    assert row["accept_rate"] == 0.5
+    assert_df_matches_sql(
+        ingest_dedup_stats(spark, engine.catalog.table("documents")),
+        duck,
+        ingest_dedup_stats_sql_for_test(),
+    )
+
+
+def ingest_dedup_stats_sql_for_test():
+    from approximatequeryengine_spark.operators.dedup import ingest_dedup_stats_sql
+
+    return ingest_dedup_stats_sql()
+
+
 def test_connected_clusters_resolve_transitive_dups(spark):
     """A≈B and B≈C near-dup pairs must land in ONE cluster with the min
     doc_id as survivor, even when A and C alone wouldn't pair."""
