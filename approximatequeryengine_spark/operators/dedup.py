@@ -72,7 +72,8 @@ def exact_dup_groups_sql(by: str = "fp_tokenset") -> str:
     )
 
 
-INGEST_MOD = 10  # doc_id % INGEST_MOD == 0 → the "incoming batch" slice
+INGEST_FRACTION = 0.1  # hash-selected "incoming batch" slice
+INGEST_SALT = 13
 
 
 def ingest_dedup_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -89,10 +90,20 @@ def ingest_dedup_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
     Nothing rescans the corpus per batch beyond that fingerprint
     projection — and in a real deployment the existing-fingerprint
     table is the thing you'd persist between runs."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+
     fps = fingerprint_cols(F.col("text"))
+    # Hash-select the demo batch: the fixture's doc_id ≡ source (mod
+    # #sources), so a modulus slice would correlate with source; the
+    # salted hash is uncorrelated with every fixture dimension.
+    inc = portable_hash_col(F.col("doc_id"), salt=INGEST_SALT) < F.lit(
+        fraction_threshold(INGEST_FRACTION)
+    )
     tagged = docs.select(
-        "doc_id", "source", fps["fp_tokenset"].alias("fp"),
-        (F.col("doc_id") % INGEST_MOD == 0).alias("incoming"),
+        "doc_id", "source", fps["fp_tokenset"].alias("fp"), inc.alias("incoming"),
     )
     existing_fps = tagged.filter(~F.col("incoming")).select("fp").distinct()
     incoming = tagged.filter(F.col("incoming"))
@@ -127,11 +138,17 @@ def ingest_dedup_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def ingest_dedup_stats_sql() -> str:
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_sql,
+    )
+
     fp = fingerprint_sql_parts()["fp_tokenset"]
+    inc = f"{portable_hash_sql('doc_id', INGEST_SALT)} < {fraction_threshold(INGEST_FRACTION)}"
     return f"""
 WITH tagged AS (
   SELECT doc_id, source, {fp} AS fp,
-         doc_id % {INGEST_MOD} = 0 AS incoming
+         {inc} AS incoming
   FROM documents
 ),
 existing AS (SELECT DISTINCT fp FROM tagged WHERE NOT incoming),

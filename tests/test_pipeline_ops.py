@@ -871,24 +871,26 @@ def test_ingest_dedup_classifies_three_ways(spark, engine, duck):
     from approximatequeryengine_spark.operators.dedup import ingest_dedup_stats
     from tests.conftest import assert_df_matches_sql
 
-    # incoming slice = doc_id % 10 == 0; doc 10 duplicates existing doc
-    # 1, docs 20/30 duplicate each other (within batch), doc 40 is new.
+    # Incoming slice = portable_hash(doc_id, INGEST_SALT) in the 10%
+    # window; doc_ids 6/15/22/37 are in it (verified against the hash),
+    # 1/2 are not. Doc 6 duplicates existing doc 1, docs 15/22
+    # duplicate each other (within batch), doc 37 is new.
     rows = [
         (1, "alpha beta gamma", "en", "s1", 16),
         (2, "some existing corpus text", "en", "s1", 25),
-        (10, "alpha beta gamma", "en", "s1", 16),
-        (20, "fresh duplicate pair", "en", "s1", 20),
-        (30, "fresh duplicate pair", "en", "s1", 20),
-        (40, "entirely new document", "en", "s1", 21),
+        (6, "alpha beta gamma", "en", "s1", 16),
+        (15, "fresh duplicate pair", "en", "s1", 20),
+        (22, "fresh duplicate pair", "en", "s1", 20),
+        (37, "entirely new document", "en", "s1", 21),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     row = ingest_dedup_stats(spark, docs).collect()[0]
     assert row["n_incoming"] == 4
-    assert row["n_dup_existing"] == 1  # doc 10
-    assert row["n_dup_batch"] == 1  # doc 30 (20 survives)
-    assert row["n_new"] == 2  # docs 20, 40
+    assert row["n_dup_existing"] == 1  # doc 6
+    assert row["n_dup_batch"] == 1  # doc 22 (15 survives)
+    assert row["n_new"] == 2  # docs 15, 37
     assert row["accept_rate"] == 0.5
     assert_df_matches_sql(
         ingest_dedup_stats(spark, engine.catalog.table("documents")),
