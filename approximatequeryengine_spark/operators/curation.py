@@ -504,11 +504,16 @@ def chunk_inventory(spark: SparkSession, docs: DataFrame) -> DataFrame:
     docs = ensure_parallelism(docs)
     stride = CHUNK_SIZE - CHUNK_OVERLAP
     toks = F.size(ws_tokens_col(F.col("text"))).cast("long")
-    n_chunks = F.when(toks <= CHUNK_SIZE, F.lit(1)).otherwise(
-        F.ceil((toks - CHUNK_OVERLAP) / stride).cast("long")
+    # A 0-token document yields ZERO chunks (a phantom chunk would
+    # inflate n_chunks and dilute fill_ratio — the sizing numbers this
+    # operator exists to get right).
+    n_chunks = (
+        F.when(toks == 0, F.lit(0))
+        .when(toks <= CHUNK_SIZE, F.lit(1))
+        .otherwise(F.ceil((toks - CHUNK_OVERLAP) / stride).cast("long"))
     )
     # tokens emitted across chunks = tokens + (n_chunks − 1)·overlap
-    emitted = toks + (n_chunks - 1) * CHUNK_OVERLAP
+    emitted = toks + F.greatest(n_chunks - 1, F.lit(0)) * CHUNK_OVERLAP
     per_doc = docs.select(
         "source",
         toks.alias("t"),
@@ -523,10 +528,14 @@ def chunk_inventory(spark: SparkSession, docs: DataFrame) -> DataFrame:
             F.sum("nc").alias("n_chunks"),
             F.round(F.avg("nc"), 6).alias("avg_chunks_per_doc"),
             F.round(
-                (F.sum("em") - F.sum("t")) / F.sum("em"), 6
+                F.when(
+                    F.sum("em") > 0, (F.sum("em") - F.sum("t")) / F.sum("em")
+                ),
+                6,
             ).alias("overlap_overhead"),
             F.round(
-                F.sum("em") / (F.sum("nc") * CHUNK_SIZE), 6
+                F.when(F.sum("nc") > 0, F.sum("em") / (F.sum("nc") * CHUNK_SIZE)),
+                6,
             ).alias("fill_ratio"),
         )
         .orderBy("source")
@@ -539,18 +548,24 @@ def chunk_inventory_sql() -> str:
     return f"""
 WITH per_doc AS (
   SELECT source, {toks} AS t,
-         CASE WHEN {toks} <= {CHUNK_SIZE} THEN 1
+         CASE WHEN {toks} = 0 THEN 0
+              WHEN {toks} <= {CHUNK_SIZE} THEN 1
               ELSE CAST(ceil(CAST({toks} - {CHUNK_OVERLAP} AS DOUBLE)
                              / {stride}) AS BIGINT) END AS nc
   FROM documents
 ),
-em AS (SELECT source, t, nc, t + (nc - 1) * {CHUNK_OVERLAP} AS em FROM per_doc)
+em AS (SELECT source, t, nc,
+              t + greatest(nc - 1, 0) * {CHUNK_OVERLAP} AS em FROM per_doc)
 SELECT source, count(*) AS n_docs,
        CAST(sum(t) AS BIGINT) AS total_tokens,
        CAST(sum(nc) AS BIGINT) AS n_chunks,
        round(avg(nc), 6) AS avg_chunks_per_doc,
-       round(CAST(sum(em) - sum(t) AS DOUBLE) / sum(em), 6) AS overlap_overhead,
-       round(CAST(sum(em) AS DOUBLE) / (sum(nc) * {CHUNK_SIZE}), 6) AS fill_ratio
+       round(CASE WHEN sum(em) > 0
+                  THEN CAST(sum(em) - sum(t) AS DOUBLE) / sum(em) END, 6)
+           AS overlap_overhead,
+       round(CASE WHEN sum(nc) > 0
+                  THEN CAST(sum(em) AS DOUBLE) / (sum(nc) * {CHUNK_SIZE}) END, 6)
+           AS fill_ratio
 FROM em GROUP BY source ORDER BY source
 """
 

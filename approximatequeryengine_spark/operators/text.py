@@ -677,20 +677,27 @@ def unigram_logprob_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
     lp(t) = ln((count(t) + 1) / (N + V)); doc score = mean over its
     tokens; empty documents carry no token rows and are excluded.
 
-    Plan shape at scale: one token shuffle for the frequency table, the
-    per-token score joined back BROADCAST (the model is |vocab| rows —
-    switch to a shuffle join past ~10M types), one (doc, lang) combine
-    for the per-doc means, a 1-row global mean broadcast, and a
-    |langs|-row rollup. No window over an unpartitioned frame anywhere,
-    so nothing serializes on one task."""
+    Plan shape at scale: the tokenized corpus materializes ONCE through
+    a doc_id exchange both consumers reuse (plan-gated single scan),
+    then one token shuffle for the frequency table, the per-token score
+    joined back BROADCAST (the model is |vocab| rows — switch to a
+    shuffle join past ~10M types), one (doc, lang) combine for the
+    per-doc means, a 1-row global mean broadcast, and a |langs|-row
+    rollup. No window over an unpartitioned frame anywhere, so nothing
+    serializes on one task."""
     docs = ensure_parallelism(docs)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.select(
         "doc_id",
         "lang",
         F.explode(
             F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
         ).alias("token"),
-    )
+        # Exchange barrier: the tokenize+explode chain feeds BOTH the
+        # frequency-table build and the probe side of the score join —
+        # materialize it once through a shuffle (ReusedExchange) instead
+        # of re-tokenizing the whole corpus per subtree.
+    ).repartition(n_parts, "doc_id")
     freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = freqs.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")

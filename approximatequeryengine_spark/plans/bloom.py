@@ -153,10 +153,14 @@ def bloom_prune_semi_join(
         "left",
     )
     matched = F.col("__bloom") & F.col("__dk").isNotNull()
+    zero = F.lit(0).cast("long")
     return flagged.agg(
         F.count(F.lit(1)).alias("n_fact"),
-        F.sum(F.col("__bloom").cast("long")).alias("n_bloom_pass"),
-        F.sum(matched.cast("long")).alias("n_exact"),
+        # coalesce: sum over an empty/fully-filtered fact is NULL, but
+        # these are counts — and the oracle's count(*)-based n_exact
+        # would diverge.
+        F.coalesce(F.sum(F.col("__bloom").cast("long")), zero).alias("n_bloom_pass"),
+        F.coalesce(F.sum(matched.cast("long")), zero).alias("n_exact"),
         F.round(F.sum(F.when(matched, F.col(measure).cast("double"))), 2).alias(
             "sum_measure"
         ),
@@ -224,11 +228,12 @@ exact AS (
   FROM probe WHERE pass AND fk IN (SELECT {dim_key} FROM build)
 )
 SELECT count(*) AS n_fact,
-       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(coalesce(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_bloom_pass,
        (SELECT n_exact FROM exact) AS n_exact,
-       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS BIGINT)
            - (SELECT n_exact FROM exact) AS n_false_pos,
-       round(CAST(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+       round(CAST(CAST(coalesce(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS BIGINT)
                   - (SELECT n_exact FROM exact) AS DOUBLE)
              / greatest(count(*) - (SELECT n_exact FROM exact), 1), 6) AS fp_rate,
        (SELECT sum_measure FROM exact) AS sum_measure

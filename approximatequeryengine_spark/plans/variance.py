@@ -56,7 +56,11 @@ def approx_stddev_ci(
 ) -> DataFrame:
     """1-row DataFrame: (n_samples, stddev, ci_lower, ci_upper)."""
     x = F.col(column).cast("double")
-    sampled = apply_sampling(df, spec).select(x.alias("x"))
+    # NULLs are excluded up front: a count(*)/null-skipping-sum mismatch
+    # would silently deflate every moment on a nullable column.
+    sampled = (
+        apply_sampling(df, spec).select(x.alias("x")).filter(F.col("x").isNotNull())
+    )
     first = sampled.agg(
         F.avg("x").alias("mu"), F.count("x").alias("n")
     ).collect()[0]
@@ -118,7 +122,11 @@ def approx_corr_ci(
     (n_samples, corr, ci_lower, ci_upper)."""
     x = F.col(col_x).cast("double")
     y = F.col(col_y).cast("double")
-    sampled = apply_sampling(df, spec).select(x.alias("x"), y.alias("y"))
+    sampled = (
+        apply_sampling(df, spec)
+        .select(x.alias("x"), y.alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
     mrow = sampled.agg(
         F.avg("x").alias("mx"), F.avg("y").alias("my"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
@@ -172,7 +180,8 @@ def approx_corr_ci_sql(
     where = sampling_where_sql(spec)
     return f"""
 WITH s AS (SELECT CAST({col_x} AS DOUBLE) AS x, CAST({col_y} AS DOUBLE) AS y
-           FROM {table} WHERE {where}),
+           FROM {table}
+           WHERE ({where}) AND {col_x} IS NOT NULL AND {col_y} IS NOT NULL),
 c AS (SELECT floor(avg(x) + 0.5) AS cx, floor(avg(y) + 0.5) AS cy FROM s),
 m AS (
   SELECT count(*) AS n,
@@ -236,6 +245,7 @@ def approx_ab_diff_ci(
         apply_sampling(df, spec)
         .filter(g.isin(group_a, group_b))
         .select(g.alias("g"), x.alias("x"))
+        .filter(F.col("x").isNotNull())
     )
     arms = {
         r["g"]: r
@@ -301,6 +311,7 @@ WITH s AS (
   SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS x
   FROM {table}
   WHERE ({where}) AND {group_col} IN ('{group_a}', '{group_b}')
+    AND {value_col} IS NOT NULL
 ),
 c AS (SELECT floor(avg(x) + 0.5) AS c FROM s),
 per AS (
@@ -334,7 +345,8 @@ def approx_stddev_ci_sql(
     """DuckDB oracle computing the identical two-pass moment algebra."""
     where = sampling_where_sql(spec)
     return f"""
-WITH s AS (SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {where}),
+WITH s AS (SELECT CAST({column} AS DOUBLE) AS x FROM {table}
+           WHERE ({where}) AND {column} IS NOT NULL),
 c AS (SELECT floor(avg(x) + 0.5) AS c FROM s),
 m AS (
   SELECT count(*) AS n,

@@ -847,11 +847,13 @@ def test_chunk_inventory_arithmetic(spark, engine, duck):
     rows = [
         (1, text300, "en", "s1", len(text300)),
         (2, short, "en", "s1", len(short)),
+        (3, "", "en", "s1", 0),  # empty doc → ZERO chunks, not one
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     row = curation.chunk_inventory(spark, docs).collect()[0]
+    assert row["n_docs"] == 3
     assert row["n_chunks"] == 3 + 1
     assert row["total_tokens"] == 300 + 5
     # emitted = 300 + 2*32 (long doc) + 5 (short doc)
@@ -892,17 +894,13 @@ def test_ingest_dedup_classifies_three_ways(spark, engine, duck):
     assert row["n_dup_batch"] == 1  # doc 22 (15 survives)
     assert row["n_new"] == 2  # docs 15, 37
     assert row["accept_rate"] == 0.5
+    from approximatequeryengine_spark.operators.dedup import ingest_dedup_stats_sql
+
     assert_df_matches_sql(
         ingest_dedup_stats(spark, engine.catalog.table("documents")),
         duck,
-        ingest_dedup_stats_sql_for_test(),
+        ingest_dedup_stats_sql(),
     )
-
-
-def ingest_dedup_stats_sql_for_test():
-    from approximatequeryengine_spark.operators.dedup import ingest_dedup_stats_sql
-
-    return ingest_dedup_stats_sql()
 
 
 def test_connected_clusters_resolve_transitive_dups(spark):
