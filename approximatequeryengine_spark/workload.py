@@ -777,6 +777,25 @@ def _ab_diff_oracle() -> str:
 _register("approx_ab_diff_ci", _ab_diff_fn, _ab_diff_oracle())
 
 
+def _outlier_sum_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-indexed SUM (plans/outlier.py): exact top-100 stratum +
+    HT-estimated remainder — the deterministic skew weapon
+    complementing PPS."""
+    from approximatequeryengine_spark.plans.outlier import outlier_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    return outlier_sum_ci(cat.table("orders"), "o_totalprice", "o_orderkey", 0.10)
+
+
+def _outlier_sum_oracle() -> str:
+    from approximatequeryengine_spark.plans.outlier import outlier_sum_ci_sql
+
+    return outlier_sum_ci_sql("orders", "o_totalprice", "o_orderkey", 0.10)
+
+
+_register("approx_sum_outlier_index", _outlier_sum_fn, _outlier_sum_oracle())
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY.md §7 phase 7 / north star): text
 # analysis, dedup, similarity search, multimodal plumbing, streaming.

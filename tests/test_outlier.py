@@ -1,0 +1,70 @@
+"""Outlier-indexed SUM estimation (plans/outlier.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.catalog import Catalog
+from approximatequeryengine_spark.plans.estimators import AggSpec, approx_aggregate
+from approximatequeryengine_spark.plans.outlier import (
+    outlier_sum_ci,
+    outlier_sum_ci_sql,
+)
+from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
+from tests.conftest import SF_DIR, assert_df_matches_sql
+
+
+def test_covers_exact_and_outliers_are_exact(spark, engine):
+    orders = engine.catalog.table("orders")
+    exact = orders.agg(
+        F.sum(F.col("o_totalprice").cast("double")).alias("s")
+    ).collect()[0]["s"]
+    row = outlier_sum_ci(orders, "o_totalprice", "o_orderkey", 0.2).collect()[0]
+    assert row["ci_lower"] <= exact <= row["ci_upper"]
+    assert row["n_outliers"] <= 100
+    # the outlier stratum is exact: it must equal the true sum of the
+    # rows above the threshold, i.e. estimate - rest-estimate
+    assert row["outlier_sum"] > 0
+    assert row["estimate"] == pytest.approx(exact, rel=0.05)
+
+
+def test_oracle_parity(spark, engine, duck):
+    assert_df_matches_sql(
+        outlier_sum_ci(engine.catalog.table("orders"), "o_totalprice", "o_orderkey", 0.2),
+        duck,
+        outlier_sum_ci_sql("orders", "o_totalprice", "o_orderkey", 0.2),
+    )
+
+
+def test_narrower_than_uniform_on_skew(spark):
+    """On heavy-tailed data the outlier index must beat plain uniform
+    sampling: average CI width over 8 salts strictly smaller, at the
+    same sampling budget."""
+    # ~1% giant rows worth ~100x the body
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 97 == 0, 10_000.0 + (F.col("id") % 7) * 1000)
+        .otherwise(10.0 + (F.col("id") % 13))
+        .alias("v"),
+    )
+    exact = df.agg(F.sum("v")).collect()[0][0]
+    widths_uni, widths_out, covers_out = [], [], 0
+    for salt in range(8):
+        spec = SamplingSpec(design="uniform_hash", fraction=0.1, key="k", salt=salt)
+        uni = approx_aggregate(
+            apply_sampling(df, spec), AggSpec("sum", "v")
+        ).collect()[0]
+        widths_uni.append(uni["ci_upper"] - uni["ci_lower"])
+        out = outlier_sum_ci(
+            df, "v", "k", 0.1, n_outliers=300, salt=salt
+        ).collect()[0]
+        widths_out.append(out["ci_upper"] - out["ci_lower"])
+        if out["ci_lower"] <= exact <= out["ci_upper"]:
+            covers_out += 1
+    assert sum(widths_out) / len(widths_out) < 0.5 * sum(widths_uni) / len(widths_uni)
+    assert covers_out >= 7
+
+
+def test_empty_input_raises(spark):
+    df = spark.range(0).select(F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="empty input"):
+        outlier_sum_ci(df, "v", "k", 0.5)
