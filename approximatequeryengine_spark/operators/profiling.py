@@ -1,0 +1,137 @@
+"""Dataset profiling operators — the pre-flight checks a pipeline runs
+before trusting a new table:
+
+- **Column profiler**: per column, row/null/distinct counts and numeric
+  min/max — the schema-drift and data-quality snapshot (a sudden jump
+  in null rate or distinct count is how upstream breakage is caught).
+- **RFM segmentation**: the classic recency/frequency/monetary customer
+  quintiles — per-(R,F) cell counts with monetary averages — the
+  standard behavioral rollup over an orders fact.
+
+Both are exact one-pass aggregates with DuckDB oracle renderings. The
+profiler computes every column's measures in ONE aggregate (Spark
+rewrites multi-distinct via a single Expand — one scan, |cols|×rows
+expanded in-memory, no per-column re-scan); min/max are reported for
+numeric columns only, because float→string rendering differs across
+engines and string collation is locale-trapped, while numeric min/max
+compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def profile_columns(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_val, max_val) — min/max as doubles for numeric columns, NULL
+    otherwise."""
+    cols = df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+        if dtypes[c].startswith(NUMERIC_TYPES):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        numeric = dtypes[c].startswith(NUMERIC_TYPES)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if numeric else F.lit(None).cast("double")).alias("min_val"),
+                (F.col(f"__max_{c}") if numeric else F.lit(None).cast("double")).alias("max_val"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
+def profile_columns_sql(table: str, cols: list[tuple[str, bool]]) -> str:
+    """DuckDB oracle: one UNION ALL branch per (column, is_numeric)."""
+    parts = []
+    for c, numeric in cols:
+        mn = f"CAST(min({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_val, {mx} AS max_val "
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"' 
+
+
+RFM_BUCKETS = 5
+
+
+def rfm_segments(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """Recency/Frequency/Monetary quintiles over the orders fact: per
+    customer compute last-order date, order count and total spend;
+    bucket each metric into ``RFM_BUCKETS`` ntiles (deterministic
+    tie-break on the customer key, identical ntile semantics in both
+    engines); report each (R, F) cell's customer count and average
+    monetary value — the marketing-standard behavioral matrix.
+
+    Plan shape: one shuffle on the customer key for the per-customer
+    rollup; the three ntile windows order the |customers| rollup (much
+    smaller than the fact) — at extreme customer counts swap ntile for
+    the grid-histogram bucketing, same downstream shape."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("double")).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(RFM_BUCKETS).over(r_w).alias("r_bucket"),
+        F.ntile(RFM_BUCKETS).over(f_w).alias("f_bucket"),
+        F.ntile(RFM_BUCKETS).over(m_w).alias("m_bucket"),
+    )
+    return (
+        scored.groupBy("r_bucket", "f_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+            F.round(F.avg("m_bucket"), 6).alias("avg_m_bucket"),
+        )
+        .orderBy("r_bucket", "f_bucket")
+    )
+
+
+def rfm_segments_sql() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DOUBLE)) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_bucket,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_bucket,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_bucket
+  FROM per_cust
+)
+SELECT r_bucket, f_bucket, count(*) AS n_customers,
+       round(avg(monetary), 2) AS avg_monetary,
+       round(avg(m_bucket), 6) AS avg_m_bucket
+FROM scored GROUP BY r_bucket, f_bucket ORDER BY r_bucket, f_bucket
+"""

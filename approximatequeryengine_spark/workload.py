@@ -1101,6 +1101,51 @@ def _key_skew_oracle() -> str:
 _register("profile_join_key_skew", _key_skew_fn, _key_skew_oracle())
 
 
+_LINEITEM_PROFILE_COLS = [
+    ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+    ("l_linenumber", True), ("l_quantity", True), ("l_extendedprice", True),
+    ("l_discount", True), ("l_tax", True), ("l_returnflag", False),
+    ("l_linestatus", False), ("l_shipdate", False),
+]
+
+
+def _profile_cols_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (operators/profiling.py): the schema-drift /
+    data-quality snapshot — per-column null, distinct, numeric min/max
+    counts from ONE aggregate."""
+    from approximatequeryengine_spark.operators.profiling import profile_columns
+
+    cat = _catalog(spark, sf_dir)
+    return profile_columns(spark, cat.table("lineitem"))
+
+
+def _profile_cols_oracle() -> str:
+    from approximatequeryengine_spark.operators.profiling import profile_columns_sql
+
+    return profile_columns_sql("lineitem", _LINEITEM_PROFILE_COLS)
+
+
+_register("profile_table_columns", _profile_cols_fn, _profile_cols_oracle())
+
+
+def _rfm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/profiling.py): recency /
+    frequency / monetary quintiles over the orders fact."""
+    from approximatequeryengine_spark.operators.profiling import rfm_segments
+
+    cat = _catalog(spark, sf_dir)
+    return rfm_segments(spark, cat.table("orders"))
+
+
+def _rfm_oracle() -> str:
+    from approximatequeryengine_spark.operators.profiling import rfm_segments_sql
+
+    return rfm_segments_sql()
+
+
+_register("customers_rfm_segments", _rfm_fn, _rfm_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Sample-based DISTINCT-count estimation (Chao1). The naive "count
 # distinct in the sample" severely underestimates (unseen values); the

@@ -1,0 +1,74 @@
+"""Dataset profiling operators (operators/profiling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.operators.profiling import (
+    RFM_BUCKETS,
+    profile_columns,
+    profile_columns_sql,
+    rfm_segments,
+    rfm_segments_sql,
+)
+from tests.conftest import assert_df_matches_sql
+
+
+def test_profile_detects_nulls_and_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, None), (4, 7.5, "b")],
+        "k long, v double, s string",
+    )
+    got = {r["column"]: r for r in profile_columns(spark, df).collect()}
+    assert set(got) == {"k", "v", "s"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["v"]["min_val"] == 2.5 and got["v"]["max_val"] == 7.5
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_val"] is None  # non-numeric: no min/max
+    assert got["k"]["min_val"] == 1.0 and got["k"]["max_val"] == 4.0
+
+
+def test_profile_single_scan(spark, engine):
+    """All columns' measures must come from one pass over the data —
+    no per-column re-scan."""
+    import re
+
+    df = profile_columns(spark, engine.catalog.table("lineitem"))
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    assert len(re.findall(r"Scan parquet", final)) == 1
+
+
+def test_profile_oracle_parity(spark, engine, duck):
+    from approximatequeryengine_spark.workload import _LINEITEM_PROFILE_COLS
+
+    assert_df_matches_sql(
+        profile_columns(spark, engine.catalog.table("lineitem")),
+        duck,
+        profile_columns_sql("lineitem", _LINEITEM_PROFILE_COLS),
+    )
+
+
+def test_rfm_invariants_and_parity(spark, engine, duck):
+    orders = engine.catalog.table("orders")
+    rows = rfm_segments(spark, orders).collect()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_bucket"] <= RFM_BUCKETS
+        assert 1 <= r["f_bucket"] <= RFM_BUCKETS
+        assert r["avg_monetary"] > 0
+    # high-frequency customers should spend more on average than
+    # low-frequency ones (frequency and monetary are correlated)
+    f1 = [r for r in rows if r["f_bucket"] == 1]
+    f5 = [r for r in rows if r["f_bucket"] == RFM_BUCKETS]
+    avg1 = sum(r["n_customers"] * r["avg_monetary"] for r in f1) / sum(
+        r["n_customers"] for r in f1
+    )
+    avg5 = sum(r["n_customers"] * r["avg_monetary"] for r in f5) / sum(
+        r["n_customers"] for r in f5
+    )
+    assert avg1 > avg5
+    assert_df_matches_sql(rfm_segments(spark, orders), duck, rfm_segments_sql())
