@@ -48,6 +48,13 @@ from approximatequeryengine_spark.plans.sampling import (
 )
 
 
+def _int_center(v: float) -> float:
+    """The engine-portable integer quantization of a float mean — the
+    same floor(v + 0.5) both oracles spell (Python round() is banker's
+    rounding, which DuckDB's floor(x + 0.5) is not)."""
+    return float(math.floor(v + 0.5))
+
+
 def approx_stddev_ci(
     df: DataFrame,
     column: str,
@@ -68,7 +75,7 @@ def approx_stddev_ci(
         raise ValueError(
             "stddev needs at least 2 sampled non-null rows; increase the fraction"
         )
-    c = float(math.floor(first["mu"] + 0.5))
+    c = _int_center(first["mu"])
     d = F.col("x") - F.lit(c)
     m = sampled.agg(
         F.count(F.lit(1)).alias("n"),
@@ -135,8 +142,8 @@ def approx_corr_ci(
             "corr needs more than 3 sampled rows for the Fisher-z "
             "interval; increase the fraction"
         )
-    cx = float(math.floor(mrow["mx"] + 0.5))
-    cy = float(math.floor(mrow["my"] + 0.5))
+    cx = _int_center(mrow["mx"])
+    cy = _int_center(mrow["my"])
     dx = F.col("x") - F.lit(cx)
     dy = F.col("y") - F.lit(cy)
     m = sampled.agg(
@@ -263,7 +270,7 @@ def approx_ab_diff_ci(
     # difference vs the oracle's direct avg).
     n_tot = sum(arms[a]["n"] for a in (group_a, group_b))
     mu = sum(arms[a]["n"] * arms[a]["m"] for a in (group_a, group_b)) / n_tot
-    c = float(math.floor(mu + 0.5))
+    c = _int_center(mu)
     d = F.col("x") - F.lit(c)
     per = sampled.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
