@@ -360,17 +360,32 @@ class AQEngine:
         """STDDEV: sampled standard deviation with the fourth-moment
         CLT CI (plans/variance.py); exact mode = ``stddev_samp`` over
         the full data."""
+        if not spec.column:
+            raise ValueError("STDDEV requires a column")
         if spec.group_by:
             if not approx:
                 # Plain grouped STDDEV is ordinary Spark SQL — don't
                 # regress the passthrough the grammar widening captured.
                 return self._passthrough_exact(spec, t0)
-            raise ValueError(
-                "APPROX(STDDEV(...)) does not support GROUP BY; use "
-                "spark.sql with stddev_samp(...) instead"
+            from approximatequeryengine_spark.plans.variance import (
+                approx_grouped_stddev_ci,
             )
-        if not spec.column:
-            raise ValueError("STDDEV requires a column")
+
+            s_spec = self._sampling_spec(
+                spec, "uniform_hash", (sample_pct or 10.0) / 100.0
+            )
+            rdf = approx_grouped_stddev_ci(
+                self._base_df(spec), spec.column, spec.group_by, s_spec, z=z
+            )
+            res = ApproxResult(
+                df=rdf,
+                method="moment",
+                fraction=s_spec.realized_fraction(),
+                status=ApproximationStatus.STABLE,
+                computation_time=time.time() - t0,
+            )
+            res.confidence_level = confidence
+            return res
         if not approx:
             rdf = self._base_df(spec).agg(
                 F.stddev_samp(F.col(spec.column).cast("double")).alias("stddev")

@@ -109,6 +109,109 @@ def approx_stddev_ci(
     )
 
 
+def approx_grouped_stddev_ci(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> DataFrame:
+    """Per-group sampled standard deviation with the fourth-moment CI —
+    one row per group: (group, n_samples, stddev, ci_lower, ci_upper).
+
+    The centered-moment algebra ``s² = (Σd² − n·d̄²)/(n−1)`` is exact
+    for ANY constant center, so a single GLOBAL integer center serves
+    every group — no per-group center collection, just the same 1-row
+    first pass as the global estimator followed by ONE grouped
+    aggregate (per-group m₄ about the shared center inherits the same
+    O(d̄/s) approximation the global estimator documents). Groups with
+    n < 2 fall back to a degenerate [sd, sd] interval via the n-guard,
+    mirroring ``_ci_columns``."""
+    x = F.col(column).cast("double")
+    sampled = (
+        apply_sampling(df, spec)
+        .select(F.col(group_col), x.alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    first = sampled.agg(F.avg("x").alias("mu")).collect()[0]
+    if first["mu"] is None:
+        raise ValueError("empty sample; increase the fraction")
+    c = _int_center(first["mu"])
+    d = F.col("x") - F.lit(c)
+    m = sampled.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(d).alias("d1"),
+        F.sum(d * d).alias("sd2"),
+        F.avg(d * d * d * d).alias("m4"),
+    )
+    n = F.col("n")
+    s2 = F.when(
+        n >= 2,
+        F.greatest(F.col("sd2") - n * F.col("d1") * F.col("d1"), F.lit(0.0)) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    var_s2 = (
+        F.greatest(F.col("m4") - s2 * s2 * (n - 3) / (n - 1), F.lit(0.0)) / n
+    )
+    sd = F.sqrt(s2)
+    half = F.when(
+        (sd > 0) & (n > 3), F.lit(z) * F.sqrt(var_s2) / (F.lit(2.0) * sd)
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        F.col(group_col),
+        n.cast("long").alias("n_samples"),
+        F.round(sd, 4).alias("stddev"),
+        F.round(F.greatest(sd - half, F.lit(0.0)), 4).alias("ci_lower"),
+        F.round(sd + half, 4).alias("ci_upper"),
+    ).orderBy(group_col)
+
+
+def approx_grouped_stddev_ci_sql(
+    table: str,
+    column: str,
+    group_col: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> str:
+    """DuckDB oracle for :func:`approx_grouped_stddev_ci` — the same
+    shared global center and per-group moment algebra."""
+    where = sampling_where_sql(spec)
+    return f"""
+WITH s AS (SELECT {group_col} AS g, CAST({column} AS DOUBLE) AS x
+           FROM {table}
+           WHERE ({where}) AND {column} IS NOT NULL),
+c AS (SELECT floor(avg(x) + 0.5) AS c FROM s),
+m AS (
+  SELECT g, count(*) AS n,
+         avg(x - (SELECT c FROM c)) AS d1,
+         sum((x - (SELECT c FROM c)) * (x - (SELECT c FROM c))) AS sd2,
+         avg((x - (SELECT c FROM c)) * (x - (SELECT c FROM c))
+             * (x - (SELECT c FROM c)) * (x - (SELECT c FROM c))) AS m4
+  FROM s GROUP BY g
+),
+v AS (
+  SELECT g, n,
+         CASE WHEN n >= 2
+              THEN greatest(sd2 - n * d1 * d1, 0.0) / (n - 1)
+              ELSE 0.0 END AS s2,
+         m4
+  FROM m
+),
+h AS (
+  SELECT g, n, sqrt(s2) AS sd,
+         CASE WHEN sqrt(s2) > 0 AND n > 3
+              THEN {z!r} * sqrt(greatest(m4 - s2 * s2 * (n - 3) / (n - 1), 0.0) / n)
+                   / (2.0 * sqrt(s2))
+              ELSE 0.0 END AS half
+  FROM v
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_samples,
+       round(sd, 4) AS stddev,
+       round(greatest(sd - half, 0.0), 4) AS ci_lower,
+       round(sd + half, 4) AS ci_upper
+FROM h ORDER BY g
+"""
+
+
 def approx_corr_ci(
     df: DataFrame,
     col_x: str,

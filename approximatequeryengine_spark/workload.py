@@ -753,6 +753,33 @@ def _corr_oracle() -> str:
 _register("approx_corr_ci", _corr_fn, _corr_oracle())
 
 
+def _grouped_stddev_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sampled stddev with fourth-moment CIs — the dialect's
+    grouped APPROX(STDDEV(col)) route (shared global integer center,
+    one grouped aggregate)."""
+    from approximatequeryengine_spark.plans.variance import approx_grouped_stddev_ci
+
+    cat = _catalog(spark, sf_dir)
+    return approx_grouped_stddev_ci(
+        cat.table("lineitem"), "l_extendedprice", "l_returnflag",
+        SamplingSpec(design="uniform_hash", fraction=0.15, key=_LKEY),
+    )
+
+
+def _grouped_stddev_oracle() -> str:
+    from approximatequeryengine_spark.plans.variance import (
+        approx_grouped_stddev_ci_sql,
+    )
+
+    return approx_grouped_stddev_ci_sql(
+        "lineitem", "l_extendedprice", "l_returnflag",
+        SamplingSpec(design="uniform_hash", fraction=0.15, key=_LKEY),
+    )
+
+
+_register("approx_grouped_stddev_ci", _grouped_stddev_fn, _grouped_stddev_oracle())
+
+
 def _ab_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled A/B mean-difference readout with a Welch CI
     (plans/variance.py): purchase vs click event values."""

@@ -83,8 +83,12 @@ def test_dialect_route(engine):
     exact = engine.run("SELECT STDDEV(l_extendedprice) FROM lineitem")
     assert exact.status.name == "EXACT"
     assert res.ci_lower <= exact.value <= res.ci_upper
-    with pytest.raises(ValueError, match="GROUP BY"):
-        engine.run("SELECT APPROX(STDDEV(value)) FROM events GROUP BY event_type")
+    # grouped APPROX(STDDEV) routes to the per-group moment estimator
+    grouped = engine.run(
+        "SELECT APPROX(STDDEV(value)) FROM events GROUP BY event_type",
+        sample_pct=50,
+    )
+    assert grouped.method == "moment" and grouped.df.count() == 5
     # still-unsupported aggregates keep raising the dialect error
     with pytest.raises(ValueError, match="APPROX dialect supports"):
         engine.run("SELECT APPROX(SKEWNESS(l_extendedprice)) FROM lineitem")
@@ -231,3 +235,45 @@ def test_native_approx_percentile_passthrough_preserved(engine):
     assert res.method == "spark_sql"
     v = res.df.collect()[0]["p"]
     assert v is not None and v > 0
+
+
+def test_grouped_stddev_covers_per_group(spark, lineitem, duck):
+    from approximatequeryengine_spark.plans.variance import (
+        approx_grouped_stddev_ci,
+        approx_grouped_stddev_ci_sql,
+    )
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.3, key=SPEC.key)
+    exact = {
+        r["l_returnflag"]: r["s"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.stddev_samp(F.col("l_extendedprice").cast("double")).alias("s"))
+        .collect()
+    }
+    rows = approx_grouped_stddev_ci(
+        lineitem, "l_extendedprice", "l_returnflag", spec
+    ).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    covered = sum(
+        1 for r in rows if r["ci_lower"] <= exact[r["l_returnflag"]] <= r["ci_upper"]
+    )
+    assert covered == len(rows)  # 30% sample: every group's CI covers
+    assert_df_matches_sql(
+        approx_grouped_stddev_ci(lineitem, "l_extendedprice", "l_returnflag", spec),
+        duck,
+        approx_grouped_stddev_ci_sql(
+            "lineitem", "l_extendedprice", "l_returnflag", spec
+        ),
+    )
+
+
+def test_grouped_stddev_dialect_route(engine):
+    res = engine.run(
+        "SELECT APPROX(STDDEV(l_extendedprice)) FROM lineitem GROUP BY l_returnflag",
+        sample_pct=30,
+    )
+    assert res.method == "moment"
+    rows = res.df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["ci_lower"] <= r["stddev"] <= r["ci_upper"]
