@@ -148,7 +148,24 @@ class AQEngine:
         agg = AggSpec(func=spec.agg.lower(), column=spec.column)
         s_spec = self._sampling_spec(spec, minfo["design"], fraction)
 
-        if minfo.get("pps"):
+        if minfo.get("outlier"):
+            from approximatequeryengine_spark.plans.outlier import outlier_sum_ci
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='outlier' supports a global SUM only; use the "
+                    "closed-form methods for AVG/COUNT/GROUP BY"
+                )
+            rdf = outlier_sum_ci(
+                self._base_df(spec),
+                spec.column,
+                self.catalog.unique_key(spec.table),
+                fraction,
+                z=z,
+            )
+            rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
+        elif minfo.get("pps"):
             from approximatequeryengine_spark.plans.pps import pps_sum_ci
 
             if spec.agg != "SUM" or spec.group_by:

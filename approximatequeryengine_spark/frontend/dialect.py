@@ -250,6 +250,15 @@ METHODS: dict[str, dict] = {
         "hash subsamples + Poisson(1/f) replicate weights — full-size "
         "resample error assessment from a fraction of the data.",
     },
+    "outlier": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "outlier": True,
+        "description": "Outlier-indexed SUM (ICDE'01): the top-B values "
+        "kept exactly, only the well-behaved remainder sampled — "
+        "narrowest CI per sampled row on heavy-tailed data, the "
+        "deterministic complement to PPS.",
+    },
 }
 
 

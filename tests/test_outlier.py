@@ -68,3 +68,21 @@ def test_empty_input_raises(spark):
     df = spark.range(0).select(F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match="empty input"):
         outlier_sum_ci(df, "v", "k", 0.5)
+
+
+def test_outlier_method_via_engine(engine):
+    res = engine.run(
+        "SELECT APPROX(SUM(o_totalprice)) FROM orders",
+        sample_pct=20,
+        method="outlier",
+    )
+    assert res.method == "outlier"
+    exact = engine.run("SELECT SUM(o_totalprice) FROM orders")
+    assert res.ci_lower <= exact.value <= res.ci_upper
+    assert res.samples_used > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="global SUM only"):
+        engine.run(
+            "SELECT APPROX(AVG(o_totalprice)) FROM orders", method="outlier"
+        )
