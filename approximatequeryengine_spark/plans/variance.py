@@ -278,6 +278,116 @@ def approx_corr_ci(
     )
 
 
+def approx_grouped_corr_ci(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    group_col: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> DataFrame:
+    """Per-group sampled Pearson correlation with Fisher-z intervals —
+    the grouped twin of :func:`approx_corr_ci`, using the same
+    shared-global-center trick as :func:`approx_grouped_stddev_ci`
+    (cross/self moment algebra is exact for any constant centers):
+    one 1-row first pass, then ONE grouped aggregate. Groups with n ≤ 3
+    or a degenerate arm report NULL interval columns."""
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    sampled = (
+        apply_sampling(df, spec)
+        .select(F.col(group_col), x.alias("x"), y.alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    mrow = sampled.agg(F.avg("x").alias("mx"), F.avg("y").alias("my")).collect()[0]
+    if mrow["mx"] is None or mrow["my"] is None:
+        raise ValueError("empty sample; increase the fraction")
+    cx, cy = _int_center(mrow["mx"]), _int_center(mrow["my"])
+    dx = F.col("x") - F.lit(cx)
+    dy = F.col("y") - F.lit(cy)
+    m = sampled.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(dx).alias("dx1"),
+        F.avg(dy).alias("dy1"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - n * F.col("dx1") * F.col("dy1")) / (n - 1)
+    vx = (F.col("sxx") - n * F.col("dx1") * F.col("dx1")) / (n - 1)
+    vy = (F.col("syy") - n * F.col("dy1") * F.col("dy1")) / (n - 1)
+    r = F.when((n > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    zr = F.when((n > 3) & (F.abs(r) < 1), F.lit(0.5) * F.log((1 + r) / (1 - r)))
+    # n ≤ 3 groups: NULL half (DuckDB's sqrt raises on negatives where
+    # Spark silently yields NaN — same cross-engine trap as the global
+    # estimator's guards).
+    half = F.when(n > 3, F.lit(z) / F.sqrt(n - 3))
+    lo_e = F.exp(F.lit(2.0) * (zr - half))
+    hi_e = F.exp(F.lit(2.0) * (zr + half))
+    return m.select(
+        F.col(group_col),
+        n.cast("long").alias("n_samples"),
+        F.round(r, 6).alias("corr"),
+        F.round((lo_e - 1) / (lo_e + 1), 6).alias("ci_lower"),
+        F.round((hi_e - 1) / (hi_e + 1), 6).alias("ci_upper"),
+    ).orderBy(group_col)
+
+
+def approx_grouped_corr_ci_sql(
+    table: str,
+    col_x: str,
+    col_y: str,
+    group_col: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+) -> str:
+    """DuckDB oracle for :func:`approx_grouped_corr_ci`."""
+    where = sampling_where_sql(spec)
+    return f"""
+WITH s AS (SELECT {group_col} AS g, CAST({col_x} AS DOUBLE) AS x,
+                  CAST({col_y} AS DOUBLE) AS y
+           FROM {table}
+           WHERE ({where}) AND {col_x} IS NOT NULL AND {col_y} IS NOT NULL),
+c AS (SELECT floor(avg(x) + 0.5) AS cx, floor(avg(y) + 0.5) AS cy FROM s),
+m AS (
+  SELECT g, count(*) AS n,
+         avg(x - (SELECT cx FROM c)) AS dx1,
+         avg(y - (SELECT cy FROM c)) AS dy1,
+         sum((x - (SELECT cx FROM c)) * (x - (SELECT cx FROM c))) AS sxx,
+         sum((y - (SELECT cy FROM c)) * (y - (SELECT cy FROM c))) AS syy,
+         sum((x - (SELECT cx FROM c)) * (y - (SELECT cy FROM c))) AS sxy
+  FROM s GROUP BY g
+),
+v AS (
+  SELECT g, n,
+         (sxy - n * dx1 * dy1) / (n - 1) AS cov,
+         (sxx - n * dx1 * dx1) / (n - 1) AS vx,
+         (syy - n * dy1 * dy1) / (n - 1) AS vy
+  FROM m
+),
+f AS (
+  SELECT g, n,
+         CASE WHEN n > 1 AND vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END AS r,
+         CASE WHEN n > 3 THEN {z!r} / sqrt(n - 3) END AS half
+  FROM v
+),
+gg AS (
+  SELECT g, n, r, half,
+         CASE WHEN n > 3 AND abs(r) < 1
+              THEN 0.5 * ln((1 + r) / (1 - r)) END AS zr
+  FROM f
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_samples,
+       round(r, 6) AS corr,
+       round((exp(2.0 * (zr - half)) - 1) / (exp(2.0 * (zr - half)) + 1), 6)
+           AS ci_lower,
+       round((exp(2.0 * (zr + half)) - 1) / (exp(2.0 * (zr + half)) + 1), 6)
+           AS ci_upper
+FROM gg ORDER BY g
+"""
+
+
 def approx_corr_ci_sql(
     table: str,
     col_x: str,

@@ -780,6 +780,33 @@ def _grouped_stddev_oracle() -> str:
 _register("approx_grouped_stddev_ci", _grouped_stddev_fn, _grouped_stddev_oracle())
 
 
+def _grouped_corr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sampled Pearson correlation with Fisher-z intervals
+    (plans/variance.py) — shared-global-center grouped twin of
+    approx_corr_ci."""
+    from approximatequeryengine_spark.plans.variance import approx_grouped_corr_ci
+
+    cat = _catalog(spark, sf_dir)
+    return approx_grouped_corr_ci(
+        cat.table("lineitem"), "l_quantity", "l_extendedprice", "l_returnflag",
+        SamplingSpec(design="uniform_hash", fraction=0.15, key=_LKEY),
+    )
+
+
+def _grouped_corr_oracle() -> str:
+    from approximatequeryengine_spark.plans.variance import (
+        approx_grouped_corr_ci_sql,
+    )
+
+    return approx_grouped_corr_ci_sql(
+        "lineitem", "l_quantity", "l_extendedprice", "l_returnflag",
+        SamplingSpec(design="uniform_hash", fraction=0.15, key=_LKEY),
+    )
+
+
+_register("approx_grouped_corr_ci", _grouped_corr_fn, _grouped_corr_oracle())
+
+
 def _ab_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled A/B mean-difference readout with a Welch CI
     (plans/variance.py): purchase vs click event values."""

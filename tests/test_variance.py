@@ -277,3 +277,71 @@ def test_grouped_stddev_dialect_route(engine):
     assert len(rows) == 3
     for r in rows:
         assert r["ci_lower"] <= r["stddev"] <= r["ci_upper"]
+
+
+def test_grouped_corr_covers_and_handles_tiny_groups(spark, lineitem, duck):
+    from approximatequeryengine_spark.plans.variance import (
+        approx_grouped_corr_ci,
+        approx_grouped_corr_ci_sql,
+    )
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.3, key=SPEC.key)
+    exact = {
+        r["l_returnflag"]: r["r"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(
+            F.corr(
+                F.col("l_quantity").cast("double"),
+                F.col("l_extendedprice").cast("double"),
+            ).alias("r")
+        )
+        .collect()
+    }
+    rows = approx_grouped_corr_ci(
+        lineitem, "l_quantity", "l_extendedprice", "l_returnflag", spec
+    ).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["ci_lower"] <= exact[r["l_returnflag"]] <= r["ci_upper"]
+    assert_df_matches_sql(
+        approx_grouped_corr_ci(
+            lineitem, "l_quantity", "l_extendedprice", "l_returnflag", spec
+        ),
+        duck,
+        approx_grouped_corr_ci_sql(
+            "lineitem", "l_quantity", "l_extendedprice", "l_returnflag", spec
+        ),
+    )
+    # a 1-row group must yield NULL corr/CI, not a crash, in BOTH engines
+    duck.execute(
+        "CREATE OR REPLACE VIEW tiny_t AS "
+        "SELECT range AS k, CASE WHEN range = 0 THEN 'solo' ELSE 'rest' END AS g, "
+        "CAST(range AS DOUBLE) AS x, CAST(range * 2 AS DOUBLE) AS y FROM range(50)"
+    )
+    tiny = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 0, "solo").otherwise("rest").alias("g"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+    )
+    tiny_spec = SamplingSpec(design="none", key="k")
+    got = {
+        r["g"]: r
+        for r in approx_grouped_corr_ci(tiny, "x", "y", "g", tiny_spec).collect()
+    }
+    assert got["solo"]["corr"] is None and got["solo"]["ci_lower"] is None
+    # perfectly-correlated group: r = 1 exactly, where atanh diverges —
+    # the |r| < 1 guard yields NULL interval bounds by design
+    assert got["rest"]["corr"] == pytest.approx(1.0, abs=1e-6)
+    assert got["rest"]["ci_lower"] is None
+    # None-safe parity check (the conftest comparator's plain sort
+    # can't order None against float; the driver's own hasher can)
+    sdf = approx_grouped_corr_ci(tiny, "x", "y", "g", tiny_spec)
+    cols = sorted(sdf.columns)
+    key = lambda row: tuple((v is None, str(v)) for v in row)
+    srows = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=key)
+    res = duck.execute(approx_grouped_corr_ci_sql("tiny_t", "x", "y", "g", tiny_spec))
+    dcols = [d[0] for d in res.description]
+    idx = [dcols.index(c) for c in cols]
+    drows = sorted((tuple(r[i] for i in idx) for r in res.fetchall()), key=key)
+    assert srows == drows
