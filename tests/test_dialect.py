@@ -124,7 +124,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "outlier"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
