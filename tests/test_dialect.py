@@ -352,3 +352,23 @@ def test_grouped_adaptive_via_engine(spark):
         half = (row["ci_upper"] - row["ci_lower"]) / 2.0
         # converged (or hit fraction 1.0, where the CI is still honest)
         assert half <= 0.021 * est or r.fraction == 1.0, (row, r.fraction)
+
+
+def test_tablesample_works_with_new_aggregates(spark):
+    """TABLESAMPLE (p PERCENT) must route the round-3 aggregates
+    (PERCENTILE / STDDEV / CORR) through their sampled estimators."""
+    from approximatequeryengine_spark import AQEngine
+
+    eng = AQEngine(spark, "/root/testdata/sf0.001")
+    r = eng.run(
+        "SELECT STDDEV(l_extendedprice) FROM lineitem TABLESAMPLE (20 PERCENT)"
+    )
+    assert r.method == "moment" and r.ci_lower <= r.value <= r.ci_upper
+    r2 = eng.run(
+        "SELECT PERCENTILE(l_extendedprice, 0.9) FROM lineitem TABLESAMPLE (20 PERCENT)"
+    )
+    assert r2.method == "quantile" and r2.ci_lower <= r2.value <= r2.ci_upper
+    r3 = eng.run(
+        "SELECT CORR(l_quantity, l_extendedprice) FROM lineitem TABLESAMPLE (20 PERCENT)"
+    )
+    assert r3.method == "fisher_z" and r3.ci_lower <= r3.value <= r3.ci_upper

@@ -86,3 +86,21 @@ def test_outlier_method_via_engine(engine):
         engine.run(
             "SELECT APPROX(AVG(o_totalprice)) FROM orders", method="outlier"
         )
+
+
+def test_fraction_one_degenerates_to_exact(spark, engine, duck):
+    """At fraction 1.0 every remainder row is sampled with p=1: the HT
+    estimate IS the plain sum and the variance moment vanishes, so the
+    operator must return the exact SUM with a zero-width interval —
+    in both engines."""
+    orders = engine.catalog.table("orders")
+    exact = orders.agg(
+        F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("s")
+    ).collect()[0]["s"]
+    row = outlier_sum_ci(orders, "o_totalprice", "o_orderkey", 1.0).collect()[0]
+    assert row["estimate"] == exact
+    assert row["ci_lower"] == row["estimate"] == row["ci_upper"]
+    drow = duck.execute(
+        outlier_sum_ci_sql("orders", "o_totalprice", "o_orderkey", 1.0)
+    ).fetchone()
+    assert drow[0] == row["estimate"] and drow[1] == drow[2] == drow[0]
