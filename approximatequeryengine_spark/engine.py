@@ -441,15 +441,31 @@ class AQEngine:
         """CORR(x, y): sampled Pearson correlation with the Fisher-z
         interval (plans/variance.py); exact mode = ``corr`` over the
         full data."""
+        if not spec.column or not spec.column2:
+            raise ValueError("CORR requires two columns: CORR(x, y)")
         if spec.group_by:
             if not approx:
                 return self._passthrough_exact(spec, t0)
-            raise ValueError(
-                "APPROX(CORR(...)) does not support GROUP BY; use "
-                "spark.sql with corr(...) instead"
+            from approximatequeryengine_spark.plans.variance import (
+                approx_grouped_corr_ci,
             )
-        if not spec.column or not spec.column2:
-            raise ValueError("CORR requires two columns: CORR(x, y)")
+
+            s_spec = self._sampling_spec(
+                spec, "uniform_hash", (sample_pct or 10.0) / 100.0
+            )
+            rdf = approx_grouped_corr_ci(
+                self._base_df(spec), spec.column, spec.column2,
+                spec.group_by, s_spec, z=z,
+            )
+            res = ApproxResult(
+                df=rdf,
+                method="fisher_z",
+                fraction=s_spec.realized_fraction(),
+                status=ApproximationStatus.STABLE,
+                computation_time=time.time() - t0,
+            )
+            res.confidence_level = confidence
+            return res
         if not approx:
             rdf = self._base_df(spec).agg(
                 F.corr(

@@ -141,14 +141,26 @@ def parse_query(query: str) -> QuerySpec | None:
     q: float | None = None
     column2: str | None = None
     if agg.upper() == "PERCENTILE":
+        # Spark has a native interpolating percentile() whose name
+        # resolves case-insensitively — so, mirroring _APPROX_PCTL, only
+        # the exact uppercase dialect spelling is intercepted for plain
+        # (non-APPROX) queries; `percentile(col, q)` in any other casing
+        # passes through to the builtin untouched. Inside an APPROX(...)
+        # wrapper the user has opted into the dialect, any casing routes.
+        if not is_approx and agg != "PERCENTILE":
+            return None
+        # Arguments the dialect can't handle (missing/non-numeric q, or
+        # q outside (0, 1) where the order-statistic CI is undefined)
+        # are NOT an error: return None so the query falls through to
+        # spark.sql — e.g. PERCENTILE(col, 1.0) is valid native Spark.
         if q_arg is None:
-            raise ValueError("PERCENTILE requires a quantile: PERCENTILE(col, q)")
+            return None
         try:
             q = float(q_arg)
         except ValueError:
-            raise ValueError(f"PERCENTILE q must be numeric, got {q_arg!r}") from None
+            return None
         if not 0.0 < q < 1.0:
-            raise ValueError(f"PERCENTILE q must be in (0, 1), got {q}")
+            return None
     if agg.upper() == "CORR":
         if q_arg is None:
             raise ValueError("CORR requires two columns: CORR(x, y)")

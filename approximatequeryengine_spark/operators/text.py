@@ -706,12 +706,17 @@ def unigram_logprob_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "token",
         F.log((F.col("c") + 1) / (F.col("n_total") + F.col("v"))).alias("lp"),
     )
+    # doc_lp and g are rounded to 9 decimals BEFORE the below-mean
+    # comparison: both carry engine- and fold-order-dependent float
+    # summation noise (~1 ulp), and a document landing exactly on the
+    # global mean would otherwise flip n_below_global between engines —
+    # the same determinism discipline as the integer centers elsewhere.
     per_doc = (
         toks.join(F.broadcast(model), on="token")
         .groupBy("doc_id", "lang")
-        .agg(F.avg("lp").alias("doc_lp"))
+        .agg(F.round(F.avg("lp"), 9).alias("doc_lp"))
     )
-    global_mean = per_doc.agg(F.avg("doc_lp").alias("g"))
+    global_mean = per_doc.agg(F.round(F.avg("doc_lp"), 9).alias("g"))
     return (
         per_doc.crossJoin(F.broadcast(global_mean))
         .groupBy("lang")
@@ -746,11 +751,11 @@ model AS (
   FROM freqs
 ),
 per_doc AS (
-  SELECT t.doc_id, t.lang, avg(m.lp) AS doc_lp
+  SELECT t.doc_id, t.lang, round(avg(m.lp), 9) AS doc_lp
   FROM tok t JOIN model m USING (token)
   GROUP BY t.doc_id, t.lang
 ),
-g AS (SELECT avg(doc_lp) AS g FROM per_doc)
+g AS (SELECT round(avg(doc_lp), 9) AS g FROM per_doc)
 SELECT lang, count(*) AS n_docs,
        round(avg(doc_lp), 6) AS avg_logprob,
        CAST(sum(CASE WHEN doc_lp < (SELECT g FROM g) THEN 1 ELSE 0 END)

@@ -87,9 +87,24 @@ def bloom_probe_column(
     """Boolean probe expression from collected ``(word_idx, word)``
     rows: true iff every one of the ``k`` probed bits is set. Pure
     integer arithmetic in whole-stage codegen — the filter rides the
-    scan like any pushed predicate."""
-    dense = [0] * (m_bits // WORD_BITS)
+    scan like any pushed predicate.
+
+    ``m_bits`` must match the build side exactly and be a multiple of
+    ``WORD_BITS`` (same guard as ``bloom_build_words``): with a
+    mismatched or ragged sizing, probe positions in the final partial
+    word would index past the dense array, ``element_at`` would return
+    NULL, and member rows would be SILENTLY dropped — false negatives,
+    violating the filter's core invariant."""
+    if m_bits % WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    n_words = m_bits // WORD_BITS
+    dense = [0] * n_words
     for idx, word in words:
+        if not 0 <= int(idx) < n_words:
+            raise ValueError(
+                f"word_idx {idx} out of range for m_bits={m_bits} "
+                f"({n_words} words) — probe sizing must match the build side"
+            )
         dense[int(idx)] = int(word)
     arr = F.array(*[F.lit(w).cast("long") for w in dense])
     key = key.cast("long")

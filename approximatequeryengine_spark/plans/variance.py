@@ -119,29 +119,43 @@ def approx_grouped_stddev_ci(
     """Per-group sampled standard deviation with the fourth-moment CI —
     one row per group: (group, n_samples, stddev, ci_lower, ci_upper).
 
-    The centered-moment algebra ``s² = (Σd² − n·d̄²)/(n−1)`` is exact
-    for ANY constant center, so a single GLOBAL integer center serves
-    every group — no per-group center collection, just the same 1-row
-    first pass as the global estimator followed by ONE grouped
-    aggregate (per-group m₄ about the shared center inherits the same
-    O(d̄/s) approximation the global estimator documents). Groups with
-    n < 2 fall back to a degenerate [sd, sd] interval via the n-guard,
-    mirroring ``_ci_columns``."""
+    Unlike s² (whose centered algebra is exact for any constant
+    center), the fourth moment is NOT center-invariant: a group whose
+    mean sits d̄ away from a shared global center sees its raw m₄
+    inflated by ~6d̄²s² + d̄⁴ — unbounded, since per-group offsets from
+    a global center can be arbitrarily large, and even the exact
+    binomial recentering identity cancels catastrophically in doubles
+    once d̄⁴ dwarfs the true central moment. So the first pass computes
+    a PER-GROUP integer center (one grouped aggregate, broadcast-joined
+    back onto the sample — group-cardinality-sized, the same bound as
+    the result itself), which caps |d̄| ≤ 0.5 exactly like the global
+    estimator's rounding bound. The moment aggregate then recenters m₄
+    exactly with
+
+        m₄ᶜ = m₄ − 4·d̄·m₃ + 6·d̄²·m₂ − 3·d̄⁴
+
+    which, with |d̄| ≤ 0.5, is both algebraically exact and numerically
+    stable — the Kendall–Stuart Var(s²) formula holds per group no
+    matter how far apart the group means sit. Groups with n < 2 fall
+    back to a degenerate [sd, sd] interval via the n-guard, mirroring
+    ``_ci_columns``. An empty sample yields an empty result (no
+    driver-side collect anywhere — two jobs total, both group-bounded)."""
     x = F.col(column).cast("double")
     sampled = (
         apply_sampling(df, spec)
         .select(F.col(group_col), x.alias("x"))
         .filter(F.col("x").isNotNull())
     )
-    first = sampled.agg(F.avg("x").alias("mu")).collect()[0]
-    if first["mu"] is None:
-        raise ValueError("empty sample; increase the fraction")
-    c = _int_center(first["mu"])
-    d = F.col("x") - F.lit(c)
-    m = sampled.groupBy(group_col).agg(
+    centers = sampled.groupBy(group_col).agg(
+        F.floor(F.avg("x") + F.lit(0.5)).cast("double").alias("c")
+    )
+    joined = sampled.join(F.broadcast(centers), group_col)
+    d = F.col("x") - F.col("c")
+    m = joined.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(d).alias("d1"),
         F.sum(d * d).alias("sd2"),
+        F.avg(d * d * d).alias("m3"),
         F.avg(d * d * d * d).alias("m4"),
     )
     n = F.col("n")
@@ -149,9 +163,15 @@ def approx_grouped_stddev_ci(
         n >= 2,
         F.greatest(F.col("sd2") - n * F.col("d1") * F.col("d1"), F.lit(0.0)) / (n - 1),
     ).otherwise(F.lit(0.0))
-    var_s2 = (
-        F.greatest(F.col("m4") - s2 * s2 * (n - 3) / (n - 1), F.lit(0.0)) / n
+    d1 = F.col("d1")
+    m2 = F.col("sd2") / n
+    m4c = (
+        F.col("m4")
+        - F.lit(4.0) * d1 * F.col("m3")
+        + F.lit(6.0) * d1 * d1 * m2
+        - F.lit(3.0) * d1 * d1 * d1 * d1
     )
+    var_s2 = F.greatest(m4c - s2 * s2 * (n - 3) / (n - 1), F.lit(0.0)) / n
     sd = F.sqrt(s2)
     half = F.when(
         (sd > 0) & (n > 3), F.lit(z) * F.sqrt(var_s2) / (F.lit(2.0) * sd)
@@ -173,33 +193,35 @@ def approx_grouped_stddev_ci_sql(
     z: float = Z_95,
 ) -> str:
     """DuckDB oracle for :func:`approx_grouped_stddev_ci` — the same
-    shared global center and per-group moment algebra."""
+    per-group integer centers and the exact m₄ recentering identity
+    m₄ᶜ = m₄ − 4d̄m₃ + 6d̄²m₂ − 3d̄⁴."""
     where = sampling_where_sql(spec)
     return f"""
 WITH s AS (SELECT {group_col} AS g, CAST({column} AS DOUBLE) AS x
            FROM {table}
            WHERE ({where}) AND {column} IS NOT NULL),
-c AS (SELECT floor(avg(x) + 0.5) AS c FROM s),
+c AS (SELECT g, floor(avg(x) + 0.5) AS c FROM s GROUP BY g),
 m AS (
-  SELECT g, count(*) AS n,
-         avg(x - (SELECT c FROM c)) AS d1,
-         sum((x - (SELECT c FROM c)) * (x - (SELECT c FROM c))) AS sd2,
-         avg((x - (SELECT c FROM c)) * (x - (SELECT c FROM c))
-             * (x - (SELECT c FROM c)) * (x - (SELECT c FROM c))) AS m4
-  FROM s GROUP BY g
+  SELECT s.g AS g, count(*) AS n,
+         avg(x - c.c) AS d1,
+         sum((x - c.c) * (x - c.c)) AS sd2,
+         avg((x - c.c) * (x - c.c) * (x - c.c)) AS m3,
+         avg((x - c.c) * (x - c.c) * (x - c.c) * (x - c.c)) AS m4
+  FROM s JOIN c ON s.g = c.g GROUP BY s.g
 ),
 v AS (
   SELECT g, n,
          CASE WHEN n >= 2
               THEN greatest(sd2 - n * d1 * d1, 0.0) / (n - 1)
               ELSE 0.0 END AS s2,
-         m4
+         m4 - 4.0 * d1 * m3 + 6.0 * d1 * d1 * (sd2 / n)
+            - 3.0 * d1 * d1 * d1 * d1 AS m4c
   FROM m
 ),
 h AS (
   SELECT g, n, sqrt(s2) AS sd,
          CASE WHEN sqrt(s2) > 0 AND n > 3
-              THEN {z!r} * sqrt(greatest(m4 - s2 * s2 * (n - 3) / (n - 1), 0.0) / n)
+              THEN {z!r} * sqrt(greatest(m4c - s2 * s2 * (n - 3) / (n - 1), 0.0) / n)
                    / (2.0 * sqrt(s2))
               ELSE 0.0 END AS half
   FROM v

@@ -1908,27 +1908,16 @@ _register("streaming_hist_quantiles", _hist_stream_fn, _hist_quantiles_oracle())
 # the full set.
 # ---------------------------------------------------------------------------
 
-# Round-3 cut. Goal: the UNION of r1+r2+r3 driver rows covers every
-# oracle-backed entry. Rounds 1-2 certified 74 of 96; the 22 that have
-# never had a driver row all go in this round, behind a ~15-row anchor
-# block (reference core A1-A4, the relational flagships, one row per
-# sampler design, adaptive) that stays certified every round. The
-# rotated-out r1/r2 entries remain registered and
-# pytest/check_entry-verified.
 _CERTIFY_FIRST = [
-    # Anchors (17): reference core (A1-A4, P2/P4), relational
-    # flagships, one row per sampling design, adaptive, and the
-    # Q1-block multi-estimate. The A6/A7/A8/R30 parameter variants
-    # certified in round 1 rotate out to make room — their shared
-    # estimator path stays pinned by approx_sum_uniform10 and the
-    # Q1 block (which carries AVG/COUNT estimates).
+    # Round-4 cut. Goal: the UNION of r1-r4 driver rows covers every
+    # oracle-backed entry. Rounds 1-3 certified 109 of 129; the 20 that
+    # have never had a driver row (16 oracle-backed registered after the
+    # round-3 cut + 4 rows-only) all go in this round, behind the same
+    # ~15-row anchor block (reference core, relational flagships, one
+    # row per sampler design, both adaptives, the Q1 block) that stays
+    # certified every round. Rotated-out r1-r3 entries remain registered
+    # and pytest/check_entry-verified.
     "exact_sum",
-    # exact_avg (A2) rotated out for round 3 — certified green in BOTH
-    # r1 and r2, and it shares exact_sum's code path; its slot funds the
-    # round-3 quality-sweep row. Same trade for exact_count,
-    # exact_sum_where, tpch_q6, tpch_q3 and approx_sum_block10 (each
-    # double-certified r1+r2, pytest/plan-gated): their five slots fund
-    # driver rows for the five new round-3 operators appended below.
     "exact_groupby_sum",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
@@ -1938,49 +1927,37 @@ _CERTIFY_FIRST = [
     "approx_sum_stratified",
     "approx_sum_neyman",
     "adaptive_clt_sum",
-    "approx_q1_block_uniform10",
-    # --- every oracle-backed query with no r1/r2 driver row (29) ---
     "adaptive_grouped_sum",
-    "dedup_connected_clusters",
-    "ann_int8_topk",
-    "multimodal_frame_sample",
-    "range_join_purchase_clicks",
-    "salted_join_revenue",
-    "streaming_windowed_events",
-    "streaming_dedup_events",
-    "streaming_enriched_revenue",
-    "streaming_sampled_revenue",
-    "streaming_countmin_tokens",
-    "approx_grouped_sum_bootstrap32",
-    "approx_grouped_distinct_chao1",
-    "approx_grouped_median_ci",
-    "sketch_countmin_tokens",
-    "sketch_hist_quantiles",
-    "approx_sum_blb",
-    "curation_repetition_stats",
-    "curation_pii_stats",
-    "ann_autotune_profile",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
-    "sketch_portable_hll",
-    "sketch_hll_overlap",
-    "text_bm25_search",
-    "multimodal_y4m_frames",
-    "streaming_hll_distinct",
-    "sketch_cms_join_size",
-    "streaming_hist_quantiles",
-    "text_quality_threshold_sweep",
-    # --- new this round (5): the round-3 session's operators, all
-    # oracle-backed, never driver-run.
-    "approx_p90_ci",
-    "approx_stddev_ci",
-    "bloom_prune_semi_join",
-    "curation_dataset_split",
-    "profile_join_key_skew",
-    # --- rows-only entries never driver-run (4): weaker rows-only
-    # check, but a driver row beats none.
+    "approx_q1_block_uniform10",
+    "approx_sum_bootstrap32",
+    "dedup_minhash_lsh_pairs",
+    "text_quality_by_lang",
+    # --- the 16 oracle-backed entries registered after the round-3
+    # certification cut (VERDICT r3 "Next round" #1) ---
+    "approx_sum_outlier_index",
+    "approx_corr_ci",
+    "approx_ab_diff_ci",
+    "approx_grouped_stddev_ci",
+    "approx_grouped_corr_ci",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "curation_sample_per_source",
+    "curation_mixture_plan",
+    "curation_chunk_inventory",
+    "dedup_ingest_stats",
+    "text_unigram_logprob",
+    "streaming_bloom_filter",
+    "ann_bruteforce_matmul_topk",
+    "profile_table_columns",
+    "customers_rfm_segments",
+    # --- new this round (registered below as they are built):
+    # grouped outlier-index SUM, the k-means-replay IVF oracle, and the
+    # batch-parity stateful-streaming oracle.
+    "approx_grouped_sum_outlier",
     "ann_ivf_topk",
     "streaming_running_estimate",
+    # --- remaining rows-only entries (Spark-internal HLL++ — carries a
+    # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",
     "sketch_approx_distinct",
 ]

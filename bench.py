@@ -62,6 +62,7 @@ def main() -> None:
     # (amortized at scale), later runs measure steady-state execution;
     # min damps background-load outliers (observed 7× spikes from
     # co-tenant load at measurement time).
+    load_before = os.getloadavg()
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -70,6 +71,7 @@ def main() -> None:
             QUERIES[name](spark, SF_DIR).collect()
             best = min(best, time.time() - t0)
         times[name] = round(best, 4)
+    load_after = os.getloadavg()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -82,6 +84,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # Measurement context: co-tenant load has produced 7× per-query
+        # spikes across rounds — record the 1/5/15-min load averages at
+        # start and end plus the per-query protocol so a slow reading
+        # can be attributed without bench archaeology.
+        "best_of": 3,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
     }
     print(json.dumps(out))
     spark.stop()

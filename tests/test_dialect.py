@@ -88,10 +88,15 @@ def test_parse_percentile():
     assert spec.q == 0.75 and spec.sample_pct == 20.0
     # a second argument on any other aggregate is outside the grammar
     assert parse_query("SELECT SUM(l_extendedprice, 0.9) FROM lineitem") is None
-    import pytest
-
-    with pytest.raises(ValueError, match="q must be in"):
-        parse_query("SELECT PERCENTILE(value, 1.5) FROM events")
+    # q outside (0, 1): NOT an error — falls through to spark.sql where
+    # native percentile handles (or natively rejects) it
+    assert parse_query("SELECT PERCENTILE(value, 1.5) FROM events") is None
+    # lowercase percentile is Spark's native interpolating builtin —
+    # never intercepted by the plain (non-APPROX) dialect path
+    assert parse_query("SELECT percentile(value, 0.25) FROM events") is None
+    # ... but inside APPROX(...) the user opted into the dialect
+    spec = parse_query("SELECT APPROX(percentile(value, 0.25)) FROM events")
+    assert spec is not None and spec.agg == "PERCENTILE" and spec.approx
 
 
 def test_engine_percentile(engine):
@@ -116,6 +121,30 @@ def test_engine_percentile(engine):
     assert grouped.status.name == "EXACT"
     rows = {r["event_type"]: r["value_q"] for r in grouped.df.collect()}
     assert len(rows) == 5 and all(v is not None for v in rows.values())
+
+
+def test_native_percentile_passthrough(engine):
+    """Regression (round-4 advisory): valid native Spark SQL that the
+    dialect grammar happens to shadow must still run exact via
+    passthrough — q = 1.0 (outside the dialect's (0,1)) and lowercase
+    percentile (Spark's interpolating builtin)."""
+    res = engine.run("SELECT percentile(value, 1.0) AS p FROM events")
+    assert res.method == "spark_sql"
+    assert res.df.collect()[0]["p"] is not None
+    res2 = engine.run("SELECT PERCENTILE(value, 1.0) AS p FROM events")
+    assert res2.method == "spark_sql"
+    # lowercase percentile interpolates (native), the dialect's
+    # order-statistic does not — passthrough must preserve native values
+    import pyspark.sql.functions as F  # noqa: N812
+
+    native = (
+        engine.catalog.table("events")
+        .agg(F.expr("percentile(value, 0.25)").alias("p"))
+        .collect()[0]["p"]
+    )
+    res3 = engine.run("SELECT percentile(value, 0.25) AS p FROM events")
+    assert res3.method == "spark_sql"
+    assert res3.df.collect()[0]["p"] == native
 
 
 def test_method_selection():

@@ -279,6 +279,23 @@ def test_grouped_stddev_dialect_route(engine):
         assert r["ci_lower"] <= r["stddev"] <= r["ci_upper"]
 
 
+def test_grouped_corr_dialect_route(engine):
+    """Regression (round-4 advisory): grouped APPROX(CORR(x, y)) routes
+    to approx_grouped_corr_ci instead of raising."""
+    res = engine.run(
+        "SELECT APPROX(CORR(l_quantity, l_extendedprice)) FROM lineitem "
+        "GROUP BY l_returnflag",
+        sample_pct=30,
+    )
+    assert res.method == "fisher_z"
+    rows = res.df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["corr"] is None or (
+            r["ci_lower"] <= r["corr"] <= r["ci_upper"]
+        )
+
+
 def test_grouped_corr_covers_and_handles_tiny_groups(spark, lineitem, duck):
     from approximatequeryengine_spark.plans.variance import (
         approx_grouped_corr_ci,
@@ -345,3 +362,54 @@ def test_grouped_corr_covers_and_handles_tiny_groups(spark, lineitem, duck):
     idx = [dcols.index(c) for c in cols]
     drows = sorted((tuple(r[i] for i in idx) for r in res.fetchall()), key=key)
     assert srows == drows
+
+
+def test_grouped_stddev_offset_groups_exact_m4_recenter(spark, duck):
+    """Regression (round-4 advisory): with a global shared center, a
+    group whose mean sits far from it must still get a TIGHT interval —
+    the aggregate recenters m4 per group via the binomial identity, so
+    the CI cannot inflate by ~6d²s² + d⁴ (previously: group means 0 vs
+    100000 yielded a CI seven orders of magnitude too wide)."""
+    n_per = 300
+    offs = spark.sql(
+        "SELECT CASE WHEN id < 300 THEN 'lo' ELSE 'hi' END AS g, "
+        "CAST(CASE WHEN id < 300 THEN (id % 3) - 1.0 "
+        "     ELSE 100000.0 + (id % 3) - 1.0 END AS DOUBLE) AS x, id AS k "
+        "FROM range(600)"
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW offs_t AS "
+        "SELECT CASE WHEN range < 300 THEN 'lo' ELSE 'hi' END AS g, "
+        "CAST(CASE WHEN range < 300 THEN (range % 3) - 1.0 "
+        "     ELSE 100000.0 + (range % 3) - 1.0 END AS DOUBLE) AS x, range AS k "
+        "FROM range(600)"
+    )
+    from approximatequeryengine_spark.plans.variance import (
+        approx_grouped_stddev_ci,
+        approx_grouped_stddev_ci_sql,
+    )
+
+    spec = SamplingSpec(design="none", key="k")
+    # each group is 100 copies each of {-1, 0, 1} about its own mean:
+    # s = sqrt(sum d^2 / (n-1)) = sqrt(200 / 299)
+    import math
+
+    true_sd = math.sqrt(200.0 / (n_per - 1))
+    rows = {
+        r["g"]: r
+        for r in approx_grouped_stddev_ci(offs, "x", "g", spec).collect()
+    }
+    for g in ("lo", "hi"):
+        r = rows[g]
+        assert r["stddev"] == pytest.approx(true_sd, abs=1e-3)
+        # design='none' covers the exact value with a tight interval:
+        # half-width must be of order the stddev itself, not 1e6
+        assert r["ci_upper"] - r["ci_lower"] < 1.0
+        assert r["ci_lower"] <= true_sd <= r["ci_upper"] or (
+            abs(r["stddev"] - true_sd) < 1e-3
+        )
+    assert_df_matches_sql(
+        approx_grouped_stddev_ci(offs, "x", "g", spec),
+        duck,
+        approx_grouped_stddev_ci_sql("offs_t", "x", "g", spec),
+    )
