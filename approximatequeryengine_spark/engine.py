@@ -149,20 +149,33 @@ class AQEngine:
         s_spec = self._sampling_spec(spec, minfo["design"], fraction)
 
         if minfo.get("outlier"):
-            from approximatequeryengine_spark.plans.outlier import outlier_sum_ci
+            from approximatequeryengine_spark.plans.outlier import (
+                outlier_grouped_sum_ci,
+                outlier_sum_ci,
+            )
 
-            if spec.agg != "SUM" or spec.group_by:
+            if spec.agg != "SUM":
                 raise ValueError(
                     "method='outlier' supports a global SUM only; use the "
-                    "closed-form methods for AVG/COUNT/GROUP BY"
+                    "closed-form methods for AVG/COUNT"
                 )
-            rdf = outlier_sum_ci(
-                self._base_df(spec),
-                spec.column,
-                self.catalog.unique_key(spec.table),
-                fraction,
-                z=z,
-            )
+            if spec.group_by:
+                rdf = outlier_grouped_sum_ci(
+                    self._base_df(spec),
+                    spec.column,
+                    spec.group_by,
+                    self.catalog.unique_key(spec.table),
+                    fraction,
+                    z=z,
+                )
+            else:
+                rdf = outlier_sum_ci(
+                    self._base_df(spec),
+                    spec.column,
+                    self.catalog.unique_key(spec.table),
+                    fraction,
+                    z=z,
+                )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("pps"):

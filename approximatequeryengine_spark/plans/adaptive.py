@@ -29,6 +29,7 @@ import time
 from dataclasses import replace
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from approximatequeryengine_spark.plans.estimators import Z_95, AggSpec, approx_aggregate
 from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
@@ -85,17 +86,36 @@ def adaptive_grouped_aggregate(
     # The stop rule must see groups the sample MISSED, not just the ones
     # present at the current rung — a rare group whose keys all hash
     # outside the threshold would otherwise be silently dropped from a
-    # "converged" result. One column-pruned distinct count up front
-    # (grouped estimation already assumes |groups| is small).
-    n_groups = df.select(*group_by).distinct().count()
+    # "converged" result. For the deterministic hash design the guard
+    # rides the rung job itself: the grouped moments run over the
+    # UNSAMPLED frame with the sample predicate as an aggregate MASK
+    # (estimators.approx_aggregate(mask=...)), so every group in the
+    # data appears — missed ones with n_samples = 0, which fails the
+    # min_samples check. Identical estimates (NULL-skipping aggregates),
+    # one scan per rung, and no standalone distinct-count job. Other
+    # designs keep the up-front column-pruned distinct count.
+    from approximatequeryengine_spark.functions.hashing import portable_hash_col
+    from approximatequeryengine_spark.plans.sampling import fraction_threshold
+
+    uniform = spec.design == "uniform_hash"
+    n_groups = (
+        None if uniform else df.select(*group_by).distinct().count()
+    )
     iterations = 0
     rdf: DataFrame | None = None
     while True:
         iterations += 1
         cur = replace(spec, fraction=fraction)
-        rdf = approx_aggregate(
-            apply_sampling(df, cur), agg, group_by=group_by, z=z
-        )
+        if uniform:
+            mask = portable_hash_col(
+                F.expr(cur.key).cast("long"), salt=cur.salt
+            ) < F.lit(fraction_threshold(cur.fraction))
+            full = df.withColumn("__p", F.lit(cur.fraction))
+            rdf = approx_aggregate(full, agg, group_by=group_by, z=z, mask=mask)
+        else:
+            rdf = approx_aggregate(
+                apply_sampling(df, cur), agg, group_by=group_by, z=z
+            )
         rows = rdf.collect()  # ≤ |groups| rows — bounded driver sync
 
         def _rel(row) -> float:
@@ -112,7 +132,10 @@ def adaptive_grouped_aggregate(
 
         converged = (
             bool(rows)
-            and len(rows) == n_groups
+            # Masked rungs list every group in the data, so all-groups
+            # coverage is structural; other designs compare against the
+            # up-front universe count.
+            and (n_groups is None or len(rows) == n_groups)
             and all(
                 r["n_samples"] >= min_samples and _rel(r) <= error_pct
                 for r in rows
@@ -122,6 +145,11 @@ def adaptive_grouped_aggregate(
             break
         fraction = min(1.0, fraction * 2.0)
     assert rdf is not None
+    if uniform:
+        # Output parity with the filtered path (and the DuckDB oracle):
+        # groups the terminal sample missed are stop-rule signal, not
+        # result rows.
+        rdf = rdf.filter(F.col("n_samples") > 0)
     return rdf, fraction, iterations
 
 

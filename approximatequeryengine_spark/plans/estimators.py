@@ -98,12 +98,22 @@ def approx_aggregate(
     group_by: list[str] | None = None,
     z: float = Z_95,
     with_ci: bool = True,
+    mask: Column | None = None,
 ) -> DataFrame:
     """Aggregate a sampled DataFrame (must carry ``__p`` from
     ``apply_sampling``) into estimates with confidence intervals.
 
     Output columns: ``[*group_by, <alias>, ci_lower, ci_upper,
     n_samples]`` (CI columns only when ``with_ci``).
+
+    ``mask``: when given, ``sampled`` is the UNSAMPLED frame (plus a
+    constant ``__p``) and the boolean column selects the in-sample rows
+    — every moment wraps its argument in ``CASE WHEN mask`` (NULLs are
+    skipped by all aggregate functions, so values match the filtered
+    path exactly), while grouping still sees EVERY group in the data.
+    Groups the sample missed surface with ``n_samples = 0`` instead of
+    silently vanishing — the grouped adaptive loop's stop rule relies
+    on this to fold its missed-group guard into the rung job itself.
     """
     group_by = group_by or []
     # F.expr: the measure may be an expression (e.g. price * discount),
@@ -111,6 +121,10 @@ def approx_aggregate(
     x = F.expr(agg.column).cast("double") if agg.column else F.lit(1.0)
     p = F.col(P_COL)
     w = F.lit(1.0) / p
+    if mask is not None:
+        x = F.when(mask, x)
+        p = F.when(mask, p)
+        w = F.when(mask, w)
 
     func = agg.func.lower()
     moments = [

@@ -850,6 +850,33 @@ def _outlier_sum_oracle() -> str:
 _register("approx_sum_outlier_index", _outlier_sum_fn, _outlier_sum_oracle())
 
 
+def _outlier_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier-indexed SUM (plans/outlier.py): each order
+    priority keeps its own exact top-50 stratum and samples the rest —
+    skew-robust grouped revenue."""
+    from approximatequeryengine_spark.plans.outlier import outlier_grouped_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    return outlier_grouped_sum_ci(
+        cat.table("orders"), "o_totalprice", "o_orderpriority",
+        "o_orderkey", 0.10, n_outliers=50,
+    )
+
+
+def _outlier_grouped_oracle() -> str:
+    from approximatequeryengine_spark.plans.outlier import (
+        outlier_grouped_sum_ci_sql,
+    )
+
+    return outlier_grouped_sum_ci_sql(
+        "orders", "o_totalprice", "o_orderpriority", "o_orderkey", 0.10,
+        n_outliers=50,
+    )
+
+
+_register("approx_grouped_sum_outlier", _outlier_grouped_fn, _outlier_grouped_oracle())
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY.md §7 phase 7 / north star): text
 # analysis, dedup, similarity search, multimodal plumbing, streaming.

@@ -104,3 +104,88 @@ def test_fraction_one_degenerates_to_exact(spark, engine, duck):
         outlier_sum_ci_sql("orders", "o_totalprice", "o_orderkey", 1.0)
     ).fetchone()
     assert drow[0] == row["estimate"] and drow[1] == drow[2] == drow[0]
+
+
+def test_grouped_outlier_oracle_parity(spark, engine, duck):
+    from approximatequeryengine_spark.plans.outlier import (
+        outlier_grouped_sum_ci,
+        outlier_grouped_sum_ci_sql,
+    )
+
+    orders = engine.catalog.table("orders")
+    assert_df_matches_sql(
+        outlier_grouped_sum_ci(
+            orders, "o_totalprice", "o_orderpriority", "o_orderkey", 0.2,
+            n_outliers=50,
+        ),
+        duck,
+        outlier_grouped_sum_ci_sql(
+            "orders", "o_totalprice", "o_orderpriority", "o_orderkey", 0.2,
+            n_outliers=50,
+        ),
+    )
+
+
+def test_grouped_outlier_narrower_than_uniform_per_group(spark):
+    """Each group's outlier-indexed CI must beat the grouped uniform
+    estimator's CI on heavy-tailed per-group data — the skew robustness
+    is per group, not just in aggregate."""
+    from approximatequeryengine_spark.plans.outlier import outlier_grouped_sum_ci
+
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") % 97 == 0, 10_000.0 + (F.col("id") % 7) * 1000)
+        .otherwise(10.0 + (F.col("id") % 13))
+        .alias("v"),
+    )
+    exact = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(F.sum("v").alias("s")).collect()
+    }
+    width_uni = {g: [] for g in exact}
+    width_out = {g: [] for g in exact}
+    covers = 0
+    n_checks = 0
+    for salt in range(6):
+        spec = SamplingSpec(design="uniform_hash", fraction=0.1, key="k", salt=salt)
+        for r in approx_aggregate(
+            apply_sampling(df, spec), AggSpec("sum", "v"), group_by=["g"]
+        ).collect():
+            width_uni[r["g"]].append(r["ci_upper"] - r["ci_lower"])
+        for r in outlier_grouped_sum_ci(
+            df, "v", "g", "k", 0.1, n_outliers=200, salt=salt
+        ).collect():
+            width_out[r["g"]].append(r["ci_upper"] - r["ci_lower"])
+            n_checks += 1
+            if r["ci_lower"] <= exact[r["g"]] <= r["ci_upper"]:
+                covers += 1
+    for g in exact:
+        assert sum(width_out[g]) / len(width_out[g]) < 0.5 * sum(
+            width_uni[g]
+        ) / len(width_uni[g]), g
+    assert covers >= n_checks - 2
+
+
+def test_grouped_outlier_method_via_engine(engine):
+    res = engine.run(
+        "SELECT APPROX(SUM(o_totalprice)) FROM orders GROUP BY o_orderpriority",
+        sample_pct=20,
+        method="outlier",
+    )
+    assert res.method == "outlier"
+    rows = res.df.collect()
+    assert len(rows) == 5
+    exact = {
+        r["o_orderpriority"]: r["s"]
+        for r in engine.catalog.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast("double")).alias("s"))
+        .collect()
+    }
+    covered = sum(
+        1
+        for r in rows
+        if r["ci_lower"] <= exact[r["o_orderpriority"]] <= r["ci_upper"]
+    )
+    assert covered >= 4
