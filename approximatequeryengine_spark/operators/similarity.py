@@ -461,46 +461,68 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer → per-cluster
-    inverted lists → probe the ``n_probe`` nearest centroids per query
-    and brute-force only inside them. The 100 TB scale path: the corpus
-    scan per query drops from N to ~N·n_probe/n_centroids, the index is
-    one extra integer column (cluster id, partition-friendly), and the
-    centroid table is tiny and driver/broadcast-sized by construction.
-    Training uses Spark MLlib k-means (distributed, seeded); being an
-    iterative algorithm it has no single-SQL oracle → rows-only driver
-    check, invariants pinned in tests (results ⊆ probed clusters,
-    cosines equal brute-force, high recall on clustered data)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """IVF (inverted-file) ANN with a DETERMINISTIC coarse quantizer:
+    LSH cells instead of iterative k-means. ``log2(n_centroids)``
+    hyperplane-sign bits (the certified ``_hyperplane_bit`` family)
+    partition the corpus into cells; each cell's empirical centroid is
+    its per-component mean (ONE grouped aggregate, rounded to 6
+    decimals); a query probes the ``n_probe`` cells whose centroids are
+    most cosine-similar and brute-forces only inside them.
 
-    import numpy as np
+    Why not k-means: an iterative, initialization-sensitive trainer has
+    no tractable cross-engine replay (round-3 left this entry as the
+    repo's only rows-only ANN check). The LSH-cell quantizer keeps the
+    IVF structure and asymptotics — scan per query ~N·n_probe/n_cells,
+    index = one small-int cell column, centroid table is cell-count
+    sized — while making training a single deterministic pass that the
+    DuckDB oracle re-derives end-to-end (:func:`ann_ivf_topk_sql`):
+    identical hyperplane bits, centroid means on the shared rounding
+    grid, identical left-to-right cosine folds, identical tie-breaks
+    (cell id, then neighbor id).
 
+    Plan shape at scale: one grouped centroid aggregate (shuffles the
+    slim (cell, pos, val) projection), a broadcast of |queries|·n_probe
+    probe rows onto the cell-partitioned corpus, and a per-query top-k
+    window over ~N·n_probe/n_cells candidates. ``n_centroids`` must be
+    a power of two."""
+    bits = max(1, (n_centroids - 1).bit_length())
+    if 2 ** bits != n_centroids:
+        raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
     base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
-    vecs = base.withColumn("fv", array_to_vector("v"))
-    model = KMeans(
-        k=n_centroids, seed=42, featuresCol="fv", predictionCol="cluster"
-    ).fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "v", "cluster")
-
-    # Queries are a bounded small set: collect their vectors and pick
-    # each one's n_probe nearest centroids driver-side (n_centroids
-    # rows of dim floats — trivially driver-sized at any corpus scale).
-    centroids = np.array(model.clusterCenters())
-    cnorm = np.linalg.norm(centroids, axis=1)
-    qrows = base.filter(F.col("vec_id") < n_queries).collect()
-    probes = []
-    for r in qrows:
-        q = np.array(r["v"])
-        sims = (centroids @ q) / (cnorm * np.linalg.norm(q) + 1e-12)
-        for c in np.argsort(-sims)[:n_probe]:
-            probes.append((int(r["vec_id"]), list(map(float, q)), int(c)))
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, qv array<double>, cluster int"
+    cell = F.lit(0).cast("long")
+    for b in range(bits):
+        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
+    assigned = base.withColumn("cluster", cell.cast("int"))
+    centroids = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
     )
-
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cluster")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "cluster",
+            cosine_sim(F.col("qv"), F.col("cvec")).alias("c_sim"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
     scored = (
-        assigned.join(F.broadcast(probe_df), on="cluster")
+        assigned.join(F.broadcast(probes), on="cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -518,6 +540,60 @@ def ann_ivf_topk(
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+def ann_ivf_topk_sql(
+    n_queries: int = 5,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivf_topk` — re-derives the ENTIRE
+    pipeline: cell assignment (identical hyperplane bits), centroid
+    means (same 6-decimal grid), probe selection, in-cell scoring, and
+    ranking, with the same tie-breaks."""
+    bits = max(1, (n_centroids - 1).bit_length())
+    cell = "(" + " + ".join(
+        f"({_hyperplane_bit_sql('embedding', b)} * {2 ** b})" for b in range(bits)
+    ) + ")"
+    cos_probe = _cosine_sql("q.qv", "c.cvec")
+    cos_cand = _cosine_sql("p.qv", "a.v")
+    return f"""
+WITH a AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST({cell} AS INTEGER) AS cluster
+  FROM embeddings
+),
+cm AS (
+  SELECT cluster, pos, round(avg(val), 6) AS m FROM (
+    SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a
+  ) GROUP BY cluster, pos
+),
+cent AS (SELECT cluster, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster),
+q AS (SELECT vec_id AS query_id, v AS qv FROM a WHERE vec_id < {n_queries}),
+pr AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT q.query_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_probe} DESC, c.cluster ASC) AS prn
+    FROM q CROSS JOIN cent c
+  ) WHERE prn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+         {cos_cand} AS cos_sim
+  FROM pr p JOIN a ON a.cluster = p.cluster AND a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cluster, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cluster, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
 
 
 NEARDUP_BANDS = 4

@@ -929,9 +929,11 @@ _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce
 # shuffle at k·|queries| rows per partition.
 _docs_query("ann_bruteforce_matmul_topk", _sim.ann_bruteforce_topk_arrow, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="embeddings")
-# IVF ANN: k-means training is iterative (no single-SQL oracle) → the
-# driver records a rows-only check; invariants live in tests.
-_docs_query("ann_ivf_topk", _sim.ann_ivf_topk, None, table="embeddings")
+# IVF ANN — oracle-backed since round 4: the coarse quantizer is a
+# deterministic LSH cell (hyperplane bits) rather than iterative
+# k-means, so the DuckDB oracle re-derives training (cell assignment +
+# centroid means) plus probing and ranking end-to-end.
+_docs_query("ann_ivf_topk", _sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), table="embeddings")
 # int8-quantized brute force (4x memory): cosine computed purely from
 # integer dots/norms of the quantized vectors (scale-invariance), so
 # the whole quantize→search path is oracle-checked (promoted from
@@ -1635,8 +1637,10 @@ _register("adaptive_grouped_sum", _adaptive_grouped_fn, _adaptive_grouped_oracle
 def _stateful_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-event-type cumulative moments state emitting a refining estimate
-    + CI + V3/V5 drift status every micro-batch. Genuinely non-SQL-
-    expressible (multi-batch state evolution) → rows-only check."""
+    + CI + V3/V5 drift status every micro-batch. Oracle-backed since
+    round 4: the replay split is deterministic (row_number quartiles),
+    so the multi-batch state evolution unrolls into a batch cumulative-
+    window SQL the DuckDB oracle replays emission for emission."""
     import tempfile
 
     from approximatequeryengine_spark.streaming.stateful import (
@@ -1654,13 +1658,82 @@ def _stateful_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "n_seen")
 
 
-_register("streaming_running_estimate", _stateful_stream_fn, None)
+def _stateful_stream_oracle(n_batches: int = 4) -> str:
+    """Batch-parity replay of the stateful refinement: cumulative
+    moments via window sums over the deterministic batch split; one row
+    per (event_type, batch-with-rows) — exactly the stream's update-mode
+    emissions. Rounding formulas are spelled identically to
+    ``stateful._r`` (floor half-up)."""
+    from approximatequeryengine_spark.plans.estimators import Z_95
+
+    z = Z_95
+    r8 = "floor({v} * 100000000.0 + 0.5) / 100000000.0"
+    r9 = "floor({v} * 1000000000.0 + 0.5) / 1000000000.0"
+    mean_r = r9.format(v="(s1 / n)")
+    prev_r = r9.format(v="(s10 / n0)")
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
+                    * {n_batches} / (SELECT count(*) FROM events))
+              AS INTEGER) AS b
+  FROM events
+),
+pb AS (
+  SELECT event_type, b, count(*) AS bn, sum(x) AS bs1, sum(x * x) AS bs2
+  FROM e GROUP BY event_type, b
+),
+cum AS (
+  SELECT event_type, b, bn, bs1,
+         sum(bn) OVER (PARTITION BY event_type ORDER BY b) AS n,
+         sum(bs1) OVER (PARTITION BY event_type ORDER BY b) AS s1,
+         sum(bs2) OVER (PARTITION BY event_type ORDER BY b) AS s2
+  FROM pb
+),
+calc AS (
+  SELECT event_type, n, s1, s2, n - bn AS n0, s1 - bs1 AS s10,
+         s1 / n AS mean,
+         CASE WHEN n > 1
+              THEN greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)
+              ELSE 0.0 END AS var
+  FROM cum
+),
+m AS (
+  SELECT event_type, n, n0, s10, mean,
+         {z!r} * sqrt(var / n) AS margin,
+         {mean_r} AS mean9
+  FROM calc
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_seen,
+       {r8.format(v="mean")} AS running_avg,
+       {r8.format(v="(mean - margin)")} AS ci_lower,
+       {r8.format(v="(mean + margin)")} AS ci_upper,
+       CASE WHEN n < 50 THEN 'INSUFFICIENT_DATA'
+            WHEN n0 = 0 THEN 'STABLE'
+            WHEN mean9 = 0 THEN 'DRIFTING'
+            WHEN abs(mean9 - {prev_r}) / abs(mean9) <= 0.02 THEN 'STABLE'
+            ELSE 'DRIFTING' END AS status
+FROM m ORDER BY event_type, n_seen
+"""
+
+
+_register(
+    "streaming_running_estimate", _stateful_stream_fn, _stateful_stream_oracle()
+)
 
 
 def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native sketch-based approximate distinct (HLL++) — no reference
-    counterpart, exposed as a beyond-parity operator; sketch internals
-    are engine-specific, so rows-only."""
+    counterpart, exposed as a beyond-parity operator. UNORACLEABLE by
+    design: the values are Spark's internal HLL++ register estimates
+    (and approx_percentile's internal QuantileSummaries), which no other
+    engine reproduces bit-for-bit — DuckDB's approx_count_distinct uses
+    a different sketch. The cross-engine-checkable twin is
+    `sketch_portable_hll` (own avalanche-hash registers, oracle replays
+    them exactly, merge law included); this entry intentionally keeps
+    the NATIVE fast path visible. Accuracy vs exact is pinned in
+    tests (2% rsd bound)."""
     cat = _catalog(spark, sf_dir)
     return cat.table("lineitem").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_n_parts"),
