@@ -475,12 +475,14 @@ def approx_ab_diff_ci(
     interval — the experiment-readout shape: ``mean(A) − mean(B) ±
     z·√(s²_A/n_A + s²_B/n_B)``.
 
-    One shared integer center (from a 1-row first pass over both arms)
-    keeps the per-arm moment algebra cancellation-free and
-    engine-reproducible; the second pass is ONE grouped aggregate over
-    the sample, so the whole readout costs two jobs at any scale.
-    1-row DataFrame: (n_a, n_b, mean_a, mean_b, diff, ci_lower,
-    ci_upper)."""
+    One shared integer center (from a ≤2-row first pass over both arms,
+    which doubles as the arm-existence validation) keeps the per-arm
+    moment algebra cancellation-free and engine-reproducible; the
+    second pass is ONE grouped aggregate over the sample. Three jobs
+    total per readout — the first-pass collect, the moments pass, and
+    the final 1-row assembly the caller triggers — every driver sync
+    ≤ 2 rows, so the shape holds at any scale. 1-row DataFrame:
+    (n_a, n_b, mean_a, mean_b, diff, ci_lower, ci_upper)."""
     x = F.col(value_col).cast("double")
     g = F.col(group_col)
     sampled = (
