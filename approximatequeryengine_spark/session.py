@@ -37,6 +37,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[] runs executors inside the driver JVM; Spark's 1g
+        # default caps EVERYTHING and OOMs the wide shuffles around sf1
+        # on an otherwise-roomy machine. Only effective before JVM
+        # start — a no-op when attaching to an existing session.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Runtime re-planning: partition coalescing, skew-join splitting,
         # broadcast-join conversion once real sizes are known.

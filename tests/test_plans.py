@@ -238,3 +238,19 @@ def test_hll_rollup_single_scan_with_reused_exchange(spark):
     final = executed.split("+- == Initial Plan ==")[0]
     assert len(re.findall(r"Scan parquet", final)) == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_bootstrap_kernel_plan_shape(spark):
+    """The round-4 bootstrap rewrite must show the Arrow kernel shape:
+    ONE MapInPandas over the slim sampled columns (no explode row
+    fan-out — the old Generate amplified the stream 33x), followed by a
+    micro-aggregate whose shuffle carries only (R+2)-per-partition
+    scalar rows."""
+    plan = _plan(spark, "approx_sum_bootstrap32")
+    assert "MapInPandas" in plan
+    # the only Generate allowed is the posexplode of the (R+2)-slot
+    # partial arrays the kernel emits, never an explode of the row stream
+    gens = re.findall(r"\(\d+\) Generate.*?Input \[\d+\]: \[([^\]]*)\]", plan, re.S)
+    assert len(gens) == 1, plan
+    assert gens[0].strip().startswith("es#"), gens
+    assert "BatchEvalPython" not in plan
