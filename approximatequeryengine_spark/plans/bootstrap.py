@@ -188,6 +188,11 @@ def _poisson_partials_kernel(replicates: int):
             k = np.abs(pdf["k"].to_numpy(np.int64))
             hx = pdf["x"].to_numpy(np.float64) / pdf["p"].to_numpy(np.float64)
             n += len(k)
+            # NULL x arrives as NaN: SQL aggregates (the oracle and the
+            # old explode path) SKIP nulls while count(*) still counts
+            # the row — zeroing the contribution reproduces exactly
+            # that, instead of NaN-poisoning every accumulator.
+            hx = np.where(np.isnan(hx), 0.0, hx)
             ht += float(hx.sum())
             h = (k[:, None] + salts[None, :]) & mask
             for _ in range(2):

@@ -164,9 +164,15 @@ def split_events_for_replay(
         F.floor((rn - F.lit(1)) * F.lit(n_batches) / F.lit(n)).cast("int"),
     )
     pdf = tagged.toPandas()
+    base_mtime = None
     for i in range(n_batches):
         part = pdf[pdf["__b"] == i].drop(columns="__b")
-        pq.write_table(
-            pa.Table.from_pandas(part, preserve_index=False),
-            os.path.join(directory, f"batch_{i:03d}.parquet"),
-        )
+        path = os.path.join(directory, f"batch_{i:03d}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        # FileStreamSource orders by mtime with UNSPECIFIED tie order at
+        # its (ms) resolution — sub-ms consecutive writes could replay
+        # batches out of order. Pin strictly increasing mtimes (1 s
+        # apart) explicitly instead of trusting write latency.
+        if base_mtime is None:
+            base_mtime = os.stat(path).st_mtime
+        os.utime(path, (base_mtime + i, base_mtime + i))

@@ -550,3 +550,26 @@ def test_portable_hll_non_integer_and_null_keys(spark):
     est_n = {r["level"]: r["est_distinct"]
              for r in portable_hll_rollup(df, "nullable_k", "grp").collect()}["group_g"]
     assert abs(est_n / 100 - 1) < 0.5, est_n  # 100 non-NULL distinct
+
+
+def test_bootstrap_kernel_skips_nulls_like_sql(spark):
+    """Regression (round-4 review): NULL measure values arrive in the
+    Arrow kernel as NaN and must be SKIPPED like SQL aggregates skip
+    NULLs (count(*) still counts the row) — not poison every
+    accumulator into a NULL estimate."""
+    from approximatequeryengine_spark.plans.bootstrap import bootstrap_sum_ci
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    spec = SamplingSpec(design="uniform_hash", fraction=0.5, key="k")
+    row = bootstrap_sum_ci(df, "v", spec).collect()[0]
+    assert row["estimate"] is not None and row["estimate"] > 0
+    # n_samples counts sampled ROWS (including NULL-x ones), the SQL
+    # count(*) convention the oracle uses
+    assert row["n_samples"] > 400
+    assert row["ci_lower"] <= row["estimate"] <= row["ci_upper"]
