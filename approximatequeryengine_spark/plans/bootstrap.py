@@ -15,16 +15,16 @@ non-uniform on hash-selected keys) — pure integer/CASE arithmetic,
 identical in Spark SQL and DuckDB, so the driver's value-hash gate
 covers the bootstrap CI too.
 
-Plan shape at scale: the global estimator ships the slim sampled
-columns through a vectorized Arrow ``mapInPandas`` kernel that
-accumulates all R replicate partial sums per partition (see
-``bootstrap_sum_ci`` — measured faster than both the explode fan-out
-and a pure-SQL column-wise rewrite, whose 32 CASE ladders fall out of
-JIT-compilable codegen). The grouped and BLB variants keep the
-``explode(sequence(-1, R-1))`` fan-out (R+1 rows per sampled row, like
-the MinHash band fan-out) → ONE map-side-combined aggregation → a
-trivial final reduce; their grouping keys amortize the fan-out better
-and their outputs are per-group anyway. In every variant replicate −1
+Plan shape at scale: the global AND grouped estimators ship the slim
+sampled columns through a vectorized Arrow ``mapInPandas`` kernel that
+accumulates all R replicate partial sums per partition (per group for
+the grouped twin) — measured faster than both the explode fan-out and
+a pure-SQL column-wise rewrite, whose 32 CASE ladders fall out of
+JIT-compilable codegen (see ``bootstrap_sum_ci``). The BLB variant
+keeps the ``explode(sequence(-1, R-1))`` fan-out (R+1 rows per sampled
+row, like the MinHash band fan-out) → ONE map-side-combined
+aggregation → a trivial final reduce: it scans only s·f of the data,
+so its fan-out volume is already small. In every variant replicate −1
 has weight ≡ 1: the point estimate rides the same single pass as the
 replicates.
 """
@@ -218,39 +218,40 @@ def bootstrap_grouped_sum_ci(
     z: float = Z_95,
     round_to: int = 3,
 ) -> DataFrame:
-    """Per-group bootstrap SUM CI — same single-pass shape as the
-    global version, with (group, replicate) aggregation keys: still one
-    map-side-combined shuffle, now to |groups|·(R+1) rows."""
-    from approximatequeryengine_spark.operators import ensure_parallelism
-
+    """Per-group bootstrap SUM CI — the grouped twin of
+    :func:`bootstrap_sum_ci`, sharing its vectorized Arrow kernel
+    design: each partition accumulates a per-group array of
+    [n, Σx/p, e_0..e_{R-1}] partials (numpy broadcasting per group
+    chunk, identical integer hash arithmetic to the SQL spelling), and
+    the reduce shuffles only (R+2)·|groups|·partitions scalar rows into
+    the same (group, slot) micro-aggregate the explode plan produced.
+    The estimator definition is unchanged, so the DuckDB oracle is
+    untouched (fold-order float noise absorbed by round_to + integer
+    margin, as documented on the global kernel)."""
+    if replicates < 2:
+        raise ValueError("bootstrap needs at least 2 replicates")
     x = F.col(column).cast("double")
     key = F.expr(spec.key).cast("long")
-    sampled = ensure_parallelism(
-        apply_sampling(df, spec).select(
-            F.col(group_col).alias("g"), x.alias("x"), key.alias("k"),
-            F.col("__p").alias("p"),
-        )
+    sampled = apply_sampling(df, spec).select(
+        F.col(group_col).alias("g"), x.alias("x"), key.alias("k"),
+        F.col("__p").alias("p"),
     )
-    rep = sampled.select(
-        "g", "x", "p", "k",
-        F.explode(F.sequence(F.lit(-1), F.lit(replicates - 1))).alias("r"),
+    sc = df.sparkSession.sparkContext
+    target = min(8, sc.defaultParallelism)
+    if sampled.rdd.getNumPartitions() < target:
+        sampled = sampled.repartition(target)
+    g_type = dict(sampled.dtypes)["g"]
+    kernel = _grouped_poisson_partials_kernel(replicates)
+    parts = sampled.mapInPandas(kernel, schema=f"g {g_type}, es array<double>")
+    sums = (
+        parts.select("g", F.posexplode("es").alias("i", "v"))
+        .groupBy("g", "i")
+        .agg(F.sum("v").alias("s"))
     )
-    rep = with_avalanche_u(
-        rep, F.col("k"), F.lit(BOOT_SALT0) + F.col("r"), u_col="__u"
-    ).withColumn(
-        "__w",
-        F.when(F.col("r") == -1, F.lit(1)).otherwise(
-            _poisson_icdf_col(F.col("__u"))
-        ),
-    )
-    boot = rep.groupBy("g", "r").agg(
-        F.sum(F.col("__w").cast("double") * F.col("x") / F.col("p")).alias("est_r"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    agg = boot.groupBy("g").agg(
-        F.min(F.when(F.col("r") == -1, F.col("est_r"))).alias("ht"),
-        F.stddev_samp(F.when(F.col("r") >= 0, F.col("est_r"))).alias("sd"),
-        F.min(F.when(F.col("r") == -1, F.col("n"))).alias("n_samples"),
+    agg = sums.groupBy("g").agg(
+        F.min(F.when(F.col("i") == 0, F.col("s"))).cast("long").alias("n_samples"),
+        F.min(F.when(F.col("i") == 1, F.col("s"))).alias("ht"),
+        F.stddev_samp(F.when(F.col("i") >= 2, F.col("s"))).alias("sd"),
     )
     margin = F.round(F.lit(z) * F.col("sd"), 0)
     return agg.select(
@@ -260,6 +261,48 @@ def bootstrap_grouped_sum_ci(
         F.round(F.col("ht") + margin, round_to).alias("ci_upper"),
         F.col("n_samples"),
     ).orderBy(group_col)
+
+
+def _grouped_poisson_partials_kernel(replicates: int):
+    """Grouped variant of :func:`_poisson_partials_kernel`: one output
+    row per (partition, group) whose array is [n, Σx/p, e_0..e_{R-1}]
+    accumulated over that group's rows. NULL x is zeroed (SQL aggregate
+    NULL-skipping) while n still counts the row — count(*) parity."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cdf = np.array(_POISSON_CDF, dtype=np.float64)
+        salts = (
+            np.int64(BOOT_SALT0) + np.arange(replicates, dtype=np.int64)
+        ) * np.int64(SALT_STRIDE)
+        mask = np.int64(HASH_SPACE - 1)
+        acc: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g", sort=False, dropna=False):
+                k = np.abs(sub["k"].to_numpy(np.int64))
+                hx = sub["x"].to_numpy(np.float64) / sub["p"].to_numpy(np.float64)
+                hx = np.where(np.isnan(hx), 0.0, hx)
+                a = acc.get(g)
+                if a is None:
+                    a = acc[g] = np.zeros(replicates + 2, dtype=np.float64)
+                a[0] += len(k)
+                a[1] += float(hx.sum())
+                h = (k[:, None] + salts[None, :]) & mask
+                for _ in range(2):
+                    h = h ^ (h >> 16)
+                    h = (h * np.int64(AVALANCHE_MULT)) & mask
+                h = h ^ (h >> 16)
+                u = h.astype(np.float64) / float(HASH_SPACE)
+                w = np.searchsorted(cdf, u.ravel(), side="right").reshape(u.shape)
+                a[2:] += (w.astype(np.float64) * hx[:, None]).sum(axis=0)
+        if acc:
+            yield pd.DataFrame(
+                {"g": list(acc.keys()), "es": [a.tolist() for a in acc.values()]}
+            )
+
+    return kernel
 
 
 BLB_ASSIGN_SALT = 4243

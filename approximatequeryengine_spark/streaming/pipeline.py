@@ -423,3 +423,85 @@ def hist_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = run_to_memory_sink(hist_stream, "complete")
     return quantiles_from_hist(hist, float(mn), float(width), int(n), (0.5, 0.95, 0.99))
+
+
+INTERVAL_JOIN_MINUTES = 60
+INTERVAL_JOIN_WATERMARK = "240 hours"  # replay drain: nothing dropped as late
+
+
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the one Structured Streaming join
+    family the pipeline didn't yet cover (dedup and stream-static
+    enrichment are above): purchases matched to the same user's clicks
+    whose timestamp falls in the trailing hour, BOTH sides unbounded
+    streams.
+
+    Mechanics at scale: each side carries ``withWatermark`` on its own
+    event time and the range predicate lives in the join condition, so
+    Spark derives per-side state-retention bounds (a click can be
+    dropped from state once the watermark passes ``cts +
+    INTERVAL_JOIN_MINUTES``) — bounded state on two unbounded streams,
+    shuffled once on ``user_id``. Append mode: a matched pair is final
+    the moment it is emitted.
+
+    Determinism contract for the oracle: the replay uses a generous
+    watermark (``INTERVAL_JOIN_WATERMARK`` ≫ any fixture time span), so
+    the AvailableNow drain emits EVERY in-interval pair regardless of
+    micro-batch interleaving, and the final per-purchase counts equal
+    the batch INNER range join the DuckDB oracle runs (production
+    tightens the watermark to bound state, trading late-pair loss for
+    memory — the standard Structured Streaming trade).
+
+    Output: (purchase_id, user_id, n_clicks_1h) for purchases with ≥1
+    in-interval click (inner join semantics)."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", INTERVAL_JOIN_WATERMARK)
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", INTERVAL_JOIN_WATERMARK)
+    )
+    cond = (
+        (purchases["p_user_id"] == clicks["c_user_id"])
+        & (clicks["cts"] <= purchases["pts"])
+        & (
+            clicks["cts"]
+            >= purchases["pts"] - F.expr(f"INTERVAL {INTERVAL_JOIN_MINUTES} MINUTES")
+        )
+    )
+    pairs = purchases.join(clicks, cond, "inner").select(
+        "purchase_id", F.col("p_user_id").alias("user_id"), "cts"
+    )
+    sink = run_to_memory_sink(pairs, "append")
+    return (
+        sink.groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+def interval_join_sql() -> str:
+    """Batch-parity oracle: the INNER trailing-interval join, counted
+    per purchase."""
+    return f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks_1h
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {INTERVAL_JOIN_MINUTES} MINUTE
+GROUP BY p.event_id, p.user_id
+ORDER BY purchase_id
+"""

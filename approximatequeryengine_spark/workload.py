@@ -1009,6 +1009,29 @@ _register("streaming_dedup_events", _stream_dedup_fn, _DEDUP_SQL)
 _register("streaming_enriched_revenue", _stream_enrich_fn, _ENRICH_SQL)
 
 
+def _stream_interval_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (round 4): purchases ⋈ same-user
+    clicks in the trailing hour, both sides watermarked streams —
+    completes the streaming join coverage (dedup, stream-static, and
+    now stream-stream). Generous replay watermark → the drain emits
+    every in-interval pair, so the batch INNER range join is the
+    oracle."""
+    from approximatequeryengine_spark.streaming.pipeline import interval_join_stream
+
+    return interval_join_stream(spark, sf_dir)
+
+
+def _stream_interval_join_oracle() -> str:
+    from approximatequeryengine_spark.streaming.pipeline import interval_join_sql
+
+    return interval_join_sql()
+
+
+_register(
+    "streaming_interval_join", _stream_interval_join_fn, _stream_interval_join_oracle()
+)
+
+
 def _stream_sessions_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximatequeryengine_spark.streaming import pipeline as _p
 
@@ -2056,6 +2079,7 @@ _CERTIFY_FIRST = [
     "approx_grouped_sum_outlier",
     "ann_ivf_topk",
     "streaming_running_estimate",
+    "streaming_interval_join",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

@@ -375,3 +375,19 @@ def test_streaming_bloom_equals_batch_filter(spark):
         ).collect()
     ]
     assert got == want and got
+
+
+def test_stream_stream_interval_join_matches_batch(engine, spark, duck):
+    """The stream-stream interval join (both sides watermarked) must
+    produce exactly the batch INNER trailing-interval join under the
+    AvailableNow drain, and every purchase's count must be positive."""
+    from approximatequeryengine_spark.streaming.pipeline import (
+        interval_join_sql,
+        interval_join_stream,
+    )
+    from tests.conftest import SF_DIR, assert_df_matches_sql
+
+    out = interval_join_stream(spark, SF_DIR)
+    rows = out.collect()
+    assert rows and all(r["n_clicks_1h"] >= 1 for r in rows)
+    assert_df_matches_sql(out, duck, interval_join_sql())
