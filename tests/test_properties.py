@@ -326,3 +326,58 @@ def test_bloom_oracle_no_false_negatives_any_keys(members, probes):
     assert n_exact == true_matches  # no false negatives, ever
     assert 0 <= n_fp == n_pass - n_exact
     assert n_pass <= n_fact
+
+
+@given(
+    offset=st.floats(min_value=-1e7, max_value=1e7),
+    spread=st.floats(min_value=0.1, max_value=100.0),
+    n=st.integers(min_value=10, max_value=400),
+)
+@settings(max_examples=200, deadline=None)
+def test_m4_recentering_identity_python_model(offset, spread, n):
+    """The grouped-stddev fix rests on the binomial recentering
+    identity m4c = m4 - 4*d1*m3 + 6*d1^2*m2 - 3*d1^4 computed about an
+    integer center within 0.5 of the group mean. Property: for ANY
+    group mean offset, the recentered fourth moment from a NEARBY
+    center equals the directly-computed central moment to float
+    precision — i.e. the bounded-|d1| precondition makes the identity
+    numerically exact, which the old unbounded-global-center algebra
+    was not."""
+    import math
+
+    xs = [offset + spread * ((i * 2654435761 % 97) / 97.0 - 0.5) for i in range(n)]
+    mean = sum(xs) / n
+    c = float(math.floor(mean + 0.5))
+    d1 = sum(x - c for x in xs) / n
+    assert abs(d1) <= 0.5 + 1e-9
+    m2 = sum((x - c) ** 2 for x in xs) / n
+    m3 = sum((x - c) ** 3 for x in xs) / n
+    m4 = sum((x - c) ** 4 for x in xs) / n
+    m4c = m4 - 4 * d1 * m3 + 6 * d1 * d1 * m2 - 3 * d1 ** 4
+    direct = sum((x - mean) ** 4 for x in xs) / n
+    scale = max(direct, 1e-12)
+    assert m4c == pytest.approx(direct, rel=1e-6, abs=1e-9 * scale)
+
+
+@given(
+    giant=st.floats(min_value=1e4, max_value=1e8),
+    body=st.floats(min_value=1.0, max_value=100.0),
+    b=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_outlier_threshold_tie_semantics_python_model(giant, body, b):
+    """The outlier stratum uses the B-th largest VALUE as threshold t
+    with STRICT x > t membership: ties at t always fall to the sampled
+    side, so stratum membership is a pure function of the value — never
+    of sort order among ties. Python model over a worst-case all-ties
+    top block."""
+    xs = [giant] * (b + 3) + [body] * 50
+    top = sorted(xs, reverse=True)[:b]
+    t = min(top)
+    out = [x for x in xs if x > t]
+    # every copy of the tied maximum falls OUT of the outlier stratum
+    # together (strict >), regardless of how many the top-B contains
+    assert out == [] or all(x > t for x in out)
+    assert len([x for x in xs if x > t]) <= len(xs) - 1  # never everything
+    # and the exact-sum decomposition holds for any split point
+    assert sum(out) + sum(x for x in xs if x <= t) == pytest.approx(sum(xs), rel=1e-12)
