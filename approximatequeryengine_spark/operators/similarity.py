@@ -596,6 +596,108 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ann_ivf_write_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+) -> None:
+    """Persist the IVF index: cell-PARTITIONED vector parquet
+    (``path/vectors/cluster=<c>/``) plus a tiny centroid table
+    (``path/centroids``). Building is the same deterministic single
+    pass as :func:`ann_ivf_topk` (LSH-cell assignment + per-cell mean
+    centroids on the 6-decimal grid), so a query against the persisted
+    index returns EXACTLY what the in-memory operator returns — one
+    oracle covers both paths.
+
+    The partitioning is the point at scale: each probe reads ONLY its
+    cell's directory, so a query scans ~n_probe/n_cells of the corpus
+    off disk (plan-gated via PartitionFilters in
+    ``test_ivf_index_probe_prunes_partitions``) — index construction
+    cost is paid once, not per query batch."""
+    bits = max(1, (n_centroids - 1).bit_length())
+    if 2 ** bits != n_centroids:
+        raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
+    base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+    cell = F.lit(0).cast("long")
+    for b in range(bits):
+        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
+    assigned = base.withColumn("cluster", cell.cast("int"))
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(f"{path}/vectors")
+    centroids = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_query_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    n_queries: int = 5,
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ann_ivf_write_index`):
+    probe selection against the tiny centroid table, then an IN-list
+    filter on the partition column so the vector scan touches only the
+    probed cells' directories (partition pruning — the 100 TB win).
+    Results are identical to :func:`ann_ivf_topk` with the same
+    parameters, hence certified by the same DuckDB oracle."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    queries = (
+        emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+        .filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "cluster",
+            cosine_sim(F.col("qv"), F.col("cvec")).alias("c_sim"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+    # The probed cell set is tiny (<= |queries| * n_probe values) and
+    # must reach the SCAN as a partition filter — collect it and build
+    # a literal IN-list predicate (a join would defeat pruning).
+    cells = sorted({r["cluster"] for r in probes.select("cluster").distinct().collect()})
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cluster").isin(cells)
+    )
+    scored = (
+        vectors.join(F.broadcast(probes), on="cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cluster"),
+            cosine_sim(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cluster", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
 NEARDUP_BANDS = 4
 NEARDUP_BITS = 2
 

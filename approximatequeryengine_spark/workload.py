@@ -934,6 +934,29 @@ _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="e
 # k-means, so the DuckDB oracle re-derives training (cell assignment +
 # centroid means) plus probing and ranking end-to-end.
 _docs_query("ann_ivf_topk", _sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), table="embeddings")
+
+
+def _ivf_index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF path (round 4): build the cell-partitioned index
+    once, then query it with partition-pruned probes — identical
+    algorithm and results to ann_ivf_topk, so it shares that oracle.
+    The pruning (scan touches only probed cell directories) is
+    plan-gated in test_ivf_index_probe_prunes_partitions."""
+    import tempfile
+
+    from approximatequeryengine_spark.operators.similarity import (
+        ann_ivf_query_index,
+        ann_ivf_write_index,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    emb = cat.table("embeddings")
+    path = tempfile.mkdtemp(prefix="aqe_ivf_idx_")
+    ann_ivf_write_index(spark, emb, path)
+    return ann_ivf_query_index(spark, emb, path)
+
+
+_register("ann_ivf_index_topk", _ivf_index_fn, _sim.ann_ivf_topk_sql())
 # int8-quantized brute force (4x memory): cosine computed purely from
 # integer dots/norms of the quantized vectors (scale-invariance), so
 # the whole quantize→search path is oracle-checked (promoted from
@@ -2080,6 +2103,8 @@ _CERTIFY_FIRST = [
     "ann_ivf_topk",
     "streaming_running_estimate",
     "streaming_interval_join",
+    "ann_ivf_index_topk",
+    "ann_ivf_index_topk",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

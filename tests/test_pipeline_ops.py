@@ -1067,3 +1067,32 @@ def test_quality_threshold_sweep_monotone(spark, synth_docs):
     n = synth_docs.count()
     for r in rows:
         assert abs(r["pct_docs_kept"] - r["n_docs_kept"] / n) < 1e-6  # 6dp rounding
+
+
+def test_ivf_index_matches_in_memory_and_prunes_partitions(spark, engine, tmp_path):
+    """The persisted IVF index must (a) return exactly what the
+    in-memory operator returns, and (b) show the probed cells as
+    PartitionFilters on the vector scan — the index read touches only
+    ~n_probe/n_cells of the corpus directories."""
+    import re
+
+    emb = engine.catalog.table("embeddings")
+    path = str(tmp_path / "ivf_idx")
+    similarity.ann_ivf_write_index(spark, emb, path)
+    out = similarity.ann_ivf_query_index(spark, emb, path)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"], r["cluster"])
+        for r in out.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"], r["cluster"])
+        for r in similarity.ann_ivf_topk(spark, emb).collect()
+    )
+    assert got == want
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:1500]
+    # the filter enumerates probed cells only — an IN list, not a full scan
+    assert "IN" in m.group(1) or "in(" in m.group(1).lower(), m.group(1)
