@@ -698,6 +698,66 @@ def ann_ivf_query_index(
     )
 
 
+def ann_ivf_append_index(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+) -> None:
+    """Append new vectors to a persisted IVF index WITHOUT rebuilding:
+    because the coarse quantizer is data-independent (fixed hyperplane
+    cells, not k-means centroids), cell membership of existing vectors
+    can never be invalidated by new data — appends are a pure
+    partitioned write of the new batch's assignments. This is the
+    design advantage over k-means IVF, where drift forces periodic
+    re-clustering of the whole corpus. Call
+    :func:`ann_ivf_refresh_centroids` afterwards to fold the new
+    vectors into the probe-selection means (one grouped aggregate over
+    the index — centroids only steer probing; in-cell results are exact
+    either way)."""
+    bits = max(1, (n_centroids - 1).bit_length())
+    if 2 ** bits != n_centroids:
+        raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
+    base = new_emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+    cell = F.lit(0).cast("long")
+    for b in range(bits):
+        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
+    base.withColumn("cluster", cell.cast("int")).write.partitionBy(
+        "cluster"
+    ).mode("append").parquet(f"{path}/vectors")
+
+
+def ann_ivf_refresh_centroids(spark: SparkSession, path: str) -> None:
+    """Recompute the centroid table from the index's current vectors
+    (same 6-decimal grid as the builder) — after this, a freshly-built
+    index over the union and an appended+refreshed index are
+    bit-identical in both tables."""
+    assigned = spark.read.parquet(f"{path}/vectors")
+    centroids = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    # write-then-swap: the read above is materialized by the write of a
+    # NEW directory, then the old is replaced (overwrite on the same
+    # path would truncate its own input mid-read).
+    import uuid
+
+    tmp = f"{path}/centroids_{uuid.uuid4().hex[:8]}"
+    centroids.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(f"{path}/centroids", ignore_errors=True)
+    shutil.move(tmp, f"{path}/centroids")
+
+
 NEARDUP_BANDS = 4
 NEARDUP_BITS = 2
 

@@ -1096,3 +1096,27 @@ def test_ivf_index_matches_in_memory_and_prunes_partitions(spark, engine, tmp_pa
     assert m and "cluster" in m.group(1), plan[:1500]
     # the filter enumerates probed cells only — an IN list, not a full scan
     assert "IN" in m.group(1) or "in(" in m.group(1).lower(), m.group(1)
+
+
+def test_ivf_index_append_refresh_equals_rebuild(spark, engine, tmp_path):
+    """Hyperplane cells are data-independent, so append + centroid
+    refresh must reproduce a from-scratch rebuild exactly — the index
+    never needs re-clustering (the k-means IVF drift problem)."""
+    from pyspark.sql import functions as F
+
+    emb = engine.catalog.table("embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    similarity.ann_ivf_write_index(spark, half_a, inc)
+    similarity.ann_ivf_append_index(spark, half_b, inc)
+    similarity.ann_ivf_refresh_centroids(spark, inc)
+    similarity.ann_ivf_write_index(spark, emb, full)
+    got = sorted(
+        tuple(r) for r in similarity.ann_ivf_query_index(spark, emb, inc).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.ann_ivf_query_index(spark, emb, full).collect()
+    )
+    assert got == want and got
