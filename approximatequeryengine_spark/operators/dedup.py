@@ -413,6 +413,157 @@ WHERE jaccard >= {threshold}
 """
 
 
+# -- persisted near-dup signature index -------------------------------------
+
+
+def _band_key_col() -> Column:
+    """The band/key fan-out expression shared by the in-memory pairs
+    operator and the persisted index (one struct per band, key = the
+    ':'-joined band rows of the signature)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("mh", b * ROWS_PER_BAND + r + 1).cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+
+
+def neardup_index_write(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    shingle_size: int = 3,
+) -> None:
+    """Materialize the MinHash signature index to storage — the
+    petabyte-scale shape ``minhash_lsh_pairs``' docstring promises:
+    corpus signatures are computed ONCE (Arrow kernel), band-exploded,
+    and persisted as band-partitioned parquet carrying
+    (band, key, doc_id, sh). Every incoming batch then joins its own
+    (tiny) band table against the stored one instead of re-shingling
+    the corpus — the difference between O(batch) and O(corpus) work
+    per ingest at 100 TB."""
+    n_parts = spark.sparkContext.defaultParallelism
+    sig = _minhash_sig_pandas(docs, shingle_size, n_parts)
+    bands = sig.select("doc_id", "sh", F.explode(_band_key_col()).alias("bk")).select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        "doc_id", "sh",
+    )
+    bands.write.partitionBy("band").mode("overwrite").parquet(path)
+
+
+def neardup_index_query(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicates of an incoming batch AGAINST the persisted index:
+    (batch_doc, index_doc, jaccard ≥ threshold). Candidates come from
+    equality on the stored (band, key); verification is exact Jaccard
+    over both sides' stored/computed shingles — the index side is never
+    re-shingled. Batch-internal duplicates are out of scope here (run
+    ``minhash_lsh_pairs`` on the batch for those)."""
+    n_parts = spark.sparkContext.defaultParallelism
+    index_bands = spark.read.parquet(path)
+    sig = _minhash_sig_pandas(new_docs, shingle_size, n_parts)
+    batch_bands = sig.select(
+        "doc_id", "sh", F.explode(_band_key_col()).alias("bk")
+    ).select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_b"),
+    )
+    cand = (
+        batch_bands.join(index_bands, on=["band", "key"])
+        .filter(F.col("batch_doc") != F.col("doc_id"))
+        .select(
+            "batch_doc",
+            F.col("doc_id").alias("index_doc"),
+            "sh_b",
+            F.col("sh").alias("sh_i"),
+        )
+        .dropDuplicates(["batch_doc", "index_doc"])
+    )
+    jac = cand.select(
+        "batch_doc",
+        "index_doc",
+        F.when(
+            F.size(F.array_union(F.col("sh_b"), F.col("sh_i"))) > 0,
+            F.size(F.array_intersect(F.col("sh_b"), F.col("sh_i")))
+            / F.size(F.array_union(F.col("sh_b"), F.col("sh_i"))).cast("double"),
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "batch_doc", "index_doc", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def neardup_index_query_sql(
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    batch_where: str | None = None,
+) -> str:
+    """DuckDB oracle for the index-query path: re-derives BOTH sides'
+    signatures from the documents table (the index is just materialized
+    state — its contents are a pure function of the corpus split), bands
+    them, and joins across the split. ``batch_where`` selects the
+    incoming batch; its complement is the indexed corpus."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_sql,
+    )
+
+    if batch_where is None:
+        batch_where = (
+            f"{portable_hash_sql('doc_id', INGEST_SALT)} < "
+            f"{fraction_threshold(INGEST_FRACTION)}"
+        )
+    toks = ws_tokens_sql("text")
+    shing = word_shingles_sql("t", shingle_size)
+    sig_exprs = ", ".join(f"{minhash_sql('si', j)} AS mh{j}" for j in range(N_HASHES))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, is_batch, sh, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, ({batch_where}) AS is_batch, {toks} AS t FROM documents),
+shv AS (SELECT doc_id, is_batch, list_distinct({shing}) AS sh FROM tok),
+ints AS (SELECT doc_id, is_batch, sh,
+                list_transform(sh, s -> {str_hash32_sql('s')}) AS si FROM shv),
+sig AS (SELECT doc_id, is_batch, sh, {sig_exprs} FROM ints),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS index_doc
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.is_batch AND NOT b.is_batch AND a.doc_id != b.doc_id
+),
+jac AS (
+  SELECT batch_doc, index_doc,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / len(list_distinct(x.sh || y.sh)) AS jaccard
+  FROM cand JOIN shv x ON cand.batch_doc = x.doc_id
+            JOIN shv y ON cand.index_doc = y.doc_id
+)
+SELECT batch_doc, index_doc, round(jaccard, 6) AS jaccard FROM jac
+WHERE jaccard >= {threshold}
+"""
+
+
 # -- connected-component cluster resolution ---------------------------------
 
 

@@ -1971,6 +1971,39 @@ _docs_query("curation_chunk_inventory", _cur.chunk_inventory, _cur.chunk_invento
 _docs_query("dedup_ingest_stats", _dedup.ingest_dedup_stats, _dedup.ingest_dedup_stats_sql())
 
 
+def _neardup_index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted near-dup signature index (round 4): the corpus slice
+    outside the ingest hash is indexed ONCE (band-partitioned MinHash
+    signature parquet); the ingest batch then joins its own band table
+    against the stored one — O(batch) signature work per ingest. The
+    oracle re-derives both sides' signatures from the documents table,
+    since the index contents are a pure function of the corpus split."""
+    import tempfile
+
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    docs = cat.table("documents")
+    inc = portable_hash_col(F.col("doc_id"), salt=_dedup.INGEST_SALT) < F.lit(
+        fraction_threshold(_dedup.INGEST_FRACTION)
+    )
+    path = tempfile.mkdtemp(prefix="aqe_neardup_idx_")
+    _dedup.neardup_index_write(spark, docs.filter(~inc), path)
+    return _dedup.neardup_index_query(spark, docs.filter(inc), path).orderBy(
+        "batch_doc", "index_doc"
+    )
+
+
+_register(
+    "dedup_neardup_index_query",
+    _neardup_index_fn,
+    _dedup.neardup_index_query_sql(),
+)
+
+
 def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag of Little Bootstraps SUM (plans/bootstrap.py::blb_sum_ci):
     full-scale error assessment from 4 disjoint 5% hash subsamples —
@@ -2104,6 +2137,7 @@ _CERTIFY_FIRST = [
     "streaming_running_estimate",
     "streaming_interval_join",
     "ann_ivf_index_topk",
+    "dedup_neardup_index_query",
     "ann_ivf_index_topk",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).

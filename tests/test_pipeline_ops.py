@@ -1120,3 +1120,39 @@ def test_ivf_index_append_refresh_equals_rebuild(spark, engine, tmp_path):
         tuple(r) for r in similarity.ann_ivf_query_index(spark, emb, full).collect()
     )
     assert got == want and got
+
+
+def test_neardup_index_query_matches_batch_pairs(spark, engine, tmp_path, duck):
+    """Index-query near-dups must equal the cross-split subset of the
+    full batch pairs operator, and match the SQL oracle that re-derives
+    both sides from the corpus split."""
+    from pyspark.sql import functions as F
+
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.operators import dedup as D
+    from tests.conftest import assert_df_matches_sql
+
+    docs = engine.catalog.table("documents")
+    inc = portable_hash_col(F.col("doc_id"), salt=D.INGEST_SALT) < F.lit(
+        fraction_threshold(D.INGEST_FRACTION)
+    )
+    path = str(tmp_path / "nd_idx")
+    D.neardup_index_write(spark, docs.filter(~inc), path)
+    out = D.neardup_index_query(spark, docs.filter(inc), path)
+    got = {(r["batch_doc"], r["index_doc"], r["jaccard"]) for r in out.collect()}
+    # the full pairs operator over ALL docs, restricted to cross-split
+    # pairs, must agree (unordered pair -> directed batch->index)
+    batch_ids = {
+        r["doc_id"] for r in docs.filter(inc).select("doc_id").collect()
+    }
+    full = set()
+    for r in D.minhash_lsh_pairs(spark, docs).collect():
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
+        if (a in batch_ids) != (b in batch_ids):
+            bd, ix = (a, b) if a in batch_ids else (b, a)
+            full.add((bd, ix, j))
+    assert got == full and got
+    assert_df_matches_sql(out, duck, D.neardup_index_query_sql())

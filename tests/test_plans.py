@@ -178,7 +178,7 @@ def test_aqe_splits_skewed_join_partition(spark):
 # ann_ivf_topk left this list in round 4: the LSH-cell rewrite is a
 # fully lazy pipeline, so the sweep now covers it.
 _EAGER = (
-    "streaming_", "adaptive_clt_sum", "ann_ivf_index_topk",
+    "streaming_", "adaptive_clt_sum", "ann_ivf_index_topk", "dedup_neardup_index_query",
     "approx_sum_neyman", "bucketed_join_revenue", "approx_sum_pps10",
     "sketch_mergeable_rollup",
 )
