@@ -429,7 +429,9 @@ INTERVAL_JOIN_MINUTES = 60
 INTERVAL_JOIN_WATERMARK = "240 hours"  # replay drain: nothing dropped as late
 
 
-def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def interval_join_stream(
+    spark: SparkSession, sf_dir: str, replay_batches: int | None = None
+) -> DataFrame:
     """Stream-STREAM interval join — the one Structured Streaming join
     family the pipeline didn't yet cover (dedup and stream-static
     enrichment are above): purchases matched to the same user's clicks
@@ -453,9 +455,41 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory — the standard Structured Streaming trade).
 
     Output: (purchase_id, user_id, n_clicks_1h) for purchases with ≥1
-    in-interval click (inner join semantics)."""
+    in-interval click (inner join semantics). ``replay_batches`` feeds
+    BOTH sides from a time-sliced multi-file replay instead of the
+    single-file fixture, forcing pairs to form ACROSS micro-batches
+    (a purchase in a later batch must find clicks buffered in join
+    state from earlier ones) — the multi-batch determinism claim above,
+    exercised rather than assumed."""
+    if replay_batches:
+        import tempfile
+
+        from approximatequeryengine_spark.catalog import Catalog
+        from approximatequeryengine_spark.streaming.stateful import (
+            split_events_for_replay,
+        )
+
+        events = Catalog(spark, sf_dir).table("events")
+        replay_dir = tempfile.mkdtemp(prefix="aqe_ij_replay_")
+        split_events_for_replay(events, replay_dir, n_batches=replay_batches)
+        schema = spark.read.parquet(replay_dir).schema
+
+        def _src() -> DataFrame:
+            from approximatequeryengine_spark.catalog import normalize_ts
+
+            s = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(replay_dir)
+            )
+            return normalize_ts(s, ["ts"])
+
+    else:
+        def _src() -> DataFrame:
+            return events_stream(spark, sf_dir)
+
     purchases = (
-        events_stream(spark, sf_dir)
+        _src()
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -465,7 +499,7 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("pts", INTERVAL_JOIN_WATERMARK)
     )
     clicks = (
-        events_stream(spark, sf_dir)
+        _src()
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user_id"),

@@ -391,3 +391,18 @@ def test_stream_stream_interval_join_matches_batch(engine, spark, duck):
     rows = out.collect()
     assert rows and all(r["n_clicks_1h"] >= 1 for r in rows)
     assert_df_matches_sql(out, duck, interval_join_sql())
+
+
+def test_stream_stream_interval_join_across_micro_batches(engine, spark, duck):
+    """Replaying the events as 4 time-sliced micro-batches must give the
+    SAME result as the single-batch drain: a purchase arriving in batch
+    k matches clicks buffered in join state from batches < k, and the
+    generous watermark drops nothing."""
+    from approximatequeryengine_spark.streaming.pipeline import (
+        interval_join_sql,
+        interval_join_stream,
+    )
+    from tests.conftest import SF_DIR, assert_df_matches_sql
+
+    out = interval_join_stream(spark, SF_DIR, replay_batches=4)
+    assert_df_matches_sql(out, duck, interval_join_sql())
