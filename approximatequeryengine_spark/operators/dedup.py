@@ -328,22 +328,7 @@ def minhash_lsh_pairs(
             )
             .repartition(n_parts, "doc_id")
         )
-    band_key = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.element_at("mh", b * ROWS_PER_BAND + r + 1).cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig_df.select("doc_id", "sh", F.explode(band_key).alias("bk")).select(
+    bands = sig_df.select("doc_id", "sh", F.explode(_band_key_col()).alias("bk")).select(
         "doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     cand = (
@@ -445,19 +430,23 @@ def neardup_index_write(
 ) -> None:
     """Materialize the MinHash signature index to storage — the
     petabyte-scale shape ``minhash_lsh_pairs``' docstring promises:
-    corpus signatures are computed ONCE (Arrow kernel), band-exploded,
-    and persisted as band-partitioned parquet carrying
-    (band, key, doc_id, sh). Every incoming batch then joins its own
-    (tiny) band table against the stored one instead of re-shingling
-    the corpus — the difference between O(batch) and O(corpus) work
-    per ingest at 100 TB."""
+    corpus signatures are computed ONCE (Arrow kernel) and persisted as
+    TWO tables: a slim band-partitioned candidate table
+    (``path/bands``: band, key, doc_id — integers and a short string,
+    no payload) and ONE copy of the shingle sets keyed by doc_id
+    (``path/shingles``). The dominant storage term (shingles) is stored
+    exactly once instead of once per band — 4× smaller than a
+    band-exploded payload layout — and verification joins shingles in
+    only for the (sparse) candidate set. Every incoming batch then
+    joins its own O(batch) band table against the store instead of
+    re-shingling the corpus."""
     n_parts = spark.sparkContext.defaultParallelism
     sig = _minhash_sig_pandas(docs, shingle_size, n_parts)
-    bands = sig.select("doc_id", "sh", F.explode(_band_key_col()).alias("bk")).select(
-        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
-        "doc_id", "sh",
+    bands = sig.select("doc_id", F.explode(_band_key_col()).alias("bk")).select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id",
     )
-    bands.write.partitionBy("band").mode("overwrite").parquet(path)
+    bands.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
+    sig.select("doc_id", "sh").write.mode("overwrite").parquet(f"{path}/shingles")
 
 
 def neardup_index_query(
@@ -469,12 +458,14 @@ def neardup_index_query(
 ) -> DataFrame:
     """Near-duplicates of an incoming batch AGAINST the persisted index:
     (batch_doc, index_doc, jaccard ≥ threshold). Candidates come from
-    equality on the stored (band, key); verification is exact Jaccard
-    over both sides' stored/computed shingles — the index side is never
-    re-shingled. Batch-internal duplicates are out of scope here (run
-    ``minhash_lsh_pairs`` on the batch for those)."""
+    equality on the stored (band, key); verification joins the single
+    stored shingle table in for the candidate set only — the index side
+    is never re-shingled and its payload is read once per matched doc,
+    not once per band. Batch-internal duplicates are out of scope here
+    (run ``minhash_lsh_pairs`` on the batch for those)."""
     n_parts = spark.sparkContext.defaultParallelism
-    index_bands = spark.read.parquet(path)
+    index_bands = spark.read.parquet(f"{path}/bands")
+    index_sh = spark.read.parquet(f"{path}/shingles")
     sig = _minhash_sig_pandas(new_docs, shingle_size, n_parts)
     batch_bands = sig.select(
         "doc_id", "sh", F.explode(_band_key_col()).alias("bk")
@@ -485,13 +476,14 @@ def neardup_index_query(
     cand = (
         batch_bands.join(index_bands, on=["band", "key"])
         .filter(F.col("batch_doc") != F.col("doc_id"))
-        .select(
-            "batch_doc",
-            F.col("doc_id").alias("index_doc"),
-            "sh_b",
-            F.col("sh").alias("sh_i"),
-        )
+        .select("batch_doc", F.col("doc_id").alias("index_doc"), "sh_b")
         .dropDuplicates(["batch_doc", "index_doc"])
+        .join(
+            index_sh.select(
+                F.col("doc_id").alias("index_doc"), F.col("sh").alias("sh_i")
+            ),
+            on="index_doc",
+        )
     )
     jac = cand.select(
         "batch_doc",

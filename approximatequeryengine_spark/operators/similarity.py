@@ -453,6 +453,76 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _ivf_assign(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic LSH-cell assignment shared by every IVF surface
+    (in-memory top-k, index write, index append): ``log2(n_centroids)``
+    hyperplane-sign bits pack into the cell id. Extracted so the
+    append==rebuild and index==in-memory guarantees are STRUCTURAL (one
+    definition) rather than merely test-enforced. Returns
+    (vec_id, v double-array, cluster int)."""
+    bits = max(1, (n_centroids - 1).bit_length())
+    if 2 ** bits != n_centroids:
+        raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
+    base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+    cell = F.lit(0).cast("long")
+    for b in range(bits):
+        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
+    return base.withColumn("cluster", cell.cast("int"))
+
+
+def _ivf_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cell empirical centroid (component means on the shared
+    6-decimal grid) — the single definition the in-memory operator, the
+    index builder, and the refresh all use. Returns (cluster, cvec)."""
+    return (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+
+
+def _ivf_probes(
+    emb: DataFrame, centroids: DataFrame, n_queries: int, n_probe: int
+) -> DataFrame:
+    """Probe selection: each query's ``n_probe`` most cosine-similar
+    cells (ties → lower cell id). Returns (query_id, qv, cluster)."""
+    queries = (
+        emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+        .filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
+    return (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "cluster",
+            cosine_sim(F.col("qv"), F.col("cvec")).alias("c_sim"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+
+
+def _ivf_rank(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cluster", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     emb: DataFrame,
@@ -485,42 +555,8 @@ def ann_ivf_topk(
     probe rows onto the cell-partitioned corpus, and a per-query top-k
     window over ~N·n_probe/n_cells candidates. ``n_centroids`` must be
     a power of two."""
-    bits = max(1, (n_centroids - 1).bit_length())
-    if 2 ** bits != n_centroids:
-        raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
-    base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
-    cell = F.lit(0).cast("long")
-    for b in range(bits):
-        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
-    assigned = base.withColumn("cluster", cell.cast("int"))
-    centroids = (
-        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cvec")
-        )
-    )
-    queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.desc("c_sim"), F.asc("cluster")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id", "qv", "cluster",
-            cosine_sim(F.col("qv"), F.col("cvec")).alias("c_sim"),
-        )
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "cluster")
-    )
+    assigned = _ivf_assign(emb, n_centroids)
+    probes = _ivf_probes(emb, _ivf_centroids(assigned), n_queries, n_probe)
     scored = (
         assigned.join(F.broadcast(probes), on="cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -531,16 +567,7 @@ def ann_ivf_topk(
             cosine_sim(F.col("qv"), F.col("v")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "cluster", "rank",
-            F.round("cos_sim", 6).alias("cos_sim"),
-        )
-    )
-
+    return _ivf_rank(scored, k)
 
 def ann_ivf_topk_sql(
     n_queries: int = 5,
@@ -604,39 +631,20 @@ def ann_ivf_write_index(
 ) -> None:
     """Persist the IVF index: cell-PARTITIONED vector parquet
     (``path/vectors/cluster=<c>/``) plus a tiny centroid table
-    (``path/centroids``). Building is the same deterministic single
-    pass as :func:`ann_ivf_topk` (LSH-cell assignment + per-cell mean
-    centroids on the 6-decimal grid), so a query against the persisted
-    index returns EXACTLY what the in-memory operator returns — one
-    oracle covers both paths.
+    (``path/centroids``). Building uses the same ``_ivf_assign`` /
+    ``_ivf_centroids`` definitions as :func:`ann_ivf_topk`, so a query
+    against the persisted index returns EXACTLY what the in-memory
+    operator returns — one oracle covers both paths, and the identity
+    is structural, not merely test-enforced.
 
     The partitioning is the point at scale: each probe reads ONLY its
     cell's directory, so a query scans ~n_probe/n_cells of the corpus
     off disk (plan-gated via PartitionFilters in
-    ``test_ivf_index_probe_prunes_partitions``) — index construction
-    cost is paid once, not per query batch."""
-    bits = max(1, (n_centroids - 1).bit_length())
-    if 2 ** bits != n_centroids:
-        raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
-    base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
-    cell = F.lit(0).cast("long")
-    for b in range(bits):
-        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
-    assigned = base.withColumn("cluster", cell.cast("int"))
+    ``test_ivf_index_matches_in_memory_and_prunes_partitions``) — index
+    construction cost is paid once, not per query batch."""
+    assigned = _ivf_assign(emb, n_centroids)
     assigned.write.partitionBy("cluster").mode("overwrite").parquet(f"{path}/vectors")
-    centroids = (
-        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cvec")
-        )
-    )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _ivf_centroids(assigned).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ann_ivf_query_index(
@@ -652,28 +660,20 @@ def ann_ivf_query_index(
     filter on the partition column so the vector scan touches only the
     probed cells' directories (partition pruning — the 100 TB win).
     Results are identical to :func:`ann_ivf_topk` with the same
-    parameters, hence certified by the same DuckDB oracle."""
+    parameters, hence certified by the same DuckDB oracle.
+
+    The probe frame is |queries|·n_probe rows, so it is collected ONCE
+    and re-enters the plan as literals — both the IN-list and the
+    broadcast probe table derive from that single collect (recomputing
+    the probe subplan per consumer would double the centroid-scan +
+    window work)."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    queries = (
-        emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
-        .filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    probe_rows = _ivf_probes(emb, centroids, n_queries, n_probe).collect()
+    cells = sorted({r["cluster"] for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["cluster"]) for r in probe_rows],
+        "query_id long, qv array<double>, cluster int",
     )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id", "qv", "cluster",
-            cosine_sim(F.col("qv"), F.col("cvec")).alias("c_sim"),
-        )
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "cluster")
-    )
-    # The probed cell set is tiny (<= |queries| * n_probe values) and
-    # must reach the SCAN as a partition filter — collect it and build
-    # a literal IN-list predicate (a join would defeat pruning).
-    cells = sorted({r["cluster"] for r in probes.select("cluster").distinct().collect()})
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cluster").isin(cells)
     )
@@ -687,15 +687,7 @@ def ann_ivf_query_index(
             cosine_sim(F.col("qv"), F.col("v")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "cluster", "rank",
-            F.round("cos_sim", 6).alias("cos_sim"),
-        )
-    )
+    return _ivf_rank(scored, k)
 
 
 def ann_ivf_append_index(
@@ -715,47 +707,20 @@ def ann_ivf_append_index(
     vectors into the probe-selection means (one grouped aggregate over
     the index — centroids only steer probing; in-cell results are exact
     either way)."""
-    bits = max(1, (n_centroids - 1).bit_length())
-    if 2 ** bits != n_centroids:
-        raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
-    base = new_emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
-    cell = F.lit(0).cast("long")
-    for b in range(bits):
-        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
-    base.withColumn("cluster", cell.cast("int")).write.partitionBy(
-        "cluster"
-    ).mode("append").parquet(f"{path}/vectors")
+    _ivf_assign(new_emb, n_centroids).write.partitionBy("cluster").mode(
+        "append"
+    ).parquet(f"{path}/vectors")
 
 
 def ann_ivf_refresh_centroids(spark: SparkSession, path: str) -> None:
     """Recompute the centroid table from the index's current vectors
-    (same 6-decimal grid as the builder) — after this, a freshly-built
-    index over the union and an appended+refreshed index are
-    bit-identical in both tables."""
+    (``_ivf_centroids``, same 6-decimal grid as the builder) — after
+    this, a freshly-built index over the union and an appended+refreshed
+    index are bit-identical in both tables. Reads ``path/vectors``,
+    overwrites the disjoint ``path/centroids``."""
     assigned = spark.read.parquet(f"{path}/vectors")
-    centroids = (
-        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cvec")
-        )
-    )
-    # write-then-swap: the read above is materialized by the write of a
-    # NEW directory, then the old is replaced (overwrite on the same
-    # path would truncate its own input mid-read).
-    import uuid
+    _ivf_centroids(assigned).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    tmp = f"{path}/centroids_{uuid.uuid4().hex[:8]}"
-    centroids.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(f"{path}/centroids", ignore_errors=True)
-    shutil.move(tmp, f"{path}/centroids")
 
 
 NEARDUP_BANDS = 4

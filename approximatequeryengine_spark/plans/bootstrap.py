@@ -102,19 +102,24 @@ def bootstrap_sum_ci(
     all R replicate partial sums per partition with numpy broadcasting —
     identical 64-bit integer arithmetic to the SQL spelling, ~10× fewer
     cycles per (row, replicate) than codegen row-at-a-time. Each
-    partition emits ONE row: an array [n, Σx/p, e_0..e_{R-1}] of partial
-    accumulators; a pos-exploded micro-aggregate (≤ (R+2)·partitions
-    rows) reduces them to the same (ht, sd, n) the explode plan
-    produced. The estimator definition (hash family, weights,
-    reductions) is unchanged, so the DuckDB oracle is untouched; float
-    fold order differs across engines exactly as before, absorbed by the
-    round_to grid + integer margin (module docstring).
+    partition emits ONE row: an array [n, n_valid, Σx/p, e_0..e_{R-1}]
+    of partial accumulators; a pos-exploded micro-aggregate
+    (≤ (R+3)·partitions rows) reduces them to the same (ht, sd, n) the
+    explode plan produced. The estimator definition (hash family,
+    weights, reductions) is unchanged, so the DuckDB oracle is
+    untouched; float fold order differs across engines exactly as
+    before, absorbed by the round_to grid + integer margin (module
+    docstring).
+
+    NULL parity: NaN measure values are zeroed in the accumulators but
+    counted in ``n_valid`` = #non-NULL; when a (group's) sample has ZERO
+    non-NULL values the estimate is emitted as NULL — exactly SQL's
+    sum-over-no-values — so the kernel matches the oracle even on
+    empty/all-NULL inputs, not just the happy path.
 
     At 100 TB this keeps the aggregate's distributed shape: per-partition
-    Arrow-batched partials, a shuffle of (R+2)·partitions scalar rows,
-    one final 1-row reduce. Empty input yields n_samples = 0 with a
-    degenerate 0-estimate (the oracle's empty-sum NULL differs only on
-    empty tables, which the correctness gate never exercises)."""
+    Arrow-batched partials, a shuffle of (R+3)·partitions scalar rows,
+    one final 1-row reduce."""
     if replicates < 2:
         raise ValueError("bootstrap needs at least 2 replicates")
     x = F.col(column).cast("double")
@@ -122,16 +127,7 @@ def bootstrap_sum_ci(
     sampled = apply_sampling(df, spec).select(
         x.alias("x"), key.alias("k"), F.col("__p").alias("p")
     )
-    # A single-file scan must not serialize the kernel, but unlike the
-    # pure-CPU codegen path, each extra partition costs a Python-worker
-    # round trip (~50-100 ms fixed) while the numpy work itself is ~2 ms
-    # per 10k-row Arrow batch — measured: 8 partitions beat 32 by ~1.7×
-    # at sf0.1. Cap the forced widening at 8; naturally-split inputs
-    # (the 100 TB case) keep their own partitioning untouched.
-    sc = df.sparkSession.sparkContext
-    target = min(8, sc.defaultParallelism)
-    if sampled.rdd.getNumPartitions() < target:
-        sampled = sampled.repartition(target)
+    sampled = _cap_kernel_parallelism(sampled)
     kernel = _poisson_partials_kernel(replicates)
     parts = sampled.mapInPandas(kernel, schema="es array<double>")
     sums = (
@@ -141,8 +137,13 @@ def bootstrap_sum_ci(
     )
     agg = sums.agg(
         F.min(F.when(F.col("i") == 0, F.col("s"))).cast("long").alias("n_samples"),
-        F.min(F.when(F.col("i") == 1, F.col("s"))).alias("ht"),
-        F.stddev_samp(F.when(F.col("i") >= 2, F.col("s"))).alias("sd"),
+        F.min(F.when(F.col("i") == 1, F.col("s"))).cast("long").alias("n_valid"),
+        F.min(F.when(F.col("i") == 2, F.col("s"))).alias("ht_raw"),
+        F.stddev_samp(F.when(F.col("i") >= 3, F.col("s"))).alias("sd"),
+    )
+    # SQL sum-over-no-values parity: zero non-NULL inputs → NULL, not 0.
+    agg = agg.withColumn(
+        "ht", F.when(F.col("n_valid") > 0, F.col("ht_raw"))
     )
     # Integer margin: keeps ci bounds on the estimate's decimal grid so
     # k-decimal rounding never sits inside cross-engine float noise
@@ -157,9 +158,25 @@ def bootstrap_sum_ci(
     )
 
 
+def _cap_kernel_parallelism(sampled: DataFrame) -> DataFrame:
+    """Widen a narrow sample for the Arrow kernels, capped at 8: a
+    single-file scan must not serialize the kernel, but unlike the
+    pure-CPU codegen path each extra partition costs a Python-worker
+    round trip (~50-100 ms fixed) while the numpy work itself is ~2 ms
+    per 10k-row Arrow batch — measured: 8 partitions beat 32 by ~1.7×
+    at sf0.1. Naturally-split inputs (the 100 TB case) keep their own
+    partitioning untouched."""
+    sc = sampled.sparkSession.sparkContext
+    target = min(8, sc.defaultParallelism)
+    if sampled.rdd.getNumPartitions() < target:
+        return sampled.repartition(target)
+    return sampled
+
+
 def _poisson_partials_kernel(replicates: int):
     """Build the mapInPandas kernel: per partition, one output row whose
-    array is [n, Σx/p, e_0..e_{R-1}] with e_r = Σ poisson_w(k, r)·x/p.
+    array is [n, n_valid, Σx/p, e_0..e_{R-1}] with
+    e_r = Σ poisson_w(k, r)·x/p over the non-NULL values.
 
     The arithmetic is the EXACT integer spelling of the SQL avalanche
     hash (``hashing.avalanche_hash_sql_steps``), vectorized: int64 never
@@ -182,6 +199,7 @@ def _poisson_partials_kernel(replicates: int):
         # in play is exactly the bitmask — measurably faster than mod.
         mask = np.int64(HASH_SPACE - 1)
         n = 0
+        n_valid = 0
         ht = 0.0
         es = np.zeros(replicates, dtype=np.float64)
         for pdf in batches:
@@ -190,9 +208,11 @@ def _poisson_partials_kernel(replicates: int):
             n += len(k)
             # NULL x arrives as NaN: SQL aggregates (the oracle and the
             # old explode path) SKIP nulls while count(*) still counts
-            # the row — zeroing the contribution reproduces exactly
-            # that, instead of NaN-poisoning every accumulator.
-            hx = np.where(np.isnan(hx), 0.0, hx)
+            # the row — zero the contribution and track n_valid so the
+            # reduce can reproduce SQL's NULL-when-no-values semantics.
+            nan = np.isnan(hx)
+            n_valid += int(len(k) - nan.sum())
+            hx = np.where(nan, 0.0, hx)
             ht += float(hx.sum())
             h = (k[:, None] + salts[None, :]) & mask
             for _ in range(2):
@@ -203,7 +223,7 @@ def _poisson_partials_kernel(replicates: int):
             w = np.searchsorted(cdf, u.ravel(), side="right").reshape(u.shape)
             es += (w.astype(np.float64) * hx[:, None]).sum(axis=0)
         yield pd.DataFrame(
-            {"es": [np.concatenate(([float(n), ht], es)).tolist()]}
+            {"es": [np.concatenate(([float(n), float(n_valid), ht], es)).tolist()]}
         )
 
     return kernel
@@ -236,10 +256,7 @@ def bootstrap_grouped_sum_ci(
         F.col(group_col).alias("g"), x.alias("x"), key.alias("k"),
         F.col("__p").alias("p"),
     )
-    sc = df.sparkSession.sparkContext
-    target = min(8, sc.defaultParallelism)
-    if sampled.rdd.getNumPartitions() < target:
-        sampled = sampled.repartition(target)
+    sampled = _cap_kernel_parallelism(sampled)
     g_type = dict(sampled.dtypes)["g"]
     kernel = _grouped_poisson_partials_kernel(replicates)
     parts = sampled.mapInPandas(kernel, schema=f"g {g_type}, es array<double>")
@@ -250,9 +267,10 @@ def bootstrap_grouped_sum_ci(
     )
     agg = sums.groupBy("g").agg(
         F.min(F.when(F.col("i") == 0, F.col("s"))).cast("long").alias("n_samples"),
-        F.min(F.when(F.col("i") == 1, F.col("s"))).alias("ht"),
-        F.stddev_samp(F.when(F.col("i") >= 2, F.col("s"))).alias("sd"),
-    )
+        F.min(F.when(F.col("i") == 1, F.col("s"))).cast("long").alias("n_valid"),
+        F.min(F.when(F.col("i") == 2, F.col("s"))).alias("ht_raw"),
+        F.stddev_samp(F.when(F.col("i") >= 3, F.col("s"))).alias("sd"),
+    ).withColumn("ht", F.when(F.col("n_valid") > 0, F.col("ht_raw")))
     margin = F.round(F.lit(z) * F.col("sd"), 0)
     return agg.select(
         F.col("g").alias(group_col),
@@ -265,9 +283,11 @@ def bootstrap_grouped_sum_ci(
 
 def _grouped_poisson_partials_kernel(replicates: int):
     """Grouped variant of :func:`_poisson_partials_kernel`: one output
-    row per (partition, group) whose array is [n, Σx/p, e_0..e_{R-1}]
-    accumulated over that group's rows. NULL x is zeroed (SQL aggregate
-    NULL-skipping) while n still counts the row — count(*) parity."""
+    row per (partition, group) whose array is
+    [n, n_valid, Σx/p, e_0..e_{R-1}] accumulated over that group's
+    rows. NULL x is zeroed while n_valid tracks the non-NULL count, so
+    an all-NULL GROUP reduces to a NULL estimate like SQL (count(*)
+    parity for n_samples)."""
 
     def kernel(batches):
         import numpy as np
@@ -283,12 +303,14 @@ def _grouped_poisson_partials_kernel(replicates: int):
             for g, sub in pdf.groupby("g", sort=False, dropna=False):
                 k = np.abs(sub["k"].to_numpy(np.int64))
                 hx = sub["x"].to_numpy(np.float64) / sub["p"].to_numpy(np.float64)
-                hx = np.where(np.isnan(hx), 0.0, hx)
                 a = acc.get(g)
                 if a is None:
-                    a = acc[g] = np.zeros(replicates + 2, dtype=np.float64)
+                    a = acc[g] = np.zeros(replicates + 3, dtype=np.float64)
                 a[0] += len(k)
-                a[1] += float(hx.sum())
+                nan = np.isnan(hx)
+                a[1] += float(len(k) - nan.sum())
+                hx = np.where(nan, 0.0, hx)
+                a[2] += float(hx.sum())
                 h = (k[:, None] + salts[None, :]) & mask
                 for _ in range(2):
                     h = h ^ (h >> 16)
@@ -296,7 +318,7 @@ def _grouped_poisson_partials_kernel(replicates: int):
                 h = h ^ (h >> 16)
                 u = h.astype(np.float64) / float(HASH_SPACE)
                 w = np.searchsorted(cdf, u.ravel(), side="right").reshape(u.shape)
-                a[2:] += (w.astype(np.float64) * hx[:, None]).sum(axis=0)
+                a[3:] += (w.astype(np.float64) * hx[:, None]).sum(axis=0)
         if acc:
             yield pd.DataFrame(
                 {"g": list(acc.keys()), "es": [a.tolist() for a in acc.values()]}

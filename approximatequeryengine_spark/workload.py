@@ -941,7 +941,7 @@ def _ivf_index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then query it with partition-pruned probes — identical
     algorithm and results to ann_ivf_topk, so it shares that oracle.
     The pruning (scan touches only probed cell directories) is
-    plan-gated in test_ivf_index_probe_prunes_partitions."""
+    plan-gated in test_ivf_index_matches_in_memory_and_prunes_partitions."""
     import tempfile
 
     from approximatequeryengine_spark.operators.similarity import (
@@ -2138,7 +2138,6 @@ _CERTIFY_FIRST = [
     "streaming_interval_join",
     "ann_ivf_index_topk",
     "dedup_neardup_index_query",
-    "ann_ivf_index_topk",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

@@ -363,21 +363,34 @@ def test_m4_recentering_identity_python_model(offset, spread, n):
     giant=st.floats(min_value=1e4, max_value=1e8),
     body=st.floats(min_value=1.0, max_value=100.0),
     b=st.integers(min_value=1, max_value=50),
+    n_above=st.integers(min_value=0, max_value=10),
 )
-@settings(max_examples=100, deadline=None)
-def test_outlier_threshold_tie_semantics_python_model(giant, body, b):
+@settings(max_examples=200, deadline=None)
+def test_outlier_threshold_tie_semantics_python_model(giant, body, b, n_above):
     """The outlier stratum uses the B-th largest VALUE as threshold t
     with STRICT x > t membership: ties at t always fall to the sampled
-    side, so stratum membership is a pure function of the value — never
-    of sort order among ties. Python model over a worst-case all-ties
-    top block."""
-    xs = [giant] * (b + 3) + [body] * 50
+    side TOGETHER, so stratum membership is a pure function of the
+    value — never of sort order among ties. The model mirrors
+    plans/outlier.py's threshold derivation (min of the top-B multiset)
+    with a tie block that STRADDLES the B boundary plus ``n_above``
+    strictly larger values — the non-degenerate split the strict
+    inequality must handle."""
+    huge = giant * 3.0
+    xs = [huge] * n_above + [giant] * (b + 3) + [body] * 50
     top = sorted(xs, reverse=True)[:b]
     t = min(top)
     out = [x for x in xs if x > t]
-    # every copy of the tied maximum falls OUT of the outlier stratum
-    # together (strict >), regardless of how many the top-B contains
-    assert out == [] or all(x > t for x in out)
-    assert len([x for x in xs if x > t]) <= len(xs) - 1  # never everything
-    # and the exact-sum decomposition holds for any split point
-    assert sum(out) + sum(x for x in xs if x <= t) == pytest.approx(sum(xs), rel=1e-12)
+    if n_above >= b:
+        # the top-B is all `huge`: t = huge, nothing exceeds it
+        assert t == huge and out == []
+    else:
+        # t lands inside the giant tie block → ALL of its copies drop to
+        # the sampled side together, only the `huge` values are outliers
+        assert t == giant
+        assert len(out) == n_above and all(x == huge for x in out)
+    # threshold membership never splits a tie group
+    assert all(x != t for x in out)
+    # exact-sum decomposition holds for any split point
+    assert sum(out) + sum(x for x in xs if x <= t) == pytest.approx(
+        sum(xs), rel=1e-12
+    )

@@ -573,3 +573,27 @@ def test_bootstrap_kernel_skips_nulls_like_sql(spark):
     # count(*) convention the oracle uses
     assert row["n_samples"] > 400
     assert row["ci_lower"] <= row["estimate"] <= row["ci_upper"]
+
+
+def test_grouped_bootstrap_all_null_group_yields_null(spark, duck):
+    """Regression (round-4 second review): a group whose every sampled
+    value is NULL must produce a NULL estimate (SQL sum-over-no-values),
+    not 0.0 — matching the unchanged DuckDB oracle semantics."""
+    from approximatequeryengine_spark.plans.bootstrap import (
+        bootstrap_grouped_sum_ci,
+    )
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "allnull").otherwise("ok").alias("g"),
+        F.when(F.col("id") % 2 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    spec = SamplingSpec(design="uniform_hash", fraction=0.5, key="k")
+    rows = {r["g"]: r for r in bootstrap_grouped_sum_ci(df, "v", "g", spec).collect()}
+    assert rows["allnull"]["estimate"] is None
+    assert rows["allnull"]["ci_lower"] is None
+    assert rows["allnull"]["n_samples"] > 0  # count(*) still counts rows
+    assert rows["ok"]["estimate"] is not None and rows["ok"]["estimate"] > 0
