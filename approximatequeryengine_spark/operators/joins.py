@@ -109,3 +109,127 @@ SELECT n_rows, n_keys, max_freq,
            AS skew_ratio
 FROM stats, ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Universe (coordinated) sampling over a many-to-many join — the Quickr
+# / "join synopses" estimator (Kandula et al. SIGMOD'16): sampling each
+# side INDEPENDENTLY at rate p keeps only p² of the join's pairs and
+# blows up variance quadratically; sampling the JOIN-KEY UNIVERSE with
+# one shared hash keeps every pair whose key survives, so the estimate
+# scales by 1/p (not 1/p²) and the variance is driven by per-key pair
+# totals. Beyond the reference (it has no joins).
+# ---------------------------------------------------------------------------
+
+UNIVERSE_SALT = 11
+_Z975 = 1.959963984540054
+
+
+def universe_join_pairs(
+    spark,
+    events: DataFrame,
+    fraction: float = 0.2,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Estimate the size (and total right-side value) of the
+    ``left_type`` × ``right_type`` per-user pair join from a
+    coordinated ``fraction`` sample of the ``user_id`` universe.
+
+    The plan never materializes the many-to-many join: both sides
+    aggregate per key first (count, and value-cents sum on the right),
+    the per-key summaries join 1:1, and pairs-per-key is the product
+    ``n_left · n_right`` — O(rows) work and one co-partitioned shuffle
+    instead of O(pairs). The universe predicate is a pure arithmetic
+    filter on the key, so it pushes into both scans and the SAME keys
+    survive on both sides (the property per-side Bernoulli sampling
+    lacks).
+
+    Estimator: per-key totals t_u are observed exactly for sampled
+    keys; T̂ = Σt_u/p is Horvitz-Thompson-unbiased over the key
+    universe; Var(T̂) = (1−p)/p² · Σt_u². All outputs are integers
+    (value on a cents grid, integer CI margins), so the DuckDB oracle
+    (:func:`universe_join_pairs_sql`) matches bit-for-bit."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+
+    thr = fraction_threshold(fraction)
+    p = float(fraction)
+    keyed = events.filter(
+        portable_hash_col(F.col("user_id"), UNIVERSE_SALT) < F.lit(thr)
+    )
+    left = (
+        keyed.filter(F.col("event_type") == left_type)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    )
+    right = (
+        keyed.filter(F.col("event_type") == right_type)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_r"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            ).alias("cents_r"),
+        )
+    )
+    per_key = left.join(right, on="user_id").select(
+        (F.col("n_l") * F.col("n_r")).alias("t"),
+        (F.col("n_l") * F.col("cents_r")).alias("v"),
+    )
+    est = F.round(F.sum("t") / F.lit(p), 0).cast("long")
+    margin = F.round(
+        F.lit(_Z975)
+        * F.sqrt(F.sum(F.col("t") * F.col("t")) * F.lit((1.0 - p) / (p * p))),
+        0,
+    ).cast("long")
+    return per_key.agg(
+        est.alias("est_pairs"),
+        (est - margin).alias("ci_lower"),
+        (est + margin).alias("ci_upper"),
+        F.round(F.sum("v") / F.lit(p), 0).cast("long").alias("est_value_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_sampled"),
+    )
+
+
+def universe_join_pairs_sql(
+    fraction: float = 0.2,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> str:
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_sql,
+    )
+
+    thr = fraction_threshold(fraction)
+    p = repr(float(fraction))
+    pred = f"{portable_hash_sql('user_id', UNIVERSE_SALT)} < {thr}"
+    return f"""
+WITH l AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_l FROM events
+  WHERE event_type = '{left_type}' AND {pred} GROUP BY user_id
+),
+r AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_r,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents_r
+  FROM events
+  WHERE event_type = '{right_type}' AND {pred} GROUP BY user_id
+),
+per AS (
+  SELECT l.n_l * r.n_r AS t, l.n_l * r.cents_r AS v
+  FROM l JOIN r ON l.user_id = r.user_id
+)
+SELECT CAST(round(CAST(sum(t) AS BIGINT) / {p}, 0) AS BIGINT) AS est_pairs,
+       CAST(round(CAST(sum(t) AS BIGINT) / {p}, 0)
+            - round({_Z975} * sqrt(CAST(sum(t * t) AS BIGINT)
+                                   * ((1.0 - {p}) / ({p} * {p}))), 0) AS BIGINT) AS ci_lower,
+       CAST(round(CAST(sum(t) AS BIGINT) / {p}, 0)
+            + round({_Z975} * sqrt(CAST(sum(t * t) AS BIGINT)
+                                   * ((1.0 - {p}) / ({p} * {p}))), 0) AS BIGINT) AS ci_upper,
+       CAST(round(CAST(sum(v) AS BIGINT) / {p}, 0) AS BIGINT) AS est_value_cents,
+       CAST(count(*) AS BIGINT) AS n_keys_sampled
+FROM per
+"""

@@ -1262,3 +1262,318 @@ def ann_auto_topk(
             bits_per_table=int(choice["bits"]),
         )
     return ann_ivf_topk(spark, emb, n_queries=n_queries, k=k).drop("cluster")
+
+
+# ---------------------------------------------------------------------------
+# IVF + Product Quantization (ADC scoring) — the canonical billion-scale
+# ANN memory layout (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): the coarse quantizer prunes the scan to
+# probed cells and PQ compresses each residual-free vector to M small
+# codes, scored via an Asymmetric Distance Computation table built once
+# per query. Beyond the reference (it has no vector search at all).
+#
+# Determinism: both quantizers are LSH-cell (hyperplane-sign) designs —
+# the same trick that made `ann_ivf_topk` oracle-able — and the ADC
+# partial dot products are scaled to integers before the per-candidate
+# sum, so the only float reduction is the fixed left-to-right query-norm
+# fold. The DuckDB oracle re-derives codebook training, encoding, probe
+# selection, ADC table construction, and ranking end-to-end.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_BITS = 4  # 16 codes per subspace
+PQ_BIT_BASE = 101  # disjoint hyperplane-sign key space vs the coarse bits
+PQ_SCALE = 1_000_000  # integer grid for ADC partials
+
+
+def _pq_sign(m: int, b: int, d: int) -> int:
+    return _hyperplane_sign(PQ_BIT_BASE + m * PQ_BITS + b, d)
+
+
+def _pq_code_col(sl: Column, m: int) -> Column:
+    """Subspace ``m`` code (0..2^PQ_BITS-1) of an 8-dim slice: PQ_BITS
+    hyperplane-sign bits over the slice, signs from the portable hash
+    with a per-(subspace, bit) key."""
+    total = F.lit(0).cast("long")
+    for b in range(PQ_BITS):
+        signs = F.array(*[F.lit(float(_pq_sign(m, b, d))) for d in range(PQ_SUB)])
+        proj = F.aggregate(
+            F.zip_with(sl, signs, lambda v, s: v * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        total = total + bit * F.lit(2**b).cast("long")
+    return total
+
+
+def _pq_code_sql(sl: str, m: int) -> str:
+    terms = []
+    for b in range(PQ_BITS):
+        signs = ", ".join(f"{_pq_sign(m, b, d)}.0" for d in range(PQ_SUB))
+        proj = (
+            f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+            f"i -> CAST(({sl})[i] AS DOUBLE) * ([{signs}])[i]))"
+        )
+        terms.append(f"((CASE WHEN {proj} > 0 THEN 1 ELSE 0 END) * {2**b})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_centroids(base: DataFrame) -> DataFrame:
+    """Train all M codebooks in ONE pass: explode each vector into its
+    (m, code, slice) rows, then per-component means on the shared
+    6-decimal grid. Returns (m, code, cvec) — at most M·2^PQ_BITS rows
+    (128 here), broadcastable at any corpus size."""
+    sub = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).cast("int").alias("m"),
+                    _pq_code_col(F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB), m).alias("code"),
+                    F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias("sl"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("s")
+    ).select("s.m", "s.code", F.posexplode("s.sl").alias("pos", "val"))
+    return (
+        sub.groupBy("m", "code", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cvec")
+        )
+    )
+
+
+def _int_grid(x: Column) -> Column:
+    """floor(x·PQ_SCALE + 0.5) as BIGINT — round-half-up toward +inf,
+    spelled identically in DuckDB, so both engines land on the same
+    integer and every downstream sum is exact integer arithmetic."""
+    return F.floor(x * F.lit(float(PQ_SCALE)) + F.lit(0.5)).cast("long")
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 12,
+) -> DataFrame:
+    """IVF-PQ ANN with exact reranking: coarse LSH-cell pruning (shared
+    with :func:`ann_ivf_topk` — same `_ivf_assign`/`_ivf_probes`),
+    PQ-ADC scoring inside the probed cells to select a per-query
+    ``shortlist``, then an exact-cosine rerank of the shortlist from the
+    original vectors — the FAISS ``IVFPQ + refine`` pipeline. ADC alone
+    cannot rank same-cluster neighbors (codes capture which cluster a
+    vector is in, not its within-cluster offset — measured fidelity vs
+    in-cell exact ranking is <0.35 at 8×4-bit codes); the rerank
+    restores accuracy while touching full vectors for only
+    ``shortlist × |queries|`` rows.
+
+    Plan shape at scale: codebook training is one grouped aggregate over
+    the slim (m, code, pos, val) projection; the trained codebook
+    (M·2^PQ_BITS rows) and the per-query ADC table (|queries|·M·2^PQ_BITS
+    rows) broadcast; candidate scoring explodes each candidate's M codes
+    and reduces M integer partials per (query, candidate) — the scan
+    touches ~N·n_probe/n_cells candidates and materializes full vectors
+    only for the broadcast shortlist join (codes are M small ints, the
+    PQ memory win: 64 floats → 8 codes per vector). ``shortlist`` is
+    the accuracy/IO dial.
+
+    Returns (query_id, neighbor_id, rank, cos_sim): exact cosine of the
+    reranked top-k. Requires ``size(embedding) == DIM``."""
+    assigned = _ivf_assign(emb, n_centroids)
+    codes = assigned.withColumn(
+        "codes",
+        F.array(*[
+            _pq_code_col(F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB), m)
+            for m in range(PQ_M)
+        ]),
+    ).select("vec_id", "cluster", "codes")
+    cent_pq = _pq_centroids(assigned.select("v"))
+    probes = _ivf_probes(emb, _ivf_centroids(assigned), n_queries, n_probe)
+    qnorm = F.sqrt(
+        F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x)
+    ).alias("qnorm")
+    probes = probes.select("query_id", "qv", "cluster", qnorm)
+    # ADC table: integer partial dot (query slice · centroid) and
+    # integer partial squared norm per (query, m, code).
+    adc = (
+        probes.select("query_id", "qv").distinct()
+        .crossJoin(F.broadcast(cent_pq))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            _int_grid(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qv"), F.col("m") * PQ_SUB + 1, PQ_SUB),
+                        F.col("cvec"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("pdot_i"),
+            _int_grid(
+                F.aggregate(F.col("cvec"), F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("pnorm_i"),
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(probes.select("query_id", "cluster", "qnorm")), on="cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qnorm",
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .join(F.broadcast(adc), on=["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("pdot_i").alias("adot_i"),
+            F.sum("pnorm_i").alias("anorm_i"),
+            F.max("qnorm").alias("qnorm"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                (F.col("adot_i").cast("double") / F.lit(float(PQ_SCALE)))
+                / (F.col("qnorm") * F.sqrt(F.col("anorm_i").cast("double") / F.lit(float(PQ_SCALE))))
+            ).alias("adc_cos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact rerank: fetch original vectors ONLY for the shortlist
+    # (broadcast — |queries|·shortlist rows against the vector store).
+    rer = (
+        assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+        .join(F.broadcast(short), on="neighbor_id")
+        .join(F.broadcast(probes.select("query_id", "qv").distinct()), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def ann_ivfpq_topk_sql(
+    n_queries: int = 5,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 12,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivfpq_topk` — re-derives coarse
+    cells, PQ codebooks, encoding, probes, the integer ADC table, the
+    shortlist, and the exact rerank with identical arithmetic and
+    tie-breaks."""
+    bits = max(1, (n_centroids - 1).bit_length())
+    cell = "(" + " + ".join(
+        f"({_hyperplane_bit_sql('embedding', b)} * {2 ** b})" for b in range(bits)
+    ) + ")"
+    cos_probe = _cosine_sql("q.qv", "c.cvec")
+    pq_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, "
+        f"{_pq_code_sql(f'v[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]', m)} AS code, "
+        f"v[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS sl FROM a"
+        for m in range(PQ_M)
+    )
+    qslice = f"q.qv[c.m * {PQ_SUB} + 1:(c.m + 1) * {PQ_SUB}]"
+    pdot = (
+        f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+        f"i -> CAST(({qslice})[i] AS DOUBLE) * c.cvec[i]))"
+    )
+    pnorm = "list_sum(list_transform(c.cvec, x -> x * x))"
+    qnorm = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
+    return f"""
+WITH a AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST({cell} AS INTEGER) AS cluster
+  FROM embeddings
+),
+pq AS ({pq_rows}),
+cm AS (
+  SELECT m, code, pos, round(avg(val), 6) AS mu FROM (
+    SELECT m, code, unnest(sl) AS val, generate_subscripts(sl, 1) AS pos FROM pq
+  ) GROUP BY m, code, pos
+),
+cent AS (SELECT m, code, list(mu ORDER BY pos) AS cvec FROM cm GROUP BY m, code),
+ccm AS (
+  SELECT cluster, pos, round(avg(val), 6) AS m FROM (
+    SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a
+  ) GROUP BY cluster, pos
+),
+ccent AS (SELECT cluster, list(m ORDER BY pos) AS cvec FROM ccm GROUP BY cluster),
+q AS (SELECT vec_id AS query_id, v AS qv, {qnorm} AS qnorm FROM a WHERE vec_id < {n_queries}),
+pr AS (
+  SELECT query_id, qnorm, cluster FROM (
+    SELECT q.query_id, q.qnorm, c.cluster,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_probe} DESC, c.cluster ASC) AS prn
+    FROM q CROSS JOIN ccent c
+  ) WHERE prn <= {n_probe}
+),
+adc AS (
+  SELECT q.query_id, c.m, c.code,
+         CAST(floor({pdot} * {PQ_SCALE} + 0.5) AS BIGINT) AS pdot_i,
+         CAST(floor({pnorm} * {PQ_SCALE} + 0.5) AS BIGINT) AS pnorm_i
+  FROM q CROSS JOIN cent c
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.qnorm,
+         sum(d.pdot_i) AS adot_i, sum(d.pnorm_i) AS anorm_i
+  FROM pr p
+  JOIN a ON a.cluster = p.cluster AND a.vec_id != p.query_id
+  JOIN pq ON pq.vec_id = a.vec_id
+  JOIN adc d ON d.query_id = p.query_id AND d.m = pq.m AND d.code = pq.code
+  GROUP BY p.query_id, a.vec_id, p.qnorm
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY (CAST(adot_i AS DOUBLE) / {PQ_SCALE})
+                                         / (qnorm * sqrt(CAST(anorm_i AS DOUBLE) / {PQ_SCALE})) DESC,
+                                       neighbor_id ASC) AS srn
+    FROM cand
+  ) WHERE srn <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, {_cosine_sql("q.qv", "a.v")} AS cos_sim
+  FROM short s
+  JOIN a ON a.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""

@@ -934,6 +934,11 @@ _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="e
 # k-means, so the DuckDB oracle re-derives training (cell assignment +
 # centroid means) plus probing and ranking end-to-end.
 _docs_query("ann_ivf_topk", _sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), table="embeddings")
+# Round-4: IVF-PQ with exact rerank (Jégou et al. TPAMI'11 + the FAISS
+# refine step) — both quantizers are deterministic LSH-cell designs and
+# the ADC partials are integer-gridded, so codebook training, encoding,
+# probing, shortlist, and rerank all re-derive as one DuckDB oracle.
+_docs_query("ann_ivfpq_topk", _sim.ann_ivfpq_topk, _sim.ann_ivfpq_topk_sql(), table="embeddings")
 
 
 def _ivf_index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2138,6 +2143,7 @@ _CERTIFY_FIRST = [
     "streaming_interval_join",
     "ann_ivf_index_topk",
     "dedup_neardup_index_query",
+    "ann_ivfpq_topk",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",
