@@ -141,9 +141,12 @@ def universe_join_pairs(
     the per-key summaries join 1:1, and pairs-per-key is the product
     ``n_left · n_right`` — O(rows) work and one co-partitioned shuffle
     instead of O(pairs). The universe predicate is a pure arithmetic
-    filter on the key, so it pushes into both scans and the SAME keys
-    survive on both sides (the property per-side Bernoulli sampling
-    lacks).
+    filter on the key evaluated at scan time (an expression over
+    ``user_id`` — not a parquet-pushable literal predicate, but it runs
+    before any shuffle and cuts both shuffles ~1/p), and the SAME keys
+    survive on both sides — the property per-side Bernoulli sampling
+    lacks: independent p-sampling of each side keeps only p² of the
+    pairs and inflates variance quadratically.
 
     Estimator: per-key totals t_u are observed exactly for sampled
     keys; T̂ = Σt_u/p is Horvitz-Thompson-unbiased over the key

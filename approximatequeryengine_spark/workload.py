@@ -1000,6 +1000,20 @@ _docs_query("multimodal_wav_decode", _mm.wav_decode_stats, _mm.wav_decode_stats_
 _docs_query("multimodal_y4m_frames", _mm.y4m_frame_extract_stats, _mm.y4m_frame_extract_stats_sql())
 _docs_query("asof_join_purchase_click", _temporal.asof_purchase_click, _temporal.asof_purchase_click_sql(), table="events")
 _docs_query("range_join_purchase_clicks", _temporal.range_join_purchase_clicks, _temporal.range_join_purchase_clicks_sql(), table="events")
+
+# Round-4: universe (coordinated) sampling over the many-to-many
+# click×purchase join — sample the user-id UNIVERSE with one shared
+# hash so every pair of a surviving key survives (1/p scaling; per-side
+# Bernoulli would keep p² of the pairs). Per-key pre-aggregation means
+# the pair join is never materialized.
+from approximatequeryengine_spark.operators import joins as _joins  # noqa: E402
+
+_docs_query(
+    "approx_join_universe_pairs",
+    _joins.universe_join_pairs,
+    _joins.universe_join_pairs_sql(),
+    table="events",
+)
 _docs_query("events_funnel_conversion", _temporal.funnel_conversion, _temporal.funnel_conversion_sql(), table="events")
 _docs_query("events_cohort_retention", _temporal.cohort_retention, _temporal.cohort_retention_sql(), table="events")
 _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_clean_pipeline_sql())
@@ -2144,6 +2158,7 @@ _CERTIFY_FIRST = [
     "ann_ivf_index_topk",
     "dedup_neardup_index_query",
     "ann_ivfpq_topk",
+    "approx_join_universe_pairs",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

