@@ -240,3 +240,42 @@ def sampling_p_sql(spec: SamplingSpec) -> str:
         )
         return f"(CASE {cases} ELSE {float(spec.fraction)!r} END)"
     return repr(float(spec.realized_fraction()))
+
+
+def congressional_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    total_fraction: float,
+    min_fraction: float = 0.005,
+) -> dict:
+    """Congressional allocation (Acharya, Gibbons & Poosala,
+    "Congressional samples for approximate answering of group-by
+    queries", SIGMOD 2000): a compromise between the *house*
+    (proportional — minimizes variance of GLOBAL aggregates but
+    starves small groups) and the *senate* (equal-per-group —
+    protects every group's estimate but wastes budget on big
+    groups). Each group gets budget ∝ max(house_g, senate_g),
+    normalized back to the total budget ``B = floor(f·N)``.
+
+    With G groups, house_g ∝ N_g/N and senate_g ∝ 1/G share a common
+    denominator N·G, so the unnormalized weight is the INTEGER
+    ``M_g = max(N_g·G, N)`` and the normalizer ``S = ΣM_g`` is exact
+    integer math — the final per-group fraction
+    ``f_g = clamp((B/S)·(M_g/N_g))`` is two IEEE divisions and one
+    product over integers, which the DuckDB oracle reproduces
+    bit-for-bit (same trick as the quantized Neyman allocation
+    above). One COUNT-only groupBy pass; only the |groups|-row stats
+    table reaches the driver."""
+    rows = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("nh")).collect()
+    nh = {r[stratum_col]: int(r["nh"]) for r in rows}
+    n_total = sum(nh.values())
+    g = len(nh)
+    if n_total == 0 or g == 0:
+        return {}
+    budget = int(math.floor(total_fraction * n_total))
+    m = {k: max(nh[k] * g, n_total) for k in nh}
+    s = sum(m.values())
+    return {
+        k: min(max((budget / s) * (m[k] / nh[k]), min_fraction), 1.0)
+        for k in nh
+    }

@@ -676,6 +676,78 @@ _neyman_query(
 )
 
 
+def _congress_query(
+    name: str,
+    table: str,
+    value_col: str,
+    band_sql: str,
+    key: str,
+    total_fraction: float = 0.06,
+    round_to: int = 2,
+) -> None:
+    """Congressional group-by sampling (Acharya et al. SIGMOD'00):
+    allocation = max(house, senate) per group — the small 'high' price
+    band gets a far larger sampling fraction than its proportional
+    share, so its per-group estimate is usable instead of starved.
+    Pass 1 is a COUNT-only groupBy; pass 2 samples + estimates per
+    group. The integer-weight construction (M_g = max(N_g·G, N)) makes
+    the allocation bit-reproducible, and the oracle re-derives
+    counts → weights → fractions → thresholds → per-group HT estimates
+    end-to-end in SQL."""
+    from approximatequeryengine_spark.functions.hashing import HASH_SPACE, portable_hash_sql
+    from approximatequeryengine_spark.plans.sampling import congressional_allocation
+
+    min_f = 0.005
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cat = _catalog(spark, sf_dir)
+        df = cat.table(table).withColumn("band", F.expr(band_sql))
+        fracs = congressional_allocation(df, "band", total_fraction, min_fraction=min_f)
+        spec = SamplingSpec(
+            design="stratified", fraction=total_fraction, key=key,
+            stratum_col="band", strata_fractions=fracs,
+        )
+        rdf = approx_aggregate(
+            apply_sampling(df, spec), AggSpec("sum", value_col), group_by=["band"]
+        )
+        alias = AggSpec("sum", value_col).name()
+        return _round_cols(rdf, {alias: round_to, "ci_lower": round_to, "ci_upper": round_to})
+
+    f_expr = (
+        f"least(greatest((CAST((SELECT b FROM tot) AS DOUBLE) / (SELECT s FROM tot2)) "
+        f"* (CAST(m AS DOUBLE) / nh), {min_f!r}), 1.0)"
+    )
+    oracle = (
+        f"WITH bsrc AS (SELECT *, {band_sql} AS band FROM {table}), "
+        f"st AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS nh FROM bsrc GROUP BY 1), "
+        f"tot AS (SELECT CAST(SUM(nh) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS g, "
+        f"CAST(floor({total_fraction!r} * SUM(nh)) AS BIGINT) AS b FROM st), "
+        f"alloc AS (SELECT band, nh, "
+        f"greatest(nh * (SELECT g FROM tot), (SELECT n FROM tot)) AS m FROM st), "
+        f"tot2 AS (SELECT CAST(SUM(m) AS BIGINT) AS s FROM alloc), "
+        f"alloc2 AS (SELECT band, {f_expr} AS f FROM alloc), "
+        f"samp AS (SELECT t.*, a.f AS p FROM bsrc t "
+        f"JOIN alloc2 a ON t.band = a.band "
+        f"WHERE {portable_hash_sql(key)} < CAST(floor(a.f * {HASH_SPACE}) AS BIGINT)) "
+        + moments_sql(
+            table="samp", column=value_col, where="TRUE", agg="sum",
+            p_sql="p", alias=AggSpec("sum", value_col).name(),
+            group_by="band", round_to=round_to,
+        )
+    )
+    _register(name, fn, oracle)
+
+
+_congress_query(
+    "approx_groupby_sum_congress",
+    "lineitem",
+    "l_extendedprice",
+    "CASE WHEN l_extendedprice >= 100000 THEN 'high' "
+    "WHEN l_extendedprice >= 50000 THEN 'mid' ELSE 'low' END",
+    _LKEY,
+)
+
+
 def _quantile_query(name: str, table: str, column: str, q: float, spec: SamplingSpec) -> None:
     from approximatequeryengine_spark.plans.quantiles import (
         approx_quantile_ci,
@@ -2159,6 +2231,7 @@ _CERTIFY_FIRST = [
     "dedup_neardup_index_query",
     "ann_ivfpq_topk",
     "approx_join_universe_pairs",
+    "approx_groupby_sum_congress",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

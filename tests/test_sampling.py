@@ -80,3 +80,59 @@ def test_neyman_allocation(engine):
 def test_bernoulli_reproducible_in_spark(engine):
     spec = SamplingSpec(design="bernoulli", fraction=0.1, seed=7, key=KEY)
     assert _sample_keys(engine, spec) == _sample_keys(engine, spec)
+
+
+def test_congressional_allocation_protects_small_groups(engine):
+    """Congress = max(house, senate): a band holding ~3.5% of the rows
+    must get a much larger fraction than its proportional share, the
+    big bands stay near-proportional, and the expected sample size
+    stays ≈ the budget (normalization), within clamping slack."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.plans.sampling import congressional_allocation
+
+    df = engine.catalog.table("lineitem").withColumn(
+        "band",
+        F.expr(
+            "CASE WHEN l_extendedprice >= 100000 THEN 'high' "
+            "WHEN l_extendedprice >= 50000 THEN 'mid' ELSE 'low' END"
+        ),
+    )
+    fracs = congressional_allocation(df, "band", 0.06)
+    counts = {r["band"]: r["n"] for r in
+              df.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    # the small band is boosted well beyond proportional
+    assert counts["high"] / n < 0.10
+    assert fracs["high"] > 3 * 0.06
+    # large bands stay within [proportional, senate] bounds
+    for k in ("low", "mid"):
+        assert 0.005 <= fracs[k] <= 1.0
+    # budget: Σ N_g·f_g ≈ f·N (allocation normalizes to the budget;
+    # clamping can only shrink it)
+    expected = sum(counts[k] * fracs[k] for k in fracs)
+    assert expected / n == pytest.approx(0.06, rel=0.10)
+
+
+def test_congressional_groupby_ci_covers_exact(engine_med, duck_med):
+    """Every band's congressional-sample CI must cover the exact
+    per-band sum at sf0.01 — including the small 'high' band that a
+    proportional sample would starve."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    rows = {
+        r["band"]: r
+        for r in QUERIES["approx_groupby_sum_congress"](
+            engine_med.spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    exact = dict(
+        duck_med.execute(
+            "SELECT CASE WHEN l_extendedprice >= 100000 THEN 'high' "
+            "WHEN l_extendedprice >= 50000 THEN 'mid' ELSE 'low' END AS band, "
+            "sum(l_extendedprice) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(rows) == set(exact) == {"high", "mid", "low"}
+    for band, want in exact.items():
+        assert rows[band]["ci_lower"] <= want <= rows[band]["ci_upper"], band
