@@ -2095,6 +2095,39 @@ _register(
 )
 
 
+def _incremental_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (round 4): build the per-group
+    state from the events OUTSIDE the ingest hash, persist it, then fold
+    the ingest batch in WITHOUT re-reading the base — O(batch+|groups|).
+    The oracle is the full-history aggregate: the entry passes iff
+    merge(state(base), delta) == state(base ∪ delta) exactly (integer
+    state makes the equality bit-for-bit)."""
+    import tempfile
+
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.plans import incremental as _inc
+
+    cat = _catalog(spark, sf_dir)
+    ev = cat.table("events")
+    batch = portable_hash_col(F.col("event_id"), salt=13) < F.lit(fraction_threshold(0.10))
+    path = tempfile.mkdtemp(prefix="aqe_agg_state_")
+    _inc.agg_state_write(spark, ev.filter(~batch), "event_type", "value", path)
+    merged = _inc.agg_state_merge(spark, path, ev.filter(batch), "event_type", "value")
+    return _inc.agg_state_readout(merged)
+
+
+def _incremental_oracle() -> str:
+    from approximatequeryengine_spark.plans.incremental import incremental_readout_sql
+
+    return incremental_readout_sql("events", "event_type", "value")
+
+
+_register("incremental_state_merge", _incremental_fn, _incremental_oracle())
+
+
 def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag of Little Bootstraps SUM (plans/bootstrap.py::blb_sum_ci):
     full-scale error assessment from 4 disjoint 5% hash subsamples —
@@ -2232,6 +2265,7 @@ _CERTIFY_FIRST = [
     "ann_ivfpq_topk",
     "approx_join_universe_pairs",
     "approx_groupby_sum_congress",
+    "incremental_state_merge",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

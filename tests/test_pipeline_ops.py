@@ -1309,3 +1309,43 @@ WHERE s.t != e.t
 """
     ).fetchone()[0]
     assert mismatches == 0
+
+
+def test_incremental_state_merge_equals_rebuild(spark, engine, tmp_path):
+    """merge(state(base), delta) must equal state(base ∪ delta)
+    bit-for-bit (integer state), including a delta that introduces a
+    brand-new group, and folding a second delta must stay exact."""
+    from approximatequeryengine_spark.plans import incremental as inc
+
+    ev = engine.catalog.table("events")
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    d1 = ev.filter(F.col("event_id") % 3 == 1)
+    d2 = ev.filter(F.col("event_id") % 3 == 2).withColumn(
+        "event_type", F.lit("brand_new_type")
+    )
+    p = str(tmp_path / "state")
+    inc.agg_state_write(spark, base, "event_type", "value", p)
+    m1 = inc.agg_state_merge(spark, p, d1, "event_type", "value")
+    want1 = sorted(map(tuple, inc.agg_state(base.unionByName(d1), "event_type", "value").collect()))
+    assert sorted(map(tuple, m1.collect())) == want1
+    # fold the second delta on top of the persisted+merged state
+    m1.write.mode("overwrite").parquet(p)
+    m2 = inc.agg_state_merge(spark, p, d2, "event_type", "value")
+    want2 = sorted(map(tuple, inc.agg_state(
+        base.unionByName(d1).unionByName(d2), "event_type", "value"
+    ).collect()))
+    got2 = sorted(map(tuple, m2.collect()))
+    assert got2 == want2
+    assert any(r[0] == "brand_new_type" for r in got2)
+
+
+def test_incremental_readout_matches_oracle(spark, engine, duck):
+    from approximatequeryengine_spark.workload import QUERIES
+    from approximatequeryengine_spark.plans.incremental import incremental_readout_sql
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        QUERIES["incremental_state_merge"](spark, "/root/testdata/sf0.001"),
+        duck,
+        incremental_readout_sql("events", "event_type", "value"),
+    )
