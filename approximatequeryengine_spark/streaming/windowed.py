@@ -107,3 +107,70 @@ SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+SLIDE_WINDOW = "30 minutes"
+SLIDE = "10 minutes"
+
+
+def sliding_event_counts_batch(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Hopping (sliding) windows — 30-minute windows every 10 minutes,
+    so each event contributes to exactly 3 overlapping windows. Same
+    shared-logical-plan contract as the tumbling pair: the stream
+    computes this incrementally, batch in one job."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), SLIDE_WINDOW, SLIDE).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping-window aggregate as a real stream. State per key is
+    window_count/slide × |event_types| rows — the watermark still bounds
+    it (windows older than watermark close and evict), which is the
+    property that keeps overlapping windows viable on an unbounded
+    stream."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window(F.col("ts"), SLIDE_WINDOW, SLIDE).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory_sink(agg, "complete")
+
+
+def sliding_event_counts_sql() -> str:
+    """DuckDB oracle: replicate each event into its 3 overlapping
+    windows (start = 10-minute bucket − k·10min for k ∈ {0,1,2}; every
+    candidate satisfies start ≤ ts < start + 30min because
+    bucket(ts) − 20min > ts − 30min), then aggregate."""
+    return """
+SELECT ws AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT e.event_type, e.value,
+         time_bucket(INTERVAL 10 MINUTE, e.ts) - k * INTERVAL 10 MINUTE AS ws
+  FROM events e, unnest([0, 1, 2]) AS t(k)
+)
+GROUP BY 1, 2
+"""

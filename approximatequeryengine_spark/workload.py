@@ -1100,6 +1100,16 @@ def _stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_windowed_events", _stream_fn, _stream.windowed_event_counts_sql())
 
 
+def _stream_sliding_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream.sliding_event_counts_stream(spark, sf_dir)
+
+
+# Round-4: hopping (sliding) windows — 30-minute windows every 10
+# minutes, each event in exactly 3 overlapping windows; the oracle
+# replicates events onto their window starts and aggregates.
+_register("streaming_sliding_windows", _stream_sliding_fn, _stream.sliding_event_counts_sql())
+
+
 def _stream_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximatequeryengine_spark.streaming import pipeline as _p
 
@@ -2266,6 +2276,7 @@ _CERTIFY_FIRST = [
     "approx_join_universe_pairs",
     "approx_groupby_sum_congress",
     "incremental_state_merge",
+    "streaming_sliding_windows",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

@@ -406,3 +406,24 @@ def test_stream_stream_interval_join_across_micro_batches(engine, spark, duck):
 
     out = interval_join_stream(spark, SF_DIR, replay_batches=4)
     assert_df_matches_sql(out, duck, interval_join_sql())
+
+
+def test_sliding_stream_matches_batch(spark, engine):
+    """Hopping windows: the incremental stream result must equal the
+    one-job batch result, and each event must land in exactly 3
+    overlapping windows (30-minute window, 10-minute hop)."""
+    from approximatequeryengine_spark.streaming.windowed import (
+        sliding_event_counts_batch,
+        sliding_event_counts_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    from approximatequeryengine_spark.catalog import normalize_ts
+
+    ev = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"), ["ts"])
+    got = sorted(map(tuple, sliding_event_counts_stream(spark, sf_dir).collect()))
+    want = sorted(map(tuple, sliding_event_counts_batch(spark, ev).collect()))
+    assert got == want and got
+    # replication factor: Σ n_events over all windows = 3 × |events|
+    total = sum(r[2] for r in got)
+    assert total == 3 * ev.count()
