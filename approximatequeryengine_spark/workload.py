@@ -2138,6 +2138,25 @@ def _incremental_oracle() -> str:
 _register("incremental_state_merge", _incremental_fn, _incremental_oracle())
 
 
+def _kmv_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch over l_partkey (round 4) — the
+    third distinct estimator (Chao1: sample-only; HLL: registers; KMV:
+    order statistics + a uniform sample of the distinct VALUES)."""
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_ci
+
+    cat = _catalog(spark, sf_dir)
+    return kmv_distinct_ci(cat.table("lineitem"), "l_partkey", k=256)
+
+
+def _kmv_oracle() -> str:
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_ci_sql
+
+    return kmv_distinct_ci_sql("lineitem", "l_partkey", k=256)
+
+
+_register("sketch_kmv_distinct", _kmv_fn, _kmv_oracle())
+
+
 def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag of Little Bootstraps SUM (plans/bootstrap.py::blb_sum_ci):
     full-scale error assessment from 4 disjoint 5% hash subsamples —
@@ -2277,6 +2296,7 @@ _CERTIFY_FIRST = [
     "approx_groupby_sum_congress",
     "incremental_state_merge",
     "streaming_sliding_windows",
+    "sketch_kmv_distinct",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

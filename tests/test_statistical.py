@@ -597,3 +597,80 @@ def test_grouped_bootstrap_all_null_group_yields_null(spark, duck):
     assert rows["allnull"]["ci_lower"] is None
     assert rows["allnull"]["n_samples"] > 0  # count(*) still counts rows
     assert rows["ok"]["estimate"] is not None and rows["ok"]["estimate"] > 0
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_matches_oracle(engine_med, duck_med):
+    from approximatequeryengine_spark.plans.distinct import (
+        kmv_distinct_ci,
+        kmv_distinct_ci_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        kmv_distinct_ci(engine_med.catalog.table("lineitem"), "l_partkey", k=256),
+        duck_med,
+        kmv_distinct_ci_sql("lineitem", "l_partkey", k=256),
+    )
+
+
+def test_kmv_estimate_covers_exact(engine_med, duck_med):
+    """k=256 on 2000 true distincts: measured est 2008 (0.4% error);
+    the 1/√(k−2) CI must cover, and the estimate must sit within 15%."""
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_ci
+
+    row = kmv_distinct_ci(
+        engine_med.catalog.table("lineitem"), "l_partkey", k=256
+    ).collect()[0]
+    exact = duck_med.execute(
+        "SELECT count(DISTINCT l_partkey) FROM lineitem"
+    ).fetchone()[0]
+    assert row["ci_lower"] <= exact <= row["ci_upper"]
+    assert abs(row["est_distinct"] - exact) / exact < 0.15
+
+
+def test_kmv_degenerates_to_exact_below_k(spark):
+    """Fewer distinct keys than k → the sketch IS the distinct set:
+    exact count, zero-width CI."""
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_ci
+
+    df = spark.range(0, 500).select((F.col("id") % 37).alias("v"))
+    row = kmv_distinct_ci(df, "v", k=256).collect()[0]
+    assert row["est_distinct"] == 37
+    assert row["ci_lower"] == row["ci_upper"] == 37
+    assert row["k_used"] == 37
+
+
+def test_kmv_merge_law(spark, engine_med):
+    """Mergeability: the k smallest hashes of the full table equal the
+    k smallest of the UNION of two disjoint halves' bottom-k sketches —
+    so per-partition/per-day sketches roll up losslessly."""
+    from approximatequeryengine_spark.functions.hashing import (
+        portable_hash_col,
+        with_avalanche_h,
+    )
+
+    k = 64
+    li = engine_med.catalog.table("lineitem")
+
+    def bottom(df):
+        hashed = with_avalanche_h(
+            df.filter(F.col("l_partkey").isNotNull()).select("l_partkey"),
+            portable_hash_col(F.col("l_partkey")),
+            F.lit(0),
+            h_col="__h",
+        )
+        return hashed.select("__h").distinct().orderBy("__h").limit(k)
+
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        bottom(half_a).unionByName(bottom(half_b))
+        .distinct().orderBy("__h").limit(k)
+    )
+    whole = bottom(li)
+    assert [r["__h"] for r in merged.collect()] == [r["__h"] for r in whole.collect()]
