@@ -2157,6 +2157,25 @@ def _kmv_oracle() -> str:
 _register("sketch_kmv_distinct", _kmv_fn, _kmv_oracle())
 
 
+def _wavelet_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar-wavelet synopsis selectivity estimation (round 4) — B=8
+    coefficients answer 8 unaligned prefix-range counts; the only data
+    pass is the 64-bucket histogram aggregate."""
+    from approximatequeryengine_spark.plans.wavelet import wavelet_range_counts
+
+    cat = _catalog(spark, sf_dir)
+    return wavelet_range_counts(spark, cat.table("lineitem"), "l_extendedprice")
+
+
+def _wavelet_oracle() -> str:
+    from approximatequeryengine_spark.plans.wavelet import wavelet_range_counts_sql
+
+    return wavelet_range_counts_sql("lineitem", "l_extendedprice")
+
+
+_register("sketch_wavelet_selectivity", _wavelet_fn, _wavelet_oracle())
+
+
 def _blb_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag of Little Bootstraps SUM (plans/bootstrap.py::blb_sum_ci):
     full-scale error assessment from 4 disjoint 5% hash subsamples —
@@ -2297,6 +2316,7 @@ _CERTIFY_FIRST = [
     "incremental_state_merge",
     "streaming_sliding_windows",
     "sketch_kmv_distinct",
+    "sketch_wavelet_selectivity",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",
