@@ -1577,3 +1577,92 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup over embedding cells — the SemDeDup recipe (Abbas et
+# al., "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", 2023): cluster the corpus in embedding space, then
+# drop near-duplicate members within each cluster, keeping one
+# representative. Text-level MinHash misses paraphrases; cosine
+# similarity inside a cluster catches them.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_cells(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Per-cell semantic-dedup accounting: (cluster, n_docs, n_dropped,
+    n_kept).
+
+    The cluster step reuses the deterministic LSH-cell quantizer
+    (`_ivf_assign`), so the whole pipeline re-derives in the DuckDB
+    oracle. The drop rule is keep-min: a vector is dropped iff some
+    LOWER-id vector in its cell is ≥ ``threshold`` cosine-similar —
+    deterministic and one-pass, slightly more aggressive than SemDeDup's
+    sequential greedy (a doc similar only to an already-dropped doc
+    still drops; both rules keep ≥1 representative per similarity
+    neighborhood).
+
+    Scale shape: the pairwise step is an equi-join on the cell id —
+    quadratic only WITHIN a cell, the same contract as SemDeDup's
+    within-cluster pass; ``n_cells`` grows with the corpus to hold
+    cell sizes constant. One shuffle on the cell id, then a
+    map-side-combined rollup to |cells| rows."""
+    assigned = _ivf_assign(emb, n_cells)
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_sim(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select("cluster", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(dropped, on="cluster", how="left")
+        .select(
+            "cluster",
+            "n_docs",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_docs") - F.coalesce("n_dropped", F.lit(0))).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def semantic_dedup_cells_sql(threshold: float = 0.35, n_cells: int = 16) -> str:
+    bits = max(1, (n_cells - 1).bit_length())
+    cell = "(" + " + ".join(
+        f"({_hyperplane_bit_sql('embedding', b)} * {2 ** b})" for b in range(bits)
+    ) + ")"
+    cos = _cosine_sql("a.v", "b.v")
+    return f"""
+WITH asg AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST({cell} AS INTEGER) AS cluster
+  FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold!r}
+),
+dcnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY 1)
+SELECT s.cluster, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(max(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+       CAST(count(*) - coalesce(max(d.n_dropped), 0) AS BIGINT) AS n_kept
+FROM asg s LEFT JOIN dcnt d ON d.cluster = s.cluster
+GROUP BY s.cluster
+"""

@@ -1011,6 +1011,14 @@ _docs_query("ann_ivf_topk", _sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), table="e
 # the ADC partials are integer-gridded, so codebook training, encoding,
 # probing, shortlist, and rerank all re-derive as one DuckDB oracle.
 _docs_query("ann_ivfpq_topk", _sim.ann_ivfpq_topk, _sim.ann_ivfpq_topk_sql(), table="embeddings")
+# Round-4: SemDeDup-style semantic dedup — LSH-cell clustering +
+# within-cell cosine keep-min; quadratic only inside a cell.
+_docs_query(
+    "dedup_semantic_cells",
+    _sim.semantic_dedup_cells,
+    _sim.semantic_dedup_cells_sql(),
+    table="embeddings",
+)
 
 
 def _ivf_index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2317,6 +2325,7 @@ _CERTIFY_FIRST = [
     "streaming_sliding_windows",
     "sketch_kmv_distinct",
     "sketch_wavelet_selectivity",
+    "dedup_semantic_cells",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

@@ -1349,3 +1349,38 @@ def test_incremental_readout_matches_oracle(spark, engine, duck):
         duck,
         incremental_readout_sql("events", "event_type", "value"),
     )
+
+
+def test_semantic_dedup_matches_oracle(spark, engine, duck):
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        similarity.semantic_dedup_cells(spark, engine.catalog.table("embeddings")),
+        duck,
+        similarity.semantic_dedup_cells_sql(),
+    )
+
+
+def test_semantic_dedup_keep_min_semantics(spark):
+    """Planted near-dups: a cell's cosine-similar vectors collapse to
+    the lowest id; dissimilar vectors all survive; accounting adds up."""
+    import random
+
+    rng = random.Random(3)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    # three near-identical copies of `base` (cos ≈ 1) and three
+    # independent vectors
+    for vid in range(3):
+        rows.append((vid, [float(x + rng.gauss(0, 0.01)) for x in base], 0))
+    for vid in range(3, 6):
+        rows.append((vid, [float(rng.gauss(0, 1)) for _ in range(dim)], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.semantic_dedup_cells(spark, emb, threshold=0.9, n_cells=2).collect()
+    # the three ≈-identical copies share every hyperplane sign → same
+    # cell → two of them drop (keep-min); the independent vectors are
+    # far below τ=0.9 and all survive, wherever they land.
+    assert sum(r["n_docs"] for r in out) == 6
+    assert sum(r["n_dropped"] for r in out) == 2
+    assert all(r["n_docs"] == r["n_dropped"] + r["n_kept"] for r in out)
