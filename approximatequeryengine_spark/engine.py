@@ -552,10 +552,26 @@ class AQEngine:
 
         if method is None:
             method = "chao1" if sample_pct is not None else "hll"
-        if method not in ("hll", "chao1"):
+        if method not in ("hll", "chao1", "kmv"):
             raise ValueError(
-                f"COUNT(DISTINCT ...) supports method 'hll' or 'chao1', got {method!r}"
+                f"COUNT(DISTINCT ...) supports method 'hll', 'chao1' or "
+                f"'kmv', got {method!r}"
             )
+
+        if method == "kmv":
+            from approximatequeryengine_spark.plans.distinct import kmv_distinct_ci
+
+            rdf = kmv_distinct_ci(self._base_df(spec), spec.column, k=256)
+            res = ApproxResult(df=rdf, method="kmv", fraction=1.0)
+            row = rdf.collect()[0]
+            res.value = float(row["est_distinct"])
+            res.ci_lower = float(row["ci_lower"])
+            res.ci_upper = float(row["ci_upper"])
+            res.error_margin = (res.ci_upper - res.ci_lower) / 2
+            res.confidence_level = confidence
+            res.samples_used = int(row["k_used"])
+            res.computation_time = time.time() - t0
+            return res
 
         if method == "hll":
             from approximatequeryengine_spark.plans.hll import (

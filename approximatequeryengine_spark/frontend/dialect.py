@@ -254,6 +254,15 @@ METHODS: dict[str, dict] = {
         "sample's unseen-value undercount from its f1/f2 abundance "
         "spectrum (point estimate; no closed-form CI).",
     },
+    "kmv": {
+        "design": "none",
+        "adaptive": False,
+        "kmv": True,
+        "description": "KMV bottom-k sketch for COUNT(DISTINCT): the "
+        "k smallest hash values give D = (k-1)/U_(k) with a "
+        "1/sqrt(k-2) relative-error CI; the sketch doubles as a "
+        "uniform sample of the distinct values and merges losslessly.",
+    },
     "blb": {
         "design": "uniform_hash",
         "adaptive": False,

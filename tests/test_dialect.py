@@ -153,7 +153,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "outlier"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "kmv", "outlier"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -401,3 +401,15 @@ def test_tablesample_works_with_new_aggregates(spark):
         "SELECT CORR(l_quantity, l_extendedprice) FROM lineitem TABLESAMPLE (20 PERCENT)"
     )
     assert r3.method == "fisher_z" and r3.ci_lower <= r3.value <= r3.ci_upper
+
+
+def test_count_distinct_kmv_route(engine_med):
+    """APPROX(COUNT(DISTINCT col)) with method='kmv' runs the bottom-k
+    sketch: estimate near truth (2000), covering CI, k samples used."""
+    r = engine_med.run(
+        "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem", method="kmv"
+    )
+    assert r.method == "kmv"
+    assert r.ci_lower <= 2000 <= r.ci_upper
+    assert abs(r.value - 2000) / 2000 < 0.15
+    assert r.samples_used == 256
