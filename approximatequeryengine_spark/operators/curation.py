@@ -625,3 +625,97 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(d) AS BIGINT) AS n_digit_runs
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement — Efraimidis & Spirakis
+# ("Weighted random sampling with a reservoir", IPL 2006): select k
+# items with inclusion ∝ weight by ranking on key = u^(1/w). The float
+# power is hostile to cross-engine parity, but for INTEGER weights
+# max(u₁..u_w) of w independent uniforms has exactly the distribution
+# of u^(1/w) — so the key is the MAX OF w INDEPENDENT PORTABLE HASHES,
+# pure integer arithmetic, bit-identical in both engines. The training
+# -data use case: sample docs ∝ a quality weight so high-quality
+# documents are upweighted without hard-filtering the tail.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SALT_BASE = 400  # disjoint from every other salt family in use
+WEIGHTED_MAX_W = 8
+
+
+def _quality_weight_col() -> F.Column:
+    """Integer weight 1..8 from document length (the demo weight; any
+    positive-integer column works)."""
+    return F.least(
+        F.lit(1) + (F.col("n_chars") / F.lit(400)).cast("long"),
+        F.lit(WEIGHTED_MAX_W),
+    ).cast("long")
+
+
+def _quality_weight_sql() -> str:
+    return f"least(1 + CAST(n_chars // 400 AS BIGINT), {WEIGHTED_MAX_W})"
+
+
+def weighted_sample_docs(
+    spark: SparkSession, docs: DataFrame, k: int = 25
+) -> DataFrame:
+    """Top-k Efraimidis-Spirakis weighted sample of the corpus:
+    (doc_id, lang, source, weight, key). Scale shape: the per-row key
+    is ≤ WEIGHTED_MAX_W codegen hash evaluations, selection is
+    TakeOrderedAndProject(k) — no shuffle beyond the top-k merge, and
+    the weight column never leaves the executors."""
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        M31,
+        MULT,
+        MULT2,
+        OFFSET,
+        SALT_STRIDE,
+    )
+
+    w = _quality_weight_col()
+
+    def hash_with_salt(salt_col):
+        t1 = (
+            F.abs(F.col("doc_id").cast("long"))
+            + (F.lit(WEIGHTED_SALT_BASE) + salt_col) * F.lit(SALT_STRIDE)
+        ) % F.lit(M31)
+        t2 = (t1 * F.lit(MULT) + F.lit(OFFSET)) % F.lit(HASH_SPACE)
+        return ((t2 % F.lit(M31)) * F.lit(MULT2) + F.lit(144)) % F.lit(HASH_SPACE)
+
+    key = F.array_max(
+        F.transform(F.sequence(F.lit(1), w.cast("int")), hash_with_salt)
+    )
+    ranked = docs.select(
+        "doc_id", "lang", "source", w.alias("weight"), key.alias("key")
+    )
+    return (
+        ranked.orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "lang", "source", "weight", F.col("key").cast("long").alias("key"))
+    )
+
+
+def weighted_sample_docs_sql(k: int = 25) -> str:
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        M31,
+        MULT,
+        MULT2,
+        OFFSET,
+        SALT_STRIDE,
+    )
+
+    t1 = f"((abs(doc_id) + ({WEIGHTED_SALT_BASE} + s) * {SALT_STRIDE}) % {M31})"
+    t2 = f"(({t1} * {MULT} + {OFFSET}) % {HASH_SPACE})"
+    h = f"((({t2} % {M31}) * {MULT2} + 144) % {HASH_SPACE})"
+    return f"""
+SELECT doc_id, lang, source, weight, CAST(key AS BIGINT) AS key
+FROM (
+  SELECT doc_id, lang, source, {_quality_weight_sql()} AS weight,
+         list_max(list_transform(range(1, {_quality_weight_sql()} + 1), s -> {h})) AS key
+  FROM documents
+)
+ORDER BY key DESC, doc_id ASC
+LIMIT {k}
+"""

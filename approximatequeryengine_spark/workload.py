@@ -1100,6 +1100,17 @@ _docs_query("corpus_clean_pipeline", _text.corpus_clean_pipeline, _text.corpus_c
 # Data mixing: language-balanced downsampling (two-pass, deterministic).
 _docs_query("corpus_mix_balanced", _text.corpus_mix_balanced, _text.corpus_mix_balanced_sql())
 
+# Round-4: Efraimidis-Spirakis weighted sampling without replacement —
+# the key u^(1/w) realized EXACTLY as the max of w independent portable
+# hashes (integer arithmetic, no float pow), inclusion ∝ quality weight.
+from approximatequeryengine_spark.operators import curation as _curation  # noqa: E402
+
+_docs_query(
+    "curation_weighted_sample",
+    _curation.weighted_sample_docs,
+    _curation.weighted_sample_docs_sql(),
+)
+
 
 def _stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream.windowed_event_counts_stream(spark, sf_dir)
@@ -2326,6 +2337,7 @@ _CERTIFY_FIRST = [
     "sketch_kmv_distinct",
     "sketch_wavelet_selectivity",
     "dedup_semantic_cells",
+    "curation_weighted_sample",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

@@ -1384,3 +1384,63 @@ def test_semantic_dedup_keep_min_semantics(spark):
     assert sum(r["n_docs"] for r in out) == 6
     assert sum(r["n_dropped"] for r in out) == 2
     assert all(r["n_docs"] == r["n_dropped"] + r["n_kept"] for r in out)
+
+
+def test_weighted_sample_matches_oracle(spark, engine, duck):
+    from approximatequeryengine_spark.operators.curation import (
+        weighted_sample_docs,
+        weighted_sample_docs_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        weighted_sample_docs(spark, engine.catalog.table("documents")),
+        duck,
+        weighted_sample_docs_sql(),
+    )
+
+
+def test_weighted_sample_inclusion_proportional_to_weight():
+    """E-S guarantee: inclusion rate ∝ weight. Replayed over 40
+    independent salt bases with the exact hash arithmetic (Python-side —
+    identical integers to both engines): the fixture has weights {1, 2}
+    and the measured rate ratio is ≈2.4 (theory 2, slight
+    without-replacement inflation at k/N=5%); pinned with slack."""
+    from collections import Counter
+
+    import duckdb
+
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        M31,
+        MULT,
+        MULT2,
+        OFFSET,
+        SALT_STRIDE,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, least(1 + n_chars // 400, 8) "
+        "FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()
+
+    def h(doc, s, base):
+        t1 = (abs(doc) + (base + s) * SALT_STRIDE) % M31
+        t2 = (t1 * MULT + OFFSET) % HASH_SPACE
+        return ((t2 % M31) * MULT2 + 144) % HASH_SPACE
+
+    wcount = Counter(w for _, w in rows)
+    assert set(wcount) == {1, 2}
+    inc = Counter()
+    k, trials = 25, 40
+    for base in range(1000, 1000 + trials * 50, 50):
+        keyed = sorted(
+            ((max(h(d, s, base) for s in range(1, w + 1)), d, w) for d, w in rows),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for _, d, w in keyed[:k]:
+            inc[w] += 1
+    rate = {w: inc[w] / (wcount[w] * trials) for w in wcount}
+    ratio = rate[2] / rate[1]
+    assert 1.6 <= ratio <= 3.0, ratio
