@@ -561,7 +561,7 @@ class AQEngine:
         if method == "kmv":
             from approximatequeryengine_spark.plans.distinct import kmv_distinct_ci
 
-            rdf = kmv_distinct_ci(self._base_df(spec), spec.column, k=256)
+            rdf = kmv_distinct_ci(self._base_df(spec), spec.column, k=256, z=z)
             res = ApproxResult(df=rdf, method="kmv", fraction=1.0)
             row = rdf.collect()[0]
             res.value = float(row["est_distinct"])

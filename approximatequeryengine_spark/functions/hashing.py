@@ -48,18 +48,32 @@ SALT_STRIDE = 1_000_003
 # Overflow safety: (2^31-1)·2654435761 < 2^63-1 and (2^31-1)·1779033703 < 2^63-1.
 
 
-def portable_hash_col(key: Column | str, salt: int = 0) -> Column:
+def portable_hash_col(key: Column | str, salt: int | Column = 0) -> Column:
     """Spark Column: h(key) in [0, 2^32). ``salt`` derives
-    near-independent hash functions (minhash, validation resamples)."""
+    near-independent hash functions (minhash, validation resamples); a
+    Column salt supports per-row hash families (e.g. the weighted
+    sampler's max-of-w keys) with the same arithmetic."""
     k = F.col(key) if isinstance(key, str) else key
-    t1 = (F.abs(k.cast("long")) + F.lit(salt * SALT_STRIDE)) % F.lit(M31)
+    salt_term = (
+        F.lit(salt * SALT_STRIDE)
+        if isinstance(salt, int)
+        else salt.cast("long") * F.lit(SALT_STRIDE)
+    )
+    t1 = (F.abs(k.cast("long")) + salt_term) % F.lit(M31)
     t2 = (t1 * F.lit(MULT) + F.lit(OFFSET)) % F.lit(HASH_SPACE)
     return ((t2 % F.lit(M31)) * F.lit(MULT2) + F.lit(144)) % F.lit(HASH_SPACE)
 
 
-def portable_hash_sql(key_expr: str, salt: int = 0) -> str:
-    """The same hash as ANSI SQL for the DuckDB oracle."""
-    t1 = f"((abs({key_expr}) + {salt * SALT_STRIDE}) % {M31})"
+def portable_hash_sql(key_expr: str, salt: int | str = 0) -> str:
+    """The same hash as ANSI SQL for the DuckDB oracle. A str ``salt``
+    is an SQL expression (per-row hash families), mirroring the Column
+    salt on the Spark side."""
+    salt_term = (
+        f"{salt * SALT_STRIDE}"
+        if isinstance(salt, int)
+        else f"(({salt}) * {SALT_STRIDE})"
+    )
+    t1 = f"((abs({key_expr}) + {salt_term}) % {M31})"
     t2 = f"(({t1} * {MULT} + {OFFSET}) % {HASH_SPACE})"
     return f"((({t2} % {M31}) * {MULT2} + 144) % {HASH_SPACE})"
 

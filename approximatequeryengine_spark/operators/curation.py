@@ -664,27 +664,16 @@ def weighted_sample_docs(
     is ≤ WEIGHTED_MAX_W codegen hash evaluations, selection is
     TakeOrderedAndProject(k) — no shuffle beyond the top-k merge, and
     the weight column never leaves the executors."""
-    from approximatequeryengine_spark.functions.hashing import (
-        HASH_SPACE,
-        M31,
-        MULT,
-        MULT2,
-        OFFSET,
-        SALT_STRIDE,
-    )
+    from approximatequeryengine_spark.functions.hashing import portable_hash_col
 
     w = _quality_weight_col()
-
-    def hash_with_salt(salt_col):
-        t1 = (
-            F.abs(F.col("doc_id").cast("long"))
-            + (F.lit(WEIGHTED_SALT_BASE) + salt_col) * F.lit(SALT_STRIDE)
-        ) % F.lit(M31)
-        t2 = (t1 * F.lit(MULT) + F.lit(OFFSET)) % F.lit(HASH_SPACE)
-        return ((t2 % F.lit(M31)) * F.lit(MULT2) + F.lit(144)) % F.lit(HASH_SPACE)
-
     key = F.array_max(
-        F.transform(F.sequence(F.lit(1), w.cast("int")), hash_with_salt)
+        F.transform(
+            F.sequence(F.lit(1), w.cast("int")),
+            lambda s: portable_hash_col(
+                F.col("doc_id"), salt=F.lit(WEIGHTED_SALT_BASE) + s
+            ),
+        )
     )
     ranked = docs.select(
         "doc_id", "lang", "source", w.alias("weight"), key.alias("key")
@@ -697,18 +686,9 @@ def weighted_sample_docs(
 
 
 def weighted_sample_docs_sql(k: int = 25) -> str:
-    from approximatequeryengine_spark.functions.hashing import (
-        HASH_SPACE,
-        M31,
-        MULT,
-        MULT2,
-        OFFSET,
-        SALT_STRIDE,
-    )
+    from approximatequeryengine_spark.functions.hashing import portable_hash_sql
 
-    t1 = f"((abs(doc_id) + ({WEIGHTED_SALT_BASE} + s) * {SALT_STRIDE}) % {M31})"
-    t2 = f"(({t1} * {MULT} + {OFFSET}) % {HASH_SPACE})"
-    h = f"((({t2} % {M31}) * {MULT2} + 144) % {HASH_SPACE})"
+    h = portable_hash_sql("doc_id", salt=f"{WEIGHTED_SALT_BASE} + s")
     return f"""
 SELECT doc_id, lang, source, weight, CAST(key AS BIGINT) AS key
 FROM (

@@ -74,7 +74,7 @@ def chao1_sql(
 _KMV_Z = 1.959963984540054
 
 
-def kmv_distinct_ci(df, key: str, k: int = 256):
+def kmv_distinct_ci(df, key: str, k: int = 256, z: float = _KMV_Z):
     """Single-row KMV readout: (est_distinct, ci_lower, ci_upper,
     k_used, kth_hash).
 
@@ -122,7 +122,7 @@ def kmv_distinct_ci(df, key: str, k: int = 256):
         F.floor((F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))) / F.col("kth") + F.lit(0.5)).cast("long")
     )
     margin = F.when(F.col("nb") < k, F.lit(0).cast("long")).otherwise(
-        F.round(est * F.lit(_KMV_Z / (k - 2) ** 0.5), 0).cast("long")
+        F.round(est * F.lit(z / (k - 2) ** 0.5), 0).cast("long")
     )
     return agg.select(
         est.alias("est_distinct"),
@@ -133,7 +133,7 @@ def kmv_distinct_ci(df, key: str, k: int = 256):
     )
 
 
-def kmv_distinct_ci_sql(table: str, key: str, k: int = 256) -> str:
+def kmv_distinct_ci_sql(table: str, key: str, k: int = 256, z: float = _KMV_Z) -> str:
     """DuckDB oracle — identical hash steps, dedup, bottom-k,
     estimate, and integer margin."""
     from approximatequeryengine_spark.functions.hashing import (
@@ -149,7 +149,7 @@ def kmv_distinct_ci_sql(table: str, key: str, k: int = 256) -> str:
     )
     margin = (
         f"CASE WHEN nb < {k} THEN 0 "
-        f"ELSE CAST(round(({est}) * {_KMV_Z / (k - 2) ** 0.5!r}, 0) AS BIGINT) END"
+        f"ELSE CAST(round(({est}) * {z / (k - 2) ** 0.5!r}, 0) AS BIGINT) END"
     )
     return f"""
 WITH hashed AS (

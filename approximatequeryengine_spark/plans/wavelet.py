@@ -46,8 +46,15 @@ PREFIX_CUTOFFS = (5, 11, 19, 26, 37, 45, 51, 61)
 
 
 def _bucket_col(value: F.Column) -> F.Column:
-    return F.least(
-        F.floor(value / F.lit(float(BUCKET_WIDTH))).cast("long"), F.lit(G - 1)
+    # Clamp BOTH ends: an unclamped low end would send negative values
+    # to bucket -1, which the 0..G-1 grid join silently drops — the
+    # mass would vanish from every estimate (including the "exact"
+    # full-coefficient reconstruction) in both engines at once.
+    return F.greatest(
+        F.least(
+            F.floor(value / F.lit(float(BUCKET_WIDTH))).cast("long"), F.lit(G - 1)
+        ),
+        F.lit(0).cast("long"),
     )
 
 
@@ -145,7 +152,7 @@ def wavelet_range_counts_sql(table: str, value_col: str, b: int = DEFAULT_B) -> 
     arithmetic on both engines)."""
     parts = [
         f"""hist AS (
-  SELECT least(CAST(floor({value_col} / {float(BUCKET_WIDTH)!r}) AS BIGINT), {G - 1}) AS j,
+  SELECT greatest(least(CAST(floor({value_col} / {float(BUCKET_WIDTH)!r}) AS BIGINT), {G - 1}), 0) AS j,
          CAST(count(*) AS DOUBLE) AS a
   FROM {table} GROUP BY 1
 ),

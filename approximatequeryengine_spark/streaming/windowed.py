@@ -136,11 +136,16 @@ def sliding_event_counts_batch(spark: SparkSession, events: DataFrame) -> DataFr
 
 
 def sliding_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hopping-window aggregate as a real stream. State per key is
-    window_count/slide × |event_types| rows — the watermark still bounds
-    it (windows older than watermark close and evict), which is the
-    property that keeps overlapping windows viable on an unbounded
-    stream."""
+    """The hopping-window aggregate as a real stream. Live state is
+    (window_size/slide) × |event_types| rows per open window span.
+    NOTE on modes: this runner uses ``complete`` output (the memory
+    sink must hold the whole result for the batch-parity oracle), and
+    in complete mode Spark retains ALL window state — the watermark
+    does NOT evict. A production deployment on an unbounded stream
+    would use ``update``/``append`` mode, where the declared watermark
+    closes windows older than (max event time − watermark) and evicts
+    their state — that is what keeps overlapping windows viable
+    long-running; the aggregation plan is identical either way."""
     stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", WATERMARK)

@@ -413,3 +413,11 @@ def test_count_distinct_kmv_route(engine_med):
     assert r.ci_lower <= 2000 <= r.ci_upper
     assert abs(r.value - 2000) / 2000 < 0.15
     assert r.samples_used == 256
+    # the requested confidence must reach the sketch's z (a 99% interval
+    # is strictly wider than the default 95% one)
+    r99 = engine_med.run(
+        "SELECT APPROX(COUNT(DISTINCT l_partkey)) FROM lineitem",
+        method="kmv",
+        confidence=0.99,
+    )
+    assert (r99.ci_upper - r99.ci_lower) > (r.ci_upper - r.ci_lower)
