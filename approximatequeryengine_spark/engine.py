@@ -111,7 +111,8 @@ class AQEngine:
 
         if spec.agg in ("MEDIAN", "PERCENTILE"):
             return self._run_quantile(
-                spec, sample_pct, wants_approx, t0, z=z, confidence=confidence
+                spec, sample_pct, wants_approx, t0, z=z, confidence=confidence,
+                method=method,
             )
 
         if spec.agg == "STDDEV":
@@ -177,6 +178,26 @@ class AQEngine:
                     z=z,
                 )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
+        elif minfo.get("priority"):
+            from approximatequeryengine_spark.plans.priority import (
+                priority_sample_subset_sum,
+            )
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='priority' supports a global SUM only; use "
+                    "the closed-form methods for AVG/COUNT/GROUP BY"
+                )
+            rdf = priority_sample_subset_sum(
+                self._base_df(spec),
+                self.catalog.unique_key(spec.table),
+                F.floor(F.col(spec.column) * 100.0 + 0.5).cast("long"),
+                F.lit(True),
+                k=2048,
+            )
+            rdf = rdf.withColumnRenamed("est_sum", AggSpec("sum", spec.column).name())
+            rdf = rdf.withColumnRenamed("n_sample", "n_samples")
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("pps"):
             from approximatequeryengine_spark.plans.pps import pps_sum_ci
@@ -294,16 +315,20 @@ class AQEngine:
     def _run_quantile(
         self, spec: QuerySpec, sample_pct: float | None, approx: bool, t0: float,
         z: float = 1.959963984540054, confidence: float = 0.95,
+        method: str | None = None,
     ) -> ApproxResult:
         """MEDIAN / PERCENTILE(col, q): order-statistic point estimate
         with the binomial distribution-free CI (plans/quantiles.py).
-        Exact mode = the same machinery over the full data (design
-        'none')."""
+        ``method='ddsketch'`` routes to the guaranteed-relative-error
+        sketch instead (full scan, no sampling). Exact mode = the same
+        machinery over the full data (design 'none')."""
         from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
 
         if not spec.column:
             raise ValueError(f"{spec.agg} requires a column")
         q = spec.q if spec.q is not None else 0.5
+        if method == "ddsketch":
+            return self._run_ddsketch_quantile(spec, q, t0, confidence=confidence)
         if spec.group_by:
             return self._run_grouped_quantile(
                 spec, q, sample_pct, approx, t0, z=z, confidence=confidence
@@ -329,6 +354,40 @@ class AQEngine:
         )
         res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
         res.confidence_level = min(confidence, heuristic_confidence(res.samples_used))
+        return res
+
+    def _run_ddsketch_quantile(
+        self, spec: QuerySpec, q: float, t0: float, confidence: float = 0.95
+    ) -> ApproxResult:
+        """PERCENTILE/MEDIAN via DDSketch (plans/ddsketch.py): one full
+        scan, GUARANTEED |est − true|/true ≤ α — the reported interval
+        is the deterministic α-bound [est/(1+α), est/(1−α)], so the
+        confidence level is 1.0 by construction (positive values only,
+        the sketch's domain)."""
+        from approximatequeryengine_spark.plans.ddsketch import ddsketch_quantiles
+
+        if spec.group_by:
+            raise ValueError(
+                "method='ddsketch' supports a global PERCENTILE/MEDIAN "
+                "only; grouped quantiles use the order-statistic path"
+            )
+        alpha = 0.01
+        rdf = ddsketch_quantiles(self._base_df(spec), spec.column, alpha=alpha, qs=(q,))
+        row = rdf.collect()[0]
+        est = row["est_q"]
+        res = ApproxResult(
+            df=rdf,
+            value=float(est),
+            ci_lower=float(est) / (1.0 + alpha),
+            ci_upper=float(est) / (1.0 - alpha),
+            samples_used=int(row["n"]),
+            fraction=1.0,
+            method="ddsketch",
+            status=ApproximationStatus.STABLE,
+            computation_time=time.time() - t0,
+        )
+        res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
+        res.confidence_level = 1.0
         return res
 
     def _passthrough_exact(self, spec: QuerySpec, t0: float) -> ApproxResult:

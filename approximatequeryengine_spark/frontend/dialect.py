@@ -280,6 +280,26 @@ METHODS: dict[str, dict] = {
         "narrowest CI per sampled row on heavy-tailed data, the "
         "deterministic complement to PPS.",
     },
+    "priority": {
+        "design": "none",
+        "adaptive": False,
+        "priority": True,
+        "description": "Priority sampling (Duffield-Lund-Thorup JACM'07, "
+        "SUM over a positive column only): top-k by weight/hash "
+        "priority, estimate Σ max(w, τ) — near-variance-optimal "
+        "weighted sampling; heavy rows enter exactly (point estimate; "
+        "no closed-form CI).",
+    },
+    "ddsketch": {
+        "design": "none",
+        "adaptive": False,
+        "ddsketch": True,
+        "description": "DDSketch (VLDB'19) for PERCENTILE/MEDIAN: one "
+        "full scan into a geometric bucket table with a GUARANTEED "
+        "relative-error bound α — deterministic, mergeable, "
+        "heavy-tail-safe; the interval is the α-bound, not a "
+        "probabilistic CI.",
+    },
 }
 
 

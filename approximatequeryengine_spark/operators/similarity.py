@@ -1594,6 +1594,7 @@ def semantic_dedup_cells(
     emb: DataFrame,
     threshold: float = 0.35,
     n_cells: int = 16,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Per-cell semantic-dedup accounting: (cluster, n_docs, n_dropped,
     n_kept).
@@ -1607,23 +1608,56 @@ def semantic_dedup_cells(
     still drops; both rules keep ≥1 representative per similarity
     neighborhood).
 
-    Scale shape: the pairwise step is an equi-join on the cell id —
-    quadratic only WITHIN a cell, the same contract as SemDeDup's
-    within-cluster pass; ``n_cells`` grows with the corpus to hold
-    cell sizes constant. One shuffle on the cell id, then a
+    Scale shape: the pairwise step is an equi-join on (cell id, chunk
+    pair) — quadratic only WITHIN a cell, the same contract as
+    SemDeDup's within-cluster pass; ``n_cells`` grows with the corpus
+    to hold cell sizes constant. Each cell is additionally split into
+    ``n_chunks`` deterministic hash chunks and the C·(C+1)/2 chunk
+    PAIRS become join keys (a triangle join): parallelism is
+    n_cells·C(C+1)/2 tasks instead of |cells|, at a replication cost
+    of ~(C+1)/2 per side. This matters because the pair join is
+    CPU-quadratic but byte-small — AQE's size-based partition
+    coalescing otherwise collapses it onto 1–2 tasks (measured at sf1:
+    655 s on 2 tasks unchunked vs the chunked plan using the full
+    core count; the explicit ``repartition`` below is what pins the
+    parallelism against AQE coalescing). Output is invariant to
+    ``n_chunks``. One shuffle on the chunk-pair key, then a
     map-side-combined rollup to |cells| rows."""
-    assigned = _ivf_assign(emb, n_cells)
+    if n_chunks is None:
+        # Enough chunk-pair keys to oversubscribe the cores even when
+        # n_cells is small relative to the cluster, AND a floor of 4
+        # regardless: hyperplane LSH cells are heavily skewed on
+        # clustered embeddings, and what bounds the straggler is how
+        # many ways the LARGEST cell's quadratic work splits
+        # (C(C+1)/2), not the total key count — measured at sf1:
+        # 256 cells with C=1 ran 190 s on one straggler task vs 79 s
+        # for 16 cells with C=4.
+        par = spark.sparkContext.defaultParallelism
+        n_chunks = 4
+        while n_cells * n_chunks * (n_chunks + 1) // 2 < 4 * par:
+            n_chunks += 1
+    assigned = _ivf_assign(emb, n_cells).withColumn(
+        "chunk", F.pmod(portable_hash_col(F.col("vec_id"), salt=7), F.lit(n_chunks)).cast("int")
+    )
+    n_part = max(spark.sparkContext.defaultParallelism,
+                 min(n_cells * n_chunks * (n_chunks + 1) // 2, 4096))
+    # a-side: chunk ca joins every cb >= ca; b-side mirrors with cb's
+    # row emitting every ca <= cb — each cross-chunk pair meets exactly
+    # once, diagonal (ca == cb) pairs meet twice and are folded by the
+    # DISTINCT below. greatest() orients the drop to the higher id, so
+    # keep-min semantics are identical to the unchunked join.
     a = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
+        F.col("cluster"), F.col("chunk").alias("ca"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    ).withColumn("cb", F.explode(F.sequence(F.col("ca"), F.lit(n_chunks - 1))))
     b = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    )
+        F.col("cluster"), F.col("chunk").alias("cb"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    ).withColumn("ca", F.explode(F.sequence(F.lit(0), F.col("cb"))))
     dropped = (
-        a.join(b, on="cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.repartition(n_part, "cluster", "ca", "cb")
+        .join(b.repartition(n_part, "cluster", "ca", "cb"), on=["cluster", "ca", "cb"])
+        .filter(F.col("id_a") != F.col("id_b"))
         .filter(cosine_sim(F.col("va"), F.col("vb")) >= F.lit(threshold))
-        .select("cluster", F.col("id_b").alias("vec_id"))
+        .select("cluster", F.greatest("id_a", "id_b").alias("vec_id"))
         .distinct()
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))

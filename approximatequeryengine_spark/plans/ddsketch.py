@@ -1,0 +1,163 @@
+"""DDSketch — relative-error quantile sketch (Masson, Rim & Lee,
+VLDB'19).
+
+The sketch is a geometric histogram: value x > 0 lands in bucket
+
+    b(x) = ⌈ ln(x) / ln(γ) ⌉ ,   γ = (1+α)/(1−α)
+
+and the q-quantile is read back as the γ-midpoint of the bucket holding
+the rank-⌊q·(n−1)⌋+1 item,
+
+    x̂ = 2·γᵇ / (γ+1) ,
+
+which is within relative error α of that item's true value — a
+GUARANTEED bound, not a probabilistic one, for any data distribution
+(the paper's Theorem 1). That makes DDSketch the right quantile synopsis
+for heavy-tailed columns where the grid histogram
+(`plans/histogram.py`) would need unbounded range knowledge: bucket
+widths scale with the values, so p50 and p99.9 of a price column get the
+same RELATIVE accuracy.
+
+Unlike every sampling estimator in this package the sketch is fully
+deterministic (no hash, no seed) and exactly mergeable: the bucket table
+of a union is the bucket-wise count sum, which `tests` pin as the merge
+law. That composes with the incremental-state machinery
+(`plans/incremental.py`) — per-partition sketches roll up losslessly.
+
+Cross-engine determinism: the only transcendental in the bucket index is
+the engine's ln(x); both engines' ln are faithful to ≲2 ulp, so the
+ceiling can only disagree when ln(x)/ln γ sits within ~1e-13 of an exact
+integer — i.e. x within ~1e-13 relative of a bucket boundary γⁱ, which
+the cents-grid inputs never are (γ powers are irrational w.r.t. the
+grid). Deliberately NO intermediate rounding: round(·, 9) would
+introduce 1e-9-spaced decision boundaries, a ~10⁴× larger disagreement
+window than the bare integer ceiling. The readout γᵇ goes through
+pow(), so the OUTPUT is rounded to 6 decimals (repo convention for
+boundary-safe float emission).
+
+Scale shape: ONE scan with a pure-codegen bucket expression →
+map-side-combined count by bucket (|buckets| = ln(max/min)/ln γ ≈ 575
+for α=0.01 over [1, 10⁵] — constant in N) → a single-partition window
+over the tiny bucket table → one conditional-aggregate readout row. No
+joins, no driver-side data.
+
+Reference scope note: the reference engine (C++ B+-tree AQE) has no
+quantile capability at all; this is a beyond-reference operator in the
+SURVEY §2.6 family.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _params(alpha: float) -> tuple[float, float]:
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return gamma, math.log(gamma)
+
+
+def ddsketch_buckets(df: DataFrame, column: str, alpha: float = 0.01) -> DataFrame:
+    """Bucket table (b, c) for positive values of ``column``.
+
+    This IS the sketch: mergeable by bucket-wise count sum. ln γ is
+    computed once in Python and embedded as a literal so both the Spark
+    plan and any oracle divide by bit-identical constants.
+    """
+    _, lg = _params(alpha)
+    return (
+        df.filter(F.col(column) > 0)
+        .select(
+            F.ceil(F.log(F.col(column).cast("double")) / F.lit(lg))
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    column: str,
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile readout rows (q, bucket, est_q, n) from one pass.
+
+    Rank convention: the bucket of the 1-based rank ⌊q·(n−1)⌋+1 item
+    (the paper's low-interpolation convention); selection is a
+    conditional MIN over the cumulative bucket table — no join, the
+    whole readout is two tiny single-partition operators downstream of
+    the one data scan.
+    """
+    gamma, _ = _params(alpha)
+    buckets = ddsketch_buckets(df, column, alpha)
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    aggs = []
+    for i, q in enumerate(qs):
+        target = F.floor(F.lit(float(q)) * (F.col("n") - 1)).cast("long") + 1
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("b"))).alias(f"__b{i}")
+        )
+    one = cum.agg(*aggs, F.max("n").cast("long").alias("n"))
+    stack_args = ", ".join(
+        f"CAST({float(q)!r} AS DOUBLE), __b{i}" for i, q in enumerate(qs)
+    )
+    rows = one.select(
+        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bucket)"), F.col("n")
+    )
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 6
+    )
+    return rows.select(
+        "q", F.col("bucket").cast("long").alias("bucket"), est.alias("est_q"), "n"
+    ).orderBy("q")
+
+
+def ddsketch_quantiles_sql(
+    table: str,
+    column: str,
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB oracle: the identical derivation — same embedded ln γ
+    literal, same bare integer ceiling, same rank convention, same
+    6-decimal output rounding."""
+    gamma, lg = _params(alpha)
+    sel = ", ".join(
+        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN b END) AS __b{i}"
+        for i, q in enumerate(qs)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
+        for i, q in enumerate(qs)
+    )
+    return f"""
+WITH pts AS (
+  SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
+),
+bk AS (
+  SELECT CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1
+),
+cum AS (
+  SELECT b, c,
+         sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM bk
+),
+one AS (SELECT {sel}, CAST(max(n) AS BIGINT) AS n FROM cum)
+SELECT q, CAST(bucket AS BIGINT) AS bucket,
+       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
+FROM ({unions})
+ORDER BY q
+"""

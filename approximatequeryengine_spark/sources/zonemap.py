@@ -1,0 +1,165 @@
+"""Zone-map (min/max data-skipping) index — persisted sorted layout +
+per-zone statistics, the relational analogue of the persisted IVF index
+(`operators/similarity.py::ann_ivf_write_index`).
+
+The reference engine's key-range search (SURVEY §2 P5,
+`custom_bplus_db.cpp` B+-tree range scans) reads only the leaves
+overlapping the requested key range. The Spark-native equivalent of
+that capability is NOT a B+-tree (a single-machine pointer structure)
+but a zone map over a range-bucketed layout — the design ClickHouse
+(marks), Snowflake (micro-partition stats) and parquet row-group
+pruning all share:
+
+- **write**: rows are bucketed into ``n_zones`` fixed-width key zones
+  (width = ⌈span/n_zones⌉, pure integer arithmetic so the DuckDB
+  oracle can re-derive the layout), written as
+  ``path/data/__zone=<z>/`` partitioned parquet, sorted by key within
+  each zone (parquet row-group stats then prune WITHIN a zone too);
+- **zonemap**: a tiny side table (zone, zmin, zmax, n_rows) of ACTUAL
+  per-zone key bounds — tighter than the nominal zone range when the
+  key space has gaps, which is exactly what a zone map buys over
+  arithmetic bucket pruning;
+- **query**: a key-range aggregate consults the zonemap first
+  (|zones| rows, one bounded collect), then scans ONLY the
+  overlapping zones' directories via a partition-column IN-list
+  (PartitionFilters — plan-gated in tests), applying the exact range
+  predicate on the survivors.
+
+At 100 TB the zonemap is O(zones) ≈ KBs regardless of data size, the
+scan is |selected zones|/|zones| of the corpus, and the layout cost is
+one range-shuffle paid at ingest, amortized over every later query —
+the same index-once/query-many contract as the IVF and near-dup
+indexes. Fixed-width zones keep the oracle replayable; a production
+variant would place boundaries at key quantiles for balance (the
+trade is documented, not hidden).
+
+The certified readout row carries (n_rows, sum dollars, zones_scanned,
+zones_total): the ORACLE re-derives the bucketing, the per-zone
+bounds, and the overlap count — so the driver row certifies both the
+ANSWER and the PRUNING arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zonemap_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: Column,
+    n_zones: int = 64,
+) -> None:
+    """Persist the zone-partitioned layout + zonemap. ``key`` must be
+    an integer-valued Column (dates go through datediff upstream).
+
+    The min/max pass collects exactly 2 scalars (bounded, like the IVF
+    probe collect); zone width is ⌈(span+1)/n_zones⌉ in Python integer
+    arithmetic, mirrored literally in the oracle SQL.
+    """
+    base = df.withColumn("__key", key.cast("long"))
+    mn, mx = base.agg(F.min("__key"), F.max("__key")).collect()[0]
+    if mn is None:
+        raise ValueError("zonemap_write: no non-null keys")
+    width = max(1, (mx - mn + n_zones) // n_zones)
+    zoned = base.withColumn(
+        "__zone", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
+    )
+    (
+        zoned.repartition("__zone")
+        .sortWithinPartitions("__key")
+        .write.partitionBy("__zone")
+        .mode("overwrite")
+        .parquet(f"{path}/data")
+    )
+    (
+        zoned.groupBy("__zone")
+        .agg(
+            F.min("__key").alias("zmin"),
+            F.max("__key").alias("zmax"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/zonemap")
+    )
+
+
+def zonemap_range_sum(
+    spark: SparkSession,
+    path: str,
+    lo: int,
+    hi: int,
+    value_cents: Column,
+) -> DataFrame:
+    """Key-range aggregate through the zone map: one row
+    (n_rows, sum_value, zones_scanned, zones_total).
+
+    The zonemap consult is a bounded |zones|-row collect; the data scan
+    carries a partition-column IN-list (directory pruning) plus the
+    exact BETWEEN (row pruning within surviving zones, served by the
+    sorted row groups).
+    """
+    zm = spark.read.parquet(f"{path}/zonemap")
+    zm_rows = zm.collect()
+    zones_total = len(zm_rows)
+    cells = sorted(
+        int(r["__zone"]) for r in zm_rows if r["zmax"] >= lo and r["zmin"] <= hi
+    )
+    data = (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("__zone").isin(cells))
+        .filter(F.col("__key").between(F.lit(lo), F.lit(hi)))
+    )
+    return data.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum(value_cents.cast("long")) / F.lit(100.0), 2).alias("sum_value"),
+        F.lit(len(cells)).cast("long").alias("zones_scanned"),
+        F.lit(zones_total).cast("long").alias("zones_total"),
+    )
+
+
+def zonemap_range_sum_sql(
+    table: str,
+    key_sql: str,
+    value_cents_sql: str,
+    lo: int,
+    hi: int,
+    n_zones: int = 64,
+) -> str:
+    """DuckDB oracle: re-derives the fixed-width bucketing, the
+    per-zone actual bounds, the overlap selection, and the in-range
+    aggregate — certifying layout + pruning + answer together. Integer
+    division is spelled floor(·/·.0) (DuckDB ``//`` does true division
+    when either operand is DOUBLE; the explicit floor is engine-safe
+    for keys ≪ 2^53)."""
+    return f"""
+WITH base AS (
+  SELECT CAST({key_sql} AS BIGINT) AS k,
+         CAST({value_cents_sql} AS BIGINT) AS cents
+  FROM {table}
+),
+meta AS (
+  SELECT min(k) AS mn,
+         greatest(1, CAST(floor((max(k) - min(k) + {n_zones}) / {n_zones}.0) AS BIGINT)) AS width
+  FROM base
+),
+zoned AS (
+  SELECT k, cents,
+         CAST(floor((k - mn) / (width * 1.0)) AS BIGINT) AS z
+  FROM base, meta
+),
+zm AS (
+  SELECT z, min(k) AS zmin, max(k) AS zmax FROM zoned GROUP BY 1
+),
+sel AS (
+  SELECT z FROM zm WHERE zmax >= {lo} AND zmin <= {hi}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_value,
+       (SELECT CAST(count(*) AS BIGINT) FROM sel) AS zones_scanned,
+       (SELECT CAST(count(*) AS BIGINT) FROM zm) AS zones_total
+FROM zoned
+WHERE z IN (SELECT z FROM sel) AND k BETWEEN {lo} AND {hi}
+"""

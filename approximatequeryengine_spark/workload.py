@@ -2264,6 +2264,115 @@ def _hist_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_hist_quantiles", _hist_stream_fn, _hist_quantiles_oracle())
 
 
+def _ddsketch_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles over l_extendedprice (round 4)
+    — the guaranteed-α quantile synopsis (deterministic, mergeable)
+    complementing the sampled order-statistic CI (`approx_p90_ci`) and
+    the fixed-grid histogram (`sketch_hist_quantiles`)."""
+    from approximatequeryengine_spark.plans.ddsketch import ddsketch_quantiles
+
+    cat = _catalog(spark, sf_dir)
+    return ddsketch_quantiles(cat.table("lineitem"), "l_extendedprice", alpha=0.01)
+
+
+def _ddsketch_oracle() -> str:
+    from approximatequeryengine_spark.plans.ddsketch import ddsketch_quantiles_sql
+
+    return ddsketch_quantiles_sql("lineitem", "l_extendedprice", alpha=0.01)
+
+
+_register("sketch_ddsketch_quantiles", _ddsketch_fn, _ddsketch_oracle())
+
+
+def _priority_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (round 4) — sample ONCE (k=2048, weights =
+    o_totalprice cents), answer any later subset-sum; here the subset
+    is the 1-URGENT orders. DLT'07 estimator Σ max(w, τ)."""
+    from approximatequeryengine_spark.plans.priority import priority_sample_subset_sum
+
+    cat = _catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    return priority_sample_subset_sum(
+        orders,
+        key="o_orderkey",
+        weight_cents=F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"),
+        subset=F.col("o_orderpriority") == "1-URGENT",
+        k=2048,
+    )
+
+
+def _priority_oracle() -> str:
+    from approximatequeryengine_spark.plans.priority import (
+        priority_sample_subset_sum_sql,
+    )
+
+    return priority_sample_subset_sum_sql(
+        "orders",
+        key="o_orderkey",
+        weight_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+        subset_sql="o_orderpriority = '1-URGENT'",
+        k=2048,
+    )
+
+
+_register("approx_sum_priority", _priority_fn, _priority_oracle())
+
+
+# Epoch-day bounds for the zonemap range query (1997 calendar year —
+# inside the synthetic orders' 1995-2001 date span) — computed once so
+# Spark and the oracle share the same integer window.
+_ZM_LO = 9862    # date(1997,1,1)  - date(1970,1,1)
+_ZM_HI = 10226   # date(1997,12,31)- date(1970,1,1)
+
+
+def _zonemap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping index (round 4) — the Spark-native
+    answer to the reference's B+-tree key-range search (SURVEY §2 P5,
+    custom_bplus_db.cpp range scans): range-bucketed sorted layout +
+    min/max zone stats, partition-pruned range aggregate. The oracle
+    re-derives layout, pruning AND the answer."""
+    import tempfile
+
+    from approximatequeryengine_spark.sources.zonemap import (
+        zonemap_range_sum,
+        zonemap_write,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    path = tempfile.mkdtemp(prefix="aqe_zonemap_")
+    zonemap_write(
+        spark,
+        orders.select("o_orderdate", "o_totalprice"),
+        path,
+        key=F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")),
+        n_zones=64,
+    )
+    return zonemap_range_sum(
+        spark,
+        path,
+        _ZM_LO,
+        _ZM_HI,
+        value_cents=F.floor(F.col("o_totalprice") * 100.0 + 0.5),
+    )
+
+
+def _zonemap_oracle() -> str:
+    from approximatequeryengine_spark.sources.zonemap import zonemap_range_sum_sql
+
+    return zonemap_range_sum_sql(
+        "orders",
+        key_sql="date_diff('day', DATE '1970-01-01', o_orderdate)",
+        value_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+        lo=_ZM_LO,
+        hi=_ZM_HI,
+        n_zones=64,
+    )
+
+
+_register("index_zonemap_range_sum", _zonemap_fn, _zonemap_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered
@@ -2338,6 +2447,9 @@ _CERTIFY_FIRST = [
     "sketch_wavelet_selectivity",
     "dedup_semantic_cells",
     "curation_weighted_sample",
+    "sketch_ddsketch_quantiles",
+    "approx_sum_priority",
+    "index_zonemap_range_sum",
     # --- remaining rows-only entries (Spark-internal HLL++ — carries a
     # written unoracleable rationale at the registration site).
     "sketch_mergeable_rollup",

@@ -153,7 +153,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "kmv", "outlier"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "kmv", "outlier", "priority", "ddsketch"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -421,3 +421,47 @@ def test_count_distinct_kmv_route(engine_med):
         confidence=0.99,
     )
     assert (r99.ci_upper - r99.ci_lower) > (r.ci_upper - r.ci_lower)
+
+
+def test_method_priority_sum(engine, duck):
+    """APPROX(SUM(x)) method='priority': DLT top-k estimate of the
+    (possibly WHERE-filtered) sum; exact when k >= N (1500 orders at
+    sf0.001 < k=2048 → τ=0 degenerate case)."""
+    res = engine.run(
+        "SELECT APPROX(SUM(o_totalprice)) FROM orders", method="priority"
+    )
+    exact = duck.execute("SELECT round(sum(o_totalprice), 2) FROM orders").fetchone()[0]
+    assert res.method == "priority"
+    assert abs(res.value - exact) < 0.01  # k covers the universe -> exact
+
+
+def test_method_ddsketch_percentile(engine, duck):
+    """APPROX(PERCENTILE(x, 0.9)) method='ddsketch': guaranteed
+    α=0.01 relative error vs the rank item; confidence 1.0."""
+    res = engine.run(
+        "SELECT APPROX(PERCENTILE(o_totalprice, 0.9)) FROM orders",
+        method="ddsketch",
+    )
+    n = duck.execute(
+        "SELECT count(*) FROM orders WHERE o_totalprice > 0"
+    ).fetchone()[0]
+    rank = int(0.9 * (n - 1)) + 1
+    exact = duck.execute(
+        "SELECT o_totalprice FROM orders WHERE o_totalprice > 0 "
+        "ORDER BY o_totalprice LIMIT 1 OFFSET ?", [rank - 1]
+    ).fetchone()[0]
+    assert res.method == "ddsketch"
+    assert res.confidence_level == 1.0
+    assert abs(res.value - exact) / exact <= 0.01 + 1e-9
+    assert res.ci_lower <= exact <= res.ci_upper
+
+
+def test_method_ddsketch_rejects_group_by(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ddsketch"):
+        engine.run(
+            "SELECT APPROX(MEDIAN(o_totalprice)) "
+            "FROM orders GROUP BY o_orderpriority",
+            method="ddsketch",
+        )

@@ -120,3 +120,77 @@ def test_clustered_write_skips_row_groups(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "GreaterThanOrEqual(value,50.0)" in plan
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data-skipping index (sources/zonemap.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zonemap_answer_matches_plain_filter(spark, engine, tmp_path):
+    """Index-once/query-many: two disjoint key ranges through the zone
+    map both equal the plain BETWEEN aggregate on the base table."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.sources.zonemap import (
+        zonemap_range_sum,
+        zonemap_write,
+    )
+
+    orders = engine.catalog.table("orders")
+    path = str(tmp_path / "zm")
+    key = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    zonemap_write(spark, orders.select("o_orderdate", "o_totalprice"), path, key, n_zones=32)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    for lo, hi in ((9862, 10226), (10592, 10956)):
+        got = zonemap_range_sum(spark, path, lo, hi, cents).collect()[0]
+        want = (
+            orders.withColumn("__k", key)
+            .filter(F.col("__k").between(lo, hi))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(cents.cast("long")) / 100.0, 2).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert got["n_rows"] == want["n"]
+        assert got["sum_value"] == want["s"]
+        assert got["zones_scanned"] < got["zones_total"]
+
+
+def test_zonemap_scan_is_partition_pruned(spark, engine, tmp_path):
+    """The range scan must reach parquet with PartitionFilters on the
+    zone column — directory pruning, not a full scan + filter."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.sources.zonemap import (
+        zonemap_range_sum,
+        zonemap_write,
+    )
+
+    orders = engine.catalog.table("orders")
+    path = str(tmp_path / "zm")
+    zonemap_write(
+        spark,
+        orders.select("o_orderdate", "o_totalprice"),
+        path,
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")),
+        n_zones=32,
+    )
+    df = zonemap_range_sum(
+        spark, path, 9862, 10226, F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__zone" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_zonemap_rejects_all_null_keys(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from approximatequeryengine_spark.sources.zonemap import zonemap_write
+
+    df = spark.range(5).select(F.lit(None).cast("long").alias("k"), F.col("id"))
+    with _pytest.raises(ValueError):
+        zonemap_write(spark, df, "/tmp/zm_nulls", F.col("k"))
