@@ -81,22 +81,18 @@ def ddsketch_buckets(df: DataFrame, column: str, alpha: float = 0.01) -> DataFra
     )
 
 
-def ddsketch_quantiles(
-    df: DataFrame,
-    column: str,
-    alpha: float = 0.01,
+def ddsketch_readout(
+    buckets: DataFrame,
+    alpha: float,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
-    """Quantile readout rows (q, bucket, est_q, n) from one pass.
-
-    Rank convention: the bucket of the 1-based rank ⌊q·(n−1)⌋+1 item
-    (the paper's low-interpolation convention); selection is a
-    conditional MIN over the cumulative bucket table — no join, the
-    whole readout is two tiny single-partition operators downstream of
-    the one data scan.
-    """
+    """Readout stage over a (b, c) bucket table — shared by the batch
+    estimator and the streaming maintenance path (bucket counts add,
+    so a drained complete-mode stream state is the same table).
+    Unlike the grid histogram's streaming twin, NO batch pre-pass is
+    needed: DDSketch buckets are fixed by α alone, not by data-range
+    statistics."""
     gamma, _ = _params(alpha)
-    buckets = ddsketch_buckets(df, column, alpha)
     w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     cum = buckets.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
         "n", F.sum("c").over(Window.partitionBy())
@@ -120,6 +116,119 @@ def ddsketch_quantiles(
     return rows.select(
         "q", F.col("bucket").cast("long").alias("bucket"), est.alias("est_q"), "n"
     ).orderBy("q")
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    column: str,
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile readout rows (q, bucket, est_q, n) from one pass.
+
+    Rank convention: the bucket of the 1-based rank ⌊q·(n−1)⌋+1 item
+    (the paper's low-interpolation convention); selection is a
+    conditional MIN over the cumulative bucket table — no join, the
+    whole readout is two tiny single-partition operators downstream of
+    the one data scan.
+    """
+    return ddsketch_readout(ddsketch_buckets(df, column, alpha), alpha, qs)
+
+
+def ddsketch_grouped_quantiles(
+    df: DataFrame,
+    column: str,
+    group: str,
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-group quantiles (group, q, bucket, est_q, n) from ONE
+    grouped bucket pass — the grouped quantile shape WITHOUT a
+    per-group sort: one shuffle on (group, bucket), then per-group
+    windows over |group|·|buckets| tiny rows. The α-guarantee holds
+    per group (bucketing is group-independent)."""
+    gamma, lg = _params(alpha)
+    buckets = (
+        df.filter(F.col(column) > 0)
+        .select(
+            F.col(group).alias("g"),
+            F.ceil(F.log(F.col(column).cast("double")) / F.lit(lg))
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_cum = Window.partitionBy("g").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = buckets.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    aggs = []
+    for i, q in enumerate(qs):
+        target = F.floor(F.lit(float(q)) * (F.col("n") - 1)).cast("long") + 1
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("b"))).alias(f"__b{i}")
+        )
+    one = cum.groupBy("g").agg(*aggs, F.max("n").cast("long").alias("n"))
+    stack_args = ", ".join(
+        f"CAST({float(q)!r} AS DOUBLE), __b{i}" for i, q in enumerate(qs)
+    )
+    rows = one.select(
+        F.col("g").alias(group),
+        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bucket)"),
+        F.col("n"),
+    )
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 6
+    )
+    return rows.select(
+        group, "q", F.col("bucket").cast("long").alias("bucket"),
+        est.alias("est_q"), "n",
+    ).orderBy(group, "q")
+
+
+def ddsketch_grouped_quantiles_sql(
+    table: str,
+    column: str,
+    group: str,
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> str:
+    """DuckDB oracle for the grouped readout — same arithmetic with
+    PARTITION BY windows."""
+    gamma, lg = _params(alpha)
+    sel = ", ".join(
+        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN b END) AS __b{i}"
+        for i, q in enumerate(qs)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT g, CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
+        for i, q in enumerate(qs)
+    )
+    return f"""
+WITH pts AS (
+  SELECT {group} AS g, CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
+),
+bk AS (
+  SELECT g, CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM bk
+),
+one AS (SELECT g, {sel}, CAST(max(n) AS BIGINT) AS n FROM cum GROUP BY g)
+SELECT g AS {group}, q, CAST(bucket AS BIGINT) AS bucket,
+       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
+FROM ({unions})
+ORDER BY {group}, q
+"""
 
 
 def ddsketch_quantiles_sql(

@@ -163,3 +163,137 @@ SELECT {est} AS est_distinct,
        nb AS k_used, kth AS kth_hash
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV/theta set operations — Dasgupta et al. "Theta sketch framework"
+# (2016); Beyer et al. SIGMOD'07 §5. Two bottom-k sketches support
+# DIRECT union/intersection/Jaccard estimation: with θ = min of the
+# sketches' k-th minimum hashes, every retained hash < θ is a uniform
+# θ/2³²-rate sample of the combined DISTINCT key space, so
+# D̂_X = c_X · 2³²/θ for any set expression X evaluated on the retained
+# hashes. Unlike HLL inclusion-exclusion (`sketch_hll_overlap`), the
+# intersection is estimated directly — the error does not blow up when
+# |A∩B| ≪ |A∪B|.
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_ops(df_a, df_b, key: str, k: int = 256):
+    """One-row readout (theta, c_intersect, c_union, est_intersect,
+    est_union, jaccard) from two bottom-k sketches.
+
+    exact-mode degeneracy: a side with fewer than k distinct hashes
+    contributes θ_side = 2³², so when BOTH sides are exact the
+    estimates are exact counts (2³²/θ = 1 exactly). The scaling
+    c·2³²/θ keeps c·2³² ≤ 512·2³² < 2⁵³, so the multiply is exact and
+    the divide IEEE-rounded — bit-identical in DuckDB.
+
+    Scale shape: two scans (one per side) each ending in
+    TakeOrderedAndProject(k); everything downstream operates on ≤ 2k
+    rows (the 1-row θ frame attaches via a broadcast nested-loop, the
+    repo's audited scalar-attachment shape).
+    """
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        portable_hash_col,
+        with_avalanche_h,
+    )
+
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+
+    def bottom(df):
+        hashed = with_avalanche_h(
+            df.filter(F.col(key).isNotNull()).select(key),
+            portable_hash_col(F.col(key)),
+            F.lit(0),
+            h_col="__h",
+        )
+        return hashed.select("__h").distinct().orderBy("__h").limit(k)
+
+    sa = bottom(df_a).select(
+        F.col("__h").alias("h"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    sb = bottom(df_b).select(
+        F.col("__h").alias("h"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    side_theta = lambda s: F.when(  # noqa: E731
+        F.count(F.lit(1)) < k, F.lit(HASH_SPACE).cast("long")
+    ).otherwise(F.max("h").cast("long"))
+    ta = sa.agg(side_theta(sa).alias("th_a"))
+    tb = sb.agg(side_theta(sb).alias("th_b"))
+    theta_df = ta.crossJoin(tb).select(
+        F.least("th_a", "th_b").alias("theta")
+    )
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    f = merged.crossJoin(F.broadcast(theta_df)).filter(F.col("h") < F.col("theta"))
+    scale = F.lit(float(HASH_SPACE)) / F.col("theta").cast("double")
+    c_int = F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+    c_uni = F.count(F.lit(1)).cast("long")
+    est = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(float(HASH_SPACE)) / F.max("theta").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return f.agg(
+        F.max("theta").cast("long").alias("theta"),
+        c_int.alias("c_intersect"),
+        c_uni.alias("c_union"),
+        est(c_int).alias("est_intersect"),
+        est(c_uni).alias("est_union"),
+        F.when(c_uni == 0, F.lit(0.0)).otherwise(
+            F.round(c_int.cast("double") / c_uni.cast("double"), 6)
+        ).alias("jaccard"),
+    )
+
+
+def kmv_set_ops_sql(table_a: str, table_b: str, key: str, k: int = 256) -> str:
+    """DuckDB oracle — identical hashes, bottom-k sets, θ rule,
+    retained-hash filter, and scaling arithmetic."""
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        avalanche_hash_sql_steps,
+        portable_hash_sql,
+    )
+
+    steps, final = avalanche_hash_sql_steps(portable_hash_sql(key), "0")
+    side = (
+        f"CASE WHEN count(*) < {k} THEN {HASH_SPACE} "
+        f"ELSE CAST(max(h) AS BIGINT) END"
+    )
+    est = lambda c: (  # noqa: E731
+        f"CAST(floor(CAST({c} AS DOUBLE) * {float(HASH_SPACE)!r} "
+        f"/ CAST(t AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH ha AS (SELECT {steps} FROM {table_a} WHERE {key} IS NOT NULL),
+ba AS (SELECT DISTINCT {final} AS h FROM ha ORDER BY h LIMIT {k}),
+hb AS (SELECT {steps} FROM {table_b} WHERE {key} IS NOT NULL),
+bb AS (SELECT DISTINCT {final} AS h FROM hb ORDER BY h LIMIT {k}),
+st AS (SELECT least((SELECT {side} FROM ba), (SELECT {side} FROM bb)) AS theta),
+m AS (
+  SELECT h, max(ina) AS in_a, max(inb) AS in_b FROM (
+    SELECT h, 1 AS ina, 0 AS inb FROM ba
+    UNION ALL
+    SELECT h, 0 AS ina, 1 AS inb FROM bb
+  ) GROUP BY h
+),
+f AS (SELECT m.*, st.theta FROM m, st WHERE m.h < st.theta),
+agg AS (
+  SELECT CAST(max(theta) AS BIGINT) AS t,
+         CAST(sum(in_a * in_b) AS BIGINT) AS ci,
+         CAST(count(*) AS BIGINT) AS cu
+  FROM f
+)
+SELECT t AS theta, ci AS c_intersect, cu AS c_union,
+       {est('ci')} AS est_intersect,
+       {est('cu')} AS est_union,
+       CASE WHEN cu = 0 THEN 0.0
+            ELSE round(CAST(ci AS DOUBLE) / CAST(cu AS DOUBLE), 6) END AS jaccard
+FROM agg
+"""

@@ -425,6 +425,31 @@ def hist_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_hist(hist, float(mn), float(width), int(n), (0.5, 0.95, 0.99))
 
 
+def ddsketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained DDSketch over a streaming table.
+    Stronger streaming story than the grid histogram
+    (:func:`hist_quantile_stream`): DDSketch buckets are fixed by α
+    alone — NO batch min/max pre-pass — so the stream needs zero
+    prior knowledge of the data range, state is O(buckets) forever,
+    and the drained complete-mode counts equal the batch bucket table
+    (addition is order-free). The batch ``sketch_ddsketch_quantiles``
+    oracle applies verbatim."""
+    from approximatequeryengine_spark.plans.ddsketch import _params, ddsketch_readout
+
+    alpha = 0.01
+    _, lg = _params(alpha)
+    stream = table_stream(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    bucket_stream = (
+        stream.filter(F.col("l_extendedprice") > 0)
+        .select((F.ceil(F.log(x) / F.lit(lg))).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    buckets = run_to_memory_sink(bucket_stream, "complete")
+    return ddsketch_readout(buckets, alpha)
+
+
 INTERVAL_JOIN_MINUTES = 60
 INTERVAL_JOIN_WATERMARK = "240 hours"  # replay drain: nothing dropped as late
 

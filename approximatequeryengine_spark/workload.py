@@ -2373,6 +2373,76 @@ def _zonemap_oracle() -> str:
 _register("index_zonemap_range_sum", _zonemap_fn, _zonemap_oracle())
 
 
+def _kmv_setops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set operations (round 4): distinct-part overlap
+    between the extreme-low (<3) and extreme-high (>48) quantity
+    slices of lineitem (exact Jaccard 0.518 at sf0.01) —
+    DIRECT intersection estimation (no inclusion-exclusion blow-up,
+    unlike sketch_hll_overlap)."""
+    from approximatequeryengine_spark.plans.distinct import kmv_set_ops
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    return kmv_set_ops(
+        li.filter(F.col("l_quantity") < 3),
+        li.filter(F.col("l_quantity") > 48),
+        "l_partkey",
+        k=256,
+    )
+
+
+def _kmv_setops_oracle() -> str:
+    from approximatequeryengine_spark.plans.distinct import kmv_set_ops_sql
+
+    return kmv_set_ops_sql(
+        "(SELECT * FROM lineitem WHERE l_quantity < 3)",
+        "(SELECT * FROM lineitem WHERE l_quantity > 48)",
+        "l_partkey",
+        k=256,
+    )
+
+
+_register("sketch_kmv_set_ops", _kmv_setops_fn, _kmv_setops_oracle())
+
+
+def _ddsketch_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped DDSketch (round 4): per-returnflag price quantiles from
+    ONE grouped bucket pass — no per-group sort; the α-guarantee holds
+    per group."""
+    from approximatequeryengine_spark.plans.ddsketch import ddsketch_grouped_quantiles
+
+    cat = _catalog(spark, sf_dir)
+    return ddsketch_grouped_quantiles(
+        cat.table("lineitem"), "l_extendedprice", "l_returnflag", alpha=0.01
+    )
+
+
+def _ddsketch_grouped_oracle() -> str:
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_grouped_quantiles_sql,
+    )
+
+    return ddsketch_grouped_quantiles_sql(
+        "lineitem", "l_extendedprice", "l_returnflag", alpha=0.01
+    )
+
+
+_register("sketch_ddsketch_grouped", _ddsketch_grouped_fn, _ddsketch_grouped_oracle())
+
+
+def _ddsketch_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch maintenance; drained complete-mode bucket
+    counts equal the batch table (addition is order-free), so the
+    batch sketch_ddsketch_quantiles oracle applies verbatim — and
+    unlike the grid-histogram stream, NO batch pre-pass primes it."""
+    from approximatequeryengine_spark.streaming.pipeline import ddsketch_stream
+
+    return ddsketch_stream(spark, sf_dir)
+
+
+_register("streaming_ddsketch_quantiles", _ddsketch_stream_fn, _ddsketch_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered
@@ -2450,10 +2520,13 @@ _CERTIFY_FIRST = [
     "sketch_ddsketch_quantiles",
     "approx_sum_priority",
     "index_zonemap_range_sum",
-    # --- remaining rows-only entries (Spark-internal HLL++ — carries a
-    # written unoracleable rationale at the registration site).
-    "sketch_mergeable_rollup",
-    "sketch_approx_distinct",
+    "sketch_kmv_set_ops",
+    # The two Spark-internal-HLL++ rows-only entries
+    # (sketch_mergeable_rollup, sketch_approx_distinct) rotated OUT
+    # this session to hold the window at exactly 50: they already
+    # carry r3 driver rows, and rows-only is all they can ever earn
+    # (unoracleable rationale at their registration sites). Their
+    # slots go to the four new oracle-backed entries above.
 ]
 
 

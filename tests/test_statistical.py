@@ -906,3 +906,110 @@ def test_priority_unbiased_over_salt_replays(engine_med, duck_med):
         for s in range(12)
     ]
     assert abs(sum(ests) / len(ests) - exact) / exact < 0.025
+
+
+# ---------------------------------------------------------------------------
+# KMV/theta set operations
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_set_ops_matches_oracle(engine_med, duck_med):
+    from approximatequeryengine_spark.plans.distinct import (
+        kmv_set_ops,
+        kmv_set_ops_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    li = engine_med.catalog.table("lineitem")
+    assert_df_matches_sql(
+        kmv_set_ops(
+            li.filter(F.col("l_quantity") < 3),
+            li.filter(F.col("l_quantity") > 48),
+            "l_partkey",
+            k=256,
+        ),
+        duck_med,
+        kmv_set_ops_sql(
+            "(SELECT * FROM lineitem WHERE l_quantity < 3)",
+            "(SELECT * FROM lineitem WHERE l_quantity > 48)",
+            "l_partkey",
+            k=256,
+        ),
+    )
+
+
+def test_kmv_set_ops_accuracy(engine_med, duck_med):
+    """Partial-overlap slices (exact: ∩=938, ∪=1810, J=0.518):
+    k=256 direct estimates must land within 3/√k ≈ 19% for the sizes
+    and ±0.10 absolute for Jaccard."""
+    from approximatequeryengine_spark.plans.distinct import kmv_set_ops
+
+    li = engine_med.catalog.table("lineitem")
+    row = kmv_set_ops(
+        li.filter(F.col("l_quantity") < 3),
+        li.filter(F.col("l_quantity") > 48),
+        "l_partkey",
+        k=256,
+    ).collect()[0]
+    ex_i, ex_u = duck_med.execute(
+        "SELECT (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem "
+        "WHERE l_quantity < 3 INTERSECT SELECT DISTINCT l_partkey FROM lineitem "
+        "WHERE l_quantity > 48)), "
+        "(SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem "
+        "WHERE l_quantity < 3 UNION SELECT DISTINCT l_partkey FROM lineitem "
+        "WHERE l_quantity > 48))"
+    ).fetchone()
+    assert abs(row["est_intersect"] - ex_i) / ex_i < 0.19
+    assert abs(row["est_union"] - ex_u) / ex_u < 0.19
+    assert abs(row["jaccard"] - ex_i / ex_u) < 0.10
+
+
+def test_kmv_set_ops_exact_mode(spark):
+    """Both sides below k: θ = 2³² and every estimate is the exact
+    count (the 2³²/θ scale is exactly 1)."""
+    from approximatequeryengine_spark.plans.distinct import kmv_set_ops
+
+    a = spark.range(0, 100).select(F.col("id").alias("v"))
+    b = spark.range(50, 150).select(F.col("id").alias("v"))
+    row = kmv_set_ops(a, b, "v", k=256).collect()[0]
+    assert row["est_intersect"] == 50
+    assert row["est_union"] == 150
+    assert row["jaccard"] == round(50 / 150, 6)
+
+
+def test_ddsketch_grouped_matches_oracle(engine_med, duck_med):
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_grouped_quantiles,
+        ddsketch_grouped_quantiles_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        ddsketch_grouped_quantiles(
+            engine_med.catalog.table("lineitem"), "l_extendedprice", "l_returnflag"
+        ),
+        duck_med,
+        ddsketch_grouped_quantiles_sql("lineitem", "l_extendedprice", "l_returnflag"),
+    )
+
+
+def test_ddsketch_grouped_alpha_guarantee_per_group(engine_med, duck_med):
+    """The α bound holds within every group (bucketing is
+    group-independent)."""
+    from approximatequeryengine_spark.plans.ddsketch import ddsketch_grouped_quantiles
+
+    alpha = 0.01
+    rows = ddsketch_grouped_quantiles(
+        engine_med.catalog.table("lineitem"), "l_extendedprice", "l_returnflag",
+        alpha=alpha,
+    ).collect()
+    for r in rows:
+        rank = int(r["q"] * (r["n"] - 1)) + 1
+        exact = duck_med.execute(
+            "SELECT x FROM (SELECT l_extendedprice AS x, "
+            "row_number() OVER (ORDER BY l_extendedprice) AS rn "
+            "FROM lineitem WHERE l_extendedprice > 0 AND l_returnflag = ?) "
+            "WHERE rn = ?",
+            [r["l_returnflag"], rank],
+        ).fetchone()[0]
+        assert abs(r["est_q"] - exact) / exact <= alpha + 1e-9

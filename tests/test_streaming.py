@@ -427,3 +427,24 @@ def test_sliding_stream_matches_batch(spark, engine):
     # replication factor: Σ n_events over all windows = 3 × |events|
     total = sum(r[2] for r in got)
     assert total == 3 * ev.count()
+
+
+def test_streaming_ddsketch_equals_batch(spark):
+    """Drained complete-mode DDSketch == batch readout, with no batch
+    pre-pass priming the stream (buckets are data-independent)."""
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.plans.ddsketch import ddsketch_quantiles
+    from approximatequeryengine_spark.streaming.pipeline import ddsketch_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in ddsketch_stream(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ddsketch_quantiles(
+            Catalog(spark, sf, register_views=False).table("lineitem"),
+            "l_extendedprice",
+        ).collect()
+    )
+    assert got == want
