@@ -1013,3 +1013,112 @@ def test_ddsketch_grouped_alpha_guarantee_per_group(engine_med, duck_med):
             [r["l_returnflag"], rank],
         ).fetchone()[0]
         assert abs(r["est_q"] - exact) / exact <= alpha + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# BlinkDB-style persisted stratified synopsis
+# ---------------------------------------------------------------------------
+
+
+def test_synopsis_matches_oracle(spark, engine_med, duck_med, tmp_path):
+    from approximatequeryengine_spark.plans.synopsis import (
+        synopsis_build,
+        synopsis_stratified_sum,
+        synopsis_stratified_sum_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    path = str(tmp_path / "syn")
+    synopsis_build(
+        spark,
+        engine_med.catalog.table("orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        path,
+        stratum="o_orderpriority",
+        key="o_orderkey",
+        cap=2048,
+    )
+    assert_df_matches_sql(
+        synopsis_stratified_sum(
+            spark, path, "o_orderpriority",
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+        ),
+        duck_med,
+        synopsis_stratified_sum_sql(
+            "orders", "o_orderpriority", "o_orderkey",
+            "floor(o_totalprice * 100.0 + 0.5)", cap=2048,
+        ),
+    )
+
+
+def test_synopsis_ci_covers_and_prunes(spark, engine_med, duck_med, tmp_path):
+    """Capped strata: n_sample < n_total, every estimate within 2%
+    of its exact per-stratum sum (measured deviations 0.1–1.4% at
+    margins ≈1.4%), and ≥4 of the 5 independent 95% CIs cover — with
+    5 strata one ~2-SE miss is a ~20% event, observed at build time
+    (4-NOT SPECIFIED: dev 1.42% vs margin 1.37%)."""
+    from approximatequeryengine_spark.plans.synopsis import (
+        synopsis_build,
+        synopsis_stratified_sum,
+    )
+
+    path = str(tmp_path / "syn")
+    synopsis_build(
+        spark,
+        engine_med.catalog.table("orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        path, "o_orderpriority", "o_orderkey", cap=2048,
+    )
+    rows = synopsis_stratified_sum(
+        spark, path, "o_orderpriority",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+    ).collect()
+    exact = dict(
+        duck_med.execute(
+            "SELECT o_orderpriority, round(sum(floor(o_totalprice * 100.0 + 0.5)) "
+            "/ 100.0, 2) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == 5
+    covered = 0
+    for r in rows:
+        assert r["n_sample"] < r["n_total"]
+        ex = exact[r["o_orderpriority"]]
+        assert abs(r["est_sum"] - ex) / ex < 0.02
+        covered += r["ci_lower"] <= ex <= r["ci_upper"]
+    assert covered >= 4
+
+
+def test_synopsis_rare_strata_exact(spark, engine, duck, tmp_path):
+    """The BlinkDB rare-stratum guarantee: strata below the cap are
+    kept in full — answers EXACT, margin 0 (sf0.001: 300-row strata
+    vs cap 2048)."""
+    from approximatequeryengine_spark.plans.synopsis import (
+        synopsis_build,
+        synopsis_stratified_sum,
+    )
+
+    path = str(tmp_path / "syn")
+    synopsis_build(
+        spark,
+        engine.catalog.table("orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        path, "o_orderpriority", "o_orderkey", cap=2048,
+    )
+    rows = synopsis_stratified_sum(
+        spark, path, "o_orderpriority",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+    ).collect()
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderpriority, round(sum(floor(o_totalprice * 100.0 + 0.5)) "
+            "/ 100.0, 2) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r["n_sample"] == r["n_total"]
+        assert r["est_sum"] == exact[r["o_orderpriority"]]
+        assert r["ci_lower"] == r["est_sum"] == r["ci_upper"]
