@@ -297,3 +297,108 @@ SELECT t AS theta, ci AS c_intersect, cu AS c_union,
             ELSE round(CAST(ci AS DOUBLE) / CAST(cu AS DOUBLE), 6) END AS jaccard
 FROM agg
 """
+
+
+def kmv_distinct_where(
+    df,
+    key: str,
+    dim,
+    dim_key: str,
+    pred,
+    k: int = 256,
+):
+    """Distinct-value sampling (Beyer et al. SIGMOD'07 §5's flagship
+    application): the bottom-k sketch is a UNIFORM sample of the
+    DISTINCT key values — a property row sampling cannot give — so
+    "how many distinct keys satisfy a dimension predicate" is
+    estimated as D̂_total · (matching sampled keys / k). One readout
+    row: (est_distinct, k_used, n_match, est_distinct_where).
+
+    ``dim`` must be unique on ``dim_key`` (a left join from the k
+    sampled keys; absent keys count as non-matching). The final
+    scaling is the (2am+b) div (2b) round-half-up identity — pure
+    BIGINT, mirrored in the oracle.
+
+    Scale shape: one distinct shuffle on the key + TakeOrdered(k),
+    then a k-row broadcast join against the dimension — the dimension
+    is never shuffled.
+    """
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        portable_hash_col,
+        with_avalanche_h,
+    )
+
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    hashed = with_avalanche_h(
+        df.filter(F.col(key).isNotNull()).select(key).distinct(),
+        portable_hash_col(F.col(key)),
+        F.lit(0),
+        h_col="__h",
+    )
+    bottom = hashed.orderBy("__h", key).limit(k)
+    joined = F.broadcast(bottom).join(
+        dim, bottom[key] == dim[dim_key], "left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.max("__h").cast("long").alias("kth"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("m"),
+    )
+    est = F.when(F.col("nb") < k, F.col("nb")).otherwise(
+        F.floor(
+            (F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))) / F.col("kth")
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return agg.select(
+        est.alias("est_distinct"),
+        F.col("nb").alias("k_used"),
+        F.col("m").alias("n_match"),
+    ).withColumn(
+        "est_distinct_where",
+        F.expr("(2 * est_distinct * n_match + k_used) div (2 * k_used)"),
+    )
+
+
+def kmv_distinct_where_sql(
+    table: str,
+    key: str,
+    dim_table: str,
+    dim_key: str,
+    pred_sql: str,
+    k: int = 256,
+) -> str:
+    """DuckDB oracle — identical hash, (h, key)-ordered bottom-k,
+    left-join match count, and integer scaling."""
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        avalanche_hash_sql_steps,
+        portable_hash_sql,
+    )
+
+    steps, final = avalanche_hash_sql_steps(portable_hash_sql(key), "0")
+    est = (
+        f"CASE WHEN nb < {k} THEN nb "
+        f"ELSE CAST(floor(({float(k - 1)!r} * {float(HASH_SPACE)!r}) / kth + 0.5) AS BIGINT) END"
+    )
+    return f"""
+WITH dk AS (SELECT DISTINCT {key} FROM {table} WHERE {key} IS NOT NULL),
+hashed AS (SELECT {key}, {steps} FROM dk),
+bottom AS (SELECT {key}, {final} AS h FROM hashed ORDER BY h, {key} LIMIT {k}),
+j AS (
+  SELECT b.h, CASE WHEN d.{dim_key} IS NOT NULL AND ({pred_sql}) THEN 1 ELSE 0 END AS mt
+  FROM bottom b LEFT JOIN {dim_table} d ON b.{key} = d.{dim_key}
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb, CAST(max(h) AS BIGINT) AS kth,
+         CAST(sum(mt) AS BIGINT) AS m
+  FROM j
+)
+SELECT {est} AS est_distinct, nb AS k_used, m AS n_match,
+       (2 * ({est}) * m + nb) // (2 * nb) AS est_distinct_where
+FROM a
+"""

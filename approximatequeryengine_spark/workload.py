@@ -2488,6 +2488,71 @@ def _synopsis_oracle() -> str:
 _register("synopsis_stratified_sum", _synopsis_fn, _synopsis_oracle())
 
 
+def _hist2d_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram correlated-selectivity (round 4): documents
+    n_chars vs token count (corr 0.998). The rectangle "n_chars ≤ 300
+    AND tokens ≥ 80" is near-impossible under the joint distribution
+    (exact 0) but the independence assumption predicts ~10% of the
+    corpus — the certified row carries both estimates."""
+    from approximatequeryengine_spark.plans.histogram2d import hist2d_rect_selectivity
+
+    cat = _catalog(spark, sf_dir)
+    docs = cat.table("documents")
+    return hist2d_rect_selectivity(
+        docs,
+        x=F.col("n_chars"),
+        y=F.size(F.split(F.col("text"), " ")),
+        x_hi=300.0,
+        y_lo=80.0,
+    )
+
+
+def _hist2d_oracle() -> str:
+    from approximatequeryengine_spark.plans.histogram2d import (
+        hist2d_rect_selectivity_sql,
+    )
+
+    return hist2d_rect_selectivity_sql(
+        "documents",
+        x_sql="n_chars",
+        y_sql="len(string_split(text, ' '))",
+        x_hi=300.0,
+        y_lo=80.0,
+    )
+
+
+_register("sketch_hist2d_selectivity", _hist2d_fn, _hist2d_oracle())
+
+
+def _kmv_where_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-value sampling (round 4): how many distinct parts
+    ordered (lineitem l_partkey) retail above 970 — the bottom-k
+    sketch doubles as a uniform sample of the DISTINCT keys, joined to
+    the part dimension for the predicate fraction."""
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_where
+
+    cat = _catalog(spark, sf_dir)
+    return kmv_distinct_where(
+        cat.table("lineitem"),
+        "l_partkey",
+        cat.table("part"),
+        "p_partkey",
+        F.col("p_retailprice") > 970.0,
+        k=256,
+    )
+
+
+def _kmv_where_oracle() -> str:
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_where_sql
+
+    return kmv_distinct_where_sql(
+        "lineitem", "l_partkey", "part", "p_partkey", "p_retailprice > 970.0", k=256
+    )
+
+
+_register("sketch_kmv_distinct_where", _kmv_where_fn, _kmv_where_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

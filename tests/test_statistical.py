@@ -1122,3 +1122,98 @@ def test_synopsis_rare_strata_exact(spark, engine, duck, tmp_path):
         assert r["n_sample"] == r["n_total"]
         assert r["est_sum"] == exact[r["o_orderpriority"]]
         assert r["ci_lower"] == r["est_sum"] == r["ci_upper"]
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram correlated selectivity + KMV distinct-value sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hist2d_matches_oracle(engine_med, duck_med):
+    from approximatequeryengine_spark.plans.histogram2d import (
+        hist2d_rect_selectivity,
+        hist2d_rect_selectivity_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    docs = engine_med.catalog.table("documents")
+    assert_df_matches_sql(
+        hist2d_rect_selectivity(
+            docs, F.col("n_chars"), F.size(F.split(F.col("text"), " ")),
+            x_hi=300.0, y_lo=80.0,
+        ),
+        duck_med,
+        hist2d_rect_selectivity_sql(
+            "documents", "n_chars", "len(string_split(text, ' '))",
+            x_hi=300.0, y_lo=80.0,
+        ),
+    )
+
+
+def test_hist2d_beats_independence_on_correlated_columns(engine_med):
+    """n_chars vs token count (corr 0.998): exact = 0, the joint
+    histogram must stay near zero while independence predicts ~10% of
+    the 500-doc corpus — the joint estimate's error must be at least
+    10× smaller."""
+    from approximatequeryengine_spark.plans.histogram2d import hist2d_rect_selectivity
+
+    row = hist2d_rect_selectivity(
+        engine_med.catalog.table("documents"),
+        F.col("n_chars"), F.size(F.split(F.col("text"), " ")),
+        x_hi=300.0, y_lo=80.0,
+    ).collect()[0]
+    assert row["exact_rows"] == 0
+    err_2d = abs(row["est_2d"] - row["exact_rows"])
+    err_indep = abs(row["est_indep"] - row["exact_rows"])
+    assert err_indep > 20
+    assert err_2d * 10 < err_indep
+
+
+def test_hist2d_rejects_degenerate_range(spark):
+    import pytest as _pytest
+
+    from approximatequeryengine_spark.plans.histogram2d import hist2d_rect_selectivity
+
+    df = spark.range(10).select(F.lit(1.0).alias("x"), F.col("id").cast("double").alias("y"))
+    with _pytest.raises(ValueError):
+        hist2d_rect_selectivity(df, F.col("x"), F.col("y"), 1.0, 1.0)
+
+
+def test_kmv_distinct_where_matches_oracle(engine_med, duck_med):
+    from approximatequeryengine_spark.plans.distinct import (
+        kmv_distinct_where,
+        kmv_distinct_where_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        kmv_distinct_where(
+            engine_med.catalog.table("lineitem"), "l_partkey",
+            engine_med.catalog.table("part"), "p_partkey",
+            F.col("p_retailprice") > 970.0, k=256,
+        ),
+        duck_med,
+        kmv_distinct_where_sql(
+            "lineitem", "l_partkey", "part", "p_partkey",
+            "p_retailprice > 970.0", k=256,
+        ),
+    )
+
+
+def test_kmv_distinct_where_accuracy(engine_med, duck_med):
+    """k=256 distinct-value sample of ~2000 parts: the predicate-
+    restricted distinct estimate must land within 25% of the exact
+    count (binomial fraction SE ≈ 1/√256 ≈ 6% of the sketch plus the
+    D̂ error)."""
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_where
+
+    row = kmv_distinct_where(
+        engine_med.catalog.table("lineitem"), "l_partkey",
+        engine_med.catalog.table("part"), "p_partkey",
+        F.col("p_retailprice") > 970.0, k=256,
+    ).collect()[0]
+    exact = duck_med.execute(
+        "SELECT count(DISTINCT l_partkey) FROM lineitem JOIN part "
+        "ON l_partkey = p_partkey WHERE p_retailprice > 970.0"
+    ).fetchone()[0]
+    assert abs(row["est_distinct_where"] - exact) / exact < 0.25
