@@ -67,6 +67,20 @@ class AQEngine:
 
     # -- public API --------------------------------------------------------
 
+    def advise(self, table: str, column: str) -> DataFrame:
+        """Profile ``column`` (cv², top-B mass share, predicted CI at a
+        10% sample) and recommend an APPROX method from the measured
+        distribution — the data-driven upgrade of the reference's
+        row-count-only auto-selection (plans/advisor.py). Returns the
+        one-row profile; pass ``recommended_method`` back into
+        :meth:`run`'s ``method=``."""
+        from approximatequeryengine_spark.plans.advisor import advise_method
+
+        return advise_method(
+            self.catalog.table(table),
+            F.floor(F.col(column) * 100.0 + 0.5).cast("long"),
+        )
+
     def run(
         self,
         sql: str,

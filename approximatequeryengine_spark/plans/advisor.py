@@ -1,0 +1,128 @@
+"""Data-driven sampling-method advisor — the BlinkDB error-latency-
+profile idea (EuroSys'13 §5) applied to this engine's method registry.
+
+The reference's method auto-selection (F3, `enhanced_aqe_cli.py:
+116-131`, mirrored in `frontend/dialect.py::select_method`) looks only
+at the ROW COUNT. But the right estimator depends on the VALUE
+distribution: a heavy-tailed column wants the outlier-index or PPS
+design (the top handful of rows carry the variance), a well-behaved one
+wants plain CLT escalation. This module profiles a column in one
+bounded pass and recommends from measured statistics:
+
+- ``cv2``      — squared coefficient of variation, from exact BIGINT
+                 second moments about the integer center (the A10/A11
+                 convention — no float-fold summation);
+- ``top_share``— fraction of total mass in the top-B values
+                 (TakeOrdered(B) + integer sums): the direct measure of
+                 tail concentration, the same quantity the
+                 outlier-index estimator (`plans/outlier.py`) exploits;
+- ``pred_rel_ci_uniform10`` — the CLT-predicted relative 95% CI
+                 half-width of a 10% uniform sample, z·cv/√(0.1·n):
+                 what the user would GET from the default method, so
+                 the recommendation is an error-latency trade made
+                 explicit, not a black box.
+
+Decision rule (deterministic, documented, test-pinned):
+
+    top_share > 0.20           → 'outlier'   (tail mass ⇒ index the tail)
+    cv2 > 4                    → 'pps'       (weight-proportional draws)
+    n > 100_000                → 'revolutionary' (stride scan, F3 parity)
+    otherwise                  → 'clt'
+
+Scale shape: one full-scan aggregate (n, Σx), one centered-moment
+aggregate, one TakeOrdered(B) — all map-side combined; nothing
+proportional to N leaves the executors. The DuckDB oracle re-derives
+every statistic and the rule itself, so the driver row certifies the
+RECOMMENDATION, not just the numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Z_95 = 1.959963984540054
+TOP_B = 100
+TOP_SHARE_THRESHOLD = 0.20
+CV2_THRESHOLD = 4.0
+BIG_N_THRESHOLD = 100_000
+
+
+def advise_method(df: DataFrame, value_cents: "F.Column", b: int = TOP_B) -> DataFrame:
+    """One-row readout
+    (n, cv2, top_share, pred_rel_ci_uniform10, recommended_method)
+    for a positive integer-cents measure Column."""
+    base = df.select(value_cents.cast("long").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    n, sx = base.agg(
+        F.count(F.lit(1)).cast("long"), F.sum("x").cast("long")
+    ).collect()[0]
+    if not n:
+        raise ValueError("advise_method: no non-null values")
+    c = (2 * sx + n) // (2 * n)
+    m2c = (
+        base.select(((F.col("x") - c) * (F.col("x") - c)).cast("long").alias("d2"))
+        .agg(F.sum("d2").cast("long"))
+        .collect()[0][0]
+    )
+    topsum = (
+        base.orderBy(F.desc("x")).limit(b).agg(F.sum("x").cast("long")).collect()[0][0]
+    )
+    d = (sx - n * c) / n
+    var = (m2c - n * d * d) / (n - 1) if n >= 2 else 0.0
+    mean = sx / n
+    cv2 = round(var / (mean * mean), 4) if mean else float("inf")
+    top_share = round(topsum / sx, 4) if sx else 0.0
+    pred = round(Z_95 * (cv2 ** 0.5) / ((0.1 * n) ** 0.5), 4)
+    if top_share > TOP_SHARE_THRESHOLD:
+        method = "outlier"
+    elif cv2 > CV2_THRESHOLD:
+        method = "pps"
+    elif n > BIG_N_THRESHOLD:
+        method = "revolutionary"
+    else:
+        method = "clt"
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(n), float(cv2), float(top_share), float(pred), method)],
+        "n long, cv2 double, top_share double, pred_rel_ci_uniform10 double, "
+        "recommended_method string",
+    )
+
+
+def advise_method_sql(table: str, value_cents_sql: str, b: int = TOP_B) -> str:
+    """DuckDB oracle — identical statistics and the identical rule."""
+    return f"""
+WITH base AS (
+  SELECT CAST({value_cents_sql} AS BIGINT) AS x FROM {table}
+  WHERE {value_cents_sql} IS NOT NULL
+),
+a1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM base),
+a1c AS (SELECT n, sx, (2 * sx + n) // (2 * n) AS c FROM a1),
+m2 AS (
+  SELECT CAST(sum((b.x - a.c) * (b.x - a.c)) AS BIGINT) AS m2c
+  FROM base b, a1c a
+),
+tp AS (SELECT CAST(sum(x) AS BIGINT) AS topsum
+       FROM (SELECT x FROM base ORDER BY x DESC LIMIT {b})),
+st AS (
+  SELECT a.n, a.sx,
+         round((CAST(m2.m2c AS DOUBLE)
+                - a.n * (CAST(a.sx - a.n * a.c AS DOUBLE) / a.n)
+                      * (CAST(a.sx - a.n * a.c AS DOUBLE) / a.n))
+               / (a.n - 1)
+               / ((CAST(a.sx AS DOUBLE) / a.n) * (CAST(a.sx AS DOUBLE) / a.n)),
+               4) AS cv2,
+         round(CAST(tp.topsum AS DOUBLE) / a.sx, 4) AS top_share
+  FROM a1c a, m2, tp
+)
+SELECT n, cv2, top_share,
+       round({Z_95!r} * sqrt(greatest(cv2, 0.0)) / sqrt(0.1 * n), 4)
+         AS pred_rel_ci_uniform10,
+       CASE WHEN top_share > {TOP_SHARE_THRESHOLD!r} THEN 'outlier'
+            WHEN cv2 > {CV2_THRESHOLD!r} THEN 'pps'
+            WHEN n > {BIG_N_THRESHOLD} THEN 'revolutionary'
+            ELSE 'clt' END AS recommended_method
+FROM st
+"""

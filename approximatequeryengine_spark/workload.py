@@ -2553,6 +2553,29 @@ def _kmv_where_oracle() -> str:
 _register("sketch_kmv_distinct_where", _kmv_where_fn, _kmv_where_oracle())
 
 
+def _advisor_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven method advisor (round 4): profile events.value
+    (cv², top-B mass share, CLT-predicted CI at 10%) and recommend
+    an estimator — the oracle re-derives the statistics AND the
+    decision rule, certifying the recommendation itself."""
+    from approximatequeryengine_spark.plans.advisor import advise_method
+
+    cat = _catalog(spark, sf_dir)
+    return advise_method(
+        cat.table("events"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long"),
+    )
+
+
+def _advisor_oracle() -> str:
+    from approximatequeryengine_spark.plans.advisor import advise_method_sql
+
+    return advise_method_sql("events", "floor(value * 100.0 + 0.5)")
+
+
+_register("advisor_method_profile", _advisor_fn, _advisor_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

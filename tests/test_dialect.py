@@ -465,3 +465,16 @@ def test_method_ddsketch_rejects_group_by(engine):
             "FROM orders GROUP BY o_orderpriority",
             method="ddsketch",
         )
+
+
+def test_engine_advise_surface(engine):
+    """engine.advise → one-row profile whose recommendation is a valid
+    registered method usable directly in run(method=...)."""
+    row = engine.advise("lineitem", "l_extendedprice").collect()[0]
+    assert row["recommended_method"] in METHODS
+    res = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem",
+        method=row["recommended_method"],
+        sample_pct=10,
+    )
+    assert res.value is not None

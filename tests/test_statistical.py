@@ -1217,3 +1217,57 @@ def test_kmv_distinct_where_accuracy(engine_med, duck_med):
         "ON l_partkey = p_partkey WHERE p_retailprice > 970.0"
     ).fetchone()[0]
     assert abs(row["est_distinct_where"] - exact) / exact < 0.25
+
+
+# ---------------------------------------------------------------------------
+# Data-driven method advisor
+# ---------------------------------------------------------------------------
+
+
+def test_advisor_matches_oracle(engine_med, duck_med):
+    from approximatequeryengine_spark.plans.advisor import (
+        advise_method,
+        advise_method_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        advise_method(
+            engine_med.catalog.table("events"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long"),
+        ),
+        duck_med,
+        advise_method_sql("events", "floor(value * 100.0 + 0.5)"),
+    )
+
+
+def test_advisor_picks_outlier_on_heavy_tail(spark):
+    """50 giant rows over a flat body → top-100 share ≫ 20% →
+    'outlier', the design whose CI the tail cannot blow up."""
+    from approximatequeryengine_spark.plans.advisor import advise_method
+
+    body = spark.range(0, 5000).select((F.col("id") % 100 + 100).alias("v"))
+    tail = spark.range(0, 50).select((F.lit(1_000_000) + F.col("id")).alias("v"))
+    row = advise_method(body.unionByName(tail), F.col("v")).collect()[0]
+    assert row["top_share"] > 0.5
+    assert row["recommended_method"] == "outlier"
+
+
+def test_advisor_picks_clt_on_flat_data(spark):
+    """Near-constant values: tiny cv², tiny top share → plain CLT."""
+    from approximatequeryengine_spark.plans.advisor import advise_method
+
+    df = spark.range(0, 5000).select((F.col("id") % 7 + 1000).alias("v"))
+    row = advise_method(df, F.col("v")).collect()[0]
+    assert row["cv2"] < 0.01
+    assert row["recommended_method"] == "clt"
+
+
+def test_advisor_big_n_prefers_stride(spark):
+    """Flat distribution but > 100k rows → 'revolutionary' (stride
+    scan, the F3 parity branch)."""
+    from approximatequeryengine_spark.plans.advisor import advise_method
+
+    df = spark.range(0, 150_000).select((F.col("id") % 7 + 1000).alias("v"))
+    row = advise_method(df, F.col("v")).collect()[0]
+    assert row["recommended_method"] == "revolutionary"
