@@ -236,3 +236,105 @@ SELECT CAST(round(CAST(sum(t) AS BIGINT) / {p}, 0) AS BIGINT) AS est_pairs,
        CAST(count(*) AS BIGINT) AS n_keys_sampled
 FROM per
 """
+
+
+ADAPTIVE_JOIN_LADDER = (0.05, 0.1, 0.2, 0.4, 0.8, 1.0)
+
+
+def adaptive_universe_join(
+    events: DataFrame,
+    error_bp: int = 500,
+    ladder: tuple[float, ...] = ADAPTIVE_JOIN_LADDER,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Online-aggregation-style ADAPTIVE join estimation: walk the
+    universe-sampling fraction ladder until the pair-count CI
+    half-width is within ``error_bp`` basis points of the estimate
+    (the reference's R8–R10 escalation loop, lifted from single-table
+    aggregates to the many-to-many join via coordinated sampling).
+
+    Universe samples are NESTED in the fraction (the hash threshold
+    only grows), so each escalation reuses every previously sampled
+    key — the same no-wasted-work property the CLT executor exploits.
+    The stopping rule is the INTEGER comparison
+    margin·10⁴ ≤ est·error_bp (both BIGINT — no float ratio), guarded
+    by n_keys_sampled ≥ 2 and est > 0 so an empty early rung cannot
+    vacuously stop the walk; the p=1.0 rung has margin 0 and always
+    terminates. One row:
+    (fraction_used, rungs, est_pairs, ci_lower, ci_upper,
+    est_value_cents, n_keys_sampled).
+
+    Each rung is one bounded 1-row collect; at 100 TB the walk costs
+    at most ~2× the final rung's work (geometric ladder), the same
+    bound as the single-table adaptive executor.
+    """
+    final = None
+    rungs = 0
+    for p in ladder:
+        rungs += 1
+        row = universe_join_pairs(
+            events.sparkSession, events, fraction=p,
+            left_type=left_type, right_type=right_type,
+        ).collect()[0]
+        final = (p, row)
+        margin = row["est_pairs"] - row["ci_lower"]
+        if (
+            row["n_keys_sampled"] >= 2
+            and row["est_pairs"] > 0
+            and margin * 10_000 <= row["est_pairs"] * error_bp
+        ):
+            break
+    p, row = final
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                float(p),
+                int(rungs),
+                int(row["est_pairs"]),
+                int(row["ci_lower"]),
+                int(row["ci_upper"]),
+                int(row["est_value_cents"]),
+                int(row["n_keys_sampled"]),
+            )
+        ],
+        "fraction_used double, rungs long, est_pairs long, ci_lower long, "
+        "ci_upper long, est_value_cents long, n_keys_sampled long",
+    )
+
+
+def adaptive_universe_join_sql(
+    error_bp: int = 500,
+    ladder: tuple[float, ...] = ADAPTIVE_JOIN_LADDER,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> str:
+    """DuckDB oracle: every rung's statistics are re-derived and the
+    SAME integer stopping rule picks the first qualifying rung — the
+    whole escalation, not just the final numbers, is certified."""
+    rung_ctes = []
+    rung_rows = []
+    for i, p in enumerate(ladder):
+        sub = universe_join_pairs_sql(
+            fraction=p, left_type=left_type, right_type=right_type
+        ).strip()
+        rung_ctes.append(f"r{i} AS ({sub})")
+        rung_rows.append(
+            f"SELECT {i + 1} AS rung, CAST({float(p)!r} AS DOUBLE) AS fraction_used, * FROM r{i}"
+        )
+    ctes = ",\n".join(rung_ctes)
+    rows = " UNION ALL ".join(rung_rows)
+    return f"""
+WITH {ctes},
+allr AS ({rows}),
+ok AS (
+  SELECT * FROM allr
+  WHERE n_keys_sampled >= 2 AND est_pairs > 0
+    AND (est_pairs - ci_lower) * 10000 <= est_pairs * {error_bp}
+  ORDER BY rung LIMIT 1
+)
+SELECT fraction_used, CAST(rung AS BIGINT) AS rungs, est_pairs, ci_lower,
+       ci_upper, est_value_cents, n_keys_sampled
+FROM ok
+"""

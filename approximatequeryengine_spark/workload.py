@@ -2576,6 +2576,28 @@ def _advisor_oracle() -> str:
 _register("advisor_method_profile", _advisor_fn, _advisor_oracle())
 
 
+def _adaptive_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive join estimation (round 4): the R8-R10 escalation loop
+    lifted to the click×purchase many-to-many join via nested
+    universe samples; the oracle replays every rung and the integer
+    stopping rule."""
+    from approximatequeryengine_spark.operators.joins import adaptive_universe_join
+
+    cat = _catalog(spark, sf_dir)
+    return adaptive_universe_join(cat.table("events"), error_bp=500)
+
+
+def _adaptive_join_oracle() -> str:
+    from approximatequeryengine_spark.operators.joins import (
+        adaptive_universe_join_sql,
+    )
+
+    return adaptive_universe_join_sql(error_bp=500)
+
+
+_register("adaptive_join_pairs", _adaptive_join_fn, _adaptive_join_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -1444,3 +1444,50 @@ def test_weighted_sample_inclusion_proportional_to_weight():
     rate = {w: inc[w] / (wcount[w] * trials) for w in wcount}
     ratio = rate[2] / rate[1]
     assert 1.6 <= ratio <= 3.0, ratio
+
+
+def test_adaptive_join_matches_oracle(spark, engine_med, duck_med):
+    from approximatequeryengine_spark.operators.joins import (
+        adaptive_universe_join,
+        adaptive_universe_join_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        adaptive_universe_join(engine_med.catalog.table("events"), error_bp=500),
+        duck_med,
+        adaptive_universe_join_sql(error_bp=500),
+    )
+
+
+def test_adaptive_join_meets_budget_and_covers(engine_med, duck_med):
+    """The walk stops only when margin ≤ 5% of the estimate, and the
+    resulting CI covers the exact pair count."""
+    from approximatequeryengine_spark.operators.joins import adaptive_universe_join
+
+    row = adaptive_universe_join(
+        engine_med.catalog.table("events"), error_bp=500
+    ).collect()[0]
+    margin = row["est_pairs"] - row["ci_lower"]
+    assert margin * 10_000 <= row["est_pairs"] * 500
+    exact = duck_med.execute(
+        "SELECT count(*) FROM events l JOIN events r ON l.user_id = r.user_id "
+        "WHERE l.event_type = 'click' AND r.event_type = 'purchase'"
+    ).fetchone()[0]
+    assert row["ci_lower"] <= exact <= row["ci_upper"]
+
+
+def test_adaptive_join_tighter_budget_walks_further(engine_med):
+    """Escalation monotonicity: a 1% budget needs at least as many
+    rungs (and fraction) as a 20% budget; an impossible 0-bp budget
+    walks to fraction 1.0 where the estimate is exact (margin 0)."""
+    from approximatequeryengine_spark.operators.joins import adaptive_universe_join
+
+    ev = engine_med.catalog.table("events")
+    loose = adaptive_universe_join(ev, error_bp=2000).collect()[0]
+    tight = adaptive_universe_join(ev, error_bp=100).collect()[0]
+    full = adaptive_universe_join(ev, error_bp=0).collect()[0]
+    assert tight["rungs"] >= loose["rungs"]
+    assert tight["fraction_used"] >= loose["fraction_used"]
+    assert full["fraction_used"] == 1.0
+    assert full["ci_lower"] == full["est_pairs"] == full["ci_upper"]
