@@ -278,6 +278,11 @@ def adaptive_universe_join(
             left_type=left_type, right_type=right_type,
         ).collect()[0]
         final = (p, row)
+        if row["est_pairs"] is None:
+            # Empty rung (no sampled key joined) — aggregates are NULL;
+            # keep walking. The oracle's est_pairs > 0 filter skips the
+            # same rungs.
+            continue
         margin = row["est_pairs"] - row["ci_lower"]
         if (
             row["n_keys_sampled"] >= 2
@@ -287,6 +292,16 @@ def adaptive_universe_join(
             break
     p, row = final
     spark = events.sparkSession
+    if row["est_pairs"] is None:
+        # No joinable pairs even at fraction 1.0 (degenerate inputs):
+        # report the exact zero rather than crash. (The DuckDB oracle
+        # returns an empty result here — degenerate-input parity is
+        # pytest-covered, not driver-certified.)
+        return spark.createDataFrame(
+            [(float(p), int(rungs), 0, 0, 0, 0, 0)],
+            "fraction_used double, rungs long, est_pairs long, ci_lower long, "
+            "ci_upper long, est_value_cents long, n_keys_sampled long",
+        )
     return spark.createDataFrame(
         [
             (
