@@ -342,3 +342,76 @@ SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
 FROM cells c JOIN sizes s USING (cohort_week)
 ORDER BY c.cohort_week, c.week_offset
 """
+
+
+DECAY_SCALE = 1 << 20
+
+
+def decayed_sum_by_type(
+    spark: SparkSession,
+    events: DataFrame,
+    anchor: str = "2024-01-31",
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Exponentially time-decayed value totals per event type — the
+    recency-weighted aggregate every freshness-sensitive metric wants
+    (trending scores, decayed revenue, EWMA-style rollups):
+
+        S = Σ value_i · λ^age_i ,   λ = 2^(−1/half_life)
+
+    Output rows (event_type, n_events, decayed_sum), decayed_sum on
+    the 2-decimal grid.
+
+    Determinism: λ^age goes through the engine's pow(), which is not
+    correctly rounded — so the per-row weight is snapped to the
+    integer 2⁻²⁰ grid (ages take only |days| distinct values, so the
+    rounding-boundary exposure is a few dozen draws, not N), and the
+    accumulated Σ w·cents is pure BIGINT: no float-fold summation, one
+    final division. Ages clamp at 0 for events past the anchor.
+
+    Scale shape: one scan, one map-side-combined groupBy — the same
+    cost as a plain grouped SUM. The decayed total is also mergeable
+    across shards at a FIXED anchor (BIGINT addition); re-anchoring by
+    d days is a global λ^d rescale, no rescan (the classic
+    backward-decay property).
+    """
+    lam = 2.0 ** (-1.0 / half_life_days)
+    age = F.greatest(
+        F.lit(0), F.datediff(F.lit(anchor).cast("date"), F.col("ts").cast("date"))
+    )
+    w = F.round(F.pow(F.lit(lam), age) * F.lit(DECAY_SCALE), 0).cast("long")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(w * cents) / F.lit(float(DECAY_SCALE)) / F.lit(100.0), 2
+            ).alias("decayed_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def decayed_sum_by_type_sql(
+    anchor: str = "2024-01-31", half_life_days: int = 7
+) -> str:
+    """DuckDB oracle — identical λ literal, integer-grid weights,
+    BIGINT accumulation."""
+    lam = 2.0 ** (-1.0 / half_life_days)
+    return f"""
+WITH w AS (
+  SELECT event_type,
+         CAST(round(power({lam!r},
+             greatest(0, date_diff('day', CAST(ts AS DATE), DATE '{anchor}')))
+           * {DECAY_SCALE}, 0) AS BIGINT) AS wt,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(wt * cents) AS BIGINT) / CAST({DECAY_SCALE} AS DOUBLE)
+             / 100.0, 2) AS decayed_sum
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -2598,6 +2598,27 @@ def _adaptive_join_oracle() -> str:
 _register("adaptive_join_pairs", _adaptive_join_fn, _adaptive_join_oracle())
 
 
+def _decayed_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed revenue per event type (round 4) —
+    integer-grid weights, BIGINT accumulation, mergeable at a fixed
+    anchor."""
+    from approximatequeryengine_spark.operators.temporal import decayed_sum_by_type
+
+    cat = _catalog(spark, sf_dir)
+    return decayed_sum_by_type(spark, cat.table("events"))
+
+
+def _decayed_oracle() -> str:
+    from approximatequeryengine_spark.operators.temporal import (
+        decayed_sum_by_type_sql,
+    )
+
+    return decayed_sum_by_type_sql()
+
+
+_register("events_decayed_sum", _decayed_fn, _decayed_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

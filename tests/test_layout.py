@@ -194,3 +194,28 @@ def test_zonemap_rejects_all_null_keys(spark):
     df = spark.range(5).select(F.lit(None).cast("long").alias("k"), F.col("id"))
     with _pytest.raises(ValueError):
         zonemap_write(spark, df, "/tmp/zm_nulls", F.col("k"))
+
+
+def test_zonemap_point_lookup_prunes_to_one_zone(spark, engine, tmp_path):
+    """A point lookup (lo == hi) through the zone map touches exactly
+    one zone — the B+-tree 'get' analogue."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.sources.zonemap import (
+        zonemap_range_sum,
+        zonemap_write,
+    )
+
+    orders = engine.catalog.table("orders")
+    path = str(tmp_path / "zm")
+    key = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    zonemap_write(spark, orders.select("o_orderdate", "o_totalprice"), path, key, n_zones=32)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    probe = orders.select(key.alias("k")).first()["k"]
+    got = zonemap_range_sum(spark, path, probe, probe, cents).collect()[0]
+    want = (
+        orders.withColumn("__k", key).filter(F.col("__k") == probe)
+        .agg(F.count(F.lit(1))).collect()[0][0]
+    )
+    assert got["n_rows"] == want and want > 0
+    assert got["zones_scanned"] == 1

@@ -1491,3 +1491,60 @@ def test_adaptive_join_tighter_budget_walks_further(engine_med):
     assert tight["fraction_used"] >= loose["fraction_used"]
     assert full["fraction_used"] == 1.0
     assert full["ci_lower"] == full["est_pairs"] == full["ci_upper"]
+
+
+def test_decayed_sum_matches_oracle(spark, engine_med, duck_med):
+    from approximatequeryengine_spark.operators.temporal import (
+        decayed_sum_by_type,
+        decayed_sum_by_type_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        decayed_sum_by_type(spark, engine_med.catalog.table("events")),
+        duck_med,
+        decayed_sum_by_type_sql(),
+    )
+
+
+def test_decayed_sum_mergeable_at_fixed_anchor(spark, engine_med):
+    """Backward-decay mergeability: the decayed total of the union is
+    the sum of per-shard decayed totals (integer weight-cents
+    accumulation is exact, so equality is to the output grid)."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.operators.temporal import decayed_sum_by_type
+
+    ev = engine_med.catalog.table("events")
+    whole = {
+        r["event_type"]: r["decayed_sum"]
+        for r in decayed_sum_by_type(spark, ev).collect()
+    }
+    a = decayed_sum_by_type(spark, ev.filter(F.col("event_id") % 2 == 0)).collect()
+    b = decayed_sum_by_type(spark, ev.filter(F.col("event_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in [*a, *b]:
+        merged[r["event_type"]] = merged.get(r["event_type"], 0.0) + r["decayed_sum"]
+    for k, v in whole.items():
+        assert abs(merged[k] - v) < 0.025  # two 2-decimal roundings
+
+
+def test_decayed_sum_discounts_old_events(spark):
+    """An event 7 half-lives old contributes ~1/128 of its value."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.operators.temporal import decayed_sum_by_type
+
+    rows = [
+        ("old", datetime.datetime(2024, 1, 1), 100.0),
+        ("new", datetime.datetime(2024, 1, 31), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: r["decayed_sum"]
+        for r in decayed_sum_by_type(spark, df, anchor="2024-01-31", half_life_days=5).collect()
+    }
+    assert out["new"] == 100.0
+    assert 100.0 * 2 ** (-30 / 5) * 0.9 < out["old"] < 100.0 * 2 ** (-30 / 5) * 1.1
