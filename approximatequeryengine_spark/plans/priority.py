@@ -150,3 +150,103 @@ SELECT CAST(count(*) AS BIGINT) AS n_sample,
                   AS DOUBLE) / 100.0, 2) AS est_sum
 FROM tagged WHERE rn <= {k}
 """
+
+
+def priority_grouped_sum(
+    df: DataFrame,
+    key: str,
+    group: str,
+    weight_cents: Column,
+    k: int = 512,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group priority sampling: one size-k DLT sample PER GROUP,
+    per-group thresholds τ_g, per-group totals Σ max(w, τ_g). Rows
+    (group, n_sample, tau_cents, est_sum) — the grouped complement of
+    :func:`priority_sample_subset_sum`, the same relationship grouped
+    outlier-index SUM bears to its global form.
+
+    The rank is a slim ``row_number`` window over (group, priority,
+    key) — only three columns enter the per-group sort, and groups
+    sort independently after one shuffle on the group key. τ_g snaps
+    UP to the cents grid, so each group's readout is order-free
+    integer arithmetic (the global estimator's convention)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = portable_hash_col(F.col(key), salt)
+    base = df.filter(weight_cents.cast("long") > 0).select(
+        F.col(group).alias("__g"),
+        F.col(key).alias("__k"),
+        weight_cents.cast("long").alias("__w"),
+        (
+            weight_cents.cast("double")
+            * F.lit(float(HASH_SPACE))
+            / (h + F.lit(1)).cast("double")
+        ).alias("__p"),
+    )
+    w_rank = Window.partitionBy("__g").orderBy(F.desc("__p"), F.asc("__k"))
+    ranked = base.withColumn("__rn", F.row_number().over(w_rank)).filter(
+        F.col("__rn") <= k + 1
+    )
+    w_g = Window.partitionBy("__g")
+    tagged = ranked.withColumn(
+        "__tau",
+        F.coalesce(
+            F.max(
+                F.when(F.col("__rn") == k + 1, F.ceil("__p").cast("long"))
+            ).over(w_g),
+            F.lit(0),
+        ),
+    )
+    return (
+        tagged.filter(F.col("__rn") <= k)
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.max("__tau").cast("long").alias("tau_cents"),
+            F.round(
+                F.sum(F.greatest("__w", "__tau")) / F.lit(100.0), 2
+            ).alias("est_sum"),
+        )
+        .select(F.col("__g").alias(group), "n_sample", "tau_cents", "est_sum")
+        .orderBy(group)
+    )
+
+
+def priority_grouped_sum_sql(
+    table: str,
+    key: str,
+    group: str,
+    weight_cents_sql: str,
+    k: int = 512,
+    salt: int = 0,
+) -> str:
+    """DuckDB oracle for the grouped estimator — identical ranking,
+    per-group τ, and integer summation."""
+    h = portable_hash_sql(key, salt)
+    return f"""
+WITH base AS (
+  SELECT {group} AS g, {key} AS kk,
+         CAST({weight_cents_sql} AS BIGINT) AS w,
+         CAST({weight_cents_sql} AS DOUBLE) * {float(HASH_SPACE)!r}
+           / CAST(({h} + 1) AS DOUBLE) AS p
+  FROM {table}
+  WHERE CAST({weight_cents_sql} AS BIGINT) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY p DESC, kk) AS rn
+  FROM base
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {k + 1}),
+tagged AS (
+  SELECT *, coalesce(max(CASE WHEN rn = {k + 1}
+                               THEN CAST(ceil(p) AS BIGINT) END)
+                     OVER (PARTITION BY g), 0) AS tau
+  FROM kept
+)
+SELECT g AS {group}, CAST(count(*) AS BIGINT) AS n_sample,
+       CAST(max(tau) AS BIGINT) AS tau_cents,
+       round(CAST(sum(greatest(w, tau)) AS BIGINT) / 100.0, 2) AS est_sum
+FROM tagged WHERE rn <= {k}
+GROUP BY g ORDER BY g
+"""

@@ -2619,6 +2619,37 @@ def _decayed_oracle() -> str:
 _register("events_decayed_sum", _decayed_fn, _decayed_oracle())
 
 
+def _priority_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped priority sampling (round 4): per-priority-band revenue
+    totals from per-group size-512 DLT samples — the grouped
+    complement of approx_sum_priority."""
+    from approximatequeryengine_spark.plans.priority import priority_grouped_sum
+
+    cat = _catalog(spark, sf_dir)
+    return priority_grouped_sum(
+        cat.table("orders"),
+        key="o_orderkey",
+        group="o_orderpriority",
+        weight_cents=F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"),
+        k=512,
+    )
+
+
+def _priority_grouped_oracle() -> str:
+    from approximatequeryengine_spark.plans.priority import priority_grouped_sum_sql
+
+    return priority_grouped_sum_sql(
+        "orders",
+        key="o_orderkey",
+        group="o_orderpriority",
+        weight_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+        k=512,
+    )
+
+
+_register("approx_grouped_sum_priority", _priority_grouped_fn, _priority_grouped_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered
