@@ -2650,6 +2650,33 @@ def _priority_grouped_oracle() -> str:
 _register("approx_grouped_sum_priority", _priority_grouped_fn, _priority_grouped_oracle())
 
 
+def _elp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-latency profile (round 4): the whole 7-fraction estimate/
+    CI curve for SUM(l_extendedprice) from ONE grouped pass — nested
+    hash samples make every rung's moments suffix-cumulative."""
+    from approximatequeryengine_spark.plans.elp import elp_fraction_sweep
+
+    cat = _catalog(spark, sf_dir)
+    return elp_fraction_sweep(
+        cat.table("lineitem"),
+        key="l_orderkey * 8 + l_linenumber",
+        value_cents=F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+    )
+
+
+def _elp_oracle() -> str:
+    from approximatequeryengine_spark.plans.elp import elp_fraction_sweep_sql
+
+    return elp_fraction_sweep_sql(
+        "lineitem",
+        key="l_orderkey * 8 + l_linenumber",
+        value_cents_sql="floor(l_extendedprice * 100.0 + 0.5)",
+    )
+
+
+_register("elp_fraction_sweep", _elp_fn, _elp_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -1316,3 +1316,72 @@ def test_priority_grouped_accuracy(engine_med, duck_med):
         ex = exact[r["o_orderpriority"]]
         assert abs(r["est_sum"] - ex) / ex < 0.08
         assert r["n_sample"] == 512
+
+
+# ---------------------------------------------------------------------------
+# One-pass error-latency profile
+# ---------------------------------------------------------------------------
+
+
+def test_elp_matches_oracle(engine_med, duck_med):
+    from approximatequeryengine_spark.plans.elp import (
+        elp_fraction_sweep,
+        elp_fraction_sweep_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        elp_fraction_sweep(
+            engine_med.catalog.table("lineitem"),
+            "l_orderkey * 8 + l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+        ),
+        duck_med,
+        elp_fraction_sweep_sql(
+            "lineitem",
+            "l_orderkey * 8 + l_linenumber",
+            "floor(l_extendedprice * 100.0 + 0.5)",
+        ),
+    )
+
+
+def test_elp_curve_shape(engine_med, duck_med):
+    """Margins shrink monotonically along the ladder; the fraction-1.0
+    row IS the exact sum with a zero-width interval; every fraction's
+    CI covers the exact value (nested samples, so these are not
+    independent draws — coverage failures would all be correlated)."""
+    from approximatequeryengine_spark.plans.elp import elp_fraction_sweep
+
+    rows = elp_fraction_sweep(
+        engine_med.catalog.table("lineitem"),
+        "l_orderkey * 8 + l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+    ).collect()
+    exact = duck_med.execute(
+        "SELECT round(sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0, 2) "
+        "FROM lineitem"
+    ).fetchone()[0]
+    margins = [r["ci_upper"] - r["ci_lower"] for r in rows]
+    assert margins == sorted(margins, reverse=True)
+    assert rows[-1]["fraction"] == 1.0
+    assert rows[-1]["est_sum"] == exact
+    assert margins[-1] == 0.0
+    # 95% intervals: the smallest fractions (n ≈ 600 at 1%) can miss
+    # by ~2 SE (observed at build time: the 1% rung 0.3% high against
+    # a 0.25% margin). Pin: fractions ≥ 5% must cover, and every
+    # fraction must land within 2× its own margin.
+    for r in rows:
+        margin = (r["ci_upper"] - r["ci_lower"]) / 2
+        if r["fraction"] >= 0.05:
+            assert r["ci_lower"] <= exact <= r["ci_upper"], r
+        if margin:
+            assert abs(r["est_sum"] - exact) <= 2 * margin, r
+
+
+def test_elp_rejects_bad_ladder(spark):
+    import pytest as _pytest
+
+    from approximatequeryengine_spark.plans.elp import elp_fraction_sweep
+
+    with _pytest.raises(ValueError, match="1.0"):
+        elp_fraction_sweep(spark.range(5), "id", F.col("id"), ladder=(0.1, 0.5))
