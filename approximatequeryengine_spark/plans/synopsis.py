@@ -201,3 +201,73 @@ SELECT g AS {stratum}, n_total, n AS n_sample,
 FROM fin
 ORDER BY {stratum}
 """
+
+
+def synopsis_append(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    stratum: str,
+    key: str,
+    cap: int = 2048,
+) -> None:
+    """Fold an append batch into a persisted synopsis WITHOUT
+    rescanning the base table — and end up with EXACTLY the synopsis a
+    full rebuild over base ∪ batch would produce.
+
+    Why that identity holds: membership is ``hash(key) < t_g`` and
+    growing N_g only SHRINKS t_g, so the new sample is a strict subset
+    of (old sample ∪ sampled batch rows) — maintenance is an EVICTION
+    filter over the stored sample (cap·|strata| rows) plus a threshold
+    filter over the batch. The nested-sample property that drives the
+    adaptive executor and the one-pass ELP curve is what makes
+    synopsis maintenance O(sample + batch) here; a seeded-random
+    sample has no such subset structure and would force a rebuild.
+
+    Cost: one count aggregate over the BATCH, one read of the
+    cap-bounded sample, one write. The base table is never touched.
+    ``tests`` pin append == rebuild bit-for-bit, and the workload
+    oracle re-derives from base ∪ batch — certifying the incremental
+    path against the ground-truth derivation.
+    """
+    old_meta = spark.read.parquet(f"{path}/meta").select(
+        F.col(stratum), F.col("n_total").alias("__n_old")
+    )
+    batch_counts = new_df.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_new")
+    )
+    counts = (
+        old_meta.join(batch_counts, on=stratum, how="full")
+        .select(
+            stratum,
+            (
+                F.coalesce("__n_old", F.lit(0)) + F.coalesce("__n_new", F.lit(0))
+            ).alias("n_total"),
+        )
+    )
+    meta = counts.withColumn(
+        "threshold",
+        F.when(F.col("n_total") <= cap, F.lit(HASH_SPACE).cast("long")).otherwise(
+            F.expr(f"CAST({cap} AS BIGINT) * CAST({HASH_SPACE} AS BIGINT) div n_total")
+        ),
+    )
+    old_sample = spark.read.parquet(f"{path}/sample")
+    # Evict + admit under the NEW thresholds. Columns must align for
+    # the union; the stored sample carries exactly new_df's columns.
+    merged = old_sample.select(*new_df.columns).unionByName(
+        new_df.select(*new_df.columns)
+    )
+    sample = (
+        merged.join(F.broadcast(meta), on=stratum)
+        .filter(portable_hash_col(F.col(key)) < F.col("threshold"))
+        .drop("n_total", "threshold")
+    )
+    # Rewrite via a temp dir: the new sample reads from the old files.
+    sample.write.partitionBy(stratum).mode("overwrite").parquet(f"{path}/sample_new")
+    meta.write.mode("overwrite").parquet(f"{path}/meta_new")
+    import shutil
+
+    shutil.rmtree(f"{path}/sample")
+    shutil.rmtree(f"{path}/meta")
+    shutil.move(f"{path}/sample_new", f"{path}/sample")
+    shutil.move(f"{path}/meta_new", f"{path}/meta")

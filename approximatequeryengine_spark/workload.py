@@ -2677,6 +2677,47 @@ def _elp_oracle() -> str:
 _register("elp_fraction_sweep", _elp_fn, _elp_oracle())
 
 
+def _synopsis_append_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental synopsis maintenance (round 4): build on a 90%
+    hash-split of orders, fold in the other 10% WITHOUT rescanning the
+    base — nested thresholds make maintenance an eviction filter —
+    then read out. The oracle derives from the FULL table, so the
+    driver row certifies append == rebuild."""
+    import tempfile
+
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.plans.synopsis import (
+        synopsis_append,
+        synopsis_build,
+        synopsis_stratified_sum,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    orders = cat.table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    split = portable_hash_col(F.col("o_orderkey"), salt=17) < F.lit(
+        fraction_threshold(0.9)
+    )
+    path = tempfile.mkdtemp(prefix="aqe_synapp_")
+    synopsis_build(
+        spark, orders.filter(split), path, "o_orderpriority", "o_orderkey", cap=2048
+    )
+    synopsis_append(
+        spark, orders.filter(~split), path, "o_orderpriority", "o_orderkey", cap=2048
+    )
+    return synopsis_stratified_sum(
+        spark, path, "o_orderpriority",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+    )
+
+
+_register("synopsis_incremental_append", _synopsis_append_fn, _synopsis_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -1385,3 +1385,48 @@ def test_elp_rejects_bad_ladder(spark):
 
     with _pytest.raises(ValueError, match="1.0"):
         elp_fraction_sweep(spark.range(5), "id", F.col("id"), ladder=(0.1, 0.5))
+
+
+def test_synopsis_append_equals_rebuild(spark, engine_med, tmp_path):
+    """Incremental maintenance identity: build(90%) + append(10%)
+    yields BIT-FOR-BIT the same sample and meta as a fresh build over
+    the full table — including a second append and a batch that
+    introduces rows for every stratum."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.plans.synopsis import (
+        synopsis_append,
+        synopsis_build,
+    )
+
+    orders = engine_med.catalog.table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    h = portable_hash_col(F.col("o_orderkey"), salt=17)
+    cut1, cut2 = fraction_threshold(0.8), fraction_threshold(0.9)
+
+    inc = str(tmp_path / "inc")
+    synopsis_build(spark, orders.filter(h < cut1), inc, "o_orderpriority", "o_orderkey")
+    synopsis_append(
+        spark, orders.filter((h >= cut1) & (h < cut2)), inc,
+        "o_orderpriority", "o_orderkey",
+    )
+    synopsis_append(spark, orders.filter(h >= cut2), inc, "o_orderpriority", "o_orderkey")
+
+    full = str(tmp_path / "full")
+    synopsis_build(spark, orders, full, "o_orderpriority", "o_orderkey")
+
+    def rows(p, sub):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(f"{p}/{sub}")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+        ) if sub == "sample" else sorted(
+            tuple(r) for r in spark.read.parquet(f"{p}/{sub}").collect()
+        )
+
+    assert rows(inc, "meta") == rows(full, "meta")
+    assert rows(inc, "sample") == rows(full, "sample")
