@@ -256,3 +256,23 @@ def test_bootstrap_kernel_plan_shape(spark):
     assert len(gens) == 1, plan
     assert gens[0].strip().startswith("es#"), gens
     assert "BatchEvalPython" not in plan
+
+
+def test_priority_plan_uses_take_ordered(spark):
+    """The DLT top-(k+1) must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort of the scan."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.plans.priority import (
+        priority_sample_subset_sum,
+    )
+
+    df = priority_sample_subset_sum(
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"),
+        F.lit(True),
+        k=256,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
