@@ -113,9 +113,15 @@ def ddsketch_readout(
     est = F.round(
         F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 6
     )
-    return rows.select(
-        "q", F.col("bucket").cast("long").alias("bucket"), est.alias("est_q"), "n"
-    ).orderBy("q")
+    # Empty input → the global agg yields one all-NULL row → q rows of
+    # NULLs; drop them so empty-in means empty-out (grouped parity).
+    return (
+        rows.filter(F.col("n").isNotNull())
+        .select(
+            "q", F.col("bucket").cast("long").alias("bucket"), est.alias("est_q"), "n"
+        )
+        .orderBy("q")
+    )
 
 
 def ddsketch_quantiles(
@@ -268,5 +274,6 @@ one AS (SELECT {sel}, CAST(max(n) AS BIGINT) AS n FROM cum)
 SELECT q, CAST(bucket AS BIGINT) AS bucket,
        round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
 FROM ({unions})
+WHERE n IS NOT NULL
 ORDER BY q
 """

@@ -70,6 +70,10 @@ def synopsis_build(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     counts = df.groupBy(stratum).agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    if not counts.take(1):
+        # An empty partitioned parquet has no inferable schema, so a
+        # later read would fail obscurely — fail loudly at build time.
+        raise ValueError("synopsis_build: input has no rows")
     meta = counts.withColumn(
         "threshold",
         F.when(F.col("n_total") <= cap, F.lit(HASH_SPACE).cast("long")).otherwise(

@@ -149,3 +149,75 @@ def test_unigram_logprob_on_empty_docs(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.lit(False))
     assert unigram_logprob_stats(spark, docs).collect() == []
+
+
+def test_ddsketch_on_empty_table(spark):
+    """No positive values → no buckets → no quantile rows (and the
+    grouped form likewise)."""
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_grouped_quantiles,
+        ddsketch_quantiles,
+    )
+
+    li = _empty_lineitem(spark)
+    assert ddsketch_quantiles(li, "l_extendedprice").collect() == []
+    assert ddsketch_grouped_quantiles(li, "l_extendedprice", "l_returnflag").collect() == []
+
+
+def test_priority_on_empty_table(spark):
+    from approximatequeryengine_spark.plans.priority import (
+        priority_grouped_sum,
+        priority_sample_subset_sum,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(F.lit(False))
+    row = priority_sample_subset_sum(
+        orders, "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"),
+        F.lit(True),
+    ).collect()[0]
+    assert row["n_sample"] == 0
+    assert priority_grouped_sum(
+        orders, "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"),
+    ).collect() == []
+
+
+def test_kmv_set_ops_on_empty_sides(spark):
+    """Empty ∪ empty: zero counts, zero estimates, Jaccard 0 — no
+    crash, no NULL poisoning."""
+    from approximatequeryengine_spark.plans.distinct import kmv_set_ops
+
+    li = _empty_lineitem(spark)
+    row = kmv_set_ops(li, li, "l_partkey").collect()[0]
+    assert row["c_union"] == 0
+    assert row["jaccard"] == 0.0
+
+
+def test_advisor_rejects_empty(spark):
+    from approximatequeryengine_spark.plans.advisor import advise_method
+
+    with pytest.raises(ValueError, match="no non-null"):
+        advise_method(_empty_lineitem(spark), F.col("l_extendedprice"))
+
+
+def test_elp_rejects_empty(spark):
+    from approximatequeryengine_spark.plans.elp import elp_fraction_sweep
+
+    with pytest.raises(ValueError, match="empty"):
+        elp_fraction_sweep(
+            _empty_lineitem(spark), "l_orderkey", F.col("l_extendedprice")
+        )
+
+
+def test_synopsis_build_rejects_empty_table(spark, tmp_path):
+    """Empty base: an empty partitioned parquet would have no
+    inferable schema, so the build fails loudly instead."""
+    from approximatequeryengine_spark.plans.synopsis import synopsis_build
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(F.lit(False))
+    with pytest.raises(ValueError, match="no rows"):
+        synopsis_build(
+            spark, orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            str(tmp_path / "syn"), "o_orderpriority", "o_orderkey",
+        )
