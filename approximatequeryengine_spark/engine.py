@@ -193,6 +193,14 @@ class AQEngine:
                 )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
+        elif minfo.get("ddsketch"):
+            # Reaching here means a non-quantile aggregate: the quantile
+            # dispatch above consumed MEDIAN/PERCENTILE before the
+            # method chain.
+            raise ValueError(
+                "method='ddsketch' applies to MEDIAN/PERCENTILE only; "
+                "use the sampling methods for SUM/AVG/COUNT"
+            )
         elif minfo.get("priority"):
             from approximatequeryengine_spark.plans.priority import (
                 priority_sample_subset_sum,
@@ -387,7 +395,13 @@ class AQEngine:
             )
         alpha = 0.01
         rdf = ddsketch_quantiles(self._base_df(spec), spec.column, alpha=alpha, qs=(q,))
-        row = rdf.collect()[0]
+        rows = rdf.collect()
+        if not rows:
+            raise ValueError(
+                "method='ddsketch' found no positive values for "
+                f"{spec.column!r} (the sketch's domain is x > 0)"
+            )
+        row = rows[0]
         est = row["est_q"]
         res = ApproxResult(
             df=rdf,

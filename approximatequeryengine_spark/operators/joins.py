@@ -340,14 +340,25 @@ def adaptive_universe_join_sql(
         )
     ctes = ",\n".join(rung_ctes)
     rows = " UNION ALL ".join(rung_rows)
+    # Selection mirrors the Spark walk EXACTLY: the first qualifying
+    # rung, and if none qualifies (e.g. only one joined key exists, so
+    # n_keys_sampled never reaches 2) the LAST rung — ordered by
+    # (miss, rung) for hits and (miss, -rung) for the fallback. A CASE
+    # over a NULL condition lands in ELSE, so NULL-aggregate rungs are
+    # misses too.
     return f"""
 WITH {ctes},
 allr AS ({rows}),
+flagged AS (
+  SELECT *, CASE WHEN n_keys_sampled >= 2 AND est_pairs > 0
+                  AND (est_pairs - ci_lower) * 10000 <= est_pairs * {error_bp}
+                 THEN 0 ELSE 1 END AS miss
+  FROM allr
+),
 ok AS (
-  SELECT * FROM allr
-  WHERE n_keys_sampled >= 2 AND est_pairs > 0
-    AND (est_pairs - ci_lower) * 10000 <= est_pairs * {error_bp}
-  ORDER BY rung LIMIT 1
+  SELECT * FROM flagged
+  ORDER BY miss, CASE WHEN miss = 0 THEN rung ELSE -rung END
+  LIMIT 1
 )
 SELECT fraction_used, CAST(rung AS BIGINT) AS rungs, est_pairs, ci_lower,
        ci_upper, est_value_cents, n_keys_sampled

@@ -233,7 +233,6 @@ def kmv_set_ops(df_a, df_b, key: str, k: int = 256):
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
     f = merged.crossJoin(F.broadcast(theta_df)).filter(F.col("h") < F.col("theta"))
-    scale = F.lit(float(HASH_SPACE)) / F.col("theta").cast("double")
     c_int = F.sum(F.col("in_a") * F.col("in_b")).cast("long")
     c_uni = F.count(F.lit(1)).cast("long")
     est = lambda c: F.floor(  # noqa: E731
@@ -346,7 +345,9 @@ def kmv_distinct_where(
     agg = joined.agg(
         F.count(F.lit(1)).cast("long").alias("nb"),
         F.max("__h").cast("long").alias("kth"),
-        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("m"),
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("m"),
     )
     est = F.when(F.col("nb") < k, F.col("nb")).otherwise(
         F.floor(
@@ -360,7 +361,10 @@ def kmv_distinct_where(
         F.col("m").alias("n_match"),
     ).withColumn(
         "est_distinct_where",
-        F.expr("(2 * est_distinct * n_match + k_used) div (2 * k_used)"),
+        F.expr(
+            "CASE WHEN k_used = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (2 * est_distinct * n_match + k_used) div (2 * k_used) END"
+        ),
     )
 
 
@@ -398,7 +402,9 @@ a AS (
          CAST(sum(mt) AS BIGINT) AS m
   FROM j
 )
-SELECT {est} AS est_distinct, nb AS k_used, m AS n_match,
-       (2 * ({est}) * m + nb) // (2 * nb) AS est_distinct_where
+SELECT {est} AS est_distinct, nb AS k_used, coalesce(m, 0) AS n_match,
+       CASE WHEN nb = 0 THEN CAST(0 AS BIGINT)
+            ELSE (2 * ({est}) * coalesce(m, 0) + nb) // (2 * nb) END
+         AS est_distinct_where
 FROM a
 """

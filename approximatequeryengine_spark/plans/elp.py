@@ -66,7 +66,7 @@ def elp_fraction_sweep(
     base = df.select(
         portable_hash_col(F.expr(key)).alias("__h"),
         value_cents.cast("long").alias("__x"),
-    )
+    ).filter(F.col("__x").isNotNull())
     n_total, sx = base.agg(
         F.count(F.lit(1)).cast("long"), F.sum("__x").cast("long")
     ).collect()[0]
@@ -167,6 +167,7 @@ def elp_fraction_sweep_sql(
 WITH base AS (
   SELECT {rung_case} AS r, CAST({value_cents_sql} AS BIGINT) AS x
   FROM {table}
+  WHERE {value_cents_sql} IS NOT NULL
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total, CAST(sum(x) AS BIGINT) AS sx FROM base),
 ctr AS (SELECT n_total, (2 * sx + n_total) // (2 * n_total) AS c FROM tot),

@@ -66,14 +66,14 @@ def priority_sample_subset_sum(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    h = portable_hash_col(F.col(key), salt)
+    h = portable_hash_col(F.expr(key), salt)
     # DLT requires strictly positive weights; w = 0 rows contribute
     # nothing to any subset sum, so dropping them changes no estimate,
     # and negative weights (unsupported by the scheme) are excluded
     # rather than silently mis-ranked. Mirrored in the oracle SQL.
     df = df.filter(weight_cents.cast("long") > 0)
     base = df.select(
-        F.col(key).alias("__k"),
+        F.expr(key).alias("__k"),
         weight_cents.cast("long").alias("__w"),
         subset.cast("int").alias("__in"),
         (
@@ -173,10 +173,10 @@ def priority_grouped_sum(
     integer arithmetic (the global estimator's convention)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    h = portable_hash_col(F.col(key), salt)
+    h = portable_hash_col(F.expr(key), salt)
     base = df.filter(weight_cents.cast("long") > 0).select(
         F.col(group).alias("__g"),
-        F.col(key).alias("__k"),
+        F.expr(key).alias("__k"),
         weight_cents.cast("long").alias("__w"),
         (
             weight_cents.cast("double")

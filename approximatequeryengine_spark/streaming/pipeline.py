@@ -434,19 +434,18 @@ def ddsketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the drained complete-mode counts equal the batch bucket table
     (addition is order-free). The batch ``sketch_ddsketch_quantiles``
     oracle applies verbatim."""
-    from approximatequeryengine_spark.plans.ddsketch import _params, ddsketch_readout
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_buckets,
+        ddsketch_readout,
+    )
 
     alpha = 0.01
-    _, lg = _params(alpha)
     stream = table_stream(spark, sf_dir, "lineitem")
-    x = F.col("l_extendedprice").cast("double")
-    bucket_stream = (
-        stream.filter(F.col("l_extendedprice") > 0)
-        .select((F.ceil(F.log(x) / F.lit(lg))).cast("long").alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    buckets = run_to_memory_sink(bucket_stream, "complete")
+    # ddsketch_buckets is filter/select/groupBy/agg only — all
+    # stream-compatible — so the stream uses the SAME definition as the
+    # batch sketch: the drained-equals-batch identity is structural,
+    # not a maintained-in-two-places convention.
+    buckets = run_to_memory_sink(ddsketch_buckets(stream, "l_extendedprice", alpha), "complete")
     return ddsketch_readout(buckets, alpha)
 
 

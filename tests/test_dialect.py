@@ -478,3 +478,31 @@ def test_engine_advise_surface(engine):
         sample_pct=10,
     )
     assert res.value is not None
+
+
+def test_method_priority_expression_key(engine, duck):
+    """lineitem's unique key is an EXPRESSION (l_orderkey*8+l_linenumber);
+    the priority route must accept it (F.expr, not F.col)."""
+    res = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem", method="priority"
+    )
+    exact = duck.execute("SELECT sum(l_extendedprice) FROM lineitem").fetchone()[0]
+    assert res.method == "priority"
+    assert abs(res.value - exact) / exact < 0.15
+
+
+def test_method_ddsketch_rejects_sum(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MEDIAN/PERCENTILE"):
+        engine.run("SELECT APPROX(SUM(o_totalprice)) FROM orders", method="ddsketch")
+
+
+def test_method_ddsketch_no_positive_values(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        engine.run(
+            "SELECT APPROX(MEDIAN(o_totalprice)) FROM orders WHERE o_totalprice < 0",
+            method="ddsketch",
+        )

@@ -221,3 +221,17 @@ def test_synopsis_build_rejects_empty_table(spark, tmp_path):
             spark, orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
             str(tmp_path / "syn"), "o_orderpriority", "o_orderkey",
         )
+
+
+def test_kmv_distinct_where_on_empty_fact(spark):
+    """Empty fact side: zero counts and ZERO (not NULL) estimates."""
+    from approximatequeryengine_spark.plans.distinct import kmv_distinct_where
+
+    li = _empty_lineitem(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    row = kmv_distinct_where(
+        li, "l_partkey", part, "p_partkey", F.col("p_retailprice") > 970.0
+    ).collect()[0]
+    assert row["est_distinct"] == 0
+    assert row["n_match"] == 0
+    assert row["est_distinct_where"] == 0

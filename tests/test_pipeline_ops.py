@@ -1548,3 +1548,34 @@ def test_decayed_sum_discounts_old_events(spark):
     }
     assert out["new"] == 100.0
     assert 100.0 * 2 ** (-30 / 5) * 0.9 < out["old"] < 100.0 * 2 ** (-30 / 5) * 1.1
+
+
+def test_adaptive_join_single_key_matches_oracle(spark, tmp_path):
+    """One joined key only: no rung satisfies n_keys_sampled >= 2, so
+    BOTH the Spark walk and the oracle must fall back to the LAST rung
+    (fraction 1.0) and agree."""
+    import duckdb
+
+    from approximatequeryengine_spark.operators.joins import (
+        adaptive_universe_join,
+        adaptive_universe_join_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    rows = [
+        (1, 77, "click", 1.0),
+        (2, 77, "click", 2.0),
+        (3, 77, "purchase", 30.0),
+        (4, 12, "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    out = adaptive_universe_join(spark.read.parquet(path), error_bp=500)
+    assert_df_matches_sql(out, con, adaptive_universe_join_sql(error_bp=500))
+    row = out.collect()[0]
+    assert row["fraction_used"] == 1.0 and row["n_keys_sampled"] == 1
