@@ -51,22 +51,51 @@ def zonemap_write(
     path: str,
     key: Column,
     n_zones: int = 64,
+    balanced: bool = False,
 ) -> None:
     """Persist the zone-partitioned layout + zonemap. ``key`` must be
     an integer-valued Column (dates go through datediff upstream).
 
-    The min/max pass collects exactly 2 scalars (bounded, like the IVF
-    probe collect); zone width is ⌈(span+1)/n_zones⌉ in Python integer
-    arithmetic, mirrored literally in the oracle SQL.
+    Two boundary strategies:
+
+    - fixed-width (default): zone width ⌈(span+1)/n_zones⌉ from one
+      2-scalar min/max collect — pure integer arithmetic, so the
+      DuckDB oracle can re-derive the LAYOUT itself (the certified
+      ``index_zonemap_range_sum`` path);
+    - ``balanced=True``: boundaries at exact key quantiles via ntile
+      over the sorted keys — the production layout for SKEWED keys,
+      where fixed-width zones leave some directories huge and others
+      empty. Zone SIZES are exact (ntile rank arithmetic); rows with
+      duplicate keys may land on either side of a boundary between
+      builds (sort-tie placement), which queries never observe — the
+      zonemap stats describe the actual layout and the exact range
+      predicate runs after pruning. The boundary derivation is one
+      global sort (the honest cost; an ingest-scale variant would use
+      repartitionByRange's sampled boundaries, trading layout
+      determinism it doesn't need). The certified entry keeps the
+      oracle-replayable arithmetic layout; tests pin balanced mode:
+      same query answers, per-zone sizes within ±1 row on skewed keys.
+
+    Queries (:func:`zonemap_range_sum`) consult only the persisted
+    zonemap stats and never re-derive boundaries, so both layouts are
+    served by the same read path.
     """
     base = df.withColumn("__key", key.cast("long"))
     mn, mx = base.agg(F.min("__key"), F.max("__key")).collect()[0]
     if mn is None:
         raise ValueError("zonemap_write: no non-null keys")
-    width = max(1, (mx - mn + n_zones) // n_zones)
-    zoned = base.withColumn(
-        "__zone", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
-    )
+    if balanced:
+        from pyspark.sql.window import Window
+
+        zoned = base.withColumn(
+            "__zone",
+            (F.ntile(n_zones).over(Window.orderBy("__key")) - 1).cast("long"),
+        )
+    else:
+        width = max(1, (mx - mn + n_zones) // n_zones)
+        zoned = base.withColumn(
+            "__zone", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
+        )
     (
         zoned.repartition("__zone")
         .sortWithinPartitions("__key")

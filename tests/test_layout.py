@@ -219,3 +219,45 @@ def test_zonemap_point_lookup_prunes_to_one_zone(spark, engine, tmp_path):
     )
     assert got["n_rows"] == want and want > 0
     assert got["zones_scanned"] == 1
+
+
+def test_zonemap_balanced_mode_on_skewed_keys(spark, engine, tmp_path):
+    """Quantile-balanced zones: a heavily skewed key (80% of rows in
+    2% of the key range) still yields per-zone sizes within ±1 row,
+    while fixed-width zones concentrate the mass in a couple of
+    directories; query answers are identical either way."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.sources.zonemap import (
+        zonemap_range_sum,
+        zonemap_write,
+    )
+
+    n = 5000
+    skew = spark.range(n).select(
+        F.when(F.col("id") % 5 != 0, (F.col("id") % 100))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        (F.col("id") % 97 * 100).alias("cents"),
+    )
+    fixed, bal = str(tmp_path / "f"), str(tmp_path / "b")
+    zonemap_write(spark, skew, fixed, F.col("k"), n_zones=16)
+    zonemap_write(spark, skew, bal, F.col("k"), n_zones=16, balanced=True)
+
+    sizes_b = [
+        r["n_rows"] for r in spark.read.parquet(f"{bal}/zonemap").collect()
+    ]
+    sizes_f = [
+        r["n_rows"] for r in spark.read.parquet(f"{fixed}/zonemap").collect()
+    ]
+    assert max(sizes_b) - min(sizes_b) <= 1
+    assert max(sizes_f) > 2 * (n // 16)  # fixed-width concentrates the mass
+
+    for path in (fixed, bal):
+        got = zonemap_range_sum(spark, path, 10, 60, F.col("cents")).collect()[0]
+        want = skew.filter(F.col("k").between(10, 60)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("cents") / 100.0, 2).alias("s"),
+        ).collect()[0]
+        assert got["n_rows"] == want["n"]
+        assert got["sum_value"] == want["s"]
