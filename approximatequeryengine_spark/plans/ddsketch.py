@@ -277,3 +277,91 @@ FROM ({unions})
 WHERE n IS NOT NULL
 ORDER BY q
 """
+
+
+def ddsketch_collapse(buckets: DataFrame, max_buckets: int) -> DataFrame:
+    """The paper's bounded-memory contract (§2.2): when the bucket
+    table exceeds ``max_buckets``, the LOWEST buckets collapse into
+    the m-th-largest index b_cut — i.e. b' = greatest(b, b_cut) —
+    keeping the table at ≤ m rows forever. The α-guarantee is
+    preserved for every quantile whose rank lies ABOVE the collapsed
+    mass (the high quantiles a monitoring system reads); quantiles
+    inside the collapsed region degrade to "≤ the collapse boundary",
+    which the readout reports honestly via the collapsed bucket.
+
+    Pure arithmetic over the tiny bucket table (a rank + a clamp), so
+    it is collapse-order-free — collapse(merge(A, B)) ==
+    merge-then-collapse — and replays exactly in SQL.
+    """
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    w = Window.orderBy(F.desc("b"))
+    # agg(max) over the 0-or-1-row rank selection always yields ONE row
+    # (NULL when fewer than max_buckets exist), so the crossJoin never
+    # empties the bucket table; coalesce(b_cut, b) is then a no-op.
+    cut = (
+        buckets.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == max_buckets)
+        .agg(F.max("b").alias("__cut"))
+    )
+    with_cut = buckets.crossJoin(F.broadcast(cut))
+    return (
+        with_cut.select(
+            F.greatest(
+                F.col("b"), F.coalesce(F.col("__cut"), F.col("b"))
+            ).alias("b"),
+            F.col("c"),
+        )
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def ddsketch_collapsed_quantiles_sql(
+    table: str,
+    column: str,
+    alpha: float = 0.01,
+    max_buckets: int = 64,
+    qs: tuple[float, ...] = (0.9, 0.99),
+) -> str:
+    """DuckDB oracle for collapse → readout: the same clamp via a
+    scalar subquery for the m-th-largest bucket index."""
+    gamma, lg = _params(alpha)
+    sel = ", ".join(
+        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN b END) AS __b{i}"
+        for i, q in enumerate(qs)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
+        for i, q in enumerate(qs)
+    )
+    return f"""
+WITH pts AS (
+  SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
+),
+raw AS (
+  SELECT CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1
+),
+cut AS (
+  SELECT b AS bc FROM raw ORDER BY b DESC LIMIT 1 OFFSET {max_buckets - 1}
+),
+bk AS (
+  SELECT greatest(raw.b, coalesce((SELECT bc FROM cut), raw.b)) AS b,
+         CAST(sum(raw.c) AS BIGINT) AS c
+  FROM raw GROUP BY 1
+),
+cum AS (
+  SELECT b, c,
+         sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM bk
+),
+one AS (SELECT {sel}, CAST(max(n) AS BIGINT) AS n FROM cum)
+SELECT q, CAST(bucket AS BIGINT) AS bucket,
+       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
+FROM ({unions})
+WHERE n IS NOT NULL
+ORDER BY q
+"""

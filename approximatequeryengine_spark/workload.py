@@ -2718,6 +2718,39 @@ def _synopsis_append_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("synopsis_incremental_append", _synopsis_append_fn, _synopsis_oracle())
 
 
+def _ddsketch_collapsed_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory DDSketch (round 4): collapse to ≤64 buckets, read
+    the high quantiles — the paper's memory contract, α preserved
+    above the collapsed mass."""
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_buckets,
+        ddsketch_collapse,
+        ddsketch_readout,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    buckets = ddsketch_collapse(
+        ddsketch_buckets(cat.table("lineitem"), "l_extendedprice", alpha=0.01),
+        max_buckets=64,
+    )
+    return ddsketch_readout(buckets, alpha=0.01, qs=(0.9, 0.99))
+
+
+def _ddsketch_collapsed_oracle() -> str:
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_collapsed_quantiles_sql,
+    )
+
+    return ddsketch_collapsed_quantiles_sql(
+        "lineitem", "l_extendedprice", alpha=0.01, max_buckets=64, qs=(0.9, 0.99)
+    )
+
+
+_register(
+    "sketch_ddsketch_collapsed", _ddsketch_collapsed_fn, _ddsketch_collapsed_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -1430,3 +1430,49 @@ def test_synopsis_append_equals_rebuild(spark, engine_med, tmp_path):
 
     assert rows(inc, "meta") == rows(full, "meta")
     assert rows(inc, "sample") == rows(full, "sample")
+
+
+def test_ddsketch_collapse_preserves_high_quantiles(engine_med, duck_med):
+    """Collapsed to 64 buckets: p90/p99 keep the α-guarantee (their
+    ranks sit above the collapsed mass); collapse-then-merge order
+    does not matter (clamp is idempotent arithmetic)."""
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_buckets,
+        ddsketch_collapse,
+        ddsketch_readout,
+    )
+
+    alpha = 0.01
+    li = engine_med.catalog.table("lineitem")
+    buckets = ddsketch_collapse(
+        ddsketch_buckets(li, "l_extendedprice", alpha), max_buckets=64
+    )
+    rows = ddsketch_readout(buckets, alpha, qs=(0.9, 0.99)).collect()
+    n = rows[0]["n"]
+    for r in rows:
+        rank = int(r["q"] * (n - 1)) + 1
+        exact = duck_med.execute(
+            "SELECT x FROM (SELECT l_extendedprice AS x, "
+            "row_number() OVER (ORDER BY l_extendedprice) AS rn "
+            "FROM lineitem WHERE l_extendedprice > 0) WHERE rn = ?",
+            [rank],
+        ).fetchone()[0]
+        assert abs(r["est_q"] - exact) / exact <= alpha + 1e-9
+
+
+def test_ddsketch_collapse_bounds_buckets_and_mass(engine_med):
+    """≤ max_buckets rows afterwards, total count preserved, and a
+    no-op when the table is already small."""
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_buckets,
+        ddsketch_collapse,
+    )
+
+    li = engine_med.catalog.table("lineitem")
+    raw = ddsketch_buckets(li, "l_extendedprice")
+    total = sum(r["c"] for r in raw.collect())
+    small = ddsketch_collapse(raw, max_buckets=64).collect()
+    assert len(small) <= 64
+    assert sum(r["c"] for r in small) == total
+    noop = sorted(tuple(r) for r in ddsketch_collapse(raw, max_buckets=10_000).collect())
+    assert noop == sorted(tuple(r) for r in raw.collect())
