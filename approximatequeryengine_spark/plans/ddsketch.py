@@ -365,3 +365,137 @@ FROM ({unions})
 WHERE n IS NOT NULL
 ORDER BY q
 """
+
+
+def ddsketch_store_write(
+    spark,
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    group: str,
+    column: str,
+    alpha: float = 0.01,
+) -> None:
+    """Pre-aggregated sketch cube (the Druid/Pinot rollup pattern):
+    per-(day, group) DDSketch bucket tables, day-partitioned on disk.
+    Because the sketch is exactly mergeable, ANY later date-range
+    percentile query is a bucket-sum over the store — the raw events
+    are scanned once at ingest, never at query time, and a day's
+    partition is O(groups · buckets) regardless of event volume."""
+    _, lg = _params(alpha)
+    (
+        df.filter(F.col(column) > 0)
+        .select(
+            F.col(ts_col).cast("date").cast("string").alias("day"),
+            F.col(group).alias("g"),
+            F.ceil(F.log(F.col(column).cast("double")) / F.lit(lg))
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("day", "g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def ddsketch_store_range_quantiles(
+    spark,
+    path: str,
+    day_lo: str,
+    day_hi: str,
+    group: str,
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-group quantiles over an arbitrary day range, served from the
+    STORE alone: day-partition pruning on the scan, one bucket-sum
+    merge, then the shared grouped readout. Rows
+    (group, q, bucket, est_q, n)."""
+    gamma, _ = _params(alpha)
+    merged = (
+        spark.read.parquet(f"{path}/buckets")
+        # Partition-type inference may surface `day` as DATE; the cast
+        # normalizes either way and the BETWEEN still prunes partitions.
+        .filter(F.col("day").cast("string").between(day_lo, day_hi))
+        .groupBy("g", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    w_cum = Window.partitionBy("g").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    aggs = []
+    for i, q in enumerate(qs):
+        target = F.floor(F.lit(float(q)) * (F.col("n") - 1)).cast("long") + 1
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("b"))).alias(f"__b{i}")
+        )
+    one = cum.groupBy("g").agg(*aggs, F.max("n").cast("long").alias("n"))
+    stack_args = ", ".join(
+        f"CAST({float(q)!r} AS DOUBLE), __b{i}" for i, q in enumerate(qs)
+    )
+    rows = one.select(
+        F.col("g").alias(group),
+        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bucket)"),
+        F.col("n"),
+    )
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 6
+    )
+    return rows.select(
+        group, "q", F.col("bucket").cast("long").alias("bucket"),
+        est.alias("est_q"), "n",
+    ).orderBy(group, "q")
+
+
+def ddsketch_store_range_quantiles_sql(
+    table: str,
+    ts_col: str,
+    group: str,
+    column: str,
+    day_lo: str,
+    day_hi: str,
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> str:
+    """DuckDB oracle: derives the SAME answers from the raw events in
+    the range — certifying that the store's ingest-time rollup plus
+    query-time merge loses nothing."""
+    gamma, lg = _params(alpha)
+    sel = ", ".join(
+        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN b END) AS __b{i}"
+        for i, q in enumerate(qs)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT g, CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
+        for i, q in enumerate(qs)
+    )
+    return f"""
+WITH pts AS (
+  SELECT {group} AS g, CAST({column} AS DOUBLE) AS x
+  FROM {table}
+  WHERE {column} > 0
+    AND CAST(CAST({ts_col} AS DATE) AS VARCHAR) BETWEEN '{day_lo}' AND '{day_hi}'
+),
+bk AS (
+  SELECT g, CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM bk
+),
+one AS (SELECT g, {sel}, CAST(max(n) AS BIGINT) AS n FROM cum GROUP BY g)
+SELECT g AS {group}, q, CAST(bucket AS BIGINT) AS bucket,
+       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
+FROM ({unions})
+ORDER BY {group}, q
+"""

@@ -2751,6 +2751,43 @@ _register(
 )
 
 
+def _ddsketch_store_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated sketch cube (round 4): per-(day, event_type)
+    DDSketch buckets persisted once, then a two-week percentile query
+    served by partition-pruned bucket merge — the Druid-style rollup
+    pattern; the oracle derives the same answers from the raw events."""
+    import tempfile
+
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_store_range_quantiles,
+        ddsketch_store_write,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="aqe_ddstore_")
+    ddsketch_store_write(
+        spark, cat.table("events"), path, "ts", "event_type", "value"
+    )
+    return ddsketch_store_range_quantiles(
+        spark, path, "2024-01-08", "2024-01-21", "event_type"
+    )
+
+
+def _ddsketch_store_oracle() -> str:
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_store_range_quantiles_sql,
+    )
+
+    return ddsketch_store_range_quantiles_sql(
+        "events", "ts", "event_type", "value", "2024-01-08", "2024-01-21"
+    )
+
+
+_register(
+    "sketch_rollup_store_quantiles", _ddsketch_store_fn, _ddsketch_store_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -1476,3 +1476,33 @@ def test_ddsketch_collapse_bounds_buckets_and_mass(engine_med):
     assert sum(r["c"] for r in small) == total
     noop = sorted(tuple(r) for r in ddsketch_collapse(raw, max_buckets=10_000).collect())
     assert noop == sorted(tuple(r) for r in raw.collect())
+
+
+def test_ddsketch_store_prunes_day_partitions(spark, engine_med, tmp_path):
+    """The range query's scan must carry a PartitionFilters entry on
+    `day` (directory pruning), and the store answers must match a
+    direct grouped DDSketch over the same event range."""
+    import pyspark.sql.functions as F
+
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_grouped_quantiles,
+        ddsketch_store_range_quantiles,
+        ddsketch_store_write,
+    )
+
+    ev = engine_med.catalog.table("events")
+    path = str(tmp_path / "store")
+    ddsketch_store_write(spark, ev, path, "ts", "event_type", "value")
+    out = ddsketch_store_range_quantiles(
+        spark, path, "2024-01-08", "2024-01-21", "event_type"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    direct = ddsketch_grouped_quantiles(
+        ev.filter(
+            F.col("ts").cast("date").cast("string").between("2024-01-08", "2024-01-21")
+        ),
+        "value",
+        "event_type",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
