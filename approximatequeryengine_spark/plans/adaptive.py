@@ -86,31 +86,34 @@ def adaptive_grouped_aggregate(
     # The stop rule must see groups the sample MISSED, not just the ones
     # present at the current rung — a rare group whose keys all hash
     # outside the threshold would otherwise be silently dropped from a
-    # "converged" result. For the deterministic hash design the guard
-    # rides the rung job itself: the grouped moments run over the
-    # UNSAMPLED frame with the sample predicate as an aggregate MASK
-    # (estimators.approx_aggregate(mask=...)), so every group in the
-    # data appears — missed ones with n_samples = 0, which fails the
-    # min_samples check. Identical estimates (NULL-skipping aggregates),
-    # one scan per rung, and no standalone distinct-count job. Other
-    # designs keep the up-front column-pruned distinct count.
-    from approximatequeryengine_spark.functions.hashing import portable_hash_col
-    from approximatequeryengine_spark.plans.sampling import fraction_threshold
+    # "converged" result. For every DETERMINISTIC design the guard rides
+    # the rung job itself: the grouped moments run over the UNSAMPLED
+    # frame with the sample predicate as an aggregate MASK
+    # (sampling.sampling_mask → estimators.approx_aggregate(mask=...)),
+    # so every group in the data appears — missed ones with
+    # n_samples = 0, which fails the min_samples check. Identical
+    # estimates (NULL-skipping aggregates), one scan per rung, and no
+    # standalone distinct-count job. Only ``bernoulli`` — whose
+    # membership lives in Spark's sampler state, not a row expression —
+    # keeps the up-front column-pruned distinct count.
+    from approximatequeryengine_spark.plans.sampling import (
+        MASKABLE_DESIGNS,
+        P_COL,
+        sampling_mask,
+    )
 
-    uniform = spec.design == "uniform_hash"
+    masked = spec.design in MASKABLE_DESIGNS
     n_groups = (
-        None if uniform else df.select(*group_by).distinct().count()
+        None if masked else df.select(*group_by).distinct().count()
     )
     iterations = 0
     rdf: DataFrame | None = None
     while True:
         iterations += 1
         cur = replace(spec, fraction=fraction)
-        if uniform:
-            mask = portable_hash_col(
-                F.expr(cur.key).cast("long"), salt=cur.salt
-            ) < F.lit(fraction_threshold(cur.fraction))
-            full = df.withColumn("__p", F.lit(cur.fraction))
+        if masked:
+            mask, p = sampling_mask(cur)
+            full = df.withColumn(P_COL, p)
             rdf = approx_aggregate(full, agg, group_by=group_by, z=z, mask=mask)
         else:
             rdf = approx_aggregate(
@@ -145,7 +148,7 @@ def adaptive_grouped_aggregate(
             break
         fraction = min(1.0, fraction * 2.0)
     assert rdf is not None
-    if uniform:
+    if masked:
         # Output parity with the filtered path (and the DuckDB oracle):
         # groups the terminal sample missed are stop-rule signal, not
         # result rows.

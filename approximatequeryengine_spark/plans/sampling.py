@@ -122,6 +122,58 @@ def apply_sampling(df: DataFrame, spec: SamplingSpec) -> DataFrame:
     raise ValueError(f"unknown sampling design {spec.design!r}")
 
 
+# Designs whose membership is a pure row expression — renderable as an
+# aggregate mask (sampling_mask) and as portable SQL (sampling_where_sql).
+MASKABLE_DESIGNS = frozenset(
+    {"none", "uniform_hash", "systematic", "block", "stratified"}
+)
+
+
+def sampling_mask(spec: SamplingSpec) -> tuple[Column, Column] | None:
+    """The sample as a boolean MASK plus the per-row inclusion
+    probability, for running estimators over the UNSAMPLED frame
+    (``estimators.approx_aggregate(mask=...)``).
+
+    Deterministic designs are pure row predicates — the same expressions
+    ``apply_sampling`` filters on — so the grouped adaptive loop can fold
+    its missed-group guard into the rung job itself: grouping the full
+    frame surfaces every group in the data (missed ones with
+    ``n_samples = 0``) without a standalone ``distinct().count()`` scan.
+    Returns ``None`` for ``bernoulli``, whose membership lives in Spark's
+    sampler state, not in a row expression.
+    """
+    if spec.design == "none":
+        return F.lit(True), F.lit(1.0)
+    if spec.design == "uniform_hash":
+        h = portable_hash_col(_key_col(spec), salt=spec.salt)
+        return h < F.lit(fraction_threshold(spec.fraction)), F.lit(spec.fraction)
+    if spec.design == "systematic":
+        step = spec._step()
+        k = F.abs(_key_col(spec))
+        return (
+            k % F.lit(step) == F.lit(spec.offset % step),
+            F.lit(1.0 / step),
+        )
+    if spec.design == "block":
+        block_id = F.floor(F.abs(_key_col(spec)) / F.lit(spec.block_size))
+        h = portable_hash_col(block_id, salt=spec.salt)
+        return h < F.lit(fraction_threshold(spec.fraction)), F.lit(spec.fraction)
+    if spec.design == "stratified":
+        if not spec.stratum_col or not spec.strata_fractions:
+            raise ValueError("stratified design needs stratum_col and strata_fractions")
+        h = portable_hash_col(_key_col(spec), salt=spec.salt)
+        thr: Column = F.lit(fraction_threshold(spec.fraction))
+        p: Column = F.lit(spec.fraction)
+        s = F.col(spec.stratum_col)
+        for value, frac in spec.strata_fractions.items():
+            thr = F.when(s == F.lit(value), F.lit(fraction_threshold(frac))).otherwise(thr)
+            p = F.when(s == F.lit(value), F.lit(float(frac))).otherwise(p)
+        return h < thr, p
+    if spec.design == "bernoulli":
+        return None
+    raise ValueError(f"unknown sampling design {spec.design!r}")
+
+
 def sampling_where_sql(spec: SamplingSpec, key_sql: str | None = None) -> str:
     """The same sample as an ANSI-SQL predicate (DuckDB oracle parity).
 

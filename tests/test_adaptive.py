@@ -126,6 +126,70 @@ def test_adaptive_grouped_tight_budget_escalates(engine):
     assert rdf.count() == 3
 
 
+def test_adaptive_grouped_masked_parity_systematic(engine_med):
+    """Round-5 fix: systematic/block/stratified grouped adaptives run
+    their missed-group guard as a rung-job MASK (no standalone
+    distinct-count scan), exactly like uniform_hash. The masked rung's
+    estimates must equal the filtered-path estimates at the terminal
+    fraction bit-for-bit (NULL-skipping aggregates see the same rows)."""
+    from dataclasses import replace
+
+    from approximatequeryengine_spark.plans.adaptive import adaptive_grouped_aggregate
+    from approximatequeryengine_spark.plans.estimators import approx_aggregate
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
+
+    df = engine_med.catalog.table("lineitem")
+    spec = SamplingSpec(design="systematic", fraction=0.0, key=KEY)
+    rdf, fraction, _ = adaptive_grouped_aggregate(
+        df,
+        AggSpec("sum", "l_extendedprice"),
+        ["l_returnflag"],
+        spec,
+        error_pct=5.0,
+    )
+    filtered = approx_aggregate(
+        apply_sampling(df, replace(spec, fraction=fraction)),
+        AggSpec("sum", "l_extendedprice"),
+        group_by=["l_returnflag"],
+    )
+    got = {r["l_returnflag"]: r.asDict() for r in rdf.collect()}
+    want = {r["l_returnflag"]: r.asDict() for r in filtered.collect()}
+    assert got == want
+
+
+def test_adaptive_grouped_masked_parity_stratified(engine_med):
+    """Same parity pin for the per-row-threshold (stratified) design."""
+    from dataclasses import replace
+
+    from approximatequeryengine_spark.plans.adaptive import adaptive_grouped_aggregate
+    from approximatequeryengine_spark.plans.estimators import approx_aggregate
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec, apply_sampling
+
+    df = engine_med.catalog.table("lineitem")
+    spec = SamplingSpec(
+        design="stratified",
+        fraction=0.0,
+        key=KEY,
+        stratum_col="l_returnflag",
+        strata_fractions={"A": 0.3, "N": 0.1, "R": 0.2},
+    )
+    rdf, fraction, _ = adaptive_grouped_aggregate(
+        df,
+        AggSpec("sum", "l_extendedprice"),
+        ["l_returnflag"],
+        spec,
+        error_pct=5.0,
+    )
+    filtered = approx_aggregate(
+        apply_sampling(df, replace(spec, fraction=fraction)),
+        AggSpec("sum", "l_extendedprice"),
+        group_by=["l_returnflag"],
+    )
+    got = {r["l_returnflag"]: r.asDict() for r in rdf.collect()}
+    want = {r["l_returnflag"]: r.asDict() for r in filtered.collect()}
+    assert got == want
+
+
 def test_grouped_adaptive_minmax_escalates_to_exact(spark, engine):
     """Review regression: grouped adaptive MIN/MAX crashed on the NULL
     CI bounds sampled extrema carry; they must instead escalate to the
