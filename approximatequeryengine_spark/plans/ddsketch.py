@@ -85,17 +85,30 @@ def ddsketch_readout(
     buckets: DataFrame,
     alpha: float,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group: str | None = None,
 ) -> DataFrame:
-    """Readout stage over a (b, c) bucket table — shared by the batch
-    estimator and the streaming maintenance path (bucket counts add,
-    so a drained complete-mode stream state is the same table).
-    Unlike the grid histogram's streaming twin, NO batch pre-pass is
-    needed: DDSketch buckets are fixed by α alone, not by data-range
-    statistics."""
+    """THE readout stage, over a ``(b, c)`` — or, with ``group``, a
+    ``(g, b, c)`` — bucket table. Shared by every DDSketch path: the
+    batch estimator, the grouped estimator, the collapsed variant, the
+    streaming maintenance path (bucket counts add, so a drained
+    complete-mode stream state is the same table) and the rollup
+    store's range merge. One definition so the cum-window/rank/stack
+    arithmetic cannot drift between paths (it did once, on the
+    empty-input row). Unlike the grid histogram's streaming twin, NO
+    batch pre-pass is needed: DDSketch buckets are fixed by α alone,
+    not by data-range statistics.
+
+    Output: ``(group?, q, bucket, est_q, n)`` ordered by (group?, q).
+    """
     gamma, _ = _params(alpha)
-    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    part = ["g"] if group else []
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = buckets.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy())
+        "n", F.sum("c").over(Window.partitionBy(*part))
     )
     aggs = []
     for i, q in enumerate(qs):
@@ -103,24 +116,32 @@ def ddsketch_readout(
         aggs.append(
             F.min(F.when(F.col("cum") >= target, F.col("b"))).alias(f"__b{i}")
         )
-    one = cum.agg(*aggs, F.max("n").cast("long").alias("n"))
+    one = cum.groupBy(*part).agg(*aggs, F.max("n").cast("long").alias("n"))
     stack_args = ", ".join(
         f"CAST({float(q)!r} AS DOUBLE), __b{i}" for i, q in enumerate(qs)
     )
+    head = [F.col("g").alias(group)] if group else []
     rows = one.select(
-        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bucket)"), F.col("n")
+        *head, F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bucket)"), F.col("n")
     )
     est = F.round(
         F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 6
     )
     # Empty input → the global agg yields one all-NULL row → q rows of
-    # NULLs; drop them so empty-in means empty-out (grouped parity).
+    # NULLs; drop them so empty-in means empty-out (grouped parity —
+    # a grouped agg simply has no row for an absent group, so the
+    # filter is a no-op there).
+    out = [group] if group else []
     return (
         rows.filter(F.col("n").isNotNull())
         .select(
-            "q", F.col("bucket").cast("long").alias("bucket"), est.alias("est_q"), "n"
+            *out,
+            "q",
+            F.col("bucket").cast("long").alias("bucket"),
+            est.alias("est_q"),
+            "n",
         )
-        .orderBy("q")
+        .orderBy(*out, "q")
     )
 
 
@@ -153,7 +174,7 @@ def ddsketch_grouped_quantiles(
     per-group sort: one shuffle on (group, bucket), then per-group
     windows over |group|·|buckets| tiny rows. The α-guarantee holds
     per group (bucketing is group-independent)."""
-    gamma, lg = _params(alpha)
+    _, lg = _params(alpha)
     buckets = (
         df.filter(F.col(column) > 0)
         .select(
@@ -165,34 +186,52 @@ def ddsketch_grouped_quantiles(
         .groupBy("g", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    w_cum = Window.partitionBy("g").orderBy("b").rowsBetween(
-        Window.unboundedPreceding, 0
+    return ddsketch_readout(buckets, alpha, qs, group=group)
+
+
+def _readout_sql(
+    bk_ctes: str,
+    alpha: float,
+    qs: tuple[float, ...],
+    group: str | None = None,
+) -> str:
+    """THE readout as DuckDB SQL, mirroring ``ddsketch_readout`` over a
+    CTE chain ending in ``bk`` with columns ``(g?, b, c)`` — shared by
+    every oracle generator so the cum/rank/stack arithmetic is written
+    exactly once per engine. Same embedded ln γ literal, same bare
+    integer ceiling, same rank convention, same 6-decimal output
+    rounding as the Spark side."""
+    gamma, _ = _params(alpha)
+    g_sel = "g, " if group else ""
+    part = "PARTITION BY g " if group else ""
+    part_n = "PARTITION BY g" if group else ""
+    group_by = " GROUP BY g" if group else ""
+    head = f"g AS {group}, " if group else ""
+    order = f"{group}, q" if group else "q"
+    sel = ", ".join(
+        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
+        f"THEN b END) AS __b{i}"
+        for i, q in enumerate(qs)
     )
-    cum = buckets.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy("g"))
+    unions = " UNION ALL ".join(
+        f"SELECT {g_sel}CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
+        for i, q in enumerate(qs)
     )
-    aggs = []
-    for i, q in enumerate(qs):
-        target = F.floor(F.lit(float(q)) * (F.col("n") - 1)).cast("long") + 1
-        aggs.append(
-            F.min(F.when(F.col("cum") >= target, F.col("b"))).alias(f"__b{i}")
-        )
-    one = cum.groupBy("g").agg(*aggs, F.max("n").cast("long").alias("n"))
-    stack_args = ", ".join(
-        f"CAST({float(q)!r} AS DOUBLE), __b{i}" for i, q in enumerate(qs)
-    )
-    rows = one.select(
-        F.col("g").alias(group),
-        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bucket)"),
-        F.col("n"),
-    )
-    est = F.round(
-        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 6
-    )
-    return rows.select(
-        group, "q", F.col("bucket").cast("long").alias("bucket"),
-        est.alias("est_q"), "n",
-    ).orderBy(group, "q")
+    return f"""
+WITH {bk_ctes},
+cum AS (
+  SELECT {g_sel}b, c,
+         sum(c) OVER ({part}ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER ({part_n}) AS n
+  FROM bk
+),
+one AS (SELECT {g_sel}{sel}, CAST(max(n) AS BIGINT) AS n FROM cum{group_by})
+SELECT {head}q, CAST(bucket AS BIGINT) AS bucket,
+       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
+FROM ({unions})
+WHERE n IS NOT NULL
+ORDER BY {order}
+"""
 
 
 def ddsketch_grouped_quantiles_sql(
@@ -204,37 +243,15 @@ def ddsketch_grouped_quantiles_sql(
 ) -> str:
     """DuckDB oracle for the grouped readout — same arithmetic with
     PARTITION BY windows."""
-    gamma, lg = _params(alpha)
-    sel = ", ".join(
-        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
-        f"THEN b END) AS __b{i}"
-        for i, q in enumerate(qs)
-    )
-    unions = " UNION ALL ".join(
-        f"SELECT g, CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
-        for i, q in enumerate(qs)
-    )
-    return f"""
-WITH pts AS (
+    _, lg = _params(alpha)
+    bk = f"""pts AS (
   SELECT {group} AS g, CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
 ),
 bk AS (
   SELECT g, CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
   FROM pts GROUP BY 1, 2
-),
-cum AS (
-  SELECT g, b, c,
-         sum(c) OVER (PARTITION BY g ORDER BY b
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         sum(c) OVER (PARTITION BY g) AS n
-  FROM bk
-),
-one AS (SELECT g, {sel}, CAST(max(n) AS BIGINT) AS n FROM cum GROUP BY g)
-SELECT g AS {group}, q, CAST(bucket AS BIGINT) AS bucket,
-       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
-FROM ({unions})
-ORDER BY {group}, q
-"""
+)"""
+    return _readout_sql(bk, alpha, qs, group=group)
 
 
 def ddsketch_quantiles_sql(
@@ -243,40 +260,16 @@ def ddsketch_quantiles_sql(
     alpha: float = 0.01,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> str:
-    """DuckDB oracle: the identical derivation — same embedded ln γ
-    literal, same bare integer ceiling, same rank convention, same
-    6-decimal output rounding."""
-    gamma, lg = _params(alpha)
-    sel = ", ".join(
-        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
-        f"THEN b END) AS __b{i}"
-        for i, q in enumerate(qs)
-    )
-    unions = " UNION ALL ".join(
-        f"SELECT CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
-        for i, q in enumerate(qs)
-    )
-    return f"""
-WITH pts AS (
+    """DuckDB oracle for the global readout."""
+    _, lg = _params(alpha)
+    bk = f"""pts AS (
   SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
 ),
 bk AS (
   SELECT CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
   FROM pts GROUP BY 1
-),
-cum AS (
-  SELECT b, c,
-         sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         sum(c) OVER () AS n
-  FROM bk
-),
-one AS (SELECT {sel}, CAST(max(n) AS BIGINT) AS n FROM cum)
-SELECT q, CAST(bucket AS BIGINT) AS bucket,
-       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
-FROM ({unions})
-WHERE n IS NOT NULL
-ORDER BY q
-"""
+)"""
+    return _readout_sql(bk, alpha, qs)
 
 
 def ddsketch_collapse(buckets: DataFrame, max_buckets: int) -> DataFrame:
@@ -326,18 +319,8 @@ def ddsketch_collapsed_quantiles_sql(
 ) -> str:
     """DuckDB oracle for collapse → readout: the same clamp via a
     scalar subquery for the m-th-largest bucket index."""
-    gamma, lg = _params(alpha)
-    sel = ", ".join(
-        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
-        f"THEN b END) AS __b{i}"
-        for i, q in enumerate(qs)
-    )
-    unions = " UNION ALL ".join(
-        f"SELECT CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
-        for i, q in enumerate(qs)
-    )
-    return f"""
-WITH pts AS (
+    _, lg = _params(alpha)
+    bk = f"""pts AS (
   SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
 ),
 raw AS (
@@ -351,20 +334,8 @@ bk AS (
   SELECT greatest(raw.b, coalesce((SELECT bc FROM cut), raw.b)) AS b,
          CAST(sum(raw.c) AS BIGINT) AS c
   FROM raw GROUP BY 1
-),
-cum AS (
-  SELECT b, c,
-         sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         sum(c) OVER () AS n
-  FROM bk
-),
-one AS (SELECT {sel}, CAST(max(n) AS BIGINT) AS n FROM cum)
-SELECT q, CAST(bucket AS BIGINT) AS bucket,
-       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
-FROM ({unions})
-WHERE n IS NOT NULL
-ORDER BY q
-"""
+)"""
+    return _readout_sql(bk, alpha, qs)
 
 
 def ddsketch_store_write(
@@ -413,7 +384,6 @@ def ddsketch_store_range_quantiles(
     STORE alone: day-partition pruning on the scan, one bucket-sum
     merge, then the shared grouped readout. Rows
     (group, q, bucket, est_q, n)."""
-    gamma, _ = _params(alpha)
     merged = (
         spark.read.parquet(f"{path}/buckets")
         # Partition-type inference may surface `day` as DATE; the cast
@@ -422,34 +392,7 @@ def ddsketch_store_range_quantiles(
         .groupBy("g", "b")
         .agg(F.sum("c").cast("long").alias("c"))
     )
-    w_cum = Window.partitionBy("g").orderBy("b").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = merged.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy("g"))
-    )
-    aggs = []
-    for i, q in enumerate(qs):
-        target = F.floor(F.lit(float(q)) * (F.col("n") - 1)).cast("long") + 1
-        aggs.append(
-            F.min(F.when(F.col("cum") >= target, F.col("b"))).alias(f"__b{i}")
-        )
-    one = cum.groupBy("g").agg(*aggs, F.max("n").cast("long").alias("n"))
-    stack_args = ", ".join(
-        f"CAST({float(q)!r} AS DOUBLE), __b{i}" for i, q in enumerate(qs)
-    )
-    rows = one.select(
-        F.col("g").alias(group),
-        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, bucket)"),
-        F.col("n"),
-    )
-    est = F.round(
-        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 6
-    )
-    return rows.select(
-        group, "q", F.col("bucket").cast("long").alias("bucket"),
-        est.alias("est_q"), "n",
-    ).orderBy(group, "q")
+    return ddsketch_readout(merged, alpha, qs, group=group)
 
 
 def ddsketch_store_range_quantiles_sql(
@@ -465,18 +408,8 @@ def ddsketch_store_range_quantiles_sql(
     """DuckDB oracle: derives the SAME answers from the raw events in
     the range — certifying that the store's ingest-time rollup plus
     query-time merge loses nothing."""
-    gamma, lg = _params(alpha)
-    sel = ", ".join(
-        f"min(CASE WHEN cum >= CAST(floor({float(q)!r} * (n - 1)) AS BIGINT) + 1 "
-        f"THEN b END) AS __b{i}"
-        for i, q in enumerate(qs)
-    )
-    unions = " UNION ALL ".join(
-        f"SELECT g, CAST({float(q)!r} AS DOUBLE) AS q, __b{i} AS bucket, n FROM one"
-        for i, q in enumerate(qs)
-    )
-    return f"""
-WITH pts AS (
+    _, lg = _params(alpha)
+    bk = f"""pts AS (
   SELECT {group} AS g, CAST({column} AS DOUBLE) AS x
   FROM {table}
   WHERE {column} > 0
@@ -485,17 +418,5 @@ WITH pts AS (
 bk AS (
   SELECT g, CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
   FROM pts GROUP BY 1, 2
-),
-cum AS (
-  SELECT g, b, c,
-         sum(c) OVER (PARTITION BY g ORDER BY b
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         sum(c) OVER (PARTITION BY g) AS n
-  FROM bk
-),
-one AS (SELECT g, {sel}, CAST(max(n) AS BIGINT) AS n FROM cum GROUP BY g)
-SELECT g AS {group}, q, CAST(bucket AS BIGINT) AS bucket,
-       round(2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1.0), 6) AS est_q, n
-FROM ({unions})
-ORDER BY {group}, q
-"""
+)"""
+    return _readout_sql(bk, alpha, qs, group=group)
