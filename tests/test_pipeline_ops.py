@@ -1122,6 +1122,62 @@ def test_ivf_index_append_refresh_equals_rebuild(spark, engine, tmp_path):
     assert got == want and got
 
 
+def test_ivfpq_index_matches_in_memory_and_prunes_partitions(spark, engine, tmp_path):
+    """The persisted IVF-PQ index must return exactly what the
+    in-memory operator returns (shared encode/score/rerank definitions
+    make this structural) and show the probed cells as PartitionFilters
+    on the vector scan — queries pay ADC + rerank over ~n_probe/n_cells
+    of the corpus, never the full-table re-encode."""
+    import re
+
+    emb = engine.catalog.table("embeddings")
+    path = str(tmp_path / "ivfpq_idx")
+    similarity.ann_ivfpq_write_index(spark, emb, path)
+    out = similarity.ann_ivfpq_query_index(spark, emb, path)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in similarity.ann_ivfpq_topk(spark, emb).collect())
+    assert got == want and got
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:1500]
+    assert "IN" in m.group(1) or "in(" in m.group(1).lower(), m.group(1)
+
+
+def test_ivfpq_index_append_refresh_equals_rebuild(spark, engine, tmp_path):
+    """Cells AND codes are data-independent hyperplane signs, so
+    append + model refresh must reproduce a from-scratch rebuild
+    exactly — including the PQ codebook (grouped means over the same
+    row set on the same grid)."""
+    from pyspark.sql import functions as F
+
+    emb = engine.catalog.table("embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "ivfpq_inc")
+    full = str(tmp_path / "ivfpq_full")
+    similarity.ann_ivfpq_write_index(spark, half_a, inc)
+    similarity.ann_ivfpq_append_index(spark, half_b, inc)
+    similarity.ann_ivfpq_refresh(spark, inc)
+    similarity.ann_ivfpq_write_index(spark, emb, full)
+    for table in ("centroids", "pq_codebook"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{inc}/{table}").collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{full}/{table}").collect()
+        )
+        assert got == want and got, table
+    got = sorted(
+        tuple(r) for r in similarity.ann_ivfpq_query_index(spark, emb, inc).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.ann_ivfpq_query_index(spark, emb, full).collect()
+    )
+    assert got == want and got
+
+
 def test_neardup_index_query_matches_batch_pairs(spark, engine, tmp_path, duck):
     """Index-query near-dups must equal the cross-split subset of the
     full batch pairs operator, and match the SQL oracle that re-derives
