@@ -1798,6 +1798,94 @@ def semantic_dedup_cells(
     )
 
 
+SEMDEDUP_TARGET_CELL = 20  # vectors per cell the scale rule aims for
+SEMDEDUP_MIN_BITS = 4
+SEMDEDUP_MAX_BITS = 10
+
+
+def semdedup_scaled_bits(n: int) -> int:
+    """Cells ∝ corpus, integer-exact: the smallest bit count whose cell
+    grid holds ~SEMDEDUP_TARGET_CELL vectors per cell, clamped to
+    [2^4, 2^10]. Pure integer arithmetic (ceil-division + power ladder)
+    so the DuckDB oracle re-derives the SAME cell count from count(*)
+    — no float log2 whose rounding could diverge between engines."""
+    cells_needed = (max(n, 1) + SEMDEDUP_TARGET_CELL - 1) // SEMDEDUP_TARGET_CELL
+    bits = SEMDEDUP_MIN_BITS
+    while bits < SEMDEDUP_MAX_BITS and 2**bits < cells_needed:
+        bits += 1
+    return bits
+
+
+def semantic_dedup_cells_scaled(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """:func:`semantic_dedup_cells` in its SCALE configuration — the
+    shape you'd actually run (SCALING.md round-4 finding: the fixed
+    16-cell shape is 4.8× off the scale shape at sf1). Two dials set
+    deterministically from the data:
+
+    - ``n_cells`` grows with the corpus (``semdedup_scaled_bits``:
+      ~SEMDEDUP_TARGET_CELL vectors/cell, power-of-two, capped) — the
+      SemDeDup contract that keeps within-cell quadratic work per
+      document constant as the corpus grows; measured 16.3 s vs 78.9 s
+      at sf1 for 10× data.
+    - ``n_chunks`` keeps its C ≥ 4 floor via the base operator's
+      auto-rule — hyperplane cells are skewed, and the straggler is
+      bounded by how many ways the LARGEST cell's quadratic work
+      splits, not by total key count. Output is invariant to C.
+
+    One bounded count job picks the cell grid; the oracle replays the
+    identical integer rule from ``count(*)``, so the certified entry IS
+    the scale configuration."""
+    n_cells = 2 ** semdedup_scaled_bits(emb.count())
+    return semantic_dedup_cells(spark, emb, threshold=threshold, n_cells=n_cells)
+
+
+def semantic_dedup_cells_scaled_sql(threshold: float = 0.35) -> str:
+    """DuckDB oracle for the scale configuration: re-derives the bit
+    count from ``count(*)`` with the same integer ladder, then masks
+    the per-row hyperplane bits to that count — identical cells,
+    identical keep-min drop rule."""
+    ladder = " ".join(
+        f"WHEN cn <= {2 ** b} THEN {b}"
+        for b in range(SEMDEDUP_MIN_BITS, SEMDEDUP_MAX_BITS)
+    )
+    cell = "(" + " + ".join(
+        f"({_hyperplane_bit_sql('embedding', b)} * {2 ** b}"
+        + (f" * (CASE WHEN {b} < nn.bits THEN 1 ELSE 0 END))"
+           if b >= SEMDEDUP_MIN_BITS else ")")
+        for b in range(SEMDEDUP_MAX_BITS)
+    ) + ")"
+    cos = _cosine_sql("a.v", "b.v")
+    return f"""
+WITH nn AS (
+  SELECT CASE {ladder} ELSE {SEMDEDUP_MAX_BITS} END AS bits FROM (
+    SELECT (greatest(count(*), 1) + {SEMDEDUP_TARGET_CELL - 1}) // {SEMDEDUP_TARGET_CELL} AS cn
+    FROM embeddings
+  )
+),
+asg AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST({cell} AS INTEGER) AS cluster
+  FROM embeddings, nn
+),
+dropped AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold!r}
+),
+dcnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY 1)
+SELECT s.cluster, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(max(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+       CAST(count(*) - coalesce(max(d.n_dropped), 0) AS BIGINT) AS n_kept
+FROM asg s LEFT JOIN dcnt d ON d.cluster = s.cluster
+GROUP BY s.cluster
+"""
+
+
 def semantic_dedup_cells_sql(threshold: float = 0.35, n_cells: int = 16) -> str:
     bits = max(1, (n_cells - 1).bit_length())
     cell = "(" + " + ".join(

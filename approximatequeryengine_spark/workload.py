@@ -1019,6 +1019,17 @@ _docs_query(
     _sim.semantic_dedup_cells_sql(),
     table="embeddings",
 )
+# Round-5: the SCALE configuration (cells ∝ corpus + C ≥ 4 chunk floor)
+# as the certified shape — round 4 measured the fixed-16-cell shape
+# 4.8× off this plan at sf1, so the certified query should be the one
+# you'd run. The oracle re-derives the cell grid from count(*) with the
+# same integer ladder.
+_docs_query(
+    "dedup_semantic_cells_scaled",
+    _sim.semantic_dedup_cells_scaled,
+    _sim.semantic_dedup_cells_scaled_sql(),
+    table="embeddings",
+)
 
 
 def _ivf_index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1442,6 +1442,40 @@ def test_semantic_dedup_keep_min_semantics(spark):
     assert all(r["n_docs"] == r["n_dropped"] + r["n_kept"] for r in out)
 
 
+def test_semdedup_scaled_bits_ladder():
+    """Integer cells∝corpus rule: smallest power-of-two grid holding
+    ~SEMDEDUP_TARGET_CELL vectors per cell, clamped to [2^4, 2^10] —
+    exact boundary behavior (ceil division) so the SQL CASE ladder can
+    never disagree with the Python side."""
+    from approximatequeryengine_spark.operators.similarity import semdedup_scaled_bits
+
+    assert semdedup_scaled_bits(0) == 4
+    assert semdedup_scaled_bits(1) == 4
+    assert semdedup_scaled_bits(16 * 20) == 4  # cn = 16 → still 4 bits
+    assert semdedup_scaled_bits(16 * 20 + 1) == 5  # cn = 17 → 5 bits
+    assert semdedup_scaled_bits(500) == 5  # sf0.01: cn = 25 → 32 cells
+    assert semdedup_scaled_bits(2000) == 7  # sf0.1: cn = 100 → 128 cells
+    assert semdedup_scaled_bits(20000) == 10  # sf1: 1024 cells (measured config)
+    assert semdedup_scaled_bits(10**9) == 10  # capped
+
+
+def test_semantic_dedup_scaled_matches_oracle_and_base(spark, engine, duck):
+    """The scale-configuration entry: oracle parity (the SQL re-derives
+    the cell grid from count(*)), and global accounting must agree with
+    the base operator run at the same explicit cell count (cells change
+    WHICH cell a doc sits in, chunking never changes totals)."""
+    from tests.conftest import assert_df_matches_sql
+
+    emb = engine.catalog.table("embeddings")
+    out = similarity.semantic_dedup_cells_scaled(spark, emb)
+    assert_df_matches_sql(out, duck, similarity.semantic_dedup_cells_scaled_sql())
+    n_cells = 2 ** similarity.semdedup_scaled_bits(emb.count())
+    base = similarity.semantic_dedup_cells(spark, emb, n_cells=n_cells)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in base.collect())
+    assert got == want and got
+
+
 def test_weighted_sample_matches_oracle(spark, engine, duck):
     from approximatequeryengine_spark.operators.curation import (
         weighted_sample_docs,
