@@ -34,8 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sampling percentage (1-100) → fixed-fraction sampling")
     p.add_argument("-e", "--error", type=float, default=None, metavar="PCT",
                    help="max relative error %% → adaptive CLT sampling")
-    p.add_argument("--method", choices=sorted(METHODS), default=None,
-                   help="force a sampling method")
+    p.add_argument("--method", choices=[*sorted(METHODS), "auto"], default=None,
+                   help="force a sampling method, or 'auto' for the "
+                   "data-driven advisor (measured cv2/top-share moments "
+                   "pick outlier/pps/revolutionary/clt for global SUM; "
+                   "static ladder elsewhere)")
     p.add_argument("--ci", action="store_true", help="show confidence intervals")
     p.add_argument("--confidence", type=float, default=0.95,
                    help="confidence level for CIs (default 0.95)")
@@ -45,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compare", action="store_true",
                    help="also run exact and report actual error + speedup")
     p.add_argument("--explain", action="store_true",
-                   help="describe available methods and exit")
+                   help="describe available methods and exit; with a "
+                   "query, also show what --method auto would pick for "
+                   "it and the moment evidence, without running it")
     p.add_argument("--plan", action="store_true",
                    help="print the Spark physical plan of the result")
     return p
@@ -71,6 +76,13 @@ def format_result(res, args) -> str:
         f"confidence: {res.confidence_level:.2f} | samples: {res.samples_used:,} | "
         f"fraction: {res.fraction:.4g} | time: {res.computation_time:.3f}s"
     )
+    if "__advisor__" in res.groups:
+        a = res.groups["__advisor__"]
+        lines.append(
+            f"Auto-selected '{a['recommended_method']}' from measured moments: "
+            f"n={a['n']:,} cv2={a['cv2']} top_share={a['top_share']} "
+            f"pred_rel_ci@10%={a['pred_rel_ci_uniform10']}"
+        )
     if "__actual_error_pct__" in res.groups:
         lines.append(
             f"Exact: {res.groups['__exact__']:,.4f} | actual error: "
@@ -84,6 +96,25 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.explain:
         print_methods()
+        if args.query:
+            spark = get_spark(app_name="aqe-cli")
+            spark.sparkContext.setLogLevel("ERROR")
+            try:
+                info = AQEngine(spark, args.data).explain_auto(args.query)
+                line = (
+                    f"--method auto would pick '{info['method']}' "
+                    f"({info['source']})"
+                )
+                if info["evidence"]:
+                    a = info["evidence"]
+                    line += (
+                        f": n={a['n']:,} cv2={a['cv2']} "
+                        f"top_share={a['top_share']} "
+                        f"pred_rel_ci@10%={a['pred_rel_ci_uniform10']}"
+                    )
+                print(line)
+            finally:
+                spark.stop()
         return 0
     if not args.query:
         print("error: a query is required (or --explain)", file=sys.stderr)

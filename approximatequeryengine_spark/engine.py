@@ -81,6 +81,43 @@ class AQEngine:
             F.floor(F.col(column) * 100.0 + 0.5).cast("long"),
         )
 
+    def _advise_auto(self, spec: QuerySpec) -> tuple[str, dict | None]:
+        """Resolve ``method='auto'``: the measured-moment advisor
+        (plans/advisor.py — cv², top-B mass share → outlier/pps/
+        revolutionary/clt) for global SUM over a column, the
+        reference's static F3 ladder (``select_method``) for every
+        other shape. Returns (method, evidence-row-or-None); the
+        evidence surfaces in ``ApproxResult.groups['__advisor__']``
+        and the CLI's ``--explain``."""
+        if spec.agg == "SUM" and spec.column and not spec.group_by and not spec.distinct:
+            from approximatequeryengine_spark.plans.advisor import advise_method
+
+            row = advise_method(
+                self._base_df(spec),
+                F.floor(F.expr(spec.column) * 100.0 + 0.5),
+            ).collect()[0].asDict()
+            return row["recommended_method"], row
+        total = self.catalog.table(spec.table).count()
+        return select_method(spec.agg, total, spec.group_by is not None), None
+
+    def explain_auto(self, sql: str) -> dict:
+        """What ``method='auto'`` would pick for ``sql`` and why,
+        WITHOUT executing the query — the CLI ``--explain`` surface.
+        Returns ``{'method', 'source' ('advisor'|'static'),
+        'evidence' (moment profile dict or None)}``."""
+        spec = parse_query(sql)
+        if spec is None:
+            raise ValueError(
+                "explain_auto needs an APPROX-dialect aggregate query; "
+                f"could not parse: {sql!r}"
+            )
+        method, evidence = self._advise_auto(spec)
+        return {
+            "method": method,
+            "source": "advisor" if evidence is not None else "static",
+            "evidence": evidence,
+        }
+
     def run(
         self,
         sql: str,
@@ -123,6 +160,14 @@ class AQEngine:
 
         wants_approx = spec.approx or sample_pct is not None or error_pct is not None or method
 
+        # method='auto' — resolved by the data-driven advisor for the
+        # shapes it profiles (global SUM), static F3 ladder elsewhere.
+        # The non-SUM dispatches below (quantile/stddev/corr/distinct)
+        # see method=None, i.e. their documented defaults.
+        auto = method == "auto"
+        if auto:
+            method = None
+
         if spec.agg in ("MEDIAN", "PERCENTILE"):
             return self._run_quantile(
                 spec, sample_pct, wants_approx, t0, z=z, confidence=confidence,
@@ -147,8 +192,11 @@ class AQEngine:
         if not wants_approx:
             return self._run_exact(spec, t0)
 
+        advisor_row: dict | None = None
         if method is None:
-            if error_pct is not None:
+            if auto:
+                method, advisor_row = self._advise_auto(spec)
+            elif error_pct is not None:
                 method = "clt"
             elif sample_pct is not None:
                 method = "parallel" if spec.group_by else "random"
@@ -318,6 +366,8 @@ class AQEngine:
         # downgrade must survive — a DRIFTING result reporting the full
         # requested level would silently disable the V4/V5 semantics.
         res.confidence_level = min(confidence, res.confidence_level)
+        if advisor_row is not None:
+            res.groups["__advisor__"] = advisor_row
 
         if compare:
             exact = self._run_exact(spec, time.time())

@@ -480,6 +480,57 @@ def test_engine_advise_surface(engine):
     assert res.value is not None
 
 
+def test_method_auto_uses_advisor_for_global_sum(engine):
+    """method='auto' (round 5): a global SUM routes through the
+    measured-moment advisor — the executed method equals the advisor's
+    recommendation and the evidence row rides the result for --explain
+    surfaces."""
+    want = engine.advise("lineitem", "l_extendedprice").collect()[0]
+    res = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem",
+        method="auto",
+        sample_pct=10,
+    )
+    assert res.method == want["recommended_method"]
+    a = res.groups["__advisor__"]
+    assert a["n"] == want["n"] and a["cv2"] == want["cv2"]
+    assert res.value is not None
+
+
+def test_method_auto_falls_back_to_static_ladder(engine):
+    """Shapes the advisor doesn't profile (AVG, GROUP BY) fall back to
+    the reference's static F3 ladder — same selection as method=None,
+    no advisor evidence attached."""
+    res = engine.run(
+        "SELECT APPROX(AVG(l_extendedprice)) FROM lineitem",
+        method="auto",
+        sample_pct=10,
+    )
+    assert res.method == "random"  # F3: AVG → random
+    assert "__advisor__" not in res.groups
+    grouped = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem GROUP BY l_returnflag",
+        method="auto",
+        sample_pct=10,
+    )
+    assert grouped.method == "parallel"  # F3: GROUP BY → parallel
+    assert "__advisor__" not in grouped.groups
+
+
+def test_explain_auto_surface(engine):
+    """engine.explain_auto: advisor source + evidence for global SUM,
+    static source for other shapes, ValueError on non-dialect SQL."""
+    import pytest as _pytest
+
+    info = engine.explain_auto("SELECT APPROX(SUM(l_extendedprice)) FROM lineitem")
+    assert info["source"] == "advisor" and info["method"] in METHODS
+    assert info["evidence"]["recommended_method"] == info["method"]
+    static = engine.explain_auto("SELECT APPROX(AVG(l_extendedprice)) FROM lineitem")
+    assert static == {"method": "random", "source": "static", "evidence": None}
+    with _pytest.raises(ValueError, match="could not parse"):
+        engine.explain_auto("SELECT 1")
+
+
 def test_method_priority_expression_key(engine, duck):
     """lineitem's unique key is an EXPRESSION (l_orderkey*8+l_linenumber);
     the priority route must accept it (F.expr, not F.col)."""
