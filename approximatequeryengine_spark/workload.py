@@ -2840,14 +2840,14 @@ _register(
 # ---------------------------------------------------------------------------
 
 _CERTIFY_FIRST = [
-    # Round-4 cut. Goal: the UNION of r1-r4 driver rows covers every
-    # oracle-backed entry. Rounds 1-3 certified 109 of 129; the 20 that
-    # have never had a driver row (16 oracle-backed registered after the
-    # round-3 cut + 4 rows-only) all go in this round, behind the same
-    # ~15-row anchor block (reference core, relational flagships, one
-    # row per sampler design, both adaptives, the Q1 block) that stays
-    # certified every round. Rotated-out r1-r3 entries remain registered
-    # and pytest/check_entry-verified.
+    # Round-5 cut (policy in COVERAGE.md "Certification tiers"). The
+    # 50-row window = 15 standing anchors + every never-certified
+    # oracle-backed entry (the 13 registered after the round-4 cut plus
+    # this round's 2 new entries) + 20 REFRESH slots re-certifying
+    # entries whose most recent driver row dates to round 1/2 (oldest
+    # first, one per operator family). Goal: r1∪…∪r5 covers all 159
+    # oracle-backed entries AND no certified family goes stale.
+    # --- standing anchors (every round) ---
     "exact_sum",
     "exact_groupby_sum",
     "tpch_q1_pricing_summary",
@@ -2863,52 +2863,49 @@ _CERTIFY_FIRST = [
     "approx_sum_bootstrap32",
     "dedup_minhash_lsh_pairs",
     "text_quality_by_lang",
-    # --- the 16 oracle-backed entries registered after the round-3
-    # certification cut (VERDICT r3 "Next round" #1) ---
-    "approx_sum_outlier_index",
-    "approx_corr_ci",
-    "approx_ab_diff_ci",
-    "approx_grouped_stddev_ci",
-    "approx_grouped_corr_ci",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "curation_sample_per_source",
-    "curation_mixture_plan",
-    "curation_chunk_inventory",
-    "dedup_ingest_stats",
-    "text_unigram_logprob",
-    "streaming_bloom_filter",
-    "ann_bruteforce_matmul_topk",
-    "profile_table_columns",
-    "customers_rfm_segments",
-    # --- new this round (registered below as they are built):
-    # grouped outlier-index SUM, the k-means-replay IVF oracle, and the
-    # batch-parity stateful-streaming oracle.
-    "approx_grouped_sum_outlier",
-    "ann_ivf_topk",
-    "streaming_running_estimate",
-    "streaming_interval_join",
-    "ann_ivf_index_topk",
-    "dedup_neardup_index_query",
-    "ann_ivfpq_topk",
-    "approx_join_universe_pairs",
-    "approx_groupby_sum_congress",
-    "incremental_state_merge",
-    "streaming_sliding_windows",
-    "sketch_kmv_distinct",
-    "sketch_wavelet_selectivity",
-    "dedup_semantic_cells",
-    "curation_weighted_sample",
-    "sketch_ddsketch_quantiles",
-    "approx_sum_priority",
-    "index_zonemap_range_sum",
-    "sketch_kmv_set_ops",
-    # The two Spark-internal-HLL++ rows-only entries
-    # (sketch_mergeable_rollup, sketch_approx_distinct) rotated OUT
-    # this session to hold the window at exactly 50: they already
-    # carry r3 driver rows, and rows-only is all they can ever earn
-    # (unoracleable rationale at their registration sites). Their
-    # slots go to the four new oracle-backed entries above.
+    # --- the 13 oracle-backed entries registered after the round-4
+    # cut (VERDICT r4 "Next round" #1) ---
+    "sketch_ddsketch_grouped",
+    "streaming_ddsketch_quantiles",
+    "sketch_ddsketch_collapsed",
+    "sketch_rollup_store_quantiles",
+    "sketch_kmv_distinct_where",
+    "sketch_hist2d_selectivity",
+    "synopsis_stratified_sum",
+    "synopsis_incremental_append",
+    "advisor_method_profile",
+    "adaptive_join_pairs",
+    "events_decayed_sum",
+    "approx_grouped_sum_priority",
+    "elp_fraction_sweep",
+    # --- new this round: the IVF-PQ persisted index (ingest-time
+    # codes/codebook, partition-pruned ADC + rerank queries) and the
+    # semantic-dedup SCALE configuration (cells ∝ corpus, C ≥ 4 chunk
+    # floor) replacing the fixed-16-cell shape in the window
+    # (dedup_semantic_cells stays registered; its r4 row stands) ---
+    "ann_ivfpq_index_topk",
+    "dedup_semantic_cells_scaled",
+    # --- refresh slots: last driver row in round 1/2 ---
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "join_revenue_by_nation",
+    "rollup_sum",
+    "window_topk_parts_per_brand",
+    "sessionize_events",
+    "pivot_order_status",
+    "setops_customer_cohorts",
+    "heavy_hitters_tokens",
+    "approx_median_ci",
+    "approx_ratio_discount_rate",
+    "approx_sum_pps10",
+    "approx_distinct_chao1",
+    "text_lang_id_confusion",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "ann_bruteforce_topk",
+    "embedding_neardup_pairs",
+    "asof_join_purchase_click",
+    "corpus_clean_pipeline",
 ]
 
 
