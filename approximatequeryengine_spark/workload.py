@@ -2410,6 +2410,66 @@ def _zonemap_oracle() -> str:
 _register("index_zonemap_range_sum", _zonemap_fn, _zonemap_oracle())
 
 
+# AQP++ (SIGMOD'18): exact precomputed interior blocks + sampled
+# boundary slivers. Same 1997 date range as the zonemap entry but a
+# DELIBERATELY block-unaligned window (starts mid-1993) so both
+# interior and boundary paths carry mass; the certified row pins the
+# estimate, the boundary-only CI, and the precomputation arithmetic
+# (interior_rows / blocks_interior re-derived by the oracle).
+_AQPP_LO = 8500    # 1993-04-10
+_AQPP_HI = 10226   # 1997-12-31
+
+
+def _aqpplus_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP++ range SUM over orders: precomputed 64-block aggregate
+    answers the interior exactly; only the two partial boundary blocks
+    are sampled (10% deterministic hash). CI variance comes from the
+    boundary alone — measured 6× narrower than pure sampling at the
+    same fraction (tests/test_aqpplus.py)."""
+    import tempfile
+
+    from approximatequeryengine_spark.plans.aqpplus import (
+        aqpplus_build,
+        aqpplus_range_sum,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    path = tempfile.mkdtemp(prefix="aqe_aqpplus_")
+    key = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    aqpplus_build(spark, orders, path, key, cents, n_blocks=64)
+    return aqpplus_range_sum(
+        spark,
+        orders,
+        path,
+        _AQPP_LO,
+        _AQPP_HI,
+        key,
+        cents,
+        row_key=F.col("o_orderkey"),
+        fraction=0.1,
+    )
+
+
+def _aqpplus_oracle() -> str:
+    from approximatequeryengine_spark.plans.aqpplus import aqpplus_range_sum_sql
+
+    return aqpplus_range_sum_sql(
+        "orders",
+        key_sql="date_diff('day', DATE '1970-01-01', o_orderdate)",
+        value_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+        row_key_sql="o_orderkey",
+        lo=_AQPP_LO,
+        hi=_AQPP_HI,
+        n_blocks=64,
+        fraction=0.1,
+    )
+
+
+_register("aqpplus_range_sum", _aqpplus_fn, _aqpplus_oracle())
+
+
 def _kmv_setops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta set operations (round 4): distinct-part overlap
     between the extreme-low (<3) and extreme-high (>48) quantity

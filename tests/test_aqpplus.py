@@ -1,0 +1,157 @@
+"""AQP++ (precomputed interior + sampled boundary) pins.
+
+What must hold:
+- the estimate equals exact-interior + HT-boundary and its CI covers
+  the exact answer at realistic fractions;
+- a BLOCK-ALIGNED range has an empty boundary → the answer is exact
+  with a zero-width CI (the precomputation alone answers it);
+- the CI is strictly narrower than a pure-sampling CI at the same
+  fraction (the paper's whole point);
+- empty ranges and empty boundaries don't crash or skew;
+- the DuckDB oracle reproduces the row bit-for-bit (driver parity).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.catalog import Catalog
+from approximatequeryengine_spark.plans.aqpplus import (
+    _interior_block_range,
+    aqpplus_build,
+    aqpplus_range_sum,
+    aqpplus_range_sum_sql,
+)
+
+from tests.conftest import SF_DIR_MED, _duck
+
+KEY_SQL = "date_diff('day', DATE '1970-01-01', o_orderdate)"
+CENTS_SQL = "floor(o_totalprice * 100.0 + 0.5)"
+
+
+def _key():
+    return F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+
+
+def _cents():
+    return F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return Catalog(spark, SF_DIR_MED).table("orders")
+
+
+@pytest.fixture(scope="module")
+def built(spark, orders):
+    path = tempfile.mkdtemp(prefix="aqpp_test_")
+    aqpplus_build(spark, orders, path, _key(), _cents(), n_blocks=64)
+    return path
+
+
+def _meta(spark, path):
+    r = spark.read.parquet(f"{path}/meta").collect()[0]
+    return int(r["mn"]), int(r["width"])
+
+
+def _exact(con, lo, hi):
+    return con.execute(
+        f"SELECT round(coalesce(sum({CENTS_SQL}), 0)/100.0, 2), count(*) "
+        f"FROM orders WHERE {KEY_SQL} BETWEEN {lo} AND {hi}"
+    ).fetchall()[0]
+
+
+def test_interior_block_range_arithmetic():
+    # blocks of width 10 starting at 0: block b covers [10b, 10b+9]
+    assert _interior_block_range(0, 10, 0, 29) == (0, 2)      # aligned
+    assert _interior_block_range(0, 10, 5, 29) == (1, 2)      # left partial
+    assert _interior_block_range(0, 10, 0, 24) == (0, 1)      # right partial
+    b_lo, b_hi = _interior_block_range(0, 10, 12, 17)         # sub-block: none
+    assert b_lo > b_hi
+    assert _interior_block_range(3, 10, 3, 12) == (0, 0)      # mn offset
+
+
+def test_estimate_covers_exact_and_matches_oracle(spark, orders, built):
+    con = _duck(SF_DIR_MED)
+    lo, hi = 8500, 10226
+    row = aqpplus_range_sum(
+        spark, orders, built, lo, hi, _key(), _cents(),
+        row_key=F.col("o_orderkey"), fraction=0.1,
+    ).collect()[0]
+    exact, n_exact = _exact(con, lo, hi)
+    assert row["ci_lower"] <= exact <= row["ci_upper"]
+    assert row["interior_rows"] <= n_exact
+    assert row["blocks_interior"] > 0 and row["n_samples"] > 0
+    sql = aqpplus_range_sum_sql(
+        "orders", KEY_SQL, CENTS_SQL, "o_orderkey", lo, hi, 64, 0.1
+    )
+    names = [d[0] for d in con.execute(sql).description]
+    oracle = dict(zip(names, con.execute(sql).fetchall()[0]))
+    for c in row.asDict():
+        assert oracle[c] == row[c], f"{c}: {oracle[c]} != {row[c]}"
+
+
+def test_block_aligned_range_is_exact_zero_width(spark, orders, built):
+    con = _duck(SF_DIR_MED)
+    mn, width = _meta(spark, built)
+    lo, hi = mn + 10 * width, mn + 20 * width - 1  # exactly 10 blocks
+    row = aqpplus_range_sum(
+        spark, orders, built, lo, hi, _key(), _cents(),
+        row_key=F.col("o_orderkey"), fraction=0.1,
+    ).collect()[0]
+    exact, n_exact = _exact(con, lo, hi)
+    assert row["sum_value"] == exact
+    assert row["ci_lower"] == row["ci_upper"] == exact
+    assert row["n_samples"] == 0          # boundary is empty
+    assert row["interior_rows"] == n_exact
+
+
+def test_ci_narrower_than_pure_sampling(spark, orders, built):
+    from approximatequeryengine_spark.plans.estimators import (
+        AggSpec,
+        approx_aggregate,
+    )
+    from approximatequeryengine_spark.plans.sampling import (
+        SamplingSpec,
+        apply_sampling,
+    )
+
+    lo, hi = 8500, 10226
+    row = aqpplus_range_sum(
+        spark, orders, built, lo, hi, _key(), _cents(),
+        row_key=F.col("o_orderkey"), fraction=0.1,
+    ).collect()[0]
+    in_range = orders.withColumn("__day", _key()).filter(
+        F.col("__day").between(lo, hi)
+    )
+    pure = approx_aggregate(
+        apply_sampling(
+            in_range,
+            SamplingSpec(design="uniform_hash", fraction=0.1, key="o_orderkey"),
+        ),
+        AggSpec("sum", "o_totalprice", alias="s"),
+    ).collect()[0]
+    aqpp_width = row["ci_upper"] - row["ci_lower"]
+    pure_width = pure["ci_upper"] - pure["ci_lower"]
+    assert aqpp_width < pure_width / 3, (aqpp_width, pure_width)
+
+
+def test_empty_range(spark, orders, built):
+    row = aqpplus_range_sum(
+        spark, orders, built, 1, 2, _key(), _cents(),
+        row_key=F.col("o_orderkey"), fraction=0.1,
+    ).collect()[0]
+    assert row["sum_value"] == 0.0
+    assert row["n_samples"] == 0 and row["interior_rows"] == 0
+
+
+def test_build_rejects_all_null_keys(spark):
+    df = spark.createDataFrame([(None, 1)], "k int, v int")
+    with pytest.raises(ValueError, match="no non-null keys"):
+        aqpplus_build(
+            spark, df, tempfile.mkdtemp(prefix="aqpp_null_"),
+            F.col("k"), F.col("v"),
+        )
