@@ -2470,6 +2470,81 @@ def _aqpplus_oracle() -> str:
 _register("aqpplus_range_sum", _aqpplus_fn, _aqpplus_oracle())
 
 
+def _join_synopsis_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQUA join synopsis (SIGMOD'99): persist a 10% uniform sample of
+    lineitem ⋈ orders (fact-side hash sample × FK join = true
+    Bernoulli sample of the join), then answer grouped revenue by
+    o_orderpriority from the synopsis ALONE — no join at query time.
+    The oracle replays sample → join → HT estimate on the base
+    tables."""
+    import tempfile
+
+    from approximatequeryengine_spark.plans.joinsynopsis import (
+        join_synopsis_agg,
+        join_synopsis_build,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="aqe_joinsyn_") + "/syn"
+    join_synopsis_build(
+        spark,
+        path,
+        fact=cat.table("lineitem"),
+        dim=cat.table("orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        fact_key=_LKEY,
+        fraction=0.1,
+        columns=["l_extendedprice", "l_discount", "o_orderpriority"],
+    )
+    # Integer-grid measure (cents × discount-pct): per-row values are
+    # integer-valued doubles ≤ 1e9, so every partial sum stays exact
+    # below 2^53 in ANY summation order — the HT estimate is
+    # bit-reproducible across engines (float revenue sums are not:
+    # a 0.01 ci-bound flip was observed on the raw expression).
+    rdf = join_synopsis_agg(
+        spark,
+        path,
+        AggSpec("sum", _REV_GRID, alias="revenue"),
+        group_by=["o_orderpriority"],
+    )
+    return rdf.select(
+        "o_orderpriority",
+        F.round(F.col("revenue") / 10000.0, 2).alias("revenue"),
+        F.round(F.col("ci_lower") / 10000.0, 2).alias("ci_lower"),
+        F.round(F.col("ci_upper") / 10000.0, 2).alias("ci_upper"),
+        "n_samples",
+    )
+
+
+_REV_GRID = (
+    "floor(l_extendedprice * 100 + 0.5) * (100 - floor(l_discount * 100 + 0.5))"
+)
+
+
+def _join_synopsis_oracle() -> str:
+    spec = SamplingSpec(design="uniform_hash", fraction=0.1, key=_LKEY)
+    inner = moments_sql(
+        table="lineitem JOIN orders ON l_orderkey = o_orderkey",
+        column=f"({_REV_GRID})",
+        where=sampling_where_sql(spec),
+        agg="sum",
+        p_sql=sampling_p_sql(spec),
+        alias="revenue",
+        group_by="o_orderpriority",
+        round_to=None,
+    )
+    return (
+        "SELECT o_orderpriority, "
+        "round(revenue / 10000.0, 2) AS revenue, "
+        "round(ci_lower / 10000.0, 2) AS ci_lower, "
+        "round(ci_upper / 10000.0, 2) AS ci_upper, "
+        f"n_samples FROM ({inner}) __g"
+    )
+
+
+_register("join_synopsis_revenue", _join_synopsis_fn, _join_synopsis_oracle())
+
+
 def _kmv_setops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta set operations (round 4): distinct-part overlap
     between the extreme-low (<3) and extreme-high (>48) quantity
