@@ -415,3 +415,117 @@ FROM w
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def time_bucket_gapfill(
+    spark: SparkSession,
+    events: DataFrame,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Dense time-bucketed rollup with gap filling + LOCF — the
+    hypertable ``time_bucket_gapfill`` shape (TimescaleDB; also
+    InfluxDB ``fill(previous)``): per (event_type, bucket) totals on a
+    COMPLETE bucket grid, so downstream charting/forecasting sees an
+    equally-spaced series, with empty buckets carrying n_events = 0, a
+    NULL raw sum (honest: no data ≠ zero value) and the last observed
+    sum carried forward.
+
+    Output: (event_type, bucket_ts, n_events, sum_value, locf_sum),
+    sums on the 2-decimal integer-cents grid.
+
+    Construction, all DataFrame ops:
+    1. one grouped scan → per-cell (type, bucket) aggregates;
+    2. the dense grid = distinct types × ``sequence(min, max,
+       1 bucket)`` exploded — generated from a 2-scalar aggregate, not
+       a driver loop, and broadcast into the left join (the grid is
+       O(types × buckets), KBs even for years of hourly buckets);
+    3. LOCF via the gaps-and-islands trick: ``grp = count(non-null)
+       OVER (type ORDER BY bucket)`` then ``max() OVER (type, grp)``
+       — portable to the DuckDB oracle verbatim, no IGNORE NULLS
+       dialect divergence.
+
+    Scale shape: the only O(N) work is step 1's map-side-combined
+    groupBy; everything after runs on O(cells) rows. The LOCF window
+    partitions by event_type — parallel across types, and within a
+    type the series is bounded by the bucket count, not the event
+    count.
+    """
+    cell = (
+        events.select(
+            F.col("event_type"),
+            F.date_trunc(bucket, F.col("ts")).alias("bucket_ts"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    span = events.agg(
+        F.date_trunc(bucket, F.min("ts")).alias("lo"),
+        F.date_trunc(bucket, F.max("ts")).alias("hi"),
+    )
+    grid = (
+        span.select(
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr(f"INTERVAL 1 {bucket}")
+                )
+            ).alias("bucket_ts")
+        )
+        .crossJoin(events.select("event_type").distinct())
+    )
+    dense = grid.join(cell, ["event_type", "bucket_ts"], "left")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = dense.withColumn("__grp", F.count("sum_cents").over(w_cum))
+    w_grp = Window.partitionBy("event_type", "__grp")
+    return dense.select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
+        F.round(F.max("sum_cents").over(w_grp) / 100.0, 2).alias("locf_sum"),
+    )
+
+
+def time_bucket_gapfill_sql(bucket: str = "hour") -> str:
+    """DuckDB oracle — generate_series grid, identical cents grid and
+    gaps-and-islands LOCF."""
+    return f"""
+WITH cell AS (
+  SELECT event_type, date_trunc('{bucket}', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('{bucket}', min(ts)) AS lo,
+         date_trunc('{bucket}', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 {bucket})) AS bucket_ts
+        FROM span) g
+),
+dense AS (
+  SELECT grid.event_type, grid.bucket_ts, cell.n_events, cell.sum_cents,
+         count(cell.sum_cents) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM grid LEFT JOIN cell
+    ON grid.event_type = cell.event_type AND grid.bucket_ts = cell.bucket_ts
+)
+SELECT event_type, bucket_ts,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       round(sum_cents / 100.0, 2) AS sum_value,
+       round(max(sum_cents) OVER (PARTITION BY event_type, grp) / 100.0, 2)
+         AS locf_sum
+FROM dense
+"""

@@ -2791,6 +2791,48 @@ def _decayed_oracle() -> str:
 _register("events_decayed_sum", _decayed_fn, _decayed_oracle())
 
 
+def _gapfill_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup with gap filling + LOCF over events (the
+    hypertable time_bucket_gapfill shape) — certifies grid
+    generation, the left join, and the gaps-and-islands carry-forward
+    in one row set."""
+    from approximatequeryengine_spark.operators.temporal import time_bucket_gapfill
+
+    cat = _catalog(spark, sf_dir)
+    return time_bucket_gapfill(spark, cat.table("events"), bucket="hour")
+
+
+def _gapfill_oracle() -> str:
+    from approximatequeryengine_spark.operators.temporal import (
+        time_bucket_gapfill_sql,
+    )
+
+    return time_bucket_gapfill_sql(bucket="hour")
+
+
+_register("events_gapfill_locf", _gapfill_fn, _gapfill_oracle())
+
+
+def _ams_f2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch: self-join size (F₂) of lineitem on
+    l_orderkey from 48 signed counters in one aggregate pass —
+    completes the join-size family next to the Count-Min inner
+    product (cross-join side)."""
+    from approximatequeryengine_spark.plans.ams import ams_f2_estimate
+
+    cat = _catalog(spark, sf_dir)
+    return ams_f2_estimate(cat.table("lineitem"), F.col("l_orderkey"))
+
+
+def _ams_f2_oracle() -> str:
+    from approximatequeryengine_spark.plans.ams import ams_f2_estimate_sql
+
+    return ams_f2_estimate_sql("lineitem", "l_orderkey")
+
+
+_register("sketch_ams_f2_selfjoin", _ams_f2_fn, _ams_f2_oracle())
+
+
 def _priority_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped priority sampling (round 4): per-priority-band revenue
     totals from per-group size-512 DLT samples — the grouped
