@@ -78,15 +78,16 @@ def ams_f2_counters(
     return df.agg(*aggs)
 
 
-def ams_f2_estimate(
-    df: DataFrame, key: Column, k: int = K_DEFAULT, groups: int = GROUPS_DEFAULT
+def ams_f2_readout(
+    counters: DataFrame, k: int = K_DEFAULT, groups: int = GROUPS_DEFAULT
 ) -> DataFrame:
-    """Median-of-means F₂ estimate: one row
-    ``(f2_estimate, n_rows)``. The counter squares and group means
-    are exact in double (|c| ≤ n ≪ 2²⁶·⁵); the median interpolates
-    between the two central groups — identical arithmetic in the
-    DuckDB oracle."""
-    counters = ams_f2_counters(df, key, k=k, groups=groups)
+    """Median-of-means over a 1-row counters frame (from
+    :func:`ams_f2_counters`, a merge of shard counters, or a drained
+    streaming aggregate — counters are linear, so all three agree):
+    one row ``(f2_estimate, n_rows)``. The counter squares and group
+    means are exact in double (|c| ≤ n ≪ 2²⁶·⁵); the median
+    interpolates between the two central groups — identical
+    arithmetic in the DuckDB oracle."""
     ests = F.array(
         *[
             (
@@ -108,6 +109,13 @@ def ams_f2_estimate(
         F.round(F.col("f2_estimate"), 2).alias("f2_estimate"),
         F.col("n_rows"),
     )
+
+
+def ams_f2_estimate(
+    df: DataFrame, key: Column, k: int = K_DEFAULT, groups: int = GROUPS_DEFAULT
+) -> DataFrame:
+    """One-pass sketch + readout: ``(f2_estimate, n_rows)``."""
+    return ams_f2_readout(ams_f2_counters(df, key, k=k, groups=groups), k=k, groups=groups)
 
 
 def ams_f2_estimate_sql(

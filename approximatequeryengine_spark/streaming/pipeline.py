@@ -563,3 +563,26 @@ FROM events p JOIN events c
 GROUP BY p.event_id, p.user_id
 ORDER BY purchase_id
 """
+
+
+def ams_f2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained AMS F₂ (tug-of-war) counters over a
+    streaming table: lineitem rows arrive as a stream, the 48 signed
+    terms are stateless projections, and the counter SUMS accumulate
+    in complete-mode micro-batch state — constant state (one row of
+    BIGINTs) however many rows stream past. Sum is order-insensitive
+    and the counters are linear, so the drained stream's counters
+    EQUAL the batch sketch and the shared readout reuses the batch
+    ``sketch_ams_f2_selfjoin`` oracle verbatim — certifying the
+    incremental maintenance end-to-end."""
+    from approximatequeryengine_spark.plans.ams import (
+        ams_f2_counters,
+        ams_f2_readout,
+    )
+
+    stream = table_stream(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    counters_stream = ams_f2_counters(stream, F.col("k"))
+    counters = run_to_memory_sink(counters_stream, "complete")
+    return ams_f2_readout(counters)

@@ -2833,6 +2833,18 @@ def _ams_f2_oracle() -> str:
 _register("sketch_ams_f2_selfjoin", _ams_f2_fn, _ams_f2_oracle())
 
 
+def _ams_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sketch_ams_f2_selfjoin: counters accumulate
+    in complete-mode micro-batch state; linearity makes drained ==
+    batch, so the batch oracle certifies the incremental path."""
+    from approximatequeryengine_spark.streaming.pipeline import ams_f2_stream
+
+    return ams_f2_stream(spark, sf_dir)
+
+
+_register("streaming_ams_f2", _ams_stream_fn, _ams_f2_oracle())
+
+
 def _priority_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped priority sampling (round 4): per-priority-band revenue
     totals from per-group size-512 DLT samples — the grouped

@@ -448,3 +448,18 @@ def test_streaming_ddsketch_equals_batch(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_streaming_ams_f2_equals_batch_sketch(spark):
+    """Drained streaming AMS counters must yield the exact batch
+    estimate (sum is order-insensitive and counters are linear)."""
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.plans.ams import ams_f2_estimate
+    from approximatequeryengine_spark.streaming.pipeline import ams_f2_stream
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in ams_f2_stream(spark, sf).collect()]
+    li = Catalog(spark, sf, register_views=False).table("lineitem")
+    want = [tuple(r) for r in ams_f2_estimate(li, F.col("l_orderkey")).collect()]
+    assert got == want and got
