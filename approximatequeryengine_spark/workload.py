@@ -2845,6 +2845,81 @@ def _ams_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_ams_f2", _ams_stream_fn, _ams_f2_oracle())
 
 
+# Sample+Seek (SIGMOD'16) router: two certified entries, one per
+# route, so the driver attests BOTH execution paths and the decision
+# itself. Ranges chosen against the 64-zone orders layout: a 3-week
+# window overlaps ≤2 zones (sel ~3% → seek); 1995-01→1998-08 covers
+# half the key span (sel ~55% → sample).
+_SS_SEEK_LO, _SS_SEEK_HI = 9862, 9882       # 1997-01-01 .. 1997-01-21
+_SS_SAMP_LO, _SS_SAMP_HI = 9131, 10443      # 1995-01-01 .. 1998-08-05
+
+
+def _sample_seek_fn(lo: int, hi: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sample+Seek routed range SUM over the persisted zone-map
+        layout: low-selectivity ranges answered exactly from the
+        pruned zones (zero-width CI), high-selectivity ones from the
+        deterministic hash sample (HT CI) — the route derived from
+        the O(zones) stats, no data scan."""
+        import tempfile
+
+        from approximatequeryengine_spark.plans.sampleseek import (
+            sample_seek_range_sum,
+        )
+        from approximatequeryengine_spark.sources.zonemap import zonemap_write
+
+        cat = _catalog(spark, sf_dir)
+        orders = cat.table("orders").select(
+            F.col("o_orderkey").alias("__rk"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("__cents"),
+            F.col("o_orderdate"),
+        )
+        path = tempfile.mkdtemp(prefix="aqe_sseek_")
+        zonemap_write(
+            spark,
+            orders,
+            path,
+            key=F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")),
+            n_zones=64,
+        )
+        return sample_seek_range_sum(
+            spark, path, lo, hi, row_key="__rk", fraction=0.1
+        )
+
+    return fn
+
+
+def _sample_seek_oracle(lo: int, hi: int) -> str:
+    from approximatequeryengine_spark.plans.sampleseek import (
+        sample_seek_range_sum_sql,
+    )
+
+    return sample_seek_range_sum_sql(
+        "orders",
+        key_sql="date_diff('day', DATE '1970-01-01', o_orderdate)",
+        value_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+        row_key_sql="o_orderkey",
+        lo=lo,
+        hi=hi,
+        n_zones=64,
+        fraction=0.1,
+    )
+
+
+_register(
+    "router_range_sum_seek",
+    _sample_seek_fn(_SS_SEEK_LO, _SS_SEEK_HI),
+    _sample_seek_oracle(_SS_SEEK_LO, _SS_SEEK_HI),
+)
+_register(
+    "router_range_sum_sample",
+    _sample_seek_fn(_SS_SAMP_LO, _SS_SAMP_HI),
+    _sample_seek_oracle(_SS_SAMP_LO, _SS_SAMP_HI),
+)
+
+
 def _priority_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped priority sampling (round 4): per-priority-band revenue
     totals from per-group size-512 DLT samples — the grouped
