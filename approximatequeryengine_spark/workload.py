@@ -2920,6 +2920,27 @@ _register(
 )
 
 
+def _wander_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wander join (SIGMOD'16): Σ|click−purchase| cents over all
+    same-user pairs from deterministic random walks — the
+    NON-FACTORIZABLE pair measure universe sampling can't
+    pre-aggregate; each walk touches one partner row via a
+    (key, rank) equi-join."""
+    from approximatequeryengine_spark.plans.wander import wander_join_abs_gap
+
+    cat = _catalog(spark, sf_dir)
+    return wander_join_abs_gap(cat.table("events"))
+
+
+def _wander_oracle() -> str:
+    from approximatequeryengine_spark.plans.wander import wander_join_abs_gap_sql
+
+    return wander_join_abs_gap_sql()
+
+
+_register("approx_join_wander_sum", _wander_fn, _wander_oracle())
+
+
 def _priority_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped priority sampling (round 4): per-priority-band revenue
     totals from per-group size-512 DLT samples — the grouped
