@@ -64,11 +64,28 @@ def _sign_sql(key_sql: str, salt: int) -> str:
 
 
 def ams_f2_counters(
-    df: DataFrame, key: Column, k: int = K_DEFAULT, groups: int = GROUPS_DEFAULT
+    df: DataFrame,
+    key: Column,
+    k: int = K_DEFAULT,
+    groups: int = GROUPS_DEFAULT,
+    kernel: bool | None = None,
 ) -> DataFrame:
     """The raw sketch: one row of ``groups·k`` signed-counter sums
     (columns ``c0..c{gk-1}``) plus ``n_rows``. Linear in the data —
-    counters of two frames add."""
+    counters of two frames add.
+
+    Batch frames take the Arrow kernel (:func:`_ams_counters_pandas`,
+    bit-identical int64 arithmetic — the same fast-path contract as
+    the minhash signature kernel): the expression path evaluates
+    ``groups·k`` two-round modular chains per row in codegen, which
+    measured 4.3 s at sf0.1 vs ~0.6 s for the vectorized kernel.
+    Streaming frames keep the expression path — the counters live in
+    complete-mode aggregate state either way. ``kernel`` forces a
+    path (parity tests); default auto-selects."""
+    if kernel is None:
+        kernel = not df.isStreaming
+    if kernel:
+        return _ams_counters_pandas(df, key, k=k, groups=groups)
     kk = key.cast("long")
     aggs = [
         F.sum(_sign_col(kk, salt=j)).cast("long").alias(f"c{j}")
@@ -76,6 +93,71 @@ def ams_f2_counters(
     ]
     aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
     return df.agg(*aggs)
+
+
+def _ams_counters_pandas(
+    df: DataFrame, key: Column, k: int = K_DEFAULT, groups: int = GROUPS_DEFAULT
+) -> DataFrame:
+    """Arrow fast path: per-batch numpy sign sums → per-batch partial
+    counters → one tiny final aggregate. Bit-identical to the
+    expression path (same composed-hash arithmetic in int64; no
+    overflow: (2³¹−1)·MULT < 2⁶³−1; mods by 2³¹/2³² are bitwise ANDs).
+    The kernel loops over salts with ONE in-place n-vector buffer —
+    the broadcasted n×48 formulation allocates 230 MB temporaries per
+    op at sf0.1 and measured 24× slower (memory-bound, not compute).
+    The repartition spreads the kernel across cores: a single parquet
+    file would otherwise pin it to a handful of input splits."""
+    import numpy as np
+    import pandas as pd
+
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        M31,
+        MULT,
+        MULT2,
+        OFFSET,
+        SALT_STRIDE,
+    )
+
+    gk = groups * k
+    ma31, ma32 = M31 - 1, HASH_SPACE - 1
+
+    def batches(it):
+        # fold the partition's Arrow batches into ONE vector first:
+        # per-batch processing pays the 48-salt Python loop once per
+        # 10k-row batch (thousands of tiny numpy calls); per-partition
+        # it runs once over ~N/cores rows (a few MB of int64).
+        chunks = [pdf["__k"].to_numpy(dtype=np.int64) for pdf in it]
+        keys = np.abs(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+        buf = np.empty_like(keys)
+        row = {}
+        for j in range(gk):
+            np.add(keys, j * SALT_STRIDE, out=buf)
+            for salt_add in (None, (j + _SALT2) * SALT_STRIDE):
+                if salt_add is not None:
+                    buf += salt_add
+                buf &= ma31
+                buf *= MULT
+                buf += OFFSET
+                buf &= ma32
+                buf &= ma31
+                buf *= MULT2
+                buf += 144
+                buf &= ma32
+            row[f"c{j}"] = [int((2 * ((buf >> 31) & 1) - 1).sum())]
+        row["n_rows"] = [len(keys)]
+        yield pd.DataFrame(row)
+
+    schema = ", ".join([f"c{j} long" for j in range(gk)] + ["n_rows long"])
+    sc = df.sparkSession.sparkContext
+    partials = (
+        df.select(key.cast("long").alias("__k"))
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(batches, schema=schema)
+    )
+    aggs = [F.sum(f"c{j}").cast("long").alias(f"c{j}") for j in range(gk)]
+    aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
+    return partials.agg(*aggs)
 
 
 def ams_f2_readout(

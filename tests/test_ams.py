@@ -69,3 +69,11 @@ def test_f2_separates_skew(spark):
     f2_uniq = ams_f2_estimate(df, F.col("uniq_key")).collect()[0]["f2_estimate"]
     assert f2_const == 10_000.0 ** 2  # all signs equal → exact n²
     assert f2_uniq < f2_const / 1000
+
+
+def test_kernel_and_expression_paths_bit_identical(spark, lineitem):
+    from approximatequeryengine_spark.plans.ams import ams_f2_counters
+
+    a = ams_f2_counters(lineitem, F.col("l_orderkey"), kernel=True).collect()[0]
+    b = ams_f2_counters(lineitem, F.col("l_orderkey"), kernel=False).collect()[0]
+    assert a.asDict() == b.asDict()
