@@ -989,6 +989,16 @@ _docs_query("text_quality_threshold_sweep", _text.quality_threshold_sweep, _text
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())
+# Round-5: the actual simhash PAIR search (pigeonhole multi-index,
+# WWW'07) — lossless vs the oracle's quadratic popcount scan. The
+# certified row set is the per-distance pair-count rollup (≤ k+1
+# rows at any corpus size); the raw pair set is the function's
+# deliverable and is pinned by tests/test_pipeline_ops.py.
+_docs_query(
+    "dedup_simhash_hamming_pairs",
+    _dedup.simhash_hamming_stats,
+    _dedup.simhash_hamming_stats_sql(),
+)
 _docs_query(
     "dedup_connected_clusters",
     _dedup.dedup_connected_clusters,

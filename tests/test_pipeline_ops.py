@@ -1669,3 +1669,41 @@ def test_adaptive_join_single_key_matches_oracle(spark, tmp_path):
     assert_df_matches_sql(out, con, adaptive_universe_join_sql(error_bp=500))
     row = out.collect()[0]
     assert row["fraction_used"] == 1.0 and row["n_keys_sampled"] == 1
+
+
+def test_simhash_hamming_pairs_pigeonhole_lossless(spark, synth_docs):
+    """The k+1-block candidate index must reproduce the quadratic
+    popcount scan exactly (pigeonhole completeness), find the known
+    near-dups at distance 0, and keep unrelated docs out."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(spark, synth_docs, k=3).collect()
+    }
+    # brute-force reference over the same signatures
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in synth_docs.select(
+            "doc_id", dedup.simhash_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sh[a] ^ sh[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert got[(1, 3)] == 0  # exact dup
+    assert (1, 4) in got and got[(1, 4)] == 0  # same token set
+    assert not any({a, b} == {1, 5} for a, b in got)  # unrelated apart
+
+
+def test_simhash_hamming_stats_rolls_up(spark, synth_docs):
+    stats = {
+        r["hamming"]: r["n_pairs"]
+        for r in dedup.simhash_hamming_stats(spark, synth_docs, k=3).collect()
+    }
+    pairs = dedup.simhash_hamming_pairs(spark, synth_docs, k=3).collect()
+    assert sum(stats.values()) == len(pairs)
+    assert all(0 <= h <= 3 for h in stats)
