@@ -135,3 +135,50 @@ SELECT r_bucket, f_bucket, count(*) AS n_customers,
        round(avg(m_bucket), 6) AS avg_m_bucket
 FROM scored GROUP BY r_bucket, f_bucket ORDER BY r_bucket, f_bucket
 """
+
+
+def key_frequency_spectrum(
+    spark: SparkSession, df: DataFrame, key: str, top: int = 20
+) -> DataFrame:
+    """Frequency-of-frequencies profile ("count of counts") for a key
+    column: one row per multiplicity f with the number of keys that
+    occur exactly f times — the spectrum that predicts dedup yield
+    (mass above f=1 is removable), join fan-out (Σ f² is the self-join
+    size — cross-checkable against the AMS sketch), and sampler choice
+    (a heavy tail argues for the outlier-index estimators). Also the
+    input Chao-style distinct estimators read (f1, f2).
+
+    Output: (freq, n_keys, n_rows) for the ``top`` most common
+    multiplicities by key count, freq-ascending — bounded readout at
+    any scale. Two grouped aggregates: O(N) then O(distinct keys);
+    both map-side combined.
+    """
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("freq"))
+    spec = (
+        per_key.groupBy("freq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .withColumn("n_rows", (F.col("freq") * F.col("n_keys")).cast("long"))
+    )
+    return (
+        spec.orderBy(F.col("n_keys").desc(), F.col("freq"))
+        .limit(top)
+        .orderBy("freq")
+        .select(F.col("freq").cast("long"), "n_keys", "n_rows")
+    )
+
+
+def key_frequency_spectrum_sql(table: str, key: str, top: int = 20) -> str:
+    return f"""
+WITH per_key AS (
+  SELECT {key}, count(*) AS freq FROM {table} GROUP BY {key}
+),
+spec AS (
+  SELECT CAST(freq AS BIGINT) AS freq,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(freq * count(*) AS BIGINT) AS n_rows
+  FROM per_key GROUP BY freq
+)
+SELECT freq, n_keys, n_rows
+FROM (SELECT * FROM spec ORDER BY n_keys DESC, freq LIMIT {top}) __t
+ORDER BY freq
+"""

@@ -1424,6 +1424,29 @@ def _profile_cols_oracle() -> str:
 _register("profile_table_columns", _profile_cols_fn, _profile_cols_oracle())
 
 
+def _freq_spectrum_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts over the lineitem join key: the spectrum that
+    predicts dedup yield, join fan-out (Σf² cross-checks the AMS
+    sketch) and feeds Chao-style estimators."""
+    from approximatequeryengine_spark.operators.profiling import (
+        key_frequency_spectrum,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    return key_frequency_spectrum(spark, cat.table("lineitem"), "l_orderkey")
+
+
+def _freq_spectrum_oracle() -> str:
+    from approximatequeryengine_spark.operators.profiling import (
+        key_frequency_spectrum_sql,
+    )
+
+    return key_frequency_spectrum_sql("lineitem", "l_orderkey")
+
+
+_register("profile_key_frequency_spectrum", _freq_spectrum_fn, _freq_spectrum_oracle())
+
+
 def _rfm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (operators/profiling.py): recency /
     frequency / monetary quintiles over the orders fact."""

@@ -72,3 +72,25 @@ def test_rfm_invariants_and_parity(spark, engine, duck):
     )
     assert avg1 > avg5
     assert_df_matches_sql(rfm_segments(spark, orders), duck, rfm_segments_sql())
+
+
+def test_key_frequency_spectrum(spark):
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.operators.profiling import (
+        key_frequency_spectrum,
+    )
+
+    li = Catalog(spark, "/root/testdata/sf0.01").table("lineitem")
+    rows = key_frequency_spectrum(spark, li, "l_orderkey", top=100).collect()
+    # conservation: Σ n_rows == |lineitem|, Σ n_keys == |distinct keys|
+    assert sum(r["n_rows"] for r in rows) == li.count()
+    assert sum(r["n_keys"] for r in rows) == li.select("l_orderkey").distinct().count()
+    assert all(r["n_rows"] == r["freq"] * r["n_keys"] for r in rows)
+    # Σ f²·n_keys is the exact self-join size the AMS sketch estimates
+    f2_exact = sum(r["freq"] ** 2 * r["n_keys"] for r in rows)
+    from pyspark.sql import functions as F
+
+    from approximatequeryengine_spark.plans.ams import ams_f2_estimate
+
+    est = ams_f2_estimate(li, F.col("l_orderkey")).collect()[0]["f2_estimate"]
+    assert abs(est - f2_exact) / f2_exact < 0.35
