@@ -279,6 +279,35 @@ _sql_query(
     "AND o_orderdate < TIMESTAMP '1997-01-01' "
     "GROUP BY n_name",
 )
+# TPC-H Q14-style promo revenue share: the two-branch conditional
+# aggregate over a fact⋈dim join (part broadcasts at any SF; the only
+# shuffle is lineitem's own aggregate). The fixture's p_type is the
+# plain category ('PROMO'), not TPC-H's three-word type string.
+_sql_query(
+    "tpch_q14_promo_revenue",
+    "SELECT round(100.00 * "
+    "sum(CASE WHEN p_type = 'PROMO' "
+    "    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+    "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-02-01'",
+)
+# TPC-H Q4-style priority check (adapted: the fixture has no
+# l_commitdate/l_receiptdate, so "late" = shipped >60 days after the
+# order date): per-priority counts of orders with at least one late
+# line — a correlated EXISTS planned as a left-semi hash join, never
+# a per-row subquery.
+_sql_query(
+    "tpch_q4_priority_late_orders",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1996-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "  WHERE l_orderkey = o_orderkey "
+    "  AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
 # SURVEY §2.4 beyond-reference — GROUPING SETS (subtotals + grand total
 # in one shuffle via Expand, vs three scans). coalesce() disambiguates
 # the rollup NULLs identically on both engines.
