@@ -253,3 +253,267 @@ SELECT round(est_cents / 100.0, 2) AS sum_value,
        iblocks AS blocks_interior
 FROM calc
 """
+
+
+def aqpplus_grouped_build(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: Column,
+    value_cents: Column,
+    group: str,
+    n_blocks: int = 64,
+) -> None:
+    """Grouped variant: one exact aggregate row per (block, group) —
+    the precomputation behind dashboard-style 'range rollup by
+    category' queries. Size O(blocks × |groups|), still KBs."""
+    base = df.select(
+        key.cast("long").alias("__key"),
+        value_cents.cast("long").alias("__cents"),
+        F.col(group).alias("__grp"),
+    )
+    mn, mx = base.agg(F.min("__key"), F.max("__key")).collect()[0]
+    if mn is None:
+        raise ValueError("aqpplus_grouped_build: no non-null keys")
+    width = max(1, (mx - mn + n_blocks) // n_blocks)
+    (
+        base.withColumn(
+            "block", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
+        )
+        .groupBy("block", "__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__cents").cast("long").alias("sum_cents"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/blocks")
+    )
+    meta = spark.createDataFrame(
+        [(int(mn), int(width), int(n_blocks))], "mn long, width long, n_blocks long"
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def aqpplus_grouped_append(
+    spark: SparkSession,
+    df_batch: DataFrame,
+    path: str,
+    key: Column,
+    value_cents: Column,
+    group: str,
+) -> None:
+    """Incremental maintenance: block aggregates are ADDITIVE, and the
+    (mn, width) grid is pinned by the persisted meta — batch keys
+    outside the original span land in new block ids (the arithmetic
+    extends to negative/overflow blocks without re-bucketing anything
+    already written). merge(blocks(base), blocks(batch)) ==
+    blocks(base ∪ batch) bit-for-bit; pinned in tests."""
+    mrow = spark.read.parquet(f"{path}/meta").collect()[0]
+    mn, width = int(mrow["mn"]), int(mrow["width"])
+    batch = (
+        df_batch.select(
+            key.cast("long").alias("__key"),
+            value_cents.cast("long").alias("__cents"),
+            F.col(group).alias("__grp"),
+        )
+        .withColumn(
+            "block", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
+        )
+        .groupBy("block", "__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__cents").cast("long").alias("sum_cents"),
+        )
+    )
+    merged = (
+        spark.read.parquet(f"{path}/blocks")
+        .unionByName(batch)
+        .groupBy("block", "__grp")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+    # localCheckpoint materializes the merge before the overwrite
+    # (reading and overwriting the same parquet path in one lazy plan
+    # would race the scan against the truncate).
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{path}/blocks"
+    )
+
+
+def aqpplus_grouped_range_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    lo: int,
+    hi: int,
+    key: Column,
+    value_cents: Column,
+    group: str,
+    row_key: Column,
+    fraction: float = 0.1,
+    salt: int = 0,
+    z: float = Z_95,
+) -> DataFrame:
+    """Grouped AQP++: per-group ``(sum_value, ci_lower, ci_upper,
+    n_samples, interior_rows)``, interior exact from the (block, group)
+    table, boundary slivers sampled ONCE and aggregated per group.
+    Groups whose boundary sample is empty still surface through their
+    interior rows (and vice versa)."""
+    mrow = spark.read.parquet(f"{path}/meta").collect()[0]
+    mn, width = int(mrow["mn"]), int(mrow["width"])
+    b_lo, b_hi = _interior_block_range(mn, width, lo, hi)
+
+    blocks = spark.read.parquet(f"{path}/blocks")
+    if b_lo <= b_hi:
+        interior = (
+            blocks.filter(F.col("block").between(b_lo, b_hi))
+            .groupBy("__grp")
+            .agg(
+                F.sum("sum_cents").cast("long").alias("icents"),
+                F.sum("n_rows").cast("long").alias("irows"),
+            )
+        )
+    else:
+        interior = (
+            blocks.select("__grp")
+            .distinct()
+            .select(
+                "__grp",
+                F.lit(0).cast("long").alias("icents"),
+                F.lit(0).cast("long").alias("irows"),
+            )
+        )
+
+    k = key.cast("long")
+    boundary = F.col("__k").between(F.lit(lo), F.lit(hi))
+    if b_lo <= b_hi:
+        int_lo = mn + b_lo * width
+        int_hi = mn + (b_hi + 1) * width - 1
+        boundary = boundary & ~F.col("__k").between(F.lit(int_lo), F.lit(int_hi))
+
+    base = df.select(
+        k.alias("__k"),
+        value_cents.cast("long").alias("__cents"),
+        F.col(group).alias("__grp"),
+        row_key.cast("long").alias("__rk"),
+    ).filter(boundary)
+    thr = fraction_threshold(fraction)
+    sampled = base.filter(portable_hash_col(F.col("__rk"), salt=salt) < F.lit(thr))
+    m = sampled.groupBy("__grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("__cents"), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(
+            F.sum(F.col("__cents").cast("double") * F.col("__cents")), F.lit(0.0)
+        ).alias("s2"),
+    )
+
+    joined = interior.join(m, on="__grp", how="full").select(
+        F.col("__grp"),
+        F.coalesce(F.col("icents"), F.lit(0)).alias("icents"),
+        F.coalesce(F.col("irows"), F.lit(0)).alias("irows"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("s1"), F.lit(0)).alias("s1"),
+        F.coalesce(F.col("s2"), F.lit(0.0)).alias("s2"),
+    )
+    inv_f = 1.0 / fraction
+    est_cents = F.col("icents").cast("double") + F.col("s1") * F.lit(inv_f)
+    vht_d = F.col("s2") * F.lit((1.0 - fraction) / (fraction * fraction) / 10000.0)
+    margin_d = F.lit(z) * F.sqrt(F.greatest(vht_d, F.lit(0.0)))
+    margin_d = F.when(F.col("n") >= 2, margin_d).otherwise(F.lit(0.0))
+    margin_d = F.when(
+        margin_d > 0, F.greatest(F.round(margin_d, 0), F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("__grp").alias("grp"),
+        F.round(est_cents / F.lit(100.0), 2).alias("sum_value"),
+        F.round(est_cents / F.lit(100.0) - margin_d, 2).alias("ci_lower"),
+        F.round(est_cents / F.lit(100.0) + margin_d, 2).alias("ci_upper"),
+        F.col("n").cast("long").alias("n_samples"),
+        F.col("irows").cast("long").alias("interior_rows"),
+    )
+
+
+def aqpplus_grouped_range_sum_sql(
+    table: str,
+    key_sql: str,
+    value_cents_sql: str,
+    row_key_sql: str,
+    group_sql: str,
+    lo: int,
+    hi: int,
+    n_blocks: int = 64,
+    fraction: float = 0.1,
+    salt: int = 0,
+    z: float = Z_95,
+) -> str:
+    """DuckDB oracle for the grouped variant — layout, per-group
+    interior, shared boundary sample, per-group HT + CI."""
+    thr = fraction_threshold(fraction)
+    inv_f = 1.0 / fraction
+    vconst = (1.0 - fraction) / (fraction * fraction) / 10000.0
+    h = portable_hash_sql("rk", salt)
+    return f"""
+WITH base AS (
+  SELECT CAST({key_sql} AS BIGINT) AS k,
+         CAST({value_cents_sql} AS BIGINT) AS cents,
+         CAST({row_key_sql} AS BIGINT) AS rk,
+         {group_sql} AS grp
+  FROM {table}
+),
+meta AS (
+  SELECT min(k) AS mn,
+         greatest(1, CAST(floor((max(k) - min(k) + {n_blocks}) / {n_blocks}.0) AS BIGINT)) AS width
+  FROM base
+),
+bounds AS (
+  SELECT mn, width,
+         CAST(ceil(({lo} - mn) / (width * 1.0)) AS BIGINT) AS b_lo,
+         CAST(floor(({hi} - mn + 1) / (width * 1.0)) AS BIGINT) - 1 AS b_hi
+  FROM meta
+),
+interior AS (
+  SELECT grp,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS icents,
+         CAST(count(*) AS BIGINT) AS irows
+  FROM base, bounds b
+  WHERE b.b_lo <= b.b_hi
+    AND CAST(floor((k - b.mn) / (b.width * 1.0)) AS BIGINT) BETWEEN b.b_lo AND b.b_hi
+  GROUP BY grp
+),
+groups AS ( SELECT DISTINCT grp FROM base ),
+sample AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS s1,
+         coalesce(sum(CAST(cents AS DOUBLE) * cents), 0.0) AS s2
+  FROM base, bounds b
+  WHERE k BETWEEN {lo} AND {hi}
+    AND NOT (b.b_lo <= b.b_hi
+             AND k BETWEEN b.mn + b.b_lo * b.width
+                       AND b.mn + (b.b_hi + 1) * b.width - 1)
+    AND {h} < {thr}
+  GROUP BY grp
+),
+calc AS (
+  SELECT g.grp,
+         coalesce(i.icents, 0) AS icents,
+         coalesce(i.irows, 0) AS irows,
+         coalesce(s.n, 0) AS n,
+         CAST(coalesce(i.icents, 0) AS DOUBLE) + coalesce(s.s1, 0) * {inv_f!r} AS est_cents,
+         CASE WHEN coalesce(s.n, 0) >= 2
+              THEN {z!r} * sqrt(greatest(coalesce(s.s2, 0.0) * {vconst!r}, 0.0))
+              ELSE 0.0 END AS m0
+  FROM groups g
+  LEFT JOIN interior i ON g.grp = i.grp
+  LEFT JOIN sample s ON g.grp = s.grp
+)
+SELECT grp,
+       round(est_cents / 100.0, 2) AS sum_value,
+       round(est_cents / 100.0 - (CASE WHEN m0 > 0 THEN greatest(round(m0, 0), 1.0) ELSE 0.0 END), 2) AS ci_lower,
+       round(est_cents / 100.0 + (CASE WHEN m0 > 0 THEN greatest(round(m0, 0), 1.0) ELSE 0.0 END), 2) AS ci_upper,
+       n AS n_samples,
+       irows AS interior_rows
+FROM calc
+"""

@@ -2532,6 +2532,64 @@ def _aqpplus_oracle() -> str:
 _register("aqpplus_range_sum", _aqpplus_fn, _aqpplus_oracle())
 
 
+def _aqpplus_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped AQP++ (dashboard shape): per-priority range revenue
+    with exact (block, group) interiors and one shared boundary
+    sample — the grouped complement of aqpplus_range_sum."""
+    import tempfile
+
+    from approximatequeryengine_spark.plans.aqpplus import (
+        aqpplus_grouped_build,
+        aqpplus_grouped_range_sum,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    path = tempfile.mkdtemp(prefix="aqe_aqppg_")
+    key = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    aqpplus_grouped_build(
+        spark, orders, path, key, cents, group="o_orderpriority", n_blocks=64
+    )
+    return aqpplus_grouped_range_sum(
+        spark,
+        orders,
+        path,
+        _AQPP_LO,
+        _AQPP_HI,
+        key,
+        cents,
+        group="o_orderpriority",
+        row_key=F.col("o_orderkey"),
+        fraction=0.1,
+    ).withColumnRenamed("grp", "o_orderpriority")
+
+
+def _aqpplus_grouped_oracle() -> str:
+    from approximatequeryengine_spark.plans.aqpplus import (
+        aqpplus_grouped_range_sum_sql,
+    )
+
+    inner = aqpplus_grouped_range_sum_sql(
+        "orders",
+        key_sql="date_diff('day', DATE '1970-01-01', o_orderdate)",
+        value_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+        row_key_sql="o_orderkey",
+        group_sql="o_orderpriority",
+        lo=_AQPP_LO,
+        hi=_AQPP_HI,
+        n_blocks=64,
+        fraction=0.1,
+    )
+    return (
+        "SELECT grp AS o_orderpriority, sum_value, ci_lower, ci_upper, "
+        f"n_samples, interior_rows FROM ({inner}) __g"
+    )
+
+
+_register("aqpplus_grouped_range_sum", _aqpplus_grouped_fn, _aqpplus_grouped_oracle())
+
+
 def _join_synopsis_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AQUA join synopsis (SIGMOD'99): persist a 10% uniform sample of
     lineitem ⋈ orders (fact-side hash sample × FK join = true

@@ -155,3 +155,82 @@ def test_build_rejects_all_null_keys(spark):
             spark, df, tempfile.mkdtemp(prefix="aqpp_null_"),
             F.col("k"), F.col("v"),
         )
+
+
+@pytest.fixture(scope="module")
+def grouped_built(spark, orders):
+    from approximatequeryengine_spark.plans.aqpplus import aqpplus_grouped_build
+
+    path = tempfile.mkdtemp(prefix="aqppg_test_")
+    aqpplus_grouped_build(
+        spark, orders, path, _key(), _cents(), group="o_orderpriority", n_blocks=64
+    )
+    return path
+
+
+def test_grouped_estimates_cover_exact_per_group(spark, orders, grouped_built):
+    from approximatequeryengine_spark.plans.aqpplus import (
+        aqpplus_grouped_range_sum,
+    )
+
+    con = _duck(SF_DIR_MED)
+    lo, hi = 8500, 10226
+    rows = aqpplus_grouped_range_sum(
+        spark, orders, grouped_built, lo, hi, _key(), _cents(),
+        group="o_orderpriority", row_key=F.col("o_orderkey"), fraction=0.1,
+    ).collect()
+    exact = dict(
+        con.execute(
+            f"SELECT o_orderpriority, round(sum({CENTS_SQL})/100.0, 2) "
+            f"FROM orders WHERE {KEY_SQL} BETWEEN {lo} AND {hi} GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == len(exact)
+    for r in rows:
+        ex = float(exact[r["grp"]])
+        assert r["ci_lower"] <= ex <= r["ci_upper"], (r, ex)
+        # interior dominates: the CI is far narrower than the estimate
+        assert (r["ci_upper"] - r["ci_lower"]) < 0.2 * r["sum_value"]
+
+
+def test_grouped_append_equals_rebuild(spark, orders):
+    from approximatequeryengine_spark.plans.aqpplus import (
+        aqpplus_grouped_append,
+        aqpplus_grouped_build,
+    )
+
+    old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 3 == 0)
+
+    inc = tempfile.mkdtemp(prefix="aqppg_inc_")
+    aqpplus_grouped_build(
+        spark, old, inc, _key(), _cents(), group="o_orderpriority", n_blocks=64
+    )
+    aqpplus_grouped_append(
+        spark, batch, inc, _key(), _cents(), group="o_orderpriority"
+    )
+    # rebuild on the full table, PINNED to the incremental grid (the
+    # full rebuild would re-derive mn/width from a wider key span, so
+    # compare against a rebuild over the same meta: batch == rest)
+    a = spark.read.parquet(f"{inc}/blocks").collect()
+    merged = {}
+    for src in (old, batch):
+        mrow = spark.read.parquet(f"{inc}/meta").collect()[0]
+        mn, width = int(mrow["mn"]), int(mrow["width"])
+        for r in (
+            src.select(
+                ((_key().cast("long") - F.lit(mn)) / F.lit(width))
+                .cast("long")
+                .alias("block"),
+                F.col("o_orderpriority").alias("__grp"),
+                _cents().cast("long").alias("c"),
+            )
+            .groupBy("block", "__grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+            .collect()
+        ):
+            key = (r["block"], r["__grp"])
+            n0, s0 = merged.get(key, (0, 0))
+            merged[key] = (n0 + r["n"], s0 + r["s"])
+    got = {(r["block"], r["__grp"]): (r["n_rows"], r["sum_cents"]) for r in a}
+    assert got == merged
