@@ -2665,6 +2665,69 @@ def _join_synopsis_oracle() -> str:
 _register("join_synopsis_revenue", _join_synopsis_fn, _join_synopsis_oracle())
 
 
+def _join_synopsis_quantiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles OVER A JOIN from the synopsis alone: per-priority
+    median line price of lineitem ⋈ orders with the order-statistic
+    CI — an exact grouped quantile needs the full join sorted; the
+    synopsis answers it from f·|fact| rows, and the binomial CI is
+    honest about the sampling. The oracle replays sample → join →
+    identical rank arithmetic on the base tables."""
+    import tempfile
+
+    from approximatequeryengine_spark.plans.joinsynopsis import (
+        join_synopsis_build,
+    )
+    from approximatequeryengine_spark.plans.quantiles import (
+        grouped_quantile_ci_sql,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="aqe_joinsynq_") + "/syn"
+    join_synopsis_build(
+        spark,
+        path,
+        fact=cat.table("lineitem"),
+        dim=cat.table("orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        fact_key=_LKEY,
+        fraction=0.1,
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"],
+    )
+    spark.read.parquet(path).createOrReplaceTempView("__join_synopsis_q")
+    sql = grouped_quantile_ci_sql(
+        table="__join_synopsis_q",
+        column="l_extendedprice",
+        group_col="o_orderpriority",
+        q=0.5,
+        spec=SamplingSpec(design="none", key=_LKEY),
+    )
+    return spark.sql(sql)
+
+
+def _join_synopsis_quantiles_oracle() -> str:
+    from approximatequeryengine_spark.plans.quantiles import (
+        grouped_quantile_ci_sql,
+    )
+
+    # same rank arithmetic, but the sample is re-derived from the base
+    # join via the hash predicate — identical sample content, so the
+    # order statistics match element-for-element.
+    return grouped_quantile_ci_sql(
+        table="lineitem JOIN orders ON l_orderkey = o_orderkey",
+        column="l_extendedprice",
+        group_col="o_orderpriority",
+        q=0.5,
+        spec=SamplingSpec(design="uniform_hash", fraction=0.1, key=_LKEY),
+    )
+
+
+_register(
+    "join_synopsis_price_quantiles",
+    _join_synopsis_quantiles_fn,
+    _join_synopsis_quantiles_oracle(),
+)
+
+
 def _kmv_setops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta set operations (round 4): distinct-part overlap
     between the extreme-low (<3) and extreme-high (>48) quantity

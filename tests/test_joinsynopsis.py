@@ -138,3 +138,37 @@ def test_append_equals_rebuild(spark, tables):
     b = spark.read.parquet(full)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_quantiles_over_the_join_from_synopsis(spark, tables, built):
+    """Median line price per priority from the synopsis covers the
+    exact join median per group (binomial CI)."""
+    from approximatequeryengine_spark.plans.quantiles import (
+        grouped_quantile_ci_sql,
+    )
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec
+
+    con = _duck(SF_DIR_MED)
+    syn = spark.read.parquet(built)
+    syn.createOrReplaceTempView("__syn_q_test")
+    rows = spark.sql(
+        grouped_quantile_ci_sql(
+            table="__syn_q_test",
+            column="l_extendedprice",
+            group_col="o_orderpriority",
+            q=0.5,
+            spec=SamplingSpec(design="none", key=LKEY),
+        )
+    ).collect()
+    exact = dict(
+        con.execute(
+            "SELECT o_orderpriority, median(l_extendedprice) FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == 5
+    covered = sum(
+        r["ci_lower"] <= float(exact[r["o_orderpriority"]]) <= r["ci_upper"]
+        for r in rows
+    )
+    assert covered >= 4, covered
