@@ -127,7 +127,18 @@ def _ams_counters_pandas(
         # per-batch processing pays the 48-salt Python loop once per
         # 10k-row batch (thousands of tiny numpy calls); per-partition
         # it runs once over ~N/cores rows (a few MB of int64).
-        chunks = [pdf["__k"].to_numpy(dtype=np.int64) for pdf in it]
+        # NULL keys: the expression path sums sign(NULL) = NULL (the
+        # aggregate skips it) while count(1) still counts the row —
+        # mirror that exactly (a raw to_numpy(int64) would crash on
+        # the NaN/NA a nullable long column arrives as).
+        n_all = 0
+        chunks = []
+        for pdf in it:
+            col = pdf["__k"]
+            n_all += len(col)
+            nn = col.dropna()
+            if len(nn):
+                chunks.append(nn.to_numpy(dtype=np.int64))
         keys = np.abs(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
         buf = np.empty_like(keys)
         row = {}
@@ -145,7 +156,7 @@ def _ams_counters_pandas(
                 buf += 144
                 buf &= ma32
             row[f"c{j}"] = [int((2 * ((buf >> 31) & 1) - 1).sum())]
-        row["n_rows"] = [len(keys)]
+        row["n_rows"] = [n_all]
         yield pd.DataFrame(row)
 
     schema = ", ".join([f"c{j} long" for j in range(gk)] + ["n_rows long"])

@@ -56,8 +56,7 @@ from approximatequeryengine_spark.functions.hashing import (
     portable_hash_col,
     portable_hash_sql,
 )
-
-Z_95 = 1.959963984540054
+from approximatequeryengine_spark.plans.estimators import Z_95, ht_integer_margin
 
 
 def aqpplus_build(
@@ -81,7 +80,7 @@ def aqpplus_build(
     width = max(1, (mx - mn + n_blocks) // n_blocks)
     (
         base.withColumn(
-            "block", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
+            "block", F.floor((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
         )
         .groupBy("block")
         .agg(
@@ -165,11 +164,7 @@ def aqpplus_range_sum(
     # to exactly-summed integer moments (determinism contract above).
     est_cents = F.lit(float(interior_cents)) + F.col("s1") * F.lit(inv_f)
     vht_d = F.col("s2") * F.lit((1.0 - fraction) / (fraction * fraction) / 10000.0)
-    margin_d = F.lit(z) * F.sqrt(F.greatest(vht_d, F.lit(0.0)))
-    margin_d = F.when(F.col("n") >= 2, margin_d).otherwise(F.lit(0.0))
-    margin_d = F.when(
-        margin_d > 0, F.greatest(F.round(margin_d, 0), F.lit(1.0))
-    ).otherwise(F.lit(0.0))
+    margin_d = ht_integer_margin(F.col("n"), vht_d, z)
     est_d = F.round(est_cents / F.lit(100.0), 2)
     return m.select(
         est_d.alias("sum_value"),
@@ -278,7 +273,7 @@ def aqpplus_grouped_build(
     width = max(1, (mx - mn + n_blocks) // n_blocks)
     (
         base.withColumn(
-            "block", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
+            "block", F.floor((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
         )
         .groupBy("block", "__grp")
         .agg(
@@ -317,7 +312,7 @@ def aqpplus_grouped_append(
             F.col(group).alias("__grp"),
         )
         .withColumn(
-            "block", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
+            "block", F.floor((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
         )
         .groupBy("block", "__grp")
         .agg(
@@ -366,8 +361,13 @@ def aqpplus_grouped_range_sum(
     b_lo, b_hi = _interior_block_range(mn, width, lo, hi)
 
     blocks = spark.read.parquet(f"{path}/blocks")
+    # group universe from the block table (it covers EVERY row, so its
+    # distinct groups equal the base table's): a group with no interior
+    # rows and no sampled boundary rows must still surface with a 0.0
+    # estimate, exactly as the oracle's DISTINCT-groups LEFT JOIN does.
+    all_groups = blocks.select("__grp").distinct()
     if b_lo <= b_hi:
-        interior = (
+        interior_agg = (
             blocks.filter(F.col("block").between(b_lo, b_hi))
             .groupBy("__grp")
             .agg(
@@ -375,15 +375,16 @@ def aqpplus_grouped_range_sum(
                 F.sum("n_rows").cast("long").alias("irows"),
             )
         )
+        interior = all_groups.join(interior_agg, on="__grp", how="left").select(
+            "__grp",
+            F.coalesce(F.col("icents"), F.lit(0)).cast("long").alias("icents"),
+            F.coalesce(F.col("irows"), F.lit(0)).cast("long").alias("irows"),
+        )
     else:
-        interior = (
-            blocks.select("__grp")
-            .distinct()
-            .select(
-                "__grp",
-                F.lit(0).cast("long").alias("icents"),
-                F.lit(0).cast("long").alias("irows"),
-            )
+        interior = all_groups.select(
+            "__grp",
+            F.lit(0).cast("long").alias("icents"),
+            F.lit(0).cast("long").alias("irows"),
         )
 
     k = key.cast("long")
@@ -420,11 +421,7 @@ def aqpplus_grouped_range_sum(
     inv_f = 1.0 / fraction
     est_cents = F.col("icents").cast("double") + F.col("s1") * F.lit(inv_f)
     vht_d = F.col("s2") * F.lit((1.0 - fraction) / (fraction * fraction) / 10000.0)
-    margin_d = F.lit(z) * F.sqrt(F.greatest(vht_d, F.lit(0.0)))
-    margin_d = F.when(F.col("n") >= 2, margin_d).otherwise(F.lit(0.0))
-    margin_d = F.when(
-        margin_d > 0, F.greatest(F.round(margin_d, 0), F.lit(1.0))
-    ).otherwise(F.lit(0.0))
+    margin_d = ht_integer_margin(F.col("n"), vht_d, z)
     return joined.select(
         F.col("__grp").alias("grp"),
         F.round(est_cents / F.lit(100.0), 2).alias("sum_value"),

@@ -38,6 +38,19 @@ from approximatequeryengine_spark.plans.sampling import P_COL
 Z_95 = 1.959963984540054  # two-sided 95% normal quantile
 
 
+def ht_integer_margin(n: Column, vht: Column, z: float = Z_95) -> Column:
+    """The engine's SUM-margin convention as one shared expression:
+    ``z·√vht`` in the OUTPUT's units, gated to 0 for n < 2, and
+    rounded to a whole unit with a floor of 1 when positive (see
+    ``_ci_columns`` for the boundary-noise rationale). Used by every
+    cents-grid HT estimator outside this module (AQP++, Sample+Seek,
+    wander join) so the ritual cannot drift per copy — each caller's
+    oracle renders the identical CASE/round/greatest chain."""
+    m = F.lit(z) * F.sqrt(F.greatest(vht, F.lit(0.0)))
+    m = F.when(n >= F.lit(2), m).otherwise(F.lit(0.0))
+    return F.when(m > 0, F.greatest(F.round(m, 0), F.lit(1.0))).otherwise(F.lit(0.0))
+
+
 @dataclass
 class AggSpec:
     func: str  # sum | avg | count | min | max

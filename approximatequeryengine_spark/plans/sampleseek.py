@@ -49,8 +49,7 @@ from approximatequeryengine_spark.functions.hashing import (
     portable_hash_col,
     portable_hash_sql,
 )
-
-Z_95 = 1.959963984540054
+from approximatequeryengine_spark.plans.estimators import Z_95, ht_integer_margin
 
 
 def sample_seek_range_sum(
@@ -68,13 +67,15 @@ def sample_seek_range_sum(
     as a column named ``row_key``). One row; see module docstring for
     the schema."""
     zm_rows = spark.read.parquet(f"{zonemap_path}/zonemap").collect()
-    total_rows = sum(int(r["n_rows"]) for r in zm_rows)
-    cells = sorted(
-        int(r["__zone"]) for r in zm_rows if r["zmax"] >= lo and r["zmin"] <= hi
-    )
-    overlap_rows = sum(
-        int(r["n_rows"]) for r in zm_rows if int(r["__zone"]) in set(cells)
-    )
+    total_rows = 0
+    overlap_rows = 0
+    cells = []
+    for r in zm_rows:
+        total_rows += int(r["n_rows"])
+        if r["zmax"] >= lo and r["zmin"] <= hi:
+            cells.append(int(r["__zone"]))
+            overlap_rows += int(r["n_rows"])
+    cells.sort()
     sel_est = overlap_rows / total_rows if total_rows else 0.0
     seek = sel_est <= seek_threshold
 
@@ -111,11 +112,7 @@ def sample_seek_range_sum(
     )
     est_cents = F.col("s1") * F.lit(1.0 / fraction)
     vht_d = F.col("s2") * F.lit((1.0 - fraction) / (fraction * fraction) / 10000.0)
-    margin_d = F.lit(z) * F.sqrt(F.greatest(vht_d, F.lit(0.0)))
-    margin_d = F.when(F.col("n") >= 2, margin_d).otherwise(F.lit(0.0))
-    margin_d = F.when(
-        margin_d > 0, F.greatest(F.round(margin_d, 0), F.lit(1.0))
-    ).otherwise(F.lit(0.0))
+    margin_d = ht_integer_margin(F.col("n"), vht_d, z)
     return m.select(
         F.round(est_cents / F.lit(100.0), 2).alias("sum_value"),
         F.round(est_cents / F.lit(100.0) - margin_d, 2).alias("ci_lower"),

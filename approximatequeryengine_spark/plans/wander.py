@@ -48,8 +48,7 @@ from approximatequeryengine_spark.functions.hashing import (
     portable_hash_col,
     portable_hash_sql,
 )
-
-Z_95 = 1.959963984540054
+from approximatequeryengine_spark.plans.estimators import Z_95, ht_integer_margin
 WALK_SALT = 17  # partner-pick hash family (left inclusion uses salt 0)
 
 
@@ -100,15 +99,17 @@ def wander_join_abs_gap(
     m = walks.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0)).cast("long").alias("s2"),
+        # x² in DOUBLE like the sibling estimators: a hot key with n_r
+        # partners makes x ~ |Δcents|·n_r, and x² overflows int64
+        # silently in Spark (wraps) but raises in DuckDB — the margin
+        # is integer-rounded anyway, so double noise is absorbed.
+        F.coalesce(
+            F.sum(F.col("x").cast("double") * F.col("x")), F.lit(0.0)
+        ).alias("s2"),
     )
     est_cents = F.col("s1") * F.lit(1.0 / p)
     vht_d = F.col("s2") * F.lit((1.0 - p) / (p * p) / 10000.0)
-    margin_d = F.lit(z) * F.sqrt(F.greatest(vht_d, F.lit(0.0)))
-    margin_d = F.when(F.col("n") >= 2, margin_d).otherwise(F.lit(0.0))
-    margin_d = F.when(
-        margin_d > 0, F.greatest(F.round(margin_d, 0), F.lit(1.0))
-    ).otherwise(F.lit(0.0))
+    margin_d = ht_integer_margin(F.col("n"), vht_d, z)
     return m.select(
         F.round(est_cents / F.lit(100.0), 2).alias("join_sum_value"),
         F.round(est_cents / F.lit(100.0) - margin_d, 2).alias("ci_lower"),
@@ -157,7 +158,7 @@ walks AS (
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(coalesce(sum(x), 0) AS BIGINT) AS s1,
-         CAST(coalesce(sum(x * x), 0) AS BIGINT) AS s2
+         coalesce(sum(CAST(x AS DOUBLE) * x), 0.0) AS s2
   FROM walks
 ),
 calc AS (

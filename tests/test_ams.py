@@ -77,3 +77,15 @@ def test_kernel_and_expression_paths_bit_identical(spark, lineitem):
     a = ams_f2_counters(lineitem, F.col("l_orderkey"), kernel=True).collect()[0]
     b = ams_f2_counters(lineitem, F.col("l_orderkey"), kernel=False).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_kernel_handles_null_keys_like_expression_path(spark):
+    from approximatequeryengine_spark.plans.ams import ams_f2_counters
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (3,), (None,)], "k long"
+    )
+    a = ams_f2_counters(df, F.col("k"), kernel=True).collect()[0].asDict()
+    b = ams_f2_counters(df, F.col("k"), kernel=False).collect()[0].asDict()
+    assert a["n_rows"] == b["n_rows"] == 5
+    assert a == b

@@ -234,3 +234,65 @@ def test_grouped_append_equals_rebuild(spark, orders):
             merged[key] = (n0 + r["n"], s0 + r["s"])
     got = {(r["block"], r["__grp"]): (r["n_rows"], r["sum_cents"]) for r in a}
     assert got == merged
+
+
+def test_append_with_keys_below_mn_uses_floor_blocks(spark):
+    """Late-arriving keys below the pinned mn must land in NEGATIVE
+    blocks (floor), not truncate into block 0 — truncation would
+    double-count them against the oracle's floor() layout."""
+    from approximatequeryengine_spark.plans.aqpplus import (
+        aqpplus_grouped_append,
+        aqpplus_grouped_build,
+    )
+
+    base = spark.createDataFrame(
+        [(100 + i, 10, "g") for i in range(60)], "k long, c long, g string"
+    )
+    late = spark.createDataFrame([(95, 7, "g")], "k long, c long, g string")
+    path = tempfile.mkdtemp(prefix="aqpp_neg_")
+    aqpplus_grouped_build(
+        spark, base, path, F.col("k"), F.col("c"), group="g", n_blocks=4
+    )
+    aqpplus_grouped_append(spark, late, path, F.col("k"), F.col("c"), group="g")
+    blocks = {r["block"]: r for r in spark.read.parquet(f"{path}/blocks").collect()}
+    mrow = spark.read.parquet(f"{path}/meta").collect()[0]
+    mn, width = int(mrow["mn"]), int(mrow["width"])
+    want_block = (95 - mn) // width  # Python floor division: negative
+    assert want_block < 0
+    assert blocks[want_block]["n_rows"] == 1
+    assert blocks[want_block]["sum_cents"] == 7
+    # block 0 holds only the original keys
+    assert blocks[0]["sum_cents"] == sum(
+        10 for i in range(60) if (100 + i - mn) // width == 0
+    )
+
+
+def test_grouped_group_with_no_range_rows_still_surfaces(spark):
+    """A group whose rows all lie OUTSIDE [lo, hi] must still emit a
+    0.0 row (the oracle's DISTINCT-groups join does; the engine's
+    group universe comes from the block table)."""
+    from approximatequeryengine_spark.plans.aqpplus import (
+        aqpplus_grouped_build,
+        aqpplus_grouped_range_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10, "in_range") for i in range(100)]
+        + [(1000 + i, 20, "outside") for i in range(100)],
+        "k long, c long, g string",
+    )
+    path = tempfile.mkdtemp(prefix="aqpp_gap_")
+    aqpplus_grouped_build(
+        spark, df, path, F.col("k"), F.col("c"), group="g", n_blocks=8
+    )
+    rows = {
+        r["grp"]: r
+        for r in aqpplus_grouped_range_sum(
+            spark, df, path, 0, 99, F.col("k"), F.col("c"),
+            group="g", row_key=F.col("k"), fraction=0.5,
+        ).collect()
+    }
+    assert set(rows) == {"in_range", "outside"}
+    assert rows["outside"]["sum_value"] == 0.0
+    assert rows["outside"]["n_samples"] == 0
+    assert rows["in_range"]["sum_value"] > 0

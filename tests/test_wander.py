@@ -101,3 +101,36 @@ def test_empty_left_side(spark, events):
     ).collect()[0]
     assert row["n_walks"] == 0
     assert row["join_sum_value"] == 0.0
+
+
+def test_hot_key_variance_does_not_overflow(spark):
+    """A hot partner key makes x² exceed int64; the double-summed s2
+    must stay finite and positive (a wrapped BIGINT sum would zero or
+    negate the CI width)."""
+    import pandas as pd
+
+    n_r = 30_000
+    purchases = pd.DataFrame(
+        {
+            "event_id": range(n_r),
+            "user_id": [1] * n_r,
+            "event_type": ["purchase"] * n_r,
+            "value": [30_000.0] * n_r,
+        }
+    )
+    clicks = pd.DataFrame(
+        {
+            "event_id": range(n_r, n_r + 40),
+            "user_id": [1] * 40,
+            "event_type": ["click"] * 40,
+            "value": [0.01] * 40,
+        }
+    )
+    events = spark.createDataFrame(pd.concat([purchases, clicks]))
+    row = wander_join_abs_gap(events, fraction=0.5).collect()[0]
+    assert row["n_walks"] > 0
+    width = row["ci_upper"] - row["ci_lower"]
+    assert width > 0  # overflow would collapse or negate it
+    # per-walk x = |diff| * n_r ~ 9e10, x^2 ~ 8e21 > 2^63: the sum is
+    # only representable in double
+    assert row["join_sum_value"] > 0
