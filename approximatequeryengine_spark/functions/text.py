@@ -76,3 +76,14 @@ def word_shingles_sql(tokens_ident: str, n: int = 3) -> str:
         f"(CASE WHEN len({t}) >= {n} THEN {grams} "
         f"ELSE [array_to_string({t}, ' ')] END)"
     )
+
+
+def str_hash60_col(col: Column) -> Column:
+    """First 60 bits of md5 as a bigint (15 hex digits — always
+    non-negative, well inside int64): the wide-signature base hash the
+    scale SimHash path votes over."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def str_hash60_sql(expr: str) -> str:
+    return f"(('0x' || substring(md5({expr}), 1, 15))::BIGINT)"

@@ -1679,12 +1679,10 @@ def test_simhash_hamming_pairs_pigeonhole_lossless(spark, synth_docs):
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in dedup.simhash_hamming_pairs(spark, synth_docs, k=3).collect()
     }
-    # brute-force reference over the same signatures
+    # brute-force reference over the same (wide) signatures
     sh = {
         r["doc_id"]: r["sh"]
-        for r in synth_docs.select(
-            "doc_id", dedup.simhash_col(F.col("text")).alias("sh")
-        ).collect()
+        for r in dedup.simhash_wide_sig(synth_docs).collect()
     }
     ids = sorted(sh)
     want = {}
