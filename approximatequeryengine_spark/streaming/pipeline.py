@@ -586,3 +586,86 @@ def ams_f2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters_stream = ams_f2_counters(stream, F.col("k"))
     counters = run_to_memory_sink(counters_stream, "complete")
     return ams_f2_readout(counters)
+
+
+def lambda_serving_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    split_day: str = "2024-01-25",
+    day_lo: str = "2024-01-01",
+    day_hi: str = "2024-01-30",
+    alpha: float = 0.01,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Lambda-architecture serving view: per-type value percentiles
+    over [day_lo, day_hi] answered by MERGING the batch DDSketch
+    rollup store (closed days, ingested once, day-partition-pruned at
+    query time) with an incrementally-maintained streaming sketch of
+    the open tail (days ≥ split_day, complete-mode micro-batch state)
+    — the batch layer never rescans, the speed layer holds O(groups ×
+    buckets) state, and because DDSketch buckets are exactly mergeable
+    the union loses NOTHING: the driver oracle derives the same
+    answers from the raw events across the whole range, certifying
+    batch + stream + merge end-to-end."""
+    from approximatequeryengine_spark.catalog import Catalog
+    from approximatequeryengine_spark.plans.ddsketch import (
+        _params,
+        ddsketch_readout,
+        ddsketch_store_write,
+    )
+    import tempfile
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    split = F.lit(split_day).cast("date")
+
+    # batch layer: rollup store over the CLOSED days only
+    path = tempfile.mkdtemp(prefix="aqe_lambda_")
+    ddsketch_store_write(
+        spark,
+        events.filter(F.col("ts").cast("date") < split),
+        path,
+        ts_col="ts",
+        group="event_type",
+        column="value",
+        alpha=alpha,
+    )
+    # explicit schema: an ALL-STREAM split (split_day at or before the
+    # data start) writes an empty store whose schema can't be inferred
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = (
+            spark.read.schema("g string, b long, c long, day string")
+            .parquet(f"{path}/buckets")
+            .filter(F.col("day").cast("string").between(day_lo, day_hi))
+            .select("g", "b", "c")
+        )
+        store.take(1)
+    except AnalysisException:
+        store = spark.createDataFrame([], "g string, b long, c long")
+
+    # speed layer: the open tail as a stream, stateless bucketize +
+    # complete-mode counts (same arithmetic as ddsketch_store_write)
+    _, lg = _params(alpha)
+    tail = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts").cast("date") >= split)
+        .filter(F.col("ts").cast("date").cast("string") <= day_hi)
+        .filter(F.col("value") > 0)
+        .select(
+            F.col("event_type").alias("g"),
+            F.ceil(F.log(F.col("value").cast("double")) / F.lit(lg))
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = run_to_memory_sink(tail, "complete")
+
+    merged = (
+        store.unionByName(drained)
+        .groupBy("g", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return ddsketch_readout(merged, alpha, qs, group="event_type")

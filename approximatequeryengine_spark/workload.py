@@ -434,6 +434,35 @@ _sql_query(
         "WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20"
     ),
 )
+# Top-k groups + exact OTHERS residual: the honest high-cardinality
+# group-by answer shape — a dashboard wants "the top 10 and how much
+# everything else adds up to", and at 100 TB emitting ALL groups is
+# the bug. One grouped pass; the residual derives from the SAME
+# aggregate via a window rank, not a second scan.
+_TOPK_OTHERS = """
+WITH g AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT {explode} AS token FROM documents) t
+  WHERE token <> '' GROUP BY token
+),
+r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rk
+  FROM g
+)
+SELECT token, cnt, in_topk FROM (
+  SELECT token, CAST(cnt AS BIGINT) AS cnt, 1 AS in_topk FROM r WHERE rk <= 10
+  UNION ALL
+  SELECT '__OTHERS__' AS token, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS cnt,
+         0 AS in_topk
+  FROM r WHERE rk > 10
+) u ORDER BY in_topk DESC, cnt DESC, token
+"""
+_sql_query(
+    "heavy_hitters_topk_others",
+    _TOPK_OTHERS.format(explode="explode(split(lower(text), ' '))"),
+    oracle=_TOPK_OTHERS.format(explode="unnest(string_split(lower(text), ' '))"),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3026,6 +3055,38 @@ def _ams_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("streaming_ams_f2", _ams_stream_fn, _ams_f2_oracle())
+
+
+def _lambda_serving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda serving view: batch DDSketch rollup store (closed days)
+    merged with a streaming sketch of the open tail; the oracle
+    derives the same percentiles from the raw events across the whole
+    range — certifying batch + stream + merge end-to-end."""
+    from approximatequeryengine_spark.streaming.pipeline import (
+        lambda_serving_quantiles,
+    )
+
+    return lambda_serving_quantiles(spark, sf_dir)
+
+
+def _lambda_serving_oracle() -> str:
+    from approximatequeryengine_spark.plans.ddsketch import (
+        ddsketch_store_range_quantiles_sql,
+    )
+
+    return ddsketch_store_range_quantiles_sql(
+        "events",
+        ts_col="ts",
+        group="event_type",
+        column="value",
+        day_lo="2024-01-01",
+        day_hi="2024-01-30",
+        alpha=0.01,
+        qs=(0.5, 0.9),
+    )
+
+
+_register("streaming_lambda_serving", _lambda_serving_fn, _lambda_serving_oracle())
 
 
 # Sample+Seek (SIGMOD'16) router: two certified entries, one per

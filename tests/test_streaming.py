@@ -463,3 +463,22 @@ def test_streaming_ams_f2_equals_batch_sketch(spark):
     li = Catalog(spark, sf, register_views=False).table("lineitem")
     want = [tuple(r) for r in ams_f2_estimate(li, F.col("l_orderkey")).collect()]
     assert got == want and got
+
+
+def test_lambda_serving_split_invariance(spark):
+    """The batch/stream split day is an implementation detail: the
+    merged serving answer must be identical wherever the split falls
+    (exact sketch mergeability), including all-batch and all-stream."""
+    from approximatequeryengine_spark.streaming.pipeline import (
+        lambda_serving_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    answers = []
+    for split in ("2024-01-10", "2024-01-25", "2024-02-01", "2024-01-01"):
+        rows = sorted(
+            tuple(r)
+            for r in lambda_serving_quantiles(spark, sf, split_day=split).collect()
+        )
+        answers.append(rows)
+    assert answers[0] and all(a == answers[0] for a in answers[1:])
