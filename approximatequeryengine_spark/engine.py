@@ -81,6 +81,117 @@ class AQEngine:
             F.floor(F.col(column) * 100.0 + 0.5).cast("long"),
         )
 
+    def build_range_index(
+        self,
+        table: str,
+        key_sql: str,
+        value_sql: str,
+        kind: str = "aqpplus",
+        n_blocks: int = 64,
+        path: str | None = None,
+    ) -> str:
+        """Build and register a persisted range index over
+        ``table`` — the physical-design step that unlocks
+        :meth:`range_sum`. Two kinds:
+
+        - ``'aqpplus'`` (default): O(blocks) exact block aggregates —
+          range sums answer with exact interiors + a sampled-boundary
+          CI (`plans/aqpplus.py`);
+        - ``'sampleseek'``: the zone-partitioned layout — range sums
+          route seek-or-sample by estimated selectivity
+          (`plans/sampleseek.py`).
+
+        ``key_sql`` must be integer-valued SQL (dates via
+        ``datediff(...)``); ``value_sql`` is a dollar column (gridded
+        to cents internally). Returns the index path; the registration
+        lives on this engine instance."""
+        import tempfile
+
+        if kind not in ("aqpplus", "sampleseek"):
+            raise ValueError(
+                f"unknown range-index kind {kind!r}; use 'aqpplus' or 'sampleseek'"
+            )
+        df = self.catalog.table(table)
+        key = F.expr(key_sql).cast("long")
+        cents = F.floor(F.expr(value_sql) * 100.0 + 0.5).cast("long")
+        path = path or tempfile.mkdtemp(prefix=f"aqe_rangeidx_{table}_")
+        if kind == "aqpplus":
+            from approximatequeryengine_spark.plans.aqpplus import aqpplus_build
+
+            aqpplus_build(self.spark, df, path, key, cents, n_blocks=n_blocks)
+        else:
+            from approximatequeryengine_spark.sources.zonemap import zonemap_write
+
+            uk = self.catalog.unique_key(table)
+            zonemap_write(
+                self.spark,
+                df.select(
+                    F.expr(uk).cast("long").alias("__rk"),
+                    cents.alias("__cents"),
+                    key.alias("__keysrc"),
+                ),
+                path,
+                key=F.col("__keysrc"),
+                n_zones=n_blocks,
+            )
+        if not hasattr(self, "_range_indexes"):
+            self._range_indexes = {}
+        self._range_indexes[table] = {
+            "kind": kind,
+            "path": path,
+            "key_sql": key_sql,
+            "value_sql": value_sql,
+            "n_blocks": n_blocks,
+        }
+        return path
+
+    def range_sum(
+        self,
+        table: str,
+        lo: int,
+        hi: int,
+        fraction: float = 0.1,
+        seek_threshold: float = 0.05,
+    ) -> DataFrame:
+        """Answer ``SUM(value) WHERE lo <= key <= hi`` through the
+        registered range index (see :meth:`build_range_index`):
+        'aqpplus' → exact interior + sampled-boundary CI; 'sampleseek'
+        → selectivity-routed exact-or-sampled answer."""
+        info = getattr(self, "_range_indexes", {}).get(table)
+        if info is None:
+            raise ValueError(
+                f"no range index registered for {table!r}; call "
+                "build_range_index(table, key_sql, value_sql) first"
+            )
+        if info["kind"] == "aqpplus":
+            from approximatequeryengine_spark.plans.aqpplus import aqpplus_range_sum
+
+            return aqpplus_range_sum(
+                self.spark,
+                self.catalog.table(table),
+                info["path"],
+                lo,
+                hi,
+                key=F.expr(info["key_sql"]).cast("long"),
+                value_cents=F.floor(F.expr(info["value_sql"]) * 100.0 + 0.5).cast(
+                    "long"
+                ),
+                row_key=F.expr(self.catalog.unique_key(table)).cast("long"),
+                fraction=fraction,
+            )
+        from approximatequeryengine_spark.plans.sampleseek import (
+            sample_seek_range_sum,
+        )
+
+        return sample_seek_range_sum(
+            self.spark,
+            info["path"],
+            lo,
+            hi,
+            fraction=fraction,
+            seek_threshold=seek_threshold,
+        )
+
     def _advise_auto(self, spec: QuerySpec) -> tuple[str, dict | None]:
         """Resolve ``method='auto'``: the measured-moment advisor
         (plans/advisor.py — cv², top-B mass share → outlier/pps/
