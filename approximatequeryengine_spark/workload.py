@@ -3369,13 +3369,12 @@ _register(
 # ---------------------------------------------------------------------------
 
 _CERTIFY_FIRST = [
-    # Round-5 cut (policy in COVERAGE.md "Certification tiers"). The
-    # 50-row window = 15 standing anchors + every never-certified
-    # oracle-backed entry (the 13 registered after the round-4 cut plus
-    # this round's 2 new entries) + 20 REFRESH slots re-certifying
-    # entries whose most recent driver row dates to round 1/2 (oldest
-    # first, one per operator family). Goal: r1∪…∪r5 covers all 159
-    # oracle-backed entries AND no certified family goes stale.
+    # Round-5 cut, FINAL (policy in COVERAGE.md "Certification tiers").
+    # The 50-row window = 15 standing anchors + every never-certified
+    # oracle-backed entry (the 13 registered after the round-4 cut, the
+    # 2 verdict-item entries, and the 16 round-5 batch entries) + 4
+    # REFRESH slots for families whose most recent driver row dates to
+    # round 1/2. Goal: r1∪…∪r5 covers all 175 oracle-backed entries.
     # --- standing anchors (every round) ---
     "exact_sum",
     "exact_groupby_sum",
@@ -3414,26 +3413,30 @@ _CERTIFY_FIRST = [
     # (dedup_semantic_cells stays registered; its r4 row stands) ---
     "ann_ivfpq_index_topk",
     "dedup_semantic_cells_scaled",
-    # --- refresh slots: last driver row in round 1/2 ---
+    # --- the 16 round-5 batch entries (registered this round, never
+    # certified: wander join, AQP++, Sample+Seek router, AMS F2,
+    # join synopses, gap-fill, SimHash pairs, frequency spectrum,
+    # TPC-H Q14/Q4, lambda serving, top-k+OTHERS) ---
+    "tpch_q14_promo_revenue",
+    "tpch_q4_priority_late_orders",
+    "heavy_hitters_topk_others",
+    "dedup_simhash_hamming_pairs",
+    "profile_key_frequency_spectrum",
+    "aqpplus_range_sum",
+    "aqpplus_grouped_range_sum",
+    "join_synopsis_revenue",
+    "join_synopsis_price_quantiles",
+    "events_gapfill_locf",
+    "sketch_ams_f2_selfjoin",
+    "streaming_ams_f2",
+    "streaming_lambda_serving",
+    "router_range_sum_seek",
+    "router_range_sum_sample",
+    "approx_join_wander_sum",
+    # --- refresh slots: families whose last driver row is round 1/2 ---
     "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "join_revenue_by_nation",
-    "rollup_sum",
-    "window_topk_parts_per_brand",
-    "sessionize_events",
-    "pivot_order_status",
-    "setops_customer_cohorts",
-    "heavy_hitters_tokens",
-    "approx_median_ci",
-    "approx_ratio_discount_rate",
-    "approx_sum_pps10",
-    "approx_distinct_chao1",
-    "text_lang_id_confusion",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
-    "ann_bruteforce_topk",
-    "embedding_neardup_pairs",
     "asof_join_purchase_click",
+    "dedup_exact_groups",
     "corpus_clean_pipeline",
 ]
 
