@@ -308,6 +308,63 @@ _sql_query(
     "  AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
     "GROUP BY o_orderpriority ORDER BY o_orderpriority",
 )
+# TPC-H Q10-style returned-item reporting: which customers returned the
+# most revenue in a quarter. 4-way join; nation broadcasts, customer
+# broadcasts at small SF and shuffles at 100 TB (AQE decides), the
+# selective o_orderdate window and l_returnflag = 'R' both reach the
+# scans, and the top-20 plans as TakeOrderedAndProject (no global
+# sort). Deterministic tie-break on c_custkey.
+_sql_query(
+    "tpch_q10_returned_revenue",
+    "SELECT c_custkey, c_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "n_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-07-01' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+# TPC-H Q18-style large-volume customers: orders whose total line
+# quantity exceeds a threshold, with their customers. Written with a
+# CTE instead of TPC-H's IN-subquery: the subquery form plans the
+# lineitem HAVING aggregate TWICE (once per semi-join consumer —
+# verified in the physical plan); the CTE computes it once (partial
+# map-side agg, one shuffle on l_orderkey), and the tiny qualifying
+# set broadcasts to orders/customer. l_quantity is integer-valued so
+# the HAVING sum is exact on both engines.
+_sql_query(
+    "tpch_q18_large_volume_customers",
+    "WITH big AS (SELECT l_orderkey, "
+    "  CAST(sum(l_quantity) AS BIGINT) AS sum_qty "
+    "  FROM lineitem GROUP BY l_orderkey "
+    "  HAVING sum(l_quantity) > 190) "
+    "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+    "round(o_totalprice, 2) AS o_totalprice, sum_qty "
+    "FROM big JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+)
+# TPC-H Q19-style disjunctive predicate revenue: an OR-of-ANDs (DNF)
+# over joined fact+dim columns. Catalyst pushes the partial,
+# column-local implications down to both scans (p_brand IN (...) to
+# part, l_quantity range union to lineitem) before the broadcast join
+# evaluates the full disjunction — the classic pushdown-through-OR
+# test. Brands adapted to the fixture's Brand#1..Brand#25 domain.
+_sql_query(
+    "tpch_q19_disjunctive_revenue",
+    "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "       AND l_quantity BETWEEN 1 AND 11) "
+    "   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "       AND l_quantity BETWEEN 10 AND 20) "
+    "   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 "
+    "       AND l_quantity BETWEEN 20 AND 30)",
+)
 # SURVEY §2.4 beyond-reference — GROUPING SETS (subtotals + grand total
 # in one shuffle via Expand, vs three scans). coalesce() disambiguates
 # the rollup NULLs identically on both engines.

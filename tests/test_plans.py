@@ -95,6 +95,47 @@ def test_q5_all_joins_broadcast_and_pushed(spark):
     assert "GreaterThanOrEqual(o_orderdate" in pushed
 
 
+def test_q10_topk_broadcast_and_pushed(spark):
+    """Q10 returned-item top-20: the returnflag + order-date filters
+    reach their scans, every join broadcasts at fixture scale, and the
+    LIMIT plans as TakeOrderedAndProject (no global sort of the 640+
+    surviving customers)."""
+    plan = _plan(spark, "tpch_q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_q18_having_aggregate_planned_once(spark):
+    """Q18's qualifying-order CTE must be computed ONCE — TPC-H's
+    IN-subquery spelling plans the lineitem HAVING aggregate twice
+    (one per semi-join consumer), doubling the heaviest scan at
+    100 TB."""
+    plan = _plan(spark, "tpch_q18_large_volume_customers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """Q19's OR-of-ANDs: Catalyst must push the column-local
+    implications through the disjunction to BOTH scans — the brand/size
+    union to part, the quantity range union to lineitem — instead of
+    evaluating the DNF only above the join."""
+    plan = _plan(spark, "tpch_q19_disjunctive_revenue")
+    scans = re.findall(
+        r"Location: InMemoryFileIndex \[[^\]]*?(\w+)\.parquet\][\s\S]*?"
+        r"PushedFilters: \[([^\]]*)\]",
+        plan,
+    )
+    by_table = dict(scans)
+    assert "Or(" in by_table.get("lineitem", ""), by_table
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in by_table["lineitem"]
+    assert "Or(" in by_table.get("part", ""), by_table
+    assert "EqualTo(p_brand,Brand#12)" in by_table["part"]
+
+
 def test_grouping_sets_single_expand(spark):
     """GROUPING SETS computes subtotals + grand total via one Expand +
     one shuffle — not three separate scans."""
