@@ -2558,6 +2558,59 @@ def _zonemap_oracle() -> str:
 _register("index_zonemap_range_sum", _zonemap_fn, _zonemap_oracle())
 
 
+# Block bloom-filter skip index — the EQUALITY-predicate complement of
+# the zone map: point lookups on an UNCLUSTERED column (o_custkey over
+# an o_orderkey-blocked layout) prune to the blocks whose per-block
+# bloom covers the key's probes. Fixed block WIDTH (row-group analogue)
+# keeps the per-block bloom load constant as data grows — a fixed block
+# COUNT would saturate the filters at 10x. The oracle re-derives
+# layout, bloom words, probe survival, and the exact in-block answer.
+_BB_KEY = 42  # o_custkey present at every fixture SF
+
+
+def _blockbloom_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from approximatequeryengine_spark.sources.blockbloom import (
+        blockbloom_point_sum,
+        blockbloom_write,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    path = tempfile.mkdtemp(prefix="aqe_blockbloom_")
+    blockbloom_write(
+        spark,
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        path,
+        ingest_key=F.col("o_orderkey"),
+        lookup_key=F.col("o_custkey"),
+    )
+    return blockbloom_point_sum(
+        spark,
+        path,
+        _BB_KEY,
+        value_cents=F.floor(F.col("o_totalprice") * 100.0 + 0.5),
+    )
+
+
+def _blockbloom_oracle() -> str:
+    from approximatequeryengine_spark.sources.blockbloom import (
+        blockbloom_point_sum_sql,
+    )
+
+    return blockbloom_point_sum_sql(
+        "orders",
+        ingest_key_sql="o_orderkey",
+        lookup_key_sql="o_custkey",
+        value_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+        key=_BB_KEY,
+    )
+
+
+_register("index_blockbloom_point_sum", _blockbloom_fn, _blockbloom_oracle())
+
+
 # AQP++ (SIGMOD'18): exact precomputed interior blocks + sampled
 # boundary slivers. Same 1997 date range as the zonemap entry but a
 # DELIBERATELY block-unaligned window (starts mid-1993) so both

@@ -261,3 +261,93 @@ def test_zonemap_balanced_mode_on_skewed_keys(spark, engine, tmp_path):
         ).collect()[0]
         assert got["n_rows"] == want["n"]
         assert got["sum_value"] == want["s"]
+
+
+# --- block bloom-filter skip index (sources/blockbloom.py) -----------------
+
+
+def _bloom_fixture(spark, engine, tmp_path):
+    from approximatequeryengine_spark.sources.blockbloom import blockbloom_write
+
+    orders = engine.catalog.table("orders")
+    path = str(tmp_path / "bb")
+    blockbloom_write(
+        spark,
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        path,
+        ingest_key=F.col("o_orderkey"),
+        lookup_key=F.col("o_custkey"),
+    )
+    return orders, path
+
+
+def test_blockbloom_python_mirror_matches_spark_hash(spark):
+    """probe_masks derives driver-side probes from a plain-Python
+    avalanche hash; it must agree with the Spark column bit for bit."""
+    from approximatequeryengine_spark.functions.hashing import with_avalanche_h
+    from approximatequeryengine_spark.sources.blockbloom import _avalanche_int
+
+    keys = [0, 1, 42, 999, 123_456_789, 2**40 + 7]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    for salt in (0, 1, 2):
+        got = {
+            r["k"]: r["__h"]
+            for r in with_avalanche_h(df, F.col("k"), F.lit(salt)).collect()
+        }
+        for k in keys:
+            assert got[k] == _avalanche_int(k, salt), (k, salt)
+
+
+def test_blockbloom_exact_answer_no_false_negatives(spark, engine, tmp_path):
+    """For several lookup keys the indexed aggregate equals the plain
+    filter aggregate — blooms admit false positives but NEVER false
+    negatives, so the answer over surviving blocks is exact."""
+    from approximatequeryengine_spark.sources.blockbloom import blockbloom_point_sum
+
+    orders, path = _bloom_fixture(spark, engine, tmp_path)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    scanned = []
+    for key in (7, 42, 99, 101):
+        got = blockbloom_point_sum(spark, path, key, cents).collect()[0]
+        want = (
+            orders.filter(F.col("o_custkey") == key)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(cents.cast("long")) / 100.0, 2).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert got["n_rows"] == want["n"], key
+        assert got["sum_value"] == want["s"], key
+        scanned.append((got["blocks_scanned"], got["blocks_total"]))
+    # sf0.001 has only ~6 blocks and a frequent key can legitimately
+    # live in all of them; pruning must show on at least one key.
+    assert any(s < t for s, t in scanned), scanned
+
+
+def test_blockbloom_absent_key_returns_empty(spark, engine, tmp_path):
+    from approximatequeryengine_spark.sources.blockbloom import blockbloom_point_sum
+
+    _, path = _bloom_fixture(spark, engine, tmp_path)
+    got = blockbloom_point_sum(
+        spark, path, 10**9 + 7, F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    ).collect()[0]
+    assert got["n_rows"] == 0
+    assert got["sum_value"] is None
+    # An absent key survives only via false positives — with 6 blocks
+    # at sf0.001 essentially none, but never the whole table.
+    assert got["blocks_scanned"] < got["blocks_total"]
+
+
+def test_blockbloom_scan_is_partition_pruned(spark, engine, tmp_path):
+    """The point lookup must reach parquet with PartitionFilters on the
+    block column — directory pruning, not a full scan + filter."""
+    from approximatequeryengine_spark.sources.blockbloom import blockbloom_point_sum
+
+    _, path = _bloom_fixture(spark, engine, tmp_path)
+    df = blockbloom_point_sum(
+        spark, path, 42, F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__block" in plan.split("PartitionFilters", 1)[1][:400]
