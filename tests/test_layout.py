@@ -351,3 +351,95 @@ def test_blockbloom_scan_is_partition_pruned(spark, engine, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "__block" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+# --- Z-order (Morton) 2-D clustering (sources/zorder.py) -------------------
+
+
+def test_morton_interleave_matches_python_reference(spark):
+    """The portable %-arithmetic Morton expression equals a plain
+    Python bit-interleave on both engines' shared SQL text."""
+    from approximatequeryengine_spark.sources.zorder import morton_sql
+
+    def py_morton(xq, yq):
+        z = 0
+        for i in range(16):
+            z |= ((xq >> i) & 1) << (2 * i)
+            z |= ((yq >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (10, 6), (65535, 65535), (4097, 12345)]
+    df = spark.createDataFrame(pairs, "xq long, yq long")
+    got = {
+        (r["xq"], r["yq"]): r["z"]
+        for r in df.selectExpr("xq", "yq", f"{morton_sql('xq', 'yq')} AS z").collect()
+    }
+    for xq, yq in pairs:
+        assert got[(xq, yq)] == py_morton(xq, yq), (xq, yq)
+
+
+def _zorder_fixture(spark, engine, tmp_path):
+    from approximatequeryengine_spark.sources.zorder import zorder_write
+
+    li = engine.catalog.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    x = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    y = F.col("l_partkey")
+    rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    path = str(tmp_path / "zo")
+    zorder_write(spark, li, path, x=x, y=y, rowid=rid, n_blocks=32)
+    return li, path, x, y, rid
+
+
+def test_zorder_answer_matches_plain_filter(spark, engine, tmp_path):
+    from approximatequeryengine_spark.sources.zorder import zorder_rect_sum
+
+    li, path, x, y, _ = _zorder_fixture(spark, engine, tmp_path)
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    for (xlo, xhi, ylo, yhi) in ((9100, 11700, 40, 119), (10013, 10104, 0, 99)):
+        got = zorder_rect_sum(spark, path, xlo, xhi, ylo, yhi, cents).collect()[0]
+        want = (
+            li.withColumn("__xx", x)
+            .filter(F.col("__xx").between(xlo, xhi) & y.between(ylo, yhi))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(cents.cast("long")) / 100.0, 2).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert got["n_rows"] == want["n"]
+        assert got["sum_value"] == want["s"]
+
+
+def test_zorder_prunes_where_time_sorted_layout_cannot(spark, engine, tmp_path):
+    """A narrow partkey slice over all time: the x-sorted layout scans
+    every block (its y bounds span the domain); the Morton layout
+    confines the slice to a strict subset."""
+    from approximatequeryengine_spark.sources.zorder import (
+        linear_blocks_scanned,
+        zorder_rect_sum,
+    )
+
+    li, path, x, y, rid = _zorder_fixture(spark, engine, tmp_path)
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    got = zorder_rect_sum(spark, path, 9100, 11700, 40, 119, cents).collect()[0]
+    lin = linear_blocks_scanned(
+        spark, li, x=x, y=y, rowid=rid,
+        x_lo=9100, x_hi=11700, y_lo=40, y_hi=119, n_blocks=32,
+    ).collect()[0]
+    assert lin["blocks_scanned_linear"] == 32  # no pruning at all
+    assert got["blocks_scanned"] < got["blocks_total"] == 32
+
+
+def test_zorder_scan_is_partition_pruned(spark, engine, tmp_path):
+    from approximatequeryengine_spark.sources.zorder import zorder_rect_sum
+
+    _, path, _, _, _ = _zorder_fixture(spark, engine, tmp_path)
+    df = zorder_rect_sum(
+        spark, path, 9100, 11700, 40, 119,
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__block" in plan.split("PartitionFilters", 1)[1][:400]
