@@ -1009,3 +1009,106 @@ def simhash_wide_sql(text: str = "text", bits: int = SIMHASH_WIDE_BITS) -> str:
         f"(SELECT CASE WHEN len(h) = 0 THEN 0 ELSE {total} END "
         f"FROM (SELECT {hashes} AS h) __shw)"
     )
+
+
+# ---------------------------------------------------------------------------
+# FastSS edit-distance-1 pair search (deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+
+def editdist1_pairs(df: DataFrame, col: str) -> DataFrame:
+    """All DISTINCT value pairs within edit distance 1, via the FastSS
+    deletion-neighborhood index (Bocek et al. 2007) — the fuzzy-string
+    sibling of the SimHash pigeonhole search (`simhash_hamming_pairs`):
+    candidates come from an EQUI-join, never a quadratic scan.
+
+    dist(a, b) ≤ 1 holds iff b is a's single-position deletion
+    (insert/delete pair) or a and b share a SAME-position deletion
+    (substitution). So each value emits its length-|s| deletion
+    variants tagged with the position, candidates are
+    (position, variant) equi-matches plus variant-to-original matches,
+    and every candidate is verified with a real ``levenshtein`` call —
+    the pigeonhole is provably COMPLETE for k = 1 (pinned against the
+    quadratic scan in tests), the verify step makes it exact.
+
+    At 100 TB: the variant table is |values| · avg_len rows; join
+    fan-out per (position, variant) bucket is bounded by the alphabet
+    (for fixed-format keys like ``Customer#000000042`` a bucket holds
+    at most the 10 digit substitutions), so candidate output grows
+    linearly with data — the same blocked-join contract as the LSH and
+    pigeonhole searches. Readout: one row
+    (n_values, n_candidate_pairs, n_verified_pairs).
+
+    No counterpart in /root/reference (its engine has no string-join
+    machinery); included as a training-data-curation primitive
+    (near-identical keys/titles are a standard dirty-corpus signal).
+    """
+    names = df.select(F.col(col).alias("s")).filter(F.col("s").isNotNull()).distinct()
+    dels = names.select(
+        "s",
+        F.expr(
+            "explode(transform(sequence(1, length(s)), i -> struct("
+            "i AS i, concat(substring(s, 1, i - 1), substring(s, i + 1, 1000000)) AS v)))"
+        ).alias("d"),
+    ).select("s", F.col("d.i").alias("i"), F.col("d.v").alias("v"))
+    sub = (
+        dels.alias("a")
+        .join(
+            dels.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+    )
+    indel = (
+        dels.alias("a")
+        .join(names.alias("n"), F.col("a.v") == F.col("n.s"))
+        .filter(F.col("a.s") != F.col("n.s"))
+        .select(
+            F.least(F.col("a.s"), F.col("n.s")).alias("sa"),
+            F.greatest(F.col("a.s"), F.col("n.s")).alias("sb"),
+        )
+    )
+    cand = sub.unionAll(indel).distinct()
+    counts = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(
+            F.when(F.levenshtein(F.col("sa"), F.col("sb")) <= 1, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_verified_pairs"),
+    )
+    nn = names.agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    return nn.crossJoin(counts)  # 1-row × 1-row readout
+
+
+def editdist1_pairs_sql(table: str, col: str) -> str:
+    """DuckDB oracle: replays the deletion-neighborhood candidate join
+    and the levenshtein verification."""
+    return f"""
+WITH names AS (
+  SELECT DISTINCT {col} AS s FROM {table} WHERE {col} IS NOT NULL
+),
+dels AS (
+  SELECT s, i, substr(s, 1, i - 1) || substr(s, i + 1) AS v
+  FROM (SELECT s, unnest(generate_series(1, CAST(length(s) AS BIGINT))) AS i
+        FROM names)
+),
+sub AS (
+  SELECT a.s AS sa, b.s AS sb
+  FROM dels a JOIN dels b ON a.i = b.i AND a.v = b.v AND a.s < b.s
+),
+indel AS (
+  SELECT least(a.s, n.s) AS sa, greatest(a.s, n.s) AS sb
+  FROM dels a JOIN names n ON a.v = n.s AND a.s <> n.s
+),
+cand AS (
+  SELECT DISTINCT sa, sb FROM (SELECT * FROM sub UNION ALL SELECT * FROM indel)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM names) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN levenshtein(sa, sb) <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified_pairs
+FROM cand
+"""

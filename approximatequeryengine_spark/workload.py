@@ -308,6 +308,28 @@ _sql_query(
     "  AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
     "GROUP BY o_orderpriority ORDER BY o_orderpriority",
 )
+# TPC-H Q7-style volume shipping: revenue flow between two nations by
+# ship year, where the customer and supplier sit in DIFFERENT nations
+# (the symmetric OR pair). All dims broadcast; the only shuffle is
+# orders⋈lineitem + the 4-group aggregate. year() is extract-based in
+# both dialects.
+_sql_query(
+    "tpch_q7_volume_shipping",
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+    "    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT) "
+    "ORDER BY supp_nation, cust_nation, l_year",
+)
 # TPC-H Q10-style returned-item reporting: which customers returned the
 # most revenue in a quarter. 4-way join; nation broadcasts, customer
 # broadcasts at small SF and shuffles at 100 TB (AQE decides), the
@@ -1120,6 +1142,17 @@ _docs_query(
     _dedup.dedup_connected_clusters_sql(),
 )
 _docs_query("dedup_ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs, _dedup.ngram_jaccard_pairs_sql())
+# Round-5 fourth batch: FastSS edit-distance-1 pair search (deletion
+# neighborhoods) over the fixed-format customer keys — candidate set
+# from an equi-join on (position, deletion variant), every candidate
+# verified with a real levenshtein call. Completeness vs the quadratic
+# scan is pinned in tests/test_pipeline_ops.py.
+_docs_query(
+    "dedup_editdist1_pairs",
+    lambda spark, df: _dedup.editdist1_pairs(df, "c_name"),
+    _dedup.editdist1_pairs_sql("customer", "c_name"),
+    table="customer",
+)
 _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 # Arrow fast path — identical results (fold-order bit parity), so it
 # shares the brute-force oracle; per-partition local top-k bounds the

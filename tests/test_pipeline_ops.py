@@ -1705,3 +1705,45 @@ def test_simhash_hamming_stats_rolls_up(spark, synth_docs):
     pairs = dedup.simhash_hamming_pairs(spark, synth_docs, k=3).collect()
     assert sum(stats.values()) == len(pairs)
     assert all(0 <= h <= 3 for h in stats)
+
+
+# --- FastSS edit-distance-1 pairs (operators/dedup.py) ----------------------
+
+
+def test_editdist1_pairs_complete_vs_quadratic_scan(spark):
+    """The deletion-neighborhood candidate set must be LOSSLESS for
+    k = 1: on the sf0.001 customers the verified pair count equals a
+    brute-force n^2 levenshtein scan."""
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    got = dedup.editdist1_pairs(cust, "c_name").collect()[0]
+    names = cust.select(F.col("c_name").alias("s")).distinct()
+    brute = (
+        names.alias("a")
+        .join(names.alias("b"), F.col("a.s") < F.col("b.s"))
+        .filter(F.levenshtein(F.col("a.s"), F.col("b.s")) <= 1)
+        .count()
+    )
+    assert got["n_verified_pairs"] == brute > 0
+    assert got["n_candidate_pairs"] >= got["n_verified_pairs"]
+    assert got["n_values"] == names.count()
+
+
+def test_editdist1_pairs_variable_length_insert_delete(spark):
+    """Insert/delete neighbors (different lengths) come from the
+    variant-to-original rule, substitutions from the same-position
+    rule; unrelated strings never pair."""
+    vals = ["spark", "spar", "sparks", "stark", "spork", "duck", "ducks", "query"]
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = dedup.editdist1_pairs(df, "name").collect()[0]
+    # expected: (spar,spark) deletion, (spark,sparks) + (duck,ducks)
+    # insertions, (spark,stark) + (spark,spork) substitutions = 5
+    brute = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("a.name") < F.col("b.name"))
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+        .count()
+    )
+    assert got["n_verified_pairs"] == brute == 5
+    # the candidate set may include dist-2 same-position matches like
+    # (spar, star); verification removes them
+    assert got["n_candidate_pairs"] >= got["n_verified_pairs"]
