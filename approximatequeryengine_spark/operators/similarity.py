@@ -1911,3 +1911,107 @@ SELECT s.cluster, CAST(count(*) AS BIGINT) AS n_docs,
 FROM asg s LEFT JOIN dcnt d ON d.cluster = s.cluster
 GROUP BY s.cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + vector search fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack et al. 2009 constant
+HYBRID_TOPK = 10
+
+
+def search_hybrid_rrf(
+    spark: SparkSession,
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = HYBRID_TOPK,
+) -> DataFrame:
+    """Hybrid search over the aligned documents/embeddings tables:
+    the lexical leg is the corpus BM25 top-k (`operators/text.py::
+    bm25_search_top10`), the vector leg is the exact cosine top-k for
+    the vec_id-0 query embedding, and the two rankings fuse by
+    Reciprocal Rank Fusion: ``score(d) = Σ_legs 1/(60 + rank_leg(d))``
+    (Cormack et al., SIGIR'09) — the standard rank-based fusion that
+    needs NO score normalization between incomparable scales.
+
+    Determinism: each leg ranks by (score DESC, doc_id ASC) — total
+    orders — and the fused score is ONE addition of two exact IEEE
+    divisions, identical in any engine; missing legs contribute 0 via
+    coalesce, never NULL arithmetic. Output:
+    (rank, doc_id, rrf_score, bm25_rank, ann_rank), NULL leg ranks
+    preserved so the row shows WHY a doc ranked.
+
+    At 100 TB each leg is already scale-shaped (BM25: broadcast query
+    terms + one grouped pass + TakeOrdered; cosine: broadcast query
+    vector + TakeOrdered) and the fusion joins two ≤k-row frames —
+    the fuse step is O(k), independent of corpus size.
+    """
+    from approximatequeryengine_spark.operators.text import bm25_search_top10
+
+    lex = bm25_search_top10(spark, docs).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+    qv = base.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    topv = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(k)
+    wv = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec = topv.withColumn("ann_rank", F.row_number().over(wv)).select(
+        "doc_id", "ann_rank"
+    )
+    fused = lex.join(vec, on="doc_id", how="full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("ann_rank")), F.lit(0.0))
+    ranked = fused.select(
+        "doc_id", "bm25_rank", "ann_rank", F.round(rrf, 9).alias("rrf_score")
+    )
+    topf = ranked.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return topf.withColumn("rank", F.row_number().over(wf)).select(
+        "rank", "doc_id", "rrf_score", "bm25_rank", "ann_rank"
+    )
+
+
+def search_hybrid_rrf_sql(k: int = HYBRID_TOPK) -> str:
+    """DuckDB oracle: replays both legs (the BM25 oracle verbatim as a
+    CTE, the sequential-fold cosine ranking) and the fusion."""
+    from approximatequeryengine_spark.operators.text import bm25_search_top10_sql
+
+    cos = _cosine_sql("q.embedding", "e.embedding")
+    return f"""
+WITH lex AS ({bm25_search_top10_sql()}),
+scored AS (
+  SELECT e.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
+),
+vecleg AS (
+  SELECT doc_id, ann_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS ann_rank
+    FROM scored
+  ) WHERE ann_rank <= {k}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.rank AS bm25_rank, v.ann_rank,
+         round(coalesce(1.0 / (60 + l.rank), 0.0)
+             + coalesce(1.0 / (60 + v.ann_rank), 0.0), 9) AS rrf_score
+  FROM (SELECT doc_id, rank FROM lex) l
+  FULL OUTER JOIN vecleg v ON l.doc_id = v.doc_id
+)
+SELECT rank, doc_id, rrf_score, bm25_rank, ann_rank FROM (
+  SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank,
+         doc_id, rrf_score, bm25_rank, ann_rank
+  FROM fused
+) WHERE rank <= {k}
+"""

@@ -1153,6 +1153,20 @@ _docs_query(
     _dedup.editdist1_pairs_sql("customer", "c_name"),
     table="customer",
 )
+# Round-5 fourth batch: hybrid lexical+vector retrieval — the BM25
+# top-10 and the vec_id-0 cosine top-10 fused by Reciprocal Rank
+# Fusion (SIGIR'09). Needs BOTH aligned tables, hence the custom fn.
+
+
+def _hybrid_rrf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    return _sim.search_hybrid_rrf(
+        spark, cat.table("documents"), cat.table("embeddings")
+    )
+
+
+_register("search_hybrid_rrf", _hybrid_rrf_fn, _sim.search_hybrid_rrf_sql())
+
 _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 # Arrow fast path — identical results (fold-order bit parity), so it
 # shares the brute-force oracle; per-partition local top-k bounds the

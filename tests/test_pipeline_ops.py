@@ -1747,3 +1747,39 @@ def test_editdist1_pairs_variable_length_insert_delete(spark):
     # the candidate set may include dist-2 same-position matches like
     # (spar, star); verification removes them
     assert got["n_candidate_pairs"] >= got["n_verified_pairs"]
+
+
+# --- Hybrid BM25 + vector RRF retrieval (operators/similarity.py) ----------
+
+
+def test_hybrid_rrf_scores_consistent_with_leg_ranks(spark):
+    """Every fused row's rrf_score must recompute exactly from its own
+    leg ranks (1/(60+r) per present leg), and the output must be
+    ordered by (score desc, doc_id asc)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = similarity.search_hybrid_rrf(spark, docs, emb).collect()
+    assert len(rows) == 10
+    prev = None
+    for r in rows:
+        want = 0.0
+        if r["bm25_rank"] is not None:
+            want += 1.0 / (60 + r["bm25_rank"])
+        if r["ann_rank"] is not None:
+            want += 1.0 / (60 + r["ann_rank"])
+        assert r["bm25_rank"] is not None or r["ann_rank"] is not None
+        assert abs(r["rrf_score"] - want) < 1e-9, r
+        if prev is not None:
+            assert (r["rrf_score"], -r["doc_id"]) <= (prev["rrf_score"], -prev["doc_id"])
+        prev = r
+    # a doc present in BOTH legs must beat a doc present in one leg at
+    # the same best rank (the point of fusion)
+    both = [r for r in rows if r["bm25_rank"] and r["ann_rank"]]
+    if both:
+        only = [r for r in rows if (r["bm25_rank"] is None) != (r["ann_rank"] is None)]
+        for b in both:
+            br = min(b["bm25_rank"], b["ann_rank"])
+            for o in only:
+                orank = o["bm25_rank"] or o["ann_rank"]
+                if orank >= br:
+                    assert b["rrf_score"] > o["rrf_score"]
