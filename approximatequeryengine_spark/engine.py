@@ -192,6 +192,114 @@ class AQEngine:
             seek_threshold=seek_threshold,
         )
 
+    def build_point_index(
+        self,
+        table: str,
+        lookup_sql: str,
+        value_sql: str,
+        block_width: int = 256,
+        path: str | None = None,
+    ) -> str:
+        """Build and register a block bloom-filter skip index
+        (`sources/blockbloom.py`) for EQUALITY lookups on an
+        unclustered integer column — unlocks :meth:`point_sum`.
+        Blocks are fixed-width ranges of the table's unique key
+        (ingest order); returns the index path."""
+        import tempfile
+
+        from approximatequeryengine_spark.sources.blockbloom import blockbloom_write
+
+        df = self.catalog.table(table)
+        path = path or tempfile.mkdtemp(prefix=f"aqe_pointidx_{table}_")
+        blockbloom_write(
+            self.spark,
+            df,
+            path,
+            ingest_key=F.expr(self.catalog.unique_key(table)).cast("long"),
+            lookup_key=F.expr(lookup_sql).cast("long"),
+            block_width=block_width,
+        )
+        if not hasattr(self, "_point_indexes"):
+            self._point_indexes = {}
+        self._point_indexes[table] = {"path": path, "value_sql": value_sql}
+        return path
+
+    def point_sum(self, table: str, key: int) -> DataFrame:
+        """Exact ``SUM(value) WHERE lookup = key`` through the
+        registered bloom skip index: bounded metadata consult +
+        partition-pruned scan of the surviving blocks only."""
+        info = getattr(self, "_point_indexes", {}).get(table)
+        if info is None:
+            raise ValueError(
+                f"no point index registered for {table!r}; call "
+                "build_point_index(table, lookup_sql, value_sql) first"
+            )
+        from approximatequeryengine_spark.sources.blockbloom import (
+            blockbloom_point_sum,
+        )
+
+        return blockbloom_point_sum(
+            self.spark,
+            info["path"],
+            key,
+            value_cents=F.floor(F.expr(info["value_sql"]) * 100.0 + 0.5).cast("long"),
+        )
+
+    def build_zorder_index(
+        self,
+        table: str,
+        x_sql: str,
+        y_sql: str,
+        value_sql: str,
+        n_blocks: int = 64,
+        path: str | None = None,
+    ) -> str:
+        """Build and register a Z-order (Morton) clustered layout
+        (`sources/zorder.py`) over two integer-valued columns —
+        unlocks :meth:`rect_sum` for 2-D rectangle predicates."""
+        import tempfile
+
+        from approximatequeryengine_spark.sources.zorder import zorder_write
+
+        df = self.catalog.table(table)
+        path = path or tempfile.mkdtemp(prefix=f"aqe_zorderidx_{table}_")
+        zorder_write(
+            self.spark,
+            df,
+            path,
+            x=F.expr(x_sql).cast("long"),
+            y=F.expr(y_sql).cast("long"),
+            rowid=F.expr(self.catalog.unique_key(table)).cast("long"),
+            n_blocks=n_blocks,
+        )
+        if not hasattr(self, "_zorder_indexes"):
+            self._zorder_indexes = {}
+        self._zorder_indexes[table] = {"path": path, "value_sql": value_sql}
+        return path
+
+    def rect_sum(
+        self, table: str, x_lo: int, x_hi: int, y_lo: int, y_hi: int
+    ) -> DataFrame:
+        """Exact rectangle aggregate through the registered Z-order
+        layout: blockmap consult + partition-pruned scan."""
+        info = getattr(self, "_zorder_indexes", {}).get(table)
+        if info is None:
+            raise ValueError(
+                f"no zorder index registered for {table!r}; call "
+                "build_zorder_index(table, x_sql, y_sql, value_sql) first"
+            )
+        from approximatequeryengine_spark.sources.zorder import zorder_rect_sum
+
+        return zorder_rect_sum(
+            self.spark,
+            info["path"],
+            x_lo,
+            x_hi,
+            y_lo,
+            y_hi,
+            value_cents=F.floor(F.expr(info["value_sql"]) * 100.0 + 0.5).cast("long"),
+        )
+
     def _advise_auto(self, spec: QuerySpec) -> tuple[str, dict | None]:
         """Resolve ``method='auto'``: the measured-moment advisor
         (plans/advisor.py — cv², top-B mass share → outlier/pps/

@@ -8,34 +8,45 @@ row-group bloom filters, ClickHouse ``bloom_filter`` skip indexes,
 Impala/Kudu block blooms — is a small per-block bloom filter over the
 lookup column:
 
-- **write**: rows are blocked by fixed-WIDTH ranges of the ingest key
-  (``block = key // block_width`` — the row-group analogue; block
-  COUNT grows with data, per-block bloom load stays constant, so the
-  design is scale-invariant where a fixed block COUNT would saturate
-  the filters at 10× data). Each block gets an ``m``-bit bloom over
-  the lookup column, stored as ``m/32`` 32-bit words in BIGINTs
-  (bit positions ≤ 2³¹ keep every shift/OR exact in both engines):
-  ``k`` probes per key via the portable hash (`functions/hashing.py`)
-  with salts 0..k-1, OR-merged per (block, word) by a ``bit_or``
-  aggregate — one shuffle of (block, word, mask) triples at ingest.
-- **query**: a point lookup computes its k probe (word, mask) pairs
-  driver-side (pure integer arithmetic, no data touched), reads the
-  bloom side table, and keeps blocks where EVERY probed word covers
-  its mask (``bits & mask = mask``; a missing (block, word) row means
-  those bits are 0 → pruned). No false negatives — every ingested
-  key OR-ed its probes into its block — so the answer over surviving
-  blocks is EXACT; false positives only add scanned blocks.
-- The data scan carries a partition-column IN-list over the surviving
-  block ids (directory pruning) plus the exact equality predicate.
+- **write**: rows are blocked by fixed-width ranges of the ingest key,
+  with the block COUNT capped (default 1024): width =
+  max(block_width, ceil(span / max_blocks)). An uncapped fixed width
+  MEASURED the failure it causes — 5 865 block directories at the sf1
+  replica scale made file listing dominate the query (10.2 s) — while
+  a fixed block COUNT saturates the filters instead; the cap + the
+  width-scaled filter below give constant per-key filter load at any
+  scale. Each block gets an ``m``-bit bloom over the lookup column
+  with ``m = 16·width`` (constant bits/key), stored SPARSELY as
+  (block, word, bits) rows of 32-bit words in BIGINTs — absent words
+  are all-zero, so storage is O(set bits / 32), never O(m) — built by
+  one ``bit_or`` shuffle. The (min, width, m) layout parameters are
+  persisted as ``path/meta``.
+- **hashing**: probes use the avalanche family
+  (`functions/hashing.py::with_avalanche_h`) with salts 0..k-1; the
+  bit index is the RANGE-SCALED high word ``(h · m) // 2³²`` in exact
+  integer arithmetic (h < 2³², m < 2²⁵ → products < 2⁵⁷, no float
+  rounding in any engine). Both choices are measured, not stylistic:
+  the portable threshold-sampling hash's low bits gave a 7.5%
+  false-positive block rate where independent probes predict 0.5%,
+  and 2 Kibit/k=2 gave 15%; the avalanche high bits at 16 bits/key,
+  k=3 measure ~1.4% at sf0.1.
+- **query**: a point lookup reads the 1-row meta, computes its k
+  probe (word, mask) pairs driver-side, aggregates the bloom table to
+  the surviving block ids (every probed word must cover its mask;
+  a missing (block, word) row means those bits are 0 → pruned), and
+  scans only those block directories with the exact equality
+  predicate. No false negatives — every ingested key OR-ed its probes
+  into its block — so the answer is EXACT; false positives only add
+  scanned blocks.
 
-At 100 TB: the bloom table is O(blocks · words) ≈ 0.03% of the data
-at the default (256-key blocks, 2 Kibit filters); the consult
-aggregates it down to |surviving blocks| ids (bounded collect, same
-contract as the zonemap consult — at extreme block counts the id list
-becomes a join against the partition column instead). The certified
+At 100 TB: ≤ max_blocks directories regardless of data size, the
+bloom side table is O(distinct keys · k / 32) words, and the consult
+is one bounded aggregate + a |survivors| collect (at extreme scale the
+id list becomes a join against the partition column). The certified
 readout row carries (n_rows, sum, blocks_scanned, blocks_total) so the
 DRIVER certifies the layout, the bloom arithmetic, the pruning AND the
-answer — the oracle re-derives all four in SQL.
+answer — the oracle re-derives all four, including the data-dependent
+(min, width, m), in SQL.
 """
 
 from __future__ import annotations
@@ -51,17 +62,9 @@ from approximatequeryengine_spark.functions.hashing import (
     with_avalanche_h,
 )
 
-# 16 bits/key at the 256-key default block width; k=3 probes measures
-# a ~1% false-positive block rate at sf0.1 (theory 0.5%). Earlier cuts
-# are instructive: 2 Kibit/k=2 measured 15%, and indexing by the
-# PORTABLE (two-round multiplicative) hash's low bits measured 7.5% at
-# 4 Kibit/k=3 — bit-INDEXED structures need the avalanche family
-# (`functions/hashing.py::with_avalanche_h`), exactly like the HLL
-# registers; the threshold-sampling hash is not enough.
-M_BITS = 4096
-WORDS = M_BITS // 32  # 32-bit words: every mask < 2^31, exact in BIGINT
+BITS_PER_KEY = 16  # m = BITS_PER_KEY · block_width
 K_PROBES = 3
-BIT_SHIFT = HASH_SPACE // M_BITS  # top log2(m) bits index the filter
+MAX_BLOCKS = 1024
 
 
 def _avalanche_int(k: int, salt: int) -> int:
@@ -75,15 +78,21 @@ def _avalanche_int(k: int, salt: int) -> int:
     return h ^ (h // 65536)
 
 
-def probe_masks(key: int, k: int = K_PROBES) -> dict[int, int]:
-    """word → OR-ed mask for the k probes of ``key`` (probes landing in
-    the same word merge, so the survival check is per-WORD)."""
+def probe_masks(key: int, m_bits: int, k: int = K_PROBES) -> dict[int, int]:
+    """word → OR-ed mask for the k probes of ``key`` into an
+    ``m_bits``-bit filter (probes landing in the same word merge, so
+    the survival check is per-WORD)."""
     out: dict[int, int] = {}
     for salt in range(k):
-        bit = _avalanche_int(key, salt) // BIT_SHIFT
+        bit = (_avalanche_int(key, salt) * m_bits) // HASH_SPACE
         w, m = bit // 32, 1 << (bit % 32)
         out[w] = out.get(w, 0) | m
     return out
+
+
+def _layout(mn: int, mx: int, block_width: int, max_blocks: int) -> tuple[int, int]:
+    width = max(block_width, (mx - mn + max_blocks) // max_blocks)
+    return width, BITS_PER_KEY * width
 
 
 def blockbloom_write(
@@ -93,14 +102,22 @@ def blockbloom_write(
     ingest_key: Column,
     lookup_key: Column,
     block_width: int = 256,
+    max_blocks: int = MAX_BLOCKS,
     k: int = K_PROBES,
 ) -> None:
-    """Persist ``path/data`` partitioned by ``__block`` (fixed-width
-    ranges of ``ingest_key``) and ``path/bloom`` = (block, word, bits)
-    with an m-bit bloom over ``lookup_key`` per block."""
+    """Persist ``path/data`` partitioned by ``__block``, the sparse
+    ``path/bloom`` = (block, word, bits) side table, and ``path/meta``
+    = the 1-row (mn, width, m) layout parameters."""
     base = df.withColumn("__lk", lookup_key.cast("long")).withColumn(
-        "__block", F.floor(ingest_key.cast("long") / F.lit(block_width)).cast("long")
+        "__ik", ingest_key.cast("long")
     )
+    mn, mx = base.agg(F.min("__ik"), F.max("__ik")).collect()[0]
+    if mn is None:
+        raise ValueError("blockbloom_write: no non-null ingest keys")
+    width, m_bits = _layout(int(mn), int(mx), block_width, max_blocks)
+    base = base.withColumn(
+        "__block", F.floor((F.col("__ik") - F.lit(int(mn))) / F.lit(width)).cast("long")
+    ).drop("__ik")
     (
         base.repartition("__block")
         .write.partitionBy("__block")
@@ -110,7 +127,8 @@ def blockbloom_write(
     probes = None
     for salt in range(k):
         hdf = with_avalanche_h(base, F.col("__lk"), F.lit(salt), h_col="__h")
-        bit = (F.col("__h") / F.lit(BIT_SHIFT)).cast("long")
+        # exact integer range-scaling: (h · m) div 2^32 < m, no floats
+        bit = F.expr(f"CAST((__h * {m_bits}) div {HASH_SPACE} AS BIGINT)")
         p = hdf.select(F.col("__block"), bit.alias("__bit")).select(
             F.col("__block"),
             (F.col("__bit") / F.lit(32)).cast("long").alias("word"),
@@ -128,6 +146,9 @@ def blockbloom_write(
         .write.mode("overwrite")
         .parquet(f"{path}/bloom")
     )
+    spark.createDataFrame(
+        [(int(mn), width, m_bits)], "mn long, width long, m_bits long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def blockbloom_point_sum(
@@ -139,9 +160,10 @@ def blockbloom_point_sum(
 ) -> DataFrame:
     """Point-lookup aggregate through the bloom index: one row
     (n_rows, sum_value, blocks_scanned, blocks_total). The consult is
-    one bounded aggregate over the O(blocks·words) bloom table; the
-    data scan prunes to the surviving block directories."""
-    need = probe_masks(key, k)
+    one bounded aggregate over the sparse bloom table; the data scan
+    prunes to the surviving block directories."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    need = probe_masks(key, int(meta["m_bits"]), k)
     bloom = spark.read.parquet(f"{path}/bloom")
     blocks_total = bloom.select("__block").distinct().count()
     cond = None
@@ -179,37 +201,52 @@ def blockbloom_point_sum_sql(
     value_cents_sql: str,
     key: int,
     block_width: int = 256,
+    max_blocks: int = MAX_BLOCKS,
     k: int = K_PROBES,
 ) -> str:
-    """DuckDB oracle: re-derives the blocking, the per-block bloom
-    words, the probe survival test, and the in-block exact aggregate —
-    layout + bloom arithmetic + pruning + answer in one query."""
+    """DuckDB oracle: re-derives the data-dependent layout (min, width,
+    m), the per-block bloom words, the probe positions for the literal
+    key, the survival test, and the in-block exact aggregate — layout +
+    bloom arithmetic + pruning + answer in one query."""
     salt_rows = " UNION ALL ".join(f"SELECT {s} AS salt" for s in range(k))
-    need = probe_masks(key, k)
-    need_rows = " UNION ALL ".join(
-        f"SELECT {w} AS word, CAST({m} AS BIGINT) AS req" for w, m in need.items()
-    )
     steps, final = avalanche_hash_sql_steps("lk", f"(salt * {SALT_STRIDE})")
+    qsteps, qfinal = avalanche_hash_sql_steps(str(key), f"(salt * {SALT_STRIDE})")
     return f"""
-WITH base AS (
-  SELECT CAST(floor(CAST({ingest_key_sql} AS BIGINT) / {block_width}.0) AS BIGINT) AS b,
+WITH raw AS (
+  SELECT CAST({ingest_key_sql} AS BIGINT) AS ik,
          CAST({lookup_key_sql} AS BIGINT) AS lk,
          CAST({value_cents_sql} AS BIGINT) AS cents
   FROM {table}
 ),
+meta AS (
+  SELECT min(ik) AS mn,
+         greatest({block_width},
+                  (max(ik) - min(ik) + {max_blocks}) // {max_blocks}) AS width
+  FROM raw
+),
+meta2 AS (SELECT mn, width, {BITS_PER_KEY} * width AS m FROM meta),
+base AS (
+  SELECT (ik - mn) // width AS b, lk, cents FROM raw, meta2
+),
 salts AS ({salt_rows}),
 hashed AS (
-  SELECT b, {steps},
-         CAST(floor({final} / {BIT_SHIFT}.0) AS BIGINT) AS bitpos
-  FROM base, salts
+  SELECT b, {steps}, m FROM base, salts, meta2
 ),
 bloom AS (
-  SELECT b, bitpos // 32 AS word,
-         bit_or(CAST(1 AS BIGINT) << CAST(bitpos % 32 AS INTEGER)) AS bits
+  SELECT b, (({final} * m) // {HASH_SPACE}) // 32 AS word,
+         bit_or(CAST(1 AS BIGINT)
+                << CAST((({final} * m) // {HASH_SPACE}) % 32 AS INTEGER)) AS bits
   FROM hashed
   GROUP BY 1, 2
 ),
-need AS ({need_rows}),
+need AS (
+  SELECT word, bit_or(mask) AS req FROM (
+    SELECT (({qfinal} * m) // {HASH_SPACE}) // 32 AS word,
+           CAST(1 AS BIGINT)
+             << CAST((({qfinal} * m) // {HASH_SPACE}) % 32 AS INTEGER) AS mask
+    FROM (SELECT {qsteps}, m FROM salts, meta2)
+  ) GROUP BY 1
+),
 sel AS (
   SELECT b FROM bloom JOIN need USING (word)
   WHERE (bits & req) = req
