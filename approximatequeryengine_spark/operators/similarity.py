@@ -2015,3 +2015,104 @@ SELECT rank, doc_id, rrf_score, bm25_rank, ann_rank FROM (
   FROM fused
 ) WHERE rank <= {k}
 """
+
+
+def ann_filtered_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Metadata-FILTERED vector search: exact top-k cosine neighbors
+    constrained to candidates sharing the query's label (the
+    vector-database "filtered search" shape — WHERE label = ? AND
+    ORDER BY similarity). PRE-filtering (predicate before ranking) is
+    the correct plan: it returns exactly k matching rows. The readout
+    also carries ``postfilter_hits`` — how many of the UNfiltered
+    global top-k happen to satisfy the predicate — certifying the
+    standard failure of post-filtering: it returns fewer than k (often
+    0) when the predicate is selective. Output:
+    (query_id, neighbor_id, rank, cos_sim, postfilter_hits).
+
+    At 100 TB: identical shape to `ann_bruteforce_topk` (broadcast
+    queries, per-partition top-k, TakeOrdered) with the label
+    predicate fused into the scan — the filter tightens work, never
+    adds a pass. The IVF variants compose the same way (probe lists
+    are label-agnostic; the predicate applies at rerank)."""
+    base = emb.select(
+        F.col("vec_id"), F.col("label"), _vec_double(F.col("embedding")).alias("v")
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "label",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    pre = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    post = (
+        scored.withColumn("grank", F.row_number().over(w))
+        .filter(F.col("grank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+            .cast("long")
+            .alias("postfilter_hits")
+        )
+    )
+    return pre.join(post, on="query_id").select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "postfilter_hits",
+    )
+
+
+def ann_filtered_topk_sql(n_queries: int = 5, k: int = 3) -> str:
+    cos = _cosine_sql("q.embedding", "e.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel, e.label,
+         e.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+pre AS (
+  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored WHERE label = qlabel
+  ) WHERE rank <= {k}
+),
+post AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS postfilter_hits
+  FROM (
+    SELECT query_id, qlabel, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS grank
+    FROM scored
+  ) WHERE grank <= {k}
+  GROUP BY query_id
+)
+SELECT pre.query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim,
+       postfilter_hits
+FROM pre JOIN post ON pre.query_id = post.query_id
+"""

@@ -1173,6 +1173,9 @@ _docs_query("ann_bruteforce_topk", _sim.ann_bruteforce_topk, _sim.ann_bruteforce
 # shuffle at k·|queries| rows per partition.
 _docs_query("ann_bruteforce_matmul_topk", _sim.ann_bruteforce_topk_arrow, _sim.ann_bruteforce_topk_sql(), table="embeddings")
 _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="embeddings")
+# Round-5 fourth batch: metadata-filtered vector search (pre-filter
+# exact top-k per query label, plus the post-filter-deficit column).
+_docs_query("ann_filtered_topk", _sim.ann_filtered_topk, _sim.ann_filtered_topk_sql(), table="embeddings")
 # IVF ANN — oracle-backed since round 4: the coarse quantizer is a
 # deterministic LSH cell (hyperplane bits) rather than iterative
 # k-means, so the DuckDB oracle re-derives training (cell assignment +
@@ -2721,6 +2724,59 @@ def _zorder_oracle() -> str:
 
 
 _register("index_zorder_rect_sum", _zorder_fn, _zorder_oracle())
+
+
+# MERGE / upsert (CDC apply) — the lakehouse write primitive
+# (operators/merge.py). The change batch derives deterministically from
+# orders itself in three DISJOINT mod-21 slices (so source keys stay
+# unique, the MERGE precondition): k%21=0 price-bumped (updates),
+# k%21=7 echoed verbatim (unchanged), k%21=14 re-keyed +1e8 (inserts).
+# The certified row is the one-aggregate change audit over the single
+# full-outer join.
+
+
+def _merge_upsert_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.operators.merge import merge_upsert_stats
+
+    cat = _catalog(spark, sf_dir)
+    o = cat.table("orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    upd = o.filter(k % 21 == 0).select(
+        k.alias("o_orderkey"), (F.col("o_totalprice") + 10.0).alias("o_totalprice")
+    )
+    unch = o.filter(k % 21 == 7).select("o_orderkey", "o_totalprice")
+    ins = o.filter(k % 21 == 14).select(
+        (k + 100_000_000).alias("o_orderkey"), F.col("o_totalprice")
+    )
+    source = upd.unionAll(unch).unionAll(ins)
+    return merge_upsert_stats(
+        o,
+        source,
+        key="o_orderkey",
+        value_cents=F.floor(F.col("o_totalprice") * 100.0 + 0.5),
+    )
+
+
+def _merge_upsert_oracle() -> str:
+    from approximatequeryengine_spark.operators.merge import merge_upsert_stats_sql
+
+    src = (
+        "(SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice "
+        " FROM orders WHERE o_orderkey % 21 = 0 "
+        " UNION ALL SELECT o_orderkey, o_totalprice "
+        " FROM orders WHERE o_orderkey % 21 = 7 "
+        " UNION ALL SELECT o_orderkey + 100000000, o_totalprice "
+        " FROM orders WHERE o_orderkey % 21 = 14) src"
+    )
+    return merge_upsert_stats_sql(
+        target_sql="orders",
+        source_sql=src,
+        key="o_orderkey",
+        value_cents_sql="floor(o_totalprice * 100.0 + 0.5)",
+    )
+
+
+_register("table_merge_upsert_stats", _merge_upsert_fn, _merge_upsert_oracle())
 
 
 # AQP++ (SIGMOD'18): exact precomputed interior blocks + sampled

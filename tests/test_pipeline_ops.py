@@ -1783,3 +1783,70 @@ def test_hybrid_rrf_scores_consistent_with_leg_ranks(spark):
                 orank = o["bm25_rank"] or o["ann_rank"]
                 if orank >= br:
                     assert b["rrf_score"] > o["rrf_score"]
+
+
+# --- MERGE / upsert (operators/merge.py) ------------------------------------
+
+
+def test_merge_upsert_classifies_and_merges(spark):
+    from approximatequeryengine_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_stats,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, 25.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    cents = F.floor(F.col("v") * 100.0 + 0.5)
+    row = merge_upsert_stats(target, source, key="k", value_cents=cents).collect()[0]
+    assert row["n_target"] == 3 and row["n_source"] == 3
+    assert row["n_inserted"] == 1   # k=4
+    assert row["n_updated"] == 1    # k=2: 20 -> 25
+    assert row["n_unchanged"] == 1  # k=3
+    assert row["n_result"] == row["n_target"] + row["n_inserted"] == 4
+    assert row["sum_after"] == 10.0 + 25.0 + 30.0 + 40.0
+
+    merged = {
+        r["k"]: r["value_cents"]
+        for r in merge_upsert(target, source, key="k", value_cents=cents).collect()
+    }
+    assert merged == {1: 1000, 2: 2500, 3: 3000, 4: 4000}
+
+
+def test_merge_upsert_empty_source_is_identity(spark):
+    from approximatequeryengine_spark.operators.merge import merge_upsert_stats
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    source = spark.createDataFrame([], "k long, v double")
+    cents = F.floor(F.col("v") * 100.0 + 0.5)
+    row = merge_upsert_stats(target, source, key="k", value_cents=cents).collect()[0]
+    assert row["n_inserted"] == row["n_updated"] == row["n_unchanged"] == 0
+    assert row["n_result"] == row["n_target"] == 2
+    assert row["sum_after"] == 30.0
+
+
+# --- Filtered vector search (operators/similarity.py) -----------------------
+
+
+def test_filtered_ann_prefilter_returns_k_postfilter_often_cannot(spark):
+    """Pre-filtering returns exactly k label-matching neighbors per
+    query; the postfilter_hits column shows how many the unfiltered
+    global top-k would have kept (the post-filter deficit)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = similarity.ann_filtered_topk(spark, emb, n_queries=5, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+        for r in rs:
+            assert labels[r["neighbor_id"]] == labels[q]  # predicate holds
+            assert 0 <= r["postfilter_hits"] <= 3
+    # with 16 labels, at least one query's global top-3 misses some
+    # same-label neighbor — otherwise the deficit column proves nothing
+    assert any(rs[0]["postfilter_hits"] < 3 for rs in by_q.values())
