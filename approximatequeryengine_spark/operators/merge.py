@@ -52,18 +52,14 @@ def merge_upsert(
     )
 
 
-def merge_upsert_stats(
-    target: DataFrame,
-    source: DataFrame,
-    key: str,
-    value_cents: Column,
-) -> DataFrame:
-    """One-row change audit of the merge (see module docstring)."""
-    t = target.select(F.col(key).alias("k"), value_cents.cast("long").alias("tc"))
-    s = source.select(F.col(key).alias("k"), value_cents.cast("long").alias("sc"))
-    j = t.join(s, on="k", how="full_outer")
+def merge_audit(joined: DataFrame) -> DataFrame:
+    """One-row change audit over any frame carrying per-key ``tc``
+    (target cents, NULL when absent) and ``sc`` (source cents, NULL
+    when absent) — shared by the batch outer-join path and the
+    streaming compaction path (`streaming/pipeline.py::
+    merge_upsert_stream`), so both certify against the same oracle."""
     tc, sc = F.col("tc"), F.col("sc")
-    return j.agg(
+    return joined.agg(
         F.sum(F.when(tc.isNotNull(), 1).otherwise(0)).cast("long").alias("n_target"),
         F.sum(F.when(sc.isNotNull(), 1).otherwise(0)).cast("long").alias("n_source"),
         F.sum(F.when(tc.isNull() & sc.isNotNull(), 1).otherwise(0))
@@ -78,6 +74,18 @@ def merge_upsert_stats(
         F.count(F.lit(1)).cast("long").alias("n_result"),
         F.round(F.sum(F.coalesce(sc, tc)) / F.lit(100.0), 2).alias("sum_after"),
     )
+
+
+def merge_upsert_stats(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    value_cents: Column,
+) -> DataFrame:
+    """One-row change audit of the batch merge (see module docstring)."""
+    t = target.select(F.col(key).alias("k"), value_cents.cast("long").alias("tc"))
+    s = source.select(F.col(key).alias("k"), value_cents.cast("long").alias("sc"))
+    return merge_audit(t.join(s, on="k", how="full_outer"))
 
 
 def merge_upsert_stats_sql(

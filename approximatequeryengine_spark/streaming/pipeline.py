@@ -669,3 +669,49 @@ def lambda_serving_quantiles(
         .agg(F.sum("c").cast("long").alias("c"))
     )
     return ddsketch_readout(merged, alpha, qs, group="event_type")
+
+
+def merge_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the continuous twin of the batch MERGE
+    (`operators/merge.py`; same deterministic mod-21 change slices,
+    same oracle): each arriving order row emits its target version
+    (seq 0) plus, for the change slices, a change-event version
+    (seq 1); a complete-mode groupBy(key) compaction keeps the latest
+    cents per (key, seq) — the latest-wins state a streaming upsert
+    maintains — and the drained state feeds the SAME one-aggregate
+    change audit as the batch path (`merge_audit`).
+
+    State is O(live keys) — the CDC-compaction memory model. At
+    100 TB one would bound it by keyspace partitioning or switch to
+    foreachBatch MERGE into a keyed table (this module documents, not
+    hides, that trade; the certified contract is drained state ==
+    batch merge, which holds for ANY batch/stream split because max
+    over (seq, cents) pairs is order-free)."""
+    from approximatequeryengine_spark.operators.merge import merge_audit
+
+    o = table_stream(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k, p = F.col("o_orderkey"), F.col("o_totalprice")
+
+    def _ev(key_col, seq, val):
+        return F.struct(
+            key_col.cast("long").alias("k"),
+            F.lit(seq).alias("seq"),
+            val.cast("double").alias("v"),
+        )
+
+    tgt = _ev(k, 0, p)
+    chg = (
+        F.when(k % 21 == 0, _ev(k, 1, p + 10.0))
+        .when(k % 21 == 7, _ev(k, 1, p))
+        .when(k % 21 == 14, _ev(k + 100_000_000, 1, p))
+    )
+    rows = o.select(
+        F.explode(F.filter(F.array(tgt, chg), lambda x: x.isNotNull())).alias("r")
+    ).select("r.*")
+    cents = F.floor(F.col("v") * 100.0 + 0.5).cast("long")
+    state = rows.groupBy("k").agg(
+        F.max(F.when(F.col("seq") == 0, cents)).alias("tc"),
+        F.max(F.when(F.col("seq") == 1, cents)).alias("sc"),
+    )
+    drained = run_to_memory_sink(state, "complete")
+    return merge_audit(drained)

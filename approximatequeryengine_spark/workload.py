@@ -3367,6 +3367,22 @@ def _lambda_serving_oracle() -> str:
 _register("streaming_lambda_serving", _lambda_serving_fn, _lambda_serving_oracle())
 
 
+# Round-5 fourth batch: streaming CDC apply — the continuous twin of
+# table_merge_upsert_stats (same deterministic change slices, same
+# oracle): latest-wins compaction state drained into the shared
+# merge_audit aggregate.
+
+
+def _merge_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.streaming.pipeline import merge_upsert_stream
+
+    _catalog(spark, sf_dir)
+    return merge_upsert_stream(spark, sf_dir)
+
+
+_register("streaming_merge_upsert", _merge_stream_fn, _merge_upsert_oracle())
+
+
 # Sample+Seek (SIGMOD'16) router: two certified entries, one per
 # route, so the driver attests BOTH execution paths and the decision
 # itself. Ranges chosen against the 64-zone orders layout: a 3-week

@@ -482,3 +482,16 @@ def test_lambda_serving_split_invariance(spark):
         )
         answers.append(rows)
     assert answers[0] and all(a == answers[0] for a in answers[1:])
+
+
+def test_streaming_merge_upsert_equals_batch(spark):
+    """The drained latest-wins compaction state must produce the exact
+    batch MERGE audit — max over (seq, cents) is order-free, so the
+    parity holds for any micro-batch split."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["streaming_merge_upsert"](spark, sf).collect()[0]
+    want = QUERIES["table_merge_upsert_stats"](spark, sf).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["n_inserted"] > 0 and got["n_updated"] > 0 and got["n_unchanged"] > 0
