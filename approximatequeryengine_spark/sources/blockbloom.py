@@ -151,6 +151,64 @@ def blockbloom_write(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def blockbloom_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    ingest_key: Column,
+    lookup_key: Column,
+    k: int = K_PROBES,
+) -> None:
+    """Append a batch to an existing index WITHOUT rebuilding: the new
+    rows' probe words bit_or-merge into the bloom side table (OR is
+    exactly the bloom merge law), and the batch's data appends to its
+    block directories. Layout parameters come from the persisted meta,
+    so append == rebuild-under-the-same-meta bit for bit (pinned in
+    tests). Batch keys beyond the original ingest span simply land in
+    new block ids (the block arithmetic extends past the cap; a
+    compaction would re-derive the layout — the documented trade)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    mn, width, m_bits = int(meta["mn"]), int(meta["width"]), int(meta["m_bits"])
+    base = df.withColumn("__lk", lookup_key.cast("long")).withColumn(
+        "__block",
+        F.floor((ingest_key.cast("long") - F.lit(mn)) / F.lit(width)).cast("long"),
+    )
+    (
+        base.repartition("__block")
+        .write.partitionBy("__block")
+        .mode("append")
+        .parquet(f"{path}/data")
+    )
+    probes = None
+    for salt in range(k):
+        hdf = with_avalanche_h(base, F.col("__lk"), F.lit(salt), h_col="__h")
+        bit = F.expr(f"CAST((__h * {m_bits}) div {HASH_SPACE} AS BIGINT)")
+        p = hdf.select(F.col("__block"), bit.alias("__bit")).select(
+            F.col("__block"),
+            (F.col("__bit") / F.lit(32)).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    old = spark.read.parquet(f"{path}/bloom").select(
+        "__block", "word", F.col("bits").alias("mask")
+    )
+    merged = (
+        old.unionAll(probes)
+        .groupBy("__block", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # stage-then-swap: 'merged' READS {path}/bloom, so writing over it
+    # in place would consume its own input; the rename is atomic-ish
+    # and never drags the table through the driver.
+    import shutil
+
+    merged.write.mode("overwrite").parquet(f"{path}/bloom_staged")
+    shutil.rmtree(f"{path}/bloom")
+    shutil.move(f"{path}/bloom_staged", f"{path}/bloom")
+
+
 def blockbloom_point_sum(
     spark: SparkSession,
     path: str,

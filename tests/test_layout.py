@@ -443,3 +443,57 @@ def test_zorder_scan_is_partition_pruned(spark, engine, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "__block" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_blockbloom_append_equals_rebuild(spark, engine, tmp_path):
+    """Appending a batch must leave the index identical to rebuilding
+    over the union under the same layout meta: bit_or IS the bloom
+    merge law. Queries for keys in either half answer exactly."""
+    from approximatequeryengine_spark.sources.blockbloom import (
+        blockbloom_append,
+        blockbloom_point_sum,
+        blockbloom_write,
+    )
+
+    orders = engine.catalog.table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    blockbloom_write(
+        spark, first, inc,
+        ingest_key=F.col("o_orderkey"), lookup_key=F.col("o_custkey"),
+    )
+    blockbloom_append(
+        spark, second, inc,
+        ingest_key=F.col("o_orderkey"), lookup_key=F.col("o_custkey"),
+    )
+    # rebuild under the same meta: full table, same (mn, width) because
+    # first-half min/max orderkeys bound the full span at sf0.001
+    full = str(tmp_path / "full")
+    blockbloom_write(
+        spark, orders, full,
+        ingest_key=F.col("o_orderkey"), lookup_key=F.col("o_custkey"),
+    )
+    bi = {
+        (r["__block"], r["word"]): r["bits"]
+        for r in spark.read.parquet(f"{inc}/bloom").collect()
+    }
+    bf = {
+        (r["__block"], r["word"]): r["bits"]
+        for r in spark.read.parquet(f"{full}/bloom").collect()
+    }
+    assert bi == bf
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    for key in (42, 99):
+        got = blockbloom_point_sum(spark, inc, key, cents).collect()[0]
+        want = (
+            orders.filter(F.col("o_custkey") == key)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(cents.cast("long")) / 100.0, 2).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert got["n_rows"] == want["n"] and got["sum_value"] == want["s"]
