@@ -387,6 +387,24 @@ _sql_query(
     "   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 "
     "       AND l_quantity BETWEEN 20 AND 30)",
 )
+# TPC-H Q22-style global-market analysis, adapted to the fixture's
+# dense order history ("never ordered at all" matches almost nobody):
+# positive-balance customers above the GLOBAL average balance with no
+# order since 2000-01-01 — churned high-value accounts by nation.
+# Exercises an uncorrelated scalar subquery (computed once, broadcast)
+# and NOT EXISTS planned as a left-anti hash join with the date filter
+# pushed below it — never a per-row subquery.
+_sql_query(
+    "tpch_q22_global_sales_opportunity",
+    "SELECT c_nationkey, count(*) AS numcust, "
+    "round(sum(c_acctbal), 2) AS totacctbal "
+    "FROM customer "
+    "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+    "                   WHERE c_acctbal > 0.0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "                AND o_orderdate >= TIMESTAMP '2000-01-01') "
+    "GROUP BY c_nationkey ORDER BY c_nationkey",
+)
 # SURVEY §2.4 beyond-reference — GROUPING SETS (subtotals + grand total
 # in one shuffle via Expand, vs three scans). coalesce() disambiguates
 # the rollup NULLs identically on both engines.

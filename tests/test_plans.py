@@ -317,3 +317,15 @@ def test_priority_plan_uses_take_ordered(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_scalar_subquery(spark):
+    """Q22's NOT EXISTS must decorrelate to a left-anti hash join with
+    the order-date filter pushed to the orders scan, and the global
+    average must appear as a computed scalar subquery, not a rescan
+    per row."""
+    plan = _plan(spark, "tpch_q22_global_sales_opportunity")
+    assert re.search(r"BroadcastHashJoin LeftAnti|SortMergeJoin LeftAnti", plan), plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "Subquery" in plan or "scalar-subquery" in plan
