@@ -182,3 +182,113 @@ SELECT freq, n_keys, n_rows
 FROM (SELECT * FROM spec ORDER BY n_keys DESC, freq LIMIT {top}) __t
 ORDER BY freq
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (Deequ-style validation)
+# ---------------------------------------------------------------------------
+
+
+def constraint_checks_orders(
+    spark: SparkSession, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """The pre-training data-quality gate (the AWS Deequ /
+    great-expectations shape): a fixed suite of constraints over the
+    orders table, each reported as (check_name, metric, passed). ALL
+    table-local checks ride ONE aggregate scan; the referential check
+    is one left-anti join count — never a scan per constraint, which
+    is how naive validators turn a 6-check suite into 6 passes over
+    100 TB.
+
+    Checks: row_count > 0; completeness(o_custkey) = 1; primary-key
+    uniqueness(o_orderkey) = 1; value range min(o_totalprice) > 0;
+    accepted values o_orderstatus ⊆ {O, F, P}; referential integrity
+    orders.o_custkey → customer.c_custkey (orphan fraction = 0).
+    Metrics are count ratios — exact IEEE divisions of integer counts,
+    identical in any engine."""
+    stats = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_custkey").cast("long").alias("n_custkey"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_status_ok"),
+    )
+    orphans = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphan"))
+    )
+    row = stats.crossJoin(orphans)  # 1-row × 1-row
+    checks = [
+        ("row_count", F.col("n").cast("double"), F.col("n") > 0),
+        (
+            "completeness_o_custkey",
+            F.col("n_custkey") / F.col("n"),
+            F.col("n_custkey") == F.col("n"),
+        ),
+        (
+            "uniqueness_o_orderkey",
+            F.col("n_key") / F.col("n"),
+            F.col("n_key") == F.col("n"),
+        ),
+        ("min_o_totalprice", F.round(F.col("min_price"), 2), F.col("min_price") > 0),
+        (
+            "accepted_values_o_orderstatus",
+            F.col("n_status_ok") / F.col("n"),
+            F.col("n_status_ok") == F.col("n"),
+        ),
+        (
+            "referential_o_custkey",
+            F.col("n_orphan") / F.col("n"),
+            F.col("n_orphan") == 0,
+        ),
+    ]
+    out = None
+    for name, metric, passed in checks:
+        r = row.select(
+            F.lit(name).alias("check_name"),
+            metric.cast("double").alias("metric"),
+            passed.cast("boolean").alias("passed"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out.orderBy("check_name")
+
+
+def constraint_checks_orders_sql() -> str:
+    """DuckDB oracle: one aggregate + one anti-join count, fanned into
+    the same six rows."""
+    return """
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS n_custkey,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_key,
+         min(o_totalprice) AS min_price,
+         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_status_ok
+  FROM orders
+),
+orphans AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphan
+  FROM orders WHERE NOT EXISTS
+    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+),
+row0 AS (SELECT * FROM stats, orphans)
+SELECT check_name, CAST(metric AS DOUBLE) AS metric, passed FROM (
+  SELECT 'row_count' AS check_name, CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM row0
+  UNION ALL SELECT 'completeness_o_custkey',
+    CAST(n_custkey AS DOUBLE) / n, n_custkey = n FROM row0
+  UNION ALL SELECT 'uniqueness_o_orderkey',
+    CAST(n_key AS DOUBLE) / n, n_key = n FROM row0
+  UNION ALL SELECT 'min_o_totalprice',
+    round(min_price, 2), min_price > 0 FROM row0
+  UNION ALL SELECT 'accepted_values_o_orderstatus',
+    CAST(n_status_ok AS DOUBLE) / n, n_status_ok = n FROM row0
+  UNION ALL SELECT 'referential_o_custkey',
+    CAST(n_orphan AS DOUBLE) / n, n_orphan = 0 FROM row0
+)
+ORDER BY check_name
+"""

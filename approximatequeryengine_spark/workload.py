@@ -1630,6 +1630,31 @@ def _freq_spectrum_oracle() -> str:
 _register("profile_key_frequency_spectrum", _freq_spectrum_fn, _freq_spectrum_oracle())
 
 
+# Round-5 fourth batch: Deequ-style data-quality constraint suite —
+# six checks, ONE aggregate scan + ONE anti-join count, (check,
+# metric, passed) rows.
+
+
+def _constraints_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.operators.profiling import (
+        constraint_checks_orders,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    return constraint_checks_orders(spark, cat.table("orders"), cat.table("customer"))
+
+
+def _constraints_oracle() -> str:
+    from approximatequeryengine_spark.operators.profiling import (
+        constraint_checks_orders_sql,
+    )
+
+    return constraint_checks_orders_sql()
+
+
+_register("quality_constraint_checks", _constraints_fn, _constraints_oracle())
+
+
 def _rfm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (operators/profiling.py): recency /
     frequency / monetary quintiles over the orders fact."""

@@ -94,3 +94,35 @@ def test_key_frequency_spectrum(spark):
 
     est = ams_f2_estimate(li, F.col("l_orderkey")).collect()[0]["f2_estimate"]
     assert abs(est - f2_exact) / f2_exact < 0.35
+
+
+def test_constraint_checks_all_pass_on_fixture_and_catch_breaks(spark, engine):
+    """The fixture satisfies the whole suite; a corrupted frame (NULL
+    keys, orphan FK, negative price) flips exactly the right checks."""
+    from approximatequeryengine_spark.operators.profiling import (
+        constraint_checks_orders,
+    )
+
+    orders = engine.catalog.table("orders")
+    customer = engine.catalog.table("customer")
+    rows = {r["check_name"]: r for r in
+            constraint_checks_orders(spark, orders, customer).collect()}
+    assert len(rows) == 6 and all(r["passed"] for r in rows.values())
+    assert rows["completeness_o_custkey"]["metric"] == 1.0
+    assert rows["referential_o_custkey"]["metric"] == 0.0
+
+    bad = orders.limit(50).unionByName(
+        orders.limit(3).select(
+            (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") * -1).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    got = {r["check_name"]: r for r in
+           constraint_checks_orders(spark, bad, customer).collect()}
+    assert not got["completeness_o_custkey"]["passed"]
+    assert not got["min_o_totalprice"]["passed"]
+    assert got["uniqueness_o_orderkey"]["passed"]  # keys still unique
