@@ -529,3 +529,80 @@ SELECT event_type, bucket_ts,
          AS locf_sum
 FROM dense
 """
+
+
+def anomaly_days_by_type(spark: SparkSession, events: DataFrame, top: int = 3) -> DataFrame:
+    """Pipeline-monitoring anomaly scan: the ``top`` most anomalous
+    DAYS per event type by daily-volume z-score. Output:
+    (event_type, day, n_events, z).
+
+    The z-score derives from exact integer sums (n days, Σc, Σc² are
+    BIGINTs; daily counts are integers), so mean and sample variance
+    are single IEEE expressions identical in any engine — no
+    order-dependent float aggregation anywhere, which is what makes
+    the ranking (|z| DESC, day ASC) engine-portable. Two grouped
+    passes — daily counts, then per-type moments — plus a window over
+    |days| rows per type; at 100 TB both shuffles key on event_type
+    (+day) and the window input is O(days·types), not O(events)."""
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("s2"),
+    )
+    j = daily.join(F.broadcast(m), on="event_type").filter(F.col("nd") >= 2)
+    mean = F.col("s").cast("double") / F.col("nd")
+    var = F.greatest(
+        (F.col("s2").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("nd"))
+        / (F.col("nd") - 1),
+        F.lit(0.0),
+    )
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    # var == 0 (all days identical) would divide by zero — engines
+    # disagree on 0/0 vs x/0 semantics, so exclude the case outright.
+    scored = j.filter(var > 0).select("event_type", "day", "n_events", z.alias("z"))
+    w = Window.partitionBy("event_type").orderBy(F.abs(F.col("z")).desc(), F.col("day"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top)
+        .select("event_type", "day", "n_events", F.round("z", 6).alias("z"))
+        .orderBy("event_type", F.abs(F.col("z")).desc(), "day")
+    )
+
+
+def anomaly_days_by_type_sql(top: int = 3) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+),
+scored AS (
+  SELECT daily.event_type, day, n_events,
+         (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / nd)
+           / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / nd)
+                           / (nd - 1), 0.0)) AS z
+  FROM daily JOIN m USING (event_type)
+  WHERE nd >= 2
+    AND (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / nd) / (nd - 1) > 0
+),
+ranked AS (
+  SELECT event_type, day, n_events, z,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(z) DESC, day ASC) AS rk
+  FROM scored
+)
+SELECT event_type, day, n_events, round(z, 6) AS z
+FROM ranked WHERE rk <= {top}
+ORDER BY event_type, abs(z) DESC, day
+"""

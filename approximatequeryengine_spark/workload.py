@@ -3346,6 +3346,21 @@ def _gapfill_oracle() -> str:
 _register("events_gapfill_locf", _gapfill_fn, _gapfill_oracle())
 
 
+# Round-5 fourth batch: pipeline-monitoring anomaly scan — top-3 most
+# anomalous DAYS per event type by daily-volume z-score (exact integer
+# moments → engine-portable ranking).
+
+
+def _anomaly_days_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    return _temporal.anomaly_days_by_type(spark, cat.table("events"))
+
+
+_register(
+    "events_anomaly_days", _anomaly_days_fn, _temporal.anomaly_days_by_type_sql()
+)
+
+
 def _ams_f2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS tug-of-war sketch: self-join size (F₂) of lineitem on
     l_orderkey from 48 signed counters in one aggregate pass —

@@ -1850,3 +1850,45 @@ def test_filtered_ann_prefilter_returns_k_postfilter_often_cannot(spark):
     # with 16 labels, at least one query's global top-3 misses some
     # same-label neighbor — otherwise the deficit column proves nothing
     assert any(rs[0]["postfilter_hits"] < 3 for rs in by_q.values())
+
+
+# --- Anomaly days (operators/temporal.py) -----------------------------------
+
+
+def test_anomaly_days_flags_injected_spike(spark):
+    """A synthetic event stream with one 10x-volume day must rank that
+    day first for its type with a large positive z."""
+    from datetime import datetime
+
+    from approximatequeryengine_spark.operators.temporal import anomaly_days_by_type
+
+    rows = []
+    eid = 0
+    for d in range(1, 21):  # 20 days, 5 events/day baseline
+        n = 50 if d == 7 else 5  # spike on day 7
+        for i in range(n):
+            rows.append((eid, datetime(2024, 1, d, 12, 0, 0), eid % 10, "click", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = anomaly_days_by_type(spark, df).collect()
+    assert got[0]["event_type"] == "click"
+    assert str(got[0]["day"]) == "2024-01-07"
+    assert got[0]["n_events"] == 50 and got[0]["z"] > 4.0
+
+
+def test_anomaly_days_zero_variance_excluded(spark):
+    """Uniform volume (variance 0) must yield no rows, not a
+    divide-by-zero."""
+    from datetime import datetime
+
+    from approximatequeryengine_spark.operators.temporal import anomaly_days_by_type
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 5, 8, 0, 0), i, "view", 1.0) for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert anomaly_days_by_type(spark, df).count() == 0
