@@ -292,3 +292,96 @@ SELECT check_name, CAST(metric AS DOUBLE) AS metric, passed FROM (
 )
 ORDER BY check_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor: Population Stability Index per source
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 8
+PSI_BIN_WIDTH = 80  # n_chars bins: [0,80), [80,160), ..., [560, inf)
+
+
+def psi_drift_by_source(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the whole corpus — the standard ML data-drift
+    monitor (PSI > 0.2 = investigate). Output:
+    (source, n_docs, psi, drifted).
+
+    Lengths bin into fixed-width cells (top cell open-ended); both the
+    per-source and corpus proportions are Laplace-smoothed
+    ((c + 0.5) / (n + B/2)) so empty cells contribute finitely instead
+    of ln(0). One scan produces the (source, bin) counts; everything
+    after runs on O(sources × bins) rows — the dense grid comes from a
+    broadcast nested-loop of two tiny frames, never a shuffle. The
+    only transcendental is ln() on identical doubles; the 6-decimal
+    rounding absorbs any libm ulp difference between engines."""
+    b = F.least(
+        F.floor(F.col("n_chars") / F.lit(PSI_BIN_WIDTH)), F.lit(PSI_BINS - 1)
+    ).cast("long")
+    cnt = docs.groupBy(F.col("source"), b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    srcs = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    corpus = cnt.groupBy("bin").agg(F.sum("c").cast("long").alias("cc"))
+    total = cnt.agg(F.sum("c").cast("long").alias("n"))
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bins))
+        .join(cnt, on=["source", "bin"], how="left")
+        .join(F.broadcast(corpus), on="bin", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_s",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+            "n",
+        )
+    )
+    half_b = PSI_BINS / 2.0
+    p_s = (F.col("c") + F.lit(0.5)) / (F.col("n_s") + F.lit(half_b))
+    p_c = (F.col("cc") + F.lit(0.5)) / (F.col("n") + F.lit(half_b))
+    term = (p_s - p_c) * F.log(p_s / p_c)
+    out = grid.groupBy("source", "n_s").agg(F.round(F.sum(term), 6).alias("psi"))
+    return out.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        "psi",
+        (F.col("psi") > 0.2).alias("drifted"),
+    ).orderBy("source")
+
+
+def psi_drift_by_source_sql() -> str:
+    half_b = PSI_BINS / 2.0
+    return f"""
+WITH binned AS (
+  SELECT source,
+         least(CAST(floor(n_chars / {PSI_BIN_WIDTH}.0) AS BIGINT),
+               {PSI_BINS - 1}) AS bin
+  FROM documents
+),
+cnt AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2),
+srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1),
+corpus AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cc FROM cnt GROUP BY 1),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+bins AS (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin),
+grid AS (
+  SELECT srcs.source, srcs.n_s, bins.bin,
+         coalesce(cnt.c, 0) AS c, coalesce(corpus.cc, 0) AS cc, total.n
+  FROM srcs CROSS JOIN bins
+  LEFT JOIN cnt ON cnt.source = srcs.source AND cnt.bin = bins.bin
+  LEFT JOIN corpus ON corpus.bin = bins.bin
+  CROSS JOIN total
+),
+scored AS (
+  SELECT source, n_s,
+         round(sum(((c + 0.5) / (n_s + {half_b}) - (cc + 0.5) / (n + {half_b}))
+               * ln(((c + 0.5) / (n_s + {half_b}))
+                    / ((cc + 0.5) / (n + {half_b})))), 6) AS psi
+  FROM grid GROUP BY 1, 2
+)
+SELECT source, n_s AS n_docs, psi, psi > 0.2 AS drifted
+FROM scored ORDER BY source
+"""

@@ -1655,6 +1655,27 @@ def _constraints_oracle() -> str:
 _register("quality_constraint_checks", _constraints_fn, _constraints_oracle())
 
 
+# Round-5 fourth batch: PSI distribution-drift monitor per source.
+
+
+def _psi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.operators.profiling import psi_drift_by_source
+
+    cat = _catalog(spark, sf_dir)
+    return psi_drift_by_source(spark, cat.table("documents"))
+
+
+def _psi_oracle() -> str:
+    from approximatequeryengine_spark.operators.profiling import (
+        psi_drift_by_source_sql,
+    )
+
+    return psi_drift_by_source_sql()
+
+
+_register("profile_psi_drift_by_source", _psi_fn, _psi_oracle())
+
+
 def _rfm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (operators/profiling.py): recency /
     frequency / monetary quintiles over the orders fact."""

@@ -126,3 +126,28 @@ def test_constraint_checks_all_pass_on_fixture_and_catch_breaks(spark, engine):
     assert not got["completeness_o_custkey"]["passed"]
     assert not got["min_o_totalprice"]["passed"]
     assert got["uniqueness_o_orderkey"]["passed"]  # keys still unique
+
+
+def test_psi_drift_flags_shifted_source(spark):
+    """A source whose length distribution is shifted far from the
+    corpus must exceed the 0.2 PSI alarm; sources matching the corpus
+    stay well under it."""
+    from approximatequeryengine_spark.operators.profiling import psi_drift_by_source
+
+    rows = []
+    did = 0
+    # c is a SMALL shifted source so the corpus mixture stays close to
+    # the a/b distribution (a large shifted source drags every source's
+    # PSI up — correct behavior, but not what this test isolates)
+    for s, n_docs in (("a", 300), ("b", 300), ("c", 30)):
+        for i in range(n_docs):
+            n = 100 + (i % 5) * 30 if s != "c" else 560 + (i % 3) * 10
+            rows.append((did, "t", "en", s, n))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in psi_drift_by_source(spark, docs).collect()}
+    assert got["c"]["drifted"] and got["c"]["psi"] > 1.0
+    assert not got["a"]["drifted"] and got["a"]["psi"] < 0.2
+    assert got["a"]["n_docs"] == 300 and got["c"]["n_docs"] == 30
