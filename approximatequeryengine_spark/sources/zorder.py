@@ -81,11 +81,27 @@ def zorder_write(
     y: Column,
     rowid: Column,
     n_blocks: int = 64,
+    layout: str = "ntile",
 ) -> None:
     """Persist ``path/data`` partitioned by Morton block and
     ``path/blockmap`` = (block, xmin, xmax, ymin, ymax, n_rows); also
     writes ``path/meta`` (the two quantization (min, width) pairs) so
-    queries never re-derive the layout."""
+    queries never re-derive the layout.
+
+    Two block-assignment strategies:
+
+    - ``layout='ntile'`` (default): deterministic equal-count blocks
+      from a total order over (z, rowid) — a SINGLE-PARTITION window
+      at build time (measured 27 s for 6M rows), chosen because the
+      DuckDB oracle can replay the layout exactly (the certified
+      ``index_zorder_rect_sum`` path);
+    - ``layout='range'``: ``repartitionByRange`` on (z, rowid) —
+      sampled boundaries, fully distributed build, the layout you'd
+      run at 100 TB. Block ids are partition ids; sizes are
+      approximately equal and the blockmap describes the ACTUAL
+      layout, so the query path (and its exactness) is identical —
+      only layout replayability is lost. Same trade as the zonemap's
+      balanced mode; pinned in tests (answers equal, pruning holds)."""
     base = (
         df.withColumn("__x", x.cast("long"))
         .withColumn("__y", y.cast("long"))
@@ -94,19 +110,34 @@ def zorder_write(
     xmn, xw = _span(base, "__x")
     ymn, yw = _span(base, "__y")
     z = morton_sql(_quant_sql("__x", xmn, xw), _quant_sql("__y", ymn, yw))
-    zoned = base.withColumn("__z", F.expr(z)).withColumn(
-        "__block",
-        (F.ntile(n_blocks).over(Window.orderBy("__z", "__rid")) - 1).cast("long"),
-    )
+    if layout == "range":
+        from pyspark.sql.functions import spark_partition_id
+
+        zoned = (
+            base.withColumn("__z", F.expr(z))
+            .repartitionByRange(n_blocks, "__z", "__rid")
+            .withColumn("__block", spark_partition_id().cast("long"))
+        )
+    elif layout == "ntile":
+        zoned = base.withColumn("__z", F.expr(z)).withColumn(
+            "__block",
+            (F.ntile(n_blocks).over(Window.orderBy("__z", "__rid")) - 1).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown layout {layout!r}; use 'ntile' or 'range'")
+    writer = zoned.drop("__z")
+    if layout == "ntile":
+        writer = writer.repartition("__block")
+    # 'range': already partitioned by block — a repartition would both
+    # waste a shuffle AND re-sample the range boundaries.
+    writer.write.partitionBy("__block").mode("overwrite").parquet(f"{path}/data")
+    # Blockmap from the WRITTEN files, not the lineage: under 'range'
+    # the block ids come from spark_partition_id over sampled
+    # boundaries, which a re-execution may re-draw — stats derived
+    # from the lineage could describe a layout that was never written.
     (
-        zoned.drop("__z")
-        .repartition("__block")
-        .write.partitionBy("__block")
-        .mode("overwrite")
-        .parquet(f"{path}/data")
-    )
-    (
-        zoned.groupBy("__block")
+        spark.read.parquet(f"{path}/data")
+        .groupBy("__block")
         .agg(
             F.min("__x").alias("xmin"),
             F.max("__x").alias("xmax"),

@@ -497,3 +497,35 @@ def test_blockbloom_append_equals_rebuild(spark, engine, tmp_path):
             .collect()[0]
         )
         assert got["n_rows"] == want["n"] and got["sum_value"] == want["s"]
+
+
+def test_zorder_range_layout_same_answers_distributed_build(spark, engine, tmp_path):
+    """layout='range' (repartitionByRange — the distributed 100 TB
+    build) must answer rectangles identically to the deterministic
+    ntile layout and still prune the y-selective rectangle."""
+    from approximatequeryengine_spark.sources.zorder import (
+        zorder_rect_sum,
+        zorder_write,
+    )
+
+    li = engine.catalog.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    x = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    y = F.col("l_partkey")
+    rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    paths = {}
+    for layout in ("ntile", "range"):
+        p = str(tmp_path / layout)
+        zorder_write(spark, li, p, x=x, y=y, rowid=rid, n_blocks=32, layout=layout)
+        paths[layout] = p
+    for rect in ((9100, 11700, 40, 119), (10013, 10104, 0, 99)):
+        rows = {
+            layout: zorder_rect_sum(spark, p, *rect, cents).collect()[0]
+            for layout, p in paths.items()
+        }
+        assert rows["ntile"]["n_rows"] == rows["range"]["n_rows"]
+        assert rows["ntile"]["sum_value"] == rows["range"]["sum_value"]
+    got = zorder_rect_sum(spark, paths["range"], 9100, 11700, 40, 119, cents).collect()[0]
+    assert got["blocks_scanned"] < got["blocks_total"]
