@@ -405,6 +405,67 @@ _sql_query(
     "                AND o_orderdate >= TIMESTAMP '2000-01-01') "
     "GROUP BY c_nationkey ORDER BY c_nationkey",
 )
+# SURVEY §2.4 beyond-reference — EXACT grouped quantiles (linear
+# interpolation; Spark percentile() == DuckDB quantile_cont, probed
+# equal). This is the exact BASELINE next to the approximate quantile
+# family (sampled order-statistic CIs, DDSketch) — at 100 TB it pays
+# a full per-group sort, which is precisely what the sketch family
+# exists to avoid; certifying both sides makes the trade measurable.
+_sql_query(
+    "exact_grouped_quantiles",
+    "SELECT l_returnflag, "
+    "round(percentile(l_extendedprice, 0.25), 2) AS p25, "
+    "round(percentile(l_extendedprice, 0.50), 2) AS p50, "
+    "round(percentile(l_extendedprice, 0.75), 2) AS p75, "
+    "round(percentile(l_extendedprice, 0.95), 2) AS p95 "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 2) AS p25, "
+        "round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE), 2) AS p50, "
+        "round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 2) AS p75, "
+        "round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 2) AS p95 "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+)
+# SURVEY §2.5 beyond-reference — decile segmentation: ntile over a
+# deterministic total order (balance, then key), rolled up to
+# per-decile stats. The window sorts |customers| rows on one
+# partition at fixture scale; the scale path is the same windowed
+# rollup AFTER a repartitionByRange pre-sort (documented trade, as
+# with the zonemap/zorder balanced layouts).
+_sql_query(
+    "window_acctbal_deciles",
+    "SELECT decile, count(*) AS n_cust, "
+    "round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi, "
+    "round(sum(c_acctbal), 2) AS total "
+    "FROM (SELECT c_acctbal, "
+    "      ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile "
+    "      FROM customer) __d "
+    "GROUP BY decile ORDER BY decile",
+)
+# SURVEY §2.5 beyond-reference — UNPIVOT (wide → long), the inverse of
+# pivot_order_status: one conditional-count scan makes the wide row,
+# stack() lays it back out as (status, n_orders) rows. DuckDB spells
+# the same reshape as UNION ALL over the one-row CTE.
+_sql_query(
+    "unpivot_order_status_counts",
+    "SELECT stack(3, 'F', f, 'O', o, 'P', p) AS (status, n_orders) FROM "
+    "(SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f, "
+    "        sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o, "
+    "        sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p "
+    " FROM orders) __w",
+    oracle=(
+        "WITH w AS ("
+        "  SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f, "
+        "         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o, "
+        "         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p "
+        "  FROM orders) "
+        "SELECT 'F' AS status, f AS n_orders FROM w "
+        "UNION ALL SELECT 'O', o FROM w "
+        "UNION ALL SELECT 'P', p FROM w"
+    ),
+)
 # SURVEY §2.4 beyond-reference — GROUPING SETS (subtotals + grand total
 # in one shuffle via Expand, vs three scans). coalesce() disambiguates
 # the rollup NULLs identically on both engines.
