@@ -549,6 +549,14 @@ def anomaly_days_by_type(spark: SparkSession, events: DataFrame, top: int = 3) -
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return anomaly_readout(daily, top)
+
+
+def anomaly_readout(daily: DataFrame, top: int = 3) -> DataFrame:
+    """The moments/z-score/rank readout over a (event_type, day,
+    n_events) table — shared by the batch scan above and the streaming
+    twin (`streaming/pipeline.py::anomaly_days_stream`), which drains
+    the same daily counts from complete-mode state."""
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("n_events").cast("long").alias("s"),

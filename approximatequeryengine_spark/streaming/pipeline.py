@@ -715,3 +715,33 @@ def merge_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = run_to_memory_sink(state, "complete")
     return merge_audit(drained)
+
+
+def anomaly_days_stream(spark: SparkSession, sf_dir: str, top: int = 3) -> DataFrame:
+    """Streaming twin of the daily-volume anomaly scan
+    (`operators/temporal.py::anomaly_days_by_type`): complete-mode
+    (type, day) counts maintained as streaming state, drained, then fed
+    through the SAME moments/z-score/rank readout — counts are
+    order-free sums, so the drained state equals the batch daily table
+    for any micro-batch split and the entry reuses the batch oracle
+    verbatim. State is O(types × days within retention); a production
+    deployment watermarks the day column to expire closed days into
+    the batch store (the lambda-serving pattern certified in
+    `streaming_lambda_serving`)."""
+    daily = (
+        events_stream(spark, sf_dir)
+        .select(F.col("event_type"), F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    drained = run_to_memory_sink(daily, "complete")
+    # The readout self-joins the daily table with its own aggregate;
+    # over a memory-sink VIEW both sides resolve to the same plan and
+    # Spark fails attribute dedup (INTERNAL_ERROR: conflicting
+    # references). localCheckpoint materializes the O(types × days)
+    # table with fresh attribute ids — distributed, no driver
+    # round-trip.
+    drained = drained.localCheckpoint(eager=True)
+    from approximatequeryengine_spark.operators.temporal import anomaly_readout
+
+    return anomaly_readout(drained, top)

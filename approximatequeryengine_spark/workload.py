@@ -3443,6 +3443,20 @@ _register(
 )
 
 
+def _anomaly_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.streaming.pipeline import anomaly_days_stream
+
+    _catalog(spark, sf_dir)
+    return anomaly_days_stream(spark, sf_dir)
+
+
+# Streaming twin: drained complete-mode daily counts == the batch
+# daily table (order-free sums), so the batch oracle applies verbatim.
+_register(
+    "streaming_anomaly_days", _anomaly_stream_fn, _temporal.anomaly_days_by_type_sql()
+)
+
+
 def _ams_f2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS tug-of-war sketch: self-join size (F₂) of lineitem on
     l_orderkey from 48 signed counters in one aggregate pass —

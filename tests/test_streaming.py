@@ -495,3 +495,12 @@ def test_streaming_merge_upsert_equals_batch(spark):
     want = QUERIES["table_merge_upsert_stats"](spark, sf).collect()[0]
     assert got.asDict() == want.asDict()
     assert got["n_inserted"] > 0 and got["n_updated"] > 0 and got["n_unchanged"] > 0
+
+
+def test_streaming_anomaly_days_equals_batch(spark):
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = [r.asDict() for r in QUERIES["streaming_anomaly_days"](spark, sf).collect()]
+    want = [r.asDict() for r in QUERIES["events_anomaly_days"](spark, sf).collect()]
+    assert got == want and len(got) > 0
