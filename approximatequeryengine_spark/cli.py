@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "it and the moment evidence, without running it")
     p.add_argument("--plan", action="store_true",
                    help="print the Spark physical plan of the result")
+    p.add_argument("--validate", action="store_true",
+                   help="run the data-quality constraint suite against "
+                   "--data and exit non-zero if any check fails (the "
+                   "pre-training CI gate; no query needed)")
     return p
 
 
@@ -116,6 +120,27 @@ def main(argv: list[str] | None = None) -> int:
             finally:
                 spark.stop()
         return 0
+    if args.validate:
+        from approximatequeryengine_spark.catalog import Catalog
+        from approximatequeryengine_spark.operators.profiling import (
+            constraint_checks_orders,
+        )
+
+        spark = get_spark(app_name="aqe-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            cat = Catalog(spark, args.data)
+            rows = constraint_checks_orders(
+                spark, cat.table("orders"), cat.table("customer")
+            ).collect()
+            failed = [r for r in rows if not r["passed"]]
+            for r in rows:
+                mark = "PASS" if r["passed"] else "FAIL"
+                print(f"  {mark}  {r['check_name']:32s} metric={r['metric']}")
+            print(f"{len(rows) - len(failed)}/{len(rows)} checks passed")
+            return 1 if failed else 0
+        finally:
+            spark.stop()
     if not args.query:
         print("error: a query is required (or --explain)", file=sys.stderr)
         return 2

@@ -255,3 +255,15 @@ def test_register_jdbc_end_to_end_via_derby(spark, tmp_path):
     approx = eng.run("SELECT APPROX(SUM(amount)) FROM jdbc_sales", sample_pct=25)
     assert approx.value == pytest.approx(truth, rel=0.25)
     assert approx.ci_lower <= approx.value <= approx.ci_upper
+
+
+def test_cli_validate_gate(spark, monkeypatch):
+    """--validate runs the constraint suite and exits 0 when green.
+    The CLI stops its session on exit; under pytest that session IS the
+    shared fixture (getOrCreate), so stop is patched to a no-op."""
+    from pyspark.sql import SparkSession
+
+    from approximatequeryengine_spark.cli import main
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    assert main(["--validate", "--data", "/root/testdata/sf0.001"]) == 0
