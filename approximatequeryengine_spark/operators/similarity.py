@@ -1949,7 +1949,7 @@ def search_hybrid_rrf(
     """
     from approximatequeryengine_spark.operators.text import bm25_search_top10
 
-    lex = bm25_search_top10(spark, docs).select(
+    lex = bm25_search_top10(spark, docs, k=k).select(
         "doc_id", F.col("rank").alias("bm25_rank")
     )
     base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
@@ -1988,7 +1988,7 @@ def search_hybrid_rrf_sql(k: int = HYBRID_TOPK) -> str:
 
     cos = _cosine_sql("q.embedding", "e.embedding")
     return f"""
-WITH lex AS ({bm25_search_top10_sql()}),
+WITH lex AS ({bm25_search_top10_sql(k=k)}),
 scored AS (
   SELECT e.vec_id AS doc_id, {cos} AS cos
   FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q

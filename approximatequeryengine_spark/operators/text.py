@@ -470,9 +470,11 @@ BM25_QTERMS = 3
 BM25_TOPK = 10
 
 
-def bm25_search_top10(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Top-10 documents by BM25 for the corpus' 3 hottest tokens.
-    Output: ``(rank, doc_id, n_terms_matched, score)``."""
+def bm25_search_top10(
+    spark: SparkSession, docs: DataFrame, k: int = BM25_TOPK
+) -> DataFrame:
+    """Top-k (default 10) documents by BM25 for the corpus' 3 hottest
+    tokens. Output: ``(rank, doc_id, n_terms_matched, score)``."""
     docs = ensure_parallelism(docs)
     toks_arr = F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
     lens = docs.select("doc_id", F.size(toks_arr).alias("dl"))
@@ -528,14 +530,14 @@ def bm25_search_top10(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     # Same shape for the final ranking: top-K via TakeOrdered, then the
     # contiguous rank numbers come from a window over K rows.
-    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w2 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w2)).select(
         "rank", "doc_id", "n_terms_matched", "score"
     )
 
 
-def bm25_search_top10_sql() -> str:
+def bm25_search_top10_sql(k: int = BM25_TOPK) -> str:
     toks = f"list_transform({ws_tokens_sql('text')}, t -> lower(t))"
     s_parts = " + ".join(f"s{i + 1}" for i in range(BM25_QTERMS))
     pivot = ",\n         ".join(
@@ -584,7 +586,7 @@ ranked AS (
   FROM per_doc
 )
 SELECT rank, doc_id, n_terms_matched, score
-FROM ranked WHERE rank <= {BM25_TOPK} ORDER BY rank
+FROM ranked WHERE rank <= {k} ORDER BY rank
 """
 
 

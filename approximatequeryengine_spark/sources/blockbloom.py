@@ -90,9 +90,47 @@ def probe_masks(key: int, m_bits: int, k: int = K_PROBES) -> dict[int, int]:
     return out
 
 
+M_BITS_MAX = 1 << 25  # keeps h·m < 2^57: exact in BIGINT on every engine
+
+
 def _layout(mn: int, mx: int, block_width: int, max_blocks: int) -> tuple[int, int]:
     width = max(block_width, (mx - mn + max_blocks) // max_blocks)
-    return width, BITS_PER_KEY * width
+    m_bits = BITS_PER_KEY * width
+    if m_bits >= M_BITS_MAX:
+        # h (< 2^32) · m must stay below 2^63 EXACTLY in both engines
+        # AND below the 2^57 the oracle's integer arithmetic assumes;
+        # past it, Spark wraps silently and write-side bits diverge
+        # from driver-side probes — silent false negatives. Refuse.
+        raise ValueError(
+            f"blockbloom: ingest-key span {mx - mn + 1} needs filter width "
+            f"{width} (m = {m_bits} bits ≥ 2^25). Quantize the ingest key "
+            f"(e.g. days instead of millis) or raise max_blocks."
+        )
+    return width, m_bits
+
+
+def _probe_rows(base: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """(block, word, mask) probe rows for every non-null lookup key in
+    ``base`` — THE probe arithmetic, shared by write and append so the
+    append == rebuild bitwise invariant cannot drift."""
+    src = base.filter(F.col("__lk").isNotNull())
+    probes = None
+    for salt in range(k):
+        hdf = with_avalanche_h(src, F.col("__lk"), F.lit(salt), h_col="__h")
+        # exact integer range-scaling: (h · m) div 2^32 < m, no floats
+        bit = F.expr(f"CAST((__h * {m_bits}) div {HASH_SPACE} AS BIGINT)")
+        p = hdf.select(F.col("__block"), bit.alias("__bit")).select(
+            F.col("__block"),
+            (F.col("__bit") / F.lit(32)).cast("long").alias("word"),
+            # shiftleft needs a literal shift in the Python API; the SQL
+            # form takes a column. Bit positions are < 32 so the mask
+            # stays < 2^32 — exact in BIGINT on both engines.
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return probes
 
 
 def blockbloom_write(
@@ -111,9 +149,23 @@ def blockbloom_write(
     base = df.withColumn("__lk", lookup_key.cast("long")).withColumn(
         "__ik", ingest_key.cast("long")
     )
-    mn, mx = base.agg(F.min("__ik"), F.max("__ik")).collect()[0]
+    mn, mx, n_null = base.agg(
+        F.min("__ik"),
+        F.max("__ik"),
+        F.sum(F.when(F.col("__ik").isNull(), 1).otherwise(0)),
+    ).collect()[0]
     if mn is None:
         raise ValueError("blockbloom_write: no non-null ingest keys")
+    if n_null:
+        # A NULL ingest key has no block: its rows would land in the
+        # Hive default partition OUTSIDE the pruning arithmetic and
+        # either crash the consult (int(None)) or silently vanish from
+        # 'exact' answers. The layout key must be total.
+        raise ValueError(
+            f"blockbloom_write: {n_null} NULL ingest keys; the blocking "
+            "key must be non-null (NULL lookup keys are fine — they are "
+            "stored but never probed)"
+        )
     width, m_bits = _layout(int(mn), int(mx), block_width, max_blocks)
     base = base.withColumn(
         "__block", F.floor((F.col("__ik") - F.lit(int(mn))) / F.lit(width)).cast("long")
@@ -124,24 +176,9 @@ def blockbloom_write(
         .mode("overwrite")
         .parquet(f"{path}/data")
     )
-    probes = None
-    for salt in range(k):
-        hdf = with_avalanche_h(base, F.col("__lk"), F.lit(salt), h_col="__h")
-        # exact integer range-scaling: (h · m) div 2^32 < m, no floats
-        bit = F.expr(f"CAST((__h * {m_bits}) div {HASH_SPACE} AS BIGINT)")
-        p = hdf.select(F.col("__block"), bit.alias("__bit")).select(
-            F.col("__block"),
-            (F.col("__bit") / F.lit(32)).cast("long").alias("word"),
-            # shiftleft needs a literal shift in the Python API; the SQL
-            # form takes a column. Bit positions are < 32 so the mask
-            # stays < 2^32 — exact in BIGINT on both engines.
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").alias(
-                "mask"
-            ),
-        )
-        probes = p if probes is None else probes.unionAll(p)
     (
-        probes.groupBy("__block", "word")
+        _probe_rows(base, m_bits, k)
+        .groupBy("__block", "word")
         .agg(F.bit_or("mask").alias("bits"))
         .write.mode("overwrite")
         .parquet(f"{path}/bloom")
@@ -173,29 +210,23 @@ def blockbloom_append(
         "__block",
         F.floor((ingest_key.cast("long") - F.lit(mn)) / F.lit(width)).cast("long"),
     )
+    n_null = base.filter(F.col("__block").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"blockbloom_append: {n_null} NULL ingest keys in the batch; "
+            "the blocking key must be non-null"
+        )
     (
         base.repartition("__block")
         .write.partitionBy("__block")
         .mode("append")
         .parquet(f"{path}/data")
     )
-    probes = None
-    for salt in range(k):
-        hdf = with_avalanche_h(base, F.col("__lk"), F.lit(salt), h_col="__h")
-        bit = F.expr(f"CAST((__h * {m_bits}) div {HASH_SPACE} AS BIGINT)")
-        p = hdf.select(F.col("__block"), bit.alias("__bit")).select(
-            F.col("__block"),
-            (F.col("__bit") / F.lit(32)).cast("long").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").alias(
-                "mask"
-            ),
-        )
-        probes = p if probes is None else probes.unionAll(p)
     old = spark.read.parquet(f"{path}/bloom").select(
         "__block", "word", F.col("bits").alias("mask")
     )
     merged = (
-        old.unionAll(probes)
+        old.unionAll(_probe_rows(base, m_bits, k))
         .groupBy("__block", "word")
         .agg(F.bit_or("mask").alias("bits"))
     )
@@ -223,22 +254,22 @@ def blockbloom_point_sum(
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     need = probe_masks(key, int(meta["m_bits"]), k)
     bloom = spark.read.parquet(f"{path}/bloom")
-    blocks_total = bloom.select("__block").distinct().count()
     cond = None
     for w, m in need.items():
         c = (F.col("word") == F.lit(w)) & (
             F.col("bits").bitwiseAND(F.lit(m)) == F.lit(m)
         )
         cond = c if cond is None else cond | c
-    survivors = (
-        bloom.filter(cond)
-        .groupBy("__block")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") == F.lit(len(need)))
-        .select("__block")
+    # ONE job over the bloom table: per-block hit counts for every
+    # block (blocks_total = row count of the result, ≤ max_blocks+ε —
+    # a bounded collect thanks to the block-count cap).
+    per_block = (
+        bloom.groupBy("__block")
+        .agg(F.sum(F.when(cond, 1).otherwise(0)).alias("n_hit"))
         .collect()
     )
-    cells = sorted(int(r["__block"]) for r in survivors)
+    blocks_total = len(per_block)
+    cells = sorted(int(r["__block"]) for r in per_block if r["n_hit"] == len(need))
     data = (
         spark.read.parquet(f"{path}/data")
         .filter(F.col("__block").isin(cells))

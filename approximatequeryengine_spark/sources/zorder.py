@@ -66,9 +66,19 @@ def _quant_sql(expr: str, mn: int, width: int) -> str:
 
 
 def _span(df: DataFrame, col: str) -> tuple[int, int]:
-    mn, mx = df.agg(F.min(col), F.max(col)).collect()[0]
+    mn, mx, n_null = df.agg(
+        F.min(col), F.max(col), F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+    ).collect()[0]
     if mn is None:
         raise ValueError(f"zorder_write: no non-null values in {col}")
+    if n_null:
+        # NULL quantizes to NULL z; those rows would cluster into a
+        # block whose min/max stats are NULL and crash the rect-sum
+        # consult's comparisons. The clustering keys must be total.
+        raise ValueError(
+            f"zorder_write: {n_null} NULL values in {col}; both "
+            "clustering keys must be non-null"
+        )
     width = max(1, (int(mx) - int(mn) + Q_CELLS) // Q_CELLS)
     return int(mn), width
 

@@ -529,3 +529,40 @@ def test_zorder_range_layout_same_answers_distributed_build(spark, engine, tmp_p
         assert rows["ntile"]["sum_value"] == rows["range"]["sum_value"]
     got = zorder_rect_sum(spark, paths["range"], 9100, 11700, 40, 119, cents).collect()[0]
     assert got["blocks_scanned"] < got["blocks_total"]
+
+
+def test_blockbloom_and_zorder_reject_null_keys(spark):
+    """NULL blocking/clustering keys have no block — both writers must
+    refuse them instead of leaking rows outside the pruning
+    arithmetic."""
+    import pytest as _pytest
+
+    from approximatequeryengine_spark.sources.blockbloom import blockbloom_write
+    from approximatequeryengine_spark.sources.zorder import zorder_write
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (None, 20, 6), (3, 30, 7)], "ik long, lk long, rid long"
+    )
+    with _pytest.raises(ValueError, match="NULL ingest keys"):
+        blockbloom_write(
+            spark, df, "/tmp/bb_nulls", ingest_key=F.col("ik"), lookup_key=F.col("lk")
+        )
+    with _pytest.raises(ValueError, match="NULL values"):
+        zorder_write(
+            spark, df, "/tmp/zo_nulls", x=F.col("ik"), y=F.col("lk"), rowid=F.col("rid")
+        )
+
+
+def test_blockbloom_rejects_overflowing_span(spark):
+    """An ingest-key span that would push the filter size past 2^25
+    bits (h*m overflow territory) must be refused, not silently
+    wrapped."""
+    import pytest as _pytest
+
+    from approximatequeryengine_spark.sources.blockbloom import blockbloom_write
+
+    df = spark.createDataFrame([(0, 1), (2**38, 2)], "ik long, lk long")
+    with _pytest.raises(ValueError, match="Quantize the ingest key"):
+        blockbloom_write(
+            spark, df, "/tmp/bb_span", ingest_key=F.col("ik"), lookup_key=F.col("lk")
+        )

@@ -1892,3 +1892,15 @@ def test_anomaly_days_zero_variance_excluded(spark):
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
     )
     assert anomaly_days_by_type(spark, df).count() == 0
+
+
+def test_hybrid_rrf_k_reaches_both_legs(spark):
+    """k must bound BOTH legs: with k=5 no fused row carries a leg rank
+    beyond 5."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = similarity.search_hybrid_rrf(spark, docs, emb, k=5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["bm25_rank"] is None or r["bm25_rank"] <= 5
+        assert r["ann_rank"] is None or r["ann_rank"] <= 5
