@@ -405,6 +405,19 @@ _sql_query(
     "                AND o_orderdate >= TIMESTAMP '2000-01-01') "
     "GROUP BY c_nationkey ORDER BY c_nationkey",
 )
+# SURVEY §2.6 beyond-reference — exact bivariate statistics in one
+# scan: correlation, sample covariance, and the OLS line
+# (slope/intercept) for (quantity, price). Both engines use one-pass
+# covariance updates whose float paths can differ at the last ulp;
+# the rounded outputs absorb that (same convention as approx_corr_ci).
+_sql_query(
+    "profile_bivariate_stats",
+    "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+    "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price, "
+    "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty, "
+    "round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_price_on_qty "
+    "FROM lineitem",
+)
 # SURVEY §2.4 beyond-reference — EXACT grouped quantiles (linear
 # interpolation; Spark percentile() == DuckDB quantile_cont, probed
 # equal). This is the exact BASELINE next to the approximate quantile
