@@ -766,3 +766,70 @@ SELECT lang, count(*) AS n_docs,
                   AS DOUBLE) / count(*), 6) AS share_below
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+def token_entropy_by_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-language token-distribution statistics: Shannon entropy (in
+    bits) of the language's unigram distribution and its KL divergence
+    from the whole-corpus distribution — the corpus-mixture diagnostics
+    a curation pipeline reads before reweighting sources. Output:
+    (lang, n_tokens, n_types, entropy_bits, kl_vs_corpus_bits).
+
+    One explode+group pass produces (lang, token) counts; every later
+    stage runs on O(langs × vocabulary) rows. All probabilities are
+    exact integer ratios; the only transcendental is log2 on identical
+    doubles (6-decimal rounding absorbs libm ulps). KL is finite by
+    construction: every language token IS a corpus token, so q > 0
+    wherever p > 0 — no smoothing needed (unlike the PSI monitor,
+    whose two sides bin independently)."""
+    toks = docs.select(
+        "lang", F.explode(F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))).alias("tok")
+    )
+    lt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lang_tot = lt.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    corpus = lt.groupBy("tok").agg(F.sum("c").cast("long").alias("cc"))
+    total = lt.agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        lt.join(F.broadcast(lang_tot), on="lang")
+        .join(F.broadcast(corpus), on="tok")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    q = F.col("cc").cast("double") / F.col("n")
+    ent_term = -p * F.log2(p)
+    kl_term = p * F.log2(p / q)
+    return (
+        j.groupBy("lang", "n_tokens", "n_types")
+        .agg(
+            F.round(F.sum(ent_term), 6).alias("entropy_bits"),
+            F.round(F.sum(kl_term), 6).alias("kl_vs_corpus_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_entropy_by_lang_sql() -> str:
+    toks = f"list_transform({ws_tokens_sql('text')}, t -> lower(t))"
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({toks}) AS tok FROM documents
+),
+lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+lang_tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS n_types
+             FROM lt GROUP BY 1),
+corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM lt GROUP BY 1),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lt)
+SELECT lang, n_tokens, n_types,
+       round(sum(-(CAST(c AS DOUBLE) / n_tokens)
+                 * log2(CAST(c AS DOUBLE) / n_tokens)), 6) AS entropy_bits,
+       round(sum((CAST(c AS DOUBLE) / n_tokens)
+                 * log2((CAST(c AS DOUBLE) / n_tokens)
+                        / (CAST(cc AS DOUBLE) / n))), 6) AS kl_vs_corpus_bits
+FROM lt JOIN lang_tot USING (lang) JOIN corpus USING (tok) CROSS JOIN total
+GROUP BY lang, n_tokens, n_types
+ORDER BY lang
+"""

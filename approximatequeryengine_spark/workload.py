@@ -405,6 +405,27 @@ _sql_query(
     "                AND o_orderdate >= TIMESTAMP '2000-01-01') "
     "GROUP BY c_nationkey ORDER BY c_nationkey",
 )
+# SURVEY §2.5 beyond-reference — Gini coefficient of per-customer
+# revenue (the inequality/concentration diagnostic next to the RFM
+# segments and the key-frequency spectrum). Exact-rank formula
+# G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over integer cents with a
+# deterministic (value, key) total order: every sum is an exact
+# integer, the final division is one IEEE op, so the 6-decimal output
+# is engine-identical. The rank window sorts |customers| rows — the
+# scale path pre-partitions by range exactly like the decile entry.
+_sql_query(
+    "profile_revenue_gini",
+    "WITH rev AS (SELECT o_custkey, "
+    "  CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents "
+    "  FROM orders GROUP BY o_custkey), "
+    "ranked AS (SELECT cents, "
+    "  row_number() OVER (ORDER BY cents, o_custkey) AS i FROM rev) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
+    "round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_revenue, "
+    "round((2.0 * sum(i * cents) - (count(*) + 1.0) * sum(cents)) "
+    "      / (count(*) * CAST(sum(cents) AS DOUBLE)), 6) AS gini "
+    "FROM ranked",
+)
 # SURVEY §2.6 beyond-reference — exact bivariate statistics in one
 # scan: correlation, sample covariance, and the OLS line
 # (slope/intercept) for (quantity, price). Both engines use one-pass
@@ -1215,6 +1236,9 @@ _docs_query("text_unigram_logprob", _text.unigram_logprob_stats, _text.unigram_l
 # candidate cutoffs from ONE corpus scan (conditional sums, no
 # per-threshold rescans).
 _docs_query("text_quality_threshold_sweep", _text.quality_threshold_sweep, _text.quality_threshold_sweep_sql())
+# Round-5 fourth batch: per-language token entropy + KL vs corpus —
+# the mixture diagnostics read before source reweighting.
+_docs_query("text_token_entropy_by_lang", _text.token_entropy_by_lang, _text.token_entropy_by_lang_sql())
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())
