@@ -394,3 +394,76 @@ def test_outlier_threshold_tie_semantics_python_model(giant, body, b, n_above):
     assert sum(out) + sum(x for x in xs if x <= t) == pytest.approx(
         sum(xs), rel=1e-12
     )
+
+
+# -- round-5 fourth batch: Morton interleave + bloom probe arithmetic -------
+
+
+def _py_morton(xq: int, yq: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((xq >> i) & 1) << (2 * i)
+        z |= ((yq >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _py_deinterleave(z: int) -> tuple[int, int]:
+    x = y = 0
+    for i in range(16):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=200, deadline=None)
+def test_morton_sql_matches_bit_interleave_and_roundtrips(xq, yq):
+    """The %-arithmetic Morton SQL equals the bit interleave (checked
+    via DuckDB, which shares the text with the oracle) and the code is
+    invertible — no two cells collide."""
+    from approximatequeryengine_spark.sources.zorder import morton_sql
+
+    con = duckdb.connect()
+    # CASTs mirror the real oracle, whose xq/yq arrive as BIGINT
+    # columns; bare int literals would fold as INT32 and overflow.
+    z = con.execute(
+        f"SELECT {morton_sql(f'CAST({xq} AS BIGINT)', f'CAST({yq} AS BIGINT)')}"
+    ).fetchone()[0]
+    assert z == _py_morton(xq, yq)
+    assert _py_deinterleave(z) == (xq, yq)
+
+
+@given(st.integers(0, 65534), st.integers(0, 65535))
+@settings(max_examples=100, deadline=None)
+def test_morton_grows_with_x_at_fixed_y(xq, yq):
+    """At fixed y, the Morton code is strictly increasing in x (x's
+    bits occupy fixed positions), so equal-count blocks over z give
+    every block FINITE x/y spans — the property that makes the
+    blockmap's per-dimension min/max bounds useful. (z is NOT monotone
+    across both dims jointly, which is exactly why the blockmap stores
+    per-dimension bounds instead of z ranges.)"""
+    assert _py_morton(xq + 1, yq) > _py_morton(xq, yq)
+
+
+@given(st.integers(-(2**62), 2**62), st.integers(8, 1 << 24))
+@settings(max_examples=200, deadline=None)
+def test_bloom_probe_masks_in_range(key, m_bits):
+    """Every probe lands inside the filter: word < ceil(m/32) and the
+    mask is a single bit below 2^32 (BIGINT-exact in both engines)."""
+    from approximatequeryengine_spark.sources.blockbloom import probe_masks
+
+    need = probe_masks(key, m_bits)
+    assert 1 <= len(need) <= 3
+    for w, m in need.items():
+        assert 0 <= w <= (m_bits - 1) // 32
+        assert 0 < m < 2**32
+        # OR of distinct single bits: no bit above 32 per word
+        assert m == (m & 0xFFFFFFFF)
+
+
+@given(st.integers(-(2**62), 2**62))
+@settings(max_examples=100, deadline=None)
+def test_bloom_probe_masks_deterministic(key):
+    from approximatequeryengine_spark.sources.blockbloom import probe_masks
+
+    assert probe_masks(key, 4096) == probe_masks(key, 4096)
