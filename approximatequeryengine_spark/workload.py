@@ -1239,6 +1239,26 @@ _docs_query("text_quality_threshold_sweep", _text.quality_threshold_sweep, _text
 # Round-5 fourth batch: per-language token entropy + KL vs corpus —
 # the mixture diagnostics read before source reweighting.
 _docs_query("text_token_entropy_by_lang", _text.token_entropy_by_lang, _text.token_entropy_by_lang_sql())
+# Round-5 fourth batch: iterative NUMERIC graph analytics — 5
+# synchronous PageRank steps over the token co-occurrence graph in
+# integer fixed-point (order-free sums → engine-exact), the oracle
+# unrolling the iterations as chained CTEs (operators/graph.py).
+
+
+def _pagerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.operators.graph import token_pagerank_topk
+
+    cat = _catalog(spark, sf_dir)
+    return token_pagerank_topk(spark, cat.table("documents"))
+
+
+def _pagerank_oracle() -> str:
+    from approximatequeryengine_spark.operators.graph import token_pagerank_topk_sql
+
+    return token_pagerank_topk_sql()
+
+
+_register("graph_token_pagerank", _pagerank_fn, _pagerank_oracle())
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())

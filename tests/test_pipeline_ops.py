@@ -1904,3 +1904,30 @@ def test_hybrid_rrf_k_reaches_both_legs(spark):
     for r in rows:
         assert r["bm25_rank"] is None or r["bm25_rank"] <= 5
         assert r["ann_rank"] is None or r["ann_rank"] <= 5
+
+
+# --- Token PageRank (operators/graph.py) ------------------------------------
+
+
+def test_pagerank_mass_conservation_and_hub_dominance(spark):
+    """On a synthetic hub-and-spoke graph the hub must outrank every
+    spoke, and total fixed-point mass stays within the documented
+    flooring loss of SCALE."""
+    from approximatequeryengine_spark.operators.graph import (
+        PR_SCALE,
+        token_pagerank_topk,
+    )
+
+    # docs: hub token co-occurs with every spoke; spokes only with hub
+    rows = [(i, f"hub spoke{i}", "en", "s", 10) for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = token_pagerank_topk(spark, docs, iters=5, k=9).collect()
+    assert got[0]["tok"] == "hub" and got[0]["rank"] == 1
+    spokes = [r for r in got if r["tok"] != "hub"]
+    assert len(spokes) == 8
+    assert all(r["pr"] < got[0]["pr"] for r in spokes)
+    assert len({r["pr"] for r in spokes}) == 1  # symmetric spokes tie
+    total = sum(r["pr"] for r in got)
+    assert 0.9 * PR_SCALE <= total <= PR_SCALE  # flooring only loses mass
