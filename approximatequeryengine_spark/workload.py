@@ -1794,6 +1794,23 @@ def _psi_oracle() -> str:
 _register("profile_psi_drift_by_source", _psi_fn, _psi_oracle())
 
 
+# Round-5 fourth batch: embedding↔document coverage — the referential
+# check an embedding pipeline runs before training (every doc embedded
+# exactly once, no orphan vectors). Two anti-join counts + totals in
+# one readout row; same one-scan-per-side shape as the constraint
+# suite's FK check.
+_sql_query(
+    "quality_embedding_coverage",
+    "SELECT "
+    "(SELECT count(*) FROM documents) AS n_docs, "
+    "(SELECT count(*) FROM embeddings) AS n_vecs, "
+    "(SELECT count(*) FROM documents d WHERE NOT EXISTS "
+    "  (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS n_unembedded, "
+    "(SELECT count(*) FROM embeddings e WHERE NOT EXISTS "
+    "  (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS n_orphan_vecs",
+)
+
+
 def _rfm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (operators/profiling.py): recency /
     frequency / monetary quintiles over the orders fact."""
