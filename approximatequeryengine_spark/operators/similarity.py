@@ -2116,3 +2116,66 @@ SELECT pre.query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim,
        postfilter_hits
 FROM pre JOIN post ON pre.query_id = post.query_id
 """
+
+
+def ann_recall_profile(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """The engine measuring its own index fidelity: recall@k of the IVF
+    index against the brute-force ground truth, per query, summarized
+    as (n_queries, k, mean_recall, worst_recall). This is the readout
+    an ANN deployment watches when tuning n_probe — certified end to
+    end because BOTH sides are deterministic (the exact scan and the
+    LSH-cell IVF replay in any engine).
+
+    At 100 TB the ground-truth side is the expensive one — this is an
+    OFFLINE evaluation run on a query sample, not a query-path
+    operator; the IVF side scans ~N·n_probe/n_cells as always."""
+    bf = ann_bruteforce_topk(spark, emb, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ann_ivf_topk(spark, emb, n_queries, k).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    per_q = (
+        bf.join(
+            ivf,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("n2").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("r")
+        )
+    )
+    return per_q.agg(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.avg("r"), 6).alias("mean_recall"),
+        F.round(F.min("r"), 6).alias("worst_recall"),
+    )
+
+
+def ann_recall_profile_sql(n_queries: int = 5, k: int = 3) -> str:
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ann_bruteforce_topk_sql(n_queries, k)}) __bf),
+ivf AS (SELECT query_id, neighbor_id FROM ({ann_ivf_topk_sql(n_queries, k)}) __ivf),
+per_q AS (
+  SELECT bf.query_id,
+         CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS r
+  FROM bf LEFT JOIN ivf
+    ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+  GROUP BY 1
+)
+SELECT CAST({n_queries} AS BIGINT) AS n_queries, CAST({k} AS BIGINT) AS k,
+       round(avg(r), 6) AS mean_recall, round(min(r), 6) AS worst_recall
+FROM per_q
+"""

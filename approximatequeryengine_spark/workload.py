@@ -1312,6 +1312,9 @@ _docs_query("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), table="e
 # Round-5 fourth batch: metadata-filtered vector search (pre-filter
 # exact top-k per query label, plus the post-filter-deficit column).
 _docs_query("ann_filtered_topk", _sim.ann_filtered_topk, _sim.ann_filtered_topk_sql(), table="embeddings")
+# Round-5 fourth batch: recall@k of the IVF index vs the brute-force
+# ground truth — the offline fidelity evaluation, certified end to end.
+_docs_query("ann_recall_profile", _sim.ann_recall_profile, _sim.ann_recall_profile_sql(), table="embeddings")
 # IVF ANN — oracle-backed since round 4: the coarse quantizer is a
 # deterministic LSH cell (hyperplane bits) rather than iterative
 # k-means, so the DuckDB oracle re-derives training (cell assignment +
