@@ -1112,3 +1112,77 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM names) AS n_values,
          AS n_verified_pairs
 FROM cand
 """
+
+
+def cross_source_dup_matrix(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source duplication matrix — which sources share near-dup
+    content with which (the contamination-flow diagnostic a curation
+    pipeline reads before trusting per-source mixture weights). Rides
+    the certified MinHash-LSH pair search: verified pairs join each
+    side's source, pairs collapse onto unordered (source_lo, source_hi)
+    cells, and the readout is the bounded |sources|² matrix
+    (src_a, src_b, n_pairs, n_docs_a_side, n_docs_b_side). Same-source
+    cells measure internal duplication; off-diagonal cells measure
+    cross-source copying.
+
+    At 100 TB: the pair search is the banded-LSH path (its scale
+    argument unchanged); everything after is a broadcast join to the
+    doc→source map projection and one grouped count over the pair set.
+    """
+    pairs = minhash_lsh_pairs(spark, docs, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))),
+            on="doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))),
+            on="doc_b",
+        )
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("src_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("src_b"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("da"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("db"),
+        )
+    )
+    return (
+        j.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("da").cast("long").alias("n_docs_a_side"),
+            F.countDistinct("db").cast("long").alias("n_docs_b_side"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def cross_source_dup_matrix_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql(threshold)}) __p
+),
+lab AS (
+  SELECT p.doc_a, p.doc_b, a.source AS sa, b.source AS sb
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.doc_a
+  JOIN documents b ON b.doc_id = p.doc_b
+),
+canon AS (
+  SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+         CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS da,
+         CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS db
+  FROM lab
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a_side,
+       CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b_side
+FROM canon GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1272,6 +1272,14 @@ _docs_query(
     _dedup.simhash_hamming_stats,
     _dedup.simhash_hamming_stats_sql(),
 )
+# Round-5 fourth batch: cross-source duplication matrix — which
+# sources share near-dup content (contamination flows), riding the
+# certified MinHash pair search.
+_docs_query(
+    "dedup_cross_source_matrix",
+    _dedup.cross_source_dup_matrix,
+    _dedup.cross_source_dup_matrix_sql(),
+)
 _docs_query(
     "dedup_connected_clusters",
     _dedup.dedup_connected_clusters,
