@@ -1784,6 +1784,36 @@ def _constraints_oracle() -> str:
 _register("quality_constraint_checks", _constraints_fn, _constraints_oracle())
 
 
+# Round-5 fourth batch: Benford first-digit forensics over order
+# totals — the fraud/synthetic-data screen. First digit via string
+# extraction (floor → BIGINT → first char), never log10 (whose float
+# rounding at power-of-ten boundaries differs per engine); expected
+# shares are log10(1+1/d) on identical literals. One scan.
+_sql_query(
+    "quality_benford_profile",
+    "SELECT digit, n, "
+    "round(n / CAST(total AS DOUBLE), 6) AS p_observed, "
+    "round(log10(1.0 + 1.0 / digit), 6) AS p_benford "
+    "FROM (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+    "             AS STRING), 1, 1) AS BIGINT) AS digit, "
+    "      CAST(count(*) AS BIGINT) AS n, "
+    "      CAST(sum(count(*)) OVER () AS BIGINT) AS total "
+    "      FROM orders WHERE o_totalprice >= 1.0 "
+    "      GROUP BY 1) __d "
+    "ORDER BY digit",
+    oracle=(
+        "SELECT digit, n, "
+        "round(n / CAST(total AS DOUBLE), 6) AS p_observed, "
+        "round(log10(1.0 + 1.0 / digit), 6) AS p_benford "
+        "FROM (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+        "             AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
+        "      CAST(count(*) AS BIGINT) AS n, "
+        "      CAST(sum(count(*)) OVER () AS BIGINT) AS total "
+        "      FROM orders WHERE o_totalprice >= 1.0 "
+        "      GROUP BY 1) __d "
+        "ORDER BY digit"
+    ),
+)
 # Round-5 fourth batch: PSI distribution-drift monitor per source.
 
 
