@@ -1931,3 +1931,14 @@ def test_pagerank_mass_conservation_and_hub_dominance(spark):
     assert len({r["pr"] for r in spokes}) == 1  # symmetric spokes tie
     total = sum(r["pr"] for r in got)
     assert 0.9 * PR_SCALE <= total <= PR_SCALE  # flooring only loses mass
+
+
+def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
+    """Recall must be non-decreasing in n_probe and exactly 1.0 when
+    every cell is probed (the index degenerates to the exact scan)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = similarity.ann_recall_profile(spark, emb).collect()
+    assert [r["n_probe"] for r in rows] == [2, 4, 8, 16]
+    mr = [r["mean_recall"] for r in rows]
+    assert all(a <= b for a, b in zip(mr, mr[1:]))
+    assert rows[-1]["mean_recall"] == 1.0 and rows[-1]["worst_recall"] == 1.0
