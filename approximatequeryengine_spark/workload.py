@@ -3543,6 +3543,35 @@ def _gapfill_oracle() -> str:
 _register("events_gapfill_locf", _gapfill_fn, _gapfill_oracle())
 
 
+# Round-5 fourth batch: 7-day sliding distinct users (the WAU-style
+# engagement timeline). Exact sliding DISTINCT cannot ride a window
+# frame (COUNT(DISTINCT) OVER a range is unsupported/explosive in both
+# engines); the scale shape is: reduce events to distinct (day, user)
+# pairs ONCE (one shuffle, the only O(N) step), then a bounded range
+# join of that pair table against the day grid — O(days × 7 × daily
+# actives) — and a grouped distinct per window end. Answer columns:
+# day, wau (7-day distinct), dau (that day's distinct).
+_sql_query(
+    "events_sliding_distinct_users",
+    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
+    "days AS (SELECT DISTINCT day FROM du) "
+    "SELECT d.day, "
+    "count(DISTINCT u.user_id) AS wau, "
+    "count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau "
+    "FROM days d JOIN du u "
+    "ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+    "GROUP BY d.day ORDER BY d.day",
+    oracle=(
+        "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
+        "days AS (SELECT DISTINCT day FROM du) "
+        "SELECT d.day, "
+        "CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau, "
+        "CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS BIGINT) AS dau "
+        "FROM days d JOIN du u "
+        "ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+        "GROUP BY d.day ORDER BY d.day"
+    ),
+)
 # Round-5 fourth batch: pipeline-monitoring anomaly scan — top-3 most
 # anomalous DAYS per event type by daily-volume z-score (exact integer
 # moments → engine-portable ranking).
