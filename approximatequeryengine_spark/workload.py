@@ -1759,6 +1759,64 @@ def _freq_spectrum_oracle() -> str:
 _register("profile_key_frequency_spectrum", _freq_spectrum_fn, _freq_spectrum_oracle())
 
 
+# Round-5 fourth batch: join-size estimator BAKE-OFF — the same
+# self-join-size target (Σf² over l_orderkey) answered by the exact
+# grouped product, the CMS inner product (one-sided overestimate), and
+# the AMS tug-of-war median (unbiased, two-sided) — with realized
+# relative errors as columns. The comparative readout a planner's
+# cardinality model is calibrated against; every component reuses its
+# already-certified machinery.
+
+
+def _joinsize_bakeoff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.plans.ams import ams_f2_estimate
+    from approximatequeryengine_spark.plans.countmin import cms_join_size
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    cms = cms_join_size(li, li, "l_orderkey").select("exact_join_size", "cms_est")
+    ams = ams_f2_estimate(li, F.col("l_orderkey")).select(
+        F.col("f2_estimate").alias("ams_est")
+    )
+    row = cms.crossJoin(ams)  # 1-row × 1-row
+    exact = F.col("exact_join_size").cast("double")
+    return row.select(
+        F.col("exact_join_size"),
+        F.col("cms_est"),
+        F.round(F.col("ams_est"), 2).alias("ams_est"),
+        F.round((F.col("cms_est") - exact) / exact, 6).alias("cms_rel_err"),
+        F.round((F.col("ams_est") - exact) / exact, 6).alias("ams_rel_err"),
+    )
+
+
+def _joinsize_bakeoff_oracle() -> str:
+    from approximatequeryengine_spark.plans.ams import ams_f2_estimate_sql
+    from approximatequeryengine_spark.plans.countmin import cms_join_size_sql
+
+    return f"""
+WITH cms AS (SELECT exact_join_size, cms_est
+             FROM ({cms_join_size_sql(
+                 "SELECT l_orderkey FROM lineitem",
+                 "SELECT l_orderkey FROM lineitem",
+                 "l_orderkey",
+             )}) __c),
+ams AS (SELECT f2_estimate AS ams_est
+        FROM ({ams_f2_estimate_sql("lineitem", "l_orderkey")}) __a)
+SELECT exact_join_size, cms_est,
+       round(ams_est, 2) AS ams_est,
+       round((cms_est - CAST(exact_join_size AS DOUBLE))
+             / exact_join_size, 6) AS cms_rel_err,
+       round((ams_est - CAST(exact_join_size AS DOUBLE))
+             / exact_join_size, 6) AS ams_rel_err
+FROM cms, ams
+"""
+
+
+_register(
+    "sketch_joinsize_bakeoff", _joinsize_bakeoff_fn, _joinsize_bakeoff_oracle()
+)
+
+
 # Round-5 fourth batch: Deequ-style data-quality constraint suite —
 # six checks, ONE aggregate scan + ONE anti-join count, (check,
 # metric, passed) rows.
