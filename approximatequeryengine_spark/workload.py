@@ -3601,6 +3601,42 @@ def _gapfill_oracle() -> str:
 _register("events_gapfill_locf", _gapfill_fn, _gapfill_oracle())
 
 
+# Round-5 fourth batch: open-order backlog per day via BOUNDARY
+# COUNTING — the O(boundaries) alternative to a per-day interval range
+# join: +1 at each order's open day, −1 at its close day (open + 30d
+# here), then one running sum over the merged boundary stream. The
+# range-join formulation touches O(days × open orders); this touches
+# each order exactly twice regardless of interval length. Certified
+# readout: the 10 highest-backlog days (ties broken by day).
+_sql_query(
+    "orders_open_backlog_days",
+    "WITH bounds AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM orders "
+    "  UNION ALL "
+    "  SELECT CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), -1 FROM orders), "
+    "daily AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta "
+    "          FROM bounds GROUP BY day), "
+    "running AS (SELECT day, "
+    "  CAST(sum(delta) OVER (ORDER BY day "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "  AS open_orders FROM daily) "
+    "SELECT day, open_orders FROM running "
+    "ORDER BY open_orders DESC, day LIMIT 10",
+    oracle=(
+        "WITH bounds AS ("
+        "  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM orders "
+        "  UNION ALL "
+        "  SELECT CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), -1 FROM orders), "
+        "daily AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta "
+        "          FROM bounds GROUP BY day), "
+        "running AS (SELECT day, "
+        "  CAST(sum(delta) OVER (ORDER BY day "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "  AS open_orders FROM daily) "
+        "SELECT day, open_orders FROM running "
+        "ORDER BY open_orders DESC, day LIMIT 10"
+    ),
+)
 # Round-5 fourth batch: 7-day sliding distinct users (the WAU-style
 # engagement timeline). Exact sliding DISTINCT cannot ride a window
 # frame (COUNT(DISTINCT) OVER a range is unsupported/explosive in both
