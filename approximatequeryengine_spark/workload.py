@@ -3601,6 +3601,28 @@ def _gapfill_oracle() -> str:
 _register("events_gapfill_locf", _gapfill_fn, _gapfill_oracle())
 
 
+# Round-5 fourth batch: day-of-week × hour activity matrix — the
+# seasonality profile behind ingest scheduling. Day-of-week comes from
+# portable epoch-day arithmetic ((days + 4) % 7, 0 = Sunday): the
+# builtin dow functions disagree across engines (dayofweek is
+# 1-indexed Sunday in Spark, 0-indexed Sunday in DuckDB, isodow
+# another convention again). One scan, 7×24-bounded output; certified
+# readout keeps the 20 busiest cells.
+_sql_query(
+    "events_dow_hour_profile",
+    "SELECT CAST((datediff(CAST(ts AS DATE), DATE '1970-01-01') + 4) % 7 "
+    "            AS BIGINT) AS dow, "
+    "CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_events "
+    "FROM events GROUP BY 1, 2 "
+    "ORDER BY n_events DESC, dow, hr LIMIT 20",
+    oracle=(
+        "SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 "
+        "            AS BIGINT) AS dow, "
+        "CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_events "
+        "FROM events GROUP BY 1, 2 "
+        "ORDER BY n_events DESC, dow, hr LIMIT 20"
+    ),
+)
 # Round-5 fourth batch: open-order backlog per day via BOUNDARY
 # COUNTING — the O(boundaries) alternative to a per-day interval range
 # join: +1 at each order's open day, −1 at its close day (open + 30d
