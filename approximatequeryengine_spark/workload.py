@@ -1817,6 +1817,74 @@ _register(
 )
 
 
+# Round-5 fourth batch: quantile estimator BAKE-OFF — the same p95
+# target answered by the exact interpolating percentile (the full-sort
+# baseline), the DDSketch bucket readout (α = 1% relative-error
+# guarantee), and the 10%-sample order statistic — realized relative
+# errors as columns, computed from the ROUNDED estimates so both
+# engines divide identical operands. Third member of the comparative-
+# evidence family (ANN recall curve, join-size bake-off).
+
+
+def _quantile_bakeoff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.plans.ddsketch import ddsketch_quantiles
+    from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    exact = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("exact_p95")
+    )
+    dd = ddsketch_quantiles(li, "l_extendedprice", qs=(0.95,)).select(
+        F.round(F.col("est_q"), 2).alias("ddsketch_est")
+    )
+    samp = approx_quantile_ci(
+        li,
+        "l_extendedprice",
+        0.95,
+        SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    ).select(F.round(F.col("l_extendedprice_q"), 2).alias("sample_est"))
+    row = exact.crossJoin(dd).crossJoin(samp)
+    ex = F.col("exact_p95")
+    return row.select(
+        "exact_p95",
+        "ddsketch_est",
+        "sample_est",
+        F.round((F.col("ddsketch_est") - ex) / ex, 6).alias("ddsketch_rel_err"),
+        F.round((F.col("sample_est") - ex) / ex, 6).alias("sample_rel_err"),
+    )
+
+
+def _quantile_bakeoff_oracle() -> str:
+    from approximatequeryengine_spark.plans.ddsketch import ddsketch_quantiles_sql
+    from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci_sql
+
+    samp_sql = approx_quantile_ci_sql(
+        "lineitem",
+        "l_extendedprice",
+        0.95,
+        SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY),
+    )
+    dd_sql = ddsketch_quantiles_sql("lineitem", "l_extendedprice", qs=(0.95,))
+    return f"""
+WITH ex AS (
+  SELECT round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 2)
+         AS exact_p95 FROM lineitem
+),
+dd AS (SELECT round(est_q, 2) AS ddsketch_est FROM ({dd_sql}) __d),
+sa AS (SELECT round(l_extendedprice_q, 2) AS sample_est FROM ({samp_sql}) __s)
+SELECT exact_p95, ddsketch_est, sample_est,
+       round((ddsketch_est - exact_p95) / exact_p95, 6) AS ddsketch_rel_err,
+       round((sample_est - exact_p95) / exact_p95, 6) AS sample_rel_err
+FROM ex, dd, sa
+"""
+
+
+_register(
+    "sketch_quantile_bakeoff", _quantile_bakeoff_fn, _quantile_bakeoff_oracle()
+)
+
+
 # Round-5 fourth batch: Deequ-style data-quality constraint suite —
 # six checks, ONE aggregate scan + ONE anti-join count, (check,
 # metric, passed) rows.
