@@ -93,6 +93,19 @@ def apply_sampling(df: DataFrame, spec: SamplingSpec) -> DataFrame:
         )
 
     if spec.design == "systematic":
+        # DENSITY ASSUMPTION (the textbook periodicity hazard): 1/step
+        # is the true inclusion probability only when keys populate the
+        # residue classes mod step uniformly. A key with arithmetic
+        # structure sharing factors with step breaks it — measured: the
+        # composite 8·orderkey+linenumber key at step 10 realizes
+        # ~0.085 inclusion against the assumed 0.10 and biases the HT
+        # estimate −14.8% (far outside its own CI, whose variance
+        # formula leans on the same assumption). step 7 is safe there
+        # because 8 ≡ 1 (mod 7). The certified `sampling_design_bakeoff`
+        # entry keeps the broken configuration as a labeled hazard row;
+        # its realized_inclusion column is the cheap diagnostic —
+        # compare against 1/step before trusting a systematic design on
+        # a structured key.
         step = spec._step()
         k = F.abs(_key_col(spec))
         return df.filter(k % F.lit(step) == F.lit(spec.offset % step)).withColumn(

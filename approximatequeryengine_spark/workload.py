@@ -1817,6 +1817,103 @@ _register(
 )
 
 
+# Round-5 fourth batch: sampling-DESIGN bake-off — the core AQP claim
+# made measurable: the same SUM target under four certified designs,
+# one row each with realized estimate, CI half-width, sample size,
+# REALIZED inclusion rate, and relative error vs the exact total.
+# Uniform/systematic/block run at the nominal 10% fraction; stratified
+# uses its certified per-stratum config (n_samples shows its budget).
+# The systematic row is the deliberately-kept MEASURED HAZARD: stride
+# 10 shares structure with the composite key (8·orderkey + linenumber,
+# linenumber ∈ 1..7), so residues mod 10 are non-uniformly populated —
+# realized inclusion ~0.085 against the assumed 1/10, estimate biased
+# −14.8% and far OUTSIDE its own CI (the CI's density assumption is
+# broken too). The certified systematic entry uses stride 7, where
+# 8 ≡ 1 (mod 7) makes residues uniform. The realized_inclusion column
+# IS the diagnostic: trust systematic only when it matches 1/step —
+# the textbook periodicity hazard, caught here by measurement.
+_DB_DESIGNS = [
+    ("block64", SamplingSpec(design="block", fraction=0.10, key=_LKEY, block_size=64)),
+    ("stratified", SamplingSpec(
+        design="stratified", fraction=0.10, key=_LKEY,
+        stratum_col="l_returnflag", strata_fractions={"N": 0.3, "A": 0.05},
+    )),
+    ("systematic", SamplingSpec(design="systematic", fraction=0.10, key=_LKEY)),
+    ("uniform", SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)),
+]
+
+
+def _design_bakeoff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    exact = li.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("exact_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    aspec = AggSpec("sum", "l_extendedprice")
+    rows = None
+    for name, spec in _DB_DESIGNS:
+        r = approx_aggregate(apply_sampling(li, spec), aspec)
+        r = _round_cols(r, {aspec.name(): 2, "ci_lower": 2, "ci_upper": 2})
+        row = r.select(
+            F.lit(name).alias("design"),
+            F.col(aspec.name()).alias("est"),
+            F.round((F.col("ci_upper") - F.col("ci_lower")) / 2.0, 2).alias(
+                "ci_halfwidth"
+            ),
+            F.col("n_samples"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return (
+        rows.crossJoin(F.broadcast(exact))
+        .select(
+            "design",
+            "est",
+            "ci_halfwidth",
+            "n_samples",
+            F.round(F.col("n_samples") / F.col("n_total"), 6).alias(
+                "realized_inclusion"
+            ),
+            F.round((F.col("est") - F.col("exact_sum")) / F.col("exact_sum"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("design")
+    )
+
+
+def _design_bakeoff_oracle() -> str:
+    parts = []
+    for name, spec in _DB_DESIGNS:
+        m = moments_sql(
+            table="lineitem",
+            column="l_extendedprice",
+            where=sampling_where_sql(spec),
+            agg="sum",
+            p_sql=sampling_p_sql(spec),
+            alias="sum_l_extendedprice",
+            round_to=2,
+        )
+        parts.append(
+            f"SELECT '{name}' AS design, sum_l_extendedprice AS est, "
+            f"round((ci_upper - ci_lower) / 2.0, 2) AS ci_halfwidth, n_samples "
+            f"FROM ({m}) __m_{name}"
+        )
+    body = " UNION ALL ".join(parts)
+    return f"""
+WITH ex AS (SELECT round(sum(l_extendedprice), 2) AS exact_sum,
+                   CAST(count(*) AS BIGINT) AS n_total FROM lineitem),
+designs AS ({body})
+SELECT design, est, ci_halfwidth, n_samples,
+       round(CAST(n_samples AS DOUBLE) / n_total, 6) AS realized_inclusion,
+       round((est - exact_sum) / exact_sum, 6) AS rel_err
+FROM designs, ex ORDER BY design
+"""
+
+
+_register("sampling_design_bakeoff", _design_bakeoff_fn, _design_bakeoff_oracle())
+
+
 # Round-5 fourth batch: quantile estimator BAKE-OFF — the same p95
 # target answered by the exact interpolating percentile (the full-sort
 # baseline), the DDSketch bucket readout (α = 1% relative-error
