@@ -1130,20 +1130,25 @@ def cross_source_dup_matrix(
     cross-source copying.
 
     At 100 TB: the pair search is the banded-LSH path (its scale
-    argument unchanged); everything after is a broadcast join to the
-    doc→source map projection and one grouped count over the pair set.
+    argument unchanged); everything after joins the (small) pair set
+    against the doc→source projection — the planner picks the build
+    side — and one grouped count over the pairs.
     """
     pairs = minhash_lsh_pairs(spark, docs, threshold=threshold).select(
         "doc_a", "doc_b"
     )
     src = docs.select("doc_id", "source")
+    # No broadcast hint: the doc→source projection is O(|corpus|) and
+    # CANNOT ship to the driver at scale — the PAIR table is the small
+    # side, so the planner (AQE) broadcasts/shuffles correctly on its
+    # own.
     j = (
         pairs.join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))),
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
             on="doc_a",
         )
         .join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))),
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
             on="doc_b",
         )
         .select(

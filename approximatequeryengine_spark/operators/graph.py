@@ -72,7 +72,10 @@ def token_pagerank_topk(
     """Top-k tokens by fixed-point PageRank after ``iters`` synchronous
     steps. Output: (rank, tok, pr) with pr the exact integer
     fixed-point score."""
-    edges = _token_edges(docs)
+    # The quadratic-per-doc co-occurrence join is the dominant cost and
+    # the 5-iteration lazy plan references it ~2 per step — persist it
+    # once (materialized by the node count below).
+    edges = _token_edges(docs).persist()
     # distinct column names per role — deg/edges share lineage and
     # Spark rejects the ambiguous self-join otherwise
     deg = edges.groupBy("src").agg(
@@ -80,7 +83,14 @@ def token_pagerank_topk(
     ).select(F.col("src").alias("dtok"), "deg")
     out_edges = edges.select(F.col("src").alias("etok"), F.col("dst"))
     nodes = edges.select(F.col("src").alias("tok")).distinct()
-    n = nodes.count()  # bounded: |vocabulary|
+    n = nodes.count()  # bounded: |vocabulary|; materializes the cache
+    if n == 0:
+        # no co-occurrence edges (empty corpus or single-token docs):
+        # empty result, never a ZeroDivisionError (the repo's
+        # empty-input contract, tests/test_empty_inputs.py)
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, tok string, pr long"
+        )
     base = (15 * PR_SCALE) // (100 * n)
     ranks = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("long"))
     for _ in range(iters):

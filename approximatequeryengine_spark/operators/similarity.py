@@ -2127,6 +2127,7 @@ def ann_recall_profile(
     n_queries: int = 5,
     k: int = 3,
     n_probes: tuple[int, ...] = RECALL_PROBES,
+    n_centroids: int = 16,
 ) -> DataFrame:
     """The engine measuring its own index fidelity: the recall@k TUNING
     CURVE of the IVF index against the brute-force ground truth — one
@@ -2141,12 +2142,18 @@ def ann_recall_profile(
 
     At 100 TB the ground-truth side is the expensive one — this is an
     OFFLINE evaluation on a query sample, not a query-path operator."""
-    bf = ann_bruteforce_topk(spark, emb, n_queries, k).select(
-        "query_id", "neighbor_id"
+    # the ground truth is the expensive side — one k·n_queries-row
+    # result, persisted so the per-probe union branches reuse it
+    bf = (
+        ann_bruteforce_topk(spark, emb, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     out = None
     for np_ in n_probes:
-        ivf = ann_ivf_topk(spark, emb, n_queries, k, n_probe=np_).select(
+        ivf = ann_ivf_topk(
+            spark, emb, n_queries, k, n_centroids=n_centroids, n_probe=np_
+        ).select(
             F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
         )
         per_q = (
@@ -2168,7 +2175,7 @@ def ann_recall_profile(
         )
         row = per_q.agg(
             F.lit(np_).cast("long").alias("n_probe"),
-            F.round(F.lit(np_ / 16.0), 4).alias("scan_share"),
+            F.round(F.lit(np_ / n_centroids), 4).alias("scan_share"),
             F.round(F.avg("r"), 6).alias("mean_recall"),
             F.round(F.min("r"), 6).alias("worst_recall"),
         )
@@ -2177,13 +2184,16 @@ def ann_recall_profile(
 
 
 def ann_recall_profile_sql(
-    n_queries: int = 5, k: int = 3, n_probes: tuple[int, ...] = RECALL_PROBES
+    n_queries: int = 5,
+    k: int = 3,
+    n_probes: tuple[int, ...] = RECALL_PROBES,
+    n_centroids: int = 16,
 ) -> str:
     parts = []
     for np_ in n_probes:
         parts.append(f"""
 SELECT CAST({np_} AS BIGINT) AS n_probe,
-       round(CAST({np_ / 16.0!r} AS DOUBLE), 4) AS scan_share,
+       round(CAST({np_ / n_centroids!r} AS DOUBLE), 4) AS scan_share,
        round(avg(r), 6) AS mean_recall, round(min(r), 6) AS worst_recall
 FROM (
   SELECT bf.query_id,
@@ -2192,7 +2202,7 @@ FROM (
   FROM (SELECT query_id, neighbor_id
         FROM ({ann_bruteforce_topk_sql(n_queries, k)}) __bf) bf
   LEFT JOIN (SELECT query_id, neighbor_id
-             FROM ({ann_ivf_topk_sql(n_queries, k, n_probe=np_)}) __ivf) ivf
+             FROM ({ann_ivf_topk_sql(n_queries, k, n_centroids=n_centroids, n_probe=np_)}) __ivf) ivf
     ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
   GROUP BY 1
 ) __pq""")

@@ -422,7 +422,13 @@ _sql_query(
     "  row_number() OVER (ORDER BY cents, o_custkey) AS i FROM rev) "
     "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
     "round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_revenue, "
-    "round((2.0 * sum(i * cents) - (count(*) + 1.0) * sum(cents)) "
+    # Σ i·cents reaches ~2e19 at SF≥3 — past BIGINT, where Spark's
+    # non-ANSI sum wraps silently while DuckDB widens to HUGEINT.
+    # DECIMAL(38,0) accumulates exactly in BOTH engines; the one cast
+    # to DOUBLE afterwards converts the same exact integer to the same
+    # nearest double on each side.
+    "round((2.0 * CAST(sum(CAST(i AS DECIMAL(38, 0)) * cents) AS DOUBLE) "
+    "       - (count(*) + 1.0) * CAST(sum(cents) AS DOUBLE)) "
     "      / (count(*) * CAST(sum(cents) AS DOUBLE)), 6) AS gini "
     "FROM ranked",
 )
@@ -1243,22 +1249,11 @@ _docs_query("text_token_entropy_by_lang", _text.token_entropy_by_lang, _text.tok
 # synchronous PageRank steps over the token co-occurrence graph in
 # integer fixed-point (order-free sums → engine-exact), the oracle
 # unrolling the iterations as chained CTEs (operators/graph.py).
+from approximatequeryengine_spark.operators import graph as _graph  # noqa: E402
 
-
-def _pagerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from approximatequeryengine_spark.operators.graph import token_pagerank_topk
-
-    cat = _catalog(spark, sf_dir)
-    return token_pagerank_topk(spark, cat.table("documents"))
-
-
-def _pagerank_oracle() -> str:
-    from approximatequeryengine_spark.operators.graph import token_pagerank_topk_sql
-
-    return token_pagerank_topk_sql()
-
-
-_register("graph_token_pagerank", _pagerank_fn, _pagerank_oracle())
+_docs_query(
+    "graph_token_pagerank", _graph.token_pagerank_topk, _graph.token_pagerank_topk_sql()
+)
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())

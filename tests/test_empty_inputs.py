@@ -235,3 +235,17 @@ def test_kmv_distinct_where_on_empty_fact(spark):
     assert row["est_distinct"] == 0
     assert row["n_match"] == 0
     assert row["est_distinct_where"] == 0
+
+
+def test_pagerank_empty_and_single_token_corpora(spark):
+    """No co-occurrence edges (empty corpus, or every doc a single
+    token) must yield an empty result, never a ZeroDivisionError."""
+    from approximatequeryengine_spark.operators.graph import token_pagerank_topk
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    assert token_pagerank_topk(spark, empty).count() == 0
+    singles = spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)], schema
+    )
+    assert token_pagerank_topk(spark, singles).count() == 0
