@@ -387,6 +387,39 @@ _sql_query(
     "   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 "
     "       AND l_quantity BETWEEN 20 AND 30)",
 )
+# TPC-H Q12-style shipping-mode analysis, adapted (the fixture has no
+# l_shipmode): ship-lag buckets play the mode role, and the classic
+# two-branch conditional count splits critical (URGENT/HIGH) from
+# other priorities per bucket — the CASE-inside-aggregate shape over
+# one fact-fact join. Both filters and the 1997 window reach the
+# scans.
+_sql_query(
+    "tpch_q12_shipping_lag_priority",
+    "SELECT CAST(least(floor(datediff(l_shipdate, o_orderdate) / 30.0), 3) "
+    "            AS BIGINT) AS lag_bucket, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_shipdate >= o_orderdate "
+    "GROUP BY 1 ORDER BY 1",
+    oracle=(
+        "SELECT CAST(least(floor(date_diff('day', o_orderdate, l_shipdate) / 30.0), 3) "
+        "            AS BIGINT) AS lag_bucket, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate >= o_orderdate "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+)
 # TPC-H Q22-style global-market analysis, adapted to the fixture's
 # dense order history ("never ordered at all" matches almost nobody):
 # positive-balance customers above the GLOBAL average balance with no
@@ -2002,6 +2035,38 @@ def _constraints_oracle() -> str:
 _register("quality_constraint_checks", _constraints_fn, _constraints_oracle())
 
 
+# Round-5 fourth batch: MAD-based robust outlier screen — supplier
+# balances scored by |x − median| / MAD (the robust z, immune to the
+# outliers it hunts, unlike the mean/stddev z of the anomaly-days
+# scan). Two exact interpolating medians (Spark percentile == DuckDB
+# quantile_cont, probed equal); readout = the 10 most extreme rows
+# with their scores and the Iglewicz-Hoaglin 3.5 flag (the fixture's
+# near-uniform balances flag nothing — the top-10 shape stays
+# informative at any distribution instead of certifying an empty set).
+_sql_query(
+    "profile_supplier_balance_outliers",
+    "WITH med AS (SELECT percentile(s_acctbal, 0.5) AS m FROM supplier), "
+    "dev AS (SELECT s_suppkey, s_name, s_acctbal, abs(s_acctbal - m) AS d "
+    "        FROM supplier, med), "
+    "mad AS (SELECT percentile(d, 0.5) AS md FROM dev) "
+    "SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, "
+    "round(0.6745 * d / md, 4) AS robust_z, "
+    "0.6745 * d / md > 3.5 AS flagged "
+    "FROM dev, mad "
+    "ORDER BY robust_z DESC, s_suppkey LIMIT 10",
+    oracle=(
+        "WITH med AS (SELECT CAST(quantile_cont(s_acctbal, 0.5) AS DOUBLE) AS m "
+        "             FROM supplier), "
+        "dev AS (SELECT s_suppkey, s_name, s_acctbal, abs(s_acctbal - m) AS d "
+        "        FROM supplier, med), "
+        "mad AS (SELECT CAST(quantile_cont(d, 0.5) AS DOUBLE) AS md FROM dev) "
+        "SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, "
+        "round(0.6745 * d / md, 4) AS robust_z, "
+        "0.6745 * d / md > 3.5 AS flagged "
+        "FROM dev, mad "
+        "ORDER BY robust_z DESC, s_suppkey LIMIT 10"
+    ),
+)
 # Round-5 fourth batch: Benford first-digit forensics over order
 # totals — the fraud/synthetic-data screen. First digit via string
 # extraction (floor → BIGINT → first char), never log10 (whose float
