@@ -2067,6 +2067,76 @@ _sql_query(
         "ORDER BY robust_z DESC, s_suppkey LIMIT 10"
     ),
 )
+# Round-5 fourth batch: SAMPLED heavy hitters — the approximate top-k
+# under a 20% doc-level cluster sample (whole documents in or out via
+# the portable hash, so token counts stay internally consistent),
+# HT-scaled to corpus estimates with a per-item cluster-count margin
+# (z·sqrt(n_docs_with_token)/f on the doc-frequency grid — crude but
+# identically defined in both engines and labeled as such). Ranked by
+# (est desc, token asc): integer sample counts → deterministic order.
+# The exact top-k twin (`heavy_hitters_tokens`) certifies what this
+# trades away.
+
+
+def _sampled_hh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.functions.text import ws_tokens_col
+
+    cat = _catalog(spark, sf_dir)
+    docs = cat.table("documents")
+    f = 0.2
+    sampled = docs.filter(
+        portable_hash_col(F.col("doc_id"), salt=7) < F.lit(fraction_threshold(f))
+    )
+    toks = sampled.select(
+        "doc_id",
+        F.explode(
+            F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.countDistinct("doc_id").cast("long").alias("dc"),
+    )
+    est = F.round(F.col("c") / F.lit(f), 2)
+    margin = F.round(F.lit(1.96) * F.sqrt(F.col("dc").cast("double")) / F.lit(f), 2)
+    ranked = per_tok.select(
+        "tok", est.alias("est_count"), margin.alias("margin"), F.col("c").alias("n_sampled")
+    )
+    return ranked.orderBy(F.desc("est_count"), F.asc("tok")).limit(10)
+
+
+def _sampled_hh_oracle() -> str:
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_sql,
+    )
+    from approximatequeryengine_spark.functions.text import ws_tokens_sql
+
+    f = 0.2
+    inc = f"{portable_hash_sql('doc_id', 7)} < {fraction_threshold(f)}"
+    toks = f"list_transform({ws_tokens_sql('text')}, t -> lower(t))"
+    return f"""
+WITH s AS (SELECT doc_id, text FROM documents WHERE {inc}),
+toks AS (SELECT doc_id, unnest({toks}) AS tok FROM s),
+per_tok AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS dc
+  FROM toks GROUP BY 1
+)
+SELECT tok, round(c / {f!r}, 2) AS est_count,
+       round(1.96 * sqrt(CAST(dc AS DOUBLE)) / {f!r}, 2) AS margin,
+       c AS n_sampled
+FROM per_tok ORDER BY est_count DESC, tok LIMIT 10
+"""
+
+
+_register("approx_heavy_hitters_sampled", _sampled_hh_fn, _sampled_hh_oracle())
+
+
 # Round-5 fourth batch: Benford first-digit forensics over order
 # totals — the fraud/synthetic-data screen. First digit via string
 # extraction (floor → BIGINT → first char), never log10 (whose float
