@@ -4372,15 +4372,17 @@ _register(
 # ---------------------------------------------------------------------------
 
 _CERTIFY_FIRST = [
-    # Round-5 cut, FINAL (policy in COVERAGE.md "Certification tiers").
-    # The 50-row window = 15 standing anchors + every never-certified
-    # oracle-backed entry (the 13 registered after the round-4 cut, the
-    # 2 verdict-item entries, and the 16 round-5 batch entries) + 4
-    # REFRESH slots for families whose most recent driver row dates to
-    # round 1/2. Goal: r1∪…∪r5 covers all 175 oracle-backed entries.
-    # --- standing anchors (every round) ---
+    # Round-6 cut (policy in COVERAGE.md "Certification tiers"). The
+    # 50-row window = 14 standing anchors + ALL 36 never-certified
+    # oracle-backed entries (everything registered after the round-5
+    # cut, verified by diffing QUERIES against CORRECTNESS_r01..r05).
+    # 36 tier-2 rows exceed the usual 35 free slots, so one anchor —
+    # exact_groupby_sum, the most redundant with tpch_q1's grouped
+    # aggregate — sits out for exactly this round (VERDICT r5 #1).
+    # Goal: r1∪…∪r6 covers all 211 oracle-backed entries; the round-6
+    # cut leaves tier 2 EMPTY.
+    # --- standing anchors (every round; exact_groupby_sum on loan) ---
     "exact_sum",
-    "exact_groupby_sum",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "approx_sum_uniform10",
@@ -4394,53 +4396,54 @@ _CERTIFY_FIRST = [
     "approx_sum_bootstrap32",
     "dedup_minhash_lsh_pairs",
     "text_quality_by_lang",
-    # --- the 13 oracle-backed entries registered after the round-4
-    # cut (VERDICT r4 "Next round" #1) ---
-    "sketch_ddsketch_grouped",
-    "streaming_ddsketch_quantiles",
-    "sketch_ddsketch_collapsed",
-    "sketch_rollup_store_quantiles",
-    "sketch_kmv_distinct_where",
-    "sketch_hist2d_selectivity",
-    "synopsis_stratified_sum",
-    "synopsis_incremental_append",
-    "advisor_method_profile",
-    "adaptive_join_pairs",
-    "events_decayed_sum",
-    "approx_grouped_sum_priority",
-    "elp_fraction_sweep",
-    # --- new this round: the IVF-PQ persisted index (ingest-time
-    # codes/codebook, partition-pruned ADC + rerank queries) and the
-    # semantic-dedup SCALE configuration (cells ∝ corpus, C ≥ 4 chunk
-    # floor) replacing the fixed-16-cell shape in the window
-    # (dedup_semantic_cells stays registered; its r4 row stands) ---
-    "ann_ivfpq_index_topk",
-    "dedup_semantic_cells_scaled",
-    # --- the 16 round-5 batch entries (registered this round, never
-    # certified: wander join, AQP++, Sample+Seek router, AMS F2,
-    # join synopses, gap-fill, SimHash pairs, frequency spectrum,
-    # TPC-H Q14/Q4, lambda serving, top-k+OTHERS) ---
-    "tpch_q14_promo_revenue",
-    "tpch_q4_priority_late_orders",
-    "heavy_hitters_topk_others",
-    "dedup_simhash_hamming_pairs",
-    "profile_key_frequency_spectrum",
-    "aqpplus_range_sum",
-    "aqpplus_grouped_range_sum",
-    "join_synopsis_revenue",
-    "join_synopsis_price_quantiles",
-    "events_gapfill_locf",
-    "sketch_ams_f2_selfjoin",
-    "streaming_ams_f2",
-    "streaming_lambda_serving",
-    "router_range_sum_seek",
-    "router_range_sum_sample",
-    "approx_join_wander_sum",
-    # --- refresh slots: families whose last driver row is round 1/2 ---
-    "tpch_q3_shipping_priority",
-    "asof_join_purchase_click",
-    "dedup_exact_groups",
-    "corpus_clean_pipeline",
+    # --- tier 2: the 36 entries registered after the round-5 cut ---
+    # TPC-H adaptations (the closest thing to a standard suite)
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_shipping_lag_priority",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # relational / window / reshape
+    "exact_grouped_quantiles",
+    "window_acctbal_deciles",
+    "unpivot_order_status_counts",
+    # dedup / similarity / search
+    "dedup_editdist1_pairs",
+    "dedup_cross_source_matrix",
+    "ann_filtered_topk",
+    "ann_recall_profile",
+    "search_hybrid_rrf",
+    # graph + skip indexes (both weak flags fixed this round: PageRank
+    # edges are now window-bounded, zorder build is the deterministic
+    # z-prefix layout — no single-partition sort)
+    "graph_token_pagerank",
+    "index_blockbloom_point_sum",
+    "index_zorder_rect_sum",
+    # sampled estimators / text
+    "approx_heavy_hitters_sampled",
+    "text_token_entropy_by_lang",
+    # temporal / events
+    "events_anomaly_days",
+    "events_dow_hour_profile",
+    "events_sliding_distinct_users",
+    "orders_open_backlog_days",
+    # streaming + lakehouse MERGE
+    "streaming_anomaly_days",
+    "streaming_merge_upsert",
+    "table_merge_upsert_stats",
+    # data-quality / profiling
+    "quality_benford_profile",
+    "quality_constraint_checks",
+    "quality_embedding_coverage",
+    "profile_psi_drift_by_source",
+    "profile_bivariate_stats",
+    "profile_revenue_gini",
+    "profile_supplier_balance_outliers",
+    # estimator-selection bakeoffs (advisor evidence, VERDICT r5 #7)
+    "sampling_design_bakeoff",
+    "sketch_quantile_bakeoff",
+    "sketch_joinsize_bakeoff",
 ]
 
 
