@@ -844,12 +844,14 @@ def simhash_hamming_pairs(
     across blocks BEFORE the verify so each candidate pays one
     popcount.
 
-    Scale note: block width here is 32/(k+1) = 8 bits → 256 buckets
-    per block, so bucket size grows n/256 — right for fixture scale.
-    At corpus scale the production setting is a 64-bit signature with
-    16-bit blocks (65k buckets) and the same k+1 = 4 joins; the
-    construction is unchanged, only ``SIMHASH_BITS`` and the block
-    width move."""
+    Scale note: block width is SIMHASH_WIDE_BITS/(k+1) = 60/4 = 15
+    bits → 32k buckets per block, so candidate volume grows ~n²/32k
+    per block — the configuration that took the sf1 pair search from
+    401 s (the earlier 32-bit/8-bit-block layout, n²/256 candidates)
+    to 44.8 s. The function raises unless k+1 divides
+    ``SIMHASH_WIDE_BITS``; widening further (e.g. 120-bit signatures,
+    30-bit blocks) keeps the same construction with only the two
+    constants moving."""
     nb = k + 1
     if SIMHASH_WIDE_BITS % nb:
         raise ValueError(

@@ -7,6 +7,15 @@ the NUMERIC iteration class: a fixed number of synchronous PageRank
 steps, each one join + one grouped sum, driven by a plain Python loop
 that only grows the lazy plan (no collect between steps).
 
+Edge model — SLIDING-WINDOW co-occurrence (the standard TextRank
+formulation): tokens co-occur iff their positions are within
+``PR_WINDOW`` of each other, rendered as both directed edges and
+deduplicated corpus-wide. The build is a strict EQUI-join: each token
+emits its ``W`` successor positions as probe keys and joins back on
+``(doc_id, pos)``, so edge candidates are O(tokens × W) — never the
+per-document all-distinct-pairs self-join (Σ dᵢ² candidates), which a
+single 5k-distinct-token document would blow up to 25M pairs.
+
 Determinism contract (what makes the DuckDB oracle exact): ranks are
 INTEGER fixed-point (scale 10¹²) and every step is pure integer
 arithmetic —
@@ -25,12 +34,15 @@ recursive CTEs forbid aggregation over the recursive term, and an
 unrolled fixed-depth chain is the honest SQL rendering of a
 fixed-iteration synchronous algorithm.
 
-At 100 TB: edges are (token, token) co-occurrence pairs deduplicated
-corpus-wide — the explode is bounded by per-doc distinct-token counts;
-each iteration shuffles on the destination token (same key every step,
-so a production run would hash-partition ranks+edges once and reuse the
-layout); state is O(vocabulary). The reference has no graph machinery
-at all.
+At 100 TB: the edge build shuffles O(tokens × W) probe rows on
+(doc_id, pos) then deduplicates on (src, dst) — both plain hash
+shuffles, no quadratic term anywhere; each iteration shuffles on the
+destination token (same key every step, so a production run would
+hash-partition ranks+edges once and reuse the layout); state is
+O(vocabulary). The edges cache is released before returning — the
+top-k readout (k rows, bounded) is materialized first so long-lived
+sessions running many registry entries don't accumulate executor
+storage. The reference has no graph machinery at all.
 """
 
 from __future__ import annotations
@@ -43,24 +55,37 @@ from approximatequeryengine_spark.functions.text import ws_tokens_col, ws_tokens
 PR_SCALE = 10**12
 PR_ITERS = 5
 PR_TOPK = 20
+PR_WINDOW = 3  # co-occurrence = positions within 3 (TextRank-style)
 
 
-def _token_edges(docs: DataFrame) -> DataFrame:
-    """Distinct directed co-occurrence edges (a ≠ b within a doc)."""
+def _token_edges(docs: DataFrame, window: int = PR_WINDOW) -> DataFrame:
+    """Distinct directed sliding-window co-occurrence edges.
+
+    Each token probes its ``window`` successor positions via an
+    equi-join on (doc_id, pos): O(tokens × window) candidates, probes
+    past the end of a document simply find no match. Pairs are emitted
+    in both directions (undirected co-occurrence), self-loops dropped,
+    then deduplicated corpus-wide.
+    """
     toks = docs.select(
         "doc_id",
+        F.posexplode(
+            F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
+        ).alias("pos", "tok"),
+    )
+    probes = toks.select(
+        "doc_id",
+        F.col("tok").alias("src_tok"),
         F.explode(
-            F.array_distinct(
-                F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
-            )
-        ).alias("tok"),
+            F.sequence(F.col("pos") + 1, F.col("pos") + F.lit(window))
+        ).alias("pos"),
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    return (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") != F.col("b.tok")))
-        .select(F.col("a.tok").alias("src"), F.col("b.tok").alias("dst"))
-        .distinct()
+    pairs = probes.join(toks, on=["doc_id", "pos"], how="inner").filter(
+        F.col("src_tok") != F.col("tok")
     )
+    fwd = pairs.select(F.col("src_tok").alias("src"), F.col("tok").alias("dst"))
+    rev = pairs.select(F.col("tok").alias("src"), F.col("src_tok").alias("dst"))
+    return fwd.union(rev).distinct()
 
 
 def token_pagerank_topk(
@@ -72,61 +97,73 @@ def token_pagerank_topk(
     """Top-k tokens by fixed-point PageRank after ``iters`` synchronous
     steps. Output: (rank, tok, pr) with pr the exact integer
     fixed-point score."""
-    # The quadratic-per-doc co-occurrence join is the dominant cost and
-    # the 5-iteration lazy plan references it ~2 per step — persist it
-    # once (materialized by the node count below).
+    # The 5-iteration lazy plan references the edge set ~2 per step —
+    # persist it once (materialized by the node count below), release
+    # it before returning (the top-k readout is bounded at k rows).
     edges = _token_edges(docs).persist()
-    # distinct column names per role — deg/edges share lineage and
-    # Spark rejects the ambiguous self-join otherwise
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).select(F.col("src").alias("dtok"), "deg")
-    out_edges = edges.select(F.col("src").alias("etok"), F.col("dst"))
-    nodes = edges.select(F.col("src").alias("tok")).distinct()
-    n = nodes.count()  # bounded: |vocabulary|; materializes the cache
-    if n == 0:
-        # no co-occurrence edges (empty corpus or single-token docs):
-        # empty result, never a ZeroDivisionError (the repo's
-        # empty-input contract, tests/test_empty_inputs.py)
-        return docs.sparkSession.createDataFrame(
-            [], "rank int, tok string, pr long"
-        )
-    base = (15 * PR_SCALE) // (100 * n)
-    ranks = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("long"))
-    for _ in range(iters):
-        contrib = (
-            ranks.join(deg, F.col("tok") == F.col("dtok"), "inner")
-            .join(out_edges, F.col("etok") == F.col("tok"), "inner")
-            .select(
-                F.col("dst").alias("tok"),
-                F.floor(F.col("pr") / F.col("deg")).cast("long").alias("c"),
+    try:
+        # distinct column names per role — deg/edges share lineage and
+        # Spark rejects the ambiguous self-join otherwise
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        ).select(F.col("src").alias("dtok"), "deg")
+        out_edges = edges.select(F.col("src").alias("etok"), F.col("dst"))
+        nodes = edges.select(F.col("src").alias("tok")).distinct()
+        n = nodes.count()  # bounded: |vocabulary|; materializes the cache
+        if n == 0:
+            # no co-occurrence edges (empty corpus or single-token docs):
+            # empty result, never a ZeroDivisionError (the repo's
+            # empty-input contract, tests/test_empty_inputs.py)
+            return docs.sparkSession.createDataFrame(
+                [], "rank int, tok string, pr long"
             )
-            .groupBy("tok")
-            .agg(F.sum("c").cast("long").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, on="tok", how="left")
-            .select(
-                "tok",
-                (
-                    F.lit(base)
-                    + F.floor(F.lit(85) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(100))
+        base = (15 * PR_SCALE) // (100 * n)
+        ranks = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("long"))
+        for _ in range(iters):
+            contrib = (
+                ranks.join(deg, F.col("tok") == F.col("dtok"), "inner")
+                .join(out_edges, F.col("etok") == F.col("tok"), "inner")
+                .select(
+                    F.col("dst").alias("tok"),
+                    F.floor(F.col("pr") / F.col("deg")).cast("long").alias("c"),
                 )
-                .cast("long")
-                .alias("pr"),
+                .groupBy("tok")
+                .agg(F.sum("c").cast("long").alias("s"))
             )
+            ranks = (
+                nodes.join(contrib, on="tok", how="left")
+                .select(
+                    "tok",
+                    (
+                        F.lit(base)
+                        + F.floor(F.lit(85) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(100))
+                    )
+                    .cast("long")
+                    .alias("pr"),
+                )
+            )
+        # Materialize the k-row readout BEFORE unpersisting so the
+        # returned DataFrame never recomputes the edge build (a lazy
+        # return would re-run everything at the caller's collect).
+        top_rows = (
+            ranks.orderBy(F.desc("pr"), F.asc("tok")).limit(k).collect()
         )
-    from pyspark.sql.window import Window
+    finally:
+        edges.unpersist()
+    out = [
+        (i + 1, r["tok"], r["pr"]) for i, r in enumerate(top_rows)
+    ]
+    return spark.createDataFrame(out, "rank int, tok string, pr long")
 
-    topk = ranks.orderBy(F.desc("pr"), F.asc("tok")).limit(k)
-    w = Window.orderBy(F.desc("pr"), F.asc("tok"))
-    return topk.withColumn("rank", F.row_number().over(w)).select("rank", "tok", "pr")
 
-
-def token_pagerank_topk_sql(iters: int = PR_ITERS, k: int = PR_TOPK) -> str:
-    """DuckDB oracle: identical edges/degrees, iterations unrolled as
-    chained CTEs, identical integer arithmetic."""
-    toks = f"list_distinct(list_transform({ws_tokens_sql('text')}, t -> lower(t)))"
+def token_pagerank_topk_sql(
+    iters: int = PR_ITERS, k: int = PR_TOPK, window: int = PR_WINDOW
+) -> str:
+    """DuckDB oracle: identical sliding-window edges and degrees,
+    iterations unrolled as chained CTEs, identical integer arithmetic.
+    (The oracle's pair search is a range join on positions — fine for
+    an oracle; the Spark side is the strict equi-join.)"""
+    toks = f"list_transform({ws_tokens_sql('text')}, t -> lower(t))"
     steps = []
     prev = "r0"
     for i in range(1, iters + 1):
@@ -146,12 +183,24 @@ r{i} AS (
         prev = f"r{i}"
     chain = ",".join(steps)
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({toks}) AS tok FROM documents
+WITH lists AS (
+  SELECT doc_id, {toks} AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM lists
+),
+pairs AS (
+  SELECT a.tok AS s, b.tok AS d
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {window}
+  WHERE a.tok != b.tok
 ),
 edges AS (
-  SELECT DISTINCT a.tok AS src, b.tok AS dst
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok != b.tok
+  SELECT s AS src, d AS dst FROM pairs
+  UNION
+  SELECT d AS src, s AS dst FROM pairs
 ),
 deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
 nodes AS (SELECT DISTINCT src AS tok FROM edges),

@@ -98,7 +98,15 @@ def wander_join_abs_gap(
     p = float(fraction)
     m = walks.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("s1"),
+        # s1 in DECIMAL(38,0), not BIGINT: x = |Δcents|·n_r can reach
+        # ~1e14 per walk under hot keys, and a BIGINT Σx would wrap
+        # SILENTLY in Spark while DuckDB widens — the same cross-engine
+        # hazard s2 (kept in double) and the Gini entry already dodge.
+        # Decimal sums are exact and order-free in both engines.
+        F.coalesce(
+            F.sum(F.col("x").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s1"),
         # x² in DOUBLE like the sibling estimators: a hot key with n_r
         # partners makes x ~ |Δcents|·n_r, and x² overflows int64
         # silently in Spark (wraps) but raises in DuckDB — the margin
@@ -157,7 +165,7 @@ walks AS (
 ),
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(coalesce(sum(x), 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(CAST(x AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS s1,
          coalesce(sum(CAST(x AS DOUBLE) * x), 0.0) AS s2
   FROM walks
 ),

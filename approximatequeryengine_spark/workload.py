@@ -3257,15 +3257,20 @@ _register("index_blockbloom_point_sum", _blockbloom_fn, _blockbloom_oracle())
 # Z-order (Morton) 2-D clustering — rectangle data skipping on
 # (ship-day, partkey), the Delta/Iceberg ZORDER BY design. The readout
 # row certifies the answer, the Morton pruning count, AND the
-# comparison claim: `blocks_scanned_linear` re-derives what an x-sorted
-# (time-sorted) layout's identical min/max stats would scan for the
-# same rectangle. The rectangle is the canonical Z-order case — a
-# narrow partkey slice over (nearly) all time, which a time-sorted
-# layout cannot prune AT ALL (every block's partkey bounds span the
-# domain → scans all 64) while the Morton layout confines each partkey
-# band to a handful of blocks. An x-heavy rectangle was measured too:
-# there the time-sorted layout wins 3-5 blocks vs Morton — the
-# documented trade of interleaving, not a defect.
+# comparison claim: `blocks_scanned_linear`/`blocks_total_linear`
+# re-derive what an x-keyed (time-keyed) layout's identical min/max
+# stats would scan for the same rectangle. The rectangle is the
+# canonical Z-order case — a narrow partkey slice over (nearly) all
+# time, which a time-keyed layout cannot prune AT ALL (every block's
+# partkey bounds span the domain → scans everything) while the Morton
+# layout confines each partkey band to a handful of blocks. An x-heavy
+# rectangle was measured too: there the time-keyed layout wins 3-5
+# blocks vs Morton — the documented trade of interleaving, not a
+# defect. Certified layout is 'prefix' (top-bits-of-z quadtree cells):
+# expression-only block assignment — no single-partition ntile sort
+# (the r5 weak flag), no sampled range boundaries — so the build is
+# one hash shuffle AND the DuckDB oracle replays blocks_scanned
+# exactly (sources/zorder.py).
 _ZO_X = (9100, 11700)  # ship-days: the fixtures' full 1995-2001 span
 _ZO_Y = (40, 119)  # 80-partkey slice (4% of the sf0.01 domain)
 

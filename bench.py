@@ -61,16 +61,34 @@ def main() -> None:
     # Best of 3 runs per query: run 1 pays plan compilation + codegen
     # (amortized at scale), later runs measure steady-state execution;
     # min damps background-load outliers (observed 7× spikes from
-    # co-tenant load at measurement time).
-    load_before = os.getloadavg()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
+    # co-tenant load at measurement time). The per-query spread
+    # (median, stddev across the 3 runs) is emitted alongside so a
+    # round-over-round delta can be told apart from machine noise
+    # WITHIN the artifact, and exact_sum re-runs as a machine-noise
+    # canary at the very end — if canary_last diverges from the
+    # headline exact_sum, the machine drifted mid-bench.
+    def _run(name: str) -> list[float]:
+        samples = []
         for _ in range(3):
             t0 = time.time()
             QUERIES[name](spark, SF_DIR).collect()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 4)
+            samples.append(time.time() - t0)
+        return samples
+
+    load_before = os.getloadavg()
+    times: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
+    for name in HEADLINE:
+        s = sorted(_run(name))
+        mean = sum(s) / len(s)
+        sd = (sum((x - mean) ** 2 for x in s) / (len(s) - 1)) ** 0.5
+        times[name] = round(s[0], 4)
+        stats[name] = {
+            "best": round(s[0], 4),
+            "median": round(s[len(s) // 2], 4),
+            "stddev": round(sd, 4),
+        }
+    canary_last = round(min(_run("exact_sum")), 4)
     load_after = os.getloadavg()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -89,6 +107,8 @@ def main() -> None:
         # start and end plus the per-query protocol so a slow reading
         # can be attributed without bench archaeology.
         "best_of": 3,
+        "queries_stats": stats,
+        "canary_exact_sum_last": canary_last,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
     }

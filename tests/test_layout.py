@@ -325,6 +325,41 @@ def test_blockbloom_exact_answer_no_false_negatives(spark, engine, tmp_path):
     assert any(s < t for s, t in scanned), scanned
 
 
+def test_blockbloom_all_null_lookup_block_matches_oracle(spark, tmp_path):
+    """A block whose lookup keys are ALL NULL contributes no bloom
+    rows on the Spark side (_probe_rows filters NULL), so the oracle
+    must exclude it from blocks_total too — the cross-engine edge the
+    r5 advisor flagged (NULLs hash to NULL words in SQL and previously
+    survived the oracle's count(DISTINCT b))."""
+    import duckdb
+
+    from approximatequeryengine_spark.sources.blockbloom import (
+        blockbloom_point_sum,
+        blockbloom_point_sum_sql,
+        blockbloom_write,
+    )
+
+    rows = [
+        (ik, (ik % 50) if ik < 768 else None, ik % 997) for ik in range(1024)
+    ]
+    df = spark.createDataFrame(rows, "ik long, lk long, cents long")
+    path = str(tmp_path / "nullblk")
+    blockbloom_write(
+        spark, df, path, ingest_key=F.col("ik"), lookup_key=F.col("lk")
+    )
+    got = blockbloom_point_sum(spark, path, 7, F.col("cents")).collect()[0]
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["ik", "lk", "cents"]))
+    want = con.execute(
+        blockbloom_point_sum_sql("t", "ik", "lk", "cents", key=7)
+    ).fetchone()
+    # (n_rows, sum_value, blocks_scanned, blocks_total)
+    assert got["n_rows"] == want[0] > 0
+    assert got["blocks_scanned"] == want[2]
+    # the all-NULL block (ik 768..1023) is in neither engine's total
+    assert got["blocks_total"] == want[3] == 3
+
+
 def test_blockbloom_absent_key_returns_empty(spark, engine, tmp_path):
     from approximatequeryengine_spark.sources.blockbloom import blockbloom_point_sum
 
@@ -413,7 +448,7 @@ def test_zorder_answer_matches_plain_filter(spark, engine, tmp_path):
 
 
 def test_zorder_prunes_where_time_sorted_layout_cannot(spark, engine, tmp_path):
-    """A narrow partkey slice over all time: the x-sorted layout scans
+    """A narrow partkey slice over all time: the x-keyed layout scans
     every block (its y bounds span the domain); the Morton layout
     confines the slice to a strict subset."""
     from approximatequeryengine_spark.sources.zorder import (
@@ -428,8 +463,9 @@ def test_zorder_prunes_where_time_sorted_layout_cannot(spark, engine, tmp_path):
         spark, li, x=x, y=y, rowid=rid,
         x_lo=9100, x_hi=11700, y_lo=40, y_hi=119, n_blocks=32,
     ).collect()[0]
-    assert lin["blocks_scanned_linear"] == 32  # no pruning at all
-    assert got["blocks_scanned"] < got["blocks_total"] == 32
+    # x spans the whole domain → the x-keyed layout prunes NOTHING
+    assert lin["blocks_scanned_linear"] == lin["blocks_total_linear"] > 1
+    assert got["blocks_scanned"] < got["blocks_total"] <= 32
 
 
 def test_zorder_scan_is_partition_pruned(spark, engine, tmp_path):
@@ -529,6 +565,33 @@ def test_zorder_range_layout_same_answers_distributed_build(spark, engine, tmp_p
         assert rows["ntile"]["sum_value"] == rows["range"]["sum_value"]
     got = zorder_rect_sum(spark, paths["range"], 9100, 11700, 40, 119, cents).collect()[0]
     assert got["blocks_scanned"] < got["blocks_total"]
+
+
+def test_zorder_prefix_layout_deterministic_and_shuffle_only(spark, engine, tmp_path):
+    """layout='prefix' (the certified default) is expression-only:
+    two independent builds must produce byte-identical blockmaps (the
+    property the DuckDB oracle relies on to replay blocks_scanned),
+    unlike 'range' whose sampled boundaries may differ per run — and
+    the block assignment must depend only on the row's own (x, y),
+    never on a global order (the r5 single-partition-ntile weak flag)."""
+    from approximatequeryengine_spark.sources.zorder import zorder_write
+
+    li = engine.catalog.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    x = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    y = F.col("l_partkey")
+    rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    maps = []
+    for i, src in enumerate((li, li.repartition(7))):  # different input layouts
+        p = str(tmp_path / f"pfx{i}")
+        zorder_write(spark, src, p, x=x, y=y, rowid=rid, n_blocks=32, layout="prefix")
+        rows = sorted(
+            tuple(r) for r in spark.read.parquet(f"{p}/blockmap").collect()
+        )
+        maps.append(rows)
+    assert maps[0] == maps[1]
+    assert 1 < len(maps[0]) <= 32
 
 
 def test_blockbloom_and_zorder_reject_null_keys(spark):
