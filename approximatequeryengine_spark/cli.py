@@ -38,7 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a sampling method, or 'auto' for the "
                    "data-driven advisor (measured cv2/top-share moments "
                    "pick outlier/pps/revolutionary/clt for global SUM; "
-                   "static ladder elsewhere)")
+                   "the bakeoff-calibrated exact/sampled/ddsketch rule "
+                   "for global MEDIAN/PERCENTILE; static ladder "
+                   "elsewhere)")
     p.add_argument("--ci", action="store_true", help="show confidence intervals")
     p.add_argument("--confidence", type=float, default=0.95,
                    help="confidence level for CIs (default 0.95)")
@@ -111,11 +113,20 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if info["evidence"]:
                     a = info["evidence"]
-                    line += (
-                        f": n={a['n']:,} cv2={a['cv2']} "
-                        f"top_share={a['top_share']} "
-                        f"pred_rel_ci@10%={a['pred_rel_ci_uniform10']}"
-                    )
+                    if "cv2" in a:  # SUM-family moment evidence
+                        line += (
+                            f": n={a['n']:,} cv2={a['cv2']} "
+                            f"top_share={a['top_share']} "
+                            f"pred_rel_ci@10%={a['pred_rel_ci_uniform10']}"
+                        )
+                    else:  # quantile-family bakeoff evidence
+                        line += (
+                            f": n={a['n']:,} q={a['q']} "
+                            f"sample_rel_ci@{a['fraction']:.0%}="
+                            f"{a['sample_rel_ci']} "
+                            f"dd_alpha={a['dd_alpha']} "
+                            f"tolerance={a['tolerance']}"
+                        )
                 print(line)
             finally:
                 spark.stop()

@@ -316,6 +316,28 @@ class AQEngine:
                 F.floor(F.expr(spec.column) * 100.0 + 0.5),
             ).collect()[0].asDict()
             return row["recommended_method"], row
+        if (
+            spec.agg in ("MEDIAN", "PERCENTILE")
+            and spec.column
+            and not spec.group_by
+        ):
+            # Quantile family: the bakeoff-calibrated rule (measured
+            # sampled-order-statistic CI vs the DDSketch α guarantee vs
+            # the exact sort's affordability — plans/advisor.py).
+            from approximatequeryengine_spark.plans.advisor import (
+                QUANTILE_SAMPLE_FRACTION,
+                advise_quantile_method,
+            )
+
+            row = advise_quantile_method(
+                self._base_df(spec),
+                spec.column,
+                spec.q if spec.q is not None else 0.5,
+                self._sampling_spec(
+                    spec, "uniform_hash", QUANTILE_SAMPLE_FRACTION
+                ),
+            ).collect()[0].asDict()
+            return row["recommended_method"], row
         total = self.catalog.table(spec.table).count()
         return select_method(spec.agg, total, spec.group_by is not None), None
 
@@ -388,10 +410,25 @@ class AQEngine:
             method = None
 
         if spec.agg in ("MEDIAN", "PERCENTILE"):
-            return self._run_quantile(
+            q_advisor_row: dict | None = None
+            if auto and spec.column and not spec.group_by:
+                # Quantile-family auto: the bakeoff-calibrated advisor
+                # picks exact / sampled-order-statistic / ddsketch from
+                # measured evidence (plans/advisor.py).
+                rec, q_advisor_row = self._advise_auto(spec)
+                if rec == "ddsketch":
+                    method = "ddsketch"
+                elif rec == "exact":
+                    wants_approx = False
+                else:  # 'quantile' — the sampled order statistic
+                    wants_approx = True
+            res = self._run_quantile(
                 spec, sample_pct, wants_approx, t0, z=z, confidence=confidence,
                 method=method,
             )
+            if q_advisor_row is not None:
+                res.groups["__advisor__"] = q_advisor_row
+            return res
 
         if spec.agg == "STDDEV":
             return self._run_stddev(

@@ -47,6 +47,13 @@ TOP_SHARE_THRESHOLD = 0.20
 CV2_THRESHOLD = 4.0
 BIG_N_THRESHOLD = 100_000
 
+# Quantile-family thresholds (calibrated by the certified
+# sketch_quantile_bakeoff / sampling_design_bakeoff entries — the
+# measured evidence behind each branch):
+QUANTILE_EXACT_N = 200_000  # below this, percentile()'s sort buffer is cheap
+QUANTILE_REL_TOLERANCE = 0.01  # matches the DDSketch α guarantee
+QUANTILE_SAMPLE_FRACTION = 0.10
+
 
 def advise_method(df: DataFrame, value_cents: "F.Column", b: int = TOP_B) -> DataFrame:
     """One-row readout
@@ -88,6 +95,81 @@ def advise_method(df: DataFrame, value_cents: "F.Column", b: int = TOP_B) -> Dat
         [(int(n), float(cv2), float(top_share), float(pred), method)],
         "n long, cv2 double, top_share double, pred_rel_ci_uniform10 double, "
         "recommended_method string",
+    )
+
+
+def advise_quantile_method(
+    df: DataFrame,
+    column: str,
+    q: float,
+    spec,
+    tolerance: float = QUANTILE_REL_TOLERANCE,
+    n_exact: int = QUANTILE_EXACT_N,
+    dd_alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile-family advisor — the bakeoff evidence
+    (``sketch_quantile_bakeoff``: exact vs DDSketch vs sampled order
+    statistic on the same target) turned into a per-query rule.
+
+    Measured evidence, one row:
+
+    - ``n``             — non-null row count;
+    - ``sample_rel_ci`` — the REALIZED relative half-width of the
+      distribution-free order-statistic CI at ``spec.fraction`` (the
+      same quantity the bakeoff certifies as ``sample_rel_err``'s
+      envelope) — measured on this data, not assumed;
+    - ``dd_alpha``      — DDSketch's a-priori relative-error bound.
+
+    Rule (deterministic, test-pinned):
+
+        n <= n_exact              → 'exact'    (full percentile is cheap)
+        sample_rel_ci <= tolerance → 'quantile' (sampled scan suffices —
+                                     reads fraction·n rows, cheapest)
+        otherwise                  → 'ddsketch' (full scan, but the α
+                                     guarantee holds regardless of tails)
+
+    Scale shape: one count + one sampled order-statistic pass (itself
+    two bounded jobs) — the BlinkDB-style profiling cost paid once per
+    (table, column), amortized across queries.
+
+    ``spec`` is the SamplingSpec used for the evidence sample (design
+    'uniform_hash' at QUANTILE_SAMPLE_FRACTION in the engine's auto
+    path).
+    """
+    from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
+
+    base = df.filter(F.col(column).isNotNull())
+    n = base.count()
+    if not n:
+        raise ValueError("advise_quantile_method: no non-null values")
+    r = approx_quantile_ci(base, column, q, spec).collect()[0]
+    est = r[f"{column}_q"]
+    rel = (
+        (float(r["ci_upper"]) - float(r["ci_lower"])) / 2.0 / abs(float(est))
+        if est
+        else float("inf")
+    )
+    if n <= n_exact:
+        method = "exact"
+    elif rel <= tolerance:
+        method = "quantile"
+    else:
+        method = "ddsketch"
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                float(q),
+                float(spec.fraction or 0.0),
+                round(rel, 6),
+                float(dd_alpha),
+                float(tolerance),
+                method,
+            )
+        ],
+        "n long, q double, fraction double, sample_rel_ci double, "
+        "dd_alpha double, tolerance double, recommended_method string",
     )
 
 

@@ -1273,6 +1273,57 @@ def test_advisor_big_n_prefers_stride(spark):
     assert row["recommended_method"] == "revolutionary"
 
 
+def test_quantile_advisor_three_branches(spark):
+    """The bakeoff-calibrated quantile advisor: small n → 'exact';
+    big n with a CI inside tolerance → 'quantile' (sampled order
+    statistic); big n with a CI outside tolerance → 'ddsketch' (the α
+    guarantee). Branches forced via n_exact/tolerance, evidence
+    columns checked for plausibility."""
+    from approximatequeryengine_spark.plans.advisor import advise_quantile_method
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997 + 100.0).alias("v")
+    )
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key="k")
+
+    small = advise_quantile_method(df, "v", 0.5, spec, n_exact=50_000).collect()[0]
+    assert small["recommended_method"] == "exact" and small["n"] == 20_000
+
+    sampled = advise_quantile_method(
+        df, "v", 0.5, spec, n_exact=1_000, tolerance=0.5
+    ).collect()[0]
+    assert sampled["recommended_method"] == "quantile"
+    assert 0.0 <= sampled["sample_rel_ci"] <= 0.5
+
+    sketchy = advise_quantile_method(
+        df, "v", 0.5, spec, n_exact=1_000, tolerance=1e-9
+    ).collect()[0]
+    assert sketchy["recommended_method"] == "ddsketch"
+
+
+def test_engine_auto_routes_quantile_through_advisor(engine):
+    """method='auto' on MEDIAN/PERCENTILE consults the quantile
+    advisor: the evidence row surfaces in groups['__advisor__'], the
+    chosen path executes, and explain_auto reports source='advisor'
+    without running the query."""
+    res = engine.run(
+        "SELECT APPROX(MEDIAN(l_extendedprice)) FROM lineitem", method="auto"
+    )
+    ev = res.groups["__advisor__"]
+    assert ev["recommended_method"] in ("exact", "quantile", "ddsketch")
+    # sf0.001 has 6k rows → the exact branch, which must return the
+    # true median
+    assert ev["recommended_method"] == "exact"
+    assert res.method == "exact" and res.value is not None
+
+    info = engine.explain_auto(
+        "SELECT APPROX(PERCENTILE(l_extendedprice, 0.95)) FROM lineitem"
+    )
+    assert info["source"] == "advisor"
+    assert info["evidence"]["q"] == 0.95
+
+
 def test_priority_grouped_matches_oracle(engine_med, duck_med):
     from approximatequeryengine_spark.plans.priority import (
         priority_grouped_sum,
