@@ -438,6 +438,116 @@ _sql_query(
     "                AND o_orderdate >= TIMESTAMP '2000-01-01') "
     "GROUP BY c_nationkey ORDER BY c_nationkey",
 )
+# TPC-H Q8-style national market share: NATION_7's share of ASIA's
+# ECONOMY-part import volume by order year — the deepest join in the
+# suite (7 tables faithful to Q8 minus partsupp, which the fixture
+# does not ship). part/supplier/customer/nation×2/region all
+# broadcast; the only shuffle is orders⋈lineitem + the 2-group
+# aggregate. The share is a ratio of same-group float sums rounded to
+# 4 (the q14 convention).
+_sql_query(
+    "tpch_q8_national_market_share",
+    "SELECT o_year, "
+    "round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END) "
+    "      / sum(volume), 4) AS mkt_share FROM ("
+    "  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "         l_extendedprice * (1 - l_discount) AS volume, "
+    "         n2.n_name AS nation "
+    "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "  JOIN region ON n1.n_regionkey = r_regionkey "
+    "  JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+    "  AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "  AND o_orderdate < TIMESTAMP '1998-01-01') t "
+    "GROUP BY o_year ORDER BY o_year",
+)
+# TPC-H Q13-style customer order-count distribution: how many
+# customers placed k orders (excluding URGENT ones — the stand-in for
+# Q13's comment anti-pattern, which the fixture's orders don't carry).
+# The LEFT join keeps zero-order customers (the k = 0 bucket), the
+# filter rides the join condition so it never turns the outer join
+# inner, and the two-level aggregate shuffles once per level.
+_sql_query(
+    "tpch_q13_customer_distribution",
+    "WITH c_orders AS ("
+    "  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "    AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey) "
+    "SELECT c_count, count(*) AS custdist FROM c_orders "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+)
+# TPC-H Q15-style top supplier: the quarter's revenue per supplier,
+# then the supplier(s) hitting the maximum — the uncorrelated scalar
+# subquery over a reused CTE (Spark materializes the aggregate once;
+# the max broadcasts). Revenue accumulates on the integer-cents grid
+# (exact, order-free in both engines) because the MAX-equality
+# comparison must never hinge on float association.
+_sql_query(
+    "tpch_q15_top_supplier",
+    "WITH revenue AS ("
+    "  SELECT l_suppkey AS supplier_no, "
+    "  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 "
+    "                      + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents "
+    "  FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1996-04-01' "
+    "  GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, "
+    "round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS total_revenue "
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE rev_cents = (SELECT max(rev_cents) FROM revenue) "
+    "ORDER BY s_suppkey",
+)
+# TPC-H Q17-style small-quantity-order revenue: average yearly revenue
+# lost if sub-20%-of-average-quantity orders for one brand's SMALL
+# parts were dropped. Q18's CTE treatment of the correlated aggregate:
+# per-part average quantity computed ONCE (one shuffle on l_partkey),
+# then a broadcast-able join against the brand-filtered lines — never
+# a per-row correlated subquery. l_quantity is integer-valued, so the
+# per-part averages are exact-in-double in both engines and the 0.2×
+# threshold comparison never sits on a representation boundary.
+_sql_query(
+    "tpch_q17_small_quantity_revenue",
+    "WITH avgq AS ("
+    "  SELECT l_partkey AS ap_partkey, avg(l_quantity) AS aq "
+    "  FROM lineitem GROUP BY l_partkey) "
+    "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN avgq ON ap_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#13' AND p_type = 'SMALL' "
+    "AND l_quantity < 0.2 * aq",
+)
+# TPC-H Q21-style suppliers who kept orders waiting: for finished
+# orders, the supplier whose line shipped late (>60 days after the
+# order date — the fixture's q4 lateness stand-in for the missing
+# receipt/commit dates) while EVERY other supplier on the order
+# shipped on time. One EXISTS (left-semi: the order is genuinely
+# multi-supplier) + one NOT EXISTS (left-anti: no other supplier was
+# late) — both planned as hash joins on l_orderkey, the correlated
+# non-equality date predicate handled by Spark's decorrelation, never
+# a per-row subquery. Top-20 plans as TakeOrderedAndProject.
+_sql_query(
+    "tpch_q21_suppliers_kept_waiting",
+    "SELECT s_name, count(*) AS numwait "
+    "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE o_orderstatus = 'F' AND n_name = 'NATION_3' "
+    "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 "
+    "  WHERE l2.l_orderkey = l1.l_orderkey "
+    "  AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+    "  WHERE l3.l_orderkey = l1.l_orderkey "
+    "  AND l3.l_suppkey <> l1.l_suppkey "
+    "  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
+)
 # SURVEY §2.5 beyond-reference — Gini coefficient of per-customer
 # revenue (the inequality/concentration diagnostic next to the RFM
 # segments and the key-frequency spectrum). Exact-rank formula
