@@ -833,3 +833,159 @@ FROM lt JOIN lang_tot USING (lang) JOIN corpus USING (tok) CROSS JOIN total
 GROUP BY lang, n_tokens, n_types
 ORDER BY lang
 """
+
+
+# --- within-document repetition filter (Gopher-style) -----------------------
+
+# Flag thresholds in exact micro-fractions (integer arithmetic on both
+# engines — the comparison never sits on a float boundary): a document
+# is repetitive if its single most frequent 2-gram carries > 10% of all
+# 2-gram occurrences, or if 3-grams occurring more than once carry
+# > 30% of all 3-gram mass. These are the word-n-gram members of the
+# Gopher/MassiveText repetition-filter family (Rae et al. 2021 §A1.1);
+# the fixture text has no newlines, so the line/paragraph members are
+# vacuous here and deliberately omitted.
+REP_TOP2_MICROFRAC = 100_000
+REP_DUP3_MICROFRAC = 300_000
+_REP_SCALE = 1_000_000
+
+
+def repetition_filter_by_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-language repetition-filter summary: how many documents the
+    Gopher-style word-n-gram repetition rules would drop, plus the
+    language's mean repetition fractions. Output: (lang, n_docs,
+    n_flagged, mean_top2gram_frac, mean_dup3gram_frac).
+
+    Per document (one n-gram explode + one (doc, gram) group per size):
+
+    - ``top-2-gram fraction`` — occurrences of the most frequent
+      2-gram / total 2-gram occurrences;
+    - ``duplicate-3-gram fraction`` — mass of 3-grams occurring ≥ 2
+      times / total 3-gram mass.
+
+    Both are stored as exact integer micro-fractions
+    (``floor(part · 10⁶ / whole)``, floor-exact in doubles), so the
+    flag comparisons and the per-language means are engine-identical
+    without float-summation hazards. Documents too short to have a
+    2-gram (resp. 3-gram) contribute fraction 0.
+
+    Scale shape: two explode→group passes keyed on (doc_id, gram) —
+    work linear in token count, state bounded by per-doc distinct
+    grams; the rollup is O(langs). No collects, no windows.
+    """
+    tk = F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
+    base = docs.select("doc_id", "lang", tk.alias("tk"))
+
+    def gram_counts(n: int) -> DataFrame:
+        parts = ", ".join(f"tk[i + {j}]" for j in range(n))
+        grams = (
+            f"CASE WHEN size(tk) >= {n} THEN "
+            f"transform(sequence(0, size(tk) - {n}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"ELSE array() END"
+        )
+        return (
+            base.select("doc_id", "lang", F.explode(F.expr(grams)).alias("gram"))
+            .groupBy("doc_id", "lang", "gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    d2 = (
+        gram_counts(2)
+        .groupBy("doc_id", "lang")
+        .agg(F.max("c").alias("maxc"), F.sum("c").alias("tot"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"CAST(floor((maxc * {_REP_SCALE}) / (tot * 1.0)) AS BIGINT)"
+            ).alias("f2u"),
+        )
+    )
+    d3 = (
+        gram_counts(3)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+            F.sum("c").alias("tot"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"CAST(floor((dup * {_REP_SCALE}) / (tot * 1.0)) AS BIGINT)"
+            ).alias("f3u"),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", "lang")
+        .join(d2, ["doc_id", "lang"], "left")
+        .join(d3, ["doc_id", "lang"], "left")
+        .fillna(0, ["f2u", "f3u"])
+    )
+    flagged = (F.col("f2u") > REP_TOP2_MICROFRAC) | (
+        F.col("f3u") > REP_DUP3_MICROFRAC
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+            F.round(
+                F.sum("f2u").cast("double") / (n * F.lit(float(_REP_SCALE))), 6
+            ).alias("mean_top2gram_frac"),
+            F.round(
+                F.sum("f3u").cast("double") / (n * F.lit(float(_REP_SCALE))), 6
+            ).alias("mean_dup3gram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def repetition_filter_by_lang_sql() -> str:
+    toks = f"list_transform({ws_tokens_sql('text')}, t -> lower(t))"
+    return f"""
+WITH lists AS (
+  SELECT doc_id, lang, {toks} AS l FROM documents
+),
+g2 AS (
+  SELECT doc_id, lang, l[i] || ' ' || l[i + 1] AS gram
+  FROM (SELECT doc_id, lang, l,
+               unnest(generate_series(1, len(l) - 1)) AS i
+        FROM lists) t
+),
+c2 AS (SELECT doc_id, lang, gram, CAST(count(*) AS BIGINT) AS c
+       FROM g2 GROUP BY 1, 2, 3),
+d2 AS (SELECT doc_id, lang,
+              CAST(floor((max(c) * {_REP_SCALE}) / (sum(c) * 1.0)) AS BIGINT)
+                AS f2u
+       FROM c2 GROUP BY 1, 2),
+g3 AS (
+  SELECT doc_id, lang, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS gram
+  FROM (SELECT doc_id, lang, l,
+               unnest(generate_series(1, len(l) - 2)) AS i
+        FROM lists) t
+),
+c3 AS (SELECT doc_id, lang, gram, CAST(count(*) AS BIGINT) AS c
+       FROM g3 GROUP BY 1, 2, 3),
+d3 AS (SELECT doc_id, lang,
+              CAST(floor((sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                          * {_REP_SCALE}) / (sum(c) * 1.0)) AS BIGINT) AS f3u
+       FROM c3 GROUP BY 1, 2),
+per_doc AS (
+  SELECT d.doc_id, d.lang, coalesce(f2u, 0) AS f2u, coalesce(f3u, 0) AS f3u
+  FROM (SELECT doc_id, lang FROM documents) d
+  LEFT JOIN d2 USING (doc_id, lang)
+  LEFT JOIN d3 USING (doc_id, lang)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f2u > {REP_TOP2_MICROFRAC}
+                      OR f3u > {REP_DUP3_MICROFRAC}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(CAST(sum(f2u) AS DOUBLE) / (count(*) * {_REP_SCALE}.0), 6)
+         AS mean_top2gram_frac,
+       round(CAST(sum(f3u) AS DOUBLE) / (count(*) * {_REP_SCALE}.0), 6)
+         AS mean_dup3gram_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+"""

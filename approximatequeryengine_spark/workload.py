@@ -1388,6 +1388,16 @@ _docs_query("text_quality_threshold_sweep", _text.quality_threshold_sweep, _text
 # Round-5 fourth batch: per-language token entropy + KL vs corpus —
 # the mixture diagnostics read before source reweighting.
 _docs_query("text_token_entropy_by_lang", _text.token_entropy_by_lang, _text.token_entropy_by_lang_sql())
+# Round-6 build batch: the Gopher/MassiveText word-n-gram repetition
+# filter — per-language counts of documents whose top-2-gram share or
+# duplicate-3-gram mass crosses the published thresholds, plus mean
+# repetition fractions, all on the exact micro-fraction grid
+# (operators/text.py::repetition_filter_by_lang).
+_docs_query(
+    "text_repetition_filter",
+    _text.repetition_filter_by_lang,
+    _text.repetition_filter_by_lang_sql(),
+)
 # Round-5 fourth batch: iterative NUMERIC graph analytics — 5
 # synchronous PageRank steps over the token co-occurrence graph in
 # integer fixed-point (order-free sums → engine-exact), the oracle

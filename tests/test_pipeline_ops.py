@@ -1052,6 +1052,33 @@ def test_bm25_search_ranking_invariants(spark, synth_docs):
     assert all(r["doc_id"] != 7 for r in rows)
 
 
+def test_repetition_filter_flags_loops_not_prose(spark):
+    """A degenerate looping document ('spam ham' ×50) must be flagged
+    (top 2-gram carries ~all 2-gram mass); a fully varied document
+    (all-distinct tokens → every n-gram unique) must not. Short and
+    empty documents contribute fraction 0 and never crash."""
+    from approximatequeryengine_spark.operators.text import (
+        repetition_filter_by_lang,
+    )
+
+    rows = [
+        (1, "spam ham " * 50, "looped", "s", 10),
+        (2, " ".join(f"tok{i}" for i in range(100)), "varied", "s", 10),
+        (3, "one", "tiny", "s", 3),
+        (4, "", "tiny", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["lang"]: r for r in repetition_filter_by_lang(spark, docs).collect()}
+    assert got["looped"]["n_flagged"] == 1
+    assert got["looped"]["mean_top2gram_frac"] > 0.4
+    assert got["varied"]["n_flagged"] == 0
+    assert got["varied"]["mean_dup3gram_frac"] == 0.0
+    assert got["tiny"]["n_docs"] == 2 and got["tiny"]["n_flagged"] == 0
+    assert got["tiny"]["mean_top2gram_frac"] == 0.0
+
+
 def test_quality_threshold_sweep_monotone(spark, synth_docs):
     """Survival counts must be non-increasing in the threshold, start at
     the full corpus for a 0.2 cutoff... (the synthetic empty doc scores
