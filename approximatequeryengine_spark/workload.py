@@ -2062,6 +2062,35 @@ FROM designs, ex ORDER BY design
 _register("sampling_design_bakeoff", _design_bakeoff_fn, _design_bakeoff_oracle())
 
 
+# Round-6 build batch: TWO-STAGE cluster sampling — stage 1 samples
+# key blocks (the file/row-group stand-in; at 100 TB this prunes whole
+# inputs before any row is read), stage 2 samples rows within the
+# survivors; ultimate-cluster HT variance. f1 = 1/4, f2 = 1/2 make
+# every estimator term exact integer arithmetic (plans/twostage.py).
+
+
+def _twostage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.plans.twostage import twostage_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    return twostage_sum_ci(
+        cat.table("lineitem"),
+        _LKEY,
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+    )
+
+
+def _twostage_oracle() -> str:
+    from approximatequeryengine_spark.plans.twostage import twostage_sum_ci_sql
+
+    return twostage_sum_ci_sql(
+        "lineitem", _LKEY, "floor(l_extendedprice * 100.0 + 0.5)"
+    )
+
+
+_register("approx_sum_twostage", _twostage_fn, _twostage_oracle())
+
+
 # Round-5 fourth batch: quantile estimator BAKE-OFF — the same p95
 # target answered by the exact interpolating percentile (the full-sort
 # baseline), the DDSketch bucket readout (α = 1% relative-error

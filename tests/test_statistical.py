@@ -1273,6 +1273,79 @@ def test_advisor_big_n_prefers_stride(spark):
     assert row["recommended_method"] == "revolutionary"
 
 
+def test_twostage_ci_coverage_over_salts(spark):
+    """Two-stage cluster sampling (plans/twostage.py) coverage sweep:
+    100 independent (psu_salt, row_salt) draws in ONE job, mirroring
+    the estimator's exact arithmetic; the 95% CI must cover the exact
+    SUM for >= 88/100 draws (binomial slack)."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.plans.estimators import Z_95
+    from approximatequeryengine_spark.plans.twostage import (
+        TS_BLOCK,
+        TS_F1,
+        TS_F2,
+        _EST_MULT,
+        _V_QQ,
+        _V_SS2,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    exact = li.agg((F.sum(cents) / 100.0).alias("e")).collect()[0]["e"]
+    k = F.expr("l_orderkey * 8 + l_linenumber").cast("long")
+    rep = li.select(
+        k.alias("k"),
+        F.floor(k / F.lit(TS_BLOCK)).cast("long").alias("b"),
+        cents.alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("s"),
+    )
+    salt1 = F.lit(1000) + F.col("s") * 31
+    salt2 = F.lit(5000) + F.col("s") * 37
+    sampled = rep.filter(
+        (portable_hash_col(F.col("b"), salt1) < F.lit(fraction_threshold(TS_F1)))
+        & (portable_hash_col(F.col("k"), salt2) < F.lit(fraction_threshold(TS_F2)))
+    )
+    per_psu = sampled.groupBy("s", "b").agg(
+        F.sum("x").cast("double").alias("si"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("qi"),
+    )
+    agg = (
+        per_psu.groupBy("s")
+        .agg(
+            F.sum("si").alias("ss"),
+            F.sum(F.col("si") * F.col("si")).alias("ss2"),
+            F.sum("qi").alias("qq"),
+        )
+        .select(
+            "s",
+            (F.col("ss") * _EST_MULT / 100.0).alias("est"),
+            (
+                F.lit(Z_95)
+                * F.sqrt((F.col("ss2") * _V_SS2 + F.col("qq") * _V_QQ) / 10000.0)
+            ).alias("margin"),
+        )
+        .collect()
+    )
+    assert len(agg) == 100
+    covered = sum(
+        1 for r in agg if r["est"] - r["margin"] <= exact <= r["est"] + r["margin"]
+    )
+    assert covered >= 88, f"two-stage coverage {covered}/100"
+
+
+def test_twostage_empty_input_returns_zero(spark):
+    from approximatequeryengine_spark.plans.twostage import twostage_sum_ci
+
+    empty = spark.createDataFrame([], "k long, v double")
+    row = twostage_sum_ci(empty, "k", F.col("v")).collect()[0]
+    assert row["sum_value"] == 0.0 and row["n_psus"] == 0 and row["n_rows"] == 0
+    assert row["ci_lower"] == 0.0 and row["ci_upper"] == 0.0
+
+
 def test_quantile_advisor_three_branches(spark):
     """The bakeoff-calibrated quantile advisor: small n → 'exact';
     big n with a CI inside tolerance → 'quantile' (sampled order
