@@ -525,6 +525,29 @@ class AQEngine:
             rdf = rdf.withColumnRenamed("est_sum", AggSpec("sum", spec.column).name())
             rdf = rdf.withColumnRenamed("n_sample", "n_samples")
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
+        elif minfo.get("twostage"):
+            from approximatequeryengine_spark.plans.twostage import (
+                TS_F1,
+                TS_F2,
+                twostage_sum_ci,
+            )
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='twostage' supports a global SUM only; use "
+                    "the closed-form methods for AVG/COUNT/GROUP BY"
+                )
+            rdf = twostage_sum_ci(
+                self._base_df(spec),
+                self.catalog.unique_key(spec.table),
+                F.floor(F.col(spec.column) * 100.0 + 0.5),
+                z=z,
+            )
+            rdf = rdf.withColumnRenamed("sum_value", AggSpec("sum", spec.column).name())
+            rdf = rdf.withColumnRenamed("n_rows", "n_samples")
+            res = self._finalize(
+                rdf, agg, spec, method, TS_F1 * TS_F2, t0, confidence=confidence
+            )
         elif minfo.get("pps"):
             from approximatequeryengine_spark.plans.pps import pps_sum_ci
 

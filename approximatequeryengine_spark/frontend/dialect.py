@@ -290,6 +290,16 @@ METHODS: dict[str, dict] = {
         "weighted sampling; heavy rows enter exactly (point estimate; "
         "no closed-form CI).",
     },
+    "twostage": {
+        "design": "none",
+        "adaptive": False,
+        "twostage": True,
+        "description": "Two-stage cluster sampling (SUM only): "
+        "Bernoulli-sampled key blocks (files, at scale) then rows "
+        "within the survivors — ultimate-cluster HT variance, exact "
+        "integer arithmetic at f1=1/4 × f2=1/2 (12.5% of rows read, "
+        "and whole blocks are pruned before any row is touched).",
+    },
     "ddsketch": {
         "design": "none",
         "adaptive": False,

@@ -2012,6 +2012,22 @@ def _design_bakeoff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_samples"),
         )
         rows = row if rows is None else rows.unionAll(row)
+    # Fifth design (round 6): two-stage cluster sampling — blocks then
+    # rows, ultimate-cluster variance (plans/twostage.py). Its realized
+    # inclusion reads ~f1·f2 = 0.125, the file-pruning design's budget.
+    from approximatequeryengine_spark.plans.twostage import twostage_sum_ci
+
+    ts = twostage_sum_ci(
+        li, _LKEY, F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    ).select(
+        F.lit("twostage").alias("design"),
+        F.col("sum_value").alias("est"),
+        F.round((F.col("ci_upper") - F.col("ci_lower")) / 2.0, 2).alias(
+            "ci_halfwidth"
+        ),
+        F.col("n_rows").alias("n_samples"),
+    )
+    rows = rows.unionAll(ts)
     return (
         rows.crossJoin(F.broadcast(exact))
         .select(
@@ -2047,6 +2063,14 @@ def _design_bakeoff_oracle() -> str:
             f"round((ci_upper - ci_lower) / 2.0, 2) AS ci_halfwidth, n_samples "
             f"FROM ({m}) __m_{name}"
         )
+    from approximatequeryengine_spark.plans.twostage import twostage_sum_ci_sql
+
+    parts.append(
+        f"SELECT 'twostage' AS design, sum_value AS est, "
+        f"round((ci_upper - ci_lower) / 2.0, 2) AS ci_halfwidth, "
+        f"n_rows AS n_samples "
+        f"FROM ({twostage_sum_ci_sql('lineitem', _LKEY, 'floor(l_extendedprice * 100.0 + 0.5)')}) __m_twostage"
+    )
     body = " UNION ALL ".join(parts)
     return f"""
 WITH ex AS (SELECT round(sum(l_extendedprice), 2) AS exact_sum,

@@ -153,7 +153,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "kmv", "outlier", "priority", "ddsketch"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "kmv", "outlier", "priority", "ddsketch", "twostage"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -433,6 +433,29 @@ def test_method_priority_sum(engine, duck):
     exact = duck.execute("SELECT round(sum(o_totalprice), 2) FROM orders").fetchone()[0]
     assert res.method == "priority"
     assert abs(res.value - exact) < 0.01  # k covers the universe -> exact
+
+
+def test_method_twostage_sum(engine, duck):
+    """APPROX(SUM(x)) method='twostage': two-stage cluster sampling
+    (blocks, then rows) — CI present, covers the exact total on the
+    fixture's deterministic sample, n_samples ≈ f1·f2·N, and the
+    non-SUM shapes are rejected."""
+    import pytest as _pytest
+
+    res = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem", method="twostage"
+    )
+    exact = duck.execute(
+        "SELECT sum(l_extendedprice) FROM lineitem"
+    ).fetchone()[0]
+    assert res.method == "twostage"
+    assert res.ci_lower <= exact <= res.ci_upper
+    assert 0.04 * 6000 < res.samples_used < 0.25 * 6000  # ~12.5% of rows
+    with _pytest.raises(ValueError, match="global SUM only"):
+        engine.run(
+            "SELECT APPROX(AVG(l_extendedprice)) FROM lineitem",
+            method="twostage",
+        )
 
 
 def test_method_ddsketch_percentile(engine, duck):
