@@ -869,59 +869,69 @@ def repetition_filter_by_lang(spark: SparkSession, docs: DataFrame) -> DataFrame
     without float-summation hazards. Documents too short to have a
     2-gram (resp. 3-gram) contribute fraction 0.
 
-    Scale shape: two explode→group passes keyed on (doc_id, gram) —
-    work linear in token count, state bounded by per-doc distinct
-    grams; the rollup is O(langs). No collects, no windows.
+    Scale shape: the per-document statistics never leave the row —
+    n-grams are sorted and run-length-scanned IN PLACE with
+    ``array_sort`` + ``aggregate`` higher-order functions (JVM
+    whole-stage codegen), so the plan's only exchange is the final
+    O(docs)→O(langs) rollup. The first cut exploded (doc, gram) rows
+    and shuffled ~2× the corpus token count — measured 4.3× for 10×
+    data; this shape removes that shuffle entirely. (The DuckDB
+    oracle keeps the relational unnest+group rendering — an oracle
+    need not be scale-safe, only exact.) No collects, no windows.
     """
     tk = F.transform(ws_tokens_col(F.col("text")), lambda t: F.lower(t))
     base = docs.select("doc_id", "lang", tk.alias("tk"))
 
-    def gram_counts(n: int) -> DataFrame:
+    def grams_sql(n: int) -> str:
         parts = ", ".join(f"tk[i + {j}]" for j in range(n))
-        grams = (
+        return (
             f"CASE WHEN size(tk) >= {n} THEN "
-            f"transform(sequence(0, size(tk) - {n}), "
-            f"i -> concat_ws(' ', {parts})) "
+            f"array_sort(transform(sequence(0, size(tk) - {n}), "
+            f"i -> concat_ws(' ', {parts}))) "
             f"ELSE array() END"
         )
-        return (
-            base.select("doc_id", "lang", F.explode(F.expr(grams)).alias("gram"))
-            .groupBy("doc_id", "lang", "gram")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        )
 
-    d2 = (
-        gram_counts(2)
-        .groupBy("doc_id", "lang")
-        .agg(F.max("c").alias("maxc"), F.sum("c").alias("tot"))
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                f"CAST(floor((maxc * {_REP_SCALE}) / (tot * 1.0)) AS BIGINT)"
-            ).alias("f2u"),
-        )
+    zero = "CAST(0 AS BIGINT)"
+    one = "CAST(1 AS BIGINT)"
+    # Max run length over the sorted 2-grams = count of the most
+    # frequent 2-gram; run-length scan in one aggregate().
+    maxrun2 = (
+        f"aggregate({grams_sql(2)}, "
+        f"named_struct('prev', '', 'run', {zero}, 'mx', {zero}), "
+        f"(s, g) -> CASE WHEN g = s.prev THEN "
+        f"named_struct('prev', g, 'run', s.run + {one}, "
+        f"             'mx', greatest(s.mx, s.run + {one})) "
+        f"ELSE named_struct('prev', g, 'run', {one}, "
+        f"                  'mx', greatest(s.mx, {one})) END, "
+        f"s -> s.mx)"
     )
-    d3 = (
-        gram_counts(3)
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
-            F.sum("c").alias("tot"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                f"CAST(floor((dup * {_REP_SCALE}) / (tot * 1.0)) AS BIGINT)"
-            ).alias("f3u"),
-        )
+    # Total mass of 3-grams occurring >= 2 times: a run reaching 2
+    # contributes 2, each further extension 1 — total r per run of r.
+    dup3 = (
+        f"aggregate({grams_sql(3)}, "
+        f"named_struct('prev', '', 'run', {zero}, 'dup', {zero}), "
+        f"(s, g) -> CASE WHEN g = s.prev THEN "
+        f"named_struct('prev', g, 'run', s.run + {one}, "
+        f"  'dup', s.dup + CASE WHEN s.run = 1 THEN CAST(2 AS BIGINT) "
+        f"                      ELSE {one} END) "
+        f"ELSE named_struct('prev', g, 'run', {one}, 'dup', s.dup) END, "
+        f"s -> s.dup)"
     )
-    per_doc = (
-        docs.select("doc_id", "lang")
-        .join(d2, ["doc_id", "lang"], "left")
-        .join(d3, ["doc_id", "lang"], "left")
-        .fillna(0, ["f2u", "f3u"])
+    tot2 = "CAST(CASE WHEN size(tk) >= 2 THEN size(tk) - 1 ELSE 0 END AS BIGINT)"
+    tot3 = "CAST(CASE WHEN size(tk) >= 3 THEN size(tk) - 2 ELSE 0 END AS BIGINT)"
+    per_doc = base.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CASE WHEN {tot2} > 0 THEN "
+            f"CAST(floor(({maxrun2} * {_REP_SCALE}) / ({tot2} * 1.0)) AS BIGINT) "
+            f"ELSE {zero} END"
+        ).alias("f2u"),
+        F.expr(
+            f"CASE WHEN {tot3} > 0 THEN "
+            f"CAST(floor(({dup3} * {_REP_SCALE}) / ({tot3} * 1.0)) AS BIGINT) "
+            f"ELSE {zero} END"
+        ).alias("f3u"),
     )
     flagged = (F.col("f2u") > REP_TOP2_MICROFRAC) | (
         F.col("f3u") > REP_DUP3_MICROFRAC
