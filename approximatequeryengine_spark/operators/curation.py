@@ -377,6 +377,96 @@ FROM per_doc GROUP BY split ORDER BY split
 """
 
 
+# -- cross-split near-duplicate leakage ---------------------------------------
+
+
+def _split_col(doc_key) -> "F.Column":
+    """The deterministic split label of an arbitrary doc-id Column —
+    the same hash-cut arithmetic as :func:`dataset_split`, factored so
+    pair endpoints can be labeled WITHOUT joining back to documents."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+
+    h = portable_hash_col(doc_key, salt=SPLIT_SALT)
+    split = F.lit(SPLIT_CUTS[-1][0])
+    for name, cut in reversed(SPLIT_CUTS[:-1]):
+        split = F.when(h < F.lit(fraction_threshold(cut)), F.lit(name)).otherwise(split)
+    return split
+
+
+def _split_case_sql(expr: str) -> str:
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_sql,
+    )
+
+    h = portable_hash_sql(expr, SPLIT_SALT)
+    cases = " ".join(
+        f"WHEN {h} < {fraction_threshold(cut)} THEN '{name}'"
+        for name, cut in SPLIT_CUTS[:-1]
+    )
+    return f"(CASE {cases} ELSE '{SPLIT_CUTS[-1][0]}' END)"
+
+
+def split_leakage(
+    spark: SparkSession, docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Eval-set leakage audit: near-duplicate pairs (the certified
+    MinHash-LSH + exact-Jaccard machinery, `operators/dedup.py`)
+    labeled by which train/val/test splits their endpoints land in.
+    A pair with `leaky = true` straddles two splits — a document whose
+    near-twin sits in an eval split silently inflates eval scores, the
+    failure decontamination passes exist to catch. Output one row per
+    unordered split pair: (split_a, split_b, leaky, n_pairs), ordered.
+
+    Scale shape: the pair search is the banded-LSH path (sublinear
+    candidates); the split labels are PURE EXPRESSIONS over the pair's
+    own endpoint ids (the hash-cut arithmetic of `dataset_split`), so
+    no join back to the corpus is needed — one O(pairs)→O(9) rollup.
+    """
+    from approximatequeryengine_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, docs, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    sa = _split_col(F.col("doc_a"))
+    sb = _split_col(F.col("doc_b"))
+    lab = pairs.select(
+        F.least(sa, sb).alias("split_a"), F.greatest(sa, sb).alias("split_b")
+    )
+    return (
+        lab.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaky"),
+            "n_pairs",
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def split_leakage_sql(threshold: float = 0.5) -> str:
+    from approximatequeryengine_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    sa = _split_case_sql("doc_a")
+    sb = _split_case_sql("doc_b")
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold=threshold)}),
+lab AS (
+  SELECT least({sa}, {sb}) AS split_a,
+         greatest({sa}, {sb}) AS split_b
+  FROM pairs
+)
+SELECT split_a, split_b, split_a <> split_b AS leaky,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b
+"""
+
+
 # -- per-source inspection sample -------------------------------------------
 
 SAMPLE_SALT = 11

@@ -3086,6 +3086,11 @@ _docs_query(
 _docs_query("curation_repetition_stats", _cur.repetition_stats, _cur.repetition_stats_sql())
 _docs_query("curation_pii_stats", _cur.pii_scrub_stats, _cur.pii_scrub_stats_sql())
 _docs_query("curation_dataset_split", _cur.dataset_split, _cur.dataset_split_sql())
+# Round-6 build batch: eval-set leakage audit — near-dup pairs (the
+# certified MinHash-LSH machinery) labeled by the splits their
+# endpoints hash into; leaky rows are pairs straddling train/eval
+# (operators/curation.py::split_leakage).
+_docs_query("curation_split_leakage", _cur.split_leakage, _cur.split_leakage_sql())
 _docs_query("curation_sample_per_source", _cur.sample_per_source, _cur.sample_per_source_sql())
 _docs_query("curation_mixture_plan", _cur.mixture_plan, _cur.mixture_plan_sql())
 _docs_query("curation_chunk_inventory", _cur.chunk_inventory, _cur.chunk_inventory_sql())

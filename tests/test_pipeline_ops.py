@@ -1052,6 +1052,59 @@ def test_bm25_search_ranking_invariants(spark, synth_docs):
     assert all(r["doc_id"] != 7 for r in rows)
 
 
+def test_split_leakage_labels_cross_split_pairs(spark):
+    """12 identical documents → every C(12,2) pair is a near-dup; the
+    (split_a, split_b) histogram must equal the prediction from a pure
+    Python mirror of the split hash, and cross-split rows carry
+    leaky=true."""
+    from collections import Counter
+    from itertools import combinations
+
+    from approximatequeryengine_spark.functions.hashing import (
+        HASH_SPACE,
+        M31,
+        MULT,
+        MULT2,
+        OFFSET,
+        SALT_STRIDE,
+        fraction_threshold,
+    )
+    from approximatequeryengine_spark.operators.curation import (
+        SPLIT_CUTS,
+        SPLIT_SALT,
+        split_leakage,
+    )
+
+    def ph(k: int, salt: int) -> int:
+        t1 = (abs(k) + salt * SALT_STRIDE) % M31
+        t2 = (t1 * MULT + OFFSET) % HASH_SPACE
+        return ((t2 % M31) * MULT2 + 144) % HASH_SPACE
+
+    def split(d: int) -> str:
+        h = ph(d, SPLIT_SALT)
+        for name, cut in SPLIT_CUTS[:-1]:
+            if h < fraction_threshold(cut):
+                return name
+        return SPLIT_CUTS[-1][0]
+
+    ids = list(range(100, 112))
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(d, text, "en", "s", len(text)) for d in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    want = Counter(
+        tuple(sorted((split(a), split(b)))) for a, b in combinations(ids, 2)
+    )
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["leaky"])
+        for r in split_leakage(spark, docs).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    assert all(leaky == (a != b) for (a, b), (_, leaky) in got.items())
+    assert any(a != b for a, b in got), "fixture ids must span splits"
+
+
 def test_repetition_filter_flags_loops_not_prose(spark):
     """A degenerate looping document ('spam ham' ×50) must be flagged
     (top 2-gram carries ~all 2-gram mass); a fully varied document
