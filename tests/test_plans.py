@@ -95,6 +95,38 @@ def test_q5_all_joins_broadcast_and_pushed(spark):
     assert "GreaterThanOrEqual(o_orderdate" in pushed
 
 
+def test_q8_seven_way_join_all_broadcast(spark):
+    """Q8 national market share: the deepest join in the suite — all
+    seven joins broadcast at fixture scale, no sort-merge, and the
+    p_type + date filters reach their scans."""
+    plan = _plan(spark, "tpch_q8_national_market_share")
+    assert len(re.findall(r"\n\(\d+\) BroadcastHashJoin", plan)) == 7
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(p_type,ECONOMY)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_q21_exists_pair_plans_semi_and_anti(spark):
+    """Q21 suppliers-kept-waiting: the EXISTS/NOT-EXISTS pair must plan
+    as one left-semi + one left-anti hash join on l_orderkey (never a
+    per-row subquery), and the top-20 as TakeOrderedAndProject."""
+    plan = _plan(spark, "tpch_q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_twostage_predicates_fused_into_one_scan(spark):
+    """The two-stage design's BOTH hash predicates are scan-time row
+    filters — one lineitem scan, no joins, no windows; the plan's only
+    exchange feeds the block-level partial aggregation."""
+    plan = _plan(spark, "approx_sum_twostage")
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
 def test_q10_topk_broadcast_and_pushed(spark):
     """Q10 returned-item top-20: the returnflag + order-date filters
     reach their scans, every join broadcasts at fixture scale, and the
