@@ -84,11 +84,20 @@ def format_result(res, args) -> str:
     )
     if "__advisor__" in res.groups:
         a = res.groups["__advisor__"]
-        lines.append(
-            f"Auto-selected '{a['recommended_method']}' from measured moments: "
-            f"n={a['n']:,} cv2={a['cv2']} top_share={a['top_share']} "
-            f"pred_rel_ci@10%={a['pred_rel_ci_uniform10']}"
-        )
+        if "cv2" in a:  # SUM-family moment evidence
+            lines.append(
+                f"Auto-selected '{a['recommended_method']}' from measured moments: "
+                f"n={a['n']:,} cv2={a['cv2']} top_share={a['top_share']} "
+                f"pred_rel_ci@10%={a['pred_rel_ci_uniform10']}"
+            )
+        else:  # quantile-family bakeoff evidence
+            lines.append(
+                f"Auto-selected '{a['recommended_method']}' from quantile "
+                f"evidence: n={a['n']:,} q={a['q']} "
+                f"sample_rel_ci={a['sample_rel_ci']} "
+                f"positive_only={a['positive_only']} "
+                f"tolerance={a['tolerance']}"
+            )
     if "__actual_error_pct__" in res.groups:
         lines.append(
             f"Exact: {res.groups['__exact__']:,.4f} | actual error: "

@@ -326,18 +326,18 @@ class AQEngine:
             # the exact sort's affordability — plans/advisor.py).
             from approximatequeryengine_spark.plans.advisor import (
                 QUANTILE_SAMPLE_FRACTION,
-                advise_quantile_method,
+                advise_quantile_evidence,
             )
 
-            row = advise_quantile_method(
+            ev, _, _ = advise_quantile_evidence(
                 self._base_df(spec),
                 spec.column,
                 spec.q if spec.q is not None else 0.5,
                 self._sampling_spec(
                     spec, "uniform_hash", QUANTILE_SAMPLE_FRACTION
                 ),
-            ).collect()[0].asDict()
-            return row["recommended_method"], row
+            )
+            return ev["recommended_method"], ev
         total = self.catalog.table(spec.table).count()
         return select_method(spec.agg, total, spec.group_by is not None), None
 
@@ -411,21 +411,66 @@ class AQEngine:
 
         if spec.agg in ("MEDIAN", "PERCENTILE"):
             q_advisor_row: dict | None = None
+            q_reuse = None  # the advisor's own sampled measurement
             if auto and spec.column and not spec.group_by:
                 # Quantile-family auto: the bakeoff-calibrated advisor
                 # picks exact / sampled-order-statistic / ddsketch from
-                # measured evidence (plans/advisor.py).
-                rec, q_advisor_row = self._advise_auto(spec)
+                # measured evidence (plans/advisor.py). The evidence
+                # pass IS a 10% order-statistic job, so when the
+                # recommendation is 'quantile' at the default fraction
+                # its result is reused directly — never the same
+                # sampled job twice.
+                from approximatequeryengine_spark.plans.advisor import (
+                    QUANTILE_SAMPLE_FRACTION,
+                    advise_quantile_evidence,
+                )
+
+                adv_spec = self._sampling_spec(
+                    spec, "uniform_hash", QUANTILE_SAMPLE_FRACTION
+                )
+                q_advisor_row, adv_df, adv_row = advise_quantile_evidence(
+                    self._base_df(spec),
+                    spec.column,
+                    spec.q if spec.q is not None else 0.5,
+                    adv_spec,
+                    z=z,
+                )
+                rec = q_advisor_row["recommended_method"]
                 if rec == "ddsketch":
                     method = "ddsketch"
                 elif rec == "exact":
                     wants_approx = False
                 else:  # 'quantile' — the sampled order statistic
                     wants_approx = True
-            res = self._run_quantile(
-                spec, sample_pct, wants_approx, t0, z=z, confidence=confidence,
-                method=method,
-            )
+                    if (
+                        sample_pct is None
+                        and adv_df is not None
+                        and abs(adv_spec.fraction - QUANTILE_SAMPLE_FRACTION)
+                        < 1e-12
+                    ):
+                        q_reuse = (adv_spec, adv_df, adv_row)
+            if q_reuse is not None:
+                adv_spec, rdf, row = q_reuse
+                res = ApproxResult(
+                    df=rdf,
+                    value=row[f"{spec.column}_q"],
+                    ci_lower=row["ci_lower"],
+                    ci_upper=row["ci_upper"],
+                    samples_used=int(row["n_samples"]),
+                    fraction=adv_spec.realized_fraction(),
+                    method="quantile",
+                    status=ApproximationStatus.STABLE,
+                    computation_time=time.time() - t0,
+                )
+                res.error_margin = (res.ci_upper - res.ci_lower) / 2.0
+                res.confidence_level = min(
+                    confidence, heuristic_confidence(res.samples_used)
+                )
+            else:
+                res = self._run_quantile(
+                    spec, sample_pct, wants_approx, t0, z=z,
+                    confidence=confidence, method=method,
+                )
             if q_advisor_row is not None:
                 res.groups["__advisor__"] = q_advisor_row
             return res

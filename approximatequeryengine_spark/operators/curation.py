@@ -321,19 +321,10 @@ def dataset_split(spark: SparkSession, docs: DataFrame) -> DataFrame:
     mean document length, and distinct languages — the balance check run
     before accepting a split. One map-side-combined aggregate; the share
     is a 3-row window, nothing else leaves the executors."""
-    from approximatequeryengine_spark.functions.hashing import (
-        fraction_threshold,
-        portable_hash_col,
-    )
-
     docs = ensure_parallelism(docs)
-    h = portable_hash_col(F.col("doc_id"), salt=SPLIT_SALT)
-    split = F.lit(SPLIT_CUTS[-1][0])
-    for name, cut in reversed(SPLIT_CUTS[:-1]):
-        split = F.when(h < F.lit(fraction_threshold(cut)), F.lit(name)).otherwise(split)
     toks = F.size(ws_tokens_col(F.col("text")))
     per_doc = docs.select(
-        split.alias("split"),
+        _split_col(F.col("doc_id")).alias("split"),
         toks.cast("long").alias("t"),
         F.col("n_chars"),
         F.col("lang"),
@@ -351,20 +342,10 @@ def dataset_split(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def dataset_split_sql() -> str:
-    from approximatequeryengine_spark.functions.hashing import (
-        fraction_threshold,
-        portable_hash_sql,
-    )
-
-    h = portable_hash_sql("doc_id", SPLIT_SALT)
-    cases = " ".join(
-        f"WHEN {h} < {fraction_threshold(cut)} THEN '{name}'"
-        for name, cut in SPLIT_CUTS[:-1]
-    )
     toks = ws_tokens_sql("text")
     return f"""
 WITH per_doc AS (
-  SELECT CASE {cases} ELSE '{SPLIT_CUTS[-1][0]}' END AS split,
+  SELECT {_split_case_sql("doc_id")} AS split,
          CAST(len({toks}) AS BIGINT) AS t, n_chars, lang
   FROM documents
 )

@@ -98,6 +98,98 @@ def advise_method(df: DataFrame, value_cents: "F.Column", b: int = TOP_B) -> Dat
     )
 
 
+def advise_quantile_evidence(
+    df: DataFrame,
+    column: str,
+    q: float,
+    spec,
+    tolerance: float = QUANTILE_REL_TOLERANCE,
+    n_exact: int = QUANTILE_EXACT_N,
+    dd_alpha: float = 0.01,
+    z: float = Z_95,
+) -> tuple[dict, DataFrame | None, object | None]:
+    """Quantile-family advisor — the bakeoff evidence
+    (``sketch_quantile_bakeoff``: exact vs DDSketch vs sampled order
+    statistic on the same target) turned into a per-query rule.
+    Returns ``(evidence_dict, sampled_ci_frame, sampled_ci_row)`` —
+    frame AND collected row of the 1-row ``approx_quantile_ci``
+    result the evidence was measured from (both None when the pass
+    was short-circuited), handed back so a caller choosing 'quantile'
+    can REUSE the measurement instead of re-running the identical
+    sampled job.
+
+    Measured evidence:
+
+    - ``n``             — non-null row count (measured FIRST; a small
+      table short-circuits to 'exact' without paying the sampled pass,
+      which also cannot then crash on an empty tiny-table sample);
+    - ``sample_rel_ci`` — the REALIZED relative half-width of the
+      distribution-free order-statistic CI at ``spec.fraction``
+      (None when the pass was short-circuited);
+    - ``positive_only`` — whether every value is > 0 (same aggregate
+      pass as n): DDSketch's domain — it must never be recommended for
+      data with zeros/negatives, where the sketch would silently
+      answer over the positive subset only;
+    - ``dd_alpha``      — DDSketch's a-priori relative-error bound.
+
+    Rule (deterministic, test-pinned):
+
+        n <= n_exact               → 'exact'    (full percentile is cheap)
+        sample_rel_ci <= tolerance → 'quantile' (sampled scan suffices —
+                                      reads fraction·n rows, cheapest)
+        positive_only              → 'ddsketch' (full scan, α guarantee,
+                                      domain verified)
+        otherwise                  → 'exact'    (full-data order
+                                      statistic — the only member
+                                      correct at any sign; cost
+                                      documented in SCALING.md)
+
+    Scale shape: one (count, min) aggregate + at most one sampled
+    order-statistic pass — the BlinkDB-style profiling cost paid once
+    per (table, column), amortized across queries.
+    """
+    from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
+
+    base = df.filter(F.col(column).isNotNull())
+    n, mn = base.agg(
+        F.count(F.lit(1)).cast("long"), F.min(F.col(column).cast("double"))
+    ).collect()[0]
+    if not n:
+        raise ValueError("advise_quantile_method: no non-null values")
+    positive_only = bool(mn is not None and float(mn) > 0.0)
+    rel: float | None = None
+    ci_df: DataFrame | None = None
+    r = None
+    if n <= n_exact:
+        method = "exact"
+    else:
+        ci_df = approx_quantile_ci(base, column, q, spec, z=z)
+        r = ci_df.collect()[0]
+        est = r[f"{column}_q"]
+        rel = (
+            (float(r["ci_upper"]) - float(r["ci_lower"])) / 2.0 / abs(float(est))
+            if est
+            else float("inf")
+        )
+        if rel <= tolerance:
+            method = "quantile"
+        elif positive_only:
+            method = "ddsketch"
+        else:
+            method = "exact"
+    evidence = {
+        "n": int(n),
+        "q": float(q),
+        "fraction": float(spec.fraction or 0.0),
+        "sample_rel_ci": round(rel, 6) if rel is not None else None,
+        "positive_only": positive_only,
+        "dd_alpha": float(dd_alpha),
+        "tolerance": float(tolerance),
+        "recommended_method": method,
+    }
+    return evidence, ci_df, r
+
+
 def advise_quantile_method(
     df: DataFrame,
     column: str,
@@ -107,69 +199,29 @@ def advise_quantile_method(
     n_exact: int = QUANTILE_EXACT_N,
     dd_alpha: float = 0.01,
 ) -> DataFrame:
-    """Quantile-family advisor — the bakeoff evidence
-    (``sketch_quantile_bakeoff``: exact vs DDSketch vs sampled order
-    statistic on the same target) turned into a per-query rule.
-
-    Measured evidence, one row:
-
-    - ``n``             — non-null row count;
-    - ``sample_rel_ci`` — the REALIZED relative half-width of the
-      distribution-free order-statistic CI at ``spec.fraction`` (the
-      same quantity the bakeoff certifies as ``sample_rel_err``'s
-      envelope) — measured on this data, not assumed;
-    - ``dd_alpha``      — DDSketch's a-priori relative-error bound.
-
-    Rule (deterministic, test-pinned):
-
-        n <= n_exact              → 'exact'    (full percentile is cheap)
-        sample_rel_ci <= tolerance → 'quantile' (sampled scan suffices —
-                                     reads fraction·n rows, cheapest)
-        otherwise                  → 'ddsketch' (full scan, but the α
-                                     guarantee holds regardless of tails)
-
-    Scale shape: one count + one sampled order-statistic pass (itself
-    two bounded jobs) — the BlinkDB-style profiling cost paid once per
-    (table, column), amortized across queries.
-
-    ``spec`` is the SamplingSpec used for the evidence sample (design
-    'uniform_hash' at QUANTILE_SAMPLE_FRACTION in the engine's auto
-    path).
-    """
-    from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
-
-    base = df.filter(F.col(column).isNotNull())
-    n = base.count()
-    if not n:
-        raise ValueError("advise_quantile_method: no non-null values")
-    r = approx_quantile_ci(base, column, q, spec).collect()[0]
-    est = r[f"{column}_q"]
-    rel = (
-        (float(r["ci_upper"]) - float(r["ci_lower"])) / 2.0 / abs(float(est))
-        if est
-        else float("inf")
+    """1-row DataFrame rendering of :func:`advise_quantile_evidence`
+    (the public profiling surface, mirroring :func:`advise_method`)."""
+    ev, _, _ = advise_quantile_evidence(
+        df, column, q, spec, tolerance=tolerance, n_exact=n_exact,
+        dd_alpha=dd_alpha,
     )
-    if n <= n_exact:
-        method = "exact"
-    elif rel <= tolerance:
-        method = "quantile"
-    else:
-        method = "ddsketch"
     spark = df.sparkSession
     return spark.createDataFrame(
         [
             (
-                int(n),
-                float(q),
-                float(spec.fraction or 0.0),
-                round(rel, 6),
-                float(dd_alpha),
-                float(tolerance),
-                method,
+                ev["n"],
+                ev["q"],
+                ev["fraction"],
+                ev["sample_rel_ci"],
+                ev["positive_only"],
+                ev["dd_alpha"],
+                ev["tolerance"],
+                ev["recommended_method"],
             )
         ],
         "n long, q double, fraction double, sample_rel_ci double, "
-        "dd_alpha double, tolerance double, recommended_method string",
+        "positive_only boolean, dd_alpha double, tolerance double, "
+        "recommended_method string",
     )
 
 

@@ -268,9 +268,11 @@ def linear_blocks_scanned(
     next to the Morton count. Expression-only block assignment (same
     full-grid arithmetic as the prefix layout, deterministic in any
     engine) + one O(blocks) aggregate; no data is written, no window,
-    no sort."""
+    no sort. (``rowid`` is accepted for signature parity with the
+    sort-based layouts; the expression-only layout never orders
+    rows.)"""
     base = df.withColumn("__x", x.cast("long")).withColumn("__y", y.cast("long"))
-    xmn, xs1 = _span(base.withColumn("__rid", rowid.cast("long")), "__x")
+    xmn, xs1 = _span(base, "__x")
     blocked = base.withColumn(
         "__block", F.expr(_quant_sql("__x", xmn, xs1, cells=n_blocks))
     )

@@ -148,6 +148,37 @@ def test_cli_format_result():
     assert "123.4567" in out and "STABLE" in out and "95% CI" in out
 
 
+def test_cli_format_result_renders_both_advisor_families():
+    """format_result must render the SUM-family (cv2 keys) AND the
+    quantile-family (sample_rel_ci keys) advisor evidence — the
+    quantile shape crashed it with KeyError 'cv2' before round 6's
+    review pass."""
+
+    class A:
+        ci = False
+
+    base = dict(
+        df=None, value=1.0, status=ApproximationStatus.STABLE,
+        samples_used=10, fraction=0.1, computation_time=0.1,
+    )
+    s = ApproxResult(method="pps", **base)
+    s.groups["__advisor__"] = {
+        "recommended_method": "pps", "n": 100, "cv2": 5.1,
+        "top_share": 0.1, "pred_rel_ci_uniform10": 0.2,
+    }
+    out = format_result(s, A())
+    assert "cv2=5.1" in out
+
+    q = ApproxResult(method="quantile", **base)
+    q.groups["__advisor__"] = {
+        "recommended_method": "quantile", "n": 100, "q": 0.5,
+        "fraction": 0.1, "sample_rel_ci": 0.003, "positive_only": True,
+        "dd_alpha": 0.01, "tolerance": 0.01,
+    }
+    out = format_result(q, A())
+    assert "sample_rel_ci=0.003" in out and "quantile" in out
+
+
 def test_cli_explain_prints(capsys):
     print_methods()
     out = capsys.readouterr().out

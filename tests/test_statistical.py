@@ -1346,12 +1346,13 @@ def test_twostage_empty_input_returns_zero(spark):
     assert row["ci_lower"] == 0.0 and row["ci_upper"] == 0.0
 
 
-def test_quantile_advisor_three_branches(spark):
-    """The bakeoff-calibrated quantile advisor: small n → 'exact';
-    big n with a CI inside tolerance → 'quantile' (sampled order
-    statistic); big n with a CI outside tolerance → 'ddsketch' (the α
-    guarantee). Branches forced via n_exact/tolerance, evidence
-    columns checked for plausibility."""
+def test_quantile_advisor_four_branches(spark):
+    """The bakeoff-calibrated quantile advisor: small n → 'exact'
+    WITHOUT paying the sampled pass (sample_rel_ci is None); big n
+    with a CI inside tolerance → 'quantile'; big n, CI too wide,
+    all-positive → 'ddsketch'; big n, CI too wide, zeros present →
+    'exact' (DDSketch's x>0 domain must never see that data).
+    Branches forced via n_exact/tolerance."""
     from approximatequeryengine_spark.plans.advisor import advise_quantile_method
     from approximatequeryengine_spark.plans.sampling import SamplingSpec
 
@@ -1362,6 +1363,7 @@ def test_quantile_advisor_three_branches(spark):
 
     small = advise_quantile_method(df, "v", 0.5, spec, n_exact=50_000).collect()[0]
     assert small["recommended_method"] == "exact" and small["n"] == 20_000
+    assert small["sample_rel_ci"] is None  # short-circuited, no sampled job
 
     sampled = advise_quantile_method(
         df, "v", 0.5, spec, n_exact=1_000, tolerance=0.5
@@ -1373,6 +1375,14 @@ def test_quantile_advisor_three_branches(spark):
         df, "v", 0.5, spec, n_exact=1_000, tolerance=1e-9
     ).collect()[0]
     assert sketchy["recommended_method"] == "ddsketch"
+    assert sketchy["positive_only"] is True
+
+    with_zeros = df.withColumn("v", F.col("v") - 100.0)  # min becomes 0
+    zr = advise_quantile_method(
+        with_zeros, "v", 0.5, spec, n_exact=1_000, tolerance=1e-9
+    ).collect()[0]
+    assert zr["positive_only"] is False
+    assert zr["recommended_method"] == "exact"  # never ddsketch off-domain
 
 
 def test_engine_auto_routes_quantile_through_advisor(engine):
