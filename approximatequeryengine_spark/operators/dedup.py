@@ -1193,3 +1193,102 @@ SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b_side
 FROM canon GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- dedup-policy yield curve ------------------------------------------------
+
+YIELD_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_yield_curve(
+    spark: SparkSession,
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = YIELD_THRESHOLDS,
+) -> DataFrame:
+    """Dedup-policy evidence: for each candidate Jaccard cutoff, how
+    many verified near-dup pairs survive and how many documents they
+    touch — the curve a curation pipeline reads before committing to a
+    threshold (too low deletes real content, too high leaves
+    near-copies in). Output per threshold: (threshold, n_pairs,
+    n_docs_affected, pct_docs_affected), ordered.
+
+    ONE pair search at the loosest cutoff feeds every row: tighter
+    cutoffs are conditional aggregates over the same verified pair
+    table (same one-scan-sweep shape as the quality-threshold and ELP
+    curves; both engines compare the identically-rounded jaccard).
+    Scale: the pair search is the banded-LSH path; the curve itself is
+    O(pairs) → |thresholds| rows.
+    """
+    lo = min(thresholds)
+    pairs = minhash_lsh_pairs(spark, docs, threshold=lo).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sides = pairs.select(F.col("doc_a").alias("d"), "jaccard").unionAll(
+        pairs.select(F.col("doc_b").alias("d"), "jaccard")
+    )
+    pa = pairs.agg(
+        *[
+            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"p{i}")
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    sa = sides.agg(
+        *[
+            F.countDistinct(F.when(F.col("jaccard") >= t, F.col("d")))
+            .cast("long")
+            .alias(f"a{i}")
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    wide = pa.crossJoin(sa).crossJoin(tot)  # 1×1×1-row readout
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"p{i}").alias("n_pairs"),
+                F.col(f"a{i}").alias("n_docs_affected"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"), "n_docs")
+        .select(
+            F.col("r.threshold").alias("threshold"),
+            F.col("r.n_pairs").alias("n_pairs"),
+            F.col("r.n_docs_affected").alias("n_docs_affected"),
+            F.round(F.col("r.n_docs_affected") / F.col("n_docs"), 6).alias(
+                "pct_docs_affected"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+def dedup_yield_curve_sql(
+    thresholds: tuple[float, ...] = YIELD_THRESHOLDS,
+) -> str:
+    lo = min(thresholds)
+    vals = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in thresholds)
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold=lo)}),
+sides AS (
+  SELECT doc_a AS d, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b AS d, jaccard FROM pairs
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+thr(threshold) AS (VALUES {vals})
+SELECT threshold,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs
+        WHERE jaccard >= threshold) AS n_pairs,
+       (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM sides
+        WHERE jaccard >= threshold) AS n_docs_affected,
+       round((SELECT CAST(count(DISTINCT d) AS DOUBLE) FROM sides
+              WHERE jaccard >= threshold) / n_docs, 6) AS pct_docs_affected
+FROM thr, tot
+ORDER BY threshold
+"""

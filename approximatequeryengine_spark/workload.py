@@ -1408,6 +1408,10 @@ _docs_query(
     "graph_token_pagerank", _graph.token_pagerank_topk, _graph.token_pagerank_topk_sql()
 )
 _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_groups_sql())
+# Round-6 build batch: dedup-policy yield curve — verified pair and
+# affected-doc counts at each candidate Jaccard cutoff from ONE pair
+# search (operators/dedup.py::dedup_yield_curve).
+_docs_query("dedup_yield_curve", _dedup.dedup_yield_curve, _dedup.dedup_yield_curve_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())
 # Round-5: the actual simhash PAIR search (pigeonhole multi-index,

@@ -1052,6 +1052,28 @@ def test_bm25_search_ranking_invariants(spark, synth_docs):
     assert all(r["doc_id"] != 7 for r in rows)
 
 
+def test_dedup_yield_curve_monotone_and_consistent(spark):
+    """Pair and affected-doc counts must be non-increasing in the
+    threshold, the 0.5 row must equal the raw pair search at 0.5, and
+    percentages must be counts/corpus."""
+    from approximatequeryengine_spark.operators.dedup import (
+        dedup_yield_curve,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = dedup_yield_curve(spark, docs).collect()
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    np = [r["n_pairs"] for r in rows]
+    nd = [r["n_docs_affected"] for r in rows]
+    assert np == sorted(np, reverse=True) and nd == sorted(nd, reverse=True)
+    base = minhash_lsh_pairs(spark, docs, threshold=0.5).count()
+    assert rows[0]["n_pairs"] == base > 0
+    n_docs = docs.count()
+    for r in rows:
+        assert abs(r["pct_docs_affected"] - r["n_docs_affected"] / n_docs) < 1e-6
+
+
 def test_split_leakage_labels_cross_split_pairs(spark):
     """12 identical documents → every C(12,2) pair is a near-dup; the
     (split_a, split_b) histogram must equal the prediction from a pure
