@@ -639,3 +639,235 @@ SELECT CAST(p.doc_id % 4 AS BIGINT) AS bucket,
        round(CAST(sum(p.luma_sum) AS DOUBLE) / sum(p.luma_px), 6) AS avg_luma
 FROM per_doc p GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection via average-hash (aHash) clustering.
+# The perceptual-hash counterpart of the text dedup family: decode the
+# image, reduce it to a 64-bit signature (bit_i = pixel_i > mean), and
+# cluster on the exact signature — one groupBy shuffle over 8 bytes per
+# image, never a pairwise comparison. Near-duplicate variants (the
+# synthetic corpus plants a uniform +1 brightness shift on half of each
+# group) produce DIFFERENT bytes and DIFFERENT pixels but the SAME
+# aHash, because the mean shifts with the pixels: 64·(p+c) > Σp + 64·c
+# ⟺ 64·p > Σp. The Hamming-radius extension (signatures within k bits)
+# rides the SimHash pigeonhole block machinery in operators/dedup.py —
+# exact-signature clustering is the radius-0 case and the common
+# production shape (EXACT match after a brightness/format-invariant
+# reduction).
+#
+# Scale: group count grows with the corpus (n_groups = max(16, n/8)),
+# so cluster sizes stay O(1) and the signature table is 16 bytes/row —
+# a 100 TB image corpus reduces to a GB-scale groupBy. The strict
+# integer comparison 64·p > Σp avoids the float mean entirely (a
+# p > avg(p) formulation would hand each engine a different rounding
+# boundary).
+#
+# Oracle: pixels are a pure function of doc_id (like png_decode_stats),
+# so DuckDB re-derives signature, clusters, and histogram from
+# arithmetic while the Spark side must earn them through the real
+# encode → Arrow → decode → hash kernel.
+# ---------------------------------------------------------------------------
+
+
+def _ahash_groups(n_docs: int) -> int:
+    return max(16, n_docs // 8)
+
+
+def image_ahash_clusters(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Cluster-size histogram of exact-aHash image clusters:
+    (cluster_size, n_clusters, n_images) ordered by cluster_size."""
+    import numpy as np
+
+    from approximatequeryengine_spark.functions.media import (
+        decode_png,
+        encode_png,
+    )
+
+    docs = ensure_parallelism(docs)
+    n_groups = _ahash_groups(docs.count())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(64, dtype=np.int64)
+        for pdf in it:
+            ids, his, los = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % n_groups
+                c = (d // n_groups) % 2
+                pix = ((g * 31 + idx * 7) % 255 + c).astype(np.uint8).reshape(8, 8)
+                # The honest path: real PNG bytes in, real decode out.
+                arr = decode_png(encode_png(pix, filter_type=d % 5))
+                flat = arr.reshape(-1).astype(np.int64)
+                bits = (flat * 64 > flat.sum()).astype(np.int64)
+                lo = int((bits[:32] << idx[:32]).sum())
+                hi = int((bits[32:] << idx[:32]).sum())
+                ids.append(d)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "hash_hi": his, "hash_lo": los})
+
+    sigs = docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, hash_hi long, hash_lo long"
+    )
+    clusters = sigs.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_images"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def image_ahash_clusters_sql() -> str:
+    """Oracle: signature → cluster → histogram from doc_id arithmetic
+    alone (the SQL never builds a PNG). Mirrors _ahash_groups and the
+    strict-integer bit rule exactly."""
+    return """
+WITH n AS (SELECT greatest(16, count(*) // 8) AS n_groups FROM documents),
+px AS (
+  SELECT d.doc_id, g.i,
+         ((d.doc_id % (SELECT n_groups FROM n)) * 31 + g.i * 7) % 255
+           + ((d.doc_id // (SELECT n_groups FROM n)) % 2) AS p
+  FROM documents d CROSS JOIN generate_series(0, 63) g(i)
+),
+tot AS (SELECT doc_id, sum(p) AS sp FROM px GROUP BY doc_id),
+sigs AS (
+  SELECT px.doc_id,
+         CAST(sum(CASE WHEN px.i >= 32 AND px.p * 64 > t.sp
+                       THEN (CAST(1 AS BIGINT) << (px.i - 32)) ELSE 0 END)
+              AS BIGINT) AS hash_hi,
+         CAST(sum(CASE WHEN px.i < 32 AND px.p * 64 > t.sp
+                       THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+              AS BIGINT) AS hash_lo
+  FROM px JOIN tot t ON px.doc_id = t.doc_id
+  GROUP BY px.doc_id
+),
+clusters AS (
+  SELECT hash_hi, hash_lo, count(*) AS cluster_size
+  FROM sigs GROUP BY 1, 2
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_images
+FROM clusters GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate detection via a volume-invariant energy-contour
+# fingerprint — the WAV sibling of image_ahash_clusters, completing the
+# multimodal dedup pair. 64 decoded PCM samples → 32 two-sample energy
+# windows e_w = s²_{2w} + s²_{2w+1} → 31 sign-of-difference bits
+# (bit_w = e_{w+1} > e_w, the Haitsma-Kalker/Shazam contour idea in
+# miniature; the per-group base pattern is a multiplicative-mix
+# pseudorandom sequence so distinct groups get decorrelated contours —
+# collisions stay birthday-rare in the 31-bit space and cluster sizes
+# stay O(1) as the corpus grows). A re-mastered copy at a
+# different volume scales every
+# window energy by the SAME k², so every strict integer comparison —
+# and hence the fingerprint — is unchanged while the bytes and samples
+# all differ. Clustering is an exact-signature groupBy over an 8-byte
+# key, identical scale shape to the image entry (n_groups = max(16,
+# n/8) keeps clusters O(1) as the corpus grows; 31 bits keep
+# cross-group collisions rare).
+#
+# Oracle: samples are a pure function of doc_id, so DuckDB re-derives
+# window energies → bits → fingerprints → histogram arithmetically
+# while the Spark side must pass through the real 16-bit PCM encode →
+# Arrow → decode kernel.
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint_clusters(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Cluster-size histogram of exact audio-fingerprint clusters:
+    (cluster_size, n_clusters, n_clips) ordered by cluster_size."""
+    import numpy as np
+
+    from approximatequeryengine_spark.functions.media import (
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = ensure_parallelism(docs)
+    n_groups = _ahash_groups(docs.count())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(WAV_N, dtype=np.int64)
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % n_groups
+                amp = 1 + (d // n_groups) % 2  # planted volume variant
+                s = (amp * (((g * 2654435761 + idx * 40503) % 65536) % 199 - 99)).astype(np.int16)
+                rate = 8000 + (d % 4) * 2000
+                dec, _ = decode_wav(encode_wav(s, rate))
+                v = dec.reshape(-1).astype(np.int64)
+                e = (v * v).reshape(-1, 2).sum(axis=1)  # 32 window energies
+                bits = (e[1:] > e[:-1]).astype(np.int64)  # 31 contour bits
+                fps.append(int((bits << np.arange(31)).sum()))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    sigs = docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, fingerprint long"
+    )
+    clusters = sigs.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_clips"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def audio_fingerprint_clusters_sql() -> str:
+    """Oracle: window energies → contour bits → fingerprint → histogram
+    from doc_id arithmetic alone (the SQL never touches WAV bytes).
+    The amplitude factor is carried through explicitly so the SQL
+    proves the same invariance the kernel relies on."""
+    return f"""
+WITH n AS (SELECT greatest(16, count(*) // 8) AS n_groups FROM documents),
+samp AS (
+  SELECT d.doc_id, g.i,
+         (1 + (d.doc_id // (SELECT n_groups FROM n)) % 2)
+           * ((((d.doc_id % (SELECT n_groups FROM n)) * 2654435761 + g.i * 40503) % 65536) % 199 - 99)
+           AS s
+  FROM documents d CROSS JOIN generate_series(0, {WAV_N - 1}) g(i)
+),
+win AS (
+  SELECT doc_id, i // 2 AS w, sum(s * s) AS e
+  FROM samp GROUP BY doc_id, i // 2
+),
+bits AS (
+  SELECT a.doc_id, a.w - 1 AS b,
+         CASE WHEN a.e > p.e THEN 1 ELSE 0 END AS bit
+  FROM win a JOIN win p ON a.doc_id = p.doc_id AND p.w = a.w - 1
+  WHERE a.w >= 1
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS fingerprint
+  FROM bits GROUP BY doc_id
+),
+clusters AS (
+  SELECT fingerprint, count(*) AS cluster_size FROM sigs GROUP BY 1
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_clips
+FROM clusters GROUP BY 1 ORDER BY 1
+"""

@@ -1,0 +1,224 @@
+"""Post-stratified SUM estimation (model-assisted survey sampling).
+
+Stratified sampling (``SamplingSpec(design='stratified')``) must choose
+per-stratum fractions BEFORE the scan. Post-stratification gets most of
+the same variance reduction from a plain uniform sample AFTER the fact:
+take a uniform hash sample, then re-weight each sampled row by its
+stratum's true population share,
+
+    T̂ = Σ_g  N_g · ȳ_g        (ȳ_g = sample mean inside stratum g)
+
+with the standard conditional variance (Cochran 1977, §5A.9; fpc kept)
+
+    V̂ = Σ_g  N_g · (N_g − n_g) · s²_g / n_g .
+
+The exact N_g come from one grouped COUNT over the stratum column alone
+— a column-pruned scan whose bytes are a tiny fraction of the measure
+scan, and at 100 TB typically free because stratum counts live in
+catalog/partition statistics anyway. The payoff over the plain HT
+estimator: between-stratum variance is removed, and the estimator
+self-corrects a sample that landed unevenly across strata (the
+"unlucky draw" a fixed 1/p re-weighting cannot see).
+
+Cross-engine determinism: per-stratum moments ride the integer cents
+grid (floor(x·100 + 0.5)) in DECIMAL(38,0)/HUGEINT so every numerator
+is exact in both engines; each quotient is a single IEEE double op; and
+the across-strata folds of both T̂ and V̂ are ORDER-PINNED by a
+cumulative window over the stratum value (double addition is not
+associative — an unordered 3-term sum can flip a round(·, 3) display
+digit between engines). The final cumulate is read with max_by, which
+Spark ≥3.3 and DuckDB both provide.
+
+Empty-stratum semantics: a stratum with no sampled rows contributes 0
+to both T̂ and V̂ and increments ``missing_strata`` in the result — the
+defect is surfaced, not papered over (n_g = 0 has no unbiased local
+fix; the caller escalates the fraction or collapses strata). A stratum
+with n_g = 1 contributes its point estimate with zero variance term,
+counted in ``thin_strata``.
+
+Reference anchor: the reference has no post-stratification; this
+extends its R15 stratified design (custom_bplus_db.cpp:1239-1324) with
+the estimator-side twin the survey literature pairs it with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.plans.estimators import Z_95
+from approximatequeryengine_spark.plans.sampling import (
+    SamplingSpec,
+    apply_sampling,
+    sampling_where_sql,
+)
+
+_DEC = "decimal(38,0)"
+
+
+def _cents(col: Column) -> Column:
+    return F.floor(col.cast("double") * 100.0 + 0.5).cast("long")
+
+
+def poststrat_sum_ci(
+    df: DataFrame,
+    column: str,
+    stratum_col: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> DataFrame:
+    """1-row DataFrame: (estimate, ci_lower, ci_upper, n_samples,
+    n_strata, missing_strata, thin_strata) — post-stratified SUM over a
+    uniform sample, exact stratum counts, order-pinned folds."""
+    cents = _cents(F.col(column))
+    exact = df.groupBy(F.col(stratum_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_pop")
+    )
+    sample = (
+        apply_sampling(df, spec)
+        .select(F.col(stratum_col).alias("g"), cents.alias("c"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c").cast(_DEC)).alias("sc"),
+            F.sum((F.col("c") * F.col("c")).cast(_DEC)).alias("sc2"),
+        )
+    )
+    per = (
+        exact.join(sample, "g", "left")
+        .select(
+            "g",
+            "n_pop",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("sc"), F.lit(0).cast(_DEC)).alias("sc"),
+            F.coalesce(F.col("sc2"), F.lit(0).cast(_DEC)).alias("sc2"),
+        )
+        .withColumn(
+            "t",
+            F.when(
+                F.col("n") > 0,
+                F.col("n_pop").cast("double")
+                * F.col("sc").cast("double")
+                / F.col("n"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            # s² numerator n·Σc² − (Σc)² stays exact in decimal; one
+            # double division, then the N(N−n)/n scale factor.
+            "v",
+            F.when(
+                F.col("n") > 1,
+                F.col("n_pop").cast("double")
+                * (F.col("n_pop") - F.col("n")).cast("double")
+                * (
+                    (
+                        F.col("n").cast(_DEC) * F.col("sc2")
+                        - F.col("sc") * F.col("sc")
+                    ).cast("double")
+                    / (
+                        F.col("n").cast("double")
+                        * (F.col("n") - F.lit(1)).cast("double")
+                    )
+                )
+                / F.col("n"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    folded = per.select(
+        "g",
+        "n",
+        F.sum("t").over(w).alias("cum_t"),
+        F.sum("v").over(w).alias("cum_v"),
+    )
+    agg = folded.agg(
+        F.max_by("cum_t", "g").alias("tot_t"),
+        F.max_by("cum_v", "g").alias("tot_v"),
+        F.sum("n").alias("n_samples"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("missing_strata"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("thin_strata"),
+    )
+    est = F.col("tot_t") / F.lit(100.0)
+    margin = F.lit(z) * F.sqrt(F.greatest(F.col("tot_v"), F.lit(0.0))) / F.lit(100.0)
+    return agg.select(
+        F.round(est, round_to).alias("estimate"),
+        F.round(est - margin, round_to).alias("ci_lower"),
+        F.round(est + margin, round_to).alias("ci_upper"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("missing_strata").cast("long").alias("missing_strata"),
+        F.col("thin_strata").cast("long").alias("thin_strata"),
+    )
+
+
+def poststrat_sum_ci_sql(
+    table: str,
+    column: str,
+    stratum_col: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> str:
+    """DuckDB oracle: identical strata joins, integer moments, and
+    order-pinned folds. DuckDB's integer sums widen to HUGEINT, which
+    matches the Spark side's DECIMAL(38,0) exactly for these ranges;
+    both engines cast the same exact integer to DOUBLE before the one
+    rounding division."""
+    where = sampling_where_sql(spec)
+    c = f"CAST(floor(CAST({column} AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+    return f"""
+WITH exact AS (
+  SELECT {stratum_col} AS g, count(*) AS n_pop FROM {table} GROUP BY 1
+),
+sample AS (
+  SELECT {stratum_col} AS g,
+         count(*) AS n,
+         sum({c}) AS sc,
+         sum({c} * {c}) AS sc2
+  FROM {table} WHERE {where} GROUP BY 1
+),
+per AS (
+  SELECT e.g, e.n_pop,
+         coalesce(s.n, 0) AS n,
+         coalesce(s.sc, 0) AS sc,
+         coalesce(s.sc2, 0) AS sc2
+  FROM exact e LEFT JOIN sample s ON e.g = s.g
+),
+terms AS (
+  SELECT g, n,
+         CASE WHEN n > 0
+              THEN CAST(n_pop AS DOUBLE) * CAST(sc AS DOUBLE) / n
+              ELSE 0.0 END AS t,
+         CASE WHEN n > 1
+              THEN CAST(n_pop AS DOUBLE) * CAST(n_pop - n AS DOUBLE)
+                   * (CAST(n * sc2 - sc * sc AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   / n
+              ELSE 0.0 END AS v
+  FROM per
+),
+folded AS (
+  SELECT g, n,
+         sum(t) OVER (ORDER BY g) AS cum_t,
+         sum(v) OVER (ORDER BY g) AS cum_v
+  FROM terms
+),
+agg AS (
+  SELECT max_by(cum_t, g) AS tot_t,
+         max_by(cum_v, g) AS tot_v,
+         CAST(sum(n) AS BIGINT) AS n_samples,
+         count(*) AS n_strata,
+         CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS missing_strata,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS thin_strata
+  FROM folded
+)
+SELECT round(tot_t / 100.0, {round_to}) AS estimate,
+       round(tot_t / 100.0
+             - {z!r} * sqrt(greatest(tot_v, 0.0)) / 100.0, {round_to}) AS ci_lower,
+       round(tot_t / 100.0
+             + {z!r} * sqrt(greatest(tot_v, 0.0)) / 100.0, {round_to}) AS ci_upper,
+       n_samples, n_strata, missing_strata, thin_strata
+FROM agg
+"""

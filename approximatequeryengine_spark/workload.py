@@ -4544,6 +4544,82 @@ _register(
 )
 
 
+def _poststrat_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified SUM (plans/poststrat.py): uniform 10% sample
+    re-weighted by exact per-return-flag counts — between-stratum
+    variance removed after the fact, no stratified design needed."""
+    from approximatequeryengine_spark.plans.poststrat import poststrat_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return poststrat_sum_ci(
+        cat.table("lineitem"), "l_extendedprice", "l_returnflag", spec
+    )
+
+
+def _poststrat_oracle() -> str:
+    from approximatequeryengine_spark.plans.poststrat import poststrat_sum_ci_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return poststrat_sum_ci_sql("lineitem", "l_extendedprice", "l_returnflag", spec)
+
+
+_register("approx_sum_poststratified", _poststrat_fn, _poststrat_oracle())
+
+
+def _image_ahash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup clustering by perceptual average-hash
+    (operators/multimodal.py::image_ahash_clusters): real PNG encode →
+    Arrow → decode → 64-bit aHash → exact-signature groupBy; planted
+    +1-brightness variants land in the same cluster because the aHash
+    bit rule is shift-invariant."""
+    from approximatequeryengine_spark.operators.multimodal import (
+        image_ahash_clusters,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    return image_ahash_clusters(spark, cat.table("documents"))
+
+
+def _image_ahash_oracle() -> str:
+    from approximatequeryengine_spark.operators.multimodal import (
+        image_ahash_clusters_sql,
+    )
+
+    return image_ahash_clusters_sql()
+
+
+_register("dedup_image_ahash_clusters", _image_ahash_fn, _image_ahash_oracle())
+
+
+def _audio_fp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup clustering by volume-invariant energy-contour
+    fingerprint (operators/multimodal.py::audio_fingerprint_clusters):
+    real 16-bit PCM encode → Arrow → decode → 31 sign-of-difference
+    bits over window energies → exact-signature groupBy; planted
+    2× -volume variants land in the same cluster because every energy
+    ratio survives amplitude scaling."""
+    from approximatequeryengine_spark.operators.multimodal import (
+        audio_fingerprint_clusters,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    return audio_fingerprint_clusters(spark, cat.table("documents"))
+
+
+def _audio_fp_oracle() -> str:
+    from approximatequeryengine_spark.operators.multimodal import (
+        audio_fingerprint_clusters_sql,
+    )
+
+    return audio_fingerprint_clusters_sql()
+
+
+_register(
+    "dedup_audio_fingerprint_clusters", _audio_fp_fn, _audio_fp_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered
