@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "the bakeoff-calibrated exact/sampled/ddsketch rule "
                    "for global MEDIAN/PERCENTILE; static ladder "
                    "elsewhere)")
+    p.add_argument("--stratum-col", default=None, metavar="COL",
+                   help="stratum column for method=poststrat")
+    p.add_argument("--aux-column", default=None, metavar="COL",
+                   help="auxiliary column/expression for method=regaux")
     p.add_argument("--ci", action="store_true", help="show confidence intervals")
     p.add_argument("--confidence", type=float, default=0.95,
                    help="confidence level for CIs (default 0.95)")
@@ -176,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
             method=args.method,
             compare=args.compare,
             confidence=args.confidence,
+            stratum_col=args.stratum_col,
+            aux_column=args.aux_column,
         )
         if res.value is None and res.df is not None:
             # grouped / passthrough results: print the table itself

@@ -368,6 +368,8 @@ class AQEngine:
         with_ci: bool = True,
         compare: bool = False,
         confidence: float = 0.95,
+        stratum_col: str | None = None,
+        aux_column: str | None = None,
     ) -> ApproxResult:
         t0 = time.time()
         if not 0.5 <= confidence < 1.0:
@@ -593,6 +595,42 @@ class AQEngine:
             res = self._finalize(
                 rdf, agg, spec, method, TS_F1 * TS_F2, t0, confidence=confidence
             )
+        elif minfo.get("poststrat"):
+            from approximatequeryengine_spark.plans.poststrat import poststrat_sum_ci
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='poststrat' supports a global SUM only (the "
+                    "strata come from stratum_col=, not GROUP BY)"
+                )
+            if not stratum_col:
+                raise ValueError(
+                    "method='poststrat' needs stratum_col=<column> — the "
+                    "column whose exact counts re-weight the sample"
+                )
+            rdf = poststrat_sum_ci(
+                self._base_df(spec), spec.column, stratum_col, s_spec, z=z
+            )
+            rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
+        elif minfo.get("regaux"):
+            from approximatequeryengine_spark.plans.regression import regaux_sum_ci
+
+            if spec.agg != "SUM" or spec.group_by:
+                raise ValueError(
+                    "method='regaux' supports a global SUM only; use the "
+                    "closed-form methods for AVG/COUNT/GROUP BY"
+                )
+            if not aux_column:
+                raise ValueError(
+                    "method='regaux' needs aux_column=<column/expression> — "
+                    "the auxiliary whose exact total calibrates the sample"
+                )
+            rdf = regaux_sum_ci(
+                self._base_df(spec), spec.column, aux_column, s_spec, z=z
+            )
+            rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
+            res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("pps"):
             from approximatequeryengine_spark.plans.pps import pps_sum_ci
 

@@ -290,6 +290,24 @@ METHODS: dict[str, dict] = {
         "weighted sampling; heavy rows enter exactly (point estimate; "
         "no closed-form CI).",
     },
+    "poststrat": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "poststrat": True,
+        "description": "Post-stratified SUM: uniform sample re-weighted "
+        "by exact per-stratum counts (pass stratum_col=) — removes "
+        "between-stratum and sample-size variance after the fact, no "
+        "stratified design needed.",
+    },
+    "regaux": {
+        "design": "uniform_hash",
+        "adaptive": False,
+        "regaux": True,
+        "description": "Regression estimator for SUM: calibrates the "
+        "sample against the exact total of a correlated auxiliary "
+        "(pass aux_column=) — CI shrinks by ~sqrt(1-r^2); estimator "
+        "quality bought with one cheap auxiliary scan.",
+    },
     "twostage": {
         "design": "none",
         "adaptive": False,

@@ -4620,6 +4620,36 @@ _register(
 )
 
 
+def _regaux_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression estimator for SUM(revenue) using the exact book
+    total of l_extendedprice as the auxiliary (plans/regression.py):
+    revenue = price*(1-discount) is ~0.999-correlated with price, so
+    the CI shrinks by ~sqrt(1-r^2) vs plain expansion at the same 10%
+    sample - estimator quality bought with one cheap auxiliary scan."""
+    from approximatequeryengine_spark.plans.regression import regaux_sum_ci
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return regaux_sum_ci(
+        cat.table("lineitem"),
+        "l_extendedprice * (1 - l_discount)",
+        "l_extendedprice",
+        spec,
+    )
+
+
+def _regaux_oracle() -> str:
+    from approximatequeryengine_spark.plans.regression import regaux_sum_ci_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return regaux_sum_ci_sql(
+        "lineitem", "l_extendedprice * (1 - l_discount)", "l_extendedprice", spec
+    )
+
+
+_register("approx_sum_regaux", _regaux_fn, _regaux_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -153,7 +153,7 @@ def test_method_selection():
     assert select_method("SUM", 50_000, False) == "clt"
     assert select_method("AVG", 200_000, False) == "random"
     assert select_method("COUNT", 1_000, True) == "parallel"
-    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "kmv", "outlier", "priority", "ddsketch", "twostage"}
+    assert set(METHODS) == {"random", "clt", "block", "adaptive", "parallel", "revolutionary", "bootstrap", "pps", "blb", "hll", "chao1", "kmv", "outlier", "priority", "ddsketch", "twostage", "poststrat", "regaux"}
 
 
 def test_tablesample_routes_to_sampled_estimation():
@@ -580,3 +580,49 @@ def test_method_ddsketch_no_positive_values(engine):
             "SELECT APPROX(MEDIAN(o_totalprice)) FROM orders WHERE o_totalprice < 0",
             method="ddsketch",
         )
+
+
+def test_method_poststrat_sum(engine, duck):
+    """APPROX(SUM(x)) method='poststrat' with stratum_col=: CI covers
+    exact; stratum_col is mandatory; non-global shapes rejected."""
+    import pytest as _pytest
+
+    res = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem",
+        method="poststrat",
+        stratum_col="l_returnflag",
+        sample_pct=20,
+    )
+    exact = duck.execute("SELECT sum(l_extendedprice) FROM lineitem").fetchone()[0]
+    assert res.method == "poststrat"
+    assert res.ci_lower <= exact <= res.ci_upper
+    with _pytest.raises(ValueError, match="stratum_col"):
+        engine.run(
+            "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem",
+            method="poststrat",
+        )
+    with _pytest.raises(ValueError, match="global SUM only"):
+        engine.run(
+            "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
+            "GROUP BY l_returnflag",
+            method="poststrat",
+            stratum_col="l_returnflag",
+        )
+
+
+def test_method_regaux_sum(engine, duck):
+    """APPROX(SUM(x)) method='regaux' with aux_column=: CI covers and
+    is narrower than plain 'random' at the same fraction when the
+    auxiliary is strongly correlated; aux_column is mandatory."""
+    import pytest as _pytest
+
+    q = "SELECT APPROX(SUM(o_totalprice)) FROM orders"
+    res = engine.run(q, method="regaux", aux_column="o_totalprice", sample_pct=20)
+    exact = duck.execute("SELECT sum(o_totalprice) FROM orders").fetchone()[0]
+    assert res.method == "regaux"
+    # the self-auxiliary collapses the CI to zero width on the cents
+    # grid; the float exact sum can sit 1e-7 off it — one-cent slack
+    assert res.ci_lower - 0.01 <= exact <= res.ci_upper + 0.01
+    assert (res.ci_upper - res.ci_lower) < 1.0
+    with _pytest.raises(ValueError, match="aux_column"):
+        engine.run(q, method="regaux")
