@@ -385,3 +385,114 @@ scored AS (
 SELECT source, n_s AS n_docs, psi, psi > 0.2 AS drifted
 FROM scored ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift: per-label centroid direction vs the corpus
+# centroid. The embedding analogue of the PSI length-distribution
+# check above — a label (or shard/source/day in production) whose
+# centroid swings away from the corpus direction signals an encoder
+# change, a data mix shift, or a corrupted shard BEFORE any downstream
+# ANN/semantic-dedup quality drop is visible.
+#
+# Determinism contract: every per-dimension accumulation is an exact
+# integer — values snap to a 2⁻¹⁶ grid (floor(e·65536 + 0.5)), sums
+# ride DECIMAL(38,0)/HUGEINT, and cosine is scale-invariant so it is
+# computed directly on the integer SUM vectors (no centroid division
+# ever happens). The only float ops are one division and two sqrts on
+# the same exact integers in the same order — bit-identical across
+# engines, with no float-fold-order hazard anywhere.
+#
+# Scale: one posexplode pass (rows × dims), two tiny grouped sums
+# (labels×dims, then dims), a broadcast-sized join. 100 TB of
+# embeddings reduces to a (labels × dims) integer table.
+# ---------------------------------------------------------------------------
+
+EMB_GRID = 65536  # 2^16 quantization grid for embedding values
+
+
+def embedding_drift_by_label(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Per-label rows: (label, n_vecs, cosine_to_corpus) ordered by
+    label — cosine between the label's integer sum-vector and the
+    corpus sum-vector."""
+    q = emb.select(
+        "label",
+        F.posexplode("embedding").alias("d", "e"),
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("e").cast("double") * EMB_GRID + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    by_label = q.groupBy("label", "d").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    corpus = by_label.groupBy("d").agg(F.sum("s").alias("sg"))
+    m = (
+        by_label.join(F.broadcast(corpus), "d")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("sg")).alias("dot"),
+            F.sum(F.col("s") * F.col("s")).alias("n2l"),
+            F.sum(F.col("sg") * F.col("sg")).alias("n2g"),
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        m.join(counts, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2l").cast("double"))
+                    * F.sqrt(F.col("n2g").cast("double"))
+                ),
+                6,
+            ).alias("cosine_to_corpus"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_drift_by_label_sql() -> str:
+    """DuckDB oracle: identical grid, integer sum vectors, and scalar
+    cosine chain. Dimension pairing uses list indexing over a
+    select-list unnest(generate_series(...)) — this DuckDB build has
+    neither WITH ORDINALITY nor lateral generate_series parameters."""
+    return f"""
+WITH dims AS (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS d
+  FROM embeddings
+),
+q AS (
+  SELECT label, d,
+         CAST(floor(CAST(embedding[d] AS DOUBLE) * {EMB_GRID} + 0.5) AS BIGINT) AS q
+  FROM dims
+),
+by_label AS (
+  SELECT label, d, sum(q) AS s FROM q GROUP BY 1, 2
+),
+corpus AS (
+  SELECT d, sum(s) AS sg FROM by_label GROUP BY 1
+),
+m AS (
+  SELECT label,
+         sum(b.s * c.sg) AS dot,
+         sum(b.s * b.s) AS n2l,
+         sum(c.sg * c.sg) AS n2g
+  FROM by_label b JOIN corpus c USING (d)
+  GROUP BY 1
+),
+counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+SELECT m.label,
+       counts.n_vecs,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n2l AS DOUBLE)) * sqrt(CAST(n2g AS DOUBLE))),
+             6) AS cosine_to_corpus
+FROM m JOIN counts ON m.label = counts.label
+ORDER BY m.label
+"""

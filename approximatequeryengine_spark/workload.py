@@ -4650,6 +4650,32 @@ def _regaux_oracle() -> str:
 _register("approx_sum_regaux", _regaux_fn, _regaux_oracle())
 
 
+def _emb_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor
+    (operators/profiling.py::embedding_drift_by_label): cosine between
+    each label's integer sum-vector and the corpus sum-vector — the
+    encoder/mix-shift alarm that fires before ANN or semantic-dedup
+    quality visibly drops. All-integer accumulation; one division and
+    two sqrts are the only float ops."""
+    from approximatequeryengine_spark.operators.profiling import (
+        embedding_drift_by_label,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    return embedding_drift_by_label(spark, cat.table("embeddings"))
+
+
+def _emb_drift_oracle() -> str:
+    from approximatequeryengine_spark.operators.profiling import (
+        embedding_drift_by_label_sql,
+    )
+
+    return embedding_drift_by_label_sql()
+
+
+_register("profile_embedding_drift", _emb_drift_fn, _emb_drift_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered

@@ -1,0 +1,42 @@
+"""Embedding-space drift monitor (operators/profiling.py)."""
+
+import pytest
+
+from approximatequeryengine_spark.operators.profiling import (
+    embedding_drift_by_label,
+)
+
+from .conftest import SF_DIR
+
+
+def test_single_label_is_perfectly_aligned(spark):
+    rows = [(i, [0.1 * (d + 1) for d in range(4)], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_drift_by_label(spark, df).collect()
+    assert len(out) == 1
+    # one label IS the corpus — cosine exactly 1
+    assert out[0]["cosine_to_corpus"] == pytest.approx(1.0, abs=1e-6)
+    assert out[0]["n_vecs"] == 20
+
+
+def test_planted_drift_is_flagged(spark):
+    base = [0.2, 0.1, -0.1, 0.3]
+    rows = [(i, base, 0) for i in range(50)]
+    # label 1 points the opposite way — the drifted shard
+    rows += [(100 + i, [-v for v in base], 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r["cosine_to_corpus"] for r in
+           embedding_drift_by_label(spark, df).collect()}
+    assert out[0] > 0.99  # the majority direction dominates the corpus
+    assert out[1] < -0.99  # the drifted label is anti-aligned
+
+
+def test_fixture_labels_are_mutually_decorrelated(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = embedding_drift_by_label(spark, emb).collect()
+    assert sum(r["n_vecs"] for r in out) == emb.count()
+    # every label contributes to the corpus sum, so cosines are
+    # positive-ish but well below 1 on the clustered fixture
+    for r in out:
+        assert -1.0 <= r["cosine_to_corpus"] <= 1.0
+    assert any(r["cosine_to_corpus"] < 0.95 for r in out)
