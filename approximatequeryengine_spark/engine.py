@@ -510,6 +510,20 @@ class AQEngine:
             raise ValueError(f"unknown method {method!r}; one of {sorted(METHODS)}")
         minfo = METHODS[method]
 
+        # Estimator-specific arguments must reach an estimator that
+        # consumes them — silently ignoring a stratification/auxiliary
+        # request would hand back a different estimator than asked for.
+        if stratum_col and not minfo.get("poststrat"):
+            raise ValueError(
+                f"stratum_col= is only consumed by method='poststrat' "
+                f"(got method={method!r})"
+            )
+        if aux_column and not minfo.get("regaux"):
+            raise ValueError(
+                f"aux_column= is only consumed by method='regaux' "
+                f"(got method={method!r})"
+            )
+
         fraction = (sample_pct / 100.0) if sample_pct else error_ladder(error_pct or 5.0)
         agg = AggSpec(func=spec.agg.lower(), column=spec.column)
         s_spec = self._sampling_spec(spec, minfo["design"], fraction)

@@ -444,13 +444,21 @@ def embedding_drift_by_label(spark: SparkSession, emb: DataFrame) -> DataFrame:
         .select(
             "label",
             "n_vecs",
-            F.round(
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("n2l").cast("double"))
-                    * F.sqrt(F.col("n2g").cast("double"))
+            # A zero quantized sum-vector (all-zero or near-zero
+            # embeddings — the corrupted-shard case itself) has no
+            # direction: emit NULL rather than divide by zero (ANSI
+            # would raise; non-ANSI NULL could diverge from the oracle
+            # unless both engines gate identically).
+            F.when(
+                (F.col("n2l") > 0) & (F.col("n2g") > 0),
+                F.round(
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("n2l").cast("double"))
+                        * F.sqrt(F.col("n2g").cast("double"))
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cosine_to_corpus"),
         )
         .orderBy("label")
@@ -490,9 +498,11 @@ m AS (
 counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
 SELECT m.label,
        counts.n_vecs,
-       round(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(n2l AS DOUBLE)) * sqrt(CAST(n2g AS DOUBLE))),
-             6) AS cosine_to_corpus
+       CASE WHEN n2l > 0 AND n2g > 0
+            THEN round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(n2l AS DOUBLE)) * sqrt(CAST(n2g AS DOUBLE))),
+                       6)
+       END AS cosine_to_corpus
 FROM m JOIN counts ON m.label = counts.label
 ORDER BY m.label
 """

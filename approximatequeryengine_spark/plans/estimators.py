@@ -38,6 +38,16 @@ from approximatequeryengine_spark.plans.sampling import P_COL
 Z_95 = 1.959963984540054  # two-sided 95% normal quantile
 
 
+def cents_col(col: Column) -> Column:
+    """The repo-wide integer cents grid: floor(x·100 + 0.5), i.e.
+    round-half-up — the ONE rounding rule every estimator and every
+    DuckDB oracle must share (the SQL spelling is
+    ``floor(CAST(x AS DOUBLE) * 100.0 + 0.5)``). Centralized so the
+    grid cannot drift per-module; cross-engine CI parity depends on
+    both engines snapping measures to the identical integers."""
+    return F.floor(col.cast("double") * 100.0 + 0.5).cast("long")
+
+
 def ht_integer_margin(n: Column, vht: Column, z: float = Z_95) -> Column:
     """The engine's SUM-margin convention as one shared expression:
     ``z·√vht`` in the OUTPUT's units, gated to 0 for n < 2, and

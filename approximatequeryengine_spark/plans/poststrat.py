@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from approximatequeryengine_spark.plans.estimators import Z_95
+from approximatequeryengine_spark.plans.estimators import Z_95, cents_col
 from approximatequeryengine_spark.plans.sampling import (
     SamplingSpec,
     apply_sampling,
@@ -54,10 +54,6 @@ from approximatequeryengine_spark.plans.sampling import (
 )
 
 _DEC = "decimal(38,0)"
-
-
-def _cents(col: Column) -> Column:
-    return F.floor(col.cast("double") * 100.0 + 0.5).cast("long")
 
 
 def poststrat_sum_ci(
@@ -71,22 +67,27 @@ def poststrat_sum_ci(
     """1-row DataFrame: (estimate, ci_lower, ci_upper, n_samples,
     n_strata, missing_strata, thin_strata) — post-stratified SUM over a
     uniform sample, exact stratum counts, order-pinned folds."""
-    cents = _cents(F.col(column))
+    cents = cents_col(F.col(column))
     exact = df.groupBy(F.col(stratum_col).alias("g")).agg(
         F.count(F.lit(1)).alias("n_pop")
     )
     sample = (
         apply_sampling(df, spec)
-        .select(F.col(stratum_col).alias("g"), cents.alias("c"))
-        .groupBy("g")
+        .select(F.col(stratum_col).alias("g2"), cents.alias("c"))
+        .groupBy("g2")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("c").cast(_DEC)).alias("sc"),
-            F.sum((F.col("c") * F.col("c")).cast(_DEC)).alias("sc2"),
+            # cast BEFORE the square: a long*long product wraps past
+            # ~3e9 cents/row; decimal(38,0)×decimal(38,0) stays exact.
+            F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC)).alias("sc2"),
         )
     )
     per = (
-        exact.join(sample, "g", "left")
+        # Null-safe join: a NULL stratum is a real group on both sides
+        # (groupBy keeps it); a plain equi-join would silently drop its
+        # sampled moments and misreport it as missing.
+        exact.join(sample, exact["g"].eqNullSafe(sample["g2"]), "left")
         .select(
             "g",
             "n_pop",
@@ -125,31 +126,43 @@ def poststrat_sum_ci(
             ).otherwise(F.lit(0.0)),
         )
     )
-    w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    # Fold by a dense integer rank rather than the stratum value: the
+    # rank is never NULL (a NULL stratum would make max_by skip its
+    # row), and NULLS FIRST is pinned explicitly because Spark and
+    # DuckDB default to opposite NULL placements in ASC order.
+    ow = Window.orderBy(F.col("g").asc_nulls_first())
+    w = ow.rowsBetween(Window.unboundedPreceding, 0)
     folded = per.select(
-        "g",
         "n",
+        F.row_number().over(ow).alias("rid"),
         F.sum("t").over(w).alias("cum_t"),
         F.sum("v").over(w).alias("cum_v"),
     )
     agg = folded.agg(
-        F.max_by("cum_t", "g").alias("tot_t"),
-        F.max_by("cum_v", "g").alias("tot_v"),
+        F.max_by("cum_t", "rid").alias("tot_t"),
+        F.max_by("cum_v", "rid").alias("tot_v"),
         F.sum("n").alias("n_samples"),
         F.count(F.lit(1)).alias("n_strata"),
         F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("missing_strata"),
         F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("thin_strata"),
     )
-    est = F.col("tot_t") / F.lit(100.0)
-    margin = F.lit(z) * F.sqrt(F.greatest(F.col("tot_v"), F.lit(0.0))) / F.lit(100.0)
+    # Empty-input degeneracy: the aggregate over zero strata returns
+    # one all-NULL row — coalesce to a zero estimate with a zero-width
+    # CI so the engine's n_samples readout never sees NULL.
+    tot_t = F.coalesce(F.col("tot_t"), F.lit(0.0))
+    tot_v = F.coalesce(F.col("tot_v"), F.lit(0.0))
+    est = tot_t / F.lit(100.0)
+    margin = F.lit(z) * F.sqrt(F.greatest(tot_v, F.lit(0.0))) / F.lit(100.0)
     return agg.select(
         F.round(est, round_to).alias("estimate"),
         F.round(est - margin, round_to).alias("ci_lower"),
         F.round(est + margin, round_to).alias("ci_upper"),
-        F.col("n_samples").cast("long").alias("n_samples"),
+        F.coalesce(F.col("n_samples"), F.lit(0)).cast("long").alias("n_samples"),
         F.col("n_strata").cast("long").alias("n_strata"),
-        F.col("missing_strata").cast("long").alias("missing_strata"),
-        F.col("thin_strata").cast("long").alias("thin_strata"),
+        F.coalesce(F.col("missing_strata"), F.lit(0))
+        .cast("long")
+        .alias("missing_strata"),
+        F.coalesce(F.col("thin_strata"), F.lit(0)).cast("long").alias("thin_strata"),
     )
 
 
@@ -176,7 +189,7 @@ sample AS (
   SELECT {stratum_col} AS g,
          count(*) AS n,
          sum({c}) AS sc,
-         sum({c} * {c}) AS sc2
+         sum(CAST({c} AS HUGEINT) * {c}) AS sc2
   FROM {table} WHERE {where} GROUP BY 1
 ),
 per AS (
@@ -184,7 +197,7 @@ per AS (
          coalesce(s.n, 0) AS n,
          coalesce(s.sc, 0) AS sc,
          coalesce(s.sc2, 0) AS sc2
-  FROM exact e LEFT JOIN sample s ON e.g = s.g
+  FROM exact e LEFT JOIN sample s ON e.g IS NOT DISTINCT FROM s.g
 ),
 terms AS (
   SELECT g, n,
@@ -200,18 +213,21 @@ terms AS (
   FROM per
 ),
 folded AS (
-  SELECT g, n,
-         sum(t) OVER (ORDER BY g) AS cum_t,
-         sum(v) OVER (ORDER BY g) AS cum_v
+  SELECT n,
+         row_number() OVER (ORDER BY g NULLS FIRST) AS rid,
+         sum(t) OVER (ORDER BY g NULLS FIRST) AS cum_t,
+         sum(v) OVER (ORDER BY g NULLS FIRST) AS cum_v
   FROM terms
 ),
 agg AS (
-  SELECT max_by(cum_t, g) AS tot_t,
-         max_by(cum_v, g) AS tot_v,
-         CAST(sum(n) AS BIGINT) AS n_samples,
+  SELECT coalesce(max_by(cum_t, rid), 0.0) AS tot_t,
+         coalesce(max_by(cum_v, rid), 0.0) AS tot_v,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n_samples,
          count(*) AS n_strata,
-         CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS missing_strata,
-         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS thin_strata
+         CAST(coalesce(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS missing_strata,
+         CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS thin_strata
   FROM folded
 )
 SELECT round(tot_t / 100.0, {round_to}) AS estimate,

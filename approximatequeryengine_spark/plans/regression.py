@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from approximatequeryengine_spark.plans.estimators import Z_95
+from approximatequeryengine_spark.plans.estimators import Z_95, cents_col
 from approximatequeryengine_spark.plans.sampling import (
     SamplingSpec,
     apply_sampling,
@@ -50,10 +50,6 @@ from approximatequeryengine_spark.plans.sampling import (
 )
 
 _DEC = "decimal(38,0)"
-
-
-def _cents(col: Column) -> Column:
-    return F.floor(col.cast("double") * 100.0 + 0.5).cast("long")
 
 
 def regaux_sum_ci(
@@ -67,8 +63,8 @@ def regaux_sum_ci(
     """1-row DataFrame: (estimate, ci_lower, ci_upper, n_samples,
     slope, method) — regression-estimated SUM(column) using the exact
     total of ``aux_column``."""
-    y = _cents(F.expr(column))
-    x = _cents(F.expr(aux_column))
+    y = cents_col(F.expr(column))
+    x = cents_col(F.expr(aux_column))
     pop = df.agg(
         F.count(F.lit(1)).alias("n_pop"),
         F.sum(x.cast(_DEC)).alias("tx"),
@@ -77,9 +73,11 @@ def regaux_sum_ci(
         F.count(F.lit(1)).alias("n"),
         F.sum(y.cast(_DEC)).alias("sy"),
         F.sum(x.cast(_DEC)).alias("sx"),
-        F.sum((y * x).cast(_DEC)).alias("sxy"),
-        F.sum((x * x).cast(_DEC)).alias("sxx"),
-        F.sum((y * y).cast(_DEC)).alias("syy"),
+        # cast BEFORE the product: long*long wraps past ~3e9 cents/row,
+        # decimal(38,0) products stay exact (matching HUGEINT below).
+        F.sum(y.cast(_DEC) * x.cast(_DEC)).alias("sxy"),
+        F.sum(x.cast(_DEC) * x.cast(_DEC)).alias("sxx"),
+        F.sum(y.cast(_DEC) * y.cast(_DEC)).alias("syy"),
     )
     m = smp.crossJoin(F.broadcast(pop))
     n = F.col("n").cast("double")
@@ -147,8 +145,9 @@ WITH pop AS (
 smp AS (
   SELECT count(*) AS n,
          sum({y}) AS sy, sum({x}) AS sx,
-         sum({y} * {x}) AS sxy, sum({x} * {x}) AS sxx,
-         sum({y} * {y}) AS syy
+         sum(CAST({y} AS HUGEINT) * {x}) AS sxy,
+         sum(CAST({x} AS HUGEINT) * {x}) AS sxx,
+         sum(CAST({y} AS HUGEINT) * {y}) AS syy
   FROM {table} WHERE {where}
 ),
 m AS (SELECT * FROM smp CROSS JOIN pop),

@@ -626,3 +626,15 @@ def test_method_regaux_sum(engine, duck):
     assert (res.ci_upper - res.ci_lower) < 1.0
     with _pytest.raises(ValueError, match="aux_column"):
         engine.run(q, method="regaux")
+
+
+def test_stray_estimator_args_are_rejected(engine):
+    """stratum_col/aux_column with a method that ignores them must
+    raise, not silently run a different estimator than requested."""
+    import pytest as _pytest
+
+    q = "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem"
+    with _pytest.raises(ValueError, match="poststrat"):
+        engine.run(q, method="clt", stratum_col="l_returnflag")
+    with _pytest.raises(ValueError, match="regaux"):
+        engine.run(q, method="random", aux_column="l_quantity")

@@ -40,3 +40,15 @@ def test_fixture_labels_are_mutually_decorrelated(spark):
     for r in out:
         assert -1.0 <= r["cosine_to_corpus"] <= 1.0
     assert any(r["cosine_to_corpus"] < 0.95 for r in out)
+
+
+def test_zero_vector_label_yields_null_not_crash(spark):
+    rows = [(i, [0.1, 0.2, 0.3, 0.4], 0) for i in range(10)]
+    rows += [(100 + i, [0.0, 0.0, 0.0, 0.0], 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in embedding_drift_by_label(spark, df).collect()}
+    assert out[0]["cosine_to_corpus"] == pytest.approx(1.0, abs=1e-6)
+    # a directionless (all-zero) shard has no cosine — NULL, not a
+    # divide-by-zero and not a fake 0.0
+    assert out[1]["cosine_to_corpus"] is None
+    assert out[1]["n_vecs"] == 3

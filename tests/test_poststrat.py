@@ -88,3 +88,38 @@ def test_oracle_matches_on_fixture(spark, lineitem):
         got["estimate"], got["ci_lower"], got["ci_upper"], got["n_samples"],
         got["n_strata"], got["missing_strata"], got["thin_strata"],
     ) == want
+
+
+def test_empty_input_returns_zero_row(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(F.lit(False))
+    spec = SamplingSpec(design="uniform_hash", fraction=0.1, key=_LKEY)
+    row = poststrat_sum_ci(df, "l_extendedprice", "l_returnflag", spec).collect()[0]
+    assert row["n_samples"] == 0 and row["n_strata"] == 0
+    assert row["estimate"] == row["ci_lower"] == row["ci_upper"] == 0.0
+    assert row["missing_strata"] == 0 and row["thin_strata"] == 0
+
+
+def test_null_stratum_is_a_real_stratum(spark):
+    # NULL-stratum rows must keep their sampled moments (null-safe
+    # join) and count as a stratum, not vanish into missing_strata.
+    rows = [(k, "a" if k % 3 else None, 100.0) for k in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    spec = SamplingSpec(design="uniform_hash", fraction=0.5, key="k")
+    row = poststrat_sum_ci(df, "x", "g", spec).collect()[0]
+    assert row["n_strata"] == 2
+    assert row["missing_strata"] == 0
+    # constant measure -> the estimate is exact regardless of the draw
+    assert row["estimate"] == pytest.approx(300 * 100.0)
+    # parity with the DuckDB oracle on the NULL-stratum frame
+    con = _duck(SF_DIR)
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({k}, {'NULL' if g is None else repr(g)}, {x})"
+            for k, g, x in rows
+        )
+        + ") AS v(k, g, x)"
+    )
+    want = con.execute(poststrat_sum_ci_sql("t", "x", "g", spec)).fetchone()
+    got = tuple(row)
+    assert got == want
