@@ -411,11 +411,10 @@ FROM scored ORDER BY source
 EMB_GRID = 65536  # 2^16 quantization grid for embedding values
 
 
-def embedding_drift_by_label(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Per-label rows: (label, n_vecs, cosine_to_corpus) ordered by
-    label — cosine between the label's integer sum-vector and the
-    corpus sum-vector."""
-    q = emb.select(
+def quantized_dims(emb: DataFrame) -> DataFrame:
+    """(label, d, q): one row per (vector, dimension) on the 2⁻¹⁶
+    integer grid — the shared front of the batch and streaming paths."""
+    return emb.select(
         "label",
         F.posexplode("embedding").alias("d", "e"),
     ).select(
@@ -425,9 +424,13 @@ def embedding_drift_by_label(spark: SparkSession, emb: DataFrame) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
-    by_label = q.groupBy("label", "d").agg(
-        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
-    )
+
+
+def drift_readout(by_label: DataFrame) -> DataFrame:
+    """Cosine readout over the (label, d, s, cnt) integer sum table —
+    consumed by the batch path below and by the drained streaming
+    state (``streaming/pipeline.py::embedding_drift_stream``), which
+    equals the batch table exactly because integer sums are order-free."""
     corpus = by_label.groupBy("d").agg(F.sum("s").alias("sg"))
     m = (
         by_label.join(F.broadcast(corpus), "d")
@@ -438,7 +441,9 @@ def embedding_drift_by_label(spark: SparkSession, emb: DataFrame) -> DataFrame:
             F.sum(F.col("sg") * F.col("sg")).alias("n2g"),
         )
     )
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    # Every dimension of a vector contributes one row, so the per-
+    # (label, d) row count IS n_vecs — identical across d.
+    counts = by_label.groupBy("label").agg(F.max("cnt").alias("n_vecs"))
     return (
         m.join(counts, "label")
         .select(
@@ -463,6 +468,17 @@ def embedding_drift_by_label(spark: SparkSession, emb: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def embedding_drift_by_label(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Per-label rows: (label, n_vecs, cosine_to_corpus) ordered by
+    label — cosine between the label's integer sum-vector and the
+    corpus sum-vector."""
+    by_label = quantized_dims(emb).groupBy("label", "d").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return drift_readout(by_label)
 
 
 def embedding_drift_by_label_sql() -> str:

@@ -745,3 +745,37 @@ def anomaly_days_stream(spark: SparkSession, sf_dir: str, top: int = 3) -> DataF
     from approximatequeryengine_spark.operators.temporal import anomaly_readout
 
     return anomaly_readout(drained, top)
+
+
+def embedding_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the embedding-drift monitor
+    (operators/profiling.py): vectors arrive as a stream, each
+    micro-batch folds its quantized per-(label, dimension) integer
+    sums into complete-mode state — constant (labels × dims) state
+    however many vectors flow. Integer addition is order-free, so the
+    drained state EQUALS the batch sum table bit-for-bit and the
+    cosine readout (and the DuckDB oracle) are reused verbatim —
+    certifying the incremental path end-to-end. The production shape:
+    a drift dashboard over an embedding ingest firehose that never
+    rescans history."""
+    from approximatequeryengine_spark.operators.profiling import (
+        drift_readout,
+        quantized_dims,
+    )
+    from approximatequeryengine_spark.streaming.windowed import (
+        run_to_memory_sink,
+        table_stream,
+    )
+
+    stream = table_stream(spark, sf_dir, "embeddings")
+    by_label_stream = quantized_dims(stream).groupBy("label", "d").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    drained = run_to_memory_sink(by_label_stream, "complete")
+    # The readout self-joins the drained state (label sums ⋈ corpus
+    # sums); the memory-sink view exposes one set of attribute ids to
+    # both sides, which Spark rejects as conflicting references — an
+    # eager localCheckpoint of the O(labels × dims) state severs the
+    # lineage at bounded cost.
+    return drift_readout(drained.localCheckpoint(eager=True))

@@ -588,28 +588,60 @@ _sql_query(
     "round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_price_on_qty "
     "FROM lineitem",
 )
-# SURVEY §2.4 beyond-reference — EXACT grouped quantiles (linear
-# interpolation; Spark percentile() == DuckDB quantile_cont, probed
-# equal). This is the exact BASELINE next to the approximate quantile
-# family (sampled order-statistic CIs, DDSketch) — at 100 TB it pays
-# a full per-group sort, which is precisely what the sketch family
-# exists to avoid; certifying both sides makes the trade measurable.
+# SURVEY §2.4 beyond-reference — EXACT grouped quantiles. This is the
+# exact BASELINE next to the approximate quantile family (sampled
+# order-statistic CIs, DDSketch) — at 100 TB it pays a full per-group
+# sort, which is precisely what the sketch family exists to avoid;
+# certifying both sides makes the trade measurable. NOT rendered as
+# percentile()/quantile_cont(): the engines associate the linear
+# interpolation differently (lo+(hi−lo)·f vs lo·(1−f)+hi·f), and on
+# raw float dollars the one-ulp gap straddles a round-to-cents
+# boundary (p50 52724.24 vs .25 at sf0.001 — caught by the gate).
+# Instead both engines run the SAME SQL: order statistics on the
+# integer-cents grid, interpolation as exact integer arithmetic
+# (value·m stays integral for q = k/m), half-up to integer cents via
+# integer floor-division, and one final /100.0 that lands every
+# output exactly on the two-decimal grid — bit-identical by
+# construction. The per-group window sort is the declared cost of the
+# exact baseline (scale path: repartitionByRange, as the decile entry).
+_EGQ_QUANTS = [("25", 1, 4), ("50", 1, 2), ("75", 3, 4), ("95", 19, 20)]
 _sql_query(
     "exact_grouped_quantiles",
-    "SELECT l_returnflag, "
-    "round(percentile(l_extendedprice, 0.25), 2) AS p25, "
-    "round(percentile(l_extendedprice, 0.50), 2) AS p50, "
-    "round(percentile(l_extendedprice, 0.75), 2) AS p75, "
-    "round(percentile(l_extendedprice, 0.95), 2) AS p95 "
-    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
-    oracle=(
-        "SELECT l_returnflag, "
-        "round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 2) AS p25, "
-        "round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE), 2) AS p50, "
-        "round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 2) AS p75, "
-        "round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 2) AS p95 "
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
-    ),
+    "WITH c AS (SELECT l_returnflag AS flag, "
+    "  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents "
+    "  FROM lineitem), "
+    "r AS (SELECT flag, cents, "
+    "  row_number() OVER (PARTITION BY flag ORDER BY cents) - 1 AS i, "
+    "  count(*) OVER (PARTITION BY flag) AS n FROM c), "
+    "p AS (SELECT flag, cents, i, n, "
+    + ", ".join(
+        f"CAST(floor(CAST((n - 1) * {k} AS DOUBLE) / {m}) AS BIGINT) AS lo{s}"
+        for s, k, m in _EGQ_QUANTS
+    )
+    + " FROM r), "
+    "g AS (SELECT flag, n, "
+    + ", ".join(f"lo{s}" for s, _, _ in _EGQ_QUANTS)
+    + ", "
+    + ", ".join(
+        f"max(CASE WHEN i = lo{s} THEN cents END) AS a{s}, "
+        f"coalesce(max(CASE WHEN i = lo{s} + 1 THEN cents END), "
+        f"max(CASE WHEN i = lo{s} THEN cents END)) AS b{s}"
+        for s, _, _ in _EGQ_QUANTS
+    )
+    + " FROM p GROUP BY flag, n, "
+    + ", ".join(f"lo{s}" for s, _, _ in _EGQ_QUANTS)
+    + ") "
+    "SELECT flag AS l_returnflag, "
+    + ", ".join(
+        # rem = (n-1)·k − m·lo ∈ [0, m); scaled = a·(m−rem) + b·rem is
+        # the quantile in cents·m (exact BIGINT); half-up integer cents
+        # = floor((2·scaled + m) / (2m)); /100.0 → exact 2-decimal grid.
+        f"CAST(CAST(floor((2.0 * (a{s} * ({m} - ((n - 1) * {k} - {m} * lo{s}))"
+        f" + b{s} * ((n - 1) * {k} - {m} * lo{s})) + {m}) / {2 * m}.0) AS BIGINT)"
+        f" AS DOUBLE) / 100.0 AS p{s}"
+        for s, k, m in _EGQ_QUANTS
+    )
+    + " FROM g ORDER BY l_returnflag",
 )
 # SURVEY §2.5 beyond-reference — decile segmentation: ntile over a
 # deterministic total order (balance, then key), rolled up to
@@ -4674,6 +4706,21 @@ def _emb_drift_oracle() -> str:
 
 
 _register("profile_embedding_drift", _emb_drift_fn, _emb_drift_oracle())
+
+
+def _emb_drift_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of profile_embedding_drift: per-(label, dim)
+    integer sums maintained in complete-mode state; drained state ==
+    batch table (integer sums are order-free), so the batch oracle
+    certifies the incremental path verbatim."""
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.embedding_drift_stream(spark, sf_dir)
+
+
+_register(
+    "streaming_embedding_drift", _emb_drift_stream_fn, _emb_drift_oracle()
+)
 
 
 # ---------------------------------------------------------------------------

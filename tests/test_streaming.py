@@ -504,3 +504,15 @@ def test_streaming_anomaly_days_equals_batch(spark):
     got = [r.asDict() for r in QUERIES["streaming_anomaly_days"](spark, sf).collect()]
     want = [r.asDict() for r in QUERIES["events_anomaly_days"](spark, sf).collect()]
     assert got == want and len(got) > 0
+
+
+def test_streaming_embedding_drift_equals_batch(spark):
+    """Drained per-(label, dim) integer-sum state == the batch sum
+    table (integer addition is order-free), so the cosine readout
+    matches the batch drift monitor exactly."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = [r.asDict() for r in QUERIES["streaming_embedding_drift"](spark, sf).collect()]
+    want = [r.asDict() for r in QUERIES["profile_embedding_drift"](spark, sf).collect()]
+    assert got == want and len(got) > 0
