@@ -19,19 +19,25 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling_sf1")
-REPLICAS = 10
+# Default: 10 replicas -> .scaling_sf1 (sf1). Pass an integer argv[1]
+# for other decades, e.g. ``python tools/make_sf1.py 100`` builds
+# .scaling_sf10 (100x sf0.1) for the two-decade scaling table.
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    f".scaling_sf{REPLICAS // 10}" if REPLICAS != 10 else ".scaling_sf1",
+)
 
 
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     key_shift = {
-        "lineitem": ("l_orderkey", 10_000_000),
-        "orders": ("o_orderkey", 10_000_000),
-        "documents": ("doc_id", 1_000_000),
-        "embeddings": ("vec_id", 1_000_000),
-        "events": ("event_id", 100_000_000),
+        "lineitem": ("l_orderkey", 100_000_000),
+        "orders": ("o_orderkey", 100_000_000),
+        "documents": ("doc_id", 10_000_000),
+        "embeddings": ("vec_id", 10_000_000),
+        "events": ("event_id", 1_000_000_000),
     }
     for table, (key, stride) in key_shift.items():
         src = f"{SRC}/{table}.parquet"
