@@ -409,7 +409,10 @@ def split_leakage(
     """
     from approximatequeryengine_spark.operators.dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(spark, docs, threshold=threshold).select(
+    # verify='join': a leakage audit matters most on dup-heavy corpora
+    # (that's what leaks), the dense regime where the keys-only
+    # candidate plan wins 4.2× (minhash_lsh_pairs docstring).
+    pairs = minhash_lsh_pairs(spark, docs, threshold=threshold, verify="join").select(
         "doc_a", "doc_b"
     )
     sa = _split_col(F.col("doc_a"))

@@ -289,6 +289,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_size: int = 3,
     use_arrow: bool = True,
+    verify: str = "carry",
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding for candidates, exact
     shingle-Jaccard verification. Returns (doc_a, doc_b, jaccard).
@@ -302,16 +303,38 @@ def minhash_lsh_pairs(
     path computes the identical signatures and exists for environments
     where Arrow is unavailable (equivalence is tested).
 
-    The shingle arrays ride along through the band fan-out, so the
-    band self-join's output pairs already carry both sides' shingles and
-    verification is join-free — the signature stage is computed exactly
-    ONCE (the band exchange is reused for both self-join sides). The
-    alternative (separate sh lookup joins) recomputes the signature
-    stage per verification side and shuffles every document's shingles
-    to verify a tiny candidate set. Cost: the band shuffle carries sh
-    ``BANDS``× — the right trade while candidate sets are sparse; at
-    petabyte scale you'd materialize the signature table to storage and
-    join against it instead (SCALING.md)."""
+    ``verify`` picks where the shingle payload travels — the output
+    pairs are IDENTICAL either way (equivalence is tested); the knob is
+    a physical-plan choice keyed on corpus duplicate density, which a
+    pipeline knows from its ingest profile (``dedup_ingest_stats`` /
+    exact-dup groups) before any near-dup pass runs:
+
+    - ``'carry'`` (default, sparse-optimal): the shingle arrays ride
+      along through the band fan-out, so the band self-join's output
+      pairs already carry both sides' shingles and verification is
+      join-free — the signature stage is computed exactly ONCE (the
+      band exchange is reused for both self-join sides). Cost: the
+      band shuffle carries sh ``BANDS``×, and every CANDIDATE pair row
+      carries two full shingle arrays — Σ_buckets C(|bucket|, 2) ×
+      payload through the dedup shuffle, quadratic in clique size.
+    - ``'join'`` (dense-clique-optimal): the band fan-out and the
+      candidate self-join carry KEYS ONLY (band, key, doc_id); the
+      deduplicated candidate list then joins the single shingle table
+      back in (twice) from the same reused signature exchange. The
+      quadratic term shrinks to two longs per candidate row — measured
+      at the 100-replica sf10 corpus (every doc in a 100-clique,
+      ~24.7M organic pairs): carry > 1800 s, join completes the same
+      output (SCALING.md round-6). The trade is two extra hash joins
+      of the verified-candidate set against O(docs) shingle rows —
+      noise while candidates ≳ docs, which is exactly the dense
+      regime.
+
+    This mirrors the persisted-index layout (``neardup_index_write``:
+    slim band table + ONE shingle table), which is the petabyte-scale
+    shape — at that size you materialize signatures once and every
+    batch joins against the store instead of re-shingling."""
+    if verify not in ("carry", "join"):
+        raise ValueError(f"verify must be 'carry' or 'join', got {verify!r}")
     n_parts = spark.sparkContext.defaultParallelism
     if use_arrow:
         sig_df = _minhash_sig_pandas(docs, shingle_size, n_parts)
@@ -328,22 +351,53 @@ def minhash_lsh_pairs(
             )
             .repartition(n_parts, "doc_id")
         )
-    bands = sig_df.select("doc_id", "sh", F.explode(_band_key_col()).alias("bk")).select(
-        "doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), on=["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+    if verify == "carry":
+        bands = sig_df.select(
+            "doc_id", "sh", F.explode(_band_key_col()).alias("bk")
+        ).select(
+            "doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
-        # A pair colliding in k bands appears k times — keep one.
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), on=["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sh").alias("sh_a"),
+                F.col("b.sh").alias("sh_b"),
+            )
+            # A pair colliding in k bands appears k times — keep one.
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    else:  # verify == "join": keys-only fan-out, shingles joined back
+        bands_k = sig_df.select(
+            "doc_id", F.explode(_band_key_col()).alias("bk")
+        ).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        cand_keys = (
+            bands_k.alias("a")
+            .join(bands_k.alias("b"), on=["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sh_tbl = sig_df.select("doc_id", "sh")
+        cand = cand_keys.join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
     jac = cand.select(
         "doc_a",
         "doc_b",
@@ -586,7 +640,12 @@ def dedup_connected_clusters(
     same MinHash pairs. Returns (cluster_id, n_members, n_dups_removed)
     per multi-member cluster; cluster_id doubles as the surviving
     doc_id."""
-    edges = minhash_lsh_pairs(spark, docs, threshold=threshold).select(
+    # verify='join': clustering is the dup-DENSE regime by definition
+    # (you run it because the corpus has clique structure), which is
+    # exactly where the keys-only candidate plan wins — measured 4.2×
+    # at the 100-clique sf10 corpus (SCALING.md round-6); pair output
+    # is identical (physical-only knob, equivalence-tested).
+    edges = minhash_lsh_pairs(spark, docs, threshold=threshold, verify="join").select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     )
     edges = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -1136,7 +1195,10 @@ def cross_source_dup_matrix(
     against the doc→source projection — the planner picks the build
     side — and one grouped count over the pairs.
     """
-    pairs = minhash_lsh_pairs(spark, docs, threshold=threshold).select(
+    # verify='join': the duplication matrix is run on corpora suspected
+    # of heavy cross-source copying — the dense regime where the
+    # keys-only candidate plan wins 4.2× (minhash_lsh_pairs docstring).
+    pairs = minhash_lsh_pairs(spark, docs, threshold=threshold, verify="join").select(
         "doc_a", "doc_b"
     )
     src = docs.select("doc_id", "source")
@@ -1220,7 +1282,10 @@ def dedup_yield_curve(
     O(pairs) → |thresholds| rows.
     """
     lo = min(thresholds)
-    pairs = minhash_lsh_pairs(spark, docs, threshold=lo).select(
+    # verify='join': the loosest cutoff maximizes candidate density —
+    # the regime where the keys-only plan wins (4.2× at sf10; see
+    # minhash_lsh_pairs docstring). Identical pair output.
+    pairs = minhash_lsh_pairs(spark, docs, threshold=lo, verify="join").select(
         "doc_a", "doc_b", "jaccard"
     )
     sides = pairs.select(F.col("doc_a").alias("d"), "jaccard").unionAll(

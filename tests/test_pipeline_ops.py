@@ -57,6 +57,22 @@ def test_minhash_arrow_matches_expression_path(spark, synth_docs):
     assert fast == slow and fast
 
 
+def test_minhash_join_verify_matches_carry(spark, synth_docs):
+    """verify='join' (keys-only band fan-out, shingles joined back from
+    the reused signature exchange — the dense-clique scale path) must
+    produce the identical pair set and jaccards as the default
+    payload-carrying plan; the knob is physical-only."""
+    carry = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, synth_docs, threshold=0.0).collect()))
+    joined = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, synth_docs, threshold=0.0, verify="join").collect()))
+    assert carry == joined and carry
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="verify"):
+        dedup.minhash_lsh_pairs(spark, synth_docs, verify="bogus")
+
+
 def test_simhash_identical_for_dups(spark, synth_docs):
     sh = {
         r["doc_id"]: r["sh"]
