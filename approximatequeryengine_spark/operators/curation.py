@@ -557,6 +557,72 @@ FROM tot ORDER BY lang
 """
 
 
+def mixture_temperature(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Temperature-smoothed language sampling weights — the standard
+    multilingual-LM mixture formula (q_l ∝ p_l^α, here α = 1/2, the
+    published low-resource-upsampling setting): languages are sampled
+    proportional to the SQUARE ROOT of their token mass instead of the
+    mass itself, boosting rare languages without letting them dominate.
+
+    Everything certified is integer-exact: the un-normalised weight is
+    floor(sqrt(tokens)) — the normalisation constant Σt^α cancels, and
+    floor∘sqrt on a BIGINT is bit-identical across engines (IEEE-754
+    sqrt is correctly rounded, and for t ≪ 2^52 the rounding can never
+    cross the floor boundary: the true sqrt of a non-square is at least
+    1/(2·sqrt(t)) away from an integer, orders of magnitude more than
+    half an ulp). Shares and rates are emitted in ppm via BIGINT floor
+    division (Spark ``DIV`` ≡ DuckDB ``//`` on positives), so there is
+    no float fold anywhere in the output.
+
+    Planning cost is ONE aggregate over the corpus plus |langs|-row
+    arithmetic — free at any corpus size; the rates feed the
+    deterministic-hash sampler exactly like ``mixture_plan``'s."""
+    docs = ensure_parallelism(docs)
+    toks = F.size(ws_tokens_col(F.col("text"))).cast("long")
+    avail = docs.groupBy("lang").agg(F.sum(toks).alias("avail_tokens"))
+    total = Window.partitionBy()
+    out = (
+        avail.withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("avail_tokens").cast("double"))).cast("long"),
+        )
+        .withColumn("total_tokens", F.sum("avail_tokens").over(total))
+        .withColumn("total_weight", F.sum("weight").over(total))
+    )
+    return out.select(
+        "lang",
+        "avail_tokens",
+        "weight",
+        F.expr(
+            "CAST((avail_tokens * 1000000) DIV total_tokens AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST((weight * 1000000) DIV total_weight AS BIGINT)"
+        ).alias("rate_ppm"),
+    ).orderBy("lang")
+
+
+def mixture_temperature_sql() -> str:
+    toks = ws_tokens_sql("text")
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(sum(len({toks})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, avail_tokens,
+         CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS weight
+  FROM avail
+)
+SELECT lang, avail_tokens, weight,
+       CAST((avail_tokens * 1000000) // (sum(avail_tokens) OVER ()) AS BIGINT)
+           AS share_ppm,
+       CAST((weight * 1000000) // (sum(weight) OVER ()) AS BIGINT)
+           AS rate_ppm
+FROM w ORDER BY lang
+"""
+
+
 # -- RAG-style chunk inventory ----------------------------------------------
 
 CHUNK_SIZE = 128

@@ -2060,3 +2060,95 @@ def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
     mr = [r["mean_recall"] for r in rows]
     assert all(a <= b for a, b in zip(mr, mr[1:]))
     assert rows[-1]["mean_recall"] == 1.0 and rows[-1]["worst_recall"] == 1.0
+
+
+def test_mixture_temperature_upsamples_rare_langs(spark, engine, duck):
+    import math
+
+    from approximatequeryengine_spark.operators import curation
+    from tests.conftest import assert_df_matches_sql
+
+    docs = engine.catalog.table("documents")
+    rows = curation.mixture_temperature(spark, docs).collect()
+    assert len(rows) == docs.select("lang").distinct().count()
+    # weight is exactly isqrt(avail_tokens)
+    for r in rows:
+        assert r["weight"] == math.isqrt(r["avail_tokens"])
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert 0 <= r["share_ppm"] <= 1_000_000
+    # floor-division readouts under-shoot by < 1 ppm per language
+    n = len(rows)
+    assert 1_000_000 - n <= sum(r["rate_ppm"] for r in rows) <= 1_000_000
+    assert 1_000_000 - n <= sum(r["share_ppm"] for r in rows) <= 1_000_000
+    # alpha = 1/2 compresses the mixture toward uniform: the rarest
+    # language is upsampled (rate > share), the most common damped
+    lo = min(rows, key=lambda r: r["avail_tokens"])
+    hi = max(rows, key=lambda r: r["avail_tokens"])
+    assert lo["rate_ppm"] >= lo["share_ppm"]
+    assert hi["rate_ppm"] <= hi["share_ppm"]
+    assert_df_matches_sql(
+        curation.mixture_temperature(spark, docs),
+        duck,
+        curation.mixture_temperature_sql(),
+    )
+
+
+def test_scd2_priority_intervals_islands_and_currency(spark, engine):
+    """Micro-fixture pin of the SCD2 interval build, including the
+    currency trap the entry's comment documents: a run whose earlier
+    day carries a LARGER order key than the truly-current run's last
+    order (position-based currency must win over key-based)."""
+    import duckdb as _duckdb
+
+    from approximatequeryengine_spark.workload import ORACLE, QUERIES
+
+    import datetime as dt
+    import os
+    import tempfile
+
+    rows = [
+        # customer 1: P1 (2 orders) -> P2 -> P1 again = 3 islands;
+        # current = the last P1 run.
+        (101, 1, "1-URGENT", dt.datetime(2024, 1, 1)),
+        (102, 1, "1-URGENT", dt.datetime(2024, 1, 2)),
+        (103, 1, "2-HIGH", dt.datetime(2024, 1, 3)),
+        (104, 1, "1-URGENT", dt.datetime(2024, 1, 4)),
+        # customer 2: the non-monotone-okey trap. Run X = P2 spanning
+        # (day1, okey 900), (day2, okey 100); run Y = P3 at
+        # (day2, okey 200). Y holds the latest order by (day, okey)
+        # even though X's max okey (900) is larger.
+        (900, 2, "2-HIGH", dt.datetime(2024, 2, 1)),
+        (100, 2, "2-HIGH", dt.datetime(2024, 2, 2)),
+        (200, 2, "3-MEDIUM", dt.datetime(2024, 2, 2)),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderpriority string, o_orderdate timestamp"
+    )
+    sdf.createOrReplaceTempView("orders")
+    sql = ORACLE["scd2_priority_intervals"]
+    got = {r["priority"]: r for r in spark.sql(sql).collect()}
+
+    assert got["1-URGENT"]["n_intervals"] == 2
+    assert got["1-URGENT"]["n_orders"] == 3
+    assert got["1-URGENT"]["max_run_len"] == 2
+    assert got["1-URGENT"]["n_current"] == 1  # customer 1's last run
+    assert got["2-HIGH"]["n_intervals"] == 2  # cust 1 middle + cust 2 run X
+    assert got["2-HIGH"]["n_current"] == 0  # run X is NOT current
+    assert got["3-MEDIUM"]["n_intervals"] == 1
+    assert got["3-MEDIUM"]["n_current"] == 1  # run Y is current
+    # exactly one current interval per customer
+    assert sum(r["n_current"] for r in got.values()) == 2
+
+    # cross-engine parity on the same micro-fixture
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "orders.parquet")
+        sdf.toPandas().to_parquet(path)
+        con = _duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}'")
+        from tests.conftest import assert_df_matches_sql
+
+        try:
+            assert_df_matches_sql(spark.sql(sql), con, sql)
+        finally:
+            # restore the session's fixture-backed view for later tests
+            engine.catalog.refresh_views()
