@@ -805,66 +805,223 @@ def _char_ngrams(text: Column, n: int = 4) -> Column:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, docs: DataFrame, threshold: float = 0.55, n: int = 4
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float = 0.55,
+    n: int = 4,
+    plan: str = "prefix",
 ) -> DataFrame:
     """Exact char-n-gram Jaccard pairs (≥ ``threshold``) within a
-    ``source``, computed with **provably lossless size-class blocking**
-    so block sizes stay bounded at corpus scale (round-1 review flagged
-    the plain within-source self-join as O(n²/|sources|)).
+    ``source``. Two physical plans produce the IDENTICAL pair set
+    (equivalence pinned in tests/test_pipeline_ops.py):
 
-    The blocking key is ``(source, bit_length(|gram set|))``: Jaccard
-    ``J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)``, so ``J ≥ τ ≥ 0.5`` forces
-    the gram-set sizes within a factor ``1/τ ≤ 2`` of each other —
-    their ``log2`` values differ by ≤ 1, hence their ``floor(log2)``
-    (bit length) differs by at most 1. Probing buckets
-    ``{blen, blen+1}`` therefore catches EVERY qualifying pair: the
-    result is bit-identical to the full within-source quadratic (the
-    oracle keeps the simple declarative form), while the quadratic
-    work shrinks to within (source × size-class) blocks. ``bit_length``
-    is computed as ``length(bin(s))`` — pure integer/string ops, so
-    engines can never disagree at a bucket boundary (a float ``log2``
-    could).
+    ``plan='prefix'`` (default) — **prefix filtering** under a global
+    rarest-first gram order (the published AllPairs/PPJoin principle):
+    if ``J(A,B) ≥ τ`` then ``|A∩B| ≥ ⌈τ·|A|⌉``, and any |A∩B| ≥ o
+    forces a common gram inside the first ``|A|−o+1`` grams of BOTH
+    sets under one total order — so probing only each doc's
+    ``⌊(1−τ)·|A|⌋+1``-gram prefix, ordered by ascending document
+    frequency (rarest grams first, ties by gram), is lossless while
+    making candidate collisions rare by construction. Candidates are
+    keys-only (the full gram arrays are re-joined for verification
+    only for surviving pairs — the same payload lesson as
+    ``minhash_lsh_pairs(verify='join')``), pre-filtered by the size
+    bound J ≤ min/max with a slack of one gram so float τ·max can
+    never drop an exact-boundary pair. The full-registry sf1 sweep
+    caught the need: on a near-dup-dense corpus every doc shares its
+    size class, so the size-class blocks go quadratic — 363 s at sf1
+    vs 29 s for MinHash on MORE output; prefix filtering bounds
+    per-gram fan-out instead of per-block membership.
 
-    Requires ``threshold ≥ 0.5``; at lower thresholds fall back on the
-    MinHash-LSH candidate path (``minhash_lsh_pairs``)."""
+    ``plan='sizeclass'`` — the previous lossless blocking on
+    ``(source, bit_length(|gram set|))``: J ≥ τ ≥ 0.5 forces gram-set
+    sizes within 2×, so ``floor(log2)`` differs by ≤ 1 and probing
+    ``{blen, blen+1}`` catches every qualifying pair. Bounded only
+    when sizes spread — degenerates on uniform-length corpora (kept
+    for A/B measurement and as the cheaper plan when |block| is small).
+
+    The DuckDB oracle keeps the simple declarative quadratic; the
+    correctness gate certifies both plans against it. Requires
+    ``threshold ≥ 0.5`` (both plans' bounds need it); at lower
+    thresholds fall back on ``minhash_lsh_pairs``."""
     if threshold < 0.5:
         raise ValueError(
-            "size-class blocking is lossless only for threshold >= 0.5; "
+            "lossless blocking/prefix bounds need threshold >= 0.5; "
             f"got {threshold} — use minhash_lsh_pairs for loose thresholds"
         )
+    if plan not in ("prefix", "sizeclass"):
+        raise ValueError(f"plan must be 'prefix' or 'sizeclass', got {plan!r}")
     docs = ensure_parallelism(docs)
     grams = docs.select(
         F.col("source"), F.col("doc_id"), _char_ngrams(F.col("text"), n).alias("g")
-    ).withColumn("blen", F.length(F.bin(F.greatest(F.size("g"), F.lit(1)))))
-    probe = grams.select(
-        "source",
-        "doc_id",
-        "g",
-        F.explode(F.array(F.col("blen"), F.col("blen") + 1)).alias("bkey"),
     )
-    pairs = (
+
+    if plan == "sizeclass":
+        blocked = grams.withColumn(
+            "blen", F.length(F.bin(F.greatest(F.size("g"), F.lit(1))))
+        )
+        probe = blocked.select(
+            "source",
+            "doc_id",
+            "g",
+            F.explode(F.array(F.col("blen"), F.col("blen") + 1)).alias("bkey"),
+        )
+        pairs = (
+            probe.alias("a")
+            .join(
+                blocked.alias("b"),
+                (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.bkey") == F.col("b.blen")),
+            )
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.col("a.source").alias("source"),
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                (
+                    F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+                    / F.size(F.array_union(F.col("a.g"), F.col("b.g"))).cast("double")
+                ).alias("jaccard"),
+            )
+        )
+        return (
+            pairs.filter(F.col("jaccard") >= threshold)
+            # equal-size-class pairs are probed from both sides — keep one.
+            .dropDuplicates(["doc_a", "doc_b"])
+            .select(
+                "source", "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+            )
+        )
+
+    # plan == 'prefix'
+    tok = grams.select(
+        "source", "doc_id", F.size("g").alias("sz"), F.explode("g").alias("gram")
+    )
+    # document frequency per (source, gram): rarest-first is what makes
+    # prefix grams collide rarely. One linear grouped count.
+    df_ = tok.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("df"))
+    # rank is induced by ONE global total order (df asc, gram asc), so
+    # rank comparisons are CONSISTENT across documents — the property
+    # the exact count-bound below rests on.
+    ranked = tok.join(df_, ["source", "gram"]).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source", "doc_id").orderBy("df", "gram")
+        ),
+    )
+
+    # AllPairs asymmetric prefixes (smaller doc probes, larger indexes):
+    #   index prefix  ⌊(1−τ)·sz⌋ + 1          ( = sz − ⌈τ·sz⌉ + 1 )
+    #   probe prefix  ⌊(1−τ)/(1+τ)·sz⌋ + 1    ( = sz − ⌈2τ/(1+τ)·sz⌉ + 1 )
+    # Losslessness: J ≥ τ forces overlap o ≥ ⌈τ/(1+τ)·(szA+szB)⌉; with
+    # szA ≤ szB that is ≥ ⌈2τ/(1+τ)·szA⌉ and ≥ ⌈τ·szB⌉, and any o-sized
+    # overlap must place a common gram within the first sz−o+1 grams of
+    # BOTH sets under the shared order. +1e-9 guards the only unsafe
+    # float direction (the product landing a hair below an exact
+    # integer would shorten a prefix; true non-integers of these small
+    # rationals sit orders of magnitude further from integers).
+    plen_index = F.floor(F.lit(1.0 - threshold) * F.col("sz") + F.lit(1e-9)) + 1
+    plen_probe = (
+        F.floor(
+            F.lit((1.0 - threshold) / (1.0 + threshold)) * F.col("sz")
+            + F.lit(1e-9)
+        )
+        + 1
+    )
+    probe = ranked.filter(F.col("rank") <= plen_probe).select(
+        "source", "gram", "doc_id", "sz", "rank"
+    )
+    index = ranked.filter(F.col("rank") <= plen_index).select(
+        "source", "gram", "doc_id", "sz", "rank"
+    )
+    joined = (
         probe.alias("a")
-        .join(
-            grams.alias("b"),
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.bkey") == F.col("b.blen")),
+        .join(index.alias("b"), ["source", "gram"])
+        # probe side is the smaller set (ties by doc_id) — each
+        # qualifying pair is generated from exactly one direction
+        .filter(
+            (F.col("a.sz") < F.col("b.sz"))
+            | ((F.col("a.sz") == F.col("b.sz")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         )
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.col("a.source").alias("source"),
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            (
-                F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
-                / F.size(F.array_union(F.col("a.g"), F.col("b.g"))).cast("double")
-            ).alias("jaccard"),
+        # size bound J ≤ min/max, slack one gram against float τ·max
+        .filter(
+            F.col("a.sz").cast("double") >= F.lit(threshold) * F.col("b.sz") - 1.0
         )
     )
-    return (
-        pairs.filter(F.col("jaccard") >= threshold)
-        # equal-size-class pairs are probed from both sides — keep one.
-        .dropDuplicates(["doc_a", "doc_b"])
-        .select("source", "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    # Exact overlap upper bound per candidate pair, aggregate form of
+    # PPJoin's position filter: let g* be the max-key gram shared by
+    # both prefixes (the generation rows). Every shared gram with key
+    # BELOW key(g*) is automatically inside both prefixes (prefixes are
+    # downward-closed in the shared order) — so it is counted in c_pre;
+    # every shared gram with key ABOVE key(g*) ranks after g* in BOTH
+    # docs, so their count is ≤ min(szA − rank_A(g*), szB − rank_B(g*)).
+    # Hence o ≤ c_pre + min(szA − max(rank_a), szB − max(rank_b)) — an
+    # EXACT bound from quantities the candidate groupBy yields for free
+    # (it replaces the .distinct() the first cut used, at the same
+    # shuffle). Filter against o_req = τ/(1+τ)·(szA+szB) with one gram
+    # of slack so float rounding can only ADD candidates, never drop.
+    cand = (
+        joined.groupBy(
+            "source",
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c_pre"),
+            F.max("a.rank").alias("mra"),
+            F.max("b.rank").alias("mrb"),
+        )
+        .filter(
+            (
+                F.col("c_pre")
+                + F.least(F.col("sza") - F.col("mra"), F.col("szb") - F.col("mrb"))
+            ).cast("double")
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("sza") + F.col("szb")).cast("double")
+            - 1.0
+        )
+        .select("source", "da", "db", "sza", "szb")
+    )
+    ga = grams.select(F.col("doc_id").alias("da"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("doc_id").alias("db"), F.col("g").alias("g_b"))
+    # Verify in two stages so the hot path runs ONE array op per
+    # candidate. A naive `jaccard ≥ τ` filter here gets pushed into
+    # the join condition with array_intersect inlined at EVERY
+    # occurrence — measured as 2 intersects per candidate row. Stage 1
+    # is a RELAXED division-free test in which the intersect size
+    # appears exactly once (|A∪B| = szA+szB−i since gram arrays are
+    # distinct, so i/(S−i) ≥ τ ⟺ i ≥ τ/(1+τ)·S, relaxed by one gram so
+    # float rounding can only admit, never drop). Stage 2 applies the
+    # EXACT oracle-equivalent jaccard filter above an aggregation
+    # barrier — predicate pushdown cannot cross an Aggregate whose
+    # filter references aggregate outputs, so the exact (multi-
+    # occurrence) expression only ever evaluates on the thin boundary
+    # shell stage 1 admits (~the true pair count), not on all
+    # candidates.
+    isect = F.size(F.array_intersect("g_a", "g_b"))
+    relaxed = isect.cast("double") >= (
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("sza") + F.col("szb")).cast("double")
+        - 1.0
+    )
+    shell = (
+        cand.join(ga, "da").join(gb, "db").where(relaxed)
+        # barrier: rows per pair are identical, first() is deterministic
+        .groupBy("source", "da", "db", "sza", "szb")
+        .agg(F.first("g_a").alias("g_a"), F.first("g_b").alias("g_b"))
+    )
+    isect2 = F.size(F.array_intersect("g_a", "g_b"))
+    verified = shell.withColumn(
+        "jaccard",
+        isect2 / (F.col("sza") + F.col("szb") - isect2).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select(
+        "source",
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

@@ -2152,3 +2152,38 @@ def test_scd2_priority_intervals_islands_and_currency(spark, engine):
         finally:
             # restore the session's fixture-backed view for later tests
             engine.catalog.refresh_views()
+
+
+def test_ngram_jaccard_prefix_plan_equivalence(spark, engine):
+    """The prefix-filter plan (default) and the size-class blocking
+    plan must emit the IDENTICAL pair set — including on a
+    uniform-length near-dup corpus, the shape where size-class blocks
+    degenerate to quadratic (the sf1 sweep finding that motivated the
+    prefix plan)."""
+    from approximatequeryengine_spark.operators import dedup
+
+    def pairs(df, plan):
+        rows = dedup.ngram_jaccard_pairs(spark, df, plan=plan).collect()
+        return sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows)
+
+    docs = engine.catalog.table("documents")
+    assert pairs(docs, "prefix") == pairs(docs, "sizeclass")
+
+    # uniform-length clique corpus: 8 docs, one shared base text with a
+    # 1-char tail tweak -> every pair is near-dup AND same size class
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + str(i % 4), "en", "s0", len(base) + 1) for i in range(8)]
+    crafted = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got_prefix = pairs(crafted, "prefix")
+    assert got_prefix == pairs(crafted, "sizeclass")
+    assert len(got_prefix) >= 6  # the tail tweak keeps J >= 0.55 for all
+
+    # threshold guard unchanged
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(spark, crafted, threshold=0.4)
+    with _pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(spark, crafted, plan="bogus")
