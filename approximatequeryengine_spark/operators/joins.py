@@ -2,11 +2,16 @@
 
 AQE's skew-join splitting (enabled in the session factory) handles most
 hot-key cases at runtime, but only for sort-merge joins it can observe.
-``salted_join`` is the explicit fallback for the remaining shapes —
-e.g. a medium dimension that is too big to broadcast joined against a
-fact table where a handful of keys dominate: salting fans each hot key
-out over ``salt_buckets`` reducers at the cost of replicating the
-smaller side ``salt_buckets``×.
+Two explicit fallbacks cover the remaining shapes, in preference order:
+
+- ``skew_split_join`` — hot keys via broadcast, cold keys via the
+  plain shuffle join; no replication. Measured 2.3× over plain/salted/
+  AQE under a 50% hot key (SCALING.md round-6 table). Use it whenever
+  the other side's rows for the hot keys fit a broadcast.
+- ``salted_join`` — fans each hot key over ``salt_buckets`` reducers
+  at the cost of replicating the smaller side ``salt_buckets``×. The
+  remaining niche: hot keys whose other-side rows are themselves too
+  large to broadcast.
 
 Semantics are identical to the plain equi-join (tested); only the
 physical key distribution changes.
@@ -47,6 +52,53 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted.join(replicated, on=[*on, SALT_COL], how=how).drop(SALT_COL)
+
+
+def skew_split_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    hot_top: int = 16,
+) -> DataFrame:
+    """Equi-join that routes the ``hot_top`` most frequent join keys of
+    ``skewed`` through a BROADCAST join and everything else through the
+    normal shuffle join — the split AQE performs for sort-merge joins,
+    made explicit for the shapes AQE cannot see.
+
+    Compared to :func:`salted_join` this replicates NOTHING: the other
+    side's rows for the hot keys are (by definition of "a handful of
+    hot keys") a bounded relation, so they broadcast; the cold
+    remainder shuffles without stragglers because its per-key counts
+    are bounded by the hot cutoff. Costs one extra aggregate over the
+    skewed side's keys (TakeOrdered(hot_top), no global sort) and a
+    second scan of ``skewed`` for the split — both linear, no
+    replication, identical result set (union of a disjoint key
+    partition; tested against the plain join).
+
+    ``how`` supports ``inner`` only: outer variants would need
+    unmatched-row bookkeeping across the two legs."""
+    if how != "inner":
+        raise ValueError(f"skew_split_join supports how='inner' only, got {how!r}")
+    if isinstance(on, str):
+        on = [on]
+    if hot_top < 1:
+        raise ValueError(f"hot_top must be >= 1, got {hot_top}")
+    hot = (
+        skewed.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__aqe_freq"))
+        .orderBy(F.desc("__aqe_freq"), *[F.asc(c) for c in on])
+        .limit(hot_top)
+        .select(*on)
+        .withColumn("__aqe_hot", F.lit(True))
+    )
+    tagged = skewed.join(F.broadcast(hot), on=on, how="left")
+    hot_rows = tagged.filter(F.col("__aqe_hot").isNotNull()).drop("__aqe_hot")
+    cold_rows = tagged.filter(F.col("__aqe_hot").isNull()).drop("__aqe_hot")
+    other_hot = other.join(F.broadcast(hot.drop("__aqe_hot")), on=on, how="inner")
+    joined_hot = hot_rows.join(F.broadcast(other_hot), on=on, how="inner")
+    joined_cold = cold_rows.join(other, on=on, how="inner")
+    return joined_hot.unionByName(joined_cold)
 
 
 def profile_key_skew(df: DataFrame, key: str, top: int = 5) -> DataFrame:

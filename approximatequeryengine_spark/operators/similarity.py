@@ -775,25 +775,36 @@ def embedding_neardup_pairs(
                 )
             ).alias("bk"),
         ).select("label", "vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Keys-only candidate generation (the minhash verify='join' payload
+    # lesson, re-applied after the sf1 full-registry sweep read 54.5 s
+    # here): the band join and the pair dedup shuffle move only
+    # (label, band-key, ids) — the double vectors are re-joined from
+    # the slim per-vector relation for SURVIVING pairs, so per-pair
+    # payload is O(1) however dup-dense the corpus. On a 10-clique
+    # corpus each pair appears in up to n_bands buckets; carrying two
+    # vectors per appearance made the dedup shuffle the bottleneck.
+    vecs = base.select("vec_id", "v").dropDuplicates(["vec_id"])
     cand = (
-        base.alias("a")
-        .join(base.alias("b"), on=["label", "band", "key"])
+        base.drop("v").alias("a")
+        .join(base.drop("v").alias("b"), on=["label", "band", "key"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("label"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         # a pair agreeing in k bands appears k times — keep one.
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    pairs = cand.select(
-        "label",
-        "vec_a",
-        "vec_b",
-        cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"),
+    pairs = (
+        cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
     )
     return pairs.filter(F.col("cos_sim") >= threshold).select(
         "label", "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")

@@ -1846,6 +1846,35 @@ def _salted_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("salted_join_revenue", _salted_join_fn, _bucketed_join_oracle())
 
 
+def _skewsplit_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-SPLIT join (operators/joins.py::skew_split_join, 19th
+    round-6 registration): the hot_top most frequent keys route
+    through a broadcast join, the cold remainder through the plain
+    shuffle join — no replication at all, unlike salting's
+    salt_buckets× copy of the other side. Identical result to the
+    plain join (disjoint key partition), so the same oracle as
+    bucketed/salted certifies it."""
+    from approximatequeryengine_spark.operators.joins import skew_split_join
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    od = cat.table("orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    return (
+        skew_split_join(li, od, on="l_orderkey", hot_top=16)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_register("skewjoin_split_revenue", _skewsplit_join_fn, _bucketed_join_oracle())
+
+
 def _bloom_prune_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom-filter semi-join pruning (plans/bloom.py): filter
     the orders fact by a 4096-bit/4-hash Bloom over BUILDING-segment

@@ -545,6 +545,44 @@ def test_salted_join_matches_plain_join(spark):
     assert sl.count() == pl.count()
 
 
+def test_skew_split_join_matches_plain_join(spark):
+    """The hot/cold split is a disjoint key partition — results must
+    equal the plain inner join on skewed data, including NULL join
+    keys (dropped by inner-join semantics on both paths) and the
+    all-keys-hot edge (hot_top larger than the key space)."""
+    import pytest as _pytest
+
+    from approximatequeryengine_spark.operators.joins import skew_split_join
+
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1700, F.lit(7))
+        .when(F.col("id") < 1900, F.lit(None))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = sorted(
+        map(tuple, big.join(dim, on="k", how="inner").select("k", "payload", "dim_val").collect())
+    )
+    for hot_top in (1, 4, 100):
+        split = sorted(
+            map(
+                tuple,
+                skew_split_join(big, dim, on="k", hot_top=hot_top)
+                .select("k", "payload", "dim_val")
+                .collect(),
+            )
+        )
+        assert split == plain, f"hot_top={hot_top}"
+    with _pytest.raises(ValueError):
+        skew_split_join(big, dim, on="k", how="left")
+    with _pytest.raises(ValueError):
+        skew_split_join(big, dim, on="k", hot_top=0)
+
+
 def test_key_skew_profile(spark, engine, duck):
     from approximatequeryengine_spark.operators.joins import (
         profile_key_skew,
