@@ -557,6 +557,18 @@ FROM tot ORDER BY lang
 """
 
 
+# ppm share arithmetic, one copy per engine (tests evaluate BOTH at
+# 10^13-token magnitudes to pin the no-overflow contract):
+SHARE_PPM_SPARK = (
+    "CAST(CAST(avail_tokens AS DECIMAL(38,0)) * 1000000"
+    " DIV total_tokens AS BIGINT)"
+)
+SHARE_PPM_DUCK = (
+    "CAST((CAST(avail_tokens AS HUGEINT) * 1000000)"
+    " // total_tokens AS BIGINT)"
+)
+
+
 def mixture_temperature(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Temperature-smoothed language sampling weights — the standard
     multilingual-LM mixture formula (q_l ∝ p_l^α, here α = 1/2, the
@@ -570,9 +582,15 @@ def mixture_temperature(spark: SparkSession, docs: DataFrame) -> DataFrame:
     sqrt is correctly rounded, and for t ≪ 2^52 the rounding can never
     cross the floor boundary: the true sqrt of a non-square is at least
     1/(2·sqrt(t)) away from an integer, orders of magnitude more than
-    half an ulp). Shares and rates are emitted in ppm via BIGINT floor
+    half an ulp). Shares and rates are emitted in ppm via floor
     division (Spark ``DIV`` ≡ DuckDB ``//`` on positives), so there is
-    no float fold anywhere in the output.
+    no float fold anywhere in the output. The share numerator
+    ``avail_tokens × 10⁶`` is widened to DECIMAL(38,0)/HUGEINT before
+    the multiply: a 100 TB corpus holds ~10¹³ tokens and the BIGINT
+    product crosses 2⁶³ at ~9.2×10¹² — under ANSI mode that is a
+    runtime ARITHMETIC_OVERFLOW crash exactly at production scale
+    (the weight numerator stays BIGINT: floor(sqrt(t))·10⁶ < 2⁶³ for
+    any t < 2⁶³).
 
     Planning cost is ONE aggregate over the corpus plus |langs|-row
     arithmetic — free at any corpus size; the rates feed the
@@ -593,9 +611,7 @@ def mixture_temperature(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "lang",
         "avail_tokens",
         "weight",
-        F.expr(
-            "CAST((avail_tokens * 1000000) DIV total_tokens AS BIGINT)"
-        ).alias("share_ppm"),
+        F.expr(SHARE_PPM_SPARK).alias("share_ppm"),
         F.expr(
             "CAST((weight * 1000000) DIV total_weight AS BIGINT)"
         ).alias("rate_ppm"),
@@ -615,11 +631,11 @@ w AS (
   FROM avail
 )
 SELECT lang, avail_tokens, weight,
-       CAST((avail_tokens * 1000000) // (sum(avail_tokens) OVER ()) AS BIGINT)
-           AS share_ppm,
+       {SHARE_PPM_DUCK} AS share_ppm,
        CAST((weight * 1000000) // (sum(weight) OVER ()) AS BIGINT)
            AS rate_ppm
-FROM w ORDER BY lang
+FROM (SELECT *, sum(avail_tokens) OVER () AS total_tokens FROM w) w2
+ORDER BY lang
 """
 
 

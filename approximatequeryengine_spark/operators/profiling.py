@@ -441,8 +441,12 @@ def drift_readout(by_label: DataFrame) -> DataFrame:
             F.sum(F.col("sg") * F.col("sg")).alias("n2g"),
         )
     )
-    # Every dimension of a vector contributes one row, so the per-
-    # (label, d) row count IS n_vecs — identical across d.
+    # n_vecs = vectors that CONTRIBUTE dimensions (NULL/empty
+    # embeddings yield no posexplode rows, so they are invisible to
+    # the state table and must not be counted — the oracle filters
+    # them the same way). max over d is exact even for ragged dims:
+    # every non-empty vector has dimension 0, so cnt(d=0) equals the
+    # contributing-vector count and no deeper d can exceed it.
     counts = by_label.groupBy("label").agg(F.max("cnt").alias("n_vecs"))
     return (
         m.join(counts, "label")
@@ -511,7 +515,10 @@ m AS (
   FROM by_label b JOIN corpus c USING (d)
   GROUP BY 1
 ),
-counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+counts AS (
+  SELECT label, count(*) AS n_vecs FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0 GROUP BY 1
+)
 SELECT m.label,
        counts.n_vecs,
        CASE WHEN n2l > 0 AND n2g > 0

@@ -2131,6 +2131,31 @@ def test_mixture_temperature_upsamples_rare_langs(spark, engine, duck):
     )
 
 
+def test_mixture_share_ppm_survives_100tb_token_counts(spark, duck):
+    """The share numerator avail_tokens × 10⁶ crosses 2⁶³ at ~9.2e12
+    tokens — a 100 TB corpus holds ~10¹³. Pin that BOTH engines'
+    actual share expressions (the module constants the operator and
+    oracle consume) stay exact at that magnitude instead of raising
+    ARITHMETIC_OVERFLOW (Spark ANSI) or wrapping."""
+    from approximatequeryengine_spark.operators.curation import (
+        SHARE_PPM_DUCK,
+        SHARE_PPM_SPARK,
+    )
+
+    avail, total = 20_000_000_000_000, 60_000_000_000_000  # 2e13 of 6e13
+    got_spark = spark.sql(
+        f"SELECT {SHARE_PPM_SPARK} AS p FROM (SELECT "
+        f"CAST({avail} AS BIGINT) AS avail_tokens, "
+        f"CAST({total} AS BIGINT) AS total_tokens)"
+    ).collect()[0]["p"]
+    got_duck = duck.execute(
+        f"SELECT {SHARE_PPM_DUCK} AS p FROM (SELECT "
+        f"CAST({avail} AS BIGINT) AS avail_tokens, "
+        f"CAST({total} AS BIGINT) AS total_tokens)"
+    ).fetchone()[0]
+    assert got_spark == got_duck == 333_333
+
+
 def test_scd2_priority_intervals_islands_and_currency(spark, engine):
     """Micro-fixture pin of the SCD2 interval build, including the
     currency trap the entry's comment documents: a run whose earlier
