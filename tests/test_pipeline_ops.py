@@ -2217,6 +2217,109 @@ def test_scd2_priority_intervals_islands_and_currency(spark, engine):
             engine.catalog.refresh_views()
 
 
+def test_ngram_jaccard_random_corpora_match_bruteforce_truth(spark):
+    """Property test: on seeded random corpora BOTH physical plans must
+    emit exactly the brute-force O(n²) Python truth — including at
+    thresholds engineered to land pairs exactly ON the Jaccard boundary
+    (τ = 0.5 with even-sized gram sets), where a strict-vs-relaxed
+    comparison or a float slack applied in the wrong direction would
+    show up as a one-pair diff."""
+    import random as _random
+
+    from approximatequeryengine_spark.operators import dedup
+
+    def py_grams(text: str, n: int = 4) -> frozenset:
+        # mirror _char_ngrams exactly: positions 0..max(len-n, 0), so a
+        # short (or empty) text still yields its single truncated gram
+        return frozenset(
+            text[i : i + n] for i in range(0, max(len(text) - n, 0) + 1)
+        )
+
+    def truth(rows, threshold, n=4):
+        out = set()
+        for i, (ida, ta, sa) in enumerate(rows):
+            ga = py_grams(ta, n)
+            for idb, tb, sb in rows[i + 1 :]:
+                if sb != sa:
+                    continue
+                gb = py_grams(tb, n)
+                inter = len(ga & gb)
+                union = len(ga | gb)
+                if union and inter / union >= threshold:
+                    a, b = sorted((ida, idb))
+                    out.add((sa, a, b, round(inter / union, 6)))
+        return sorted(out)
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed, threshold in [(1, 0.5), (2, 0.55), (3, 2 / 3), (4, 0.75)]:
+        rng = _random.Random(seed)
+        rows = []
+        for did in range(24):
+            base = " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            # clone a prior doc sometimes so near-dup pairs exist
+            if rows and rng.random() < 0.4:
+                base = rows[rng.randrange(len(rows))][1]
+                if rng.random() < 0.5:
+                    base = base + rng.choice(vocab)[0]
+            rows.append((did, base, f"s{rng.randint(0, 1)}"))
+        df = spark.createDataFrame(
+            [(d, t, "en", s, len(t)) for d, t, s in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        want = truth(rows, threshold)
+        for plan in ("prefix", "sizeclass"):
+            got = sorted(
+                (r["source"], r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in dedup.ngram_jaccard_pairs(
+                    spark, df, threshold=threshold, plan=plan
+                ).collect()
+            )
+            assert got == want, (seed, threshold, plan)
+
+
+def test_exact_grouped_quantiles_match_python_reference(spark, engine):
+    """The integer-interpolation contract is cross-engine-identical by
+    construction (one shared SQL text) — this pins that it computes the
+    RIGHT quantile: an independent Python implementation of the
+    declared math (order statistics on the cents grid, exact integer
+    interpolation, half-up to cents) reproduces every output, and the
+    result sits within one cent of numpy's linear-interpolation
+    percentile (same definition, float arithmetic)."""
+    import numpy as np
+
+    from approximatequeryengine_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["exact_grouped_quantiles"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            int(np.floor(r["l_extendedprice"] * 100.0 + 0.5))
+        )
+    for flag, cents in by_flag.items():
+        cents.sort()
+        n = len(cents)
+        for s, k, m in [("25", 1, 4), ("50", 1, 2), ("75", 3, 4), ("95", 19, 20)]:
+            lo = (n - 1) * k // m
+            rem = (n - 1) * k - m * lo
+            a = cents[lo]
+            b = cents[lo + 1] if lo + 1 < n else a
+            scaled = a * (m - rem) + b * rem  # quantile in cents·m
+            half_up = (2 * scaled + m) // (2 * m)
+            want = half_up / 100.0
+            assert got[flag][f"p{s}"] == want, (flag, s)
+            np_ref = np.percentile(
+                np.array(cents, dtype=np.float64) / 100.0, [25, 50, 75, 95]
+            )[["25", "50", "75", "95"].index(s)]
+            assert abs(got[flag][f"p{s}"] - np_ref) <= 0.01 + 1e-9, (flag, s)
+
+
 def test_ngram_jaccard_prefix_plan_equivalence(spark, engine):
     """The prefix-filter plan (default) and the size-class blocking
     plan must emit the IDENTICAL pair set — including on a
