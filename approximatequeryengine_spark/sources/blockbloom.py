@@ -205,12 +205,15 @@ def blockbloom_append(
     new block ids (the block arithmetic extends past the cap; a
     compaction would re-derive the layout — the documented trade).
 
-    Path restriction: the bloom-side refresh below stages the merged
-    table then swaps it via local-filesystem rename (shutil), because
-    the merge READS ``{path}/bloom`` and Spark cannot overwrite its own
-    input in place. ``path`` must therefore be a LOCAL path for append;
-    a remote deployment (s3://, hdfs://) would do the same stage-then-
-    swap through the Hadoop FileSystem API instead."""
+    The bloom-side refresh stages the merged table then swaps it in,
+    because the merge READS ``{path}/bloom`` and Spark cannot overwrite
+    its own input in place. The swap goes through the Hadoop
+    FileSystem API resolved from the path's own scheme, so ``path``
+    may be any Hadoop-compatible URI (file://, hdfs://, s3a://) — the
+    same writer surface as the rest of the module. (On object stores
+    the "rename" is the FS connector's copy+delete; the window where
+    readers see a missing ``bloom`` table is the documented
+    non-transactional trade of this plain-parquet index.)"""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     mn, width, m_bits = int(meta["mn"]), int(meta["width"]), int(meta["m_bits"])
     base = df.withColumn("__lk", lookup_key.cast("long")).withColumn(
@@ -238,13 +241,20 @@ def blockbloom_append(
         .agg(F.bit_or("mask").alias("bits"))
     )
     # stage-then-swap: 'merged' READS {path}/bloom, so writing over it
-    # in place would consume its own input; the rename is atomic-ish
-    # and never drags the table through the driver.
-    import shutil
-
+    # in place would consume its own input. The swap uses the Hadoop
+    # FileSystem for the path's scheme (local, hdfs, s3a, ...) and
+    # never drags the table through the driver.
     merged.write.mode("overwrite").parquet(f"{path}/bloom_staged")
-    shutil.rmtree(f"{path}/bloom")
-    shutil.move(f"{path}/bloom_staged", f"{path}/bloom")
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    staged, dest = hpath(f"{path}/bloom_staged"), hpath(f"{path}/bloom")
+    fs = staged.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(dest, True)
+    if not fs.rename(staged, dest):
+        raise IOError(
+            f"blockbloom_append: swap rename failed for {path}/bloom "
+            "(staged table left at bloom_staged)"
+        )
 
 
 def blockbloom_point_sum(
