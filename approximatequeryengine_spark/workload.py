@@ -1445,6 +1445,19 @@ _docs_query("dedup_exact_groups", _dedup.exact_dup_groups, _dedup.exact_dup_grou
 # search (operators/dedup.py::dedup_yield_curve).
 _docs_query("dedup_yield_curve", _dedup.dedup_yield_curve, _dedup.dedup_yield_curve_sql())
 _docs_query("dedup_minhash_lsh_pairs", _dedup.minhash_lsh_pairs, _dedup.minhash_lsh_pairs_sql())
+# Round-6 (20th and final round-6 registration, at the ≤20 cap): the
+# verify='join' physical plan of the SAME pair search — keys-only band
+# fan-out, shingles re-joined for surviving pairs. This is the plan the
+# dup-dense consumers ride (connected clusters, yield curve,
+# cross-source matrix, split-leakage audit; 4.2× at the 100-clique
+# sf10 corpus) and the shape a petabyte deployment runs against a
+# persisted signature store — certified against the same oracle as the
+# carry plan because the knob is physical-only (identical pair set).
+_docs_query(
+    "dedup_minhash_pairs_joinplan",
+    lambda spark, docs: _dedup.minhash_lsh_pairs(spark, docs, verify="join"),
+    _dedup.minhash_lsh_pairs_sql(),
+)
 _docs_query("dedup_simhash_summary", _dedup.simhash_summary, _dedup.simhash_summary_sql())
 # Round-5: the actual simhash PAIR search (pigeonhole multi-index,
 # WWW'07) — lossless vs the oracle's quadratic popcount scan. The
