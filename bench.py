@@ -58,16 +58,18 @@ def main() -> None:
     # engine, not session startup.
     QUERIES["exact_count"](spark, SF_DIR).collect()
 
-    # Best of 3 runs per query: run 1 pays plan compilation + codegen
-    # (amortized at scale), later runs measure steady-state execution;
-    # min damps background-load outliers (observed 7× spikes from
-    # co-tenant load at measurement time). The per-query spread
-    # (median, stddev across the 3 runs) is emitted alongside so a
-    # round-over-round delta can be told apart from machine noise
-    # WITHIN the artifact, and exact_sum re-runs as a machine-noise
-    # canary at the very end — if canary_last diverges from the
-    # headline exact_sum, the machine drifted mid-bench.
+    # One UNTIMED warmup (plan compilation + codegen — amortized at
+    # scale) then 3 timed steady-state runs per query: min damps
+    # background-load outliers (observed 7× spikes from co-tenant
+    # load). The per-query spread (median, stddev across the 3 timed
+    # runs) is emitted alongside so a round-over-round delta can be
+    # told apart from machine noise WITHIN the artifact — keeping the
+    # compilation run OUT of the stddev is what makes the spread a
+    # noise measure rather than a cold/warm mix. exact_sum re-runs as
+    # a machine-noise canary at the very end — if canary_last diverges
+    # from the headline exact_sum, the machine drifted mid-bench.
     def _run(name: str) -> list[float]:
+        QUERIES[name](spark, SF_DIR).collect()  # warmup, untimed
         samples = []
         for _ in range(3):
             t0 = time.time()
@@ -107,6 +109,7 @@ def main() -> None:
         # start and end plus the per-query protocol so a slow reading
         # can be attributed without bench archaeology.
         "best_of": 3,
+        "warmup_runs": 1,
         "queries_stats": stats,
         "canary_exact_sum_last": canary_last,
         "loadavg_before": [round(x, 2) for x in load_before],
