@@ -55,7 +55,11 @@ def ws_tokens_sql(expr: str) -> str:
 
 def word_shingles_col(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings (space-joined); fewer than n
-    tokens → the whole text as one shingle."""
+    tokens → the whole text as one shingle; NULL tokens → NULL
+    (concat_ws SWALLOWS a NULL array into '' — without the isNotNull
+    gate every NULL-text document would share the [''] shingle, i.e. a
+    phantom n-gram that cross-matches all contentless docs, while the
+    SQL rendering NULL-propagates and sees no shingle at all)."""
     joined = F.concat_ws(" ", tokens)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - n),
@@ -63,7 +67,9 @@ def word_shingles_col(tokens: Column, n: int = 3) -> Column:
             " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]
         ),
     )
-    return F.when(F.size(tokens) >= n, grams).otherwise(F.array(joined))
+    return F.when(F.size(tokens) >= n, grams).when(
+        tokens.isNotNull(), F.array(joined)
+    )
 
 
 def word_shingles_sql(tokens_ident: str, n: int = 3) -> str:

@@ -278,6 +278,12 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
     return (
         docs.repartition(n_parts, "doc_id")
         .select("doc_id", "text")
+        # NULL text has no content: excluded from the signature table.
+        # The expression path reaches the same end state via NULL
+        # propagation (NULL shingles -> no band rows), and the oracle's
+        # NULL band keys never join — this keeps the kernel equivalent
+        # instead of crashing on None.
+        .filter(F.col("text").isNotNull())
         .mapInPandas(batches, schema="doc_id long, sh array<string>, mh array<long>")
         .repartition(n_parts, "doc_id")
     )
@@ -1125,7 +1131,11 @@ def simhash_hamming_pairs_sql(k: int = 3) -> str:
     sh = simhash_wide_sql("text")
     return f"""
 WITH per AS (
-  SELECT doc_id, {sh} AS sh FROM documents
+  -- NULL text is excluded (matching the Spark signature kernel): the
+  -- scalar signature rendering folds a NULL token list to sig 0,
+  -- which would cross-match every contentless doc with genuinely
+  -- empty-text docs at hamming 0
+  SELECT doc_id, {sh} AS sh FROM documents WHERE text IS NOT NULL
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
@@ -1206,6 +1216,12 @@ def simhash_wide_sig(docs: DataFrame, bits: int = SIMHASH_WIDE_BITS) -> DataFram
     return (
         ensure_parallelism(docs)
         .select("doc_id", "text")
+        # NULL text has no content: such docs are excluded from the
+        # signature table, matching the SQL rendering where a NULL sig
+        # can never satisfy the hamming filter (and the oracle's NULL
+        # propagation generally). Without this the kernel crashes on
+        # None — a real corpus always has some NULL rows.
+        .filter(F.col("text").isNotNull())
         .repartition("doc_id")
         .mapInPandas(batches, schema="doc_id long, sh long")
         .repartition("doc_id")  # exchange barrier: signatures computed once

@@ -48,7 +48,11 @@ BLOB_SCHEMA = StructType(
 
 def make_blob_table(docs: DataFrame) -> DataFrame:
     """Documents → multimodal-shaped table: payload = utf-8 bytes of the
-    text (stand-in for image/audio bytes), media_type metadata."""
+    text (stand-in for image/audio bytes), media_type metadata. A NULL
+    text row has no payload and is not a blob — excluded here (the
+    downstream Arrow feature kernels consume bytes, and the oracle
+    filters the same rows)."""
+    docs = docs.filter(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id"),
         F.col("text").cast("binary").alias("payload"),
@@ -207,7 +211,7 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_t
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes,
        CAST(sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum_sum
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
 """
 
 
@@ -249,7 +253,11 @@ def make_media_blob_table(docs: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                body = text.encode("utf-8")
+                # header metadata is doc_id-derived; the text is only
+                # body filler, so a NULL text is an empty body (the
+                # oracle counts every doc — excluding NULLs here would
+                # diverge, unlike the content-keyed blob operators)
+                body = (text or "").encode("utf-8")
                 if doc_id % 2 == 0:
                     ihdr = struct.pack(
                         ">IIBBBBB", _png_width(doc_id), _png_height(doc_id),

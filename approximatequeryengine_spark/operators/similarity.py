@@ -60,8 +60,16 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors
     (vec_id < n_queries), excluding self. Returns
-    (query_id, neighbor_id, rank, cos_sim)."""
-    base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+    (query_id, neighbor_id, rank, cos_sim).
+
+    NULL embeddings are excluded on BOTH sides (query and corpus) —
+    the uniform similarity-module policy, mirrored in the oracle: a
+    vector without an embedding has no direction, and keeping it would
+    otherwise surface as NULL-cosine rows whose rank depends on each
+    engine's NULL-ordering default."""
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id"), _vec_double(F.col("embedding")).alias("v")
+    )
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -89,6 +97,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
   WHERE q.vec_id < {n_queries}
+    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id
@@ -125,6 +134,7 @@ def ann_bruteforce_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    emb = emb.filter(F.col("embedding").isNotNull())  # module NULL policy
     q_rows = sorted(
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
@@ -330,7 +340,12 @@ def lsh_band_keys_arrow(
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
     prefix = f"{carry_schema}, " if carry_schema else ""
     return (
-        emb.repartition(n_parts, "vec_id")
+        # NULL embeddings carry no direction: excluded from the
+        # signature table — the expression path reaches the same end
+        # state via NULL band keys (equality joins never match them);
+        # the kernel must match instead of crashing on None.
+        emb.filter(F.col("embedding").isNotNull())
+        .repartition(n_parts, "vec_id")
         .select(*carry, "vec_id", "embedding")
         .mapInPandas(
             batches,
@@ -437,7 +452,8 @@ def ann_lsh_topk_sql(
     any_tbl = " OR ".join(f"q.k{t} = e.k{t}" for t in range(n_tables))
     cos = _cosine_sql("q.embedding", "e.embedding")
     return f"""
-WITH sigs AS (SELECT vec_id, embedding, {key_cols} FROM embeddings),
+WITH sigs AS (SELECT vec_id, embedding, {key_cols} FROM embeddings
+              WHERE embedding IS NOT NULL),
 cand AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM sigs q JOIN sigs e ON e.vec_id != q.vec_id AND ({any_tbl})
@@ -859,8 +875,10 @@ def quantize_embeddings_int8(emb: DataFrame) -> DataFrame:
 
     import pandas as pd  # noqa: F811 (local for executor pickling)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        batches, schema="vec_id long, q array<tinyint>, scale double"
+    return (
+        emb.select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # module NULL policy
+        .mapInPandas(batches, schema="vec_id long, q array<tinyint>, scale double")
     )
 
 
@@ -943,7 +961,7 @@ def ann_int8_topk_sql(n_queries: int = 5, k: int = 3) -> str:
 WITH scaled AS (
   SELECT vec_id, embedding,
          CASE WHEN {s} = 0.0 THEN 1.0 ELSE {s} END AS s1
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 q8 AS (
   SELECT vec_id, {qexpr} AS q,
@@ -1049,7 +1067,10 @@ def ann_tune_profile(
     driver cost is one row regardless of corpus size.
     """
     samp0 = (
-        emb.select("vec_id", "embedding")
+        # NULL policy BEFORE sampling so sample membership matches the
+        # oracle's (which filters in its own sample CTE).
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
         .withColumn("h", portable_hash_col("vec_id"))
         .orderBy("h", "vec_id")
         .limit(n_sample)
@@ -1195,7 +1216,7 @@ def ann_tune_profile_sql(
     grid_vals = ", ".join(f"({bv})" for bv in bits_grid)
     return f"""
 WITH samp0 AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
   ORDER BY {portable_hash_sql('vec_id')}, vec_id LIMIT {n_sample}
 ),
 samp AS (

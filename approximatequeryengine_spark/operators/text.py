@@ -224,7 +224,13 @@ def fingerprint_cols(text: Column) -> dict[str, Column]:
     token-set fingerprint (md5 of the sorted distinct tokens) — the
     rolling-hash-style canonical form for shuffle-resistant dedup."""
     toks = ws_tokens_col(text)
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    # concat_ws SWALLOWS a NULL array into '' (unlike DuckDB's
+    # array_to_string, which NULL-propagates) — gate on the text so a
+    # NULL document fingerprints as NULL in both engines instead of
+    # colliding with the genuinely-empty document's md5('').
+    canon = F.when(
+        text.isNotNull(), F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    )
     return {
         "fp_exact": F.md5(text.cast("binary")),
         "fp_tokenset": F.md5(canon.cast("binary")),
@@ -233,8 +239,15 @@ def fingerprint_cols(text: Column) -> dict[str, Column]:
 
 def fingerprint_sql_parts(text: str = "text") -> dict[str, str]:
     toks = ws_tokens_sql(text)
-    canon = f"array_to_string(list_sort(list_distinct({toks})), ' ')"
-    return {"fp_exact": f"md5({text})", "fp_tokenset": f"md5({canon})"}
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # concat_ws over an empty array is '' — an empty document must
+    # fingerprint as md5('') in both engines, while a NULL document
+    # stays NULL (the outer CASE).
+    canon = f"coalesce(array_to_string(list_sort(list_distinct({toks})), ' '), '')"
+    return {
+        "fp_exact": f"md5({text})",
+        "fp_tokenset": f"md5(CASE WHEN {text} IS NOT NULL THEN {canon} END)",
+    }
 
 
 def fingerprint_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -279,6 +292,10 @@ def _enrich_pandas(docs: DataFrame, n_parts: int) -> DataFrame:
         for pdf in it:
             ids, scores, ntoks, fps = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # expression-path parity: NULL text -> NULL plang
+                    # -> dropped by the en+quality filter
+                    continue
                 t = text.strip(_JAVA_WS)
                 toks = ws_re.split(t) if t else []
                 low = [tk.lower() for tk in toks]
@@ -984,10 +1001,14 @@ d3 AS (SELECT doc_id, lang,
                           * {_REP_SCALE}) / (sum(c) * 1.0)) AS BIGINT) AS f3u
        FROM c3 GROUP BY 1, 2),
 per_doc AS (
-  SELECT d.doc_id, d.lang, coalesce(f2u, 0) AS f2u, coalesce(f3u, 0) AS f3u
+  -- join on doc_id ALONE (it is unique): including lang in the USING
+  -- list silently zeroes every NULL-lang document's fractions, since
+  -- NULL = NULL is not a match in an equi-join
+  SELECT d.doc_id, d.lang, coalesce(d2.f2u, 0) AS f2u,
+         coalesce(d3.f3u, 0) AS f3u
   FROM (SELECT doc_id, lang FROM documents) d
-  LEFT JOIN d2 USING (doc_id, lang)
-  LEFT JOIN d3 USING (doc_id, lang)
+  LEFT JOIN d2 ON d.doc_id = d2.doc_id
+  LEFT JOIN d3 ON d.doc_id = d3.doc_id
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN f2u > {REP_TOP2_MICROFRAC}

@@ -124,12 +124,17 @@ def apply_sampling(df: DataFrame, spec: SamplingSpec) -> DataFrame:
         h = portable_hash_col(_key_col(spec), salt=spec.salt)
         # CASE stratum WHEN v THEN thr_v ... ELSE default — a per-row
         # threshold; rows in un-listed strata fall back to `fraction`.
+        # eqNullSafe so NULL is a first-class stratum: an allocation
+        # derived by groupBy includes the NULL group, and a plain ==
+        # would silently re-route its rows to the default fraction
+        # (while a SQL oracle's equi-join would DROP them — the
+        # NULL-stratum divergence the poststrat review first hit).
         thr: Column = F.lit(fraction_threshold(spec.fraction))
         p: Column = F.lit(spec.fraction)
         s = F.col(spec.stratum_col)
         for value, frac in spec.strata_fractions.items():
-            thr = F.when(s == F.lit(value), F.lit(fraction_threshold(frac))).otherwise(thr)
-            p = F.when(s == F.lit(value), F.lit(float(frac))).otherwise(p)
+            thr = F.when(s.eqNullSafe(F.lit(value)), F.lit(fraction_threshold(frac))).otherwise(thr)
+            p = F.when(s.eqNullSafe(F.lit(value)), F.lit(float(frac))).otherwise(p)
         return df.filter(h < thr).withColumn(P_COL, p)
 
     raise ValueError(f"unknown sampling design {spec.design!r}")
@@ -179,8 +184,8 @@ def sampling_mask(spec: SamplingSpec) -> tuple[Column, Column] | None:
         p: Column = F.lit(spec.fraction)
         s = F.col(spec.stratum_col)
         for value, frac in spec.strata_fractions.items():
-            thr = F.when(s == F.lit(value), F.lit(fraction_threshold(frac))).otherwise(thr)
-            p = F.when(s == F.lit(value), F.lit(float(frac))).otherwise(p)
+            thr = F.when(s.eqNullSafe(F.lit(value)), F.lit(fraction_threshold(frac))).otherwise(thr)
+            p = F.when(s.eqNullSafe(F.lit(value)), F.lit(float(frac))).otherwise(p)
         return h < thr, p
     if spec.design == "bernoulli":
         return None
@@ -206,11 +211,20 @@ def sampling_where_sql(spec: SamplingSpec, key_sql: str | None = None) -> str:
     if spec.design == "stratified":
         h = portable_hash_sql(key, spec.salt)
         cases = " ".join(
-            f"WHEN {spec.stratum_col} = '{v}' THEN {fraction_threshold(f)}"
+            f"WHEN {_stratum_match_sql(spec.stratum_col, v)} THEN {fraction_threshold(f)}"
             for v, f in spec.strata_fractions.items()
         )
         return f"{h} < (CASE {cases} ELSE {fraction_threshold(spec.fraction)} END)"
     raise ValueError(f"design {spec.design!r} has no portable SQL form")
+
+
+def _stratum_match_sql(col: str, value) -> str:
+    """Null-safe stratum-value match (the SQL twin of the eqNullSafe
+    whens above): NULL is a first-class stratum, never re-routed to the
+    default fraction by three-valued logic."""
+    if value is None:
+        return f"{col} IS NULL"
+    return f"{col} = '{value}'"
 
 
 def head_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
@@ -300,7 +314,7 @@ def sampling_p_sql(spec: SamplingSpec) -> str:
     column ``apply_sampling`` attaches)."""
     if spec.design == "stratified":
         cases = " ".join(
-            f"WHEN {spec.stratum_col} = '{v}' THEN {float(f)!r}"
+            f"WHEN {_stratum_match_sql(spec.stratum_col, v)} THEN {float(f)!r}"
             for v, f in spec.strata_fractions.items()
         )
         return f"(CASE {cases} ELSE {float(spec.fraction)!r} END)"

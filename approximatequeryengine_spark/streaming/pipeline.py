@@ -160,8 +160,14 @@ def corpus_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Within-language dedup is the standard corpus-curation
     semantics and every surviving row's (lang, n_chars) is then
     deterministic, so the per-language aggregate is oracle-checkable."""
-    stream = table_stream(spark, sf_dir, "documents").select(
-        "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("fp")
+    stream = (
+        table_stream(spark, sf_dir, "documents")
+        # NULL text has no content fingerprint: excluded from content
+        # dedup (they all share fp NULL, so dropDuplicates would keep
+        # ONE arrival-order survivor whose n_chars is nondeterministic
+        # — and such docs carry nothing to deduplicate anyway).
+        .filter(F.col("text").isNotNull())
+        .select("lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("fp"))
     )
     deduped = stream.dropDuplicates(["lang", "fp"])
     sink = run_to_memory_sink(deduped, "append")
@@ -178,7 +184,7 @@ def corpus_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_dedup_sql() -> str:
     return """
 WITH d AS (SELECT lang, md5(text) AS fp, min(n_chars) AS n_chars
-           FROM documents GROUP BY lang, md5(text))
+           FROM documents WHERE text IS NOT NULL GROUP BY lang, md5(text))
 SELECT lang, count(*) AS n_unique_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM d GROUP BY lang ORDER BY lang
 """

@@ -1090,8 +1090,12 @@ def _neyman_query(
         f"FROM {table} GROUP BY 1), "
         f"tot AS (SELECT SUM(nh) AS n, SUM(nh * sh) AS ns FROM st), "
         f"alloc AS (SELECT stratum, {alloc_f} AS f FROM st), "
+        # IS NOT DISTINCT FROM: NULL is a first-class stratum (it has
+        # its own nh/sh row in st), and a plain equi-join would DROP
+        # its rows from the oracle's sample while the Spark side
+        # (eqNullSafe whens) samples them at their allocated fraction.
         f"samp AS (SELECT t.*, a.f AS p FROM {table} t "
-        f"JOIN alloc a ON t.{stratum_col} = a.stratum "
+        f"JOIN alloc a ON t.{stratum_col} IS NOT DISTINCT FROM a.stratum "
         f"WHERE {portable_hash_sql(key)} < CAST(floor(a.f * {HASH_SPACE}) AS BIGINT)) "
         + moments_sql(
             table="samp", column=value_col, where="TRUE", agg="sum",
@@ -1157,8 +1161,11 @@ def _congress_query(
         f"greatest(nh * (SELECT g FROM tot), (SELECT n FROM tot)) AS m FROM st), "
         f"tot2 AS (SELECT CAST(SUM(m) AS BIGINT) AS s FROM alloc), "
         f"alloc2 AS (SELECT band, {f_expr} AS f FROM alloc), "
+        # null-safe for the same reason as the Neyman oracle above
+        # (band is a CASE over a nullable column: NULL value -> ELSE
+        # branch here, but a custom band_sql could emit NULL bands)
         f"samp AS (SELECT t.*, a.f AS p FROM bsrc t "
-        f"JOIN alloc2 a ON t.band = a.band "
+        f"JOIN alloc2 a ON t.band IS NOT DISTINCT FROM a.band "
         f"WHERE {portable_hash_sql(key)} < CAST(floor(a.f * {HASH_SPACE}) AS BIGINT)) "
         + moments_sql(
             table="samp", column=value_col, where="TRUE", agg="sum",
