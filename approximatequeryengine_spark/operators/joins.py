@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.plans.estimators import finite_col, finite_sql
+
 SALT_COL = "__aqe_salt"
 
 
@@ -226,7 +228,7 @@ def universe_join_pairs(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_r"),
             F.sum(
-                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+                F.floor(finite_col(F.col("value")) * F.lit(100.0) + F.lit(0.5)).cast("long")
             ).alias("cents_r"),
         )
     )
@@ -269,7 +271,8 @@ WITH l AS (
 ),
 r AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_r,
-         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents_r
+         CAST(sum(CAST(floor({finite_sql("value")} * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents_r
   FROM events
   WHERE event_type = '{right_type}' AND {pred} GROUP BY user_id
 ),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.plans.estimators import finite_col, finite_sql
+
 
 def asof_purchase_click(spark: SparkSession, events: DataFrame) -> DataFrame:
     """For every purchase event: the most recent click by the same user
@@ -380,7 +382,7 @@ def decayed_sum_by_type(
         F.lit(0), F.datediff(F.lit(anchor).cast("date"), F.col("ts").cast("date"))
     )
     w = F.round(F.pow(F.lit(lam), age) * F.lit(DECAY_SCALE), 0).cast("long")
-    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    cents = F.floor(finite_col(F.col("value")) * 100.0 + 0.5).cast("long")
     return (
         events.groupBy("event_type")
         .agg(
@@ -405,7 +407,7 @@ WITH w AS (
          CAST(round(power({lam!r},
              greatest(0, date_diff('day', CAST(ts AS DATE), DATE '{anchor}')))
            * {DECAY_SCALE}, 0) AS BIGINT) AS wt,
-         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+         CAST(floor({finite_sql("value")} * 100.0 + 0.5) AS BIGINT) AS cents
   FROM events
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -454,7 +456,7 @@ def time_bucket_gapfill(
         events.select(
             F.col("event_type"),
             F.date_trunc(bucket, F.col("ts")).alias("bucket_ts"),
-            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+            F.floor(finite_col(F.col("value")) * 100.0 + 0.5).cast("long").alias("cents"),
         )
         .groupBy("event_type", "bucket_ts")
         .agg(
@@ -500,7 +502,8 @@ def time_bucket_gapfill_sql(bucket: str = "hour") -> str:
 WITH cell AS (
   SELECT event_type, date_trunc('{bucket}', ts) AS bucket_ts,
          CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         CAST(sum(CAST(floor({finite_sql("value")} * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
   FROM events GROUP BY 1, 2
 ),
 span AS (

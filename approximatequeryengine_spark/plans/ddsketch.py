@@ -53,6 +53,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.plans.estimators import finite_col, finite_sql
+
 
 def _params(alpha: float) -> tuple[float, float]:
     if not 0.0 < alpha < 1.0:
@@ -70,7 +72,7 @@ def ddsketch_buckets(df: DataFrame, column: str, alpha: float = 0.01) -> DataFra
     """
     _, lg = _params(alpha)
     return (
-        df.filter(F.col(column) > 0)
+        df.filter(finite_col(F.col(column)) > 0)
         .select(
             F.ceil(F.log(F.col(column).cast("double")) / F.lit(lg))
             .cast("long")
@@ -176,7 +178,7 @@ def ddsketch_grouped_quantiles(
     per group (bucketing is group-independent)."""
     _, lg = _params(alpha)
     buckets = (
-        df.filter(F.col(column) > 0)
+        df.filter(finite_col(F.col(column)) > 0)
         .select(
             F.col(group).alias("g"),
             F.ceil(F.log(F.col(column).cast("double")) / F.lit(lg))
@@ -245,7 +247,7 @@ def ddsketch_grouped_quantiles_sql(
     PARTITION BY windows."""
     _, lg = _params(alpha)
     bk = f"""pts AS (
-  SELECT {group} AS g, CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
+  SELECT {group} AS g, CAST({column} AS DOUBLE) AS x FROM {table} WHERE {finite_sql(column)} > 0
 ),
 bk AS (
   SELECT g, CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
@@ -263,7 +265,7 @@ def ddsketch_quantiles_sql(
     """DuckDB oracle for the global readout."""
     _, lg = _params(alpha)
     bk = f"""pts AS (
-  SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
+  SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {finite_sql(column)} > 0
 ),
 bk AS (
   SELECT CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
@@ -321,7 +323,7 @@ def ddsketch_collapsed_quantiles_sql(
     scalar subquery for the m-th-largest bucket index."""
     _, lg = _params(alpha)
     bk = f"""pts AS (
-  SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {column} > 0
+  SELECT CAST({column} AS DOUBLE) AS x FROM {table} WHERE {finite_sql(column)} > 0
 ),
 raw AS (
   SELECT CAST(ceil(ln(x) / {lg!r}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
@@ -355,7 +357,7 @@ def ddsketch_store_write(
     partition is O(groups · buckets) regardless of event volume."""
     _, lg = _params(alpha)
     (
-        df.filter(F.col(column) > 0)
+        df.filter(finite_col(F.col(column)) > 0)
         .select(
             F.col(ts_col).cast("date").cast("string").alias("day"),
             F.col(group).alias("g"),
@@ -412,7 +414,7 @@ def ddsketch_store_range_quantiles_sql(
     bk = f"""pts AS (
   SELECT {group} AS g, CAST({column} AS DOUBLE) AS x
   FROM {table}
-  WHERE {column} > 0
+  WHERE {finite_sql(column)} > 0
     AND CAST(CAST({ts_col} AS DATE) AS VARCHAR) BETWEEN '{day_lo}' AND '{day_hi}'
 ),
 bk AS (

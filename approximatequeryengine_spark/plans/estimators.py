@@ -48,6 +48,25 @@ def cents_col(col: Column) -> Column:
     return F.floor(col.cast("double") * 100.0 + 0.5).cast("long")
 
 
+def finite_col(col: Column) -> Column:
+    """Telemetry hygiene, one copy: a non-finite measurement (NaN/±Inf
+    — sensor glitches, div-by-zero upstream) is NO measurement and maps
+    to NULL before any grid conversion. Without the gate, the integer
+    cents cast raises in BOTH engines (Spark ANSI ARITHMETIC_OVERFLOW,
+    DuckDB ConversionException) — one bad row kills a 100 TB job."""
+    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))), col)
+
+
+def finite_sql(expr: str) -> str:
+    """SQL twin of :func:`finite_col`. Spelled with isnan + an Infinity
+    comparison (NOT DuckDB's isfinite) so the same text parses in Spark
+    SQL too when an oracle string is shared."""
+    return (
+        f"(CASE WHEN NOT isnan({expr}) "
+        f"AND abs({expr}) <> CAST('Infinity' AS DOUBLE) THEN {expr} END)"
+    )
+
+
 def ht_integer_margin(n: Column, vht: Column, z: float = Z_95) -> Column:
     """The engine's SUM-margin convention as one shared expression:
     ``z·√vht`` in the OUTPUT's units, gated to 0 for n < 2, and

@@ -25,11 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.plans.estimators import finite_col, finite_sql
+
 
 def agg_state(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group mergeable state: (group, n, sum_cents, min_cents,
     max_cents). One map-side-combined groupBy."""
-    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    cents = F.floor(finite_col(F.col(value_col)) * F.lit(100.0) + F.lit(0.5)).cast("long")
     return df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(cents).alias("sum_cents"),
@@ -84,7 +86,7 @@ def incremental_readout_sql(table: str, group_col: str, value_col: str) -> str:
     """DuckDB oracle: because merge(state(base), delta) must equal
     state(base ∪ delta), the oracle is simply the full-history
     aggregate — any drift in the incremental path breaks the match."""
-    cents = f"CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)"
+    cents = f"CAST(floor({finite_sql(value_col)} * 100.0 + 0.5) AS BIGINT)"
     return (
         f"SELECT {group_col} AS grp, CAST(count(*) AS BIGINT) AS n, "
         f"round(CAST(sum({cents}) AS BIGINT) / 100.0, 2) AS sum_value, "

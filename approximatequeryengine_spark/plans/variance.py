@@ -40,7 +40,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from approximatequeryengine_spark.plans.estimators import Z_95
+from approximatequeryengine_spark.plans.estimators import Z_95, finite_col, finite_sql
 from approximatequeryengine_spark.plans.sampling import (
     SamplingSpec,
     apply_sampling,
@@ -488,7 +488,9 @@ def approx_ab_diff_ci(
     sampled = (
         apply_sampling(df, spec)
         .filter(g.isin(group_a, group_b))
-        .select(g.alias("g"), x.alias("x"))
+        # finite_col: a NaN measurement would otherwise poison avg()
+        # into NaN and crash the integer shared-center derivation
+        .select(g.alias("g"), finite_col(x).alias("x"))
         .filter(F.col("x").isNotNull())
     )
     arms = {
@@ -552,10 +554,11 @@ def approx_ab_diff_ci_sql(
     vb = "((sb - nb * db * db) / (nb - 1))"
     return f"""
 WITH s AS (
-  SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS x
+  SELECT {group_col} AS g,
+         {finite_sql(f"CAST({value_col} AS DOUBLE)")} AS x
   FROM {table}
   WHERE ({where}) AND {group_col} IN ('{group_a}', '{group_b}')
-    AND {value_col} IS NOT NULL
+    AND {finite_sql(f"CAST({value_col} AS DOUBLE)")} IS NOT NULL
 ),
 c AS (SELECT floor(avg(x) + 0.5) AS c FROM s),
 per AS (

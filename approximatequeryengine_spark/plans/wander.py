@@ -48,7 +48,12 @@ from approximatequeryengine_spark.functions.hashing import (
     portable_hash_col,
     portable_hash_sql,
 )
-from approximatequeryengine_spark.plans.estimators import Z_95, ht_integer_margin
+from approximatequeryengine_spark.plans.estimators import (
+    Z_95,
+    finite_col,
+    finite_sql,
+    ht_integer_margin,
+)
 WALK_SALT = 17  # partner-pick hash family (left inclusion uses salt 0)
 
 
@@ -63,7 +68,7 @@ def wander_join_abs_gap(
     (click, purchase) pairs via deterministic wander-join walks: one
     row ``(join_sum_value, ci_lower, ci_upper, n_walks)`` in dollars.
     """
-    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    cents = F.floor(finite_col(F.col("value")) * 100.0 + 0.5).cast("long")
     right = events.filter(F.col("event_type") == right_type).select(
         F.col("user_id"), cents.alias("cents_r"), F.col("event_id")
     )
@@ -140,7 +145,7 @@ def wander_join_abs_gap_sql(
     return f"""
 WITH right_ranked AS (
   SELECT user_id,
-         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents_r,
+         CAST(floor({finite_sql("value")} * 100.0 + 0.5) AS BIGINT) AS cents_r,
          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rk
   FROM events WHERE event_type = '{right_type}'
 ),
@@ -150,7 +155,7 @@ n_right AS (
 ),
 lft AS (
   SELECT user_id,
-         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents_l,
+         CAST(floor({finite_sql("value")} * 100.0 + 0.5) AS BIGINT) AS cents_l,
          event_id
   FROM events
   WHERE event_type = '{left_type}' AND {h_in} < {thr}

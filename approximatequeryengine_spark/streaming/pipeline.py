@@ -219,7 +219,11 @@ def sampled_revenue_stream(
     sampled = stream.filter(
         portable_hash_col(F.col("event_id").cast("long")) < F.lit(thr)
     )
-    x = F.col("value").cast("double")
+    from approximatequeryengine_spark.plans.estimators import finite_col
+
+    # finite gate: one NaN measurement would otherwise poison the
+    # running moments into NaN and crash the integer margin cast
+    x = finite_col(F.col("value").cast("double"))
     p = float(fraction)
     # Weight per row INSIDE the aggregation (sum(x/p), sum(x²·(1-p)/p²))
     # so the finalization arithmetic is term-for-term identical to the
@@ -257,10 +261,12 @@ def sampled_revenue_sql(fraction: float = SAMPLED_FRACTION) -> str:
         sampling_where_sql,
     )
 
+    from approximatequeryengine_spark.plans.estimators import finite_sql
+
     spec = SamplingSpec(design="uniform_hash", fraction=fraction, key="event_id")
     return moments_sql(
         table="events",
-        column="value",
+        column=finite_sql("value"),
         where=sampling_where_sql(spec),
         agg="sum",
         p_sql=sampling_p_sql(spec),
@@ -619,6 +625,9 @@ def lambda_serving_quantiles(
         ddsketch_readout,
         ddsketch_store_write,
     )
+    from approximatequeryengine_spark.plans.estimators import (
+        finite_col as _finite_col,
+    )
     import tempfile
 
     events = Catalog(spark, sf_dir, register_views=False).table("events")
@@ -657,7 +666,9 @@ def lambda_serving_quantiles(
         events_stream(spark, sf_dir)
         .filter(F.col("ts").cast("date") >= split)
         .filter(F.col("ts").cast("date").cast("string") <= day_hi)
-        .filter(F.col("value") > 0)
+        # finite gate (NaN > 0 is TRUE under both engines' total-order
+        # comparison — it would reach the log/cast and crash the batch)
+        .filter(_finite_col(F.col("value")) > 0)
         .select(
             F.col("event_type").alias("g"),
             F.ceil(F.log(F.col("value").cast("double")) / F.lit(lg))

@@ -54,10 +54,15 @@ def _r(v: float, decimals: int) -> float:
 def _refine(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     n0, s10, s20 = state.get if state.exists else (0, 0.0, 0.0)
     bn, bs1, bs2 = 0, 0.0, 0.0
     for pdf in pdfs:
         v = pdf["value"].astype("float64")
+        # finite gate: one NaN/Inf measurement would poison the running
+        # moments permanently (state is cumulative — it never recovers)
+        v = v[np.isfinite(v)]
         bn += int(len(v))
         bs1 += float(v.sum())
         bs2 += float((v * v).sum())

@@ -2916,23 +2916,28 @@ def _stateful_stream_oracle(n_batches: int = 4) -> str:
     per (event_type, batch-with-rows) — exactly the stream's update-mode
     emissions. Rounding formulas are spelled identically to
     ``stateful._r`` (floor half-up)."""
-    from approximatequeryengine_spark.plans.estimators import Z_95
+    from approximatequeryengine_spark.plans.estimators import Z_95, finite_sql
 
     z = Z_95
     r8 = "floor({v} * 100000000.0 + 0.5) / 100000000.0"
     r9 = "floor({v} * 1000000000.0 + 0.5) / 1000000000.0"
     mean_r = r9.format(v="(s1 / n)")
     prev_r = r9.format(v="(s10 / n0)")
+    # finite gate mirrors the kernel: batch MEMBERSHIP is decided over
+    # all rows (row_number), but only finite measurements enter the
+    # moments (count(x) + coalesced sums, so an all-bad batch folds in
+    # as a zero-contribution emission exactly like the stream's).
     return f"""
 WITH e AS (
-  SELECT event_type, CAST(value AS DOUBLE) AS x,
+  SELECT event_type, {finite_sql("CAST(value AS DOUBLE)")} AS x,
          CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
                     * {n_batches} / (SELECT count(*) FROM events))
               AS INTEGER) AS b
   FROM events
 ),
 pb AS (
-  SELECT event_type, b, count(*) AS bn, sum(x) AS bs1, sum(x * x) AS bs2
+  SELECT event_type, b, count(x) AS bn,
+         coalesce(sum(x), 0.0) AS bs1, coalesce(sum(x * x), 0.0) AS bs2
   FROM e GROUP BY event_type, b
 ),
 cum AS (
@@ -4083,17 +4088,20 @@ def _advisor_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision rule, certifying the recommendation itself."""
     from approximatequeryengine_spark.plans.advisor import advise_method
 
+    from approximatequeryengine_spark.plans.estimators import finite_col
+
     cat = _catalog(spark, sf_dir)
     return advise_method(
         cat.table("events"),
-        F.floor(F.col("value") * 100.0 + 0.5).cast("long"),
+        F.floor(finite_col(F.col("value")) * 100.0 + 0.5).cast("long"),
     )
 
 
 def _advisor_oracle() -> str:
     from approximatequeryengine_spark.plans.advisor import advise_method_sql
+    from approximatequeryengine_spark.plans.estimators import finite_sql
 
-    return advise_method_sql("events", "floor(value * 100.0 + 0.5)")
+    return advise_method_sql("events", f"floor({finite_sql('value')} * 100.0 + 0.5)")
 
 
 _register("advisor_method_profile", _advisor_fn, _advisor_oracle())

@@ -126,6 +126,36 @@ def test_stratified_sampling_null_stratum_first_class(spark, duck):
     assert _stratum_match_sql("st", None) == "st IS NULL"
 
 
+def test_finite_gate_cross_engine(spark, duck):
+    """finite_col / finite_sql: NaN and ±Infinity map to NULL in both
+    engines (one bad telemetry row must not crash a cents cast or
+    poison a running moment), finite values and NULL pass through."""
+    from approximatequeryengine_spark.plans.estimators import finite_col, finite_sql
+
+    vals = [(1, 1.5), (2, float("nan")), (3, float("inf")),
+            (4, float("-inf")), (5, None)]
+    df = spark.createDataFrame(vals, "k long, v double")
+    got = {
+        r["k"]: r["f"]
+        for r in df.select("k", finite_col(F.col("v")).alias("f")).collect()
+    }
+    assert got == {1: 1.5, 2: None, 3: None, 4: None, 5: None}
+    want = dict(
+        duck.execute(
+            f"SELECT k, {finite_sql('v')} FROM (SELECT "
+            "unnest([1,2,3,4,5]) AS k, "
+            "unnest([1.5, 'NaN'::DOUBLE, 'Infinity'::DOUBLE, "
+            "'-Infinity'::DOUBLE, NULL]) AS v)"
+        ).fetchall()
+    )
+    assert got == want
+    # the gated cents cast no longer raises on non-finite input
+    cents = spark.createDataFrame([(float("inf"),)], "v double").select(
+        F.floor(finite_col(F.col("v")) * 100.0 + 0.5).cast("long").alias("c")
+    ).collect()
+    assert cents[0]["c"] is None
+
+
 def test_fingerprints_null_text_is_null_both_engines(spark):
     from approximatequeryengine_spark.operators.text import (
         fingerprint_cols,

@@ -35,6 +35,16 @@ DST = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".nullinj_sf0001"
 )
 
+# extra non-NULL dirt: (column, key, value-SQL) applied after the NULL
+# injection — realistic telemetry noise (NaN/Infinity measurements).
+# Both engines use total-order NaN semantics (NaN > 0 and NaN = NaN are
+# TRUE in Spark and DuckDB), so these certify end-to-end parity, not
+# just comparison semantics.
+DIRTY = {
+    # table -> column -> (key, nan_prime, inf_prime)
+    "events": {"value": ("event_id", 53, 59)},
+}
+
 # column -> (key expression, prime) — NULL where key % prime == 0
 INJECT = {
     "documents": {
@@ -76,11 +86,21 @@ def build() -> None:
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         inj = INJECT.get(t, {})
 
+        dirty = DIRTY.get(t, {})
+
         def render(c: str) -> str:
-            if c not in inj:
-                return c
-            key, p = inj[c]
-            return f"CASE WHEN {key} % {p} = 0 THEN NULL ELSE {c} END AS {c}"
+            expr = c
+            if c in dirty:
+                key, pn, pi = dirty[c]
+                expr = (
+                    f"CASE WHEN {key} % {pn} = 0 THEN 'NaN'::DOUBLE "
+                    f"WHEN {key} % {pi} = 0 THEN 'Infinity'::DOUBLE "
+                    f"ELSE {expr} END"
+                )
+            if c in inj:
+                key, p = inj[c]
+                expr = f"CASE WHEN {key} % {p} = 0 THEN NULL ELSE {expr} END"
+            return f"{expr} AS {c}" if expr != c else c
 
         sel = ", ".join(render(c) for c in cols)
         con.execute(
