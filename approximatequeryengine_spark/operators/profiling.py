@@ -413,7 +413,13 @@ EMB_GRID = 65536  # 2^16 quantization grid for embedding values
 
 def quantized_dims(emb: DataFrame) -> DataFrame:
     """(label, d, q): one row per (vector, dimension) on the 2⁻¹⁶
-    integer grid — the shared front of the batch and streaming paths."""
+    integer grid — the shared front of the batch and streaming paths.
+    Vector-validity policy applies: a vector with any non-finite dim is
+    invalid (floor(NaN·grid) raises the integer cast in BOTH engines),
+    so it contributes no rows and is not counted in n_vecs."""
+    from approximatequeryengine_spark.operators.similarity import valid_vec_col
+
+    emb = emb.filter(valid_vec_col(F.col("embedding")))
     return emb.select(
         "label",
         F.posexplode("embedding").alias("d", "e"),
@@ -490,11 +496,14 @@ def embedding_drift_by_label_sql() -> str:
     cosine chain. Dimension pairing uses list indexing over a
     select-list unnest(generate_series(...)) — this DuckDB build has
     neither WITH ORDINALITY nor lateral generate_series parameters."""
+    from approximatequeryengine_spark.operators.similarity import valid_vec_sql
+
+    vv = valid_vec_sql("embedding")
     return f"""
 WITH dims AS (
   SELECT label, embedding,
          unnest(generate_series(1, len(embedding))) AS d
-  FROM embeddings
+  FROM embeddings WHERE {vv}
 ),
 q AS (
   SELECT label, d,
@@ -517,7 +526,7 @@ m AS (
 ),
 counts AS (
   SELECT label, count(*) AS n_vecs FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) > 0 GROUP BY 1
+  WHERE {vv} AND len(embedding) > 0 GROUP BY 1
 )
 SELECT m.label,
        counts.n_vecs,

@@ -39,6 +39,32 @@ DIM = 64  # fixture embedding dimensionality
 SIG_BITS = 8
 
 
+
+def valid_vec_col(col: Column) -> Column:
+    """Vector-validity policy, one copy: a vector is usable iff it is
+    non-NULL and every dimension is finite — a broken encoder emitting
+    one NaN/Inf dim invalidates the WHOLE vector (cosines, hyperplane
+    signs, PQ codes and the drift grid all become poisoned or raise on
+    the integer casts otherwise). SQL twin: :func:`valid_vec_sql`."""
+    return col.isNotNull() & ~F.exists(
+        col,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+
+
+def valid_vec_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`valid_vec_col`. The element predicate
+    includes IS NULL explicitly: a three-valued lambda result would
+    make list_filter SKIP a NULL element (counting the vector valid)
+    while Spark's ``exists`` returns NULL and the filter drops it —
+    the NULL-element vector must be invalid in BOTH engines."""
+    return (
+        f"({expr} IS NOT NULL AND len(list_filter({expr}, "
+        f"x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+        f"OR abs(CAST(x AS DOUBLE)) = 'Infinity'::DOUBLE)) = 0)"
+    )
+
+
 def _cosine_sql(a: str, b: str) -> str:
     """DuckDB cosine with explicit sequential sums (matches zip_with +
     aggregate fold order on the Spark side)."""
@@ -67,7 +93,7 @@ def ann_bruteforce_topk(
     vector without an embedding has no direction, and keeping it would
     otherwise surface as NULL-cosine rows whose rank depends on each
     engine's NULL-ordering default."""
-    base = emb.filter(F.col("embedding").isNotNull()).select(
+    base = emb.filter(valid_vec_col(F.col("embedding"))).select(
         F.col("vec_id"), _vec_double(F.col("embedding")).alias("v")
     )
     queries = base.filter(F.col("vec_id") < n_queries).select(
@@ -97,7 +123,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
   WHERE q.vec_id < {n_queries}
-    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
+    AND {valid_vec_sql("q.embedding")} AND {valid_vec_sql("e.embedding")}
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id
@@ -134,7 +160,7 @@ def ann_bruteforce_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    emb = emb.filter(F.col("embedding").isNotNull())  # module NULL policy
+    emb = emb.filter(valid_vec_col(F.col("embedding")))  # module NULL policy
     q_rows = sorted(
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
@@ -344,7 +370,7 @@ def lsh_band_keys_arrow(
         # signature table — the expression path reaches the same end
         # state via NULL band keys (equality joins never match them);
         # the kernel must match instead of crashing on None.
-        emb.filter(F.col("embedding").isNotNull())
+        emb.filter(valid_vec_col(F.col("embedding")))
         .repartition(n_parts, "vec_id")
         .select(*carry, "vec_id", "embedding")
         .mapInPandas(
@@ -453,7 +479,7 @@ def ann_lsh_topk_sql(
     cos = _cosine_sql("q.embedding", "e.embedding")
     return f"""
 WITH sigs AS (SELECT vec_id, embedding, {key_cols} FROM embeddings
-              WHERE embedding IS NOT NULL),
+              WHERE {valid_vec_sql("embedding")}),
 cand AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM sigs q JOIN sigs e ON e.vec_id != q.vec_id AND ({any_tbl})
@@ -479,7 +505,11 @@ def _ivf_assign(emb: DataFrame, n_centroids: int) -> DataFrame:
     bits = max(1, (n_centroids - 1).bit_length())
     if 2 ** bits != n_centroids:
         raise ValueError(f"n_centroids must be a power of two, got {n_centroids}")
-    base = emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+    # vector-validity policy at the shared chokepoint: every IVF
+    # surface (topk, index write, append, PQ) assigns through here
+    base = emb.filter(valid_vec_col(F.col("embedding"))).select(
+        F.col("vec_id"), _vec_double(F.col("embedding")).alias("v")
+    )
     cell = F.lit(0).cast("long")
     for b in range(bits):
         cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
@@ -510,7 +540,8 @@ def _ivf_probes(
     """Probe selection: each query's ``n_probe`` most cosine-similar
     cells (ties → lower cell id). Returns (query_id, qv, cluster)."""
     queries = (
-        emb.select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
+        emb.filter(valid_vec_col(F.col("embedding")))
+        .select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
         .filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
@@ -606,7 +637,7 @@ WITH a AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          CAST({cell} AS INTEGER) AS cluster
-  FROM embeddings
+  FROM embeddings WHERE {valid_vec_sql("embedding")}
 ),
 cm AS (
   SELECT cluster, pos, round(avg(val), 6) AS m FROM (
@@ -769,6 +800,10 @@ def embedding_neardup_pairs(
     family; dot products use identical left-to-right summation), so the
     driver check certifies the full candidate+verify pipeline.
     ``use_arrow`` (default) computes the signatures vectorized."""
+    # vector-validity policy (the arrow kernel filters internally; the
+    # expression path needs it explicitly — a NaN dim yields non-NULL
+    # poisoned band keys, not a naturally-excluded NULL)
+    emb = emb.filter(valid_vec_col(F.col("embedding")))
     if use_arrow:
         sigs = lsh_band_keys_arrow(
             emb, n_bands, bits_per_band, carry=("label",), carry_schema="label int"
@@ -837,7 +872,8 @@ def embedding_neardup_pairs_sql(
     any_band = " OR ".join(f"a.k{t} = b.k{t}" for t in range(n_bands))
     cos = _cosine_sql("x.embedding", "y.embedding")
     return f"""
-WITH s AS (SELECT label, vec_id, embedding, {key_cols} FROM embeddings),
+WITH s AS (SELECT label, vec_id, embedding, {key_cols} FROM embeddings
+           WHERE {valid_vec_sql("embedding")}),
 cand AS (
   SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM s a JOIN s b
@@ -877,7 +913,7 @@ def quantize_embeddings_int8(emb: DataFrame) -> DataFrame:
 
     return (
         emb.select("vec_id", "embedding")
-        .filter(F.col("embedding").isNotNull())  # module NULL policy
+        .filter(valid_vec_col(F.col("embedding")))  # module NULL policy
         .mapInPandas(batches, schema="vec_id long, q array<tinyint>, scale double")
     )
 
@@ -961,7 +997,7 @@ def ann_int8_topk_sql(n_queries: int = 5, k: int = 3) -> str:
 WITH scaled AS (
   SELECT vec_id, embedding,
          CASE WHEN {s} = 0.0 THEN 1.0 ELSE {s} END AS s1
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE {valid_vec_sql("embedding")}
 ),
 q8 AS (
   SELECT vec_id, {qexpr} AS q,
@@ -1069,7 +1105,7 @@ def ann_tune_profile(
     samp0 = (
         # NULL policy BEFORE sampling so sample membership matches the
         # oracle's (which filters in its own sample CTE).
-        emb.filter(F.col("embedding").isNotNull())
+        emb.filter(valid_vec_col(F.col("embedding")))
         .select("vec_id", "embedding")
         .withColumn("h", portable_hash_col("vec_id"))
         .orderBy("h", "vec_id")
@@ -1216,7 +1252,7 @@ def ann_tune_profile_sql(
     grid_vals = ", ".join(f"({bv})" for bv in bits_grid)
     return f"""
 WITH samp0 AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+  SELECT vec_id, embedding FROM embeddings WHERE {valid_vec_sql("embedding")}
   ORDER BY {portable_hash_sql('vec_id')}, vec_id LIMIT {n_sample}
 ),
 samp AS (
@@ -1668,7 +1704,7 @@ WITH a AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          CAST({cell} AS INTEGER) AS cluster
-  FROM embeddings
+  FROM embeddings WHERE {valid_vec_sql("embedding")}
 ),
 pq AS ({pq_rows}),
 cm AS (
@@ -1899,10 +1935,12 @@ WITH nn AS (
   )
 ),
 asg AS (
+  -- the bits ladder (nn) counts ALL rows like the Spark emb.count();
+  -- only the assignment itself applies the vector-validity policy
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          CAST({cell} AS INTEGER) AS cluster
-  FROM embeddings, nn
+  FROM embeddings, nn WHERE {valid_vec_sql("embedding")}
 ),
 dropped AS (
   SELECT DISTINCT a.cluster, b.vec_id
@@ -1929,7 +1967,7 @@ WITH asg AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          CAST({cell} AS INTEGER) AS cluster
-  FROM embeddings
+  FROM embeddings WHERE {valid_vec_sql("embedding")}
 ),
 dropped AS (
   SELECT DISTINCT a.cluster, b.vec_id

@@ -156,6 +156,47 @@ def test_finite_gate_cross_engine(spark, duck):
     assert cents[0]["c"] is None
 
 
+def test_vector_validity_gate_cross_engine(spark, duck):
+    """A vector with ANY non-finite dimension is invalid — excluded by
+    valid_vec_col/valid_vec_sql in both engines (one NaN dim from a
+    broken encoder otherwise poisons hyperplane signs, PQ codes, and
+    crashes the drift grid's integer cast)."""
+    from approximatequeryengine_spark.operators import similarity
+
+    rows = [
+        (1, [0.1, 0.2, 0.3, 0.4], 0),
+        # note: the duckdb Python binding stores nan LIST ELEMENTS as
+        # NULL — which is exactly the NULL-element case the policy also
+        # covers (genuine SQL-side NaN is exercised by tools/null_sweep)
+        (2, [float("nan"), 0.2, 0.3, 0.4], 0),
+        (3, [0.1, float("inf"), 0.3, 0.4], 0),
+        (4, None, 0),
+        (5, [0.4, 0.3, 0.2, 0.1], 1),
+        (6, [None, 0.2, 0.3, 0.4], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sorted(
+        r["vec_id"]
+        for r in df.filter(
+            similarity.valid_vec_col(F.col("embedding"))
+        ).collect()
+    )
+    assert got == [1, 5]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT vec_id FROM embeddings WHERE {similarity.valid_vec_sql('embedding')}"
+        ).fetchall()
+    )
+    assert got == want
+    # the IVF assignment (shared chokepoint) only ever sees valid rows
+    asg = similarity._ivf_assign(df, 4).collect()
+    assert sorted(r["vec_id"] for r in asg) == [1, 5]
+
+
 def test_fingerprints_null_text_is_null_both_engines(spark):
     from approximatequeryengine_spark.operators.text import (
         fingerprint_cols,

@@ -45,6 +45,13 @@ DIRTY = {
     "events": {"value": ("event_id", 53, 59)},
 }
 
+# vector dirt: replace dimension 1 with NaN on key % prime == 0 rows
+# (a broken encoder emits non-finite dims; the vector-validity policy
+# is all-or-nothing — one bad dim invalidates the vector)
+DIRTY_VEC = {
+    "embeddings": {"embedding": ("vec_id", 53)},
+}
+
 # column -> (key expression, prime) — NULL where key % prime == 0
 INJECT = {
     "documents": {
@@ -87,9 +94,16 @@ def build() -> None:
         inj = INJECT.get(t, {})
 
         dirty = DIRTY.get(t, {})
+        dirty_vec = DIRTY_VEC.get(t, {})
 
         def render(c: str) -> str:
             expr = c
+            if c in dirty_vec:
+                key, p = dirty_vec[c]
+                expr = (
+                    f"CASE WHEN {key} % {p} = 0 THEN "
+                    f"list_concat(['NaN'::FLOAT], {expr}[2:]) ELSE {expr} END"
+                )
             if c in dirty:
                 key, pn, pi = dirty[c]
                 expr = (
