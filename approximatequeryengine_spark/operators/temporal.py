@@ -37,6 +37,11 @@ def asof_purchase_click(spark: SparkSession, events: DataFrame) -> DataFrame:
 
     Clicks are first deduplicated to one per (user, ts) — max event_id —
     so the at-or-before tie is deterministic in both engines."""
+    # a time join needs a time: NULL-ts rows on EITHER side are out
+    # (Spark's NULLS-FIRST window order would otherwise hand a NULL-ts
+    # click to every purchase, while the oracle's ASOF >= never
+    # matches NULL — the null sweep caught exactly that divergence)
+    events = events.filter(F.col("ts").isNotNull())
     clicks = (
         events.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -88,11 +93,12 @@ def asof_purchase_click_sql() -> str:
     return """
 WITH clicks AS (
   SELECT user_id, ts, max(event_id) AS click_id
-  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+  GROUP BY user_id, ts
 ),
 purchases AS (
   SELECT event_id AS purchase_id, user_id, ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 )
 SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
        c.click_id, c.ts AS click_ts,
@@ -548,7 +554,10 @@ def anomaly_days_by_type(spark: SparkSession, events: DataFrame, top: int = 3) -
     |days| rows per type; at 100 TB both shuffles key on event_type
     (+day) and the window input is O(days·types), not O(events)."""
     daily = (
-        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        # an event without an event time belongs to no day: a NULL-day
+        # group would otherwise enter the per-type volume moments
+        events.filter(F.col("ts").isNotNull())
+        .select("event_type", F.col("ts").cast("date").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
@@ -590,7 +599,7 @@ def anomaly_days_by_type_sql(top: int = 3) -> str:
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 m AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS nd,

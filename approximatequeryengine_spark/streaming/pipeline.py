@@ -43,7 +43,8 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and the DuckDB oracle is a COUNT(DISTINCT ...).
     The returned DataFrame aggregates the sink per event_type.
     """
-    stream = events_stream(spark, sf_dir)
+    # NULL-ts rows are dropped: time-bucketed dedup needs a time
+    stream = events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     deduped = (
         stream.withWatermark("ts", DEDUP_WATERMARK)
         .select(
@@ -65,7 +66,7 @@ def dedup_events_sql() -> str:
     return """
 SELECT event_type,
        count(DISTINCT (user_id, time_bucket(INTERVAL 1 HOUR, ts))) AS n_unique
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events WHERE ts IS NOT NULL GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -112,7 +113,8 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_ts + gap)`` (half-open), so an event arriving exactly ``gap``
     after the previous one starts a NEW session — hence the oracle's
     ``>= INTERVAL`` (not ``>``)."""
-    stream = events_stream(spark, sf_dir)
+    # NULL-ts rows are dropped: a session is a span of event TIME
+    stream = events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         stream.withWatermark("ts", SESSION_WATERMARK)
         .groupBy(
@@ -137,7 +139,7 @@ def session_windows_sql() -> str:
 SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id, CASE WHEN ts - lag(ts) OVER
     (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
-    THEN 1 ELSE 0 END AS new_s FROM events) t
+    THEN 1 ELSE 0 END AS new_s FROM events WHERE ts IS NOT NULL) t
 GROUP BY user_id ORDER BY user_id
 """
 
@@ -746,7 +748,9 @@ def anomaly_days_stream(spark: SparkSession, sf_dir: str, top: int = 3) -> DataF
     the batch store (the lambda-serving pattern certified in
     `streaming_lambda_serving`)."""
     daily = (
+        # NULL-ts rows belong to no day (same policy as the batch scan)
         events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
         .select(F.col("event_type"), F.col("ts").cast("date").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))

@@ -162,6 +162,10 @@ def split_events_for_replay(
     from pyspark.sql.window import Window
 
     os.makedirs(directory, exist_ok=True)
+    # a TIME-ordered replay excludes rows without a time: the engines
+    # order NULL ts on opposite ends (Spark NULLS FIRST, DuckDB NULLS
+    # LAST), so batch membership would silently diverge from the oracle
+    events = events.filter(F.col("ts").isNotNull())
     n = events.count()
     rn = F.row_number().over(Window.orderBy("ts", "event_id"))
     tagged = events.withColumn(

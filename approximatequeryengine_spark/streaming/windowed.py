@@ -83,7 +83,10 @@ def run_to_memory_sink(df: DataFrame, output_mode: str) -> DataFrame:
 def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the windowed aggregate as a real stream (file source,
     AvailableNow trigger, memory sink) and return the final result."""
-    stream = events_stream(spark, sf_dir)
+    # event-TIME processing requires an event time: NULL-ts rows are
+    # dropped explicitly (the watermark machinery silently drops them
+    # anyway; the filter makes the oracle-mirrored semantics visible)
+    stream = events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy(F.window(F.col("ts"), WINDOW).alias("w"), F.col("event_type"))
@@ -105,7 +108,7 @@ def windowed_event_counts_sql() -> str:
     return """
 SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -146,7 +149,7 @@ def sliding_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes windows older than (max event time − watermark) and evicts
     their state — that is what keeps overlapping windows viable
     long-running; the aggregation plan is identical either way."""
-    stream = events_stream(spark, sf_dir)
+    stream = events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy(F.window(F.col("ts"), SLIDE_WINDOW, SLIDE).alias("w"), F.col("event_type"))
@@ -176,6 +179,7 @@ FROM (
   SELECT e.event_type, e.value,
          time_bucket(INTERVAL 10 MINUTE, e.ts) - k * INTERVAL 10 MINUTE AS ws
   FROM events e, unnest([0, 1, 2]) AS t(k)
+  WHERE e.ts IS NOT NULL
 )
 GROUP BY 1, 2
 """

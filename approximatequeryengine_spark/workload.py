@@ -775,7 +775,9 @@ _sql_query(
     "WITH d AS (SELECT event_type, value, "
     "  unix_micros(ts) AS t_us, "
     "  lead(unix_micros(ts)) OVER (PARTITION BY event_type "
-    "    ORDER BY ts, event_id) AS nxt_us FROM events) "
+    # ts IS NOT NULL: a sample without a time has no holding interval,
+    # and the engines order NULL ts on opposite ends of the window
+    "    ORDER BY ts, event_id) AS nxt_us FROM events WHERE ts IS NOT NULL) "
     "SELECT event_type, "
     "round(sum(value * (nxt_us - t_us)) / sum(nxt_us - t_us), 6) AS twa, "
     "count(*) AS n_intervals "
@@ -784,7 +786,7 @@ _sql_query(
         "WITH d AS (SELECT event_type, value, "
         "  epoch_us(ts) AS t_us, "
         "  lead(epoch_us(ts)) OVER (PARTITION BY event_type "
-        "    ORDER BY ts, event_id) AS nxt_us FROM events) "
+        "    ORDER BY ts, event_id) AS nxt_us FROM events WHERE ts IS NOT NULL) "
         "SELECT event_type, "
         "round(sum(value * (nxt_us - t_us)) / sum(nxt_us - t_us), 6) AS twa, "
         "count(*) AS n_intervals "
@@ -2931,9 +2933,10 @@ def _stateful_stream_oracle(n_batches: int = 4) -> str:
 WITH e AS (
   SELECT event_type, {finite_sql("CAST(value AS DOUBLE)")} AS x,
          CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
-                    * {n_batches} / (SELECT count(*) FROM events))
+                    * {n_batches}
+                    / (SELECT count(*) FROM events WHERE ts IS NOT NULL))
               AS INTEGER) AS b
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 pb AS (
   SELECT event_type, b, count(x) AS bn,

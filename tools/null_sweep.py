@@ -65,6 +65,10 @@ INJECT = {
     "events": {
         "event_type": ("event_id", 41),
         "value": ("event_id", 43),
+        # telemetry rows do arrive without an event time; NULL-ts
+        # ordering is also where the engines' defaults diverge
+        # (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST)
+        "ts": ("event_id", 61),
     },
     "orders": {
         "o_orderpriority": ("o_orderkey", 41),
