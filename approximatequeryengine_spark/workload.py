@@ -4877,17 +4877,21 @@ _sql_query("scd2_priority_intervals", _SCD2_SQL)
 # ---------------------------------------------------------------------------
 
 _CERTIFY_FIRST = [
-    # Round-6 cut (policy in COVERAGE.md "Certification tiers"). The
-    # 50-row window = 14 standing anchors + ALL 36 never-certified
-    # oracle-backed entries (everything registered after the round-5
-    # cut, verified by diffing QUERIES against CORRECTNESS_r01..r05).
-    # 36 tier-2 rows exceed the usual 35 free slots, so one anchor —
-    # exact_groupby_sum, the most redundant with tpch_q1's grouped
-    # aggregate — sits out for exactly this round (VERDICT r5 #1).
-    # Goal: r1∪…∪r6 covers all 211 oracle-backed entries; the round-6
-    # cut leaves tier 2 EMPTY.
-    # --- standing anchors (every round; exact_groupby_sum on loan) ---
+    # Round-7 cut (policy in COVERAGE.md "Certification tiers"). The
+    # 50-row window = 15 standing anchors (exact_groupby_sum returns
+    # from its one-round loan) + ALL 19 never-certified oracle-backed
+    # entries (everything registered after the round-6 cut, verified by
+    # diffing QUERIES against CORRECTNESS_r01..r06) + this round's new
+    # registrations (derived-partsupp TPC-H, APPROX-over-join SQL,
+    # MinHash auto-plan) + stale-refresh fills, prioritizing the two
+    # entries whose kernels changed this round (corpus_clean_pipeline,
+    # ann_bruteforce_topk — validity gates folded in, VERDICT r6 #3).
+    # Goal: r1∪…∪r7 covers EVERY oracle-backed entry (zero tier-2 debt
+    # at the cut), and each new registration certifies in its own round
+    # so the debt cannot regrow (VERDICT r6 #2).
+    # --- standing anchors (every round) ---
     "exact_sum",
+    "exact_groupby_sum",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "approx_sum_uniform10",
@@ -4901,54 +4905,50 @@ _CERTIFY_FIRST = [
     "approx_sum_bootstrap32",
     "dedup_minhash_lsh_pairs",
     "text_quality_by_lang",
-    # --- tier 2: the 36 entries registered after the round-5 cut ---
-    # TPC-H adaptations (the closest thing to a standard suite)
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_revenue",
-    "tpch_q12_shipping_lag_priority",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # relational / window / reshape
-    "exact_grouped_quantiles",
-    "window_acctbal_deciles",
-    "unpivot_order_status_counts",
-    # dedup / similarity / search
-    "dedup_editdist1_pairs",
-    "dedup_cross_source_matrix",
-    "ann_filtered_topk",
-    "ann_recall_profile",
-    "search_hybrid_rrf",
-    # graph + skip indexes (both weak flags fixed this round: PageRank
-    # edges are now window-bounded, zorder build is the deterministic
-    # z-prefix layout — no single-partition sort)
-    "graph_token_pagerank",
-    "index_blockbloom_point_sum",
-    "index_zorder_rect_sum",
-    # sampled estimators / text
-    "approx_heavy_hitters_sampled",
-    "text_token_entropy_by_lang",
-    # temporal / events
-    "events_anomaly_days",
-    "events_dow_hour_profile",
-    "events_sliding_distinct_users",
-    "orders_open_backlog_days",
-    # streaming + lakehouse MERGE
-    "streaming_anomaly_days",
-    "streaming_merge_upsert",
-    "table_merge_upsert_stats",
-    # data-quality / profiling
-    "quality_benford_profile",
-    "quality_constraint_checks",
-    "quality_embedding_coverage",
-    "profile_psi_drift_by_source",
-    "profile_bivariate_stats",
-    "profile_revenue_gini",
-    "profile_supplier_balance_outliers",
-    # estimator-selection bakeoffs (advisor evidence, VERDICT r5 #7)
-    "sampling_design_bakeoff",
-    "sketch_quantile_bakeoff",
-    "sketch_joinsize_bakeoff",
+    # --- tier 2: the 19 entries registered after the round-6 cut ---
+    # TPC-H adaptations
+    "tpch_q8_national_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    # advanced estimators
+    "approx_sum_poststratified",
+    "approx_sum_regaux",
+    "approx_sum_twostage",
+    # joins / lakehouse
+    "skewjoin_split_revenue",
+    "scd2_priority_intervals",
+    # dedup family
+    "dedup_yield_curve",
+    "dedup_minhash_pairs_joinplan",
+    "dedup_image_ahash_clusters",
+    "dedup_audio_fingerprint_clusters",
+    # drift / text / curation
+    "profile_embedding_drift",
+    "streaming_embedding_drift",
+    "text_repetition_filter",
+    "curation_split_leakage",
+    "curation_mixture_temperature",
+    # --- tier 3: registered THIS round (certify in the same round) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_part_promotion",
+    "approx_sql_join_revenue",
+    "dedup_minhash_auto_pairs",
+    # --- tier 4: stale refresh (oldest driver rows; the first two
+    # carry this round's kernel changes and need a fresh row) ---
+    "corpus_clean_pipeline",
+    "ann_bruteforce_topk",
+    "heavy_hitters_tokens",
+    "window_customer_order_history",
+    "rollup_sum",
+    "exact_quantiles",
+    "approx_sum_head5",
+    "semi_anti_join_parts",
+    "resample_hourly_locf",
 ]
 
 
