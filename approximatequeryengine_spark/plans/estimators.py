@@ -54,7 +54,8 @@ def finite_col(col: Column) -> Column:
     to NULL before any grid conversion. Without the gate, the integer
     cents cast raises in BOTH engines (Spark ANSI ARITHMETIC_OVERFLOW,
     DuckDB ConversionException) — one bad row kills a 100 TB job."""
-    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))), col)
+    d = col.cast("double")  # isnan raises on non-floating inputs
+    return F.when(~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), col)
 
 
 def finite_sql(expr: str) -> str:
@@ -62,8 +63,9 @@ def finite_sql(expr: str) -> str:
     comparison (NOT DuckDB's isfinite) so the same text parses in Spark
     SQL too when an oracle string is shared."""
     return (
-        f"(CASE WHEN NOT isnan({expr}) "
-        f"AND abs({expr}) <> CAST('Infinity' AS DOUBLE) THEN {expr} END)"
+        f"(CASE WHEN NOT isnan(CAST({expr} AS DOUBLE)) "
+        f"AND abs(CAST({expr} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE) "
+        f"THEN {expr} END)"
     )
 
 

@@ -224,7 +224,8 @@ def _stratum_match_sql(col: str, value) -> str:
     default fraction by three-valued logic."""
     if value is None:
         return f"{col} IS NULL"
-    return f"{col} = '{value}'"
+    escaped = str(value).replace("'", "''")
+    return f"{col} = '{escaped}'"
 
 
 def head_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:

@@ -210,10 +210,14 @@ def blockbloom_append(
     its own input in place. The swap goes through the Hadoop
     FileSystem API resolved from the path's own scheme, so ``path``
     may be any Hadoop-compatible URI (file://, hdfs://, s3a://) — the
-    same writer surface as the rest of the module. (On object stores
-    the "rename" is the FS connector's copy+delete; the window where
-    readers see a missing ``bloom`` table is the documented
-    non-transactional trade of this plain-parquet index.)"""
+    same writer surface as the rest of the module. The swap retires the
+    live table to ``bloom_old`` before renaming the staged one in, so a
+    crash at ANY step leaves a complete copy on disk: if ``bloom`` is
+    missing, rename ``bloom_old`` (pre-append state) or ``bloom_staged``
+    (post-append state) back into place. (On object stores the "rename"
+    is the FS connector's copy+delete; the brief window where readers
+    see a missing ``bloom`` table is the documented non-transactional
+    trade of this plain-parquet index.)"""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     mn, width, m_bits = int(meta["mn"]), int(meta["width"]), int(meta["m_bits"])
     base = df.withColumn("__lk", lookup_key.cast("long")).withColumn(
@@ -248,13 +252,25 @@ def blockbloom_append(
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     staged, dest = hpath(f"{path}/bloom_staged"), hpath(f"{path}/bloom")
+    retired = hpath(f"{path}/bloom_old")
     fs = staged.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(dest, True)
+    # Rename the live table ASIDE rather than deleting it, so a crash
+    # between steps never leaves the index without a bloom table: if
+    # 'bloom' is missing after a failure, EXACTLY ONE of bloom_old /
+    # bloom_staged holds a complete copy to rename back.
+    fs.delete(retired, True)  # clear leftovers from a prior crash
+    if not fs.rename(dest, retired):
+        raise IOError(
+            f"blockbloom_append: could not retire {path}/bloom to bloom_old "
+            "(live table unchanged; staged table left at bloom_staged)"
+        )
     if not fs.rename(staged, dest):
         raise IOError(
-            f"blockbloom_append: swap rename failed for {path}/bloom "
-            "(staged table left at bloom_staged)"
+            f"blockbloom_append: swap rename failed for {path}/bloom — "
+            "recover by renaming bloom_old (pre-append) or bloom_staged "
+            "(post-append) back to bloom"
         )
+    fs.delete(retired, True)
 
 
 def blockbloom_point_sum(
