@@ -4863,6 +4863,170 @@ _sql_query("scd2_priority_intervals", _SCD2_SQL)
 
 
 # ---------------------------------------------------------------------------
+# Derived partsupp — the last five TPC-H adaptations (q2/q9/q11/q16/q20).
+#
+# The driver fixtures ship no partsupp table, so it is SYNTHESIZED with
+# pure key arithmetic that both engines evaluate identically (VERDICT r6
+# #4): the dbgen supplier-assignment formula (4 suppliers per part,
+# ``(p_partkey + i·(S/4 + (p_partkey-1)/S)) mod S + 1``) UNION the
+# (l_partkey, l_suppkey) pairs actually observed in lineitem — the
+# fixture's lineitem picks suppliers uniformly rather than from dbgen's
+# 4-per-part set, and q9/q20 join lineitem⋈partsupp on the pair, so the
+# observed pairs must be covered for those joins to be total (as they
+# are in real TPC-H). ps_availqty / ps_supplycost are deterministic
+# residues of (partkey, suppkey); the cents column keeps q11's HAVING
+# threshold comparison on exact integers (no float-boundary flips).
+#
+# The CTE is prepended to each query: ONE text, parsed by both engines,
+# so the derivation cannot drift. At production scale partsupp is a real
+# table and the CTE disappears; its cost here is one distinct-pair
+# aggregate over lineitem per query — fixture synthesis, not operator
+# work. Division is spelled floor(a / CAST(b AS DOUBLE)) (exact for
+# keys < 2^53) because Spark lacks DuckDB's // and DuckDB lacks DIV.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """WITH s_cnt AS (SELECT count(*) AS s_n FROM supplier),
+gen AS (
+  SELECT p_partkey,
+         ((p_partkey + i * (CAST(floor(s_n / 4.0) AS BIGINT)
+             + CAST(floor((p_partkey - 1) / CAST(s_n AS DOUBLE)) AS BIGINT)))
+           % s_n) + 1 AS ps_suppkey
+  FROM part CROSS JOIN s_cnt
+  CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1
+              UNION ALL SELECT 2 UNION ALL SELECT 3) gs
+),
+observed AS (SELECT DISTINCT l_partkey AS p_partkey,
+                    l_suppkey AS ps_suppkey FROM lineitem),
+pskeys AS (SELECT p_partkey, ps_suppkey FROM gen
+           UNION SELECT p_partkey, ps_suppkey FROM observed),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey, ps_suppkey,
+         CAST((p_partkey * 7 + ps_suppkey * 131) % 9999 + 1 AS INT)
+             AS ps_availqty,
+         CAST((p_partkey * 31 + ps_suppkey * 17) % 99900 + 100 AS BIGINT)
+             AS ps_supplycost_cents,
+         CAST(CAST((p_partkey * 31 + ps_suppkey * 17) % 99900 + 100
+             AS BIGINT) AS DOUBLE) / 100.0 AS ps_supplycost
+  FROM pskeys
+)
+"""
+
+# TPC-H Q2-style minimum-cost supplier: correlated MIN subquery per part
+# over the region's suppliers. At scale: part/supplier/nation/region all
+# broadcast; the correlated min rewrites to an aggregate + self-join on
+# ps_partkey (Catalyst's RewriteCorrelatedScalarSubquery), so the only
+# shuffle is partsupp's own group-by. Adapted to fixture columns:
+# p_type = 'ECONOMY' stands in for TPC-H's '%BRASS' type suffix.
+_sql_query(
+    "tpch_q2_min_cost_supplier",
+    _PARTSUPP_CTE + """
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       round(ps_supplycost, 2) AS ps_supplycost
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+AND ps_supplycost = (
+  SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+""",
+)
+
+# TPC-H Q9-style product-type profit: the 6-way join with the
+# two-column lineitem⋈partsupp pair join. At scale: part/supplier/
+# nation/partsupp-side broadcast or shuffle on the pair key; profit
+# amounts aggregate per (nation, year) — 25×|years| groups.
+_sql_query(
+    "tpch_q9_product_type_profit",
+    _PARTSUPP_CTE + """
+SELECT n_name, o_year, round(sum(amount), 2) AS sum_profit FROM (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity
+             AS amount
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%') profit
+GROUP BY n_name, o_year ORDER BY n_name, o_year
+""",
+)
+
+# TPC-H Q11-style important stock: grouped value vs a scalar share of
+# the national total. TPC-H's fixed fraction must scale by 1/SF (more
+# parts → smaller shares), so the adapted threshold is RELATIVE —
+# parts worth > 3× the national average — and holds at every SF. The
+# comparison runs on EXACT integers (v·n_groups > 3·total cents),
+# never on a rounded float — a part sitting on the threshold cannot
+# flip between engines.
+_sql_query(
+    "tpch_q11_important_stock",
+    _PARTSUPP_CTE + """
+, nat AS (
+  SELECT ps_partkey, sum(ps_supplycost_cents * ps_availqty) AS v
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7' GROUP BY ps_partkey)
+SELECT ps_partkey, round(CAST(v AS DOUBLE) / 100.0, 2) AS stock_value
+FROM nat
+WHERE v * (SELECT count(*) FROM nat) > 3 * (SELECT sum(v) FROM nat)
+ORDER BY stock_value DESC, ps_partkey
+""",
+)
+
+# TPC-H Q16-style parts/supplier relationship: distinct-supplier counts
+# per (brand, type, size) with a NOT IN supplier exclusion (negative
+# acctbal stands in for TPC-H's '%Complaints%' comment filter — the
+# fixture has no s_comment). s_suppkey is non-null so NOT IN is safe.
+_sql_query(
+    "tpch_q16_parts_supplier_relationship",
+    _PARTSUPP_CTE + """
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#17' AND p_type <> 'PROMO'
+AND p_size IN (1, 5, 11, 15, 23, 29, 36, 42, 49, 50)
+AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
+""",
+)
+
+# TPC-H Q20-style potential part promotion: suppliers whose available
+# stock of 'small%' parts dwarfs what they actually shipped in 1997.
+# Adapted from the per-pair ps_availqty > 0.5·shipped predicate to
+# supplier-level totals (HAVING Σavailqty > 1500·Σshipped): the
+# fixture's demand per (part, supplier) pair is so thin that the
+# per-pair form qualifies every supplier — the totals form preserves
+# the stock-vs-demand semantics AND discriminates (39 of 100 suppliers
+# at sf0.01). The ratio is SF-stable: both sides scale with |parts|.
+_sql_query(
+    "tpch_q20_potential_part_promotion",
+    _PARTSUPP_CTE + """
+SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  JOIN part ON p_partkey = ps_partkey
+  LEFT JOIN (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS shipped
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey) sh
+  ON sh.l_partkey = ps_partkey AND sh.l_suppkey = ps_suppkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY ps_suppkey
+  HAVING sum(ps_availqty) > 1500 * sum(coalesce(shipped, 0)))
+ORDER BY s_name
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Certification ordering. The driver's correctness gate consumes the
 # FIRST 50 entries of queries() in insertion order; round 1 registered
 # the LLM-pipeline / streaming / advanced-estimator queries at positions
