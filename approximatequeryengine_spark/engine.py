@@ -22,12 +22,13 @@ handlers): sample% → fixed-fraction sampling; error% → adaptive CLT;
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from approximatequeryengine_spark.catalog import Catalog
+from approximatequeryengine_spark.catalog import TABLES, Catalog
 from approximatequeryengine_spark.frontend.dialect import (
     METHODS,
     QuerySpec,
@@ -383,12 +384,37 @@ class AQEngine:
         z = NormalDist().inv_cdf((1.0 + confidence) / 2.0)
         spec = parse_query(sql)
         if spec is None:
+            # Beyond the reference grammar: APPROX() aggregates over
+            # arbitrary SQL (joins, multi-column GROUP BY) with the
+            # sampled table marked via TABLESAMPLE (p PERCENT) — the
+            # sampled-CTE injection of frontend/approx_sql.py. Tried
+            # FIRST because the simple dialect's marker regex cannot
+            # see nested parens (APPROX(SUM(a * (1 - b)))).
+            from approximatequeryengine_spark.frontend.approx_sql import (
+                rewrite_approx_sql,
+            )
+
+            keys = dict(TABLES)
+            keys.update(self.catalog._extra_keys)
+            rewritten = rewrite_approx_sql(sql, keys, z=z)
+            if rewritten is not None:
+                self.catalog.refresh_views()
+                df = self.spark.sql(rewritten)
+                return ApproxResult(
+                    df=df,
+                    method="sql_rewrite",
+                    status=ApproximationStatus.STABLE,
+                    computation_time=time.time() - t0,
+                )
             _, is_approx, _ = rewrite_approx(sql)
-            if is_approx:
+            if is_approx or re.search(r"\bAPPROX\s*\(", sql, re.IGNORECASE):
                 raise ValueError(
                     "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX/"
                     "MEDIAN/PERCENTILE/STDDEV/CORR aggregate over one table "
-                    f"(optional WHERE, one GROUP BY column); could not parse: {sql!r}"
+                    "(optional WHERE, one GROUP BY column) — or, for joins, "
+                    "APPROX(SUM/AVG/COUNT(expr)) AS alias in the SELECT list "
+                    "with the sampled table marked `t TABLESAMPLE (p PERCENT)`"
+                    f"; could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
             # Temp views are session-global; another catalog (different

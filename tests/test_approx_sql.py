@@ -1,0 +1,105 @@
+"""APPROX-over-arbitrary-SQL rewrite (frontend/approx_sql.py): routing,
+cross-engine value parity, multi-aggregate shapes, and fallbacks."""
+
+import pytest
+
+from approximatequeryengine_spark.catalog import TABLES
+from approximatequeryengine_spark.frontend.approx_sql import rewrite_approx_sql
+from tests.conftest import assert_df_matches_sql
+
+JOIN_Q = (
+    "SELECT n_name, APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name"
+)
+
+
+def test_rewrite_requires_both_markers():
+    # No APPROX marker → None (plain TABLESAMPLE keeps native semantics)
+    assert rewrite_approx_sql(
+        "SELECT count(*) FROM lineitem TABLESAMPLE (10 PERCENT)", TABLES
+    ) is None
+    # No TABLESAMPLE marker → None (which table to sample is explicit)
+    assert rewrite_approx_sql(
+        "SELECT APPROX(SUM(l_quantity)) AS q FROM lineitem", TABLES
+    ) is None
+    # Unknown table → None (no unique key to hash)
+    assert rewrite_approx_sql(
+        "SELECT APPROX(SUM(x)) AS s FROM mystery TABLESAMPLE (10 PERCENT)",
+        TABLES,
+    ) is None
+    # HAVING is outside the v1 shape
+    assert rewrite_approx_sql(
+        "SELECT APPROX(SUM(l_quantity)) AS q FROM lineitem "
+        "TABLESAMPLE (10 PERCENT) GROUP BY l_returnflag HAVING count(*) > 1",
+        TABLES,
+    ) is None
+
+
+def test_rewrite_strips_markers():
+    out = rewrite_approx_sql(JOIN_Q, TABLES, round_to=3)
+    assert out is not None
+    assert "APPROX" not in out.upper().replace("TABLESAMPLE", "")
+    assert "TABLESAMPLE" not in out.upper()
+    # CI columns for the single aggregate use the canonical names
+    assert "ci_lower" in out and "ci_upper" in out and "n_samples" in out
+
+
+def test_join_rewrite_matches_duckdb(spark, engine_med, duck_med):
+    out = rewrite_approx_sql(JOIN_Q, TABLES, round_to=3)
+    engine_med.catalog.refresh_views()
+    sdf = spark.sql(out)
+    assert_df_matches_sql(sdf, duck_med, out)
+
+
+def test_engine_routes_join_approx(engine_med):
+    res = engine_med.run(JOIN_Q)
+    assert res.method == "sql_rewrite"
+    rows = res.df.collect()
+    assert len(rows) == 25
+    r = rows[0]
+    assert r["ci_lower"] <= r["revenue"] <= r["ci_upper"]
+    assert r["n_samples"] > 0
+
+
+def test_engine_still_rejects_unrewritable_approx(engine_med):
+    with pytest.raises(ValueError, match="TABLESAMPLE"):
+        # APPROX marker but no TABLESAMPLE and not the simple grammar
+        engine_med.run(
+            "SELECT n_name, APPROX(SUM(l_extendedprice * (1 - l_discount))) "
+            "AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        )
+
+
+def test_multiple_aggregates_and_count_star(spark, engine_med, duck_med):
+    q = (
+        "SELECT o_orderpriority, APPROX(SUM(o_totalprice)) AS total, "
+        "APPROX(COUNT(*)) AS n_est, APPROX(AVG(o_totalprice)) AS avg_price "
+        "FROM orders TABLESAMPLE (20 PERCENT) "
+        "WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=4)
+    assert out is not None
+    # multi-aggregate → per-alias CI suffixes
+    assert "total_lo" in out and "n_est_hi" in out and "avg_price_lo" in out
+    engine_med.catalog.refresh_views()
+    sdf = spark.sql(out)
+    assert_df_matches_sql(sdf, duck_med, out)
+
+
+def test_global_aggregate_no_group_by(spark, engine_med, duck_med):
+    q = (
+        "SELECT APPROX(SUM(l_quantity)) AS qty "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) WHERE l_discount > 0.05"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=2)
+    assert out is not None
+    engine_med.catalog.refresh_views()
+    sdf = spark.sql(out)
+    assert_df_matches_sql(sdf, duck_med, out)
