@@ -72,6 +72,13 @@ def exact_dup_groups_sql(by: str = "fp_tokenset") -> str:
     )
 
 
+# verify='auto' dispatch cutoff: above this exact-duplicate ratio the
+# corpus is dup-DENSE (candidate pairs grow quadratically in clique
+# size) and the keys-only 'join' plan wins; the sf10 100-clique A/B in
+# SCALING.md measured the crossover decisively (carry >1800 s vs join
+# completing) at ratio ≈0.99, while organic corpora sit ≪0.1.
+AUTO_DENSE_DUP_RATIO = 0.2
+
 INGEST_FRACTION = 0.1  # hash-selected "incoming batch" slice
 INGEST_SALT = 13
 
@@ -289,6 +296,22 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
     )
 
 
+def _auto_verify_choice(docs: DataFrame) -> str:
+    """Measure the exact-duplicate ratio (1 − distinct token-set
+    fingerprints / docs — the statistic ``ingest_dedup_stats`` accounts
+    per batch) with one bounded aggregate and pick the MinHash verify
+    plan: 'join' above ``AUTO_DENSE_DUP_RATIO`` (dup-dense, quadratic
+    clique pairs must travel keys-only), else 'carry'."""
+    fp = fingerprint_cols(F.col("text"))["fp_tokenset"]
+    prof = (
+        docs.filter(F.col("text").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct(fp).alias("d"))
+        .collect()[0]
+    )
+    dup_ratio = 0.0 if not prof["n"] else 1.0 - prof["d"] / prof["n"]
+    return "join" if dup_ratio > AUTO_DENSE_DUP_RATIO else "carry"
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     docs: DataFrame,
@@ -338,9 +361,22 @@ def minhash_lsh_pairs(
     This mirrors the persisted-index layout (``neardup_index_write``:
     slim band table + ONE shingle table), which is the petabyte-scale
     shape — at that size you materialize signatures once and every
-    batch joins against the store instead of re-shingling."""
+    batch joins against the store instead of re-shingling.
+
+    ``verify='auto'`` measures the density instead of asking for it:
+    one bounded aggregate computes the exact-duplicate ratio
+    (1 − distinct fingerprints / docs — the ingest-profile statistic
+    ``ingest_dedup_stats`` accounts per batch) and dispatches 'join'
+    when it exceeds ``AUTO_DENSE_DUP_RATIO``, else 'carry' — the same
+    measure-then-dispatch pattern as ``ann_auto_topk``. The probe is
+    one extra fingerprint scan + 1-row collect; pipelines that already
+    persist their ingest profile should pass verify explicitly."""
+    if verify == "auto":
+        verify = _auto_verify_choice(docs)
     if verify not in ("carry", "join"):
-        raise ValueError(f"verify must be 'carry' or 'join', got {verify!r}")
+        raise ValueError(
+            f"verify must be 'carry', 'join' or 'auto', got {verify!r}"
+        )
     n_parts = spark.sparkContext.defaultParallelism
     if use_arrow:
         sig_df = _minhash_sig_pandas(docs, shingle_size, n_parts)

@@ -73,6 +73,38 @@ def test_minhash_join_verify_matches_carry(spark, synth_docs):
         dedup.minhash_lsh_pairs(spark, synth_docs, verify="bogus")
 
 
+def test_minhash_auto_dispatch(spark, synth_docs):
+    """verify='auto' measures the exact-dup ratio (the ingest-profile
+    statistic) and dispatches: carry at/below AUTO_DENSE_DUP_RATIO,
+    join above (the sf10 100-clique regime). The pick itself is pinned
+    via _auto_verify_choice; result equality with the explicit plans is
+    pinned on both a sparse and a dup-dense corpus (the knob is
+    physical-only)."""
+    from pyspark.sql import functions as F
+
+    assert dedup._auto_verify_choice(synth_docs) in ("carry", "join")
+
+    # dup-DENSE corpus: every doc under 5 distinct ids → ratio ≈ 0.8 →
+    # must pick 'join'; a nearly-distinct corpus must pick 'carry'.
+    dense = synth_docs
+    for off in (100, 200, 300, 400):
+        dense = dense.unionAll(
+            synth_docs.withColumn("doc_id", F.col("doc_id") + off)
+        )
+    assert dedup._auto_verify_choice(dense) == "join"
+    distinct_texts = synth_docs.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.col("doc_id").cast("string"))
+    )
+    assert dedup._auto_verify_choice(distinct_texts) == "carry"
+
+    # auto == explicit pair sets on both regimes
+    a = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, dense, threshold=0.0, verify="auto").collect()))
+    j = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, dense, threshold=0.0, verify="join").collect()))
+    assert a == j and a
+
+
 def test_simhash_identical_for_dups(spark, synth_docs):
     sh = {
         r["doc_id"]: r["sh"]
