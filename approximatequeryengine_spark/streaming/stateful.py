@@ -155,10 +155,13 @@ def split_events_for_replay(
     oracle could replay. The DuckDB oracle for
     ``streaming_running_estimate`` re-derives exactly this split. This
     is a test/replay harness (the production path is a real stream
-    source), so the single-partition window sort and driver-side writes
-    are deliberate simplicity, not the scale path."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    source), so the single-partition window sort is deliberate
+    simplicity, not the scale path. The batch files are written by
+    SPARK (per-batch filter + coalesce(1) write, then a metadata-only
+    rename) — no data-plane table ever rides the driver as pandas."""
+    import glob
+    import shutil
+
     from pyspark.sql.window import Window
 
     os.makedirs(directory, exist_ok=True)
@@ -171,17 +174,29 @@ def split_events_for_replay(
     tagged = events.withColumn(
         "__b",
         F.floor((rn - F.lit(1)) * F.lit(n_batches) / F.lit(n)).cast("int"),
-    )
-    pdf = tagged.toPandas()
-    base_mtime = None
-    for i in range(n_batches):
-        part = pdf[pdf["__b"] == i].drop(columns="__b")
-        path = os.path.join(directory, f"batch_{i:03d}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
-        # FileStreamSource orders by mtime with UNSPECIFIED tie order at
-        # its (ms) resolution — sub-ms consecutive writes could replay
-        # batches out of order. Pin strictly increasing mtimes (1 s
-        # apart) explicitly instead of trusting write latency.
-        if base_mtime is None:
-            base_mtime = os.stat(path).st_mtime
-        os.utime(path, (base_mtime + i, base_mtime + i))
+    ).persist()  # n_batches filters below must not re-run the sort
+    try:
+        base_mtime = None
+        for i in range(n_batches):
+            stage = os.path.join(directory, f"__stage_{i}")
+            (
+                tagged.filter(F.col("__b") == i)
+                .drop("__b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            path = os.path.join(directory, f"batch_{i:03d}.parquet")
+            shutil.move(part, path)
+            shutil.rmtree(stage)
+            # FileStreamSource orders by mtime with UNSPECIFIED tie
+            # order at its (ms) resolution — sub-ms consecutive writes
+            # could replay batches out of order. Pin strictly increasing
+            # mtimes (1 s apart) explicitly instead of trusting write
+            # latency.
+            if base_mtime is None:
+                base_mtime = os.stat(path).st_mtime
+            os.utime(path, (base_mtime + i, base_mtime + i))
+    finally:
+        tagged.unpersist()

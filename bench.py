@@ -115,6 +115,13 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
     }
+    # Durable copy FIRST: BENCH_r06's stdout line was tail-truncated by
+    # the driver, leaving the artifact unparseable — the on-disk file is
+    # the always-parseable record regardless of stdout fate.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.json"), "w") as f:
+        json.dump(out, f)
+        f.write("\n")
     print(json.dumps(out))
     spark.stop()
 
