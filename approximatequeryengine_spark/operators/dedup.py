@@ -1110,6 +1110,46 @@ def simhash_hamming_pairs(
     ``SIMHASH_WIDE_BITS``; widening further (e.g. 120-bit signatures,
     30-bit blocks) keeps the same construction with only the two
     constants moving."""
+    sig_pairs, per = _simhash_sig_pairs(docs, k)
+    # Expand signature pairs back to document pairs. Intra-group pairs
+    # (identical signature, hamming 0) come from ONE sh-key self-join;
+    # inter-group pairs fan each qualifying signature pair out to its
+    # groups' cross product. Both expansions are OUTPUT-bound — no
+    # verification work rides them.
+    a = per.select(F.col("sh").alias("sha"), F.col("doc_id").alias("da"))
+    b = per.select(F.col("sh").alias("shb"), F.col("doc_id").alias("db"))
+    intra = (
+        a.join(b, (F.col("sha") == F.col("shb")) & (F.col("da") < F.col("db")))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    inter = (
+        sig_pairs.join(a, "sha")
+        .join(b, "shb")
+        .select(
+            F.least(F.col("da"), F.col("db")).alias("doc_a"),
+            F.greatest(F.col("da"), F.col("db")).alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+    return intra.unionAll(inter)
+
+
+def _simhash_sig_pairs(docs: DataFrame, k: int):
+    """Pigeonhole search over DISTINCT signatures: returns
+    (sig_pairs, per) where ``per`` is (doc_id, sh) and ``sig_pairs`` is
+    (sha, shb, hamming) with sha < shb, 1 ≤ hamming ≤ k.
+
+    Joining distinct signatures instead of documents is the dup-dense
+    defense (the lesson the sf10 100-replica corpus taught MinHash,
+    round 6): a clique of identical documents collapses to ONE
+    signature before any pairwise work, so candidate volume scales
+    with distinct CONTENT (n_sig²/2^width per block), not corpus size
+    — the round-7 sf10 sweep measured the doc-level join exceeding a
+    2400 s timeout where this shape completes in ~2 min."""
     nb = k + 1
     if SIMHASH_WIDE_BITS % nb:
         raise ValueError(
@@ -1122,8 +1162,8 @@ def simhash_hamming_pairs(
     # between ~linear and ~n²/256 candidate growth (measured 401 s at
     # sf1 on the 8-bit blocks; see simhash_wide_sig).
     per = simhash_wide_sig(docs)
-    blocks = per.select(
-        "doc_id",
+    sigs = per.select("sh").distinct()
+    blocks = sigs.select(
         "sh",
         F.explode(
             F.array(
@@ -1138,27 +1178,22 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.blk").alias("blk"), F.col("bk.bv").alias("bv"))
-    cand = (
+    ).select("sh", F.col("bk.blk").alias("blk"), F.col("bk.bv").alias("bv"))
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
+    sig_pairs = (
         blocks.alias("a")
         .join(
             blocks.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.sh") < F.col("b.sh")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
+        .select(F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
         .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= k)
     )
-    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= k
-    )
+    return sig_pairs, per
 
 
 def simhash_hamming_pairs_sql(k: int = 3) -> str:
@@ -1183,16 +1218,31 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {k}
 def simhash_hamming_stats(
     spark: SparkSession, docs: DataFrame, k: int = 3
 ) -> DataFrame:
-    """Bounded readout over :func:`simhash_hamming_pairs`: pair counts
-    per hamming distance (≤ k+1 rows however large the corpus) — the
-    shape to certify at scale, where the raw pair set itself is the
+    """Bounded readout over the simhash pair search: pair counts per
+    hamming distance (≤ k+1 rows however large the corpus) — the shape
+    to certify at scale, where the raw pair set itself is the
     quadratic-ish object (15k pairs already at sf0.01 on this
-    template-generated fixture corpus)."""
-    return (
-        simhash_hamming_pairs(spark, docs, k=k)
+    template-generated fixture corpus).
+
+    Counted WITHOUT enumerating pairs (round 7): hamming-0 pairs are
+    Σ C(n_sig, 2) over signature-group sizes, and each inter-group
+    signature pair contributes n_a·n_b — so the plan is one group-size
+    aggregate plus the distinct-signature pigeonhole search, with
+    NOTHING proportional to the pair count materialized. Same rows as
+    counting :func:`simhash_hamming_pairs` (pinned in tests)."""
+    sig_pairs, per = _simhash_sig_pairs(docs, k)
+    counts = per.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
+    intra = counts.agg(
+        F.lit(0).cast("long").alias("hamming"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+    ).filter(F.col("n_pairs") > 0)
+    inter = (
+        sig_pairs.join(counts.select(F.col("sh").alias("sha"), F.col("n").alias("na")), "sha")
+        .join(counts.select(F.col("sh").alias("shb"), F.col("n").alias("nb")), "shb")
         .groupBy("hamming")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("n_pairs"))
     )
+    return intra.unionAll(inter)
 
 
 def simhash_hamming_stats_sql(k: int = 3) -> str:

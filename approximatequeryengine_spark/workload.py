@@ -537,19 +537,30 @@ _sql_query(
 # a per-row subquery. Top-20 plans as TakeOrderedAndProject.
 _sql_query(
     "tpch_q21_suppliers_kept_waiting",
+    # Round-7 plan rewrite (equivalence DuckDB-verified at sf0.01 and
+    # sf0.1 against the literal EXISTS/NOT-EXISTS form): the two
+    # correlated subqueries each cost a lineitem shuffle (semi + anti
+    # join on l_orderkey); ONE per-order aggregate carries both facts —
+    # "another supplier exists" ⟺ nsupp ≥ 2, "no OTHER supplier was
+    # late" ⟺ the order's late-supplier set is exactly {l1's} ⟺
+    # nlate = 1 given l1 itself is late. Three lineitem scans + two
+    # semi/anti shuffles become one scan + one orderkey aggregate +
+    # one orderkey join — at 100 TB this halves the fact traffic of
+    # the heaviest TPC-H adaptation.
+    "WITH lo AS ("
+    "  SELECT l_orderkey, l_suppkey, "
+    "         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late "
+    "  FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+    "  WHERE o_orderstatus = 'F'), "
+    "agg AS ("
+    "  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp, "
+    "         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate "
+    "  FROM lo GROUP BY l_orderkey) "
     "SELECT s_name, count(*) AS numwait "
-    "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
-    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "FROM lo JOIN agg ON lo.l_orderkey = agg.l_orderkey "
+    "JOIN supplier ON s_suppkey = lo.l_suppkey "
     "JOIN nation ON s_nationkey = n_nationkey "
-    "WHERE o_orderstatus = 'F' AND n_name = 'NATION_3' "
-    "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
-    "AND EXISTS (SELECT 1 FROM lineitem l2 "
-    "  WHERE l2.l_orderkey = l1.l_orderkey "
-    "  AND l2.l_suppkey <> l1.l_suppkey) "
-    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
-    "  WHERE l3.l_orderkey = l1.l_orderkey "
-    "  AND l3.l_suppkey <> l1.l_suppkey "
-    "  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "WHERE late AND nsupp >= 2 AND nlate = 1 AND n_name = 'NATION_3' "
     "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
 )
 # SURVEY §2.5 beyond-reference — Gini coefficient of per-customer
