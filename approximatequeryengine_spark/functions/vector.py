@@ -25,4 +25,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # Zero-norm guard: a zero vector has no direction — its cosine is
+    # NULL, which no >= threshold predicate passes, matching DuckDB
+    # (NULL on x/0) while Spark's ANSI mode would RAISE on the 0/0.
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != F.lit(0.0), dot(a, b) / denom)

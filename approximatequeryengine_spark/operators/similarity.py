@@ -1827,41 +1827,67 @@ def semantic_dedup_cells(
         n_chunks = 4
         while n_cells * n_chunks * (n_chunks + 1) // 2 < 4 * par:
             n_chunks += 1
-    assigned = _ivf_assign(emb, n_cells).withColumn(
-        "chunk", F.pmod(portable_hash_col(F.col("vec_id"), salt=7), F.lit(n_chunks)).cast("int")
+    assigned = _ivf_assign(emb, n_cells)
+    # Replica collapse (round 7 — the simhash lesson applied here): the
+    # pairwise step runs over DISTINCT vectors per cell, not rows.
+    # Bit-identical vectors share every cosine, so a group of n copies
+    # behaves as one point: (a) if a LOWER-gid similar group exists in
+    # the cell, all n drop; (b) else the group min survives and the
+    # other n−1 drop iff the group is self-similar (cos(v,v) ≥ t —
+    # computed, not assumed: a zero vector's NaN cosine keeps its
+    # copies, exactly as the row-level rule would). On the 100-replica
+    # sf10 corpus (200k rows, 2k distinct) this is 10,000× less
+    # quadratic work; on all-distinct corpora it is one extra groupBy.
+    # Row-level-rule equivalence is test-pinned.
+    groups = assigned.groupBy("cluster", "v").agg(
+        F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gn")
+    ).withColumn(
+        "chunk", F.pmod(portable_hash_col(F.col("gid"), salt=7), F.lit(n_chunks)).cast("int")
     )
     n_part = max(spark.sparkContext.defaultParallelism,
                  min(n_cells * n_chunks * (n_chunks + 1) // 2, 4096))
     # a-side: chunk ca joins every cb >= ca; b-side mirrors with cb's
     # row emitting every ca <= cb — each cross-chunk pair meets exactly
     # once, diagonal (ca == cb) pairs meet twice and are folded by the
-    # DISTINCT below. greatest() orients the drop to the higher id, so
+    # DISTINCT below. greatest() orients the drop to the higher gid, so
     # keep-min semantics are identical to the unchunked join.
-    a = assigned.select(
-        F.col("cluster"), F.col("chunk").alias("ca"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    a = groups.select(
+        F.col("cluster"), F.col("chunk").alias("ca"), F.col("gid").alias("id_a"), F.col("v").alias("va")
     ).withColumn("cb", F.explode(F.sequence(F.col("ca"), F.lit(n_chunks - 1))))
-    b = assigned.select(
-        F.col("cluster"), F.col("chunk").alias("cb"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    b = groups.select(
+        F.col("cluster"), F.col("chunk").alias("cb"), F.col("gid").alias("id_b"), F.col("v").alias("vb")
     ).withColumn("ca", F.explode(F.sequence(F.lit(0), F.col("cb"))))
-    dropped = (
+    dominated = (
         a.repartition(n_part, "cluster", "ca", "cb")
         .join(b.repartition(n_part, "cluster", "ca", "cb"), on=["cluster", "ca", "cb"])
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(cosine_sim(F.col("va"), F.col("vb")) >= F.lit(threshold))
-        .select("cluster", F.greatest("id_a", "id_b").alias("vec_id"))
+        .select("cluster", F.greatest("id_a", "id_b").alias("gid"))
         .distinct()
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+        .withColumn("dom", F.lit(True))
+    )
+    per_group = groups.join(dominated, on=["cluster", "gid"], how="left").select(
+        "cluster",
+        F.when(F.col("dom").isNotNull(), F.col("gn"))
+        .when(
+            cosine_sim(F.col("v"), F.col("v")) >= F.lit(threshold),
+            F.col("gn") - 1,
+        )
+        .otherwise(F.lit(0))
+        .alias("g_dropped"),
+        F.col("gn"),
     )
     return (
-        assigned.groupBy("cluster")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .join(dropped, on="cluster", how="left")
+        per_group.groupBy("cluster")
+        .agg(
+            F.sum("gn").cast("long").alias("n_docs"),
+            F.sum("g_dropped").cast("long").alias("n_dropped"),
+        )
         .select(
             "cluster",
             "n_docs",
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-            (F.col("n_docs") - F.coalesce("n_dropped", F.lit(0))).cast("long").alias("n_kept"),
+            "n_dropped",
+            (F.col("n_docs") - F.col("n_dropped")).cast("long").alias("n_kept"),
         )
     )
 

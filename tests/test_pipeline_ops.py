@@ -1630,6 +1630,64 @@ def test_semantic_dedup_keep_min_semantics(spark):
     assert all(r["n_docs"] == r["n_dropped"] + r["n_kept"] for r in out)
 
 
+def test_semantic_dedup_replica_collapse_matches_row_rule(spark):
+    """Round-7 replica collapse: the pairwise step runs over DISTINCT
+    vectors per cell, and a group of n bit-identical copies expands
+    arithmetically (dominated → n drop; else self-similar → n−1; zero
+    vector → NaN self-cosine → copies all survive). Must equal a
+    Python brute force of the row-level keep-min rule, including the
+    zero-vector group the collapse could silently get wrong."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    other = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    # 4 exact copies of `base` (ids 0-3), 3 exact copies of a scaled
+    # base (cos = 1 with base; ids 10-12), 2 copies of an independent
+    # vector (ids 20-21), and 3 zero vectors (ids 30-32).
+    for vid in range(4):
+        rows.append((vid, [float(x) for x in base]))
+    for vid in (10, 11, 12):
+        rows.append((vid, [float(2.0 * x) for x in base]))
+    for vid in (20, 21):
+        rows.append((vid, [float(x) for x in other]))
+    for vid in (30, 31, 32):
+        rows.append((vid, [0.0] * dim))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup_cells(
+        spark, emb, threshold=0.9, n_cells=2
+    ).collect()
+
+    # Python brute force of the row-level rule over the same cells.
+    from approximatequeryengine_spark.operators.similarity import _ivf_assign
+
+    cells = {
+        r["vec_id"]: (r["cluster"], r["v"])
+        for r in _ivf_assign(emb, 2).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na * nb else float("nan")
+
+    dropped = 0
+    for vid, (cl, v) in cells.items():
+        if any(
+            o_vid < vid and o_cl == cl and cos(ov, v) >= 0.9
+            for o_vid, (o_cl, ov) in cells.items()
+        ):
+            dropped += 1
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert sum(r["n_dropped"] for r in out) == dropped
+    # the zero-vector copies must all be kept (NaN cosine never >= t)
+    assert dropped <= len(rows) - 3 - 2  # 3 zeros + >=2 group minima
+
+
 def test_semdedup_scaled_bits_ladder():
     """Integer cells∝corpus rule: smallest power-of-two grid holding
     ~SEMDEDUP_TARGET_CELL vectors per cell, clamped to [2^4, 2^10] —
