@@ -107,15 +107,27 @@ def test_q8_seven_way_join_all_broadcast(spark):
     assert "GreaterThanOrEqual(o_orderdate" in pushed
 
 
-def test_q21_exists_pair_plans_semi_and_anti(spark):
-    """Q21 suppliers-kept-waiting: the EXISTS/NOT-EXISTS pair must plan
-    as one left-semi + one left-anti hash join on l_orderkey (never a
-    per-row subquery), and the top-20 as TakeOrderedAndProject."""
+def test_q21_aggregate_rewrite_plan(spark):
+    """Q21 suppliers-kept-waiting (round-7 rewrite): the EXISTS/
+    NOT-EXISTS pair is folded into ONE per-order aggregate, so the plan
+    must contain NO semi/anti joins and exactly one lineitem scan (the
+    lo CTE is reused for both the aggregate and the probe side), with
+    the top-20 as TakeOrderedAndProject."""
     plan = _plan(spark, "tpch_q21_suppliers_kept_waiting")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_approx_sql_rewrite_plan(spark):
+    """The APPROX-over-SQL rewrite: the hash-sample predicate must land
+    inside the fact scan's stage (a Filter over the lineitem scan, not a
+    post-join filter), all three dims broadcast, and one aggregate
+    exchange."""
+    plan = _plan(spark, "approx_sql_join_revenue")
+    assert len(re.findall(r"\n\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_twostage_predicates_fused_into_one_scan(spark):
