@@ -636,21 +636,41 @@ class AQEngine:
                 rdf, agg, spec, method, TS_F1 * TS_F2, t0, confidence=confidence
             )
         elif minfo.get("poststrat"):
-            from approximatequeryengine_spark.plans.poststrat import poststrat_sum_ci
+            from approximatequeryengine_spark.plans.poststrat import (
+                poststrat_grouped_sum_ci,
+                poststrat_sum_ci,
+            )
 
-            if spec.agg != "SUM" or spec.group_by:
+            if spec.agg != "SUM":
                 raise ValueError(
-                    "method='poststrat' supports a global SUM only (the "
-                    "strata come from stratum_col=, not GROUP BY)"
+                    "method='poststrat' supports SUM only (global or one "
+                    "GROUP BY column; the strata come from stratum_col=)"
                 )
             if not stratum_col:
                 raise ValueError(
                     "method='poststrat' needs stratum_col=<column> — the "
                     "column whose exact counts re-weight the sample"
                 )
-            rdf = poststrat_sum_ci(
-                self._base_df(spec), spec.column, stratum_col, s_spec, z=z
-            )
+            if spec.group_by:
+                if spec.group_by == stratum_col:
+                    raise ValueError(
+                        "method='poststrat': GROUP BY column and "
+                        "stratum_col= must differ (stratifying on the "
+                        "output group is a no-op — the exact per-group "
+                        "counts already condition on it)"
+                    )
+                rdf = poststrat_grouped_sum_ci(
+                    self._base_df(spec),
+                    spec.column,
+                    spec.group_by,
+                    stratum_col,
+                    s_spec,
+                    z=z,
+                )
+            else:
+                rdf = poststrat_sum_ci(
+                    self._base_df(spec), spec.column, stratum_col, s_spec, z=z
+                )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("regaux"):

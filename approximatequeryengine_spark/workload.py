@@ -4718,6 +4718,49 @@ def _poststrat_oracle() -> str:
 _register("approx_sum_poststratified", _poststrat_fn, _poststrat_oracle())
 
 
+def _poststrat_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: the GROUPED post-stratified SUM — revenue per
+    linestatus, each group's sample re-weighted by exact
+    (linestatus, returnflag) cell counts (plans/poststrat.py::
+    poststrat_grouped_sum_ci). Reachable from SQL as
+    ``APPROX(SUM(x)) ... GROUP BY g`` with method='poststrat' +
+    stratum_col=."""
+    from approximatequeryengine_spark.plans.poststrat import (
+        poststrat_grouped_sum_ci,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return poststrat_grouped_sum_ci(
+        cat.table("lineitem"),
+        "l_extendedprice",
+        "l_linestatus",
+        "l_returnflag",
+        spec,
+    ).orderBy("l_linestatus")
+
+
+def _poststrat_grouped_oracle() -> str:
+    from approximatequeryengine_spark.plans.poststrat import (
+        poststrat_grouped_sum_ci_sql,
+    )
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return (
+        poststrat_grouped_sum_ci_sql(
+            "lineitem", "l_extendedprice", "l_linestatus", "l_returnflag", spec
+        )
+        + " ORDER BY l_linestatus"
+    )
+
+
+_register(
+    "approx_grouped_sum_poststratified",
+    _poststrat_grouped_fn,
+    _poststrat_grouped_oracle(),
+)
+
+
 def _image_ahash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup clustering by perceptual average-hash
     (operators/multimodal.py::image_ahash_clusters): real PNG encode →
@@ -5161,6 +5204,7 @@ _CERTIFY_FIRST = [
     "tpch_q20_potential_part_promotion",
     "approx_sql_join_revenue",
     "dedup_minhash_auto_pairs",
+    "approx_grouped_sum_poststratified",
     # --- tier 4: stale refresh (oldest driver rows; the first two
     # carry this round's kernel changes and need a fresh row) ---
     "corpus_clean_pipeline",

@@ -123,3 +123,66 @@ def test_null_stratum_is_a_real_stratum(spark):
     want = con.execute(poststrat_sum_ci_sql("t", "x", "g", spec)).fetchone()
     got = tuple(row)
     assert got == want
+
+
+def test_grouped_poststrat_matches_oracle_and_sums_to_cells(spark, lineitem, duck):
+    """Grouped form: oracle parity, and each group's estimate must equal
+    the global estimator run on that group's rows alone (the grouped
+    math IS the global math applied within each group)."""
+    from approximatequeryengine_spark.plans.poststrat import (
+        poststrat_grouped_sum_ci,
+        poststrat_grouped_sum_ci_sql,
+    )
+
+    from .conftest import assert_df_matches_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.2, key=_LKEY)
+    out = poststrat_grouped_sum_ci(
+        lineitem, "l_extendedprice", "l_linestatus", "l_returnflag", spec
+    )
+    assert_df_matches_sql(
+        out,
+        duck,
+        poststrat_grouped_sum_ci_sql(
+            "lineitem", "l_extendedprice", "l_linestatus", "l_returnflag", spec
+        ),
+    )
+    rows = {r["l_linestatus"]: r for r in out.collect()}
+    for status, row in rows.items():
+        alone = poststrat_sum_ci(
+            lineitem.filter(F.col("l_linestatus") == status),
+            "l_extendedprice",
+            "l_returnflag",
+            spec,
+        ).collect()[0]
+        assert row["estimate"] == alone["estimate"]
+        assert row["ci_lower"] == alone["ci_lower"]
+        assert row["ci_upper"] == alone["ci_upper"]
+        assert row["n_samples"] == alone["n_samples"]
+
+
+def test_grouped_poststrat_engine_sql_surface(engine):
+    """method='poststrat' + GROUP BY routes to the grouped estimator;
+    stratum == group raises; stratum still required."""
+    res = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
+        "GROUP BY l_linestatus",
+        method="poststrat",
+        stratum_col="l_returnflag",
+    )
+    rows = res.df.collect()
+    assert len(rows) >= 1
+    assert all(r["ci_lower"] <= r["ci_upper"] for r in rows)
+    with pytest.raises(ValueError, match="must differ"):
+        engine.run(
+            "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
+            "GROUP BY l_returnflag",
+            method="poststrat",
+            stratum_col="l_returnflag",
+        )
+    with pytest.raises(ValueError, match="stratum_col"):
+        engine.run(
+            "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
+            "GROUP BY l_linestatus",
+            method="poststrat",
+        )
