@@ -674,21 +674,35 @@ class AQEngine:
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("regaux"):
-            from approximatequeryengine_spark.plans.regression import regaux_sum_ci
+            from approximatequeryengine_spark.plans.regression import (
+                regaux_grouped_sum_ci,
+                regaux_sum_ci,
+            )
 
-            if spec.agg != "SUM" or spec.group_by:
+            if spec.agg != "SUM":
                 raise ValueError(
-                    "method='regaux' supports a global SUM only; use the "
-                    "closed-form methods for AVG/COUNT/GROUP BY"
+                    "method='regaux' supports SUM only (global or one "
+                    "GROUP BY column); use the closed-form methods for "
+                    "AVG/COUNT"
                 )
             if not aux_column:
                 raise ValueError(
                     "method='regaux' needs aux_column=<column/expression> — "
                     "the auxiliary whose exact total calibrates the sample"
                 )
-            rdf = regaux_sum_ci(
-                self._base_df(spec), spec.column, aux_column, s_spec, z=z
-            )
+            if spec.group_by:
+                rdf = regaux_grouped_sum_ci(
+                    self._base_df(spec),
+                    spec.column,
+                    spec.group_by,
+                    aux_column,
+                    s_spec,
+                    z=z,
+                )
+            else:
+                rdf = regaux_sum_ci(
+                    self._base_df(spec), spec.column, aux_column, s_spec, z=z
+                )
             rdf = rdf.withColumnRenamed("estimate", AggSpec("sum", spec.column).name())
             res = self._finalize(rdf, agg, spec, method, fraction, t0, confidence=confidence)
         elif minfo.get("pps"):

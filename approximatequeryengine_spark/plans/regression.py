@@ -126,6 +126,170 @@ def regaux_sum_ci(
     )
 
 
+def regaux_grouped_sum_ci(
+    df: DataFrame,
+    column: str,
+    group_by: str,
+    aux_column: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> DataFrame:
+    """Grouped regression-estimated SUM: one row per ``group_by`` value
+    — the per-group twin of :func:`regaux_sum_ci`, fitting a SEPARATE
+    slope per group against that group's exact auxiliary total (both
+    from one grouped scan each; a group with a weak or degenerate
+    auxiliary falls back to plain expansion independently, flagged in
+    its own ``method`` cell). Every population group appears; a group
+    the sample missed reads a zero estimate with n_samples = 0."""
+    y = cents_col(F.expr(column))
+    x = cents_col(F.expr(aux_column))
+    pop = df.groupBy(F.col(group_by).alias("q")).agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(x.cast(_DEC)).alias("tx"),
+    )
+    smp = (
+        apply_sampling(df, spec)
+        .groupBy(F.col(group_by).alias("q2"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast(_DEC)).alias("sy"),
+            F.sum(x.cast(_DEC)).alias("sx"),
+            F.sum(y.cast(_DEC) * x.cast(_DEC)).alias("sxy"),
+            F.sum(x.cast(_DEC) * x.cast(_DEC)).alias("sxx"),
+            F.sum(y.cast(_DEC) * y.cast(_DEC)).alias("syy"),
+        )
+    )
+    m = pop.join(smp, pop["q"].eqNullSafe(smp["q2"]), "left").select(
+        "q",
+        "n_pop",
+        "tx",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast(_DEC)).alias(c)
+            for c in ("sy", "sx", "sxy", "sxx", "syy")
+        ],
+    )
+    n = F.col("n").cast("double")
+    npop = F.col("n_pop").cast("double")
+    sxy_n = (F.col("n").cast(_DEC) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    sxx_n = (F.col("n").cast(_DEC) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    syy_n = (F.col("n").cast(_DEC) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    ok = (F.col("n") >= 3) & (sxx_n > 0)
+    b = F.when(ok, sxy_n / sxx_n).otherwise(F.lit(0.0))
+    ybar = F.when(F.col("n") > 0, F.col("sy").cast("double") / n).otherwise(F.lit(0.0))
+    xbar = F.when(F.col("n") > 0, F.col("sx").cast("double") / n).otherwise(F.lit(0.0))
+    xbar_pop = F.when(
+        F.col("n_pop") > 0, F.col("tx").cast("double") / npop
+    ).otherwise(F.lit(0.0))
+    t_hat = npop * (ybar + b * (xbar_pop - xbar))
+    s2e = (
+        F.when(ok, (syy_n / n - b * (sxy_n / n)) / (n - F.lit(2.0)))
+        .when(F.col("n") >= 2, (syy_n / n) / (n - F.lit(1.0)))
+        .otherwise(F.lit(0.0))
+    )
+    f_real = F.when(F.col("n_pop") > 0, n / npop).otherwise(F.lit(0.0))
+    v = F.when(
+        F.col("n") > 0,
+        npop * npop * (F.lit(1.0) - f_real) * F.greatest(s2e, F.lit(0.0)) / n,
+    ).otherwise(F.lit(0.0))
+    est = t_hat / F.lit(100.0)
+    margin = F.lit(z) * F.sqrt(v) / F.lit(100.0)
+    return m.select(
+        F.col("q").alias(group_by),
+        F.round(est, round_to).alias("estimate"),
+        F.round(est - margin, round_to).alias("ci_lower"),
+        F.round(est + margin, round_to).alias("ci_upper"),
+        F.col("n").cast("long").alias("n_samples"),
+        F.round(b, 6).alias("slope"),
+        F.when(ok, F.lit("regression"))
+        .otherwise(F.lit("expansion_fallback"))
+        .alias("method"),
+    )
+
+
+def regaux_grouped_sum_ci_sql(
+    table: str,
+    column: str,
+    group_by: str,
+    aux_column: str,
+    spec: SamplingSpec,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`regaux_grouped_sum_ci` — identical
+    per-group moments, numerators, and scalar chain."""
+    where = sampling_where_sql(spec)
+    y = f"CAST(floor(CAST({column} AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+    x = f"CAST(floor(CAST({aux_column} AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+    return f"""
+WITH pop AS (
+  SELECT {group_by} AS q, count(*) AS n_pop, sum({x}) AS tx
+  FROM {table} GROUP BY 1
+),
+smp AS (
+  SELECT {group_by} AS q, count(*) AS n,
+         sum({y}) AS sy, sum({x}) AS sx,
+         sum(CAST({y} AS HUGEINT) * {x}) AS sxy,
+         sum(CAST({x} AS HUGEINT) * {x}) AS sxx,
+         sum(CAST({y} AS HUGEINT) * {y}) AS syy
+  FROM {table} WHERE {where} GROUP BY 1
+),
+m AS (
+  SELECT p.q, p.n_pop, p.tx,
+         coalesce(s.n, 0) AS n,
+         coalesce(s.sy, 0) AS sy, coalesce(s.sx, 0) AS sx,
+         coalesce(s.sxy, 0) AS sxy, coalesce(s.sxx, 0) AS sxx,
+         coalesce(s.syy, 0) AS syy
+  FROM pop p LEFT JOIN smp s ON p.q IS NOT DISTINCT FROM s.q
+),
+calc AS (
+  SELECT q, n, n_pop,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS sxy_n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS sxx_n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS syy_n,
+         CASE WHEN n > 0 THEN CAST(sy AS DOUBLE) / n ELSE 0.0 END AS ybar,
+         CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / n ELSE 0.0 END AS xbar,
+         CASE WHEN n_pop > 0 THEN CAST(tx AS DOUBLE) / n_pop ELSE 0.0 END AS xbar_pop,
+         (n >= 3 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0) AS ok
+  FROM m
+),
+est AS (
+  SELECT q, n, ok,
+         CASE WHEN ok THEN sxy_n / sxx_n ELSE 0.0 END AS b,
+         CAST(n_pop AS DOUBLE)
+           * (ybar + (CASE WHEN ok THEN sxy_n / sxx_n ELSE 0.0 END)
+              * (xbar_pop - xbar)) AS t_hat,
+         CASE WHEN ok
+              THEN (syy_n / n
+                    - (sxy_n / sxx_n) * (sxy_n / n)) / (n - 2.0)
+              WHEN n >= 2 THEN (syy_n / n) / (n - 1.0)
+              ELSE 0.0 END AS s2e,
+         CASE WHEN n_pop > 0 THEN CAST(n AS DOUBLE) / n_pop ELSE 0.0 END AS f_real,
+         CAST(n_pop AS DOUBLE) AS npop
+  FROM calc
+)
+SELECT q AS {group_by},
+       round(t_hat / 100.0, {round_to}) AS estimate,
+       round(t_hat / 100.0
+             - {z!r} * (CASE WHEN n > 0
+                             THEN sqrt(npop * npop * (1.0 - f_real)
+                                       * greatest(s2e, 0.0) / n)
+                             ELSE 0.0 END) / 100.0,
+             {round_to}) AS ci_lower,
+       round(t_hat / 100.0
+             + {z!r} * (CASE WHEN n > 0
+                             THEN sqrt(npop * npop * (1.0 - f_real)
+                                       * greatest(s2e, 0.0) / n)
+                             ELSE 0.0 END) / 100.0,
+             {round_to}) AS ci_upper,
+       CAST(n AS BIGINT) AS n_samples,
+       round(b, 6) AS slope,
+       CASE WHEN ok THEN 'regression' ELSE 'expansion_fallback' END AS method
+FROM est
+"""
+
+
 def regaux_sum_ci_sql(
     table: str,
     column: str,

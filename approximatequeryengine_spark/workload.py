@@ -4844,6 +4844,50 @@ def _regaux_oracle() -> str:
 _register("approx_sum_regaux", _regaux_fn, _regaux_oracle())
 
 
+def _regaux_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7: GROUPED regression estimator — revenue per returnflag,
+    a separate slope per group against each group's exact auxiliary
+    total (plans/regression.py::regaux_grouped_sum_ci). Reachable from
+    SQL as ``APPROX(SUM(x)) ... GROUP BY g`` with method='regaux' +
+    aux_column=."""
+    from approximatequeryengine_spark.plans.regression import (
+        regaux_grouped_sum_ci,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return regaux_grouped_sum_ci(
+        cat.table("lineitem"),
+        "l_extendedprice * (1 - l_discount)",
+        "l_returnflag",
+        "l_extendedprice",
+        spec,
+    ).orderBy("l_returnflag")
+
+
+def _regaux_grouped_oracle() -> str:
+    from approximatequeryengine_spark.plans.regression import (
+        regaux_grouped_sum_ci_sql,
+    )
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.10, key=_LKEY)
+    return (
+        regaux_grouped_sum_ci_sql(
+            "lineitem",
+            "l_extendedprice * (1 - l_discount)",
+            "l_returnflag",
+            "l_extendedprice",
+            spec,
+        )
+        + " ORDER BY l_returnflag"
+    )
+
+
+_register(
+    "approx_grouped_sum_regaux", _regaux_grouped_fn, _regaux_grouped_oracle()
+)
+
+
 def _emb_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift monitor
     (operators/profiling.py::embedding_drift_by_label): cosine between
@@ -5205,6 +5249,7 @@ _CERTIFY_FIRST = [
     "approx_sql_join_revenue",
     "dedup_minhash_auto_pairs",
     "approx_grouped_sum_poststratified",
+    "approx_grouped_sum_regaux",
     # --- tier 4: stale refresh (oldest driver rows; the first two
     # carry this round's kernel changes and need a fresh row) ---
     "corpus_clean_pipeline",

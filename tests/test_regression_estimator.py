@@ -83,3 +83,59 @@ def test_empty_table_returns_zero_row(spark):
     assert row["n_samples"] == 0
     assert row["estimate"] == row["ci_lower"] == row["ci_upper"] == 0.0
     assert row["method"] == "expansion_fallback"
+
+
+def test_grouped_regaux_matches_oracle_and_per_group_global(spark, lineitem, duck):
+    """Grouped form: oracle parity, and each group's row must equal the
+    global estimator run on that group's rows alone (separate slope,
+    separate fallback decision per group)."""
+    from approximatequeryengine_spark.plans.regression import (
+        regaux_grouped_sum_ci,
+        regaux_grouped_sum_ci_sql,
+    )
+
+    from .conftest import assert_df_matches_sql
+
+    spec = SamplingSpec(design="uniform_hash", fraction=0.2, key=_LKEY)
+    out = regaux_grouped_sum_ci(
+        lineitem, REVENUE, "l_returnflag", "l_extendedprice", spec
+    )
+    assert_df_matches_sql(
+        out,
+        duck,
+        regaux_grouped_sum_ci_sql(
+            "lineitem", REVENUE, "l_returnflag", "l_extendedprice", spec
+        ),
+    )
+    for row in out.collect():
+        alone = regaux_sum_ci(
+            lineitem.filter(F.col("l_returnflag") == row["l_returnflag"]),
+            REVENUE,
+            "l_extendedprice",
+            spec,
+        ).collect()[0]
+        assert row["estimate"] == alone["estimate"]
+        assert row["ci_lower"] == alone["ci_lower"]
+        assert row["ci_upper"] == alone["ci_upper"]
+        assert row["slope"] == alone["slope"]
+        assert row["method"] == alone["method"]
+
+
+def test_grouped_regaux_engine_sql_surface(engine):
+    """method='regaux' + GROUP BY routes to the grouped estimator and
+    still requires aux_column."""
+    res = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
+        "GROUP BY l_returnflag",
+        method="regaux",
+        aux_column="l_quantity",
+    )
+    rows = res.df.collect()
+    assert len(rows) == 3
+    assert all(r["ci_lower"] <= r["ci_upper"] for r in rows)
+    with pytest.raises(ValueError, match="aux_column"):
+        engine.run(
+            "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
+            "GROUP BY l_returnflag",
+            method="regaux",
+        )
