@@ -601,10 +601,18 @@ def test_method_poststrat_sum(engine, duck):
             "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem",
             method="poststrat",
         )
-    with _pytest.raises(ValueError, match="global SUM only"):
+    # GROUP BY is supported since round 7 — but stratifying on the
+    # output group itself is a no-op and must be rejected.
+    with _pytest.raises(ValueError, match="must differ"):
         engine.run(
             "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
             "GROUP BY l_returnflag",
+            method="poststrat",
+            stratum_col="l_returnflag",
+        )
+    with _pytest.raises(ValueError, match="SUM only"):
+        engine.run(
+            "SELECT APPROX(AVG(l_extendedprice)) FROM lineitem",
             method="poststrat",
             stratum_col="l_returnflag",
         )
