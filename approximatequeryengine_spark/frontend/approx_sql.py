@@ -107,17 +107,45 @@ _APPROX_ITEM = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_RATIO_ITEM = re.compile(
+    r"^APPROX\s*\(\s*SUM\s*\((.*)\)\s*/\s*SUM\s*\((.*)\)\s*\)\s+AS\s+(\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _balanced(expr: str) -> bool:
+    """Paren-balanced AND depth never dips negative — rejects captures
+    like ``a) / SUM(b`` whose open/close COUNTS happen to match."""
+    depth = 0
+    for c in expr:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
 
 def _parse_select_item(item: str):
-    """-> ('approx', agg, expr, alias) | ('plain', text)."""
-    m = _APPROX_ITEM.match(item.strip())
+    """-> ('approx', agg, expr, alias) | ('ratio', num, den, alias)
+    | ('plain', text)."""
+    it = item.strip()
+    # Ratio first: the single-aggregate regex would greedily mis-split
+    # APPROX(SUM(a) / SUM(b)) into expr = 'a) / SUM(b'.
+    m = _RATIO_ITEM.match(it)
+    if m:
+        num, den = m.group(1).strip(), m.group(2).strip()
+        if _balanced(num) and _balanced(den):
+            return ("ratio", num, den, m.group(3))
+    m = _APPROX_ITEM.match(it)
     if not m:
-        return ("plain", item.strip())
+        return ("plain", it)
     agg, expr, alias = m.group(1).upper(), m.group(2).strip(), m.group(3)
     # The regex is greedy across the two closing parens; verify the
     # captured expr is itself balanced (rejects APPROX(SUM(a)) + 1).
-    if expr.count("(") != expr.count(")"):
-        return ("plain", item.strip())
+    if not _balanced(expr):
+        return ("plain", it)
     return ("approx", agg, expr, alias)
 
 
@@ -135,8 +163,23 @@ def rewrite_approx_sql(
     deterministic hash sample (``catalog.TABLES`` for the fixtures).
     ``round_to`` rounds estimates and CI bounds (both engines).
     """
+    # Normalize the usual triple-quoted form: leading/trailing whitespace
+    # would otherwise break the SELECT-at-0 shape check below.
+    query = query.strip()
     if "APPROX" not in query.upper():
         return None
+    # Model-assisted estimator markers (STRATIFY BY / USING AUX) take a
+    # dedicated single-table template — they need the FULL table (exact
+    # counts / auxiliary total) alongside the sample, not the sampled-CTE
+    # substitution below.
+    marker = _extract_marker(query)
+    if marker is None:
+        return None
+    query, est_kind, est_arg = marker
+    if est_kind is not None:
+        return _rewrite_estimator_sql(
+            query, est_kind, est_arg, key_by_table, z=z, round_to=round_to
+        )
     ts = _TABLESAMPLE.search(query)
     if not ts:
         return None
@@ -168,12 +211,23 @@ def rewrite_approx_sql(
     tail = query[tail_at:].rstrip().rstrip(";")
 
     items = [_parse_select_item(i) for i in _split_commas(select_list)]
-    approxes = [i for i in items if i[0] == "approx"]
+    approxes = [i for i in items if i[0] in ("approx", "ratio")]
     if not approxes:
         return None
+    # A 'plain' item that still carries an APPROX( token is a marker the
+    # v1 shape can't rewrite (e.g. ``APPROX(SUM(x)) + 0 AS r``). Copying
+    # it verbatim would fail Spark analysis with an opaque
+    # undefined-function error — reject cleanly instead (the caller
+    # raises the guidance ValueError).
+    for it in items:
+        if it[0] == "plain" and re.search(r"\bAPPROX\s*\(", it[1], re.IGNORECASE):
+            return None
 
     p_sql = sampling_p_sql(spec)
-    inner_cols: list[str] = []
+    # Dedicated NULL-insensitive row count: n_0 is COUNT of the first
+    # aggregate's expression and undercounts sampled rows when that
+    # expression has NULLs while others do not.
+    inner_cols: list[str] = ["COUNT(1) AS n_rows"]
     outer_cols: list[str] = []
     for it in items:
         if it[0] == "plain":
@@ -182,7 +236,46 @@ def rewrite_approx_sql(
             alias = re.search(r"\bAS\s+(\w+)\s*$", it[1], re.IGNORECASE)
             outer_cols.append(alias.group(1) if alias else it[1])
     single = len(approxes) == 1
-    for k, (_, agg, expr, alias) in enumerate(approxes):
+    for k, it in enumerate(approxes):
+        if it[0] == "ratio":
+            # Ratio-of-sums R = Σa/Σb with the delta-method CI — the
+            # exact moment set of plans/estimators.py::ratio_estimate_ci,
+            # riding the SAME inner aggregate (joins and GROUP BY come
+            # for free). Margin NOT integer-rounded: a ratio is O(1),
+            # never on a decimal grid (ratio_estimate_ci convention).
+            _, num, den, alias = it
+            a = f"CAST({num} AS DOUBLE)"
+            bb = f"CAST({den} AS DOUBLE)"
+            inv2 = f"((1.0 - {p_sql}) / ({p_sql} * {p_sql}))"
+            inner_cols += [
+                f"SUM({a} / {p_sql}) AS ha_{k}",
+                f"SUM({bb} / {p_sql}) AS hb_{k}",
+                f"SUM({a}*{a}*{inv2}) AS va_{k}",
+                f"SUM({bb}*{bb}*{inv2}) AS vb_{k}",
+                f"SUM({a}*{bb}*{inv2}) AS cab_{k}",
+            ]
+            r_est = f"(ha_{k} / hb_{k})"
+            r_var = (
+                f"((va_{k} + {r_est}*{r_est}*vb_{k} - 2.0*{r_est}*cab_{k})"
+                f" / (hb_{k} * hb_{k}))"
+            )
+            r_margin = (
+                f"CASE WHEN n_rows >= 2 "
+                f"THEN {z!r} * sqrt(greatest({r_var}, 0.0)) ELSE 0.0 END"
+            )
+
+            def _rr(e: str) -> str:
+                return f"round({e}, {round_to})" if round_to is not None else e
+
+            lo = "ci_lower" if single else f"{alias}_lo"
+            hi = "ci_upper" if single else f"{alias}_hi"
+            outer_cols += [
+                f"{_rr(r_est)} AS {alias}",
+                f"{_rr(f'({r_est}) - ({r_margin})')} AS {lo}",
+                f"{_rr(f'({r_est}) + ({r_margin})')} AS {hi}",
+            ]
+            continue
+        _, agg, expr, alias = it
         x = "CAST(1 AS DOUBLE)" if expr.strip() == "*" else f"CAST({expr} AS DOUBLE)"
         inner_cols += [
             f"COUNT({x}) AS n_{k}",
@@ -224,10 +317,354 @@ def rewrite_approx_sql(
             f"{_r(f'({est}) - ({margin})')} AS {lo}",
             f"{_r(f'({est}) + ({margin})')} AS {hi}",
         ]
-    outer_cols.append("CAST(n_0 AS BIGINT) AS n_samples")
+    outer_cols.append("CAST(n_rows AS BIGINT) AS n_samples")
 
     inner = f"SELECT {', '.join(inner_cols)} {body}"
     out = f"SELECT {', '.join(outer_cols)} FROM ({inner}) __m"
     if tail:
         out = f"{out} {tail}"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Model-assisted estimators from plain SQL text (round 8): STRATIFY BY
+# routes to the post-stratified estimator (plans/poststrat.py), USING
+# AUX to the regression (auxiliary-total) estimator (plans/
+# regression.py). The rendered text is PORTABLE (Spark ∩ DuckDB) and
+# bit-deterministic: all sample moments are exact integers on the cents
+# grid (BIGINT sums; DECIMAL(18,0) products whose sums agree across
+# engines), every double step is the same textual expression over the
+# same exact operands, and cross-stratum folds are order-pinned by a
+# cumulative window (the poststrat_sum_ci_sql discipline).
+# ---------------------------------------------------------------------------
+
+_STRATIFY = re.compile(r"STRATIFY\s+BY\s+(\w+)", re.IGNORECASE)
+_USING_AUX = re.compile(r"USING\s+AUX\s*\(", re.IGNORECASE)
+
+
+def _extract_marker(query: str):
+    """Detect + remove an estimator marker. Returns (query', kind, arg)
+    with kind in {None, 'poststrat', 'regaux'}; None for a malformed
+    marker (caller falls back → guidance error)."""
+    at = _scan_top_level(query, "STRATIFY")
+    if at != -1:
+        m = _STRATIFY.match(query, at)
+        if not m:
+            return None
+        return (query[: at] + query[m.end() :]).strip(), "poststrat", m.group(1)
+    # USING is also join syntax (JOIN t USING (k)) — only a USING that
+    # is followed by AUX is the estimator marker; other USINGs pass
+    # through to the main rewrite untouched.
+    at = 0
+    while True:
+        at = _scan_top_level(query, "USING", at)
+        if at == -1:
+            return query, None, None
+        if re.match(r"USING\s+AUX\b", query[at:], re.IGNORECASE):
+            break
+        at += len("USING")
+    m = _USING_AUX.match(query, at)
+    if m:
+        depth, k, n = 1, m.end(), len(query)
+        while k < n and depth:
+            if query[k] == "(":
+                depth += 1
+            elif query[k] == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            return None
+        arg = query[m.end() : k - 1].strip()
+        if not arg:
+            return None
+        return (query[:at] + query[k:]).strip(), "regaux", arg
+    return None  # USING AUX without the parenthesized argument
+
+
+_SINGLE_TABLE = re.compile(
+    r"^\s*(\w+)\s+TABLESAMPLE\s*\(\s*([\d.]+)\s*PERCENT\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_estimator_sql(
+    query: str,
+    kind: str,
+    arg: str,
+    key_by_table: dict[str, str],
+    z: float,
+    round_to: int | None,
+) -> str | None:
+    """Parse the restricted single-table shape and render the portable
+    estimator SQL. Shape: ``SELECT [g,] APPROX(SUM(expr)) AS alias FROM
+    t TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g] <marker>
+    [ORDER BY ...]`` — joins, HAVING, multiple aggregates are outside
+    the estimator templates (exact per-stratum population counts /
+    auxiliary totals are only well-defined against ONE base table)."""
+    if _scan_top_level(query, "HAVING") != -1:
+        return None
+    sel_at = _scan_top_level(query, "SELECT")
+    from_at = _scan_top_level(query, "FROM")
+    if sel_at != 0 or from_at == -1:
+        return None
+    # Clause boundaries after FROM.
+    bounds = {}
+    for kw in ("WHERE", "GROUP BY", "ORDER BY", "LIMIT"):
+        at = _scan_top_level(query, kw, from_at)
+        if at != -1:
+            bounds[kw] = at
+    end = len(query)
+    tail_at = min(
+        [b for k, b in bounds.items() if k in ("ORDER BY", "LIMIT")] or [end]
+    )
+    from_end = min([b for b in bounds.values()] or [end])
+    m = _SINGLE_TABLE.match(query[from_at + len("FROM") : from_end])
+    if not m:
+        return None  # join / derived table → not the estimator shape
+    table, pct = m.group(1), float(m.group(2))
+    if table not in key_by_table or not 0.0 < pct <= 100.0:
+        return None
+    where = None
+    if "WHERE" in bounds:
+        w_end = min(
+            [b for k, b in bounds.items() if b > bounds["WHERE"]] or [end]
+        )
+        where = query[bounds["WHERE"] + len("WHERE") : w_end].strip()
+        if not where:
+            return None
+    group = None
+    if "GROUP BY" in bounds:
+        g_end = min(
+            [b for k, b in bounds.items() if b > bounds["GROUP BY"]] or [end]
+        )
+        gtxt = query[bounds["GROUP BY"] + len("GROUP BY") : g_end].strip()
+        if not re.fullmatch(r"\w+", gtxt):
+            return None  # one plain grouping column in v1
+        group = gtxt
+    tail = query[tail_at:].rstrip().rstrip(";") if tail_at < end else ""
+
+    items = [
+        _parse_select_item(i)
+        for i in _split_commas(query[sel_at + len("SELECT") : from_at])
+    ]
+    approxes = [i for i in items if i[0] == "approx"]
+    plains = [i[1] for i in items if i[0] == "plain"]
+    if len(approxes) != 1 or len(items) != len(approxes) + len(plains):
+        return None  # exactly one SUM estimate; no ratio items here
+    _, agg, expr, alias = approxes[0]
+    if agg != "SUM":
+        return None  # poststrat/regaux estimate a TOTAL
+    expected = [group] if group else []
+    if [p.strip() for p in plains] != expected:
+        return None  # select list = group key + the one estimate
+    if kind == "poststrat" and group is not None and arg.lower() == group.lower():
+        raise ValueError(
+            "STRATIFY BY column must differ from the GROUP BY column "
+            "(a stratum that IS the output group adds no information)"
+        )
+    spec = SamplingSpec(
+        design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
+    )
+    rt = 3 if round_to is None else round_to
+    if kind == "poststrat":
+        sql = _poststrat_text(
+            table, expr, alias, group, arg, spec, where, z, rt
+        )
+    else:
+        sql = _regaux_text(table, expr, alias, group, arg, spec, where, z, rt)
+    return f"{sql} {tail}" if tail else sql
+
+
+def _cents_sql(expr: str) -> str:
+    """The portable integer-cents grid (estimators.cents_col twin)."""
+    return f"CAST(floor(CAST({expr} AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+
+
+def _poststrat_text(
+    table: str,
+    expr: str,
+    alias: str,
+    group: str | None,
+    stratum: str,
+    spec: SamplingSpec,
+    where: str | None,
+    z: float,
+    round_to: int,
+) -> str:
+    """Portable post-stratified SUM (Cochran §5A.9, fpc kept) — the
+    plans/poststrat.py estimator as one SQL text both engines run:
+    exact per-(group,)stratum counts from the full table, integer-cents
+    sample moments, per-group order-pinned cumulative folds read with
+    max_by."""
+    c = _cents_sql(expr)
+    samp_where = sampling_where_sql(spec)
+    base_where = f" WHERE {where}" if where else ""
+    samp_full = (
+        f" WHERE ({where}) AND {samp_where}" if where else f" WHERE {samp_where}"
+    )
+    q_sel = f"{group} AS aqe_q, " if group else ""
+    q_grp = "GROUP BY 1, 2" if group else "GROUP BY 1"
+    q_join = "e.aqe_q IS NOT DISTINCT FROM s.aqe_q AND " if group else ""
+    q_cols = "aqe_q, " if group else ""
+    q_part = "PARTITION BY aqe_q " if group else ""
+    q_agg_grp = " GROUP BY aqe_q" if group else ""
+    q_out = f"aqe_q AS {group}, " if group else ""
+    return f"""
+WITH aqe_exact AS (
+  SELECT {q_sel}{stratum} AS aqe_g, count(*) AS n_pop
+  FROM {table}{base_where} {q_grp}
+),
+aqe_sample AS (
+  SELECT {q_sel}{stratum} AS aqe_g, count(*) AS n,
+         sum({c}) AS sc,
+         sum(CAST({c} AS DECIMAL(18,0)) * CAST({c} AS DECIMAL(18,0))) AS sc2
+  FROM {table}{samp_full} {q_grp}
+),
+aqe_per AS (
+  SELECT {('e.aqe_q AS aqe_q, ' if group else '')}e.aqe_g, e.n_pop,
+         coalesce(s.n, 0) AS n,
+         CAST(coalesce(s.sc, 0) AS DOUBLE) AS sc,
+         CAST(coalesce(s.sc2, 0) AS DOUBLE) AS sc2
+  FROM aqe_exact e LEFT JOIN aqe_sample s
+    ON {q_join}e.aqe_g IS NOT DISTINCT FROM s.aqe_g
+),
+aqe_terms AS (
+  SELECT {q_cols}aqe_g, n,
+         CASE WHEN n > 0
+              THEN CAST(n_pop AS DOUBLE) * sc / n
+              ELSE 0.0 END AS t,
+         CASE WHEN n > 1
+              THEN CAST(n_pop AS DOUBLE) * CAST(n_pop - n AS DOUBLE)
+                   * ((sc2 - sc * sc / n) / (n - 1.0)) / n
+              ELSE 0.0 END AS v
+  FROM aqe_per
+),
+aqe_folded AS (
+  SELECT {q_cols}n,
+         row_number() OVER ({q_part}ORDER BY aqe_g NULLS FIRST) AS rid,
+         sum(t) OVER ({q_part}ORDER BY aqe_g NULLS FIRST) AS cum_t,
+         sum(v) OVER ({q_part}ORDER BY aqe_g NULLS FIRST) AS cum_v
+  FROM aqe_terms
+),
+aqe_agg AS (
+  SELECT {q_cols}coalesce(max_by(cum_t, rid), 0.0) AS tot_t,
+         coalesce(max_by(cum_v, rid), 0.0) AS tot_v,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n_samples,
+         CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(coalesce(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS missing_strata,
+         CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS thin_strata
+  FROM aqe_folded{q_agg_grp}
+)
+SELECT {q_out}round(tot_t / 100.0, {round_to}) AS {alias},
+       round(tot_t / 100.0
+             - {z!r} * sqrt(greatest(tot_v, 0.0)) / 100.0, {round_to}) AS ci_lower,
+       round(tot_t / 100.0
+             + {z!r} * sqrt(greatest(tot_v, 0.0)) / 100.0, {round_to}) AS ci_upper,
+       n_samples, n_strata, missing_strata, thin_strata
+FROM aqe_agg
+""".strip()
+
+
+def _regaux_text(
+    table: str,
+    expr: str,
+    alias: str,
+    group: str | None,
+    aux: str,
+    spec: SamplingSpec,
+    where: str | None,
+    z: float,
+    round_to: int,
+) -> str:
+    """Portable regression (auxiliary-total) SUM (Cochran ch. 7) — the
+    plans/regression.py estimator as one SQL text: exact auxiliary
+    totals (per group when grouped), integer-cents covariance moments,
+    identical double chain in both engines. Degenerate cells (n < 3 or
+    constant auxiliary) fall back to plain expansion, flagged in
+    ``method``."""
+    y = _cents_sql(expr)
+    x = _cents_sql(aux)
+    samp_where = sampling_where_sql(spec)
+    base_where = f" WHERE {where}" if where else ""
+    samp_full = (
+        f" WHERE ({where}) AND {samp_where}" if where else f" WHERE {samp_where}"
+    )
+    q_sel = f"{group} AS aqe_q, " if group else ""
+    q_grp = " GROUP BY 1" if group else ""
+    q_cols = "aqe_q, " if group else ""
+    q_out = f"aqe_q AS {group}, " if group else ""
+    joiner = (
+        "FROM aqe_pop p LEFT JOIN aqe_smp s ON p.aqe_q IS NOT DISTINCT FROM s.aqe_q"
+        if group
+        else "FROM aqe_smp s CROSS JOIN aqe_pop p"
+    )
+    return f"""
+WITH aqe_pop AS (
+  SELECT {q_sel}count(*) AS n_pop, sum({x}) AS tx
+  FROM {table}{base_where}{q_grp}
+),
+aqe_smp AS (
+  SELECT {q_sel}count(*) AS n,
+         sum({y}) AS sy, sum({x}) AS sx,
+         sum(CAST({y} AS DECIMAL(18,0)) * CAST({x} AS DECIMAL(18,0))) AS sxy,
+         sum(CAST({x} AS DECIMAL(18,0)) * CAST({x} AS DECIMAL(18,0))) AS sxx,
+         sum(CAST({y} AS DECIMAL(18,0)) * CAST({y} AS DECIMAL(18,0))) AS syy
+  FROM {table}{samp_full}{q_grp}
+),
+aqe_m AS (
+  SELECT {('p.aqe_q AS aqe_q, ' if group else '')}p.n_pop,
+         CAST(p.tx AS DOUBLE) AS tx,
+         coalesce(s.n, 0) AS n,
+         CAST(coalesce(s.sy, 0) AS DOUBLE) AS sy,
+         CAST(coalesce(s.sx, 0) AS DOUBLE) AS sx,
+         CAST(coalesce(s.sxy, 0) AS DOUBLE) AS sxy,
+         CAST(coalesce(s.sxx, 0) AS DOUBLE) AS sxx,
+         CAST(coalesce(s.syy, 0) AS DOUBLE) AS syy
+  {joiner}
+),
+aqe_calc AS (
+  SELECT {q_cols}n, n_pop,
+         n * sxy - sx * sy AS sxy_n,
+         n * sxx - sx * sx AS sxx_n,
+         n * syy - sy * sy AS syy_n,
+         CASE WHEN n > 0 THEN sy / n ELSE 0.0 END AS ybar,
+         CASE WHEN n > 0 THEN sx / n ELSE 0.0 END AS xbar,
+         CASE WHEN n_pop > 0 THEN tx / n_pop ELSE 0.0 END AS xbar_pop,
+         (n >= 3 AND n * sxx - sx * sx > 0) AS ok
+  FROM aqe_m
+),
+aqe_est AS (
+  SELECT {q_cols}n, ok,
+         CASE WHEN ok THEN sxy_n / sxx_n ELSE 0.0 END AS b,
+         CAST(n_pop AS DOUBLE)
+           * (ybar + (CASE WHEN ok THEN sxy_n / sxx_n ELSE 0.0 END)
+              * (xbar_pop - xbar)) AS t_hat,
+         CASE WHEN ok
+              THEN (syy_n / n
+                    - (sxy_n / sxx_n) * (sxy_n / n)) / (n - 2.0)
+              WHEN n >= 2 THEN (syy_n / n) / (n - 1.0)
+              ELSE 0.0 END AS s2e,
+         CASE WHEN n_pop > 0 THEN CAST(n AS DOUBLE) / n_pop ELSE 0.0 END AS f_real,
+         CAST(n_pop AS DOUBLE) AS npop
+  FROM aqe_calc
+)
+SELECT {q_out}round(t_hat / 100.0, {round_to}) AS {alias},
+       round(t_hat / 100.0
+             - {z!r} * (CASE WHEN n > 0
+                             THEN sqrt(npop * npop * (1.0 - f_real)
+                                       * greatest(s2e, 0.0) / n)
+                             ELSE 0.0 END) / 100.0,
+             {round_to}) AS ci_lower,
+       round(t_hat / 100.0
+             + {z!r} * (CASE WHEN n > 0
+                             THEN sqrt(npop * npop * (1.0 - f_real)
+                                       * greatest(s2e, 0.0) / n)
+                             ELSE 0.0 END) / 100.0,
+             {round_to}) AS ci_upper,
+       CAST(n AS BIGINT) AS n_samples,
+       round(b, 6) AS slope,
+       CASE WHEN ok THEN 'regression' ELSE 'expansion_fallback' END AS method
+FROM aqe_est
+""".strip()

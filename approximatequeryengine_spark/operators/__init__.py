@@ -28,6 +28,23 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     except ValueError:
         open_cost = 4194304
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # Plans with no real estimate (e.g. RDD-backed LogicalRDD leaves)
+    # report spark.sql.defaultSizeInBytes = Long.MaxValue, and sums of
+    # such leaves saturate near it — treat anything in that regime as
+    # UNKNOWN and fall back to the physical partition-count probe the
+    # stats path was meant to replace (rare path; the RDD conversion
+    # cost is acceptable there).
+    _UNKNOWN = (1 << 62)
+    if size >= _UNKNOWN:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
     if size < target * open_cost:
+        # A small ESTIMATE does not mean few PARTITIONS — a filtered
+        # intermediate may already carry >= target partitions from its
+        # upstream shuffle; repartitioning it again is a gratuitous
+        # shuffle.
+        if df.rdd.getNumPartitions() >= target:
+            return df
         return df.repartition(target)
     return df

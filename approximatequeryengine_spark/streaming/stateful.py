@@ -179,16 +179,19 @@ def split_events_for_replay(
         base_mtime = None
         for i in range(n_batches):
             stage = os.path.join(directory, f"__stage_{i}")
-            (
-                tagged.filter(F.col("__b") == i)
-                .drop("__b")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(stage)
-            )
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            batch = tagged.filter(F.col("__b") == i).drop("__b")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
             path = os.path.join(directory, f"batch_{i:03d}.parquet")
-            shutil.move(part, path)
+            if parts:
+                shutil.move(parts[0], path)
+            else:
+                # Empty micro-batch (n < n_batches, or the writer emitted
+                # no part file for an empty partition): the replay still
+                # needs a file at this slot — write a schema-only parquet.
+                import pyarrow.parquet as pq
+
+                pq.write_table(batch.limit(0).toArrow(), path)
             shutil.rmtree(stage)
             # FileStreamSource orders by mtime with UNSPECIFIED tie
             # order at its (ms) resolution — sub-ms consecutive writes

@@ -39,6 +39,37 @@ def test_rewrite_requires_both_markers():
     ) is None
 
 
+def test_rewrite_accepts_multiline_query():
+    # The normal triple-quoted form carries leading whitespace/newlines;
+    # the rewrite must not require SELECT at byte 0.
+    out = rewrite_approx_sql("\n  " + JOIN_Q + "\n", TABLES, round_to=3)
+    assert out is not None and "n_samples" in out
+
+
+def test_rewrite_rejects_embedded_approx_expression():
+    # APPROX inside a larger expression can't be rewritten — must return
+    # None (clean guidance error) rather than emit literal APPROX( SQL.
+    q = (
+        "SELECT APPROX(SUM(l_quantity)) AS q, "
+        "APPROX(SUM(l_extendedprice)) + 0 AS r "
+        "FROM lineitem TABLESAMPLE (10 PERCENT)"
+    )
+    assert rewrite_approx_sql(q, TABLES) is None
+
+
+def test_n_samples_is_null_insensitive():
+    # n_samples must count sampled ROWS (COUNT(1)), not the first
+    # aggregate's non-NULL expression count.
+    q = (
+        "SELECT APPROX(SUM(nullif(l_quantity, 1))) AS a, "
+        "APPROX(SUM(l_extendedprice)) AS b "
+        "FROM lineitem TABLESAMPLE (10 PERCENT)"
+    )
+    out = rewrite_approx_sql(q, TABLES)
+    assert "COUNT(1) AS n_rows" in out
+    assert "CAST(n_rows AS BIGINT) AS n_samples" in out
+
+
 def test_rewrite_strips_markers():
     out = rewrite_approx_sql(JOIN_Q, TABLES, round_to=3)
     assert out is not None
