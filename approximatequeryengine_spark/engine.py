@@ -616,20 +616,31 @@ class AQEngine:
             from approximatequeryengine_spark.plans.twostage import (
                 TS_F1,
                 TS_F2,
+                twostage_grouped_sum_ci,
                 twostage_sum_ci,
             )
 
-            if spec.agg != "SUM" or spec.group_by:
+            if spec.agg != "SUM":
                 raise ValueError(
-                    "method='twostage' supports a global SUM only; use "
-                    "the closed-form methods for AVG/COUNT/GROUP BY"
+                    "method='twostage' supports SUM only (global or one "
+                    "GROUP BY column); use the closed-form methods for "
+                    "AVG/COUNT"
                 )
-            rdf = twostage_sum_ci(
-                self._base_df(spec),
-                self.catalog.unique_key(spec.table),
-                F.floor(F.col(spec.column) * 100.0 + 0.5),
-                z=z,
-            )
+            if spec.group_by:
+                rdf = twostage_grouped_sum_ci(
+                    self._base_df(spec),
+                    self.catalog.unique_key(spec.table),
+                    spec.group_by,
+                    F.floor(F.col(spec.column) * 100.0 + 0.5),
+                    z=z,
+                ).orderBy(spec.group_by)
+            else:
+                rdf = twostage_sum_ci(
+                    self._base_df(spec),
+                    self.catalog.unique_key(spec.table),
+                    F.floor(F.col(spec.column) * 100.0 + 0.5),
+                    z=z,
+                )
             rdf = rdf.withColumnRenamed("sum_value", AggSpec("sum", spec.column).name())
             rdf = rdf.withColumnRenamed("n_rows", "n_samples")
             res = self._finalize(

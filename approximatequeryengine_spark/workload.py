@@ -2227,6 +2227,46 @@ def _twostage_oracle() -> str:
 _register("approx_sum_twostage", _twostage_fn, _twostage_oracle())
 
 
+def _twostage_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 (VERDICT r7 #2): GROUPED two-stage cluster SUM — revenue
+    per returnflag under the same block/row design, completing the
+    grouped model-assisted family (plans/twostage.py::
+    twostage_grouped_sum_ci). Per-domain block partials, exact integer
+    folds, missing groups surfaced with n_psus = 0."""
+    from approximatequeryengine_spark.plans.twostage import (
+        twostage_grouped_sum_ci,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    return twostage_grouped_sum_ci(
+        cat.table("lineitem"),
+        _LKEY,
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
+    ).orderBy("l_returnflag")
+
+
+def _twostage_grouped_oracle() -> str:
+    from approximatequeryengine_spark.plans.twostage import (
+        twostage_grouped_sum_ci_sql,
+    )
+
+    return (
+        twostage_grouped_sum_ci_sql(
+            "lineitem", _LKEY, "l_returnflag",
+            "floor(l_extendedprice * 100.0 + 0.5)",
+        )
+        + " ORDER BY l_returnflag"
+    )
+
+
+_register(
+    "approx_grouped_sum_twostage",
+    _twostage_grouped_fn,
+    _twostage_grouped_oracle(),
+)
+
+
 # Round-5 fourth batch: quantile estimator BAKE-OFF — the same p95
 # target answered by the exact interpolating percentile (the full-sort
 # baseline), the DDSketch bucket readout (α = 1% relative-error
@@ -2772,6 +2812,70 @@ _register(
     "approx_sql_join_revenue",
     _approx_sql_join_fn,
     _rewrite_approx_sql(_APPROX_SQL_JOIN, dict(_CATALOG_TABLES), round_to=3),
+)
+
+
+# Round-8 (VERDICT r7 #1): the model-assisted estimators reachable from
+# PLAIN SQL text. `STRATIFY BY col` routes to the post-stratified
+# estimator, `USING AUX(expr)` to the regression (auxiliary-total)
+# estimator, `APPROX(SUM(a) / SUM(b))` to the delta-method ratio — each
+# rewritten (frontend/approx_sql.py) into ONE portable bit-deterministic
+# SQL text that is also the oracle: what DuckDB runs IS what Spark ran.
+
+
+def _mk_sql_rewrite_fn(sql: str, rounding: dict[str, int]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from approximatequeryengine_spark.engine import AQEngine
+
+        _catalog(spark, sf_dir)
+        res = AQEngine(spark, sf_dir).run(sql)
+        if res.method != "sql_rewrite":  # the routing IS the thing certified
+            raise AssertionError(f"expected sql_rewrite routing, got {res.method}")
+        return _round_cols(res.df, rounding)
+
+    return fn
+
+
+_APPROX_SQL_POSTSTRAT = (
+    "SELECT l_linestatus, APPROX(SUM(l_extendedprice)) AS est "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "GROUP BY l_linestatus STRATIFY BY l_returnflag ORDER BY l_linestatus"
+)
+_register(
+    "approx_sql_poststrat_grouped",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_POSTSTRAT, {"est": 3, "ci_lower": 3, "ci_upper": 3}
+    ),
+    _rewrite_approx_sql(_APPROX_SQL_POSTSTRAT, dict(_CATALOG_TABLES), round_to=3),
+)
+
+_APPROX_SQL_REGAUX = (
+    "SELECT APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) USING AUX(l_extendedprice)"
+)
+_register(
+    "approx_sql_regaux_revenue",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_REGAUX, {"revenue": 3, "ci_lower": 3, "ci_upper": 3}
+    ),
+    _rewrite_approx_sql(_APPROX_SQL_REGAUX, dict(_CATALOG_TABLES), round_to=3),
+)
+
+_APPROX_SQL_RATIO = (
+    "SELECT l_returnflag, "
+    "APPROX(SUM(l_extendedprice * (1 - l_discount)) / SUM(l_quantity)) "
+    "AS rev_per_unit "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+_register(
+    "approx_sql_ratio_by_flag",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_RATIO,
+        {"rev_per_unit": 6, "rev_per_unit_lo": 6, "rev_per_unit_hi": 6,
+         "ci_lower": 6, "ci_upper": 6},
+    ),
+    _rewrite_approx_sql(_APPROX_SQL_RATIO, dict(_CATALOG_TABLES), round_to=6),
 )
 
 

@@ -124,6 +124,91 @@ def test_multiple_aggregates_and_count_star(spark, engine_med, duck_med):
     assert_df_matches_sql(sdf, duck_med, out)
 
 
+POSTSTRAT_Q = (
+    "SELECT l_linestatus, APPROX(SUM(l_extendedprice)) AS est "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "GROUP BY l_linestatus STRATIFY BY l_returnflag ORDER BY l_linestatus"
+)
+
+
+def test_stratify_marker_rewrites_and_matches(spark, engine_med, duck_med):
+    out = rewrite_approx_sql(POSTSTRAT_Q, TABLES, round_to=3)
+    assert out is not None
+    assert "STRATIFY" not in out.upper() and "TABLESAMPLE" not in out.upper()
+    assert "missing_strata" in out and "n_strata" in out
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+
+
+def test_aux_marker_rewrites_and_matches(spark, engine_med, duck_med):
+    q = (
+        "SELECT APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) USING AUX(l_extendedprice)"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=3)
+    assert out is not None and "slope" in out and "method" in out
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    # the strong auxiliary actually answers (not the expansion fallback)
+    row = spark.sql(out).collect()[0]
+    assert row["method"] == "regression"
+
+
+def test_ratio_of_sums_rewrites_and_matches(spark, engine_med, duck_med):
+    q = (
+        "SELECT l_returnflag, "
+        "APPROX(SUM(l_extendedprice * (1 - l_discount)) / SUM(l_quantity)) "
+        "AS rev_per_unit "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=6)
+    assert out is not None and "ha_0" in out  # delta-method moments
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+
+
+def test_estimator_marker_shape_gates(engine_med):
+    # STRATIFY over a join → not the single-table estimator shape
+    assert rewrite_approx_sql(
+        "SELECT APPROX(SUM(l_quantity)) AS q FROM lineitem "
+        "TABLESAMPLE (10 PERCENT) JOIN orders ON l_orderkey = o_orderkey "
+        "STRATIFY BY l_returnflag",
+        TABLES,
+    ) is None
+    # stratum == group is a semantic error, not a shape miss
+    with pytest.raises(ValueError, match="STRATIFY BY column"):
+        rewrite_approx_sql(
+            "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS q "
+            "FROM lineitem TABLESAMPLE (10 PERCENT) "
+            "GROUP BY l_returnflag STRATIFY BY l_returnflag",
+            TABLES,
+        )
+    # poststrat/regaux estimate a TOTAL — AVG is rejected
+    assert rewrite_approx_sql(
+        "SELECT APPROX(AVG(l_quantity)) AS q FROM lineitem "
+        "TABLESAMPLE (10 PERCENT) STRATIFY BY l_returnflag",
+        TABLES,
+    ) is None
+    # join USING (k) is join syntax, not the AUX marker — main path OK
+    out = rewrite_approx_sql(
+        "SELECT APPROX(SUM(l_quantity)) AS q "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "JOIN orders ON l_orderkey = o_orderkey",
+        TABLES,
+    )
+    assert out is not None
+
+
+def test_engine_routes_estimator_markers(engine_med):
+    res = engine_med.run(POSTSTRAT_Q)
+    assert res.method == "sql_rewrite"
+    rows = res.df.collect()
+    assert len(rows) == 2
+    assert all(r["ci_lower"] <= r["est"] <= r["ci_upper"] for r in rows)
+    assert all(r["missing_strata"] == 0 for r in rows)
+
+
 def test_global_aggregate_no_group_by(spark, engine_med, duck_med):
     q = (
         "SELECT APPROX(SUM(l_quantity)) AS qty "

@@ -451,11 +451,24 @@ def test_method_twostage_sum(engine, duck):
     assert res.method == "twostage"
     assert res.ci_lower <= exact <= res.ci_upper
     assert 0.04 * 6000 < res.samples_used < 0.25 * 6000  # ~12.5% of rows
-    with _pytest.raises(ValueError, match="global SUM only"):
+    with _pytest.raises(ValueError, match="SUM only"):
         engine.run(
             "SELECT APPROX(AVG(l_extendedprice)) FROM lineitem",
             method="twostage",
         )
+    # Round-8: one GROUP BY column routes to the grouped estimator;
+    # per-group estimates sum exactly to the global one (both are
+    # 8·Σ block partials over the same deterministic sample).
+    gres = engine.run(
+        "SELECT APPROX(SUM(l_extendedprice)) FROM lineitem "
+        "GROUP BY l_returnflag",
+        method="twostage",
+    )
+    rows = gres.df.collect()
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+    assert all(r["ci_lower"] <= r["sum_l_extendedprice"] <= r["ci_upper"] for r in rows)
+    total = sum(r["sum_l_extendedprice"] for r in rows)
+    assert abs(total - res.value) < 0.05  # 2-cent rounding per group
 
 
 def test_method_ddsketch_percentile(engine, duck):

@@ -120,6 +120,42 @@ def test_q21_aggregate_rewrite_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q21_rewrite_matches_literal_exists_form(spark, engine_med):
+    """Round-8 (VERDICT r7 #3): the q21 one-aggregate rewrite is
+    semantically pinned against the LITERAL EXISTS/NOT-EXISTS form —
+    both run through Spark on the sf0.01 fixture and must return
+    identical rows. Fails if the aggregate fold (nsupp >= 2 ∧ nlate = 1
+    given l1 late) ever diverges from the correlated-subquery truth."""
+    from approximatequeryengine_spark.workload import QUERIES
+
+    engine_med.catalog.refresh_views()
+    rewritten = QUERIES["tpch_q21_suppliers_kept_waiting"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    literal = spark.sql(
+        "WITH lo AS ("
+        "  SELECT l_orderkey, l_suppkey, "
+        "         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late "
+        "  FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "  WHERE o_orderstatus = 'F') "
+        "SELECT s_name, count(*) AS numwait "
+        "FROM lo l1 "
+        "JOIN supplier ON s_suppkey = l1.l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE l1.late "
+        "AND EXISTS (SELECT 1 FROM lo l2 "
+        "            WHERE l2.l_orderkey = l1.l_orderkey "
+        "            AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lo l3 "
+        "                WHERE l3.l_orderkey = l1.l_orderkey "
+        "                AND l3.l_suppkey <> l1.l_suppkey AND l3.late) "
+        "AND n_name = 'NATION_3' "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+    ).collect()
+    assert [tuple(r) for r in rewritten] == [tuple(r) for r in literal]
+    assert len(literal) > 0  # non-vacuous at sf0.01
+
+
 def test_approx_sql_rewrite_plan(spark):
     """The APPROX-over-SQL rewrite: the hash-sample predicate must land
     inside the fact scan's stage (a Filter over the lineitem scan, not a

@@ -1346,6 +1346,65 @@ def test_twostage_empty_input_returns_zero(spark):
     assert row["ci_lower"] == 0.0 and row["ci_upper"] == 0.0
 
 
+def test_twostage_grouped_partition_of_global(spark):
+    """Grouped two-stage (round 8): the per-group block partials
+    PARTITION the global ones — Σ_groups τ̂_q == τ̂ exactly (both are
+    8·Σ sampled cents, integer arithmetic), per-group CIs cover each
+    group's exact total on the fixture's deterministic sample, and a
+    group absent from the sample surfaces n_psus = 0 rather than
+    vanishing."""
+    from approximatequeryengine_spark.plans.twostage import (
+        twostage_grouped_sum_ci,
+        twostage_sum_ci,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    key = "l_orderkey * 8 + l_linenumber"
+    g = twostage_grouped_sum_ci(li, key, "l_returnflag", cents).collect()
+    total = twostage_sum_ci(li, key, cents).collect()[0]
+    assert {r["l_returnflag"] for r in g} == {"A", "N", "R"}
+    # exact partition: integer cents, no float fold — equality holds
+    # to the 2-decimal rounding of each readout
+    assert abs(sum(r["sum_value"] for r in g) - total["sum_value"]) < 0.05
+    assert sum(r["n_rows"] for r in g) == total["n_rows"]
+    exact = {
+        r["l_returnflag"]: r["e"]
+        for r in li.groupBy("l_returnflag")
+        .agg((F.sum(cents) / 100.0).alias("e"))
+        .collect()
+    }
+    for r in g:
+        assert r["ci_lower"] <= exact[r["l_returnflag"]] <= r["ci_upper"]
+        assert r["n_psus"] >= 2
+    # missing-group accounting: a population-only group keeps its row
+    extra = li.withColumn(
+        "gg",
+        F.when(F.col("l_orderkey") == -1, F.lit("never")).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    one = spark.createDataFrame(
+        [(-1, 1, 0.0, "never")],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, gg string",
+    )
+    # -1*8+1 = -7 → block -1; hash may or may not sample it, but with
+    # ONE row the group is overwhelmingly likely absent at f1·f2 = 1/8;
+    # assert only the contract: the group row EXISTS with n_psus >= 0.
+    both = extra.select("l_orderkey", "l_linenumber", "l_extendedprice", "gg").unionByName(one)
+    rows = {
+        r["gg"]: r
+        for r in twostage_grouped_sum_ci(
+            both, "l_orderkey * 8 + l_linenumber", "gg", cents
+        ).collect()
+    }
+    assert "never" in rows and rows["never"]["n_psus"] in (0, 1)
+    if rows["never"]["n_psus"] == 0:
+        assert rows["never"]["sum_value"] == 0.0
+        assert rows["never"]["ci_lower"] == 0.0 == rows["never"]["ci_upper"]
+
+
 def test_quantile_advisor_four_branches(spark):
     """The bakeoff-calibrated quantile advisor: small n → 'exact'
     WITHOUT paying the sampled pass (sample_rel_ci is None); big n
