@@ -763,10 +763,19 @@ def ann_ivf_refresh_centroids(spark: SparkSession, path: str) -> None:
     """Recompute the centroid table from the index's current vectors
     (``_ivf_centroids``, same 6-decimal grid as the builder) — after
     this, a freshly-built index over the union and an appended+refreshed
-    index are bit-identical in both tables. Reads ``path/vectors``,
-    overwrites the disjoint ``path/centroids``."""
+    index are bit-identical in both tables. Reads ``path/vectors``;
+    the centroid table is replaced via the crash-safe staged swap
+    (sources/swap.py) so a failure mid-refresh never leaves the index
+    without a centroid table."""
+    from approximatequeryengine_spark.sources.swap import staged_swap
+
     assigned = spark.read.parquet(f"{path}/vectors")
-    _ivf_centroids(assigned).write.mode("overwrite").parquet(f"{path}/centroids")
+    staged_swap(
+        spark,
+        f"{path}/centroids",
+        lambda p: _ivf_centroids(assigned).write.mode("overwrite").parquet(p),
+        name="ann_ivf_refresh_centroids",
+    )
 
 
 
@@ -1662,11 +1671,27 @@ def ann_ivfpq_refresh(spark: SparkSession, path: str) -> None:
     after this, append+refresh and a fresh rebuild over the union are
     bit-identical (same grouped means on the shared 6-decimal grid over
     the same row set). One grouped aggregate each over the slim
-    projections; the raw corpus is never re-encoded."""
+    projections; the raw corpus is never re-encoded. Each model table
+    is replaced via the crash-safe staged swap; a crash BETWEEN the two
+    swaps leaves new centroids with the old codebook — both are pure
+    functions of ``path/vectors``, so re-running this refresh (or
+    recover_synopsis per table) converges the pair."""
+    from approximatequeryengine_spark.sources.swap import staged_swap
+
     assigned = spark.read.parquet(f"{path}/vectors")
-    _ivf_centroids(assigned).write.mode("overwrite").parquet(f"{path}/centroids")
-    _pq_centroids(assigned.select("v")).write.mode("overwrite").parquet(
-        f"{path}/pq_codebook"
+    staged_swap(
+        spark,
+        f"{path}/centroids",
+        lambda p: _ivf_centroids(assigned).write.mode("overwrite").parquet(p),
+        name="ann_ivfpq_refresh",
+    )
+    staged_swap(
+        spark,
+        f"{path}/pq_codebook",
+        lambda p: _pq_centroids(assigned.select("v"))
+        .write.mode("overwrite")
+        .parquet(p),
+        name="ann_ivfpq_refresh",
     )
 
 

@@ -329,11 +329,18 @@ def aqpplus_grouped_append(
             F.sum("sum_cents").cast("long").alias("sum_cents"),
         )
     )
-    # localCheckpoint materializes the merge before the overwrite
-    # (reading and overwriting the same parquet path in one lazy plan
-    # would race the scan against the truncate).
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        f"{path}/blocks"
+    # Crash-safe staged swap (sources/swap.py): the merge reads
+    # {path}/blocks and writes {path}/blocks_staged — disjoint paths,
+    # so no self-consume (the old localCheckpoint materialization is
+    # unnecessary) and a crash at any step leaves a complete copy for
+    # recover_synopsis().
+    from approximatequeryengine_spark.sources.swap import staged_swap
+
+    staged_swap(
+        spark,
+        f"{path}/blocks",
+        lambda p: merged.write.mode("overwrite").parquet(p),
+        name="aqpplus_append",
     )
 
 

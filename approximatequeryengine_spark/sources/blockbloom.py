@@ -245,32 +245,18 @@ def blockbloom_append(
         .agg(F.bit_or("mask").alias("bits"))
     )
     # stage-then-swap: 'merged' READS {path}/bloom, so writing over it
-    # in place would consume its own input. The swap uses the Hadoop
-    # FileSystem for the path's scheme (local, hdfs, s3a, ...) and
-    # never drags the table through the driver.
-    merged.write.mode("overwrite").parquet(f"{path}/bloom_staged")
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    staged, dest = hpath(f"{path}/bloom_staged"), hpath(f"{path}/bloom")
-    retired = hpath(f"{path}/bloom_old")
-    fs = staged.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    # Rename the live table ASIDE rather than deleting it, so a crash
-    # between steps never leaves the index without a bloom table: if
-    # 'bloom' is missing after a failure, EXACTLY ONE of bloom_old /
-    # bloom_staged holds a complete copy to rename back.
-    fs.delete(retired, True)  # clear leftovers from a prior crash
-    if not fs.rename(dest, retired):
-        raise IOError(
-            f"blockbloom_append: could not retire {path}/bloom to bloom_old "
-            "(live table unchanged; staged table left at bloom_staged)"
-        )
-    if not fs.rename(staged, dest):
-        raise IOError(
-            f"blockbloom_append: swap rename failed for {path}/bloom — "
-            "recover by renaming bloom_old (pre-append) or bloom_staged "
-            "(post-append) back to bloom"
-        )
-    fs.delete(retired, True)
+    # in place would consume its own input. The crash-safe ritual
+    # (retire aside, never delete before the swap lands) is the shared
+    # sources/swap.py helper — recover_synopsis() restores the table
+    # from whichever complete copy a crash left behind.
+    from approximatequeryengine_spark.sources.swap import staged_swap
+
+    staged_swap(
+        spark,
+        f"{path}/bloom",
+        lambda p: merged.write.mode("overwrite").parquet(p),
+        name="blockbloom_append",
+    )
 
 
 def blockbloom_point_sum(

@@ -77,6 +77,17 @@ def main() -> None:
             samples.append(time.time() - t0)
         return samples
 
+    # Idle gate (round 8): co-tenant load has produced up to 7× spikes,
+    # and two rounds of cross-round "regressions" dissolved once
+    # canary-normalized. Don't start measuring into a known-busy
+    # machine: if loadavg(1m) > 1, wait (up to 2 min, polling) for it
+    # to drain; record how long we waited and whether the start was
+    # idle so the artifact carries its own validity verdict.
+    load_initial = os.getloadavg()
+    wait_started = time.time()
+    while os.getloadavg()[0] > 1.0 and time.time() - wait_started < 120:
+        time.sleep(5)
+    load_wait_sec = round(time.time() - wait_started, 1)
     load_before = os.getloadavg()
     times: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
@@ -112,6 +123,17 @@ def main() -> None:
         "warmup_runs": 1,
         "queries_stats": stats,
         "canary_exact_sum_last": canary_last,
+        # Canary-normalized total: total wall divided by the end-of-run
+        # exact_sum canary. The canary scales with whatever the machine
+        # is doing (it re-measured flat code 8-12% slower during the
+        # round-7 load drift), so round-over-round deltas should be
+        # read in THIS unit; the raw total is the human-facing number.
+        "canary_normalized_total": round(
+            sum(times.values()) / canary_last, 2
+        ) if canary_last > 0 else None,
+        "idle_start": load_before[0] <= 1.0,
+        "load_wait_sec": load_wait_sec,
+        "loadavg_initial": [round(x, 2) for x in load_initial],
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
     }
