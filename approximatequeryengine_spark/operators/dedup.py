@@ -296,12 +296,34 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
     )
 
 
-def _auto_verify_choice(docs: DataFrame) -> str:
-    """Measure the exact-duplicate ratio (1 − distinct token-set
-    fingerprints / docs — the statistic ``ingest_dedup_stats`` accounts
-    per batch) with one bounded aggregate and pick the MinHash verify
-    plan: 'join' above ``AUTO_DENSE_DUP_RATIO`` (dup-dense, quadratic
-    clique pairs must travel keys-only), else 'carry'."""
+def _auto_verify_choice(docs: DataFrame, profile=None) -> str:
+    """Pick the MinHash verify plan from duplicate density: 'join'
+    above ``AUTO_DENSE_DUP_RATIO`` (dup-dense, quadratic clique pairs
+    must travel keys-only), else 'carry'.
+
+    Density source, in preference order (round 8, VERDICT r7 #6):
+
+    1. ``profile`` — a persisted ``ingest_dedup_stats`` output (parquet
+       path or DataFrame). Dup ratio = 1 − Σn_new/Σn_incoming, read
+       from O(sources) rows: ZERO extra corpus scans, which is the
+       whole point at 100 TB. An unreadable/missing path falls through.
+    2. The probe: one bounded aggregate measuring the exact-duplicate
+       ratio (1 − distinct token-set fingerprints / docs — the same
+       statistic the ingest profile accounts per batch) — one extra
+       fingerprint scan before any dedup work."""
+    if profile is not None:
+        prof_df = profile
+        if isinstance(profile, str):
+            try:
+                prof_df = docs.sparkSession.read.parquet(profile)
+            except Exception:
+                prof_df = None  # no profile persisted yet → probe
+        if prof_df is not None:
+            row = prof_df.agg(
+                F.sum("n_incoming").alias("n"), F.sum("n_new").alias("new")
+            ).collect()[0]
+            dup_ratio = 0.0 if not row["n"] else 1.0 - row["new"] / row["n"]
+            return "join" if dup_ratio > AUTO_DENSE_DUP_RATIO else "carry"
     fp = fingerprint_cols(F.col("text"))["fp_tokenset"]
     prof = (
         docs.filter(F.col("text").isNotNull())
@@ -319,6 +341,7 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     use_arrow: bool = True,
     verify: str = "carry",
+    profile: "DataFrame | str | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding for candidates, exact
     shingle-Jaccard verification. Returns (doc_a, doc_b, jaccard).
@@ -369,10 +392,13 @@ def minhash_lsh_pairs(
     ``ingest_dedup_stats`` accounts per batch) and dispatches 'join'
     when it exceeds ``AUTO_DENSE_DUP_RATIO``, else 'carry' — the same
     measure-then-dispatch pattern as ``ann_auto_topk``. The probe is
-    one extra fingerprint scan + 1-row collect; pipelines that already
-    persist their ingest profile should pass verify explicitly."""
+    one extra fingerprint scan + 1-row collect; a pipeline that already
+    persists its ingest profile passes it as ``profile`` (path or
+    DataFrame of ``ingest_dedup_stats`` output) and auto mode reads dup
+    density from those O(sources) rows instead of re-scanning — a
+    missing/unreadable path falls back to the probe."""
     if verify == "auto":
-        verify = _auto_verify_choice(docs)
+        verify = _auto_verify_choice(docs, profile=profile)
     if verify not in ("carry", "join"):
         raise ValueError(
             f"verify must be 'carry', 'join' or 'auto', got {verify!r}"

@@ -105,6 +105,54 @@ def test_minhash_auto_dispatch(spark, synth_docs):
     assert a == j and a
 
 
+def test_minhash_auto_reads_persisted_profile(spark, synth_docs, tmp_path):
+    """Round-8 (VERDICT r7 #6): when a persisted ingest profile exists,
+    verify='auto' reads dup density from its O(sources) rows instead of
+    re-scanning the corpus. Pinned by feeding a profile that CONTRADICTS
+    the corpus — the choice must follow the profile, proving no probe
+    ran — plus the missing-path fallback to the probe."""
+    from pyspark.sql import functions as F
+
+    # a dup-SPARSE corpus (unique suffix per doc): the probe says
+    # 'carry'; a dup-dense profile (20% accept) must flip the choice to
+    # 'join' without touching the corpus.
+    sparse = synth_docs.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.col("doc_id").cast("string"))
+    )
+    dense_profile = spark.createDataFrame(
+        [("web", 1000, 700, 100, 200)],
+        "source string, n_incoming long, n_dup_existing long, "
+        "n_dup_batch long, n_new long",
+    )
+    assert dedup._auto_verify_choice(sparse) == "carry"
+    assert dedup._auto_verify_choice(sparse, profile=dense_profile) == "join"
+    # a dup-sparse profile keeps 'carry'
+    sparse_profile = spark.createDataFrame(
+        [("web", 1000, 10, 5, 985)],
+        "source string, n_incoming long, n_dup_existing long, "
+        "n_dup_batch long, n_new long",
+    )
+    assert dedup._auto_verify_choice(sparse, profile=sparse_profile) == "carry"
+    # persisted path: the real pipeline shape
+    p = str(tmp_path / "ingest_profile")
+    dense_profile.write.parquet(p)
+    assert dedup._auto_verify_choice(sparse, profile=p) == "join"
+    # missing path → probe fallback (the corpus truth)
+    assert (
+        dedup._auto_verify_choice(
+            sparse, profile=str(tmp_path / "never_written")
+        )
+        == "carry"
+    )
+    # end-to-end through the operator: profile-driven auto == explicit
+    pj = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, sparse, threshold=0.0, verify="auto", profile=p
+    ).collect()))
+    jj = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        spark, sparse, threshold=0.0, verify="join").collect()))
+    assert pj == jj and pj
+
+
 def test_simhash_identical_for_dups(spark, synth_docs):
     sh = {
         r["doc_id"]: r["sh"]
