@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from approximatequeryengine_spark.sources.swap import read_synopsis
 from pyspark.sql.window import Window
 
 from approximatequeryengine_spark.functions.hashing import HASH_SPACE, portable_hash_col
@@ -714,7 +716,7 @@ def ann_ivf_query_index(
     broadcast probe table derive from that single collect (recomputing
     the probe subplan per consumer would double the centroid-scan +
     window work)."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = read_synopsis(spark, f"{path}/centroids")
     probe_rows = _ivf_probes(emb, centroids, n_queries, n_probe).collect()
     cells = sorted({r["cluster"] for r in probe_rows})
     probes = spark.createDataFrame(
@@ -1635,7 +1637,7 @@ def ann_ivfpq_query_index(
     codebook training. The probe frame is |queries|·n_probe rows,
     collected once and re-entering the plan as literals (IN-list +
     broadcast probe table from a single collect)."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids = read_synopsis(spark, f"{path}/centroids")
     probe_rows = _ivf_probes(emb, centroids, n_queries, n_probe).collect()
     cells = sorted({r["cluster"] for r in probe_rows})
     probes = _with_qnorm(
@@ -1645,7 +1647,7 @@ def ann_ivfpq_query_index(
         )
     )
     enc = spark.read.parquet(f"{path}/vectors").filter(F.col("cluster").isin(cells))
-    cent_pq = spark.read.parquet(f"{path}/pq_codebook")
+    cent_pq = read_synopsis(spark, f"{path}/pq_codebook")
     return _ivfpq_rank(enc, probes, cent_pq, k, shortlist)
 
 

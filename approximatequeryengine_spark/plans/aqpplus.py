@@ -57,6 +57,7 @@ from approximatequeryengine_spark.functions.hashing import (
     portable_hash_sql,
 )
 from approximatequeryengine_spark.plans.estimators import Z_95, ht_integer_margin
+from approximatequeryengine_spark.sources.swap import read_synopsis
 
 
 def aqpplus_build(
@@ -133,7 +134,7 @@ def aqpplus_range_sum(
     interior_rows = 0
     blocks_interior = 0
     if b_lo <= b_hi:
-        for r in spark.read.parquet(f"{path}/blocks").collect():
+        for r in read_synopsis(spark, f"{path}/blocks").collect():
             if b_lo <= int(r["block"]) <= b_hi:
                 interior_cents += int(r["sum_cents"])
                 interior_rows += int(r["n_rows"])
@@ -321,7 +322,7 @@ def aqpplus_grouped_append(
         )
     )
     merged = (
-        spark.read.parquet(f"{path}/blocks")
+        read_synopsis(spark, f"{path}/blocks")
         .unionByName(batch)
         .groupBy("block", "__grp")
         .agg(
@@ -367,7 +368,7 @@ def aqpplus_grouped_range_sum(
     mn, width = int(mrow["mn"]), int(mrow["width"])
     b_lo, b_hi = _interior_block_range(mn, width, lo, hi)
 
-    blocks = spark.read.parquet(f"{path}/blocks")
+    blocks = read_synopsis(spark, f"{path}/blocks")
     # group universe from the block table (it covers EVERY row, so its
     # distinct groups equal the base table's): a group with no interior
     # rows and no sampled boundary rows must still surface with a 0.0

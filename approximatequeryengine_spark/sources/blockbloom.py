@@ -54,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.sources.swap import read_synopsis
 from approximatequeryengine_spark.functions.hashing import (
     AVALANCHE_MULT,
     HASH_SPACE,
@@ -236,7 +237,7 @@ def blockbloom_append(
         .mode("append")
         .parquet(f"{path}/data")
     )
-    old = spark.read.parquet(f"{path}/bloom").select(
+    old = read_synopsis(spark, f"{path}/bloom").select(
         "__block", "word", F.col("bits").alias("mask")
     )
     merged = (
@@ -272,7 +273,7 @@ def blockbloom_point_sum(
     prunes to the surviving block directories."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     need = probe_masks(key, int(meta["m_bits"]), k)
-    bloom = spark.read.parquet(f"{path}/bloom")
+    bloom = read_synopsis(spark, f"{path}/bloom")
     cond = None
     for w, m in need.items():
         c = (F.col("word") == F.lit(w)) & (

@@ -94,6 +94,19 @@ def staged_swap(
     fs.delete(retired, True)
 
 
+def read_synopsis(spark: SparkSession, dest: str):
+    """``spark.read.parquet(dest)``, self-healing: when ``dest`` is
+    missing because a refresh crashed mid-swap, restore it from the
+    complete copy the protocol guarantees and read that. The happy path
+    costs one existence probe; readers of swapped synopses use this so
+    a crashed nightly refresh never turns into a query-time
+    FileNotFound at 3am."""
+    fs, hpath = _fs(spark, dest)
+    if not fs.exists(hpath(dest)):
+        recover_synopsis(spark, dest)
+    return spark.read.parquet(dest)
+
+
 def recover_synopsis(spark: SparkSession, dest: str) -> str:
     """Restore the table at ``dest`` after a crash mid-swap. Returns
     what was done: ``'live'`` (nothing — dest is intact),

@@ -166,6 +166,67 @@ def test_approx_sql_rewrite_plan(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_poststrat_sql_rewrite_prunes_both_scans(spark):
+    """The STRATIFY BY rewrite (round 8): the exact-count scan must
+    read ONLY the group+stratum columns and the sampled moment scan
+    only group+stratum+key+measure — at 100 TB the count scan being
+    column-pruned is what makes post-stratification ~free."""
+    plan = _plan(spark, "approx_sql_poststrat_grouped")
+    schemas = [
+        {c.split(":")[0] for c in s.split(",")}
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    assert len(schemas) == 2, plan
+    count_scan = min(schemas, key=len)
+    moment_scan = max(schemas, key=len)
+    assert count_scan == {"l_linestatus", "l_returnflag"}, schemas
+    assert moment_scan == {
+        "l_linestatus", "l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice",
+    }, schemas
+    # the sample predicate is a scan-stage filter, not post-aggregate
+    assert "SortMergeJoin" not in plan
+
+
+def test_regaux_sql_rewrite_prunes_both_scans(spark):
+    """The USING AUX rewrite: auxiliary-total scan reads only the aux
+    column; the sampled covariance scan adds the key + measure inputs."""
+    plan = _plan(spark, "approx_sql_regaux_revenue")
+    schemas = [
+        {c.split(":")[0] for c in s.split(",")}
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    assert len(schemas) == 2, plan
+    assert min(schemas, key=len) == {"l_extendedprice"}, schemas
+    assert max(schemas, key=len) == {
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+    }, schemas
+
+
+def test_ratio_sql_rewrite_single_scan_single_exchange(spark):
+    """The ratio-of-sums rewrite rides ONE sampled scan and ONE
+    aggregate exchange — the delta-method moments are extra columns on
+    the aggregate the query already needed, not extra passes."""
+    plan = _plan(spark, "approx_sql_ratio_by_flag")
+    assert len(re.findall(r"ReadSchema: struct<", plan)) == 1, plan
+    # one shuffle for the groupBy, one for the output ORDER (sort)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_twostage_grouped_fused_scans(spark):
+    """Grouped two-stage: the sampled side fuses BOTH hash predicates
+    into the scan stage; the only other lineitem scan is the count-only
+    population pass (group column alone)."""
+    plan = _plan(spark, "approx_grouped_sum_twostage")
+    schemas = [
+        {c.split(":")[0] for c in s.split(",")}
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    assert len(schemas) == 2, plan
+    assert min(schemas, key=len) == {"l_returnflag"}, schemas
+    assert "SortMergeJoin" not in plan
+
+
 def test_twostage_predicates_fused_into_one_scan(spark):
     """The two-stage design's BOTH hash predicates are scan-time row
     filters — one lineitem scan, no joins, no windows; the plan's only

@@ -104,6 +104,45 @@ def test_staged_swap_refuses_to_destroy_evidence(spark, tmp_path):
     assert _read(spark, dest) == [1]
 
 
+def test_read_synopsis_self_heals(spark, tmp_path):
+    """read_synopsis: the happy path is a plain read; a crashed-swap
+    state heals in place (no explicit recover call needed)."""
+    from approximatequeryengine_spark.sources.swap import read_synopsis
+
+    dest = str(tmp_path / "syn")
+    _write(spark, dest, [1, 2])
+    assert sorted(r["x"] for r in read_synopsis(spark, dest).collect()) == [1, 2]
+    _write(spark, dest + "_staged", [3])
+    os.rename(dest, dest + "_old")
+    assert sorted(r["x"] for r in read_synopsis(spark, dest).collect()) == [3]
+    assert os.path.exists(dest) and not os.path.exists(dest + "_old")
+
+
+def test_blockbloom_reader_self_heals(spark, engine, tmp_path):
+    """A point lookup against a crashed-mid-swap bloom index answers
+    correctly WITHOUT a manual recovery step — the reader heals it."""
+    from approximatequeryengine_spark.sources.blockbloom import (
+        blockbloom_point_sum,
+        blockbloom_write,
+    )
+
+    orders = engine.catalog.table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    idx = str(tmp_path / "idx")
+    blockbloom_write(
+        spark, orders, idx,
+        ingest_key=F.col("o_orderkey"), lookup_key=F.col("o_custkey"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+    before = blockbloom_point_sum(spark, idx, 42, cents).collect()[0]
+    shutil.copytree(f"{idx}/bloom", f"{idx}/bloom_staged")
+    os.rename(f"{idx}/bloom", f"{idx}/bloom_old")
+    after = blockbloom_point_sum(spark, idx, 42, cents).collect()[0]
+    assert tuple(before) == tuple(after)
+    assert os.path.exists(f"{idx}/bloom")
+
+
 def test_blockbloom_crash_recovery_end_to_end(spark, engine, tmp_path):
     """Kill-between-retire-and-swap simulation for the bloom index: the
     documented recovery restores a queryable index (VERDICT r7 #5)."""
