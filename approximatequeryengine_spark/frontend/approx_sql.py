@@ -127,9 +127,15 @@ def _balanced(expr: str) -> bool:
     return depth == 0
 
 
+_QUANTILE_ITEM = re.compile(
+    r"^APPROX\s*\(\s*(MEDIAN|PERCENTILE)\s*\((.*)\)\s*\)\s+AS\s+(\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def _parse_select_item(item: str):
     """-> ('approx', agg, expr, alias) | ('ratio', num, den, alias)
-    | ('plain', text)."""
+    | ('quantile', expr, q, alias) | ('plain', text)."""
     it = item.strip()
     # Ratio first: the single-aggregate regex would greedily mis-split
     # APPROX(SUM(a) / SUM(b)) into expr = 'a) / SUM(b'.
@@ -138,6 +144,21 @@ def _parse_select_item(item: str):
         num, den = m.group(1).strip(), m.group(2).strip()
         if _balanced(num) and _balanced(den):
             return ("ratio", num, den, m.group(3))
+    m = _QUANTILE_ITEM.match(it)
+    if m:
+        kind, inner, alias = m.group(1).upper(), m.group(2).strip(), m.group(3)
+        if _balanced(inner):
+            if kind == "MEDIAN":
+                return ("quantile", inner, 0.5, alias)
+            args = _split_commas(inner)
+            if len(args) == 2 and _balanced(args[0]):
+                try:
+                    q = float(args[1])
+                except ValueError:
+                    q = None
+                if q is not None and 0.0 < q < 1.0:
+                    return ("quantile", args[0], q, alias)
+        return ("plain", it)
     m = _APPROX_ITEM.match(it)
     if not m:
         return ("plain", it)
@@ -180,6 +201,12 @@ def rewrite_approx_sql(
         return _rewrite_estimator_sql(
             query, est_kind, est_arg, key_by_table, z=z, round_to=round_to
         )
+    # Order-statistic estimators (single-table): the binomial-rank CI
+    # template, not the moment aggregate.
+    if re.search(
+        r"\bAPPROX\s*\(\s*(MEDIAN|PERCENTILE)\s*\(", query, re.IGNORECASE
+    ):
+        return _rewrite_quantile_sql(query, key_by_table, z=z)
     ts = _TABLESAMPLE.search(query)
     if not ts:
         return None
@@ -387,20 +414,13 @@ _SINGLE_TABLE = re.compile(
 )
 
 
-def _rewrite_estimator_sql(
-    query: str,
-    kind: str,
-    arg: str,
-    key_by_table: dict[str, str],
-    z: float,
-    round_to: int | None,
-) -> str | None:
-    """Parse the restricted single-table shape and render the portable
-    estimator SQL. Shape: ``SELECT [g,] APPROX(SUM(expr)) AS alias FROM
-    t TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g] <marker>
-    [ORDER BY ...]`` — joins, HAVING, multiple aggregates are outside
-    the estimator templates (exact per-stratum population counts /
-    auxiliary totals are only well-defined against ONE base table)."""
+def _parse_single_table_shape(query: str, key_by_table: dict[str, str]):
+    """Parse the restricted single-table shape ``SELECT <items> FROM t
+    TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g] [ORDER BY .../
+    LIMIT ...]``. Returns (table, pct, where, group, tail, items) or
+    None when the query is a join / derived table / HAVING / multi-key
+    GROUP BY — shapes the single-table estimator templates don't
+    cover."""
     if _scan_top_level(query, "HAVING") != -1:
         return None
     sel_at = _scan_top_level(query, "SELECT")
@@ -442,11 +462,32 @@ def _rewrite_estimator_sql(
             return None  # one plain grouping column in v1
         group = gtxt
     tail = query[tail_at:].rstrip().rstrip(";") if tail_at < end else ""
-
     items = [
         _parse_select_item(i)
         for i in _split_commas(query[sel_at + len("SELECT") : from_at])
     ]
+    return table, pct, where, group, tail, items
+
+
+def _rewrite_estimator_sql(
+    query: str,
+    kind: str,
+    arg: str,
+    key_by_table: dict[str, str],
+    z: float,
+    round_to: int | None,
+) -> str | None:
+    """Render the portable model-assisted estimator SQL for the
+    restricted single-table shape: ``SELECT [g,] APPROX(SUM(expr)) AS
+    alias FROM t TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g]
+    <marker> [ORDER BY ...]`` — joins, HAVING, multiple aggregates are
+    outside the estimator templates (exact per-stratum population
+    counts / auxiliary totals are only well-defined against ONE base
+    table)."""
+    shape = _parse_single_table_shape(query, key_by_table)
+    if shape is None:
+        return None
+    table, pct, where, group, tail, items = shape
     approxes = [i for i in items if i[0] == "approx"]
     plains = [i[1] for i in items if i[0] == "plain"]
     if len(approxes) != 1 or len(items) != len(approxes) + len(plains):
@@ -472,6 +513,70 @@ def _rewrite_estimator_sql(
         )
     else:
         sql = _regaux_text(table, expr, alias, group, arg, spec, where, z, rt)
+    return f"{sql} {tail}" if tail else sql
+
+
+def _rewrite_quantile_sql(
+    query: str,
+    key_by_table: dict[str, str],
+    z: float,
+) -> str | None:
+    """``APPROX(MEDIAN(expr))`` / ``APPROX(PERCENTILE(expr, q))`` over
+    the single-table TABLESAMPLE shape → the sampled order-statistic
+    estimate with the binomial-rank CI (plans/quantiles.py semantics)
+    as ONE portable text. No rounding: order statistics are actual data
+    values, identical in both engines by construction. The rank
+    arithmetic (ceil/floor over q·n) uses the SQL literal q, which BOTH
+    engines type as DECIMAL — exact, so the chosen ranks can never
+    disagree."""
+    shape = _parse_single_table_shape(query, key_by_table)
+    if shape is None:
+        return None
+    table, pct, where, group, tail, items = shape
+    quants = [i for i in items if i[0] == "quantile"]
+    plains = [i[1] for i in items if i[0] == "plain"]
+    if len(quants) != 1 or len(items) != len(quants) + len(plains):
+        return None
+    _, expr, q, alias = quants[0]
+    if [p.strip() for p in plains] != ([group] if group else []):
+        return None
+    spec = SamplingSpec(
+        design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
+    )
+    x = f"CAST({expr} AS DOUBLE)"
+    key = f"CAST({spec.key} AS BIGINT)"
+    w = sampling_where_sql(spec)
+    if where:
+        w = f"({where}) AND {w}"
+    # A NULL measurement has no rank, and the engines order NULLs on
+    # opposite ends of a sort — exclude in the one shared text.
+    w = f"{w} AND ({x}) IS NOT NULL"
+    half = f"{z!r} * sqrt(n * {q!r} * (1.0 - {q!r}))"
+    point = f"least(greatest(CAST(ceil({q!r} * n) AS BIGINT), 1), n)"
+    lo = f"least(greatest(CAST(floor({q!r} * n - {half}) AS BIGINT), 1), n)"
+    hi = f"least(greatest(CAST(ceil({q!r} * n + {half}) AS BIGINT), 1), n)"
+    g_sel = f"{group} AS aqe_g, " if group else ""
+    g_cols = "aqe_g, " if group else ""
+    part = "PARTITION BY aqe_g " if group else ""
+    over_n = f"OVER (PARTITION BY aqe_g)" if group else "OVER ()"
+    g_out = f"aqe_g AS {group}, " if group else ""
+    g_grp = " GROUP BY aqe_g" if group else ""
+    sql = f"""
+WITH aqe_s AS (
+  SELECT {g_sel}{x} AS x, {key} AS k FROM {table} WHERE {w}
+),
+aqe_r AS (
+  SELECT {g_cols}x,
+         row_number() OVER ({part}ORDER BY x, k) AS rn,
+         count(*) {over_n} AS n
+  FROM aqe_s
+)
+SELECT {g_out}min(CASE WHEN rn = {point} THEN x END) AS {alias},
+       min(CASE WHEN rn = {lo} THEN x END) AS ci_lower,
+       min(CASE WHEN rn = {hi} THEN x END) AS ci_upper,
+       CAST(max(n) AS BIGINT) AS n_samples
+FROM aqe_r{g_grp}
+""".strip()
     return f"{sql} {tail}" if tail else sql
 
 

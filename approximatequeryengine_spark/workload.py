@@ -2880,6 +2880,33 @@ _register(
 )
 
 
+# Order-statistic estimators from plain SQL (round 8, second batch):
+# APPROX(MEDIAN(x)) / APPROX(PERCENTILE(x, q)) over the single-table
+# TABLESAMPLE shape — the binomial-rank CI as one portable text. No
+# rounding anywhere: order statistics are actual data values.
+_APPROX_SQL_MEDIAN = (
+    "SELECT APPROX(MEDIAN(l_extendedprice)) AS med_price "
+    "FROM lineitem TABLESAMPLE (10 PERCENT)"
+)
+_register(
+    "approx_sql_median_price",
+    _mk_sql_rewrite_fn(_APPROX_SQL_MEDIAN, {}),
+    _rewrite_approx_sql(_APPROX_SQL_MEDIAN, dict(_CATALOG_TABLES)),
+)
+
+_APPROX_SQL_P90 = (
+    "SELECT l_returnflag, "
+    "APPROX(PERCENTILE(l_extendedprice, 0.9)) AS p90_price "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+_register(
+    "approx_sql_p90_by_flag",
+    _mk_sql_rewrite_fn(_APPROX_SQL_P90, {}),
+    _rewrite_approx_sql(_APPROX_SQL_P90, dict(_CATALOG_TABLES)),
+)
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators → rows-only driver check (no oracle entry).
 # ---------------------------------------------------------------------------
@@ -5334,6 +5361,8 @@ _CERTIFY_FIRST = [
     "approx_sql_regaux_revenue",
     "approx_sql_ratio_by_flag",
     "approx_grouped_sum_twostage",
+    "approx_sql_median_price",
+    "approx_sql_p90_by_flag",
     # --- text changed this round (COUNT(1) n_samples) ---
     "approx_sql_join_revenue",
     # --- stale refresh: latest row is round 1 ---
@@ -5365,8 +5394,6 @@ _CERTIFY_FIRST = [
     "sessionize_events",
     "pivot_order_status",
     "scalar_functions_profile",
-    "tpch_q6_forecast_revenue",
-    "approx_sum_block10",
     "approx_median_ci",
 ]
 

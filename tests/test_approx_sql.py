@@ -200,6 +200,55 @@ def test_estimator_marker_shape_gates(engine_med):
     assert out is not None
 
 
+def test_quantile_rewrites_and_matches(spark, engine_med, duck_med):
+    # MEDIAN, global + WHERE
+    q = (
+        "SELECT APPROX(MEDIAN(o_totalprice)) AS med FROM orders "
+        "TABLESAMPLE (20 PERCENT) WHERE o_orderstatus = 'F'"
+    )
+    out = rewrite_approx_sql(q, TABLES)
+    assert out is not None and "row_number()" in out
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    # PERCENTILE, grouped
+    g = (
+        "SELECT l_returnflag, "
+        "APPROX(PERCENTILE(l_extendedprice, 0.9)) AS p90 "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    out = rewrite_approx_sql(g, TABLES)
+    assert out is not None
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    # CI brackets the point estimate (order statistics: lo <= point <= hi)
+    rows = spark.sql(out).collect()
+    assert len(rows) == 3
+    assert all(r["ci_lower"] <= r["p90"] <= r["ci_upper"] for r in rows)
+
+
+def test_quantile_shape_gates(engine_med):
+    # q outside (0, 1) → not a quantile item → guidance rejection
+    assert rewrite_approx_sql(
+        "SELECT APPROX(PERCENTILE(l_quantity, 1.5)) AS p FROM lineitem "
+        "TABLESAMPLE (10 PERCENT)",
+        TABLES,
+    ) is None
+    # joins are outside the order-statistic template
+    assert rewrite_approx_sql(
+        "SELECT APPROX(MEDIAN(l_quantity)) AS m FROM lineitem "
+        "TABLESAMPLE (10 PERCENT) JOIN orders ON l_orderkey = o_orderkey",
+        TABLES,
+    ) is None
+    # engine routing end-to-end
+    res = engine_med.run(
+        "SELECT APPROX(MEDIAN(l_extendedprice)) AS med_price "
+        "FROM lineitem TABLESAMPLE (10 PERCENT)"
+    )
+    assert res.method == "sql_rewrite"
+    r = res.df.collect()[0]
+    assert r["ci_lower"] <= r["med_price"] <= r["ci_upper"]
+
+
 def test_engine_routes_estimator_markers(engine_med):
     res = engine_med.run(POSTSTRAT_Q)
     assert res.method == "sql_rewrite"
