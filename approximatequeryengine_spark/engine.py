@@ -400,12 +400,50 @@ class AQEngine:
             if rewritten is not None:
                 self.catalog.refresh_views()
                 df = self.spark.sql(rewritten)
-                return ApproxResult(
+                res = ApproxResult(
                     df=df,
                     method="sql_rewrite",
                     status=ApproximationStatus.STABLE,
                     computation_time=time.time() - t0,
                 )
+                if compare:
+                    # F6 exact-vs-approx comparison for the rewrite
+                    # path: run the exact twin (markers unwrapped) and
+                    # report actual error + speedup. Both results are
+                    # aggregate outputs — the collects are bounded.
+                    from approximatequeryengine_spark.frontend.approx_sql import (
+                        exact_twin_sql,
+                    )
+
+                    twin = exact_twin_sql(sql)
+                    if twin is not None:
+                        approx_rows = df.collect()
+                        res.computation_time = time.time() - t0
+                        t1 = time.time()
+                        exact_df = self.spark.sql(twin)
+                        exact_rows = exact_df.collect()
+                        exact_time = time.time() - t1
+                        res.groups["__exact_sql__"] = twin
+                        res.groups["__exact_df__"] = exact_df
+                        res.groups["__speedup__"] = (
+                            exact_time / res.computation_time
+                            if res.computation_time
+                            else float("inf")
+                        )
+                        if len(approx_rows) == 1 and len(exact_rows) == 1:
+                            a, e = approx_rows[0], exact_rows[0]
+                            shared = [
+                                c for c in exact_df.columns
+                                if c in df.columns and isinstance(e[c], (int, float))
+                            ]
+                            if shared:
+                                c = shared[0]
+                                res.groups["__exact__"] = e[c]
+                                if e[c]:
+                                    res.groups["__actual_error_pct__"] = (
+                                        100.0 * abs(a[c] - e[c]) / abs(e[c])
+                                    )
+                return res
             _, is_approx, _ = rewrite_approx(sql)
             if is_approx or re.search(r"\bAPPROX\s*\(", sql, re.IGNORECASE):
                 raise ValueError(

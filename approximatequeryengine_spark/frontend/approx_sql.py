@@ -516,6 +516,42 @@ def _rewrite_estimator_sql(
     return f"{sql} {tail}" if tail else sql
 
 
+def exact_twin_sql(query: str) -> str | None:
+    """The EXACT query the APPROX markers approximate: TABLESAMPLE and
+    the estimator markers removed, each APPROX item unwrapped to its
+    plain aggregate (ratio → SUM/SUM, MEDIAN/PERCENTILE →
+    ``percentile()``). Spark-side only — ``AQEngine.run(compare=True)``
+    runs this twin to report actual error and speedup for the
+    sql_rewrite path (the reference's F6 exact-vs-approx comparison,
+    extended to the full marker surface); it never goes to the
+    oracle."""
+    query = query.strip()
+    marker = _extract_marker(query)
+    if marker is None:
+        return None
+    query, _, _ = marker
+    query = _TABLESAMPLE.sub(r"\1", query)
+    sel_at = _scan_top_level(query, "SELECT")
+    from_at = _scan_top_level(query, "FROM")
+    if sel_at != 0 or from_at == -1:
+        return None
+    out = []
+    for raw in _split_commas(query[sel_at + len("SELECT") : from_at]):
+        it = _parse_select_item(raw)
+        if it[0] == "approx":
+            _, agg, expr, alias = it
+            out.append(f"{agg}({expr}) AS {alias}")
+        elif it[0] == "ratio":
+            _, num, den, alias = it
+            out.append(f"SUM({num}) / SUM({den}) AS {alias}")
+        elif it[0] == "quantile":
+            _, expr, q, alias = it
+            out.append(f"percentile({expr}, {q!r}) AS {alias}")
+        else:
+            out.append(it[1])
+    return f"SELECT {', '.join(out)} {query[from_at:]}"
+
+
 def _rewrite_quantile_sql(
     query: str,
     key_by_table: dict[str, str],

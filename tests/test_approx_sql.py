@@ -249,6 +249,38 @@ def test_quantile_shape_gates(engine_med):
     assert r["ci_lower"] <= r["med_price"] <= r["ci_upper"]
 
 
+def test_compare_runs_exact_twin(engine_med, duck_med):
+    """compare=True on the rewrite path: the exact twin (markers
+    unwrapped) runs and the actual error + speedup are reported — the
+    F6 comparison extended to the SQL-marker surface."""
+    from approximatequeryengine_spark.frontend.approx_sql import exact_twin_sql
+
+    q = (
+        "SELECT APPROX(SUM(l_extendedprice)) AS total "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) STRATIFY BY l_returnflag"
+    )
+    twin = exact_twin_sql(q)
+    assert twin is not None
+    assert "TABLESAMPLE" not in twin.upper() and "STRATIFY" not in twin.upper()
+    assert "SUM(l_extendedprice) AS total" in twin
+    res = engine_med.run(q, compare=True)
+    assert res.method == "sql_rewrite"
+    exact = duck_med.execute(
+        "SELECT sum(l_extendedprice) FROM lineitem"
+    ).fetchone()[0]
+    assert abs(res.groups["__exact__"] - exact) < 0.01
+    assert res.groups["__actual_error_pct__"] < 5.0  # 10% sample, n≈6e4
+    # ratio + quantile twins unwrap correctly
+    t2 = exact_twin_sql(
+        "SELECT APPROX(SUM(a) / SUM(b)) AS r FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert "SUM(a) / SUM(b) AS r" in t2
+    t3 = exact_twin_sql(
+        "SELECT APPROX(PERCENTILE(x, 0.9)) AS p FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert "percentile(x, 0.9) AS p" in t3
+
+
 def test_engine_routes_estimator_markers(engine_med):
     res = engine_med.run(POSTSTRAT_Q)
     assert res.method == "sql_rewrite"
