@@ -467,3 +467,91 @@ def test_bloom_probe_masks_deterministic(key):
     from approximatequeryengine_spark.sources.blockbloom import probe_masks
 
     assert probe_masks(key, 4096) == probe_masks(key, 4096)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: the APPROX-SQL rewriter never emits invalid SQL.
+# ---------------------------------------------------------------------------
+
+_REWRITE_TABLES = {"lineitem": "l_orderkey * 8 + l_linenumber"}
+_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _duck_lineitem():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT "
+        "range AS l_orderkey, 1 AS l_linenumber, "
+        "CAST(range % 50 AS DOUBLE) AS l_quantity, "
+        "CAST(range % 1000 AS DOUBLE) AS l_extendedprice, "
+        "CAST((range % 10) / 100.0 AS DOUBLE) AS l_discount, "
+        "chr(65 + CAST(range % 3 AS INT)) AS l_returnflag, "
+        "chr(70 + CAST(range % 2 AS INT)) AS l_linestatus "
+        "FROM range(200)"
+    )
+    return con
+
+
+@st.composite
+def approx_queries(draw):
+    col = draw(st.sampled_from(_COLS))
+    alias = draw(st.sampled_from(["est", "v", "total_9", "r"]))
+    pct = draw(st.sampled_from(["5", "10", "25.0", "100"]))
+    kind = draw(
+        st.sampled_from(["SUM", "AVG", "COUNT", "ratio", "MEDIAN", "PERCENTILE"])
+    )
+    if kind == "ratio":
+        item = f"APPROX(SUM({col}) / SUM(l_quantity)) AS {alias}"
+    elif kind == "MEDIAN":
+        item = f"APPROX(MEDIAN({col})) AS {alias}"
+    elif kind == "PERCENTILE":
+        q = draw(st.sampled_from(["0.1", "0.5", "0.9", "0.99"]))
+        item = f"APPROX(PERCENTILE({col}, {q})) AS {alias}"
+    else:
+        item = f"APPROX({kind}({col})) AS {alias}"
+    group = draw(st.sampled_from([None, "l_returnflag", "l_linestatus"]))
+    sel = f"{group}, {item}" if group else item
+    where = draw(st.sampled_from([None, "l_quantity > 5", "l_discount <= 0.05"]))
+    marker = draw(
+        st.sampled_from([None, "STRATIFY BY l_returnflag", "USING AUX(l_quantity)"])
+    )
+    order = draw(st.booleans()) and group is not None
+    q = f"SELECT {sel} FROM lineitem TABLESAMPLE ({pct} PERCENT)"
+    if where:
+        q += f" WHERE {where}"
+    if group:
+        q += f" GROUP BY {group}"
+    if marker:
+        q += f" {marker}"
+    if order:
+        q += f" ORDER BY {group}"
+    return q
+
+
+@settings(max_examples=120, deadline=None)
+@given(approx_queries())
+def test_rewriter_never_emits_invalid_sql(q):
+    """Grammar fuzz over the full marker surface: for every generated
+    query the rewriter must return None (caller raises a guidance
+    error), raise the documented stratum==group ValueError, or emit
+    text that (a) carries no residual marker tokens and (b) EXECUTES on
+    DuckDB — the portability oracle. It must never emit SQL that fails
+    to parse."""
+    from approximatequeryengine_spark.frontend.approx_sql import (
+        rewrite_approx_sql,
+    )
+
+    try:
+        out = rewrite_approx_sql(q, _REWRITE_TABLES, round_to=4)
+    except ValueError as e:
+        assert "STRATIFY BY column" in str(e)
+        return
+    if out is None:
+        return
+    up = out.upper()
+    assert "APPROX" not in up.replace("TABLESAMPLE", "")
+    assert "TABLESAMPLE" not in up
+    assert "STRATIFY" not in up and "USING AUX" not in up
+    con = _duck_lineitem()
+    rows = con.execute(out).fetchall()  # must parse AND run
+    assert rows is not None
