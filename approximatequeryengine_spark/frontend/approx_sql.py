@@ -167,6 +167,13 @@ def _parse_select_item(item: str):
     # captured expr is itself balanced (rejects APPROX(SUM(a)) + 1).
     if not _balanced(expr):
         return ("plain", it)
+    dm = re.match(r"DISTINCT\s+(.+)$", expr, re.IGNORECASE | re.DOTALL)
+    if dm:
+        if agg == "COUNT":
+            # COUNT(DISTINCT col) → the Chao1 species estimator, not
+            # the HT moment path (which would emit invalid SQL).
+            return ("distinct", dm.group(1).strip(), alias)
+        return ("plain", it)  # SUM/AVG(DISTINCT) → guidance rejection
     return ("approx", agg, expr, alias)
 
 
@@ -207,6 +214,14 @@ def rewrite_approx_sql(
         r"\bAPPROX\s*\(\s*(MEDIAN|PERCENTILE)\s*\(", query, re.IGNORECASE
     ):
         return _rewrite_quantile_sql(query, key_by_table, z=z)
+    # Distinct-count estimation (single-table): the Chao1 species
+    # estimator over sample frequencies — a sampled COUNT(DISTINCT)
+    # cannot ride the HT moment path (a 10% row sample sees far fewer
+    # than 10% of RARE values; Chao1 corrects with the f1/f2 counts).
+    if re.search(
+        r"\bAPPROX\s*\(\s*COUNT\s*\(\s*DISTINCT\b", query, re.IGNORECASE
+    ):
+        return _rewrite_distinct_sql(query, key_by_table)
     ts = _TABLESAMPLE.search(query)
     if not ts:
         return None
@@ -248,6 +263,11 @@ def rewrite_approx_sql(
     # raises the guidance ValueError).
     for it in items:
         if it[0] == "plain" and re.search(r"\bAPPROX\s*\(", it[1], re.IGNORECASE):
+            return None
+    # an estimate alias shadowing the CI/readout columns would duplicate
+    # an output column name — reject (caller raises the guidance error)
+    for it in approxes:
+        if it[-1].lower() in ("ci_lower", "ci_upper", "n_samples"):
             return None
 
     p_sql = sampling_p_sql(spec)
@@ -408,6 +428,16 @@ def _extract_marker(query: str):
     return None  # USING AUX without the parenthesized argument
 
 
+# Output columns the templates add next to the user's alias — an alias
+# that shadows one would duplicate a column name in the result.
+_RESERVED_ALIASES = frozenset(
+    {
+        "ci_lower", "ci_upper", "n_samples", "n_strata", "missing_strata",
+        "thin_strata", "slope", "method", "n_psus", "n_rows",
+    }
+)
+
+
 _SINGLE_TABLE = re.compile(
     r"^\s*(\w+)\s+TABLESAMPLE\s*\(\s*([\d.]+)\s*PERCENT\s*\)\s*$",
     re.IGNORECASE,
@@ -466,6 +496,9 @@ def _parse_single_table_shape(query: str, key_by_table: dict[str, str]):
         _parse_select_item(i)
         for i in _split_commas(query[sel_at + len("SELECT") : from_at])
     ]
+    for it in items:  # alias shadowing a template output column
+        if it[0] != "plain" and it[-1].lower() in _RESERVED_ALIASES:
+            return None
     return table, pct, where, group, tail, items
 
 
@@ -516,6 +549,60 @@ def _rewrite_estimator_sql(
     return f"{sql} {tail}" if tail else sql
 
 
+def _rewrite_distinct_sql(
+    query: str,
+    key_by_table: dict[str, str],
+) -> str | None:
+    """``APPROX(COUNT(DISTINCT col))`` over the single-table
+    TABLESAMPLE shape → the Chao1 species estimator (the
+    plans/distinct.py::chao1_sql math, honoring the user's alias and
+    WHERE) as one portable text: D̂ = d_obs + f1²/(2·f2), the
+    abundance-based correction for the values the sample never saw.
+    NULLs are excluded (COUNT(DISTINCT) semantics). Output:
+    (group,) alias, d_obs, f1, f2."""
+    shape = _parse_single_table_shape(query, key_by_table)
+    if shape is None:
+        return None
+    table, pct, where, group, tail, items = shape
+    dists = [i for i in items if i[0] == "distinct"]
+    plains = [i[1] for i in items if i[0] == "plain"]
+    if len(dists) != 1 or len(items) != len(dists) + len(plains):
+        return None
+    _, col, alias = dists[0]
+    if [p.strip() for p in plains] != ([group] if group else []):
+        return None
+    spec = SamplingSpec(
+        design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
+    )
+    w = sampling_where_sql(spec)
+    if where:
+        w = f"({where}) AND {w}"
+    w = f"{w} AND ({col}) IS NOT NULL"
+    g_sel = f"{group} AS aqe_g, " if group else ""
+    g_key = "aqe_g, " if group else ""
+    g_out = f"aqe_g AS {group}, " if group else ""
+    g_grp = " GROUP BY aqe_g" if group else ""
+    f1 = "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+    f2 = "sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)"
+    chao = (
+        f"CASE WHEN {f2} > 0 THEN ({f1} * {f1}) / (2.0 * {f2}) "
+        f"ELSE ({f1} * ({f1} - 1)) / 2.0 END"
+    )
+    sql = f"""
+WITH aqe_s AS (
+  SELECT {g_sel}{col} AS aqe_v FROM {table} WHERE {w}
+),
+aqe_f AS (
+  SELECT {g_key}aqe_v, count(*) AS c FROM aqe_s GROUP BY {g_key}aqe_v
+)
+SELECT {g_out}round(CAST(count(*) + {chao} AS DOUBLE), 2) AS {alias},
+       CAST(count(*) AS BIGINT) AS d_obs,
+       CAST({f1} AS BIGINT) AS f1, CAST({f2} AS BIGINT) AS f2
+FROM aqe_f{g_grp}
+""".strip()
+    return f"{sql} {tail}" if tail else sql
+
+
 def exact_twin_sql(query: str) -> str | None:
     """The EXACT query the APPROX markers approximate: TABLESAMPLE and
     the estimator markers removed, each APPROX item unwrapped to its
@@ -547,6 +634,9 @@ def exact_twin_sql(query: str) -> str | None:
         elif it[0] == "quantile":
             _, expr, q, alias = it
             out.append(f"percentile({expr}, {q!r}) AS {alias}")
+        elif it[0] == "distinct":
+            _, col, alias = it
+            out.append(f"COUNT(DISTINCT {col}) AS {alias}")
         else:
             out.append(it[1])
     return f"SELECT {', '.join(out)} {query[from_at:]}"

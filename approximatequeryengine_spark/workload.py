@@ -2906,6 +2906,23 @@ _register(
     _rewrite_approx_sql(_APPROX_SQL_P90, dict(_CATALOG_TABLES)),
 )
 
+# APPROX(COUNT(DISTINCT col)) from plain SQL: the Chao1 species
+# estimator over sample frequencies (a sampled COUNT(DISTINCT) cannot
+# be HT-scaled — rare values are systematically missing; Chao1 corrects
+# from the singleton/doubleton counts). Also closes a latent bug: this
+# shape previously fell through to the moment path and emitted invalid
+# SQL (CAST(DISTINCT col AS DOUBLE)).
+_APPROX_SQL_DISTINCT = (
+    "SELECT l_returnflag, APPROX(COUNT(DISTINCT l_partkey)) AS d_parts "
+    "FROM lineitem TABLESAMPLE (20 PERCENT) "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+_register(
+    "approx_sql_distinct_parts",
+    _mk_sql_rewrite_fn(_APPROX_SQL_DISTINCT, {}),
+    _rewrite_approx_sql(_APPROX_SQL_DISTINCT, dict(_CATALOG_TABLES)),
+)
+
 
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators → rows-only driver check (no oracle entry).
@@ -5363,6 +5380,7 @@ _CERTIFY_FIRST = [
     "approx_grouped_sum_twostage",
     "approx_sql_median_price",
     "approx_sql_p90_by_flag",
+    "approx_sql_distinct_parts",
     # --- text changed this round (COUNT(1) n_samples) ---
     "approx_sql_join_revenue",
     # --- stale refresh: latest row is round 1 ---
@@ -5393,7 +5411,6 @@ _CERTIFY_FIRST = [
     "window_topk_parts_per_brand",
     "sessionize_events",
     "pivot_order_status",
-    "scalar_functions_profile",
     "approx_median_ci",
 ]
 

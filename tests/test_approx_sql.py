@@ -249,6 +249,49 @@ def test_quantile_shape_gates(engine_med):
     assert r["ci_lower"] <= r["med_price"] <= r["ci_upper"]
 
 
+def test_count_distinct_routes_to_chao1(spark, engine_med, duck_med):
+    """APPROX(COUNT(DISTINCT col)): Chao1 species estimator, not the
+    HT moment path (which used to emit invalid SQL for this shape).
+    Cross-engine match + the estimate must beat the naive observed
+    count against the true distinct cardinality."""
+    q = (
+        "SELECT APPROX(COUNT(DISTINCT l_partkey)) AS d_parts "
+        "FROM lineitem TABLESAMPLE (10 PERCENT)"
+    )
+    out = rewrite_approx_sql(q, TABLES)
+    assert out is not None and "f1" in out and "d_obs" in out
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    row = spark.sql(out).collect()[0]
+    true_d = duck_med.execute(
+        "SELECT count(DISTINCT l_partkey) FROM lineitem"
+    ).fetchone()[0]
+    assert abs(row["d_parts"] - true_d) < abs(row["d_obs"] - true_d)
+    # SUM(DISTINCT) is not an estimand the markers cover → guidance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="TABLESAMPLE"):
+        engine_med.run(
+            "SELECT APPROX(SUM(DISTINCT l_quantity)) AS s "
+            "FROM lineitem TABLESAMPLE (10 PERCENT)"
+        )
+
+
+def test_reserved_alias_rejected():
+    # an estimate alias shadowing a template output column would
+    # duplicate a column name — clean rejection
+    assert rewrite_approx_sql(
+        "SELECT APPROX(SUM(l_quantity)) AS n_samples "
+        "FROM lineitem TABLESAMPLE (10 PERCENT)",
+        TABLES,
+    ) is None
+    assert rewrite_approx_sql(
+        "SELECT APPROX(MEDIAN(l_quantity)) AS ci_lower "
+        "FROM lineitem TABLESAMPLE (10 PERCENT)",
+        TABLES,
+    ) is None
+
+
 def test_compare_runs_exact_twin(engine_med, duck_med):
     """compare=True on the rewrite path: the exact twin (markers
     unwrapped) runs and the actual error + speedup are reported — the

@@ -498,9 +498,16 @@ def approx_queries(draw):
     alias = draw(st.sampled_from(["est", "v", "total_9", "r"]))
     pct = draw(st.sampled_from(["5", "10", "25.0", "100"]))
     kind = draw(
-        st.sampled_from(["SUM", "AVG", "COUNT", "ratio", "MEDIAN", "PERCENTILE"])
+        st.sampled_from(
+            ["SUM", "AVG", "COUNT", "ratio", "MEDIAN", "PERCENTILE",
+             "DISTINCT", "SUMDISTINCT"]
+        )
     )
-    if kind == "ratio":
+    if kind == "DISTINCT":
+        item = f"APPROX(COUNT(DISTINCT {col})) AS {alias}"
+    elif kind == "SUMDISTINCT":
+        item = f"APPROX(SUM(DISTINCT {col})) AS {alias}"
+    elif kind == "ratio":
         item = f"APPROX(SUM({col}) / SUM(l_quantity)) AS {alias}"
     elif kind == "MEDIAN":
         item = f"APPROX(MEDIAN({col})) AS {alias}"
