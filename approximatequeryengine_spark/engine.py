@@ -349,8 +349,25 @@ class AQEngine:
         'evidence' (moment profile dict or None)}``."""
         spec = parse_query(sql)
         if spec is None:
+            # Marker queries (TABLESAMPLE + APPROX/STRATIFY/AUX/...)
+            # route through the SQL rewriter, not the method advisor —
+            # report the route and the portable text it would run.
+            from approximatequeryengine_spark.frontend.approx_sql import (
+                rewrite_approx_sql,
+            )
+
+            keys = dict(TABLES)
+            keys.update(self.catalog._extra_keys)
+            rewritten = rewrite_approx_sql(sql, keys)
+            if rewritten is not None:
+                return {
+                    "method": "sql_rewrite",
+                    "source": "rewriter",
+                    "evidence": {"rewritten_sql": rewritten},
+                }
             raise ValueError(
-                "explain_auto needs an APPROX-dialect aggregate query; "
+                "explain_auto needs an APPROX-dialect aggregate query "
+                "or a rewritable APPROX+TABLESAMPLE marker query; "
                 f"could not parse: {sql!r}"
             )
         method, evidence = self._advise_auto(spec)

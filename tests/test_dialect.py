@@ -563,6 +563,13 @@ def test_explain_auto_surface(engine):
     assert info["evidence"]["recommended_method"] == info["method"]
     static = engine.explain_auto("SELECT APPROX(AVG(l_extendedprice)) FROM lineitem")
     assert static == {"method": "random", "source": "static", "evidence": None}
+    # round-8: marker queries report the rewrite route + portable text
+    rw = engine.explain_auto(
+        "SELECT APPROX(SUM(l_extendedprice)) AS est FROM lineitem "
+        "TABLESAMPLE (10 PERCENT) STRATIFY BY l_returnflag"
+    )
+    assert rw["method"] == "sql_rewrite" and rw["source"] == "rewriter"
+    assert "aqe_exact" in rw["evidence"]["rewritten_sql"]
     with _pytest.raises(ValueError, match="could not parse"):
         engine.explain_auto("SELECT 1")
 
