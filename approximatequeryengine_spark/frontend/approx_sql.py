@@ -20,6 +20,28 @@ repo's CLT confidence interval, computed from per-group moment columns
 in an inner aggregate (the exact formulas of
 ``plans/estimators.py::moments_sql``).
 
+Round 8 widened the marker surface beyond SUM/AVG/COUNT:
+
+- ``APPROX(SUM(a) / SUM(b)) AS r`` — ratio-of-sums with the
+  delta-method CI, riding the same inner aggregate (works across
+  joins and GROUP BY).
+- ``... STRATIFY BY col`` — post-stratified SUM (plans/poststrat.py
+  math): exact per-stratum counts re-weight the sample; single-table
+  shape, global or one GROUP BY column.
+- ``... USING AUX(expr)`` — regression estimator (plans/regression.py
+  math): exact auxiliary total, per-group slopes, expansion fallback
+  flagged in ``method``.
+- ``APPROX(MEDIAN(x))`` / ``APPROX(PERCENTILE(x, q))`` — sampled
+  order statistic with the binomial-rank CI (plans/quantiles.py
+  math); values are never rounded (they are actual data values).
+- ``APPROX(COUNT(DISTINCT col))`` — the Chao1 species estimator over
+  sample frequencies (a sampled distinct count cannot be HT-scaled;
+  the f1/f2 correction recovers unseen values).
+
+``exact_twin_sql`` renders the exact query every marker set
+approximates (markers stripped, aggregates unwrapped) — the engine's
+``compare=True`` diagnostic for this path.
+
 Statistical precondition (the user asserts it by marking the table):
 every sampled row joins at most a BOUNDED, sample-independent number of
 rows on the other side — true for key-preserving star joins (each fact
