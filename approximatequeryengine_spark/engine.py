@@ -466,9 +466,13 @@ class AQEngine:
                 raise ValueError(
                     "APPROX dialect supports a single SUM/AVG/COUNT/MIN/MAX/"
                     "MEDIAN/PERCENTILE/STDDEV/CORR aggregate over one table "
-                    "(optional WHERE, one GROUP BY column) — or, for joins, "
-                    "APPROX(SUM/AVG/COUNT(expr)) AS alias in the SELECT list "
-                    "with the sampled table marked `t TABLESAMPLE (p PERCENT)`"
+                    "(optional WHERE, one GROUP BY column) — or SQL-marker "
+                    "queries with the sampled table marked `t TABLESAMPLE "
+                    "(p PERCENT)`: APPROX(SUM/AVG/COUNT(expr)) AS alias "
+                    "(joins OK), APPROX(SUM(a) / SUM(b)) AS alias (ratio), "
+                    "APPROX(MEDIAN(x)/PERCENTILE(x, q)) AS alias, "
+                    "APPROX(COUNT(DISTINCT col)) AS alias, and single-table "
+                    "estimator markers `STRATIFY BY col` / `USING AUX(expr)`"
                     f"; could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
