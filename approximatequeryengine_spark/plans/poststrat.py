@@ -83,6 +83,20 @@ def poststrat_sum_ci(
             F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC)).alias("sc2"),
         )
     )
+    return poststrat_from_moments(exact, sample, z=z, round_to=round_to)
+
+
+def poststrat_from_moments(
+    exact: DataFrame,
+    sample: DataFrame,
+    z: float = Z_95,
+    round_to: int = 3,
+) -> DataFrame:
+    """The estimator's finalization, factored so PRE-AGGREGATED moments
+    can feed it — the streaming twin maintains per-stratum (n, Σc, Σc²)
+    running state and finalizes here once the stream drains. ``exact``
+    is (g, n_pop); ``sample`` is (g2, n, sc, sc2) with sc/sc2 on the
+    integer cents grid (sc2 in DECIMAL(38,0))."""
     per = (
         # Null-safe join: a NULL stratum is a real group on both sides
         # (groupBy keeps it); a plain equi-join would silently drop its

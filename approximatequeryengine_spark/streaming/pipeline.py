@@ -278,6 +278,75 @@ def sampled_revenue_sql(fraction: float = SAMPLED_FRACTION) -> str:
     )
 
 
+def poststrat_stream(
+    spark: SparkSession, sf_dir: str, fraction: float = SAMPLED_FRACTION
+) -> DataFrame:
+    """POST-STRATIFIED estimation on a stream (round 8): the streaming
+    twin of ``plans/poststrat.py::poststrat_sum_ci``, completing the
+    model-assisted family's streaming presence. The stream maintains
+    per-stratum running moments (count, Σcents, Σcents²) over the
+    deterministic uniform-hash sample — bounded state, 3 numbers per
+    stratum — while the exact stratum counts come from the static
+    catalog side (at scale: table statistics, no scan). Finalization is
+    the SHARED ``poststrat_from_moments`` (one code path, so the
+    streaming estimate cannot drift from the batch estimator), and
+    because every accumulated term is exact integer arithmetic the
+    drained stream equals the batch answer bit-for-bit — which is
+    exactly what the DuckDB oracle checks."""
+    from approximatequeryengine_spark.functions.hashing import (
+        fraction_threshold,
+        portable_hash_col,
+    )
+    from approximatequeryengine_spark.plans.estimators import (
+        cents_col,
+        finite_col,
+    )
+    from approximatequeryengine_spark.plans.poststrat import (
+        poststrat_from_moments,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    thr = fraction_threshold(fraction)
+    sampled = stream.filter(
+        portable_hash_col(F.col("event_id").cast("long")) < F.lit(thr)
+    )
+    # finite gate first (a NaN would poison the running moments), then
+    # the integer cents grid — NULL cents still COUNT toward n (the
+    # batch estimator's count(1) semantics; sums skip them).
+    c = cents_col(finite_col(F.col("value").cast("double"))).cast("decimal(38,0)")
+    moments = sampled.groupBy(F.col("event_type").alias("g2")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sc2"),
+    )
+    sink = run_to_memory_sink(moments, "complete")
+    exact = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n_pop"))
+    )
+    return poststrat_from_moments(exact, sink)
+
+
+def poststrat_stream_sql(fraction: float = SAMPLED_FRACTION) -> str:
+    """Oracle: the drained stream's estimate IS the batch post-
+    stratified estimate (integer moments are order-free), so the batch
+    SQL renderer is the oracle verbatim."""
+    from approximatequeryengine_spark.plans.estimators import finite_sql
+    from approximatequeryengine_spark.plans.poststrat import (
+        poststrat_sum_ci_sql,
+    )
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec
+
+    spec = SamplingSpec(
+        design="uniform_hash", fraction=fraction, key="event_id"
+    )
+    return poststrat_sum_ci_sql(
+        "events", finite_sql("value"), "event_type", spec
+    )
+
+
 def countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained Count-Min sketch over a streaming corpus:
     documents arrive as a stream, tokens explode statelessly, and the

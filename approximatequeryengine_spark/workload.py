@@ -1811,6 +1811,31 @@ def _stream_sampled_oracle() -> str:
 _register("streaming_sampled_revenue", _stream_sampled_fn, _stream_sampled_oracle())
 
 
+def _stream_poststrat_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8: POST-STRATIFIED estimation on a stream — per-stratum
+    running integer moments over the hash sample, exact stratum counts
+    from the static side, finalized by the SHARED batch estimator code
+    (streaming/pipeline.py::poststrat_stream). Integer state makes the
+    drained stream equal the batch answer bit-for-bit — the oracle is
+    the batch poststrat SQL verbatim."""
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.poststrat_stream(spark, sf_dir)
+
+
+def _stream_poststrat_oracle() -> str:
+    from approximatequeryengine_spark.streaming import pipeline as _p
+
+    return _p.poststrat_stream_sql()
+
+
+_register(
+    "streaming_poststrat_estimate",
+    _stream_poststrat_fn,
+    _stream_poststrat_oracle(),
+)
+
+
 def _stream_cms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximatequeryengine_spark.streaming import pipeline as _p
 
@@ -5381,6 +5406,7 @@ _CERTIFY_FIRST = [
     "approx_sql_median_price",
     "approx_sql_p90_by_flag",
     "approx_sql_distinct_parts",
+    "streaming_poststrat_estimate",
     # --- text changed this round (COUNT(1) n_samples) ---
     "approx_sql_join_revenue",
     # --- stale refresh: latest row is round 1 ---
@@ -5410,7 +5436,6 @@ _CERTIFY_FIRST = [
     "join_revenue_by_nation",
     "window_topk_parts_per_brand",
     "sessionize_events",
-    "pivot_order_status",
     "approx_median_ci",
 ]
 

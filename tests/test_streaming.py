@@ -309,6 +309,37 @@ def test_sampled_revenue_stream_matches_batch_estimator(spark):
     assert got == want
 
 
+def test_poststrat_stream_matches_batch_estimator(spark):
+    """Round-8: the streaming post-stratified estimate (running integer
+    moments per stratum + static exact counts, finalized by the SHARED
+    poststrat_from_moments) must equal the batch estimator bit-for-bit
+    — every accumulated term is exact integer arithmetic, so micro-batch
+    order cannot move the answer."""
+    from approximatequeryengine_spark.catalog import normalize_ts
+    from approximatequeryengine_spark.plans.estimators import finite_col
+    from approximatequeryengine_spark.plans.poststrat import poststrat_sum_ci
+    from approximatequeryengine_spark.plans.sampling import SamplingSpec
+    from approximatequeryengine_spark.streaming.pipeline import poststrat_stream
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = tuple(poststrat_stream(spark, sf).collect()[0])
+    events = normalize_ts(spark.read.parquet(f"{sf}/events.parquet"), ["ts"])
+    gated = events.withColumn(
+        "value", finite_col(F.col("value").cast("double"))
+    )
+    want = tuple(
+        poststrat_sum_ci(
+            gated,
+            "value",
+            "event_type",
+            SamplingSpec(design="uniform_hash", fraction=0.10, key="event_id"),
+        ).collect()[0]
+    )
+    assert got == want
+    assert got[4] > 1  # n_strata: the stratification is non-trivial
+
+
 def test_streaming_countmin_equals_batch_sketch(spark, engine):
     """The drained streaming Count-Min counters must yield the same
     top-k estimates as the batch sketch (counter addition is
