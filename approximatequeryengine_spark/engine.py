@@ -416,7 +416,33 @@ class AQEngine:
             rewritten = rewrite_approx_sql(sql, keys, z=z)
             if rewritten is not None:
                 self.catalog.refresh_views()
-                df = self.spark.sql(rewritten)
+                from approximatequeryengine_spark.frontend.approx_sql import (
+                    parse_global_quantile_marker,
+                )
+
+                gq = parse_global_quantile_marker(sql, keys)
+                if gq is not None:
+                    # GLOBAL order-statistic markers execute through the
+                    # partition-parallel rank selection — the rewritten
+                    # window text would sort the whole sample through one
+                    # task (it remains the DuckDB oracle; identical
+                    # values by construction).
+                    from approximatequeryengine_spark.plans.quantiles import (
+                        order_stat_marker_ci,
+                    )
+
+                    table, qexpr, qq, qalias, qwhere, qspec = gq
+                    df = order_stat_marker_ci(
+                        self.catalog.table(table),
+                        qexpr,
+                        qq,
+                        qalias,
+                        qspec,
+                        where=qwhere,
+                        z=z,
+                    )
+                else:
+                    df = self.spark.sql(rewritten)
                 res = ApproxResult(
                     df=df,
                     method="sql_rewrite",
@@ -448,18 +474,35 @@ class AQEngine:
                             else float("inf")
                         )
                         if len(approx_rows) == 1 and len(exact_rows) == 1:
+                            from decimal import Decimal
+
                             a, e = approx_rows[0], exact_rows[0]
+                            # Every shared numeric alias gets an error
+                            # readout (Decimal included — exact SUMs over
+                            # decimal fixtures are Decimal-typed; bool is
+                            # an int subclass, not a metric).
                             shared = [
                                 c for c in exact_df.columns
-                                if c in df.columns and isinstance(e[c], (int, float))
+                                if c in df.columns
+                                and isinstance(e[c], (int, float, Decimal))
+                                and not isinstance(e[c], bool)
                             ]
+                            per_col = {
+                                c: 100.0 * abs(float(a[c]) - float(e[c]))
+                                / abs(float(e[c]))
+                                for c in shared
+                                if e[c] and a[c] is not None
+                            }
+                            if per_col:
+                                res.groups["__actual_error_pct_by_col__"] = per_col
                             if shared:
                                 c = shared[0]
-                                res.groups["__exact__"] = e[c]
-                                if e[c]:
-                                    res.groups["__actual_error_pct__"] = (
-                                        100.0 * abs(a[c] - e[c]) / abs(e[c])
-                                    )
+                                res.groups["__exact__"] = (
+                                    float(e[c])
+                                    if isinstance(e[c], Decimal) else e[c]
+                                )
+                                if c in per_col:
+                                    res.groups["__actual_error_pct__"] = per_col[c]
                 return res
             _, is_approx, _ = rewrite_approx(sql)
             if is_approx or re.search(r"\bAPPROX\s*\(", sql, re.IGNORECASE):

@@ -287,9 +287,10 @@ def rewrite_approx_sql(
         if it[0] == "plain" and re.search(r"\bAPPROX\s*\(", it[1], re.IGNORECASE):
             return None
     # an estimate alias shadowing the CI/readout columns would duplicate
-    # an output column name — reject (caller raises the guidance error)
+    # an output column name — reject (caller raises the guidance error);
+    # n_rows is the inner aggregate's row count and collides there.
     for it in approxes:
-        if it[-1].lower() in ("ci_lower", "ci_upper", "n_samples"):
+        if it[-1].lower() in ("ci_lower", "ci_upper", "n_samples", "n_rows"):
             return None
 
     p_sql = sampling_p_sql(spec)
@@ -336,12 +337,20 @@ def rewrite_approx_sql(
             def _rr(e: str) -> str:
                 return f"round({e}, {round_to})" if round_to is not None else e
 
+            def _den_guard(e: str) -> str:
+                # A group whose sampled denominator sums to exactly 0
+                # divides by zero — Spark yields NULL but DuckDB (ANSI
+                # ieee_floating_point_ops) yields inf/NaN. Guard so both
+                # engines return NULL identically (the same-text-is-the-
+                # oracle invariant).
+                return f"CASE WHEN hb_{k} <> 0 THEN {e} ELSE NULL END"
+
             lo = "ci_lower" if single else f"{alias}_lo"
             hi = "ci_upper" if single else f"{alias}_hi"
             outer_cols += [
-                f"{_rr(r_est)} AS {alias}",
-                f"{_rr(f'({r_est}) - ({r_margin})')} AS {lo}",
-                f"{_rr(f'({r_est}) + ({r_margin})')} AS {hi}",
+                f"{_den_guard(_rr(r_est))} AS {alias}",
+                f"{_den_guard(_rr(f'({r_est}) - ({r_margin})'))} AS {lo}",
+                f"{_den_guard(_rr(f'({r_est}) + ({r_margin})'))} AS {hi}",
             ]
             continue
         _, agg, expr, alias = it
@@ -456,6 +465,8 @@ _RESERVED_ALIASES = frozenset(
     {
         "ci_lower", "ci_upper", "n_samples", "n_strata", "missing_strata",
         "thin_strata", "slope", "method", "n_psus", "n_rows",
+        # Chao1 distinct-path readout columns (_rewrite_distinct_sql).
+        "d_obs", "f1", "f2",
     }
 )
 
@@ -664,6 +675,46 @@ def exact_twin_sql(query: str) -> str | None:
     return f"SELECT {', '.join(out)} {query[from_at:]}"
 
 
+def parse_global_quantile_marker(
+    query: str,
+    key_by_table: dict[str, str],
+):
+    """Structured form of the GLOBAL (no GROUP BY, no tail) quantile
+    marker: ``SELECT APPROX(MEDIAN(expr)|PERCENTILE(expr, q)) AS alias
+    FROM t TABLESAMPLE (p PERCENT) [WHERE w]``. Returns
+    ``(table, expr, q, alias, where, spec)`` or None.
+
+    The engine executes this shape through the partition-parallel
+    order-statistic selection (plans/quantiles.py::order_stat_marker_ci
+    — no single-task whole-sample sort) while the window text from
+    ``_rewrite_quantile_sql`` stays the DuckDB oracle; the two pick the
+    same values by construction. The GROUPED shape keeps the text on
+    both engines: its sort is partitioned by the group key."""
+    query = query.strip()
+    if not re.search(
+        r"\bAPPROX\s*\(\s*(MEDIAN|PERCENTILE)\s*\(", query, re.IGNORECASE
+    ):
+        return None
+    marker = _extract_marker(query)
+    if marker is None or marker[1] is not None:
+        return None
+    shape = _parse_single_table_shape(query, key_by_table)
+    if shape is None:
+        return None
+    table, pct, where, group, tail, items = shape
+    if group is not None or tail:
+        return None
+    quants = [i for i in items if i[0] == "quantile"]
+    plains = [i[1] for i in items if i[0] == "plain"]
+    if len(quants) != 1 or plains:
+        return None
+    _, expr, q, alias = quants[0]
+    spec = SamplingSpec(
+        design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
+    )
+    return table, expr, q, alias, where, spec
+
+
 def _rewrite_quantile_sql(
     query: str,
     key_by_table: dict[str, str],
@@ -869,23 +920,31 @@ aqe_smp AS (
 aqe_m AS (
   SELECT {('p.aqe_q AS aqe_q, ' if group else '')}p.n_pop,
          CAST(p.tx AS DOUBLE) AS tx,
-         coalesce(s.n, 0) AS n,
-         CAST(coalesce(s.sy, 0) AS DOUBLE) AS sy,
-         CAST(coalesce(s.sx, 0) AS DOUBLE) AS sx,
-         CAST(coalesce(s.sxy, 0) AS DOUBLE) AS sxy,
-         CAST(coalesce(s.sxx, 0) AS DOUBLE) AS sxx,
-         CAST(coalesce(s.syy, 0) AS DOUBLE) AS syy
+         CAST(coalesce(s.n, 0) AS DECIMAL(19,0)) AS n,
+         CAST(coalesce(s.sy, 0) AS DECIMAL(19,0)) AS sy,
+         CAST(coalesce(s.sx, 0) AS DECIMAL(19,0)) AS sx,
+         CAST(coalesce(s.sxy, 0) AS DECIMAL(38,0)) AS sxy,
+         CAST(coalesce(s.sxx, 0) AS DECIMAL(38,0)) AS sxx,
+         CAST(coalesce(s.syy, 0) AS DECIMAL(38,0)) AS syy
   {joiner}
 ),
 aqe_calc AS (
-  SELECT {q_cols}n, n_pop,
-         n * sxy - sx * sy AS sxy_n,
-         n * sxx - sx * sx AS sxx_n,
-         n * syy - sy * sy AS syy_n,
-         CASE WHEN n > 0 THEN sy / n ELSE 0.0 END AS ybar,
-         CASE WHEN n > 0 THEN sx / n ELSE 0.0 END AS xbar,
+  -- n·Sxy − Sx·Sy etc. stay on the exact integer grid: both engines
+  -- cap DECIMAL products/differences at DECIMAL(38,0) (verified), so
+  -- the covariance numerators are EXACT up to |·| < 10³⁸ and the ONE
+  -- rounding to DOUBLE happens on the finished difference — no
+  -- catastrophic cancellation, and the sxx gate below compares exact
+  -- decimals (matches plans/regression.py's DECIMAL-first renderer).
+  SELECT {q_cols}CAST(n AS BIGINT) AS n, n_pop,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS sxy_n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS sxx_n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS syy_n,
+         CASE WHEN n > 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE 0.0 END AS ybar,
+         CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE 0.0 END AS xbar,
          CASE WHEN n_pop > 0 THEN tx / n_pop ELSE 0.0 END AS xbar_pop,
-         (n >= 3 AND n * sxx - sx * sx > 0) AS ok
+         (n >= 3 AND n * sxx > sx * sx) AS ok
   FROM aqe_m
 ),
 aqe_est AS (

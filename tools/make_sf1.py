@@ -66,6 +66,15 @@ def main() -> None:
         if not os.path.exists(dst):
             con.execute(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
             print(f"{table}: copied")
+    # Corpus metadata: queries whose semantics depend on the replica
+    # blowup (q20's stock-vs-shipped cutoff) derive their constants
+    # from THIS file per sf_dir (workload._fixture_replicas) — never
+    # from process environment.
+    import json
+
+    with open(os.path.join(DST, "fixture_meta.json"), "w") as f:
+        json.dump({"replicas": REPLICAS, "source": SRC}, f)
+        f.write("\n")
 
 
 if __name__ == "__main__":
