@@ -353,11 +353,30 @@ class AQEngine:
             # route through the SQL rewriter, not the method advisor —
             # report the route and the portable text it would run.
             from approximatequeryengine_spark.frontend.approx_sql import (
+                parse_within_marker,
                 rewrite_approx_sql,
             )
 
             keys = dict(TABLES)
             keys.update(self.catalog._extra_keys)
+            wm = parse_within_marker(sql, keys)
+            if wm is not None:
+                from approximatequeryengine_spark.plans.adaptive import (
+                    error_ladder,
+                )
+
+                start = wm[5] / 100.0 if wm[5] else error_ladder(wm[6])
+                return {
+                    "method": "adaptive_sql",
+                    "source": "rewriter",
+                    "evidence": {
+                        "error_pct": wm[6],
+                        "start_fraction": start,
+                        "escalation": "fraction doubles until the CI "
+                        "half-width meets the budget (worst group when "
+                        "grouped)",
+                    },
+                }
             rewritten = rewrite_approx_sql(sql, keys)
             if rewritten is not None:
                 return {
@@ -395,10 +414,20 @@ class AQEngine:
                 f"confidence must be in [0.5, 1), got {confidence}"
             )
         # Two-sided normal quantile for the requested level (z=1.96 at
-        # the reference's default 0.95); stdlib, no scipy.
+        # the reference's default 0.95); stdlib, no scipy. The default
+        # level pins to the estimators' Z_95 CONSTANT: inv_cdf(0.975)
+        # differs from it in the last ulp, and every oracle text is
+        # rendered with Z_95 — one ulp of z is enough to flip a rounded
+        # CI bound across engines.
         from statistics import NormalDist
 
-        z = NormalDist().inv_cdf((1.0 + confidence) / 2.0)
+        from approximatequeryengine_spark.plans.estimators import Z_95 as _Z95
+
+        z = (
+            _Z95
+            if confidence == 0.95
+            else NormalDist().inv_cdf((1.0 + confidence) / 2.0)
+        )
         spec = parse_query(sql)
         if spec is None:
             # Beyond the reference grammar: APPROX() aggregates over
@@ -408,11 +437,23 @@ class AQEngine:
             # FIRST because the simple dialect's marker regex cannot
             # see nested parens (APPROX(SUM(a * (1 - b)))).
             from approximatequeryengine_spark.frontend.approx_sql import (
+                parse_within_marker,
                 rewrite_approx_sql,
             )
 
             keys = dict(TABLES)
             keys.update(self.catalog._extra_keys)
+            wm = parse_within_marker(sql, keys)
+            if wm is not None:
+                # APPROX(SUM(x)) ... WITHIN e PERCENT — the reference's
+                # CLT early-stop from plain SQL: escalate the sampling
+                # fraction until the realized CI half-width meets the
+                # budget (plans/adaptive.py; per WORST group when
+                # grouped). The terminal rung is a pure function of the
+                # data — certifiable by a rung-re-deriving oracle.
+                return self._run_within_marker(
+                    wm, z=z, compare=compare, t0=t0, sql=sql
+                )
             rewritten = rewrite_approx_sql(sql, keys, z=z)
             if rewritten is not None:
                 self.catalog.refresh_views()
@@ -514,8 +555,10 @@ class AQEngine:
                     "(p PERCENT)`: APPROX(SUM/AVG/COUNT(expr)) AS alias "
                     "(joins OK), APPROX(SUM(a) / SUM(b)) AS alias (ratio), "
                     "APPROX(MEDIAN(x)/PERCENTILE(x, q)) AS alias, "
-                    "APPROX(COUNT(DISTINCT col)) AS alias, and single-table "
-                    "estimator markers `STRATIFY BY col` / `USING AUX(expr)`"
+                    "APPROX(COUNT(DISTINCT col)) AS alias, single-table "
+                    "estimator markers `STRATIFY BY col` / `USING AUX(expr)`, "
+                    "and the error-budget marker `WITHIN e PERCENT` "
+                    "(adaptive CLT escalation; TABLESAMPLE optional there)"
                     f"; could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.
@@ -931,6 +974,82 @@ class AQEngine:
                     if res.computation_time
                     else float("inf")
                 )
+        return res
+
+    def _run_within_marker(
+        self, wm, z: float, compare: bool, t0: float, sql: str
+    ) -> ApproxResult:
+        """Execute the ``WITHIN e PERCENT`` error-budget marker
+        (frontend/approx_sql.py::parse_within_marker): route to the
+        adaptive CLT escalation loop — the reference's early-stop
+        semantics (``custom_bplus_db.cpp:885-1043``) from plain SQL.
+        Global shape → adaptive_aggregate; grouped → worst-group stop
+        rule. Output columns: [group,] <alias>, ci_lower, ci_upper,
+        n_samples — the approx_aggregate frame with the user's alias."""
+        from approximatequeryengine_spark.plans.adaptive import (
+            adaptive_aggregate,
+            adaptive_grouped_aggregate,
+        )
+        from approximatequeryengine_spark.plans.estimators import AggSpec
+
+        table, expr, alias, where, group, start_pct, error_pct = wm
+        base = self.catalog.table(table)
+        if where:
+            base = base.where(F.expr(where))
+        agg = AggSpec("sum", expr, alias=alias)
+        s_spec = SamplingSpec(
+            design="uniform_hash",
+            fraction=(start_pct / 100.0) if start_pct else 0.0,
+            key=self.catalog.unique_key(table),
+        )
+        if group:
+            rdf, fraction, iterations = adaptive_grouped_aggregate(
+                base, agg, [group], s_spec, error_pct=error_pct, z=z
+            )
+            res = ApproxResult(
+                df=rdf,
+                method="adaptive_sql",
+                status=ApproximationStatus.STABLE,
+                fraction=fraction,
+                iterations=iterations,
+                computation_time=time.time() - t0,
+            )
+        else:
+            res = adaptive_aggregate(
+                base, agg, s_spec, error_pct=error_pct, z=z
+            )
+            res.method = "adaptive_sql"
+            res.computation_time = time.time() - t0
+        if compare:
+            from approximatequeryengine_spark.frontend.approx_sql import (
+                exact_twin_sql,
+            )
+
+            twin = exact_twin_sql(sql)
+            if twin is not None:
+                self.catalog.refresh_views()
+                t1 = time.time()
+                exact_df = self.spark.sql(twin)
+                exact_rows = exact_df.collect()
+                exact_time = time.time() - t1
+                res.groups["__exact_sql__"] = twin
+                res.groups["__exact_df__"] = exact_df
+                res.groups["__speedup__"] = (
+                    exact_time / res.computation_time
+                    if res.computation_time
+                    else float("inf")
+                )
+                if (
+                    not group
+                    and res.value is not None
+                    and len(exact_rows) == 1
+                    and exact_rows[0][alias]
+                ):
+                    ev = float(exact_rows[0][alias])
+                    res.groups["__exact__"] = ev
+                    res.groups["__actual_error_pct__"] = (
+                        100.0 * abs(res.value - ev) / abs(ev)
+                    )
         return res
 
     def _run_quantile(

@@ -476,14 +476,23 @@ _SINGLE_TABLE = re.compile(
     re.IGNORECASE,
 )
 
+_SINGLE_TABLE_OPT = re.compile(
+    r"^\s*(\w+)(?:\s+TABLESAMPLE\s*\(\s*([\d.]+)\s*PERCENT\s*\))?\s*$",
+    re.IGNORECASE,
+)
 
-def _parse_single_table_shape(query: str, key_by_table: dict[str, str]):
+
+def _parse_single_table_shape(
+    query: str, key_by_table: dict[str, str], require_sample: bool = True
+):
     """Parse the restricted single-table shape ``SELECT <items> FROM t
     TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g] [ORDER BY .../
     LIMIT ...]``. Returns (table, pct, where, group, tail, items) or
     None when the query is a join / derived table / HAVING / multi-key
     GROUP BY — shapes the single-table estimator templates don't
-    cover."""
+    cover. With ``require_sample=False`` the TABLESAMPLE is optional
+    (pct is None when absent) — the WITHIN error-budget marker picks
+    its own starting fraction from the budget ladder."""
     if _scan_top_level(query, "HAVING") != -1:
         return None
     sel_at = _scan_top_level(query, "SELECT")
@@ -501,11 +510,15 @@ def _parse_single_table_shape(query: str, key_by_table: dict[str, str]):
         [b for k, b in bounds.items() if k in ("ORDER BY", "LIMIT")] or [end]
     )
     from_end = min([b for b in bounds.values()] or [end])
-    m = _SINGLE_TABLE.match(query[from_at + len("FROM") : from_end])
+    pat = _SINGLE_TABLE if require_sample else _SINGLE_TABLE_OPT
+    m = pat.match(query[from_at + len("FROM") : from_end])
     if not m:
         return None  # join / derived table → not the estimator shape
-    table, pct = m.group(1), float(m.group(2))
-    if table not in key_by_table or not 0.0 < pct <= 100.0:
+    table = m.group(1)
+    pct = float(m.group(2)) if m.group(2) is not None else None
+    if table not in key_by_table:
+        return None
+    if pct is not None and not 0.0 < pct <= 100.0:
         return None
     where = None
     if "WHERE" in bounds:
@@ -646,6 +659,11 @@ def exact_twin_sql(query: str) -> str | None:
     extended to the full marker surface); it never goes to the
     oracle."""
     query = query.strip()
+    wat = _scan_top_level(query, "WITHIN")
+    if wat != -1:  # WITHIN e PERCENT — the twin is the plain aggregate
+        wm = _WITHIN.match(query, wat)
+        if wm:
+            query = (query[:wat] + query[wm.end() :]).strip()
     marker = _extract_marker(query)
     if marker is None:
         return None
@@ -673,6 +691,62 @@ def exact_twin_sql(query: str) -> str | None:
         else:
             out.append(it[1])
     return f"SELECT {', '.join(out)} {query[from_at:]}"
+
+
+_WITHIN = re.compile(r"WITHIN\s+([\d.]+)\s+PERCENT", re.IGNORECASE)
+
+
+def parse_within_marker(
+    query: str,
+    key_by_table: dict[str, str],
+):
+    """Error-budget marker — the reference's headline CLT early-stop
+    (``core/custom_bplus_db.cpp:885-1043``, error ladder
+    ``enhanced_aqe_cli.py:243-250``) reachable from plain SQL:
+
+        SELECT [g,] APPROX(SUM(expr)) AS alias
+        FROM t [TABLESAMPLE (p PERCENT)] [WHERE w] [GROUP BY g]
+        WITHIN e PERCENT
+
+    Returns ``(table, expr, alias, where, group, start_pct_or_None,
+    error_pct)`` or None. The engine routes the shape to
+    plans/adaptive.py's escalation loop (fraction doubles until the
+    realized CI half-width is within e% of the estimate — per WORST
+    group when grouped); TABLESAMPLE, when present, sets the ladder's
+    starting fraction, otherwise the budget picks it (error_ladder).
+    ORDER BY / LIMIT tails and non-SUM aggregates are outside the v1
+    shape. The terminal rung is a pure function of the data, so a
+    DuckDB oracle re-derives it rung by rung (the adaptive_clt_sum
+    certification pattern)."""
+    query = query.strip()
+    at = _scan_top_level(query, "WITHIN")
+    if at == -1:
+        return None
+    m = _WITHIN.match(query, at)
+    if not m:
+        return None  # malformed marker → caller's guidance error
+    error_pct = float(m.group(1))
+    if not 0.0 < error_pct < 100.0:
+        return None
+    stripped = (query[: at] + query[m.end() :]).strip()
+    shape = _parse_single_table_shape(
+        stripped, key_by_table, require_sample=False
+    )
+    if shape is None:
+        return None
+    table, pct, where, group, tail, items = shape
+    if tail:
+        return None
+    approxes = [i for i in items if i[0] == "approx"]
+    plains = [i[1] for i in items if i[0] == "plain"]
+    if len(approxes) != 1 or len(items) != len(approxes) + len(plains):
+        return None
+    _, agg, expr, alias = approxes[0]
+    if agg != "SUM":
+        return None  # the CLT stop rule is calibrated for totals
+    if [p.strip() for p in plains] != ([group] if group else []):
+        return None
+    return table, expr, alias, where, group, pct, error_pct
 
 
 def parse_global_quantile_marker(

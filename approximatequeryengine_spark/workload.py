@@ -3001,12 +3001,14 @@ def _adaptive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adaptive_oracle() -> str:
+def _adaptive_oracle(alias: str = "sum_l_extendedprice") -> str:
     """Re-derive the adaptive loop's terminal rung in SQL: evaluate the
     moments on every ladder fraction (samples are NESTED in the
     fraction, so this mirrors exactly what the loop saw), apply the
     same integer-rounded margin and ``n ≥ min_samples ∧ rel ≤ e`` stop
-    rule, and emit the first converged rung (else the full-scan rung)."""
+    rule, and emit the first converged rung (else the full-scan rung).
+    ``alias`` names the estimate column — the WITHIN-marker entries
+    reuse this oracle with the user's alias."""
     from approximatequeryengine_spark.plans.adaptive import error_ladder
     from approximatequeryengine_spark.plans.estimators import Z_95
 
@@ -3038,7 +3040,7 @@ def _adaptive_oracle() -> str:
         f"conv AS (SELECT *, (n >= {_ADAPTIVE_MIN_SAMPLES} AND est <> 0 "
         f"  AND 100.0 * margin / abs(est) <= {_ADAPTIVE_ERROR_PCT!r}) AS ok FROM mm), "
         f"pick AS (SELECT * FROM conv WHERE ok OR i = {last} ORDER BY i LIMIT 1) "
-        f"SELECT round(est, 2) AS sum_l_extendedprice, "
+        f"SELECT round(est, 2) AS {alias}, "
         f"round(est - margin, 2) AS ci_lower, round(est + margin, 2) AS ci_upper, "
         f"CAST(n AS BIGINT) AS n_samples FROM pick"
     )
@@ -3070,11 +3072,12 @@ def _adaptive_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adaptive_grouped_oracle() -> str:
+def _adaptive_grouped_oracle(alias: str = "sum_l_extendedprice") -> str:
     """Per-group ladder re-derivation: grouped moments on every rung
     (nested samples — each rung is exactly what the loop saw), the same
     integer-rounded margin, and the first rung where EVERY group has
-    ``n ≥ min_samples ∧ est ≠ 0 ∧ rel ≤ e`` (else the full-scan rung)."""
+    ``n ≥ min_samples ∧ est ≠ 0 ∧ rel ≤ e`` (else the full-scan rung).
+    ``alias`` names the estimate column (reused by the WITHIN marker)."""
     from approximatequeryengine_spark.plans.adaptive import error_ladder
     from approximatequeryengine_spark.plans.estimators import Z_95
 
@@ -3111,7 +3114,7 @@ def _adaptive_grouped_oracle() -> str:
         f"  AND count(*) = (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS ok "
         f"  FROM mm GROUP BY i), "
         f"pick AS (SELECT i FROM rung WHERE ok OR i = {last} ORDER BY i LIMIT 1) "
-        f"SELECT l_returnflag, round(est, 2) AS sum_l_extendedprice, "
+        f"SELECT l_returnflag, round(est, 2) AS {alias}, "
         f"round(est - margin, 2) AS ci_lower, round(est + margin, 2) AS ci_upper, "
         f"CAST(n AS BIGINT) AS n_samples "
         f"FROM mm JOIN pick USING (i) ORDER BY l_returnflag"
@@ -3119,6 +3122,59 @@ def _adaptive_grouped_oracle() -> str:
 
 
 _register("adaptive_grouped_sum", _adaptive_grouped_fn, _adaptive_grouped_oracle())
+
+
+# Round-9 (VERDICT r8 #3): the reference's headline CLT error budget
+# reachable from PLAIN SQL — `APPROX(SUM(x)) ... WITHIN e PERCENT`
+# routes to the adaptive escalation loop (engine._run_within_marker →
+# plans/adaptive.py). The terminal rung is a pure function of the data,
+# so the SAME ladder-re-derivation oracles certify the SQL surface.
+_APPROX_SQL_WITHIN = (
+    "SELECT APPROX(SUM(l_extendedprice)) AS total_price "
+    "FROM lineitem WITHIN 2 PERCENT"
+)
+
+
+def _within_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.engine import AQEngine
+
+    _catalog(spark, sf_dir)
+    res = AQEngine(spark, sf_dir).run(_APPROX_SQL_WITHIN)
+    if res.method != "adaptive_sql":  # the routing IS the thing certified
+        raise AssertionError(f"expected adaptive_sql routing, got {res.method}")
+    return _round_cols(
+        res.df, {"total_price": 2, "ci_lower": 2, "ci_upper": 2}
+    )
+
+
+_register(
+    "approx_sql_within_budget", _within_fn, _adaptive_oracle("total_price")
+)
+
+_APPROX_SQL_WITHIN_GROUPED = (
+    "SELECT l_returnflag, APPROX(SUM(l_extendedprice)) AS sum_price "
+    "FROM lineitem GROUP BY l_returnflag WITHIN 2 PERCENT"
+)
+
+
+def _within_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.engine import AQEngine
+
+    _catalog(spark, sf_dir)
+    res = AQEngine(spark, sf_dir).run(_APPROX_SQL_WITHIN_GROUPED)
+    if res.method != "adaptive_sql":
+        raise AssertionError(f"expected adaptive_sql routing, got {res.method}")
+    return _round_cols(
+        res.df.orderBy("l_returnflag"),
+        {"sum_price": 2, "ci_lower": 2, "ci_upper": 2},
+    )
+
+
+_register(
+    "approx_sql_within_grouped",
+    _within_grouped_fn,
+    _adaptive_grouped_oracle("sum_price"),
+)
 
 
 def _stateful_stream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -343,3 +343,90 @@ def test_global_aggregate_no_group_by(spark, engine_med, duck_med):
     engine_med.catalog.refresh_views()
     sdf = spark.sql(out)
     assert_df_matches_sql(sdf, duck_med, out)
+
+
+def test_within_marker_parses_and_gates():
+    """WITHIN e PERCENT grammar: optional TABLESAMPLE, one SUM estimate,
+    no tails/joins/non-SUM shapes."""
+    from approximatequeryengine_spark.frontend.approx_sql import (
+        parse_within_marker,
+    )
+
+    got = parse_within_marker(
+        "SELECT APPROX(SUM(l_extendedprice)) AS t FROM lineitem "
+        "WITHIN 2 PERCENT",
+        TABLES,
+    )
+    assert got == ("lineitem", "l_extendedprice", "t", None, None, None, 2.0)
+    got = parse_within_marker(
+        "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS s FROM lineitem "
+        "TABLESAMPLE (5 PERCENT) WHERE l_discount > 0 "
+        "GROUP BY l_returnflag WITHIN 1.5 PERCENT",
+        TABLES,
+    )
+    assert got == (
+        "lineitem", "l_quantity", "s", "l_discount > 0",
+        "l_returnflag", 5.0, 1.5,
+    )
+    # no marker → None
+    assert parse_within_marker(
+        "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem", TABLES
+    ) is None
+    # non-SUM → None (CLT budget rule is calibrated for totals)
+    assert parse_within_marker(
+        "SELECT APPROX(AVG(l_quantity)) AS a FROM lineitem WITHIN 2 PERCENT",
+        TABLES,
+    ) is None
+    # ORDER BY tail / joins are outside the v1 shape
+    assert parse_within_marker(
+        "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
+        "WITHIN 2 PERCENT ORDER BY s",
+        TABLES,
+    ) is None
+    assert parse_within_marker(
+        "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey WITHIN 2 PERCENT",
+        TABLES,
+    ) is None
+
+
+def test_within_marker_runs_adaptive(engine_med, duck_med):
+    """The WITHIN route escalates until the realized CI half-width meets
+    the budget, reports method='adaptive_sql', honors the alias, and the
+    exact twin comparison works."""
+    res = engine_med.run(
+        "SELECT APPROX(SUM(l_extendedprice)) AS total_price "
+        "FROM lineitem WITHIN 2 PERCENT",
+        compare=True,
+    )
+    assert res.method == "adaptive_sql"
+    row = res.df.collect()[0]
+    assert set(res.df.columns) == {
+        "total_price", "ci_lower", "ci_upper", "n_samples"
+    }
+    half = (row["ci_upper"] - row["ci_lower"]) / 2.0
+    assert 100.0 * half / abs(row["total_price"]) <= 2.0
+    exact = duck_med.execute(
+        "SELECT sum(l_extendedprice) FROM lineitem"
+    ).fetchone()[0]
+    assert res.ci_lower <= float(exact) <= res.ci_upper
+    assert res.groups["__actual_error_pct__"] < 2.0
+    # grouped: worst group meets the budget
+    gres = engine_med.run(
+        "SELECT l_returnflag, APPROX(SUM(l_extendedprice)) AS s "
+        "FROM lineitem GROUP BY l_returnflag WITHIN 2 PERCENT"
+    )
+    assert gres.method == "adaptive_sql"
+    for r in gres.df.collect():
+        h = (r["ci_upper"] - r["ci_lower"]) / 2.0
+        assert 100.0 * h / abs(r["s"]) <= 2.0
+
+
+def test_within_explain_auto(engine_med):
+    info = engine_med.explain_auto(
+        "SELECT APPROX(SUM(l_extendedprice)) AS t FROM lineitem "
+        "WITHIN 2 PERCENT"
+    )
+    assert info["method"] == "adaptive_sql"
+    assert info["evidence"]["error_pct"] == 2.0
+    assert info["evidence"]["start_fraction"] == 0.15
