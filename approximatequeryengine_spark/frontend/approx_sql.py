@@ -38,6 +38,21 @@ Round 8 widened the marker surface beyond SUM/AVG/COUNT:
   sample frequencies (a sampled distinct count cannot be HT-scaled;
   the f1/f2 correction recovers unseen values).
 
+Round 9 additions:
+
+- ``HAVING f(APPROX(...))`` on the main (moment) path — the predicate
+  moves to a WHERE over the outer select whose columns ARE the
+  estimates; markers in the predicate are matched to SELECT-list items
+  and replaced by their aliases (bare aliases also work).
+- ``... WITHIN e PERCENT`` — the error-budget marker: the engine
+  routes the shape to the adaptive CLT escalation loop
+  (plans/adaptive.py; the reference's early-stop semantics,
+  ``custom_bplus_db.cpp:885-1043``) instead of a fixed-fraction text.
+- GLOBAL ``APPROX(MEDIAN/PERCENTILE)`` executes via the
+  partition-parallel order-statistic selection
+  (plans/quantiles.py::order_stat_marker_ci); the window text this
+  module renders remains the DuckDB oracle.
+
 ``exact_twin_sql`` renders the exact query every marker set
 approximates (markers stripped, aggregates unwrapped) — the engine's
 ``compare=True`` diagnostic for this path.
@@ -133,6 +148,25 @@ _RATIO_ITEM = re.compile(
     r"^APPROX\s*\(\s*SUM\s*\((.*)\)\s*/\s*SUM\s*\((.*)\)\s*\)\s+AS\s+(\w+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _find_approx_spans(text: str) -> list[tuple[int, int, str]]:
+    """(start, end, span_text) of every ``APPROX(<balanced>)`` token in
+    ``text`` — used to substitute markers inside a HAVING predicate and
+    to unwrap them in the exact twin. Empty list on malformed parens."""
+    spans = []
+    for m in re.finditer(r"\bAPPROX\s*\(", text, re.IGNORECASE):
+        depth, k, n = 1, m.end(), len(text)
+        while k < n and depth:
+            if text[k] == "(":
+                depth += 1
+            elif text[k] == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            return []
+        spans.append((m.start(), k, text[m.start() : k]))
+    return spans
 
 
 def _balanced(expr: str) -> bool:
@@ -256,10 +290,10 @@ def rewrite_approx_sql(
     sampled = f"(SELECT * FROM {table} WHERE {sampling_where_sql(spec)}) {table}"
     query = query[: ts.start()] + sampled + query[ts.end() :]
 
-    # Clause layout (top level only; HAVING/CTE/set-ops are out of the
-    # v1 shape and return None → exact fallback).
-    if _scan_top_level(query, "HAVING") != -1:
-        return None
+    # Clause layout (top level only; CTE/set-ops are out of the v1
+    # shape and return None → exact fallback). HAVING over APPROX
+    # estimates is supported: the predicate moves to a WHERE over the
+    # outer select, whose columns ARE the estimates (round 9).
     sel_at = _scan_top_level(query, "SELECT")
     from_at = _scan_top_level(query, "FROM")
     if sel_at != 0 or from_at == -1:
@@ -271,7 +305,17 @@ def rewrite_approx_sql(
         at = _scan_top_level(query, kw)
         if at != -1 and at < tail_at:
             tail_at = at
-    body = query[from_at:tail_at].rstrip().rstrip(";")
+    hav_at = _scan_top_level(query, "HAVING")
+    having = None
+    if hav_at != -1:
+        if hav_at > tail_at:
+            return None  # HAVING after ORDER BY/LIMIT is not SQL
+        having = query[hav_at + len("HAVING") : tail_at].strip().rstrip(";")
+        if not having:
+            return None
+        body = query[from_at:hav_at].rstrip().rstrip(";")
+    else:
+        body = query[from_at:tail_at].rstrip().rstrip(";")
     tail = query[tail_at:].rstrip().rstrip(";")
 
     items = [_parse_select_item(i) for i in _split_commas(select_list)]
@@ -397,8 +441,50 @@ def rewrite_approx_sql(
         ]
     outer_cols.append("CAST(n_rows AS BIGINT) AS n_samples")
 
+    where_outer = ""
+    if having is not None:
+        # HAVING f(APPROX(...)) → a WHERE over the outer select, whose
+        # columns ARE the estimates. Each APPROX span in the predicate
+        # must match a SELECT-list item (same aggregate, same expression
+        # text modulo whitespace) and is replaced by that item's alias;
+        # bare alias references pass through untouched. Non-APPROX
+        # aggregates in the predicate have no outer column to read —
+        # outside the v1 shape (None → guidance error).
+        def _norm(s: str) -> str:
+            return " ".join(s.split()).lower()
+
+        lookup: dict[tuple, str] = {}
+        for it in approxes:
+            if it[0] == "approx":
+                lookup[("approx", it[1].upper(), _norm(it[2]))] = it[3]
+            else:  # ratio
+                lookup[("ratio", _norm(it[1]), _norm(it[2]))] = it[3]
+        pred = having
+        spans = _find_approx_spans(pred)
+        if re.search(r"\bAPPROX\s*\(", pred, re.IGNORECASE) and not spans:
+            return None  # malformed APPROX parens in the predicate
+        for start, end, span in reversed(spans):
+            parsed = _parse_select_item(span + " AS __h")
+            if parsed[0] == "approx":
+                key = ("approx", parsed[1].upper(), _norm(parsed[2]))
+            elif parsed[0] == "ratio":
+                key = ("ratio", _norm(parsed[1]), _norm(parsed[2]))
+            else:
+                return None
+            alias = lookup.get(key)
+            if alias is None:
+                return None  # HAVING estimate absent from the SELECT list
+            pred = pred[:start] + alias + pred[end:]
+        if re.search(r"\b(SUM|AVG|COUNT|MIN|MAX)\s*\(", pred, re.IGNORECASE):
+            return None
+        where_outer = pred
+
     inner = f"SELECT {', '.join(inner_cols)} {body}"
     out = f"SELECT {', '.join(outer_cols)} FROM ({inner}) __m"
+    if where_outer:
+        # One more derived table: Spark's WHERE cannot reference select
+        # aliases (DuckDB's can — a silent divergence if inlined).
+        out = f"SELECT * FROM ({out}) __h WHERE {where_outer}"
     if tail:
         out = f"{out} {tail}"
     return out
@@ -690,7 +776,23 @@ def exact_twin_sql(query: str) -> str | None:
             out.append(f"COUNT(DISTINCT {col}) AS {alias}")
         else:
             out.append(it[1])
-    return f"SELECT {', '.join(out)} {query[from_at:]}"
+    rest = query[from_at:]
+    # APPROX markers inside HAVING unwrap to their plain aggregates —
+    # standard SQL evaluates aggregates in HAVING directly.
+    for start, end, span in reversed(_find_approx_spans(rest)):
+        parsed = _parse_select_item(span + " AS __h")
+        if parsed[0] == "approx":
+            repl = f"{parsed[1]}({parsed[2]})"
+        elif parsed[0] == "ratio":
+            repl = f"SUM({parsed[1]}) / SUM({parsed[2]})"
+        elif parsed[0] == "quantile":
+            repl = f"percentile({parsed[1]}, {parsed[2]!r})"
+        elif parsed[0] == "distinct":
+            repl = f"COUNT(DISTINCT {parsed[1]})"
+        else:
+            return None
+        rest = rest[:start] + repl + rest[end:]
+    return f"SELECT {', '.join(out)} {rest}"
 
 
 _WITHIN = re.compile(r"WITHIN\s+([\d.]+)\s+PERCENT", re.IGNORECASE)

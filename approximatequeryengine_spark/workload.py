@@ -2931,6 +2931,30 @@ _register(
     _rewrite_approx_sql(_APPROX_SQL_P90, dict(_CATALOG_TABLES)),
 )
 
+# HAVING over an APPROX estimate (round 9, VERDICT r8 #4): the
+# predicate moves to a WHERE over the (alias-projected) outer select —
+# estimates referenced either by re-stating the marker or by bare
+# alias. Same text on both engines; the extra derived table exists
+# because Spark's WHERE cannot see select aliases while DuckDB's can.
+_APPROX_SQL_HAVING = (
+    "SELECT n_name, "
+    "APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name "
+    "HAVING APPROX(SUM(l_extendedprice * (1 - l_discount))) > 125000000 "
+    "ORDER BY n_name"
+)
+_register(
+    "approx_sql_having_revenue",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_HAVING, {"revenue": 3, "ci_lower": 3, "ci_upper": 3}
+    ),
+    _rewrite_approx_sql(_APPROX_SQL_HAVING, dict(_CATALOG_TABLES), round_to=3),
+)
+
 # APPROX(COUNT(DISTINCT col)) from plain SQL: the Chao1 species
 # estimator over sample frequencies (a sampled COUNT(DISTINCT) cannot
 # be HT-scaled — rare values are systematically missing; Chao1 corrects

@@ -430,3 +430,54 @@ def test_within_explain_auto(engine_med):
     assert info["method"] == "adaptive_sql"
     assert info["evidence"]["error_pct"] == 2.0
     assert info["evidence"]["start_fraction"] == 0.15
+
+
+def test_having_over_approx_estimate(spark, engine_med, duck_med):
+    """HAVING f(APPROX(...)) — predicate moves to a WHERE over the
+    outer (alias-projected) select; marker re-statement and bare-alias
+    forms both work; same text on both engines."""
+    q = (
+        "SELECT l_returnflag, APPROX(SUM(l_extendedprice)) AS rev "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) GROUP BY l_returnflag "
+        "HAVING APPROX(SUM(l_extendedprice)) > 1000000000 "
+        "ORDER BY l_returnflag"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=2)
+    assert out is not None and "HAVING" not in out.upper()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    res = engine_med.run(q)
+    assert res.method == "sql_rewrite"
+    assert all(r["rev"] > 1000000000 for r in res.df.collect())
+    # bare-alias reference works too (the outer select projects it)
+    q2 = q.replace("HAVING APPROX(SUM(l_extendedprice))", "HAVING rev")
+    out2 = rewrite_approx_sql(q2, TABLES, round_to=2)
+    assert out2 == out.replace(" AS rev", " AS rev") and out2 is not None
+    # a non-APPROX aggregate has no outer column — guidance rejection
+    q3 = q.replace(
+        "HAVING APPROX(SUM(l_extendedprice)) > 1000000000",
+        "HAVING count(*) > 1",
+    )
+    assert rewrite_approx_sql(q3, TABLES) is None
+    # an APPROX in HAVING that is NOT in the select list — rejection
+    q4 = q.replace(
+        "HAVING APPROX(SUM(l_extendedprice))",
+        "HAVING APPROX(SUM(l_quantity))",
+    )
+    assert rewrite_approx_sql(q4, TABLES) is None
+
+
+def test_having_exact_twin_unwraps(engine_med):
+    from approximatequeryengine_spark.frontend.approx_sql import (
+        exact_twin_sql,
+    )
+
+    q = (
+        "SELECT l_returnflag, APPROX(SUM(l_extendedprice)) AS rev "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) GROUP BY l_returnflag "
+        "HAVING APPROX(SUM(l_extendedprice)) > 1000000000"
+    )
+    twin = exact_twin_sql(q)
+    assert twin is not None and "APPROX" not in twin.upper()
+    assert "HAVING SUM(l_extendedprice) > 1000000000" in twin
+    res = engine_med.run(q, compare=True)
+    assert "__exact_df__" in res.groups

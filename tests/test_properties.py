@@ -522,6 +522,11 @@ def approx_queries(draw):
     marker = draw(
         st.sampled_from([None, "STRATIFY BY l_returnflag", "USING AUX(l_quantity)"])
     )
+    having = draw(
+        st.sampled_from(
+            [None, "item", "alias", "plain_agg", "mixed"]
+        )
+    )
     order = draw(st.booleans()) and group is not None
     q = f"SELECT {sel} FROM lineitem TABLESAMPLE ({pct} PERCENT)"
     if where:
@@ -530,6 +535,14 @@ def approx_queries(draw):
         q += f" GROUP BY {group}"
     if marker:
         q += f" {marker}"
+    if having == "item":  # re-state the marker in the predicate
+        q += f" HAVING {item.rsplit(' AS ', 1)[0]} > 100"
+    elif having == "alias":  # bare output-alias reference
+        q += f" HAVING {alias} > 100"
+    elif having == "plain_agg":  # non-APPROX aggregate → must reject
+        q += " HAVING count(*) > 1"
+    elif having == "mixed":
+        q += f" HAVING {item.rsplit(' AS ', 1)[0]} > 100 AND {alias} < 1e12"
     if order:
         q += f" ORDER BY {group}"
     return q
@@ -559,6 +572,7 @@ def test_rewriter_never_emits_invalid_sql(q):
     assert "APPROX" not in up.replace("TABLESAMPLE", "")
     assert "TABLESAMPLE" not in up
     assert "STRATIFY" not in up and "USING AUX" not in up
+    assert "HAVING" not in up  # rewritten to a WHERE over the estimates
     con = _duck_lineitem()
     rows = con.execute(out).fetchall()  # must parse AND run
     assert rows is not None
