@@ -555,8 +555,9 @@ class AQEngine:
                     "(p PERCENT)`: APPROX(SUM/AVG/COUNT(expr)) AS alias "
                     "(joins OK), APPROX(SUM(a) / SUM(b)) AS alias (ratio), "
                     "APPROX(MEDIAN(x)/PERCENTILE(x, q)) AS alias, "
-                    "APPROX(COUNT(DISTINCT col)) AS alias, single-table "
-                    "estimator markers `STRATIFY BY col` / `USING AUX(expr)`, "
+                    "APPROX(COUNT(DISTINCT col)) AS alias, estimator "
+                    "markers `STRATIFY BY col` / `USING AUX(expr)` "
+                    "(single table or INNER star join), "
                     "and the error-budget marker `WITHIN e PERCENT` "
                     "(adaptive CLT escalation; TABLESAMPLE optional there)"
                     f"; could not parse: {sql!r}"

@@ -26,8 +26,8 @@ Round 8 widened the marker surface beyond SUM/AVG/COUNT:
   delta-method CI, riding the same inner aggregate (works across
   joins and GROUP BY).
 - ``... STRATIFY BY col`` — post-stratified SUM (plans/poststrat.py
-  math): exact per-stratum counts re-weight the sample; single-table
-  shape, global or one GROUP BY column.
+  math): exact per-stratum counts re-weight the sample; global or one
+  GROUP BY column.
 - ``... USING AUX(expr)`` — regression estimator (plans/regression.py
   math): exact auxiliary total, per-group slopes, expansion fallback
   flagged in ``method``.
@@ -52,6 +52,13 @@ Round 9 additions:
   partition-parallel order-statistic selection
   (plans/quantiles.py::order_stat_marker_ci); the window text this
   module renders remains the DuckDB oracle.
+- ``STRATIFY BY`` / ``USING AUX`` now accept the star-join shape the
+  plain markers already handled: ``FROM fact TABLESAMPLE (p PERCENT)
+  JOIN dim ON ...`` (INNER joins over catalog tables only). The exact
+  per-stratum counts / auxiliary totals come from the UNSAMPLED join;
+  the sample moments from the same join with the sample predicate
+  inside a derived fact table, so it prunes the fact scan before any
+  join shuffle on BOTH engines.
 
 ``exact_twin_sql`` renders the exact query every marker set
 approximates (markers stripped, aggregates unwrapped) — the engine's
@@ -253,9 +260,9 @@ def rewrite_approx_sql(
     if "APPROX" not in query.upper():
         return None
     # Model-assisted estimator markers (STRATIFY BY / USING AUX) take a
-    # dedicated single-table template — they need the FULL table (exact
-    # counts / auxiliary total) alongside the sample, not the sampled-CTE
-    # substitution below.
+    # dedicated template (single table or INNER star join) — they need
+    # the FULL table/join (exact counts / auxiliary total) alongside the
+    # sample, not the sampled-CTE substitution below.
     marker = _extract_marker(query)
     if marker is None:
         return None
@@ -634,6 +641,86 @@ def _parse_single_table_shape(
     return table, pct, where, group, tail, items
 
 
+_OUTER_JOIN_WORDS = re.compile(
+    r"\b(LEFT|RIGHT|FULL|CROSS|OUTER|LATERAL|SEMI|ANTI)\b", re.IGNORECASE
+)
+
+
+def _parse_estimator_from_shape(query: str, key_by_table: dict[str, str]):
+    """Clause layout for the estimator templates (round 9: star joins
+    accepted): ``SELECT <items> FROM fact TABLESAMPLE (p PERCENT)
+    [JOIN dim ON cond]* [WHERE w] [GROUP BY g] [ORDER BY/LIMIT]``.
+
+    Returns ``(fact, pct, join_txt, where, group, tail, items)`` or
+    None. Only plain INNER ``JOIN dim ON ...`` segments over catalog
+    tables are accepted — outer/cross joins null-extend or fan out, so
+    per-row inclusion probability (and per-stratum population counts)
+    would not survive the join. The statistical precondition is the
+    module-level one: key-preserving joins (each sampled fact row joins
+    exactly one row per dim)."""
+    if _scan_top_level(query, "HAVING") != -1:
+        return None
+    sel_at = _scan_top_level(query, "SELECT")
+    from_at = _scan_top_level(query, "FROM")
+    if sel_at != 0 or from_at == -1:
+        return None
+    bounds = {}
+    for kw in ("WHERE", "GROUP BY", "ORDER BY", "LIMIT"):
+        at = _scan_top_level(query, kw, from_at)
+        if at != -1:
+            bounds[kw] = at
+    end = len(query)
+    tail_at = min(
+        [b for k, b in bounds.items() if k in ("ORDER BY", "LIMIT")] or [end]
+    )
+    from_end = min([b for b in bounds.values()] or [end])
+    from_txt = query[from_at + len("FROM") : from_end].strip()
+    ts = _TABLESAMPLE.match(from_txt)
+    if not ts:
+        return None
+    fact, pct = ts.group(1), float(ts.group(2))
+    if fact not in key_by_table or not 0.0 < pct <= 100.0:
+        return None
+    join_txt = from_txt[ts.end() :].strip()
+    if join_txt:
+        if _OUTER_JOIN_WORDS.search(join_txt):
+            return None
+        # every segment must be `JOIN <known-table> ON <cond>`
+        segs = re.split(r"(?i)\bJOIN\b", join_txt)
+        if segs[0].strip():
+            return None  # text between TABLESAMPLE and the first JOIN
+        for seg in segs[1:]:
+            m = re.match(r"\s*(\w+)\s+ON\s+(.+)$", seg, re.DOTALL)
+            if not m or m.group(1) not in key_by_table:
+                return None
+    where = None
+    if "WHERE" in bounds:
+        w_end = min(
+            [b for k, b in bounds.items() if b > bounds["WHERE"]] or [end]
+        )
+        where = query[bounds["WHERE"] + len("WHERE") : w_end].strip()
+        if not where:
+            return None
+    group = None
+    if "GROUP BY" in bounds:
+        g_end = min(
+            [b for k, b in bounds.items() if b > bounds["GROUP BY"]] or [end]
+        )
+        gtxt = query[bounds["GROUP BY"] + len("GROUP BY") : g_end].strip()
+        if not re.fullmatch(r"\w+", gtxt):
+            return None  # one plain grouping column in v1
+        group = gtxt
+    tail = query[tail_at:].rstrip().rstrip(";") if tail_at < end else ""
+    items = [
+        _parse_select_item(i)
+        for i in _split_commas(query[sel_at + len("SELECT") : from_at])
+    ]
+    for it in items:  # alias shadowing a template output column
+        if it[0] != "plain" and it[-1].lower() in _RESERVED_ALIASES:
+            return None
+    return fact, pct, join_txt, where, group, tail, items
+
+
 def _rewrite_estimator_sql(
     query: str,
     kind: str,
@@ -642,17 +729,19 @@ def _rewrite_estimator_sql(
     z: float,
     round_to: int | None,
 ) -> str | None:
-    """Render the portable model-assisted estimator SQL for the
-    restricted single-table shape: ``SELECT [g,] APPROX(SUM(expr)) AS
-    alias FROM t TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g]
-    <marker> [ORDER BY ...]`` — joins, HAVING, multiple aggregates are
-    outside the estimator templates (exact per-stratum population
-    counts / auxiliary totals are only well-defined against ONE base
-    table)."""
-    shape = _parse_single_table_shape(query, key_by_table)
+    """Render the portable model-assisted estimator SQL for ``SELECT
+    [g,] APPROX(SUM(expr)) AS alias FROM t TABLESAMPLE (p PERCENT)
+    [JOIN dim ON ...]* [WHERE w] [GROUP BY g] <marker> [ORDER BY ...]``
+    — HAVING, outer joins and multiple aggregates are outside the
+    estimator templates. The fact scan carries the sample predicate as
+    a derived table (Catalyst pushes it into the scan before any join
+    shuffle); the exact per-stratum counts / auxiliary totals come
+    from the UNSAMPLED join — well-defined because key-preserving
+    joins keep one output row per fact row."""
+    shape = _parse_estimator_from_shape(query, key_by_table)
     if shape is None:
         return None
-    table, pct, where, group, tail, items = shape
+    table, pct, join_txt, where, group, tail, items = shape
     approxes = [i for i in items if i[0] == "approx"]
     plains = [i[1] for i in items if i[0] == "plain"]
     if len(approxes) != 1 or len(items) != len(approxes) + len(plains):
@@ -671,13 +760,21 @@ def _rewrite_estimator_sql(
     spec = SamplingSpec(
         design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
     )
+    samp = sampling_where_sql(spec)
+    joins = f" {join_txt}" if join_txt else ""
+    from_exact = f"{table}{joins}"
+    # The sample predicate lives INSIDE a derived fact table so it
+    # textually (and in Catalyst, physically) applies before the join.
+    from_sampled = f"(SELECT * FROM {table} WHERE {samp}) {table}{joins}"
     rt = 3 if round_to is None else round_to
     if kind == "poststrat":
         sql = _poststrat_text(
-            table, expr, alias, group, arg, spec, where, z, rt
+            from_exact, from_sampled, expr, alias, group, arg, where, z, rt
         )
     else:
-        sql = _regaux_text(table, expr, alias, group, arg, spec, where, z, rt)
+        sql = _regaux_text(
+            from_exact, from_sampled, expr, alias, group, arg, where, z, rt
+        )
     return f"{sql} {tail}" if tail else sql
 
 
@@ -961,27 +1058,25 @@ def _cents_sql(expr: str) -> str:
 
 
 def _poststrat_text(
-    table: str,
+    from_exact: str,
+    from_sampled: str,
     expr: str,
     alias: str,
     group: str | None,
     stratum: str,
-    spec: SamplingSpec,
     where: str | None,
     z: float,
     round_to: int,
 ) -> str:
     """Portable post-stratified SUM (Cochran §5A.9, fpc kept) — the
     plans/poststrat.py estimator as one SQL text both engines run:
-    exact per-(group,)stratum counts from the full table, integer-cents
-    sample moments, per-group order-pinned cumulative folds read with
-    max_by."""
+    exact per-(group,)stratum counts from the full (unsampled) FROM
+    clause, integer-cents sample moments from the sampled one (the
+    sample predicate lives inside a derived fact table so it applies
+    before any join), per-group order-pinned cumulative folds read
+    with max_by."""
     c = _cents_sql(expr)
-    samp_where = sampling_where_sql(spec)
     base_where = f" WHERE {where}" if where else ""
-    samp_full = (
-        f" WHERE ({where}) AND {samp_where}" if where else f" WHERE {samp_where}"
-    )
     q_sel = f"{group} AS aqe_q, " if group else ""
     q_grp = "GROUP BY 1, 2" if group else "GROUP BY 1"
     q_join = "e.aqe_q IS NOT DISTINCT FROM s.aqe_q AND " if group else ""
@@ -992,16 +1087,19 @@ def _poststrat_text(
     return f"""
 WITH aqe_exact AS (
   SELECT {q_sel}{stratum} AS aqe_g, count(*) AS n_pop
-  FROM {table}{base_where} {q_grp}
+  FROM {from_exact}{base_where} {q_grp}
 ),
 aqe_sample AS (
   SELECT {q_sel}{stratum} AS aqe_g, count(*) AS n,
          sum({c}) AS sc,
          sum(CAST({c} AS DECIMAL(18,0)) * CAST({c} AS DECIMAL(18,0))) AS sc2
-  FROM {table}{samp_full} {q_grp}
+  FROM {from_sampled}{base_where} {q_grp}
 ),
 aqe_per AS (
-  SELECT {('e.aqe_q AS aqe_q, ' if group else '')}e.aqe_g, e.n_pop,
+  -- /*+ BROADCAST(s) */ is a Spark join hint and a plain comment to
+  -- DuckDB: the sample-moment synopsis is O(groups x strata) rows and
+  -- must never sort-merge against the exact counts.
+  SELECT /*+ BROADCAST(s) */ {('e.aqe_q AS aqe_q, ' if group else '')}e.aqe_g, e.n_pop,
          coalesce(s.n, 0) AS n,
          CAST(coalesce(s.sc, 0) AS DOUBLE) AS sc,
          CAST(coalesce(s.sc2, 0) AS DOUBLE) AS sc2
@@ -1048,29 +1146,25 @@ FROM aqe_agg
 
 
 def _regaux_text(
-    table: str,
+    from_exact: str,
+    from_sampled: str,
     expr: str,
     alias: str,
     group: str | None,
     aux: str,
-    spec: SamplingSpec,
     where: str | None,
     z: float,
     round_to: int,
 ) -> str:
     """Portable regression (auxiliary-total) SUM (Cochran ch. 7) — the
     plans/regression.py estimator as one SQL text: exact auxiliary
-    totals (per group when grouped), integer-cents covariance moments,
-    identical double chain in both engines. Degenerate cells (n < 3 or
-    constant auxiliary) fall back to plain expansion, flagged in
-    ``method``."""
+    totals (per group when grouped) from the unsampled FROM clause,
+    integer-cents covariance moments from the sampled one, identical
+    double chain in both engines. Degenerate cells (n < 3 or constant
+    auxiliary) fall back to plain expansion, flagged in ``method``."""
     y = _cents_sql(expr)
     x = _cents_sql(aux)
-    samp_where = sampling_where_sql(spec)
     base_where = f" WHERE {where}" if where else ""
-    samp_full = (
-        f" WHERE ({where}) AND {samp_where}" if where else f" WHERE {samp_where}"
-    )
     q_sel = f"{group} AS aqe_q, " if group else ""
     q_grp = " GROUP BY 1" if group else ""
     q_cols = "aqe_q, " if group else ""
@@ -1083,7 +1177,7 @@ def _regaux_text(
     return f"""
 WITH aqe_pop AS (
   SELECT {q_sel}count(*) AS n_pop, sum({x}) AS tx
-  FROM {table}{base_where}{q_grp}
+  FROM {from_exact}{base_where}{q_grp}
 ),
 aqe_smp AS (
   SELECT {q_sel}count(*) AS n,
@@ -1091,10 +1185,12 @@ aqe_smp AS (
          sum(CAST({y} AS DECIMAL(18,0)) * CAST({x} AS DECIMAL(18,0))) AS sxy,
          sum(CAST({x} AS DECIMAL(18,0)) * CAST({x} AS DECIMAL(18,0))) AS sxx,
          sum(CAST({y} AS DECIMAL(18,0)) * CAST({y} AS DECIMAL(18,0))) AS syy
-  FROM {table}{samp_full}{q_grp}
+  FROM {from_sampled}{base_where}{q_grp}
 ),
 aqe_m AS (
-  SELECT {('p.aqe_q AS aqe_q, ' if group else '')}p.n_pop,
+  -- Spark broadcast hint, DuckDB comment: both synopsis sides are
+  -- O(groups) aggregate outputs.
+  SELECT /*+ BROADCAST(s) */ {('p.aqe_q AS aqe_q, ' if group else '')}p.n_pop,
          CAST(p.tx AS DOUBLE) AS tx,
          CAST(coalesce(s.n, 0) AS DECIMAL(19,0)) AS n,
          CAST(coalesce(s.sy, 0) AS DECIMAL(19,0)) AS sy,

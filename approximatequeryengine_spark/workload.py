@@ -2955,6 +2955,50 @@ _register(
     _rewrite_approx_sql(_APPROX_SQL_HAVING, dict(_CATALOG_TABLES), round_to=3),
 )
 
+# Estimator markers over a star join (round 9, VERDICT r8 #2):
+# STRATIFY BY / USING AUX now accept the INNER star-join shape the
+# plain markers already handled. The exact per-(group, stratum) counts
+# and auxiliary totals come from the UNSAMPLED join; the sample
+# moments from the same join with the sample predicate INSIDE a
+# derived fact table — Catalyst pushes it into the fact scan before
+# the (broadcast) dim joins, so the sampled side reads p% of the fact
+# BEFORE any shuffle. Key-preserving precondition as documented in
+# frontend/approx_sql.py's module docstring.
+_APPROX_SQL_POSTSTRAT_JOIN = (
+    "SELECT n_name, "
+    "APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name STRATIFY BY o_orderstatus ORDER BY n_name"
+)
+_register(
+    "approx_sql_poststrat_join",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_POSTSTRAT_JOIN, {"revenue": 3, "ci_lower": 3, "ci_upper": 3}
+    ),
+    _rewrite_approx_sql(
+        _APPROX_SQL_POSTSTRAT_JOIN, dict(_CATALOG_TABLES), round_to=3
+    ),
+)
+
+_APPROX_SQL_REGAUX_JOIN = (
+    "SELECT APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderstatus = 'F' USING AUX(l_extendedprice)"
+)
+_register(
+    "approx_sql_regaux_join",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_REGAUX_JOIN, {"revenue": 3, "ci_lower": 3, "ci_upper": 3}
+    ),
+    _rewrite_approx_sql(
+        _APPROX_SQL_REGAUX_JOIN, dict(_CATALOG_TABLES), round_to=3
+    ),
+)
+
 # APPROX(COUNT(DISTINCT col)) from plain SQL: the Chao1 species
 # estimator over sample frequencies (a sampled COUNT(DISTINCT) cannot
 # be HT-scaled — rare values are systematically missing; Chao1 corrects

@@ -154,6 +154,42 @@ def test_aux_marker_rewrites_and_matches(spark, engine_med, duck_med):
     assert row["method"] == "regression"
 
 
+def test_stratify_marker_over_star_join(spark, engine_med, duck_med):
+    # Round 9: STRATIFY BY over a key-preserving star join — the exact
+    # per-(group, stratum) counts come from the UNSAMPLED join, the
+    # sample moments from the same join with the sampled fact scan.
+    q = (
+        "SELECT n_name, APPROX(SUM(l_extendedprice * (1 - l_discount))) "
+        "AS revenue "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name STRATIFY BY o_orderstatus ORDER BY n_name"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=3)
+    assert out is not None and "missing_strata" in out
+    # the sampled side carries the predicate INSIDE the derived fact
+    assert "(SELECT * FROM lineitem WHERE" in out
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+
+
+def test_aux_marker_over_join(spark, engine_med, duck_med):
+    q = (
+        "SELECT APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F' USING AUX(l_extendedprice)"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=3)
+    assert out is not None and "slope" in out
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    row = spark.sql(out).collect()[0]
+    assert row["method"] == "regression"
+
+
 def test_ratio_of_sums_rewrites_and_matches(spark, engine_med, duck_med):
     q = (
         "SELECT l_returnflag, "
@@ -169,10 +205,27 @@ def test_ratio_of_sums_rewrites_and_matches(spark, engine_med, duck_med):
 
 
 def test_estimator_marker_shape_gates(engine_med):
-    # STRATIFY over a join → not the single-table estimator shape
-    assert rewrite_approx_sql(
+    # STRATIFY over an INNER join is accepted since round 9 — the
+    # sample predicate must land inside a derived fact table so it
+    # applies before the join on the sampled side only.
+    out = rewrite_approx_sql(
         "SELECT APPROX(SUM(l_quantity)) AS q FROM lineitem "
         "TABLESAMPLE (10 PERCENT) JOIN orders ON l_orderkey = o_orderkey "
+        "STRATIFY BY l_returnflag",
+        TABLES,
+    )
+    assert out is not None and "(SELECT * FROM lineitem WHERE" in out
+    # ...but outer joins null-extend / fan out → rejected
+    assert rewrite_approx_sql(
+        "SELECT APPROX(SUM(l_quantity)) AS q FROM lineitem "
+        "TABLESAMPLE (10 PERCENT) LEFT JOIN orders ON l_orderkey = o_orderkey "
+        "STRATIFY BY l_returnflag",
+        TABLES,
+    ) is None
+    # ...and a join to an uncataloged table → rejected
+    assert rewrite_approx_sql(
+        "SELECT APPROX(SUM(l_quantity)) AS q FROM lineitem "
+        "TABLESAMPLE (10 PERCENT) JOIN mystery ON l_orderkey = m_key "
         "STRATIFY BY l_returnflag",
         TABLES,
     ) is None

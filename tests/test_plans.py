@@ -188,6 +188,36 @@ def test_poststrat_sql_rewrite_prunes_both_scans(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_poststrat_join_sampled_fact_scan_broadcast_dims(spark):
+    """The round-9 join-shape STRATIFY BY rewrite: the sampled moment
+    branch must push the hash-sample predicate into the FACT scan
+    (PushedFilters on l_orderkey via the derived table is not possible
+    for a hash expression, but the Filter must sit directly on the
+    scan, before any join), and every dim join must broadcast — at
+    100 TB the sampled branch reads p% of the fact before the first
+    join, and nothing sort-merges."""
+    plan = _plan(spark, "approx_sql_poststrat_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    # Two lineitem scans (exact counts + sampled moments); the sampled
+    # one reads only the join key, sample key, stratum-join key and
+    # measure inputs — full-width scans would defeat pruning through
+    # the derived table.
+    schemas = [
+        {c.split(":")[0] for c in s.split(",")}
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    li_scans = [s for s in schemas if "l_orderkey" in s]
+    assert len(li_scans) == 2, schemas
+    for s in li_scans:
+        assert s <= {
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        }, s
+    # the sample predicate (pmod of the hash key) appears in a Filter
+    # over the scan on the sampled branch
+    assert "pmod" in plan or "%" in plan
+
+
 def test_regaux_sql_rewrite_prunes_both_scans(spark):
     """The USING AUX rewrite: auxiliary-total scan reads only the aux
     column; the sampled covariance scan adds the key + measure inputs."""
