@@ -483,7 +483,37 @@ class AQEngine:
                         z=z,
                     )
                 else:
-                    df = self.spark.sql(rewritten)
+                    from approximatequeryengine_spark.frontend.approx_sql import (
+                        parse_grouped_quantile_marker,
+                    )
+
+                    gg = parse_grouped_quantile_marker(sql, keys)
+                    if gg is not None:
+                        # GROUPED markers too (round 9): the window
+                        # text's sort parallelism equals the group
+                        # count — three groups means three tasks each
+                        # sorting a third of the sample. The grouped
+                        # rank selection is partition-parallel in every
+                        # pass; the text stays the DuckDB oracle.
+                        from approximatequeryengine_spark.plans.quantiles import (
+                            grouped_order_stat_ci,
+                        )
+
+                        (table, qexpr, qq, qalias, qwhere, qgroup,
+                         qspec, qordered) = gg
+                        df = grouped_order_stat_ci(
+                            self.catalog.table(table),
+                            qexpr,
+                            qq,
+                            qalias,
+                            qgroup,
+                            qspec,
+                            where=qwhere,
+                            z=z,
+                            order_by_group=qordered,
+                        )
+                    else:
+                        df = self.spark.sql(rewritten)
                 res = ApproxResult(
                     df=df,
                     method="sql_rewrite",
@@ -1154,30 +1184,41 @@ class AQEngine:
         self, spec: QuerySpec, q: float, sample_pct: float | None, approx: bool,
         t0: float, z: float = 1.959963984540054, confidence: float = 0.95,
     ) -> ApproxResult:
-        """Grouped MEDIAN/PERCENTILE: the per-group order-statistic CI
-        as ONE engine-portable SQL text (plans/quantiles.py::
-        grouped_quantile_ci_sql) — one shuffle on the group key,
-        per-group sort of the sample only."""
-        from approximatequeryengine_spark.plans.quantiles import (
-            grouped_quantile_ci_sql,
-        )
-
+        """Grouped MEDIAN/PERCENTILE: per-group order-statistic CI.
+        The portable spelling stays plans/quantiles.py::
+        grouped_quantile_ci_sql (the oracle); execution uses the
+        grouped partition-parallel rank selection."""
         if approx:
             s_spec = self._sampling_spec(
                 spec, "uniform_hash", (sample_pct or 10.0) / 100.0
             )
         else:
             s_spec = SamplingSpec(design="none", key=self.catalog.unique_key(spec.table))
-        table_expr = (
-            f"(SELECT * FROM {spec.table} WHERE {spec.where})"
-            if spec.where
-            else spec.table
-        )
         self.catalog.refresh_views()
-        rdf = self.spark.sql(
-            grouped_quantile_ci_sql(
-                table_expr, spec.column, spec.group_by, q, s_spec, z=z
-            )
+        # Execute via the grouped partition-parallel rank selection
+        # (round 9) — the window text's per-group sort has parallelism
+        # equal to the GROUP COUNT, a scale killer for few-group data.
+        # The text (grouped_quantile_ci_sql) remains the portable
+        # oracle spelling; values identical by construction, including
+        # its NULLS FIRST window convention (nulls='first').
+        from approximatequeryengine_spark.plans.quantiles import (
+            grouped_order_stat_ci,
+        )
+
+        rdf = grouped_order_stat_ci(
+            self.catalog.table(spec.table),
+            spec.column,
+            q,
+            f"{spec.column}_q",
+            spec.group_by,
+            s_spec,
+            where=spec.where,
+            z=z,
+            nulls="first",
+            order_by_group=True,
+        ).select(
+            spec.group_by, "n_samples", f"{spec.column}_q",
+            "ci_lower", "ci_upper",
         )
         res = ApproxResult(
             df=rdf,

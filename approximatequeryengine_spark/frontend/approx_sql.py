@@ -961,8 +961,8 @@ def parse_global_quantile_marker(
     order-statistic selection (plans/quantiles.py::order_stat_marker_ci
     — no single-task whole-sample sort) while the window text from
     ``_rewrite_quantile_sql`` stays the DuckDB oracle; the two pick the
-    same values by construction. The GROUPED shape keeps the text on
-    both engines: its sort is partitioned by the group key."""
+    same values by construction. The GROUPED shape routes through
+    ``parse_grouped_quantile_marker`` → ``grouped_order_stat_ci``."""
     query = query.strip()
     if not re.search(
         r"\bAPPROX\s*\(\s*(MEDIAN|PERCENTILE)\s*\(", query, re.IGNORECASE
@@ -986,6 +986,55 @@ def parse_global_quantile_marker(
         design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
     )
     return table, expr, q, alias, where, spec
+
+
+def parse_grouped_quantile_marker(
+    query: str,
+    key_by_table: dict[str, str],
+):
+    """Structured form of the GROUPED quantile marker: ``SELECT g,
+    APPROX(MEDIAN(expr)|PERCENTILE(expr, q)) AS alias FROM t
+    TABLESAMPLE (p PERCENT) [WHERE w] GROUP BY g [ORDER BY g]``.
+    Returns ``(table, expr, q, alias, where, group, spec, ordered)``
+    or None.
+
+    Round 9: the engine executes this shape through the grouped
+    partition-parallel rank selection (plans/quantiles.py::
+    grouped_order_stat_ci) — the window text's sort parallelism equals
+    the GROUP COUNT (three groups ⇒ three tasks each sorting a third
+    of the sample), so it is NOT the plan to run at scale. The window
+    text stays the DuckDB oracle; values identical by construction.
+    Only a bare ``ORDER BY <group>`` tail is accepted (anything else →
+    None → the text runs as-is)."""
+    query = query.strip()
+    if not re.search(
+        r"\bAPPROX\s*\(\s*(MEDIAN|PERCENTILE)\s*\(", query, re.IGNORECASE
+    ):
+        return None
+    marker = _extract_marker(query)
+    if marker is None or marker[1] is not None:
+        return None
+    shape = _parse_single_table_shape(query, key_by_table)
+    if shape is None:
+        return None
+    table, pct, where, group, tail, items = shape
+    if group is None:
+        return None
+    ordered = False
+    if tail:
+        m = re.fullmatch(r"ORDER\s+BY\s+(\w+)", tail.strip(), re.IGNORECASE)
+        if not m or m.group(1).lower() != group.lower():
+            return None
+        ordered = True
+    quants = [i for i in items if i[0] == "quantile"]
+    plains = [i[1] for i in items if i[0] == "plain"]
+    if len(quants) != 1 or [p.strip() for p in plains] != [group]:
+        return None
+    _, expr, q, alias = quants[0]
+    spec = SamplingSpec(
+        design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
+    )
+    return table, expr, q, alias, where, group, spec, ordered
 
 
 def _rewrite_quantile_sql(

@@ -34,14 +34,19 @@ wider (then falls back to the full value histogram) if the sketch
 bracket ever misses — unreachable under GK's deterministic bound, but
 correctness never rests on a sketch.
 
-The per-GROUP form (``grouped_quantile_ci_sql``) keeps the window
-text: its sort is partitioned by the group key, so no single task
-ever sees more than one group's sample.
+The per-GROUP form executes the same way (``grouped_order_stat_ci``
+— grouped GK bracket, one zone-histogram groupBy, driver walk of an
+O(groups·√n) synopsis): the window text's per-group sort has
+parallelism equal to the GROUP COUNT, which is a scale killer for
+few-group data. ``grouped_quantile_ci_sql`` survives as the portable
+oracle spelling.
 """
 
 from __future__ import annotations
 
 import math
+import re
+from fractions import Fraction
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,6 +72,25 @@ def _record_plan(df: DataFrame) -> None:
 
 
 def _ranks(n: int, q: float, z: float) -> tuple[int, int, int]:
+    """Rank arithmetic BIT-MATCHED to the SQL texts' spelling
+    (``ceil({q!r} * n)`` etc.). Both engines type a plain decimal
+    literal like ``0.07`` as DECIMAL, so ``0.07 * 100`` is EXACTLY 7
+    in SQL — while float ``0.07 * 100`` is 7.000000000000001 and
+    ceils to 8. Emulate the SQL typing: a plain-decimal repr does the
+    q·n products on exact rationals (ceil/floor land on the same
+    integer as DECIMAL), anything repr'd in scientific notation is a
+    DOUBLE literal in SQL too, so plain float arithmetic matches."""
+    if re.fullmatch(r"\d+(\.\d+)?", repr(q)):
+        qf = Fraction(repr(q))
+        qn = qf * n                       # exact, like DECIMAL * BIGINT
+        inner = n * qf * (1 - qf)         # exact sqrt argument
+        point = min(max(int(math.ceil(qn)), 1), n)
+        # SQL subtracts the DOUBLE half from the DECIMAL product after
+        # a DOUBLE cast — mirror: float(exact) ± half in doubles.
+        half = z * math.sqrt(float(inner))
+        lo = min(max(int(math.floor(float(qn) - half)), 1), n)
+        hi = min(max(int(math.ceil(float(qn) + half)), 1), n)
+        return lo, point, hi
     point = min(max(int(math.ceil(q * n)), 1), n)
     half = z * math.sqrt(n * q * (1.0 - q))
     lo = min(max(int(math.floor(q * n - half)), 1), n)
@@ -258,6 +282,242 @@ def order_stat_marker_ci(
         F.lit(got[hi]).cast("double").alias("ci_upper"),
         F.lit(n).cast("long").alias("n_samples"),
     )
+
+
+def _grouped_select_order_stats(
+    nonnull: DataFrame,
+    ranks_by_group: dict,
+    nn_by_group: dict,
+) -> dict:
+    """Per-group exact order statistics (ascending x within each group)
+    at the requested 1-based non-null ranks, without per-group
+    whole-sample sorts. Same three-pass shape as the global
+    ``_select_order_stats`` — grouped GK bracket → one zone-histogram
+    groupBy → driver walk — with the bracket fractions widened to cover
+    EVERY group's rank span (per-group literal fractions are impossible
+    because ``approx_percentile``'s percentage argument must be
+    foldable). Synopsis collected to the driver: O(groups · √n).
+
+    ``nonnull`` has columns (g, x), x non-NULL. ``ranks_by_group`` maps
+    group value → list of needed ranks in that group's non-null order;
+    ``nn_by_group`` maps group value → non-null count. Returns
+    {group value: {rank: x value}}."""
+    out: dict = {g: {} for g in ranks_by_group}
+    todo = {
+        g: sorted(rs)
+        for g, rs in ranks_by_group.items()
+        if rs and nn_by_group.get(g, 0) > 0
+    }
+    if not todo:
+        return out
+    nn_max = max(nn_by_group[g] for g in todo)
+    accuracy = int(min(max(1000.0, math.sqrt(nn_max)), 1e7))
+    # One shared fraction window covering every group's rank span, each
+    # widened by that group's own deterministic GK slack.
+    slack_mult = 1
+    attempts = []
+    for _ in range(2):
+        q_lb, q_ub = 1.0, 0.0
+        for g, rs in todo.items():
+            nn = nn_by_group[g]
+            slack = (2 * (nn // accuracy + 1) + 1) * slack_mult
+            q_lb = min(q_lb, max(float(rs[0] - slack) / nn, 0.0))
+            q_ub = max(q_ub, min(float(rs[-1] + slack) / nn, 1.0))
+        attempts.append((q_lb, q_ub))
+        slack_mult *= 8
+    attempts.append((None, None))  # exact full-histogram fallback
+
+    spark = nonnull.sparkSession
+    g_field = nonnull.schema["g"]
+    for q_lb, q_ub in attempts:
+        if q_lb is None:
+            bounds_by_group = None
+        else:
+            bdf = nonnull.groupBy("g").agg(
+                F.expr(
+                    f"approx_percentile(x, array({q_lb!r}, {q_ub!r}), "
+                    f"{accuracy})"
+                ).alias("b")
+            )
+            _record_plan(bdf)
+            bounds_by_group = {}
+            degenerate = False
+            for r in bdf.collect():  # O(groups)
+                b = r["b"]
+                if b is None or b[0] is None or b[1] is None:
+                    degenerate = True
+                    break
+                bounds_by_group[r["g"]] = (float(b[0]), float(b[1]))
+            if degenerate:
+                continue
+        if bounds_by_group is None:
+            hdf = nonnull.groupBy("g", F.col("x").alias("xv")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).select(
+                "g", F.lit(0).alias("zone"), "xv", "cnt"
+            )
+        else:
+            from pyspark.sql.types import (
+                DoubleType,
+                StructField,
+                StructType,
+            )
+
+            bschema = StructType([
+                StructField("g", g_field.dataType, True),
+                StructField("v_lb", DoubleType(), False),
+                StructField("v_ub", DoubleType(), False),
+            ])
+            bounds_df = spark.createDataFrame(
+                [(g, lb, ub) for g, (lb, ub) in bounds_by_group.items()],
+                schema=bschema,
+            )
+            joined = nonnull.alias("s").join(
+                F.broadcast(bounds_df.alias("b")),
+                F.col("s.g").eqNullSafe(F.col("b.g")),
+                "inner",
+            ).select(
+                F.col("s.g").alias("g"), F.col("s.x").alias("x"),
+                F.col("b.v_lb").alias("v_lb"), F.col("b.v_ub").alias("v_ub"),
+            )
+            x = F.col("x")
+            zone = (
+                F.when(x < F.col("v_lb"), F.lit(-1))
+                .when(x > F.col("v_ub"), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            xv = F.when((x >= F.col("v_lb")) & (x <= F.col("v_ub")), x)
+            hdf = joined.groupBy(
+                "g", zone.alias("zone"), xv.alias("xv")
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        _record_plan(hdf)
+        hist: dict = {g: [] for g in todo}
+        below: dict = {g: 0 for g in todo}
+        for r in hdf.collect():  # bounded: groups x (bracket values + 2)
+            if r["g"] not in hist:
+                continue
+            if r["zone"] == -1:
+                below[r["g"]] += r["cnt"]
+            elif r["zone"] == 0:
+                hist[r["g"]].append((r["xv"], r["cnt"]))
+        ok = True
+        for g, rs in todo.items():
+            bracket = sorted(
+                hist[g], key=lambda t: (math.isnan(t[0]), t[0])
+            )
+            in_bracket = sum(c for _, c in bracket)
+            if any(r <= below[g] or r > below[g] + in_bracket for r in rs):
+                ok = False
+                break
+            cum = below[g]
+            it = iter(bracket)
+            cur_v, cur_c = next(it)
+            for r in rs:
+                while cum + cur_c < r:
+                    cum += cur_c
+                    cur_v, cur_c = next(it)
+                out[g][r] = cur_v
+        if ok:
+            return out
+        out = {g: {} for g in ranks_by_group}
+    raise AssertionError("grouped order-statistic bracket failed on exact pass")
+
+
+def grouped_order_stat_ci(
+    df: DataFrame,
+    expr: str,
+    q: float,
+    alias: str,
+    group_col: str,
+    spec: SamplingSpec,
+    where: str | None = None,
+    z: float = Z_95,
+    order_by_group: bool = False,
+    nulls: str = "exclude",
+) -> DataFrame:
+    """Scale-safe executor for the GROUPED quantile shapes — the SQL
+    marker ``SELECT g, APPROX(MEDIAN/PERCENTILE(expr)) ... GROUP BY g``
+    and the dialect's grouped-quantile path. Output columns match the
+    portable window text (group, alias, ci_lower, ci_upper, n_samples)
+    with bit-identical values; the window text remains the DuckDB
+    oracle. ``nulls='exclude'`` drops NULL measurements (the marker
+    text's ``(x) IS NOT NULL`` predicate); ``nulls='first'`` keeps the
+    dialect window text's Spark semantics — NULL x rows occupy the
+    LOWEST ranks, so a rank inside the NULL region reads as NULL. A
+    NULL GROUP value is its own group (the SQL GROUP BY convention).
+
+    Scale design vs the window text on Spark: the text's per-group sort
+    parallelism equals the GROUP COUNT — three groups at 100 TB means
+    three tasks each sorting a third of the sample. Here every pass is
+    a partition-parallel aggregate; the driver sees an O(groups · √n)
+    synopsis."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    if nulls not in ("exclude", "first"):
+        raise ValueError(f"nulls must be 'exclude' or 'first', got {nulls!r}")
+    base = df.where(F.expr(where)) if where else df
+    x = F.expr(expr).cast("double")
+    sampled_all = apply_sampling(base, spec).select(
+        F.expr(group_col).alias("g"), x.alias("x")
+    )
+    sampled = sampled_all.where(F.col("x").isNotNull())
+    count_src = sampled_all if nulls == "first" else sampled
+    cdf = count_src.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.count("x").alias("nv")
+    )
+    _record_plan(cdf)
+    counts = cdf.collect()  # O(groups)
+    spark = df.sparkSession
+    g_field = sampled.schema["g"]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField(group_col, g_field.dataType, True),
+        StructField(alias, DoubleType(), True),
+        StructField("ci_lower", DoubleType(), True),
+        StructField("ci_upper", DoubleType(), True),
+        StructField("n_samples", LongType(), True),
+    ])
+    if not counts:
+        return spark.createDataFrame([], schema=out_schema)
+    ranks_by_group: dict = {}
+    picked: dict = {}
+    nn_by_group: dict = {}
+    n_null_by_group: dict = {}
+    n_by_group: dict = {}
+    for r in counts:
+        n, nv = int(r["n"]), int(r["nv"])
+        n_by_group[r["g"]] = n
+        nn_by_group[r["g"]] = nv
+        n_null_by_group[r["g"]] = n - nv
+        lo, point, hi = _ranks(n, q, z)
+        picked[r["g"]] = (lo, point, hi)
+        # Translate window ranks to the non-null value order: under
+        # NULLS FIRST a rank inside the leading NULL region has no
+        # value; everything else shifts down by the NULL count.
+        ranks_by_group[r["g"]] = sorted(
+            {rk - (n - nv) for rk in (lo, point, hi) if rk > n - nv}
+        )
+    got = _grouped_select_order_stats(sampled, ranks_by_group, nn_by_group)
+    rows = [
+        (
+            g,
+            got[g].get(point - n_null_by_group[g]),
+            got[g].get(lo - n_null_by_group[g]),
+            got[g].get(hi - n_null_by_group[g]),
+            n_by_group[g],
+        )
+        for g, (lo, point, hi) in picked.items()
+    ]
+    rdf = spark.createDataFrame(rows, schema=out_schema)
+    if order_by_group:
+        rdf = rdf.orderBy(group_col)
+    return rdf
 
 
 def grouped_quantile_ci_sql(

@@ -537,11 +537,45 @@ def test_global_quantile_marker_routes_scale_safe(spark):
     assert sink, "marker path did not run the scale-safe selection"
     for p in sink:
         assert "Window" not in p, p
-    # the GROUPED marker keeps the window text: its sort is partitioned
-    # by the group key (scale-safe) — assert the window spec still
-    # carries the partition key, i.e. no global sort crept in.
-    gdf = QUERIES["approx_sql_p90_by_flag"](spark, SF)
-    gplan = gdf._jdf.queryExecution().optimizedPlan().toString()
-    m = re.search(r"windowspecdefinition\(([^)]*)\)", gplan)
-    assert m is not None, gplan
-    assert m.group(1).split(",")[0].strip().startswith("aqe_g"), m.group(1)
+
+
+def test_grouped_quantile_marker_routes_scale_safe(spark):
+    """Round 9: the GROUPED quantile marker ALSO executes through the
+    partition-parallel selection (grouped_order_stat_ci) — the window
+    text's per-group sort has parallelism equal to the group count
+    (three groups at 100 TB = three tasks each sorting a third of the
+    sample). Every executed pass must be Window-free and the zone
+    histogram must hash-partition; the text stays the DuckDB oracle."""
+    from approximatequeryengine_spark.plans import quantiles as qmod
+
+    qmod._PLAN_SINK = sink = []
+    try:
+        QUERIES["approx_sql_p90_by_flag"](spark, SF).collect()
+    finally:
+        qmod._PLAN_SINK = None
+    assert len(sink) >= 3, "expected count + bracket + histogram jobs"
+    for p in sink:
+        assert "Window" not in p, p
+        assert "Exchange rangepartitioning" not in p, p
+    assert any("hashpartitioning" in p for p in sink), sink[-1]
+
+
+def test_dialect_grouped_quantile_routes_scale_safe(spark):
+    """The dialect grouped MEDIAN path (engine._run_grouped_quantile)
+    rides the same partition-parallel selection."""
+    from approximatequeryengine_spark.engine import AQEngine
+    from approximatequeryengine_spark.plans import quantiles as qmod
+
+    eng = AQEngine(spark, SF)
+    qmod._PLAN_SINK = sink = []
+    try:
+        eng.run(
+            "SELECT MEDIAN(l_extendedprice) FROM lineitem "
+            "GROUP BY l_returnflag",
+            sample_pct=10,
+        ).df.collect()
+    finally:
+        qmod._PLAN_SINK = None
+    assert len(sink) >= 3
+    for p in sink:
+        assert "Window" not in p, p

@@ -576,3 +576,44 @@ def test_rewriter_never_emits_invalid_sql(q):
     con = _duck_lineitem()
     rows = con.execute(out).fetchall()  # must parse AND run
     assert rows is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=50_000),
+    st.integers(min_value=1, max_value=99),
+)
+def test_rank_arithmetic_matches_sql_decimal_typing(n, q_pct):
+    """The Python rank selection (plans/quantiles.py::_ranks) must pick
+    the SAME lo/point/hi ranks the SQL texts compute — both engines
+    type a plain decimal literal like 0.07 as DECIMAL, so `0.07 * 100`
+    is exactly 7 in SQL while float math gives 7.000000000000001 and
+    ceils to 8 (a real divergence this test pinned)."""
+    import math
+
+    from approximatequeryengine_spark.plans.estimators import Z_95
+    from approximatequeryengine_spark.plans.quantiles import _ranks
+
+    q = q_pct / 100.0
+    z = Z_95
+    lo, point, hi = _ranks(n, q, z)
+    con = duckdb.connect()
+    half = f"{z!r} * sqrt({n} * {q!r} * (1.0 - {q!r}))"
+    row = con.execute(
+        f"SELECT least(greatest(CAST(floor({q!r} * {n} - {half}) AS BIGINT), 1), {n}),"
+        f"       least(greatest(CAST(ceil({q!r} * {n}) AS BIGINT), 1), {n}),"
+        f"       least(greatest(CAST(ceil({q!r} * {n} + {half}) AS BIGINT), 1), {n})"
+    ).fetchone()
+    assert (lo, point, hi) == row, (n, q, (lo, point, hi), row)
+
+
+def test_rank_arithmetic_pinned_decimal_cases():
+    """Pinned divergence cases: float 0.07*100 = 7.000000000000001
+    (ceil 8) where DECIMAL gives exactly 7. The old float _ranks
+    picked point=8 here — one rank off the SQL oracle."""
+    from approximatequeryengine_spark.plans.estimators import Z_95
+    from approximatequeryengine_spark.plans.quantiles import _ranks
+
+    assert _ranks(100, 0.07, Z_95)[1] == 7
+    assert _ranks(1000, 0.07, Z_95)[1] == 70
+    assert _ranks(10, 0.7, Z_95)[1] == 7
