@@ -589,7 +589,9 @@ class AQEngine:
                     "markers `STRATIFY BY col` / `USING AUX(expr)` "
                     "(single table or INNER star join), "
                     "and the error-budget marker `WITHIN e PERCENT` "
-                    "(adaptive CLT escalation; TABLESAMPLE optional there)"
+                    "(adaptive CLT escalation; TABLESAMPLE optional there). "
+                    "Leading CTEs are accepted when the markers live in "
+                    "the main query"
                     f"; could not parse: {sql!r}"
                 )
             # Full Spark SQL surface, exact.

@@ -54,11 +54,16 @@ Round 9 additions:
   module renders remains the DuckDB oracle.
 - ``STRATIFY BY`` / ``USING AUX`` now accept the star-join shape the
   plain markers already handled: ``FROM fact TABLESAMPLE (p PERCENT)
-  JOIN dim ON ...`` (INNER joins over catalog tables only). The exact
-  per-stratum counts / auxiliary totals come from the UNSAMPLED join;
-  the sample moments from the same join with the sample predicate
-  inside a derived fact table, so it prunes the fact scan before any
-  join shuffle on BOTH engines.
+  JOIN dim ON ...`` (INNER joins over catalog tables — or leading-CTE
+  names). The exact per-stratum counts / auxiliary totals come from
+  the UNSAMPLED join; the sample moments from the same join with the
+  sample predicate inside a derived fact table, so it prunes the fact
+  scan before any join shuffle on BOTH engines.
+- Leading CTEs: ``WITH name AS (...) SELECT ... APPROX(...)`` — the
+  prefix is split off, the main query rewritten, the prefix
+  re-attached (spliced first into a template's own WITH list when one
+  renders). Markers must live in the MAIN query; RECURSIVE and
+  ``aqe_*``/``__m``/``__h`` CTE names are rejected.
 
 ``exact_twin_sql`` renders the exact query every marker set
 approximates (markers stripped, aggregates unwrapped) — the engine's
@@ -240,11 +245,60 @@ def _parse_select_item(item: str):
     return ("approx", agg, expr, alias)
 
 
+def _split_cte_prefix(query: str):
+    """Split a leading ``WITH name AS (...), ...`` prefix off the main
+    SELECT. Returns ``(cte_body, remainder)`` or None when the query
+    has no well-formed top-level WITH prefix (RECURSIVE is rejected —
+    not portable)."""
+    if not re.match(r"WITH\b", query, re.IGNORECASE):
+        return None
+    if re.match(r"WITH\s+RECURSIVE\b", query, re.IGNORECASE):
+        return None
+    sel_at = _scan_top_level(query, "SELECT")
+    if sel_at <= 0:
+        return None
+    body = query[len("WITH") : sel_at].strip()
+    # The prefix must be a complete CTE list: ends at the closing paren
+    # of the last CTE body.
+    if not body.endswith(")"):
+        return None
+    return body, query[sel_at:]
+
+
+def _cte_names(body: str) -> list[str]:
+    """Top-level CTE names of a WITH-clause body (depth-0 ``name AS (``
+    occurrences; single-quoted strings skipped)."""
+    names, depth, i, n = [], 0, 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "'":
+            i += 1
+            while i < n and body[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(
+                r"(\w+)\s*(?:\([\w\s,]*\))?\s+AS\s*\(",
+                body[i:],
+                re.IGNORECASE,
+            )
+            if m and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")):
+                names.append(m.group(1))
+                i += m.end() - 1  # land ON the body's '(' for depth tracking
+                continue
+        i += 1
+    return names
+
+
 def rewrite_approx_sql(
     query: str,
     key_by_table: dict[str, str],
     z: float = Z_95,
     round_to: int | None = None,
+    _join_tables: frozenset | None = None,
 ) -> str | None:
     """Rewrite plain SQL with TABLESAMPLE + APPROX() markers into the
     portable sampled-estimate query, or None when the markers or shape
@@ -259,6 +313,38 @@ def rewrite_approx_sql(
     query = query.strip()
     if "APPROX" not in query.upper():
         return None
+    # Leading CTEs (round 9): split the WITH prefix, rewrite the main
+    # query, re-attach — splicing into the rewrite's own WITH when a
+    # template renders one. The markers must live in the MAIN query: a
+    # sampled or APPROX'd CTE body has no well-defined estimator shape
+    # (inclusion probabilities would hide behind the CTE boundary).
+    if re.match(r"WITH\b", query, re.IGNORECASE):
+        split = _split_cte_prefix(query)
+        if split is None:
+            return None
+        cte, rest = split
+        if _TABLESAMPLE.search(cte) or re.search(
+            r"\bAPPROX\s*\(", cte, re.IGNORECASE
+        ):
+            return None
+        # template-reserved namespace: aqe_* CTE names and the __m/__h
+        # derived-table aliases would collide after splicing
+        if re.search(r"(?i)\b(aqe_\w+|__m|__h)\b", cte):
+            return None
+        inner_out = rewrite_approx_sql(
+            rest,
+            key_by_table,
+            z=z,
+            round_to=round_to,
+            _join_tables=frozenset(_cte_names(cte)),
+        )
+        if inner_out is None:
+            return None
+        if re.match(r"WITH\b", inner_out, re.IGNORECASE):
+            # merge with a template-rendered WITH (estimator/quantile/
+            # distinct texts) — one flat CTE list, user CTEs first.
+            return f"WITH {cte},\n{inner_out[len('WITH'):].lstrip()}"
+        return f"WITH {cte}\n{inner_out}"
     # Model-assisted estimator markers (STRATIFY BY / USING AUX) take a
     # dedicated template (single table or INNER star join) — they need
     # the FULL table/join (exact counts / auxiliary total) alongside the
@@ -269,7 +355,13 @@ def rewrite_approx_sql(
     query, est_kind, est_arg = marker
     if est_kind is not None:
         return _rewrite_estimator_sql(
-            query, est_kind, est_arg, key_by_table, z=z, round_to=round_to
+            query,
+            est_kind,
+            est_arg,
+            key_by_table,
+            z=z,
+            round_to=round_to,
+            join_tables=_join_tables,
         )
     # Order-statistic estimators (single-table): the binomial-rank CI
     # template, not the moment aggregate.
@@ -646,7 +738,11 @@ _OUTER_JOIN_WORDS = re.compile(
 )
 
 
-def _parse_estimator_from_shape(query: str, key_by_table: dict[str, str]):
+def _parse_estimator_from_shape(
+    query: str,
+    key_by_table: dict[str, str],
+    join_tables: frozenset | None = None,
+):
     """Clause layout for the estimator templates (round 9: star joins
     accepted): ``SELECT <items> FROM fact TABLESAMPLE (p PERCENT)
     [JOIN dim ON cond]* [WHERE w] [GROUP BY g] [ORDER BY/LIMIT]``.
@@ -689,9 +785,10 @@ def _parse_estimator_from_shape(query: str, key_by_table: dict[str, str]):
         segs = re.split(r"(?i)\bJOIN\b", join_txt)
         if segs[0].strip():
             return None  # text between TABLESAMPLE and the first JOIN
+        allowed = set(key_by_table) | set(join_tables or ())
         for seg in segs[1:]:
             m = re.match(r"\s*(\w+)\s+ON\s+(.+)$", seg, re.DOTALL)
-            if not m or m.group(1) not in key_by_table:
+            if not m or m.group(1) not in allowed:
                 return None
     where = None
     if "WHERE" in bounds:
@@ -728,6 +825,7 @@ def _rewrite_estimator_sql(
     key_by_table: dict[str, str],
     z: float,
     round_to: int | None,
+    join_tables: frozenset | None = None,
 ) -> str | None:
     """Render the portable model-assisted estimator SQL for ``SELECT
     [g,] APPROX(SUM(expr)) AS alias FROM t TABLESAMPLE (p PERCENT)
@@ -738,7 +836,7 @@ def _rewrite_estimator_sql(
     shuffle); the exact per-stratum counts / auxiliary totals come
     from the UNSAMPLED join — well-defined because key-preserving
     joins keep one output row per fact row."""
-    shape = _parse_estimator_from_shape(query, key_by_table)
+    shape = _parse_estimator_from_shape(query, key_by_table, join_tables)
     if shape is None:
         return None
     table, pct, join_txt, where, group, tail, items = shape
@@ -842,6 +940,13 @@ def exact_twin_sql(query: str) -> str | None:
     extended to the full marker surface); it never goes to the
     oracle."""
     query = query.strip()
+    if re.match(r"WITH\b", query, re.IGNORECASE):
+        split = _split_cte_prefix(query)
+        if split is None:
+            return None
+        cte, rest = split
+        inner = exact_twin_sql(rest)
+        return f"WITH {cte}\n{inner}" if inner is not None else None
     wat = _scan_top_level(query, "WITHIN")
     if wat != -1:  # WITHIN e PERCENT — the twin is the plain aggregate
         wm = _WITHIN.match(query, wat)

@@ -2983,6 +2983,26 @@ _register(
     ),
 )
 
+# Leading CTEs in the APPROX rewrite (round 9): the WITH prefix is
+# split off, the main query rewritten, the prefix re-attached — one
+# portable text. Closes the last declared v1 clause gap (VERDICT r8
+# residual #3's CTE half; HAVING shipped earlier this round).
+_APPROX_SQL_CTE = (
+    "WITH big_orders AS (SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_totalprice > 100000) "
+    "SELECT o_orderpriority, APPROX(SUM(l_extendedprice)) AS rev "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "JOIN big_orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+_register(
+    "approx_sql_cte_revenue",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_CTE, {"rev": 3, "ci_lower": 3, "ci_upper": 3}
+    ),
+    _rewrite_approx_sql(_APPROX_SQL_CTE, dict(_CATALOG_TABLES), round_to=3),
+)
+
 _APPROX_SQL_REGAUX_JOIN = (
     "SELECT APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
     "FROM lineitem TABLESAMPLE (10 PERCENT) "

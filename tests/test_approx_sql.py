@@ -534,3 +534,66 @@ def test_having_exact_twin_unwraps(engine_med):
     assert "HAVING SUM(l_extendedprice) > 1000000000" in twin
     res = engine_med.run(q, compare=True)
     assert "__exact_df__" in res.groups
+
+
+CTE_Q = (
+    "WITH big_orders AS (SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_totalprice > 100000) "
+    "SELECT o_orderpriority, APPROX(SUM(l_extendedprice)) AS rev "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "JOIN big_orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def test_cte_rewrite_matches_duckdb(spark, engine_med, duck_med):
+    # Round 9: a leading WITH prefix is split off, the main query
+    # rewritten, and the prefix re-attached — one portable text.
+    out = rewrite_approx_sql(CTE_Q, TABLES, round_to=3)
+    assert out is not None and out.upper().startswith("WITH BIG_ORDERS")
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+
+
+def test_cte_with_estimator_marker_splices_with(spark, engine_med, duck_med):
+    q = (
+        "WITH f_orders AS (SELECT o_orderkey FROM orders "
+        "WHERE o_orderstatus = 'F') "
+        "SELECT APPROX(SUM(l_quantity)) AS tq "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "JOIN f_orders ON l_orderkey = o_orderkey "
+        "STRATIFY BY l_returnflag"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=3)
+    # user CTE spliced FIRST into the template's own WITH list
+    assert out is not None and out.upper().startswith("WITH F_ORDERS")
+    assert "aqe_exact" in out
+    engine_med.catalog.refresh_views()
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+
+
+def test_cte_shape_gates(engine_med):
+    # a sampled or APPROX'd CTE body is outside the v1 shape
+    assert rewrite_approx_sql(
+        "WITH s AS (SELECT * FROM lineitem TABLESAMPLE (10 PERCENT)) "
+        "SELECT APPROX(SUM(l_quantity)) AS q2 FROM s",
+        TABLES,
+    ) is None
+    # RECURSIVE is not portable
+    assert rewrite_approx_sql(
+        "WITH RECURSIVE r AS (SELECT 1) SELECT APPROX(SUM(l_quantity)) "
+        "AS s FROM lineitem TABLESAMPLE (10 PERCENT)",
+        TABLES,
+    ) is None
+    # template-reserved CTE names collide after splicing
+    assert rewrite_approx_sql(
+        "WITH aqe_exact AS (SELECT 1 AS one) SELECT APPROX(SUM(l_quantity)) "
+        "AS s FROM lineitem TABLESAMPLE (10 PERCENT)",
+        TABLES,
+    ) is None
+    # engine routing + compare twin for the CTE shape (grouped compare
+    # reports the twin + speedup; per-column error is the 1-row path)
+    res = engine_med.run(CTE_Q, compare=True)
+    assert res.method == "sql_rewrite"
+    assert "__speedup__" in res.groups
+    assert res.groups["__exact_sql__"].upper().startswith("WITH BIG_ORDERS")

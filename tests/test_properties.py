@@ -528,7 +528,20 @@ def approx_queries(draw):
         )
     )
     order = draw(st.booleans()) and group is not None
+    cte = draw(
+        st.sampled_from(
+            [
+                None,
+                "WITH ok AS (SELECT 1 AS one) ",
+                "WITH s AS (SELECT * FROM lineitem TABLESAMPLE (5 PERCENT)) ",
+                "WITH aqe_exact AS (SELECT 1 AS one) ",
+                "WITH RECURSIVE r AS (SELECT 1) ",
+            ]
+        )
+    )
     q = f"SELECT {sel} FROM lineitem TABLESAMPLE ({pct} PERCENT)"
+    if cte:
+        q = cte + q
     if where:
         q += f" WHERE {where}"
     if group:
