@@ -1025,8 +1025,18 @@ class AQEngine:
         )
         from approximatequeryengine_spark.plans.estimators import AggSpec
 
-        table, expr, alias, where, group, start_pct, error_pct = wm
-        base = self.catalog.table(table)
+        table, expr, alias, where, group, start_pct, error_pct, join_txt = wm
+        if join_txt:
+            # Star-join shape (round 9): the adaptive loop samples by
+            # the FACT key, so each rung's hash predicate references
+            # only fact columns and Catalyst pushes it through the
+            # (broadcast) dim joins into the fact scan — identical to
+            # sampling-then-joining for the key-preserving shapes the
+            # marker accepts.
+            self.catalog.refresh_views()
+            base = self.spark.sql(f"SELECT * FROM {table} {join_txt}")
+        else:
+            base = self.catalog.table(table)
         if where:
             base = base.where(F.expr(where))
         agg = AggSpec("sum", expr, alias=alias)

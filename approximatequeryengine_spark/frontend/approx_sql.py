@@ -48,6 +48,9 @@ Round 9 additions:
   routes the shape to the adaptive CLT escalation loop
   (plans/adaptive.py; the reference's early-stop semantics,
   ``custom_bplus_db.cpp:885-1043``) instead of a fixed-fraction text.
+  Accepts the INNER star-join shape too: each rung's hash predicate
+  references only the fact key, so Catalyst pushes it through the
+  join into the fact scan.
 - GLOBAL ``APPROX(MEDIAN/PERCENTILE)`` executes via the
   partition-parallel order-statistic selection
   (plans/quantiles.py::order_stat_marker_ci); the window text this
@@ -742,6 +745,7 @@ def _parse_estimator_from_shape(
     query: str,
     key_by_table: dict[str, str],
     join_tables: frozenset | None = None,
+    require_sample: bool = True,
 ):
     """Clause layout for the estimator templates (round 9: star joins
     accepted): ``SELECT <items> FROM fact TABLESAMPLE (p PERCENT)
@@ -772,12 +776,21 @@ def _parse_estimator_from_shape(
     from_end = min([b for b in bounds.values()] or [end])
     from_txt = query[from_at + len("FROM") : from_end].strip()
     ts = _TABLESAMPLE.match(from_txt)
-    if not ts:
+    if ts:
+        fact, pct = ts.group(1), float(ts.group(2))
+        if not 0.0 < pct <= 100.0:
+            return None
+        join_txt = from_txt[ts.end() :].strip()
+    elif require_sample:
         return None
-    fact, pct = ts.group(1), float(ts.group(2))
-    if fact not in key_by_table or not 0.0 < pct <= 100.0:
+    else:  # WITHIN budget picks its own starting fraction
+        m = re.match(r"(\w+)\b", from_txt)
+        if not m:
+            return None
+        fact, pct = m.group(1), None
+        join_txt = from_txt[m.end() :].strip()
+    if fact not in key_by_table:
         return None
-    join_txt = from_txt[ts.end() :].strip()
     if join_txt:
         if _OUTER_JOIN_WORDS.search(join_txt):
             return None
@@ -1009,19 +1022,22 @@ def parse_within_marker(
     ``enhanced_aqe_cli.py:243-250``) reachable from plain SQL:
 
         SELECT [g,] APPROX(SUM(expr)) AS alias
-        FROM t [TABLESAMPLE (p PERCENT)] [WHERE w] [GROUP BY g]
-        WITHIN e PERCENT
+        FROM t [TABLESAMPLE (p PERCENT)] [JOIN dim ON ...]*
+        [WHERE w] [GROUP BY g] WITHIN e PERCENT
 
     Returns ``(table, expr, alias, where, group, start_pct_or_None,
-    error_pct)`` or None. The engine routes the shape to
+    error_pct, join_txt)`` or None. The engine routes the shape to
     plans/adaptive.py's escalation loop (fraction doubles until the
     realized CI half-width is within e% of the estimate — per WORST
     group when grouped); TABLESAMPLE, when present, sets the ladder's
     starting fraction, otherwise the budget picks it (error_ladder).
-    ORDER BY / LIMIT tails and non-SUM aggregates are outside the v1
-    shape. The terminal rung is a pure function of the data, so a
-    DuckDB oracle re-derives it rung by rung (the adaptive_clt_sum
-    certification pattern)."""
+    Round 9: INNER star joins accepted (the sample predicate hashes
+    the FACT key, so Catalyst pushes each rung's filter through the
+    join to the fact scan — key-preserving precondition as for the
+    other markers). ORDER BY / LIMIT tails and non-SUM aggregates are
+    outside the v1 shape. The terminal rung is a pure function of the
+    data, so a DuckDB oracle re-derives it rung by rung (the
+    adaptive_clt_sum certification pattern)."""
     query = query.strip()
     at = _scan_top_level(query, "WITHIN")
     if at == -1:
@@ -1033,12 +1049,12 @@ def parse_within_marker(
     if not 0.0 < error_pct < 100.0:
         return None
     stripped = (query[: at] + query[m.end() :]).strip()
-    shape = _parse_single_table_shape(
+    shape = _parse_estimator_from_shape(
         stripped, key_by_table, require_sample=False
     )
     if shape is None:
         return None
-    table, pct, where, group, tail, items = shape
+    table, pct, join_txt, where, group, tail, items = shape
     if tail:
         return None
     approxes = [i for i in items if i[0] == "approx"]
@@ -1050,7 +1066,7 @@ def parse_within_marker(
         return None  # the CLT stop rule is calibrated for totals
     if [p.strip() for p in plains] != ([group] if group else []):
         return None
-    return table, expr, alias, where, group, pct, error_pct
+    return table, expr, alias, where, group, pct, error_pct, join_txt
 
 
 def parse_global_quantile_marker(

@@ -3089,7 +3089,12 @@ def _adaptive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adaptive_oracle(alias: str = "sum_l_extendedprice") -> str:
+def _adaptive_oracle(
+    alias: str = "sum_l_extendedprice",
+    from_clause: str = "lineitem",
+    x_expr: str = "l_extendedprice",
+    where: str | None = None,
+) -> str:
     """Re-derive the adaptive loop's terminal rung in SQL: evaluate the
     moments on every ladder fraction (samples are NESTED in the
     fraction, so this mirrors exactly what the loop saw), apply the
@@ -3106,13 +3111,14 @@ def _adaptive_oracle(alias: str = "sum_l_extendedprice") -> str:
     parts = []
     for i, f in enumerate(ladder, 1):
         s = SamplingSpec(design="uniform_hash", fraction=f, key=_LKEY)
-        where = sampling_where_sql(s)
+        samp = sampling_where_sql(s)
+        w = f"({where}) AND {samp}" if where else samp
         p = sampling_p_sql(s)
-        x = "CAST(l_extendedprice AS DOUBLE)"
+        x = f"CAST({x_expr} AS DOUBLE)"
         parts.append(
             f"SELECT {i} AS i, COUNT(*) AS n, SUM({x} / {p}) AS est, "
             f"SUM({x} * {x} * (1.0 - {p}) / ({p} * {p})) AS vht "
-            f"FROM lineitem WHERE {where}"
+            f"FROM {from_clause} WHERE {w}"
         )
     last = len(ladder)
     z = Z_95
@@ -3262,6 +3268,39 @@ _register(
     "approx_sql_within_grouped",
     _within_grouped_fn,
     _adaptive_grouped_oracle("sum_price"),
+)
+
+# WITHIN over a star join (round 9, second batch): the budget marker
+# accepts the key-preserving join shape — each escalation rung's hash
+# predicate references only the fact key, so Catalyst pushes it through
+# the join into the fact scan. The oracle re-derives the rung ladder
+# over the SAME join.
+_APPROX_SQL_WITHIN_JOIN = (
+    "SELECT APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderstatus = 'F' WITHIN 2 PERCENT"
+)
+
+
+def _within_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.engine import AQEngine
+
+    _catalog(spark, sf_dir)
+    res = AQEngine(spark, sf_dir).run(_APPROX_SQL_WITHIN_JOIN)
+    if res.method != "adaptive_sql":
+        raise AssertionError(f"expected adaptive_sql routing, got {res.method}")
+    return _round_cols(res.df, {"revenue": 2, "ci_lower": 2, "ci_upper": 2})
+
+
+_register(
+    "approx_sql_within_join",
+    _within_join_fn,
+    _adaptive_oracle(
+        "revenue",
+        from_clause="lineitem JOIN orders ON l_orderkey = o_orderkey",
+        x_expr="l_extendedprice * (1 - l_discount)",
+        where="o_orderstatus = 'F'",
+    ),
 )
 
 

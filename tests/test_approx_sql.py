@@ -400,7 +400,7 @@ def test_global_aggregate_no_group_by(spark, engine_med, duck_med):
 
 def test_within_marker_parses_and_gates():
     """WITHIN e PERCENT grammar: optional TABLESAMPLE, one SUM estimate,
-    no tails/joins/non-SUM shapes."""
+    INNER star joins accepted (round 9), no tails/non-SUM shapes."""
     from approximatequeryengine_spark.frontend.approx_sql import (
         parse_within_marker,
     )
@@ -410,7 +410,9 @@ def test_within_marker_parses_and_gates():
         "WITHIN 2 PERCENT",
         TABLES,
     )
-    assert got == ("lineitem", "l_extendedprice", "t", None, None, None, 2.0)
+    assert got == (
+        "lineitem", "l_extendedprice", "t", None, None, None, 2.0, "",
+    )
     got = parse_within_marker(
         "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS s FROM lineitem "
         "TABLESAMPLE (5 PERCENT) WHERE l_discount > 0 "
@@ -419,7 +421,7 @@ def test_within_marker_parses_and_gates():
     )
     assert got == (
         "lineitem", "l_quantity", "s", "l_discount > 0",
-        "l_returnflag", 5.0, 1.5,
+        "l_returnflag", 5.0, 1.5, "",
     )
     # no marker → None
     assert parse_within_marker(
@@ -430,15 +432,22 @@ def test_within_marker_parses_and_gates():
         "SELECT APPROX(AVG(l_quantity)) AS a FROM lineitem WITHIN 2 PERCENT",
         TABLES,
     ) is None
-    # ORDER BY tail / joins are outside the v1 shape
+    # ORDER BY tail is outside the v1 shape
     assert parse_within_marker(
         "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
         "WITHIN 2 PERCENT ORDER BY s",
         TABLES,
     ) is None
-    assert parse_within_marker(
+    # INNER star joins accepted; outer joins rejected
+    got = parse_within_marker(
         "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
         "JOIN orders ON l_orderkey = o_orderkey WITHIN 2 PERCENT",
+        TABLES,
+    )
+    assert got is not None and got[7] == "JOIN orders ON l_orderkey = o_orderkey"
+    assert parse_within_marker(
+        "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
+        "LEFT JOIN orders ON l_orderkey = o_orderkey WITHIN 2 PERCENT",
         TABLES,
     ) is None
 
@@ -473,6 +482,29 @@ def test_within_marker_runs_adaptive(engine_med, duck_med):
     for r in gres.df.collect():
         h = (r["ci_upper"] - r["ci_lower"]) / 2.0
         assert 100.0 * h / abs(r["s"]) <= 2.0
+
+
+def test_within_marker_over_join(engine_med, duck_med):
+    """Round 9: WITHIN over a key-preserving star join — the budget is
+    met, the exact joined total is covered, and each rung's hash filter
+    lands on the fact scan (pushed through the broadcast join)."""
+    res = engine_med.run(
+        "SELECT APPROX(SUM(l_extendedprice * (1 - l_discount))) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F' WITHIN 2 PERCENT",
+        compare=True,
+    )
+    assert res.method == "adaptive_sql"
+    row = res.df.collect()[0]
+    half = (row["ci_upper"] - row["ci_lower"]) / 2.0
+    assert 100.0 * half / abs(row["revenue"]) <= 2.0
+    exact = duck_med.execute(
+        "SELECT sum(l_extendedprice * (1 - l_discount)) "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F'"
+    ).fetchone()[0]
+    assert res.ci_lower <= float(exact) <= res.ci_upper
+    assert res.groups["__actual_error_pct__"] < 2.0
 
 
 def test_within_explain_auto(engine_med):
