@@ -1047,7 +1047,7 @@ class AQEngine:
         )
         if group:
             rdf, fraction, iterations = adaptive_grouped_aggregate(
-                base, agg, [group], s_spec, error_pct=error_pct, z=z
+                base, agg, group, s_spec, error_pct=error_pct, z=z
             )
             res = ApproxResult(
                 df=rdf,

@@ -67,6 +67,13 @@ Round 9 additions:
   re-attached (spliced first into a template's own WITH list when one
   renders). Markers must live in the MAIN query; RECURSIVE and
   ``aqe_*``/``__m``/``__h`` CTE names are rejected.
+- Multi-column GROUP BY across every marker template (the main moment
+  path always had it): estimator/quantile/distinct/WITHIN shapes
+  accept ``GROUP BY g1, g2, ...`` (plain columns), rendering numbered
+  cell aliases (``aqe_q0..k``) and per-cell folds. The single-group
+  quantile marker still routes to the partition-parallel rank
+  selection; multi-group quantiles keep the window text — many cells
+  mean small per-cell sorts, the window's scale-safe regime.
 
 ``exact_twin_sql`` renders the exact query every marker set
 approximates (markers stripped, aggregates unwrapped) — the engine's
@@ -674,13 +681,14 @@ def _parse_single_table_shape(
     query: str, key_by_table: dict[str, str], require_sample: bool = True
 ):
     """Parse the restricted single-table shape ``SELECT <items> FROM t
-    TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g] [ORDER BY .../
-    LIMIT ...]``. Returns (table, pct, where, group, tail, items) or
-    None when the query is a join / derived table / HAVING / multi-key
-    GROUP BY — shapes the single-table estimator templates don't
-    cover. With ``require_sample=False`` the TABLESAMPLE is optional
-    (pct is None when absent) — the WITHIN error-budget marker picks
-    its own starting fraction from the budget ladder."""
+    TABLESAMPLE (p PERCENT) [WHERE w] [GROUP BY g1, g2, ...] [ORDER
+    BY .../LIMIT ...]``. Returns (table, pct, where, groups, tail,
+    items) — ``groups`` a (possibly empty) list of plain grouping
+    columns — or None when the query is a join / derived table /
+    HAVING, shapes the single-table estimator templates don't cover.
+    With ``require_sample=False`` the TABLESAMPLE is optional (pct is
+    None when absent) — the WITHIN error-budget marker picks its own
+    starting fraction from the budget ladder."""
     if _scan_top_level(query, "HAVING") != -1:
         return None
     sel_at = _scan_top_level(query, "SELECT")
@@ -716,15 +724,15 @@ def _parse_single_table_shape(
         where = query[bounds["WHERE"] + len("WHERE") : w_end].strip()
         if not where:
             return None
-    group = None
+    groups: list[str] = []
     if "GROUP BY" in bounds:
         g_end = min(
             [b for k, b in bounds.items() if b > bounds["GROUP BY"]] or [end]
         )
         gtxt = query[bounds["GROUP BY"] + len("GROUP BY") : g_end].strip()
-        if not re.fullmatch(r"\w+", gtxt):
-            return None  # one plain grouping column in v1
-        group = gtxt
+        groups = [g.strip() for g in gtxt.split(",")]
+        if not groups or any(not re.fullmatch(r"\w+", g) for g in groups):
+            return None  # plain grouping columns only in v1
     tail = query[tail_at:].rstrip().rstrip(";") if tail_at < end else ""
     items = [
         _parse_select_item(i)
@@ -733,7 +741,7 @@ def _parse_single_table_shape(
     for it in items:  # alias shadowing a template output column
         if it[0] != "plain" and it[-1].lower() in _RESERVED_ALIASES:
             return None
-    return table, pct, where, group, tail, items
+    return table, pct, where, groups, tail, items
 
 
 _OUTER_JOIN_WORDS = re.compile(
@@ -749,9 +757,10 @@ def _parse_estimator_from_shape(
 ):
     """Clause layout for the estimator templates (round 9: star joins
     accepted): ``SELECT <items> FROM fact TABLESAMPLE (p PERCENT)
-    [JOIN dim ON cond]* [WHERE w] [GROUP BY g] [ORDER BY/LIMIT]``.
+    [JOIN dim ON cond]* [WHERE w] [GROUP BY g1, g2, ...] [ORDER
+    BY/LIMIT]``.
 
-    Returns ``(fact, pct, join_txt, where, group, tail, items)`` or
+    Returns ``(fact, pct, join_txt, where, groups, tail, items)`` or
     None. Only plain INNER ``JOIN dim ON ...`` segments over catalog
     tables are accepted — outer/cross joins null-extend or fan out, so
     per-row inclusion probability (and per-stratum population counts)
@@ -811,15 +820,15 @@ def _parse_estimator_from_shape(
         where = query[bounds["WHERE"] + len("WHERE") : w_end].strip()
         if not where:
             return None
-    group = None
+    groups: list[str] = []
     if "GROUP BY" in bounds:
         g_end = min(
             [b for k, b in bounds.items() if b > bounds["GROUP BY"]] or [end]
         )
         gtxt = query[bounds["GROUP BY"] + len("GROUP BY") : g_end].strip()
-        if not re.fullmatch(r"\w+", gtxt):
-            return None  # one plain grouping column in v1
-        group = gtxt
+        groups = [g.strip() for g in gtxt.split(",")]
+        if not groups or any(not re.fullmatch(r"\w+", g) for g in groups):
+            return None  # plain grouping columns only in v1
     tail = query[tail_at:].rstrip().rstrip(";") if tail_at < end else ""
     items = [
         _parse_select_item(i)
@@ -828,7 +837,7 @@ def _parse_estimator_from_shape(
     for it in items:  # alias shadowing a template output column
         if it[0] != "plain" and it[-1].lower() in _RESERVED_ALIASES:
             return None
-    return fact, pct, join_txt, where, group, tail, items
+    return fact, pct, join_txt, where, groups, tail, items
 
 
 def _rewrite_estimator_sql(
@@ -852,7 +861,7 @@ def _rewrite_estimator_sql(
     shape = _parse_estimator_from_shape(query, key_by_table, join_tables)
     if shape is None:
         return None
-    table, pct, join_txt, where, group, tail, items = shape
+    table, pct, join_txt, where, groups, tail, items = shape
     approxes = [i for i in items if i[0] == "approx"]
     plains = [i[1] for i in items if i[0] == "plain"]
     if len(approxes) != 1 or len(items) != len(approxes) + len(plains):
@@ -860,10 +869,9 @@ def _rewrite_estimator_sql(
     _, agg, expr, alias = approxes[0]
     if agg != "SUM":
         return None  # poststrat/regaux estimate a TOTAL
-    expected = [group] if group else []
-    if [p.strip() for p in plains] != expected:
-        return None  # select list = group key + the one estimate
-    if kind == "poststrat" and group is not None and arg.lower() == group.lower():
+    if [p.strip() for p in plains] != groups:
+        return None  # select list = group keys + the one estimate
+    if kind == "poststrat" and arg.lower() in (g.lower() for g in groups):
         raise ValueError(
             "STRATIFY BY column must differ from the GROUP BY column "
             "(a stratum that IS the output group adds no information)"
@@ -880,11 +888,11 @@ def _rewrite_estimator_sql(
     rt = 3 if round_to is None else round_to
     if kind == "poststrat":
         sql = _poststrat_text(
-            from_exact, from_sampled, expr, alias, group, arg, where, z, rt
+            from_exact, from_sampled, expr, alias, groups, arg, where, z, rt
         )
     else:
         sql = _regaux_text(
-            from_exact, from_sampled, expr, alias, group, arg, where, z, rt
+            from_exact, from_sampled, expr, alias, groups, arg, where, z, rt
         )
     return f"{sql} {tail}" if tail else sql
 
@@ -903,13 +911,13 @@ def _rewrite_distinct_sql(
     shape = _parse_single_table_shape(query, key_by_table)
     if shape is None:
         return None
-    table, pct, where, group, tail, items = shape
+    table, pct, where, groups, tail, items = shape
     dists = [i for i in items if i[0] == "distinct"]
     plains = [i[1] for i in items if i[0] == "plain"]
     if len(dists) != 1 or len(items) != len(dists) + len(plains):
         return None
     _, col, alias = dists[0]
-    if [p.strip() for p in plains] != ([group] if group else []):
+    if [p.strip() for p in plains] != groups:
         return None
     spec = SamplingSpec(
         design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
@@ -918,10 +926,11 @@ def _rewrite_distinct_sql(
     if where:
         w = f"({where}) AND {w}"
     w = f"{w} AND ({col}) IS NOT NULL"
-    g_sel = f"{group} AS aqe_g, " if group else ""
-    g_key = "aqe_g, " if group else ""
-    g_out = f"aqe_g AS {group}, " if group else ""
-    g_grp = " GROUP BY aqe_g" if group else ""
+    gs = [f"aqe_g{i}" for i in range(len(groups))]
+    g_sel = "".join(f"{g} AS {a}, " for g, a in zip(groups, gs))
+    g_key = "".join(f"{a}, " for a in gs)
+    g_out = "".join(f"{a} AS {g}, " for g, a in zip(groups, gs))
+    g_grp = f" GROUP BY {', '.join(gs)}" if groups else ""
     f1 = "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
     f2 = "sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)"
     chao = (
@@ -1021,12 +1030,13 @@ def parse_within_marker(
     (``core/custom_bplus_db.cpp:885-1043``, error ladder
     ``enhanced_aqe_cli.py:243-250``) reachable from plain SQL:
 
-        SELECT [g,] APPROX(SUM(expr)) AS alias
+        SELECT [g1, g2, ...,] APPROX(SUM(expr)) AS alias
         FROM t [TABLESAMPLE (p PERCENT)] [JOIN dim ON ...]*
-        [WHERE w] [GROUP BY g] WITHIN e PERCENT
+        [WHERE w] [GROUP BY g1, g2, ...] WITHIN e PERCENT
 
-    Returns ``(table, expr, alias, where, group, start_pct_or_None,
-    error_pct, join_txt)`` or None. The engine routes the shape to
+    Returns ``(table, expr, alias, where, groups, start_pct_or_None,
+    error_pct, join_txt)`` — ``groups`` a (possibly empty) list — or
+    None. The engine routes the shape to
     plans/adaptive.py's escalation loop (fraction doubles until the
     realized CI half-width is within e% of the estimate — per WORST
     group when grouped); TABLESAMPLE, when present, sets the ladder's
@@ -1054,7 +1064,7 @@ def parse_within_marker(
     )
     if shape is None:
         return None
-    table, pct, join_txt, where, group, tail, items = shape
+    table, pct, join_txt, where, groups, tail, items = shape
     if tail:
         return None
     approxes = [i for i in items if i[0] == "approx"]
@@ -1064,9 +1074,9 @@ def parse_within_marker(
     _, agg, expr, alias = approxes[0]
     if agg != "SUM":
         return None  # the CLT stop rule is calibrated for totals
-    if [p.strip() for p in plains] != ([group] if group else []):
+    if [p.strip() for p in plains] != groups:
         return None
-    return table, expr, alias, where, group, pct, error_pct, join_txt
+    return table, expr, alias, where, groups, pct, error_pct, join_txt
 
 
 def parse_global_quantile_marker(
@@ -1095,8 +1105,8 @@ def parse_global_quantile_marker(
     shape = _parse_single_table_shape(query, key_by_table)
     if shape is None:
         return None
-    table, pct, where, group, tail, items = shape
-    if group is not None or tail:
+    table, pct, where, groups, tail, items = shape
+    if groups or tail:
         return None
     quants = [i for i in items if i[0] == "quantile"]
     plains = [i[1] for i in items if i[0] == "plain"]
@@ -1138,9 +1148,13 @@ def parse_grouped_quantile_marker(
     shape = _parse_single_table_shape(query, key_by_table)
     if shape is None:
         return None
-    table, pct, where, group, tail, items = shape
-    if group is None:
+    table, pct, where, groups, tail, items = shape
+    if len(groups) != 1:
+        # multi-column groups keep the window text on both engines —
+        # many group cells mean the per-cell sorts are small and the
+        # window's parallelism is the cell count (scale-safe regime).
         return None
+    group = groups[0]
     ordered = False
     if tail:
         m = re.fullmatch(r"ORDER\s+BY\s+(\w+)", tail.strip(), re.IGNORECASE)
@@ -1174,13 +1188,13 @@ def _rewrite_quantile_sql(
     shape = _parse_single_table_shape(query, key_by_table)
     if shape is None:
         return None
-    table, pct, where, group, tail, items = shape
+    table, pct, where, groups, tail, items = shape
     quants = [i for i in items if i[0] == "quantile"]
     plains = [i[1] for i in items if i[0] == "plain"]
     if len(quants) != 1 or len(items) != len(quants) + len(plains):
         return None
     _, expr, q, alias = quants[0]
-    if [p.strip() for p in plains] != ([group] if group else []):
+    if [p.strip() for p in plains] != groups:
         return None
     spec = SamplingSpec(
         design="uniform_hash", fraction=pct / 100.0, key=key_by_table[table]
@@ -1197,12 +1211,13 @@ def _rewrite_quantile_sql(
     point = f"least(greatest(CAST(ceil({q!r} * n) AS BIGINT), 1), n)"
     lo = f"least(greatest(CAST(floor({q!r} * n - {half}) AS BIGINT), 1), n)"
     hi = f"least(greatest(CAST(ceil({q!r} * n + {half}) AS BIGINT), 1), n)"
-    g_sel = f"{group} AS aqe_g, " if group else ""
-    g_cols = "aqe_g, " if group else ""
-    part = "PARTITION BY aqe_g " if group else ""
-    over_n = f"OVER (PARTITION BY aqe_g)" if group else "OVER ()"
-    g_out = f"aqe_g AS {group}, " if group else ""
-    g_grp = " GROUP BY aqe_g" if group else ""
+    gs = [f"aqe_g{i}" for i in range(len(groups))]
+    g_sel = "".join(f"{g} AS {a}, " for g, a in zip(groups, gs))
+    g_cols = "".join(f"{a}, " for a in gs)
+    part = f"PARTITION BY {', '.join(gs)} " if groups else ""
+    over_n = f"OVER (PARTITION BY {', '.join(gs)})" if groups else "OVER ()"
+    g_out = "".join(f"{a} AS {g}, " for g, a in zip(groups, gs))
+    g_grp = f" GROUP BY {', '.join(gs)}" if groups else ""
     sql = f"""
 WITH aqe_s AS (
   SELECT {g_sel}{x} AS x, {key} AS k FROM {table} WHERE {w}
@@ -1232,7 +1247,7 @@ def _poststrat_text(
     from_sampled: str,
     expr: str,
     alias: str,
-    group: str | None,
+    groups: list[str],
     stratum: str,
     where: str | None,
     z: float,
@@ -1240,20 +1255,28 @@ def _poststrat_text(
 ) -> str:
     """Portable post-stratified SUM (Cochran §5A.9, fpc kept) — the
     plans/poststrat.py estimator as one SQL text both engines run:
-    exact per-(group,)stratum counts from the full (unsampled) FROM
+    exact per-(groups,)stratum counts from the full (unsampled) FROM
     clause, integer-cents sample moments from the sampled one (the
     sample predicate lives inside a derived fact table so it applies
-    before any join), per-group order-pinned cumulative folds read
-    with max_by."""
+    before any join), per-group-cell order-pinned cumulative folds
+    read with max_by. ``groups`` may hold any number of plain output
+    group columns (aliased aqe_q0..k in the folds)."""
     c = _cents_sql(expr)
     base_where = f" WHERE {where}" if where else ""
-    q_sel = f"{group} AS aqe_q, " if group else ""
-    q_grp = "GROUP BY 1, 2" if group else "GROUP BY 1"
-    q_join = "e.aqe_q IS NOT DISTINCT FROM s.aqe_q AND " if group else ""
-    q_cols = "aqe_q, " if group else ""
-    q_part = "PARTITION BY aqe_q " if group else ""
-    q_agg_grp = " GROUP BY aqe_q" if group else ""
-    q_out = f"aqe_q AS {group}, " if group else ""
+    qs = [f"aqe_q{i}" for i in range(len(groups))]
+    q_sel = "".join(
+        f"{g} AS {q}, " for g, q in zip(groups, qs)
+    )
+    q_grp = "GROUP BY " + ", ".join(
+        str(i + 1) for i in range(len(groups) + 1)
+    )
+    q_join = "".join(
+        f"e.{q} IS NOT DISTINCT FROM s.{q} AND " for q in qs
+    )
+    q_cols = "".join(f"{q}, " for q in qs)
+    q_part = f"PARTITION BY {', '.join(qs)} " if groups else ""
+    q_agg_grp = f" GROUP BY {', '.join(qs)}" if groups else ""
+    q_out = "".join(f"{q} AS {g}, " for g, q in zip(groups, qs))
     return f"""
 WITH aqe_exact AS (
   SELECT {q_sel}{stratum} AS aqe_g, count(*) AS n_pop
@@ -1269,7 +1292,7 @@ aqe_per AS (
   -- /*+ BROADCAST(s) */ is a Spark join hint and a plain comment to
   -- DuckDB: the sample-moment synopsis is O(groups x strata) rows and
   -- must never sort-merge against the exact counts.
-  SELECT /*+ BROADCAST(s) */ {('e.aqe_q AS aqe_q, ' if group else '')}e.aqe_g, e.n_pop,
+  SELECT /*+ BROADCAST(s) */ {''.join(f'e.{q} AS {q}, ' for q in qs)}e.aqe_g, e.n_pop,
          coalesce(s.n, 0) AS n,
          CAST(coalesce(s.sc, 0) AS DOUBLE) AS sc,
          CAST(coalesce(s.sc2, 0) AS DOUBLE) AS sc2
@@ -1320,7 +1343,7 @@ def _regaux_text(
     from_sampled: str,
     expr: str,
     alias: str,
-    group: str | None,
+    groups: list[str],
     aux: str,
     where: str | None,
     z: float,
@@ -1328,20 +1351,29 @@ def _regaux_text(
 ) -> str:
     """Portable regression (auxiliary-total) SUM (Cochran ch. 7) — the
     plans/regression.py estimator as one SQL text: exact auxiliary
-    totals (per group when grouped) from the unsampled FROM clause,
-    integer-cents covariance moments from the sampled one, identical
-    double chain in both engines. Degenerate cells (n < 3 or constant
-    auxiliary) fall back to plain expansion, flagged in ``method``."""
+    totals (per group cell when grouped) from the unsampled FROM
+    clause, integer-cents covariance moments from the sampled one,
+    identical double chain in both engines. Degenerate cells (n < 3 or
+    constant auxiliary) fall back to plain expansion, flagged in
+    ``method``. ``groups`` may hold any number of plain group
+    columns."""
     y = _cents_sql(expr)
     x = _cents_sql(aux)
     base_where = f" WHERE {where}" if where else ""
-    q_sel = f"{group} AS aqe_q, " if group else ""
-    q_grp = " GROUP BY 1" if group else ""
-    q_cols = "aqe_q, " if group else ""
-    q_out = f"aqe_q AS {group}, " if group else ""
+    qs = [f"aqe_q{i}" for i in range(len(groups))]
+    q_sel = "".join(f"{g} AS {q}, " for g, q in zip(groups, qs))
+    q_grp = (
+        " GROUP BY " + ", ".join(str(i + 1) for i in range(len(groups)))
+        if groups
+        else ""
+    )
+    q_cols = "".join(f"{q}, " for q in qs)
+    q_out = "".join(f"{q} AS {g}, " for g, q in zip(groups, qs))
+    q_psel = "".join(f"p.{q} AS {q}, " for q in qs)
     joiner = (
-        "FROM aqe_pop p LEFT JOIN aqe_smp s ON p.aqe_q IS NOT DISTINCT FROM s.aqe_q"
-        if group
+        "FROM aqe_pop p LEFT JOIN aqe_smp s ON "
+        + " AND ".join(f"p.{q} IS NOT DISTINCT FROM s.{q}" for q in qs)
+        if groups
         else "FROM aqe_smp s CROSS JOIN aqe_pop p"
     )
     return f"""
@@ -1360,7 +1392,7 @@ aqe_smp AS (
 aqe_m AS (
   -- Spark broadcast hint, DuckDB comment: both synopsis sides are
   -- O(groups) aggregate outputs.
-  SELECT /*+ BROADCAST(s) */ {('p.aqe_q AS aqe_q, ' if group else '')}p.n_pop,
+  SELECT /*+ BROADCAST(s) */ {q_psel}p.n_pop,
          CAST(p.tx AS DOUBLE) AS tx,
          CAST(coalesce(s.n, 0) AS DECIMAL(19,0)) AS n,
          CAST(coalesce(s.sy, 0) AS DECIMAL(19,0)) AS sy,

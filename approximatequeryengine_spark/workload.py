@@ -3115,8 +3115,11 @@ def _adaptive_oracle(
         w = f"({where}) AND {samp}" if where else samp
         p = sampling_p_sql(s)
         x = f"CAST({x_expr} AS DOUBLE)"
+        # COUNT({x}), not COUNT(*): the loop's n_samples is F.count(x)
+        # — the NON-NULL measure count (null_sweep caught the * form
+        # diverging by exactly the NULL-measure rows on dirty data).
         parts.append(
-            f"SELECT {i} AS i, COUNT(*) AS n, SUM({x} / {p}) AS est, "
+            f"SELECT {i} AS i, COUNT({x}) AS n, SUM({x} / {p}) AS est, "
             f"SUM({x} * {x} * (1.0 - {p}) / ({p} * {p})) AS vht "
             f"FROM {from_clause} WHERE {w}"
         )
@@ -3184,8 +3187,9 @@ def _adaptive_grouped_oracle(alias: str = "sum_l_extendedprice") -> str:
         where = sampling_where_sql(s)
         p = sampling_p_sql(s)
         x = "CAST(l_extendedprice AS DOUBLE)"
+        # COUNT({x}) mirrors the loop's F.count(x) — see _adaptive_oracle.
         parts.append(
-            f"SELECT {i} AS i, l_returnflag, COUNT(*) AS n, "
+            f"SELECT {i} AS i, l_returnflag, COUNT({x}) AS n, "
             f"SUM({x} / {p}) AS est, "
             f"SUM({x} * {x} * (1.0 - {p}) / ({p} * {p})) AS vht "
             f"FROM lineitem WHERE {where} GROUP BY l_returnflag"
@@ -3268,6 +3272,29 @@ _register(
     "approx_sql_within_grouped",
     _within_grouped_fn,
     _adaptive_grouped_oracle("sum_price"),
+)
+
+# Multi-column GROUP BY across the marker templates (round 9, second
+# batch): the estimator/quantile/distinct templates — previously
+# one-group-column — now render numbered group aliases (aqe_q0..k) and
+# per-cell folds; the main moment path always accepted arbitrary
+# GROUP BY. Certified through the poststrat template, the most
+# structurally involved (exact counts join + order-pinned folds over
+# composite cells).
+_APPROX_SQL_POSTSTRAT_MULTI = (
+    "SELECT l_returnflag, l_linestatus, APPROX(SUM(l_extendedprice)) "
+    "AS est FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "GROUP BY l_returnflag, l_linestatus STRATIFY BY l_tax "
+    "ORDER BY l_returnflag, l_linestatus"
+)
+_register(
+    "approx_sql_poststrat_multigroup",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_POSTSTRAT_MULTI, {"est": 3, "ci_lower": 3, "ci_upper": 3}
+    ),
+    _rewrite_approx_sql(
+        _APPROX_SQL_POSTSTRAT_MULTI, dict(_CATALOG_TABLES), round_to=3
+    ),
 )
 
 # WITHIN over a star join (round 9, second batch): the budget marker

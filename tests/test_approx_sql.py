@@ -411,7 +411,7 @@ def test_within_marker_parses_and_gates():
         TABLES,
     )
     assert got == (
-        "lineitem", "l_extendedprice", "t", None, None, None, 2.0, "",
+        "lineitem", "l_extendedprice", "t", None, [], None, 2.0, "",
     )
     got = parse_within_marker(
         "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS s FROM lineitem "
@@ -421,7 +421,7 @@ def test_within_marker_parses_and_gates():
     )
     assert got == (
         "lineitem", "l_quantity", "s", "l_discount > 0",
-        "l_returnflag", 5.0, 1.5, "",
+        ["l_returnflag"], 5.0, 1.5, "",
     )
     # no marker → None
     assert parse_within_marker(
@@ -629,3 +629,79 @@ def test_cte_shape_gates(engine_med):
     assert res.method == "sql_rewrite"
     assert "__speedup__" in res.groups
     assert res.groups["__exact_sql__"].upper().startswith("WITH BIG_ORDERS")
+
+
+def test_multi_column_group_by_markers(spark, engine_med, duck_med):
+    """Round 9 (second batch): the estimator/quantile/distinct marker
+    templates accept multi-column GROUP BY (plain columns). The main
+    moment path always did; now the whole marker surface does."""
+    engine_med.catalog.refresh_views()
+    # poststrat over two group columns
+    q = (
+        "SELECT l_returnflag, l_linestatus, "
+        "APPROX(SUM(l_extendedprice)) AS est "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_returnflag, l_linestatus STRATIFY BY l_tax "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=3)
+    assert out is not None and "aqe_q1" in out
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    # regaux over two group columns
+    q2 = (
+        "SELECT l_returnflag, l_linestatus, "
+        "APPROX(SUM(l_extendedprice * (1 - l_discount))) AS rev "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_returnflag, l_linestatus USING AUX(l_extendedprice) "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
+    out2 = rewrite_approx_sql(q2, TABLES, round_to=3)
+    assert out2 is not None and "slope" in out2
+    assert_df_matches_sql(spark.sql(out2), duck_med, out2)
+    # grouped quantile over two columns keeps the window text (many
+    # cells = the scale-safe window regime) and still matches
+    q3 = (
+        "SELECT l_returnflag, l_linestatus, "
+        "APPROX(PERCENTILE(l_extendedprice, 0.9)) AS p90 "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
+    out3 = rewrite_approx_sql(q3, TABLES)
+    assert out3 is not None and "aqe_g1" in out3
+    assert_df_matches_sql(spark.sql(out3), duck_med, out3)
+    # distinct (Chao1) over two columns
+    q4 = (
+        "SELECT l_returnflag, l_linestatus, "
+        "APPROX(COUNT(DISTINCT l_partkey)) AS d_parts "
+        "FROM lineitem TABLESAMPLE (20 PERCENT) "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
+    out4 = rewrite_approx_sql(q4, TABLES)
+    assert out4 is not None and "f2" in out4
+    assert_df_matches_sql(spark.sql(out4), duck_med, out4)
+    # stratum colliding with ANY group column is the semantic error
+    with pytest.raises(ValueError, match="STRATIFY BY column"):
+        rewrite_approx_sql(
+            "SELECT l_returnflag, l_linestatus, "
+            "APPROX(SUM(l_quantity)) AS s "
+            "FROM lineitem TABLESAMPLE (10 PERCENT) "
+            "GROUP BY l_returnflag, l_linestatus STRATIFY BY l_linestatus",
+            TABLES,
+        )
+
+
+def test_multi_column_group_by_within(engine_med):
+    """WITHIN over two group columns: worst-cell stop rule."""
+    res = engine_med.run(
+        "SELECT l_returnflag, l_linestatus, APPROX(SUM(l_extendedprice)) "
+        "AS s FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "WITHIN 5 PERCENT"
+    )
+    assert res.method == "adaptive_sql"
+    rows = res.df.collect()
+    assert len(rows) == 6  # the (flag, status) cells of the fixture
+    for r in rows:
+        h = (r["ci_upper"] - r["ci_lower"]) / 2.0
+        assert 100.0 * h / abs(r["s"]) <= 5.0

@@ -516,7 +516,12 @@ def approx_queries(draw):
         item = f"APPROX(PERCENTILE({col}, {q})) AS {alias}"
     else:
         item = f"APPROX({kind}({col})) AS {alias}"
-    group = draw(st.sampled_from([None, "l_returnflag", "l_linestatus"]))
+    group = draw(
+        st.sampled_from(
+            [None, "l_returnflag", "l_linestatus",
+             "l_returnflag, l_linestatus"]
+        )
+    )
     sel = f"{group}, {item}" if group else item
     where = draw(st.sampled_from([None, "l_quantity > 5", "l_discount <= 0.05"]))
     marker = draw(
