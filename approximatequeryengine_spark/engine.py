@@ -365,12 +365,12 @@ class AQEngine:
                     error_ladder,
                 )
 
-                start = wm[5] / 100.0 if wm[5] else error_ladder(wm[6])
+                start = wm[6] / 100.0 if wm[6] else error_ladder(wm[7])
                 return {
                     "method": "adaptive_sql",
                     "source": "rewriter",
                     "evidence": {
-                        "error_pct": wm[6],
+                        "error_pct": wm[7],
                         "start_fraction": start,
                         "escalation": "fraction doubles until the CI "
                         "half-width meets the budget (worst group when "
@@ -1025,7 +1025,7 @@ class AQEngine:
         )
         from approximatequeryengine_spark.plans.estimators import AggSpec
 
-        table, expr, alias, where, group, start_pct, error_pct, join_txt = wm
+        table, aggf, expr, alias, where, group, start_pct, error_pct, join_txt = wm
         if join_txt:
             # Star-join shape (round 9): the adaptive loop samples by
             # the FACT key, so each rung's hash predicate references
@@ -1039,7 +1039,9 @@ class AQEngine:
             base = self.catalog.table(table)
         if where:
             base = base.where(F.expr(where))
-        agg = AggSpec("sum", expr, alias=alias)
+        agg = AggSpec(
+            aggf.lower(), None if expr.strip() == "*" else expr, alias=alias
+        )
         s_spec = SamplingSpec(
             design="uniform_hash",
             fraction=(start_pct / 100.0) if start_pct else 0.0,

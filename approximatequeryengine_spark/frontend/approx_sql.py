@@ -50,7 +50,8 @@ Round 9 additions:
   ``custom_bplus_db.cpp:885-1043``) instead of a fixed-fraction text.
   Accepts the INNER star-join shape too: each rung's hash predicate
   references only the fact key, so Catalyst pushes it through the
-  join into the fact scan.
+  join into the fact scan. SUM, AVG and COUNT estimates (each with
+  its own margin convention from ``estimators._ci_columns``).
 - GLOBAL ``APPROX(MEDIAN/PERCENTILE)`` executes via the
   partition-parallel order-statistic selection
   (plans/quantiles.py::order_stat_marker_ci); the window text this
@@ -1030,12 +1031,13 @@ def parse_within_marker(
     (``core/custom_bplus_db.cpp:885-1043``, error ladder
     ``enhanced_aqe_cli.py:243-250``) reachable from plain SQL:
 
-        SELECT [g1, g2, ...,] APPROX(SUM(expr)) AS alias
+        SELECT [g1, g2, ...,] APPROX(SUM|AVG|COUNT(expr)) AS alias
         FROM t [TABLESAMPLE (p PERCENT)] [JOIN dim ON ...]*
         [WHERE w] [GROUP BY g1, g2, ...] WITHIN e PERCENT
 
-    Returns ``(table, expr, alias, where, groups, start_pct_or_None,
-    error_pct, join_txt)`` — ``groups`` a (possibly empty) list — or
+    Returns ``(table, agg, expr, alias, where, groups,
+    start_pct_or_None, error_pct, join_txt)`` — ``agg`` in
+    {'SUM','AVG','COUNT'}, ``groups`` a (possibly empty) list — or
     None. The engine routes the shape to
     plans/adaptive.py's escalation loop (fraction doubles until the
     realized CI half-width is within e% of the estimate — per WORST
@@ -1072,11 +1074,11 @@ def parse_within_marker(
     if len(approxes) != 1 or len(items) != len(approxes) + len(plains):
         return None
     _, agg, expr, alias = approxes[0]
-    if agg != "SUM":
-        return None  # the CLT stop rule is calibrated for totals
+    if agg not in ("SUM", "AVG", "COUNT"):
+        return None  # the CLT stop rule covers the moment estimators
     if [p.strip() for p in plains] != groups:
         return None
-    return table, expr, alias, where, groups, pct, error_pct, join_txt
+    return table, agg, expr, alias, where, groups, pct, error_pct, join_txt
 
 
 def parse_global_quantile_marker(

@@ -3094,14 +3094,19 @@ def _adaptive_oracle(
     from_clause: str = "lineitem",
     x_expr: str = "l_extendedprice",
     where: str | None = None,
+    agg: str = "sum",
+    key: str | None = None,
 ) -> str:
     """Re-derive the adaptive loop's terminal rung in SQL: evaluate the
     moments on every ladder fraction (samples are NESTED in the
     fraction, so this mirrors exactly what the loop saw), apply the
-    same integer-rounded margin and ``n ≥ min_samples ∧ rel ≤ e`` stop
-    rule, and emit the first converged rung (else the full-scan rung).
-    ``alias`` names the estimate column — the WITHIN-marker entries
-    reuse this oracle with the user's alias."""
+    same margin convention (integer-rounded for SUM/COUNT, raw for
+    AVG — estimators._ci_columns) and ``n ≥ min_samples ∧ rel ≤ e``
+    stop rule, and emit the first converged rung (else the full-scan
+    rung). ``alias`` names the estimate column — the WITHIN-marker
+    entries reuse this oracle with the user's alias. ``agg`` mirrors
+    the loop's AggSpec: 'sum' (HT total), 'avg' (ratio mean, CLT
+    sample-variance margin), 'count' (Σ1/p, binomial margin)."""
     from approximatequeryengine_spark.plans.adaptive import error_ladder
     from approximatequeryengine_spark.plans.estimators import Z_95
 
@@ -3110,29 +3115,71 @@ def _adaptive_oracle(
         ladder.append(min(1.0, ladder[-1] * 2.0))
     parts = []
     for i, f in enumerate(ladder, 1):
-        s = SamplingSpec(design="uniform_hash", fraction=f, key=_LKEY)
+        s = SamplingSpec(
+            design="uniform_hash", fraction=f, key=key or _LKEY
+        )
         samp = sampling_where_sql(s)
         w = f"({where}) AND {samp}" if where else samp
         p = sampling_p_sql(s)
-        x = f"CAST({x_expr} AS DOUBLE)"
+        x = (
+            "CAST(1 AS DOUBLE)"
+            if x_expr.strip() == "*"
+            else f"CAST({x_expr} AS DOUBLE)"
+        )
         # COUNT({x}), not COUNT(*): the loop's n_samples is F.count(x)
         # — the NON-NULL measure count (null_sweep caught the * form
         # diverging by exactly the NULL-measure rows on dirty data).
         parts.append(
-            f"SELECT {i} AS i, COUNT({x}) AS n, SUM({x} / {p}) AS est, "
+            f"SELECT {i} AS i, COUNT({x}) AS n, SUM({x} / {p}) AS ht, "
+            f"SUM(1.0 / {p}) AS htn, "
+            f"SUM({x}) AS s1, SUM({x} * {x}) AS s2, AVG({p}) AS pavg, "
             f"SUM({x} * {x} * (1.0 - {p}) / ({p} * {p})) AS vht "
             f"FROM {from_clause} WHERE {w}"
         )
     last = len(ladder)
     z = Z_95
+    if agg == "sum":
+        est = "ht"
+        rawm = (
+            f"CASE WHEN n >= 2 THEN {z!r} * sqrt(greatest(vht, 0.0)) "
+            f"ELSE 0.0 END"
+        )
+        integer_margin = True
+    elif agg == "avg":
+        # estimators.py AVG: est = ht_sum/ht_n, margin = z·√(s²/n) from
+        # the plain sample variance; margin NOT integer-rounded.
+        est = "ht / htn"
+        var = (
+            "CASE WHEN n >= 2 "
+            "THEN greatest((s2 - s1 * s1 / n) / (n - 1.0), 0.0) "
+            "ELSE 0.0 END"
+        )
+        rawm = (
+            f"CASE WHEN n >= 2 THEN {z!r} * sqrt(({var}) / n) ELSE 0.0 END"
+        )
+        integer_margin = False
+    elif agg == "count":
+        # estimators.py COUNT: est = Σ1/p, margin = z·√(n(1−p̄))/p̄.
+        est = "htn"
+        rawm = (
+            f"CASE WHEN n >= 2 "
+            f"THEN {z!r} * sqrt(n * (1.0 - pavg)) / pavg ELSE 0.0 END"
+        )
+        integer_margin = True
+    else:
+        raise ValueError(f"unsupported adaptive oracle agg {agg!r}")
+    mm = (
+        "CASE WHEN rawm > 0 THEN greatest(round(rawm, 0), 1.0) "
+        "ELSE 0.0 END"
+        if integer_margin
+        else "rawm"
+    )
     return (
         f"WITH m AS ({' UNION ALL '.join(parts)}), "
-        f"sel AS (SELECT i, n, est, "
-        f"  CASE WHEN n >= 2 THEN {z!r} * sqrt(greatest(vht, 0.0)) ELSE 0.0 END AS rawm "
+        f"sel AS (SELECT i, n, {est} AS est, {rawm} AS rawm "
         f"  FROM m), "
-        # Integer margin — same rounding as estimators._ci_columns.
-        f"mm AS (SELECT i, n, est, "
-        f"  CASE WHEN rawm > 0 THEN greatest(round(rawm, 0), 1.0) ELSE 0.0 END AS margin "
+        # Margin convention per aggregate — estimators._ci_columns.
+        f"mm AS (SELECT i, n, est, {mm} AS margin "
         f"  FROM sel), "
         f"conv AS (SELECT *, (n >= {_ADAPTIVE_MIN_SAMPLES} AND est <> 0 "
         f"  AND 100.0 * margin / abs(est) <= {_ADAPTIVE_ERROR_PCT!r}) AS ok FROM mm), "
@@ -3327,6 +3374,40 @@ _register(
         from_clause="lineitem JOIN orders ON l_orderkey = o_orderkey",
         x_expr="l_extendedprice * (1 - l_discount)",
         where="o_orderstatus = 'F'",
+    ),
+)
+
+# WITHIN over AVG (round 9, second batch): same escalation, the AVG
+# margin convention (raw z·√(s²/n), never integer-rounded —
+# estimators._ci_columns). The oracle re-derives the ladder with the
+# ratio-mean estimate Σ(x/p)/Σ(1/p).
+_APPROX_SQL_WITHIN_AVG = (
+    "SELECT APPROX(AVG(o_totalprice)) AS avg_price FROM orders "
+    "WITHIN 2 PERCENT"
+)
+
+
+def _within_avg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.engine import AQEngine
+
+    _catalog(spark, sf_dir)
+    res = AQEngine(spark, sf_dir).run(_APPROX_SQL_WITHIN_AVG)
+    if res.method != "adaptive_sql":
+        raise AssertionError(f"expected adaptive_sql routing, got {res.method}")
+    return _round_cols(
+        res.df, {"avg_price": 2, "ci_lower": 2, "ci_upper": 2}
+    )
+
+
+_register(
+    "approx_sql_within_avg",
+    _within_avg_fn,
+    _adaptive_oracle(
+        "avg_price",
+        from_clause="orders",
+        x_expr="o_totalprice",
+        agg="avg",
+        key="o_orderkey",
     ),
 )
 

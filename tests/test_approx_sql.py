@@ -411,7 +411,7 @@ def test_within_marker_parses_and_gates():
         TABLES,
     )
     assert got == (
-        "lineitem", "l_extendedprice", "t", None, [], None, 2.0, "",
+        "lineitem", "SUM", "l_extendedprice", "t", None, [], None, 2.0, "",
     )
     got = parse_within_marker(
         "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS s FROM lineitem "
@@ -420,16 +420,22 @@ def test_within_marker_parses_and_gates():
         TABLES,
     )
     assert got == (
-        "lineitem", "l_quantity", "s", "l_discount > 0",
+        "lineitem", "SUM", "l_quantity", "s", "l_discount > 0",
         ["l_returnflag"], 5.0, 1.5, "",
     )
     # no marker → None
     assert parse_within_marker(
         "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem", TABLES
     ) is None
-    # non-SUM → None (CLT budget rule is calibrated for totals)
-    assert parse_within_marker(
+    # AVG/COUNT accepted since the second round-9 batch; MEDIAN is not
+    got = parse_within_marker(
         "SELECT APPROX(AVG(l_quantity)) AS a FROM lineitem WITHIN 2 PERCENT",
+        TABLES,
+    )
+    assert got is not None and got[1] == "AVG"
+    assert parse_within_marker(
+        "SELECT APPROX(MEDIAN(l_quantity)) AS m FROM lineitem "
+        "WITHIN 2 PERCENT",
         TABLES,
     ) is None
     # ORDER BY tail is outside the v1 shape
@@ -444,7 +450,7 @@ def test_within_marker_parses_and_gates():
         "JOIN orders ON l_orderkey = o_orderkey WITHIN 2 PERCENT",
         TABLES,
     )
-    assert got is not None and got[7] == "JOIN orders ON l_orderkey = o_orderkey"
+    assert got is not None and got[8] == "JOIN orders ON l_orderkey = o_orderkey"
     assert parse_within_marker(
         "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
         "LEFT JOIN orders ON l_orderkey = o_orderkey WITHIN 2 PERCENT",
@@ -705,3 +711,35 @@ def test_multi_column_group_by_within(engine_med):
     for r in rows:
         h = (r["ci_upper"] - r["ci_lower"]) / 2.0
         assert 100.0 * h / abs(r["s"]) <= 5.0
+
+
+def test_within_marker_avg_and_count(engine_med, duck_med):
+    """Round 9 (second batch): WITHIN accepts AVG and COUNT — same CLT
+    escalation, margin conventions from estimators._ci_columns (raw
+    for AVG, integer-rounded for COUNT)."""
+    res = engine_med.run(
+        "SELECT APPROX(AVG(o_totalprice)) AS avg_price FROM orders "
+        "WITHIN 2 PERCENT",
+        compare=True,
+    )
+    assert res.method == "adaptive_sql"
+    row = res.df.collect()[0]
+    half = (row["ci_upper"] - row["ci_lower"]) / 2.0
+    assert 100.0 * half / abs(row["avg_price"]) <= 2.0
+    exact = duck_med.execute(
+        "SELECT avg(o_totalprice) FROM orders"
+    ).fetchone()[0]
+    assert res.groups["__actual_error_pct__"] < 2.0
+    assert row["ci_lower"] <= float(exact) <= row["ci_upper"]
+    cres = engine_med.run(
+        "SELECT APPROX(COUNT(*)) AS n_open FROM orders "
+        "WHERE o_orderstatus = 'O' WITHIN 3 PERCENT"
+    )
+    assert cres.method == "adaptive_sql"
+    crow = cres.df.collect()[0]
+    chalf = (crow["ci_upper"] - crow["ci_lower"]) / 2.0
+    assert 100.0 * chalf / abs(crow["n_open"]) <= 3.0
+    cexact = duck_med.execute(
+        "SELECT count(*) FROM orders WHERE o_orderstatus = 'O'"
+    ).fetchone()[0]
+    assert crow["ci_lower"] <= float(cexact) <= crow["ci_upper"]
