@@ -379,10 +379,27 @@ class AQEngine:
                 }
             rewritten = rewrite_approx_sql(sql, keys)
             if rewritten is not None:
+                evidence: dict = {"rewritten_sql": rewritten}
+                from approximatequeryengine_spark.frontend.approx_sql import (
+                    parse_global_quantile_marker,
+                    parse_grouped_quantile_marker,
+                )
+
+                if parse_global_quantile_marker(sql, keys) is not None:
+                    evidence["executes_via"] = (
+                        "order_stat_marker_ci (partition-parallel rank "
+                        "selection; the window text is the oracle only)"
+                    )
+                elif parse_grouped_quantile_marker(sql, keys) is not None:
+                    evidence["executes_via"] = (
+                        "grouped_order_stat_ci (grouped partition-"
+                        "parallel rank selection; the window text is "
+                        "the oracle only)"
+                    )
                 return {
                     "method": "sql_rewrite",
                     "source": "rewriter",
-                    "evidence": {"rewritten_sql": rewritten},
+                    "evidence": evidence,
                 }
             raise ValueError(
                 "explain_auto needs an APPROX-dialect aggregate query "

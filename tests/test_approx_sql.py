@@ -743,3 +743,18 @@ def test_within_marker_avg_and_count(engine_med, duck_med):
         "SELECT count(*) FROM orders WHERE o_orderstatus = 'O'"
     ).fetchone()[0]
     assert crow["ci_lower"] <= float(cexact) <= crow["ci_upper"]
+
+
+def test_explain_auto_reports_quantile_routing(engine_med):
+    info = engine_med.explain_auto(
+        "SELECT l_returnflag, "
+        "APPROX(PERCENTILE(l_extendedprice, 0.9)) AS p90 "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) GROUP BY l_returnflag"
+    )
+    assert info["method"] == "sql_rewrite"
+    assert "grouped_order_stat_ci" in info["evidence"]["executes_via"]
+    ginfo = engine_med.explain_auto(
+        "SELECT APPROX(MEDIAN(l_extendedprice)) AS med "
+        "FROM lineitem TABLESAMPLE (10 PERCENT)"
+    )
+    assert "order_stat_marker_ci" in ginfo["evidence"]["executes_via"]
