@@ -1042,7 +1042,8 @@ class AQEngine:
         )
         from approximatequeryengine_spark.plans.estimators import AggSpec
 
-        table, aggf, expr, alias, where, group, start_pct, error_pct, join_txt = wm
+        (table, aggf, expr, alias, where, group, start_pct, error_pct,
+         join_txt, order_by_groups) = wm
         if join_txt:
             # Star-join shape (round 9): the adaptive loop samples by
             # the FACT key, so each rung's hash predicate references
@@ -1068,6 +1069,8 @@ class AQEngine:
             rdf, fraction, iterations = adaptive_grouped_aggregate(
                 base, agg, group, s_spec, error_pct=error_pct, z=z
             )
+            if order_by_groups:
+                rdf = rdf.orderBy(*group)
             res = ApproxResult(
                 df=rdf,
                 method="adaptive_sql",

@@ -1036,9 +1036,10 @@ def parse_within_marker(
         [WHERE w] [GROUP BY g1, g2, ...] WITHIN e PERCENT
 
     Returns ``(table, agg, expr, alias, where, groups,
-    start_pct_or_None, error_pct, join_txt)`` — ``agg`` in
-    {'SUM','AVG','COUNT'}, ``groups`` a (possibly empty) list — or
-    None. The engine routes the shape to
+    start_pct_or_None, error_pct, join_txt, order_by_groups)`` —
+    ``agg`` in {'SUM','AVG','COUNT'}, ``groups`` a (possibly empty)
+    list, ``order_by_groups`` True when a bare ``ORDER BY <group
+    prefix>`` tail was present — or None. The engine routes the shape to
     plans/adaptive.py's escalation loop (fraction doubles until the
     realized CI half-width is within e% of the estimate — per WORST
     group when grouped); TABLESAMPLE, when present, sets the ladder's
@@ -1067,8 +1068,20 @@ def parse_within_marker(
     if shape is None:
         return None
     table, pct, join_txt, where, groups, tail, items = shape
+    order_by_groups = False
     if tail:
-        return None
+        # only a bare ORDER BY over (a prefix of) the group columns —
+        # ordering by the estimate would impose a post-hoc readout
+        # order the adaptive frame doesn't define.
+        m2 = re.fullmatch(
+            r"ORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*)", tail.strip(), re.IGNORECASE
+        )
+        if not m2 or not groups:
+            return None
+        asked = [c.strip().lower() for c in m2.group(1).split(",")]
+        if asked != [g.lower() for g in groups][: len(asked)]:
+            return None
+        order_by_groups = True
     approxes = [i for i in items if i[0] == "approx"]
     plains = [i[1] for i in items if i[0] == "plain"]
     if len(approxes) != 1 or len(items) != len(approxes) + len(plains):
@@ -1078,7 +1091,10 @@ def parse_within_marker(
         return None  # the CLT stop rule covers the moment estimators
     if [p.strip() for p in plains] != groups:
         return None
-    return table, agg, expr, alias, where, groups, pct, error_pct, join_txt
+    return (
+        table, agg, expr, alias, where, groups, pct, error_pct, join_txt,
+        order_by_groups,
+    )
 
 
 def parse_global_quantile_marker(

@@ -411,7 +411,8 @@ def test_within_marker_parses_and_gates():
         TABLES,
     )
     assert got == (
-        "lineitem", "SUM", "l_extendedprice", "t", None, [], None, 2.0, "",
+        "lineitem", "SUM", "l_extendedprice", "t", None, [], None, 2.0,
+        "", False,
     )
     got = parse_within_marker(
         "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS s FROM lineitem "
@@ -421,7 +422,7 @@ def test_within_marker_parses_and_gates():
     )
     assert got == (
         "lineitem", "SUM", "l_quantity", "s", "l_discount > 0",
-        ["l_returnflag"], 5.0, 1.5, "",
+        ["l_returnflag"], 5.0, 1.5, "", False,
     )
     # no marker → None
     assert parse_within_marker(
@@ -438,12 +439,19 @@ def test_within_marker_parses_and_gates():
         "WITHIN 2 PERCENT",
         TABLES,
     ) is None
-    # ORDER BY tail is outside the v1 shape
+    # ORDER BY over the estimate is outside the shape; a bare group
+    # prefix is accepted (round-9 second batch)
     assert parse_within_marker(
         "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
         "WITHIN 2 PERCENT ORDER BY s",
         TABLES,
     ) is None
+    got = parse_within_marker(
+        "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS s FROM lineitem "
+        "GROUP BY l_returnflag WITHIN 2 PERCENT ORDER BY l_returnflag",
+        TABLES,
+    )
+    assert got is not None and got[9] is True
     # INNER star joins accepted; outer joins rejected
     got = parse_within_marker(
         "SELECT APPROX(SUM(l_quantity)) AS s FROM lineitem "
