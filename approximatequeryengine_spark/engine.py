@@ -1043,16 +1043,18 @@ class AQEngine:
         from approximatequeryengine_spark.plans.estimators import AggSpec
 
         (table, aggf, expr, alias, where, group, start_pct, error_pct,
-         join_txt, order_by_groups) = wm
-        if join_txt:
-            # Star-join shape (round 9): the adaptive loop samples by
-            # the FACT key, so each rung's hash predicate references
-            # only fact columns and Catalyst pushes it through the
-            # (broadcast) dim joins into the fact scan — identical to
-            # sampling-then-joining for the key-preserving shapes the
-            # marker accepts.
+         join_txt, order_by_groups, cte) = wm
+        if join_txt or cte:
+            # Star-join / leading-CTE shape (round 9): the adaptive
+            # loop samples by the FACT key, so each rung's hash
+            # predicate references only fact columns and Catalyst
+            # pushes it through the (broadcast) dim joins into the
+            # fact scan — identical to sampling-then-joining for the
+            # key-preserving shapes the marker accepts.
             self.catalog.refresh_views()
-            base = self.spark.sql(f"SELECT * FROM {table} {join_txt}")
+            prefix = f"WITH {cte} " if cte else ""
+            joins = f" {join_txt}" if join_txt else ""
+            base = self.spark.sql(f"{prefix}SELECT * FROM {table}{joins}")
         else:
             base = self.catalog.table(table)
         if where:

@@ -324,6 +324,13 @@ def rewrite_approx_sql(
     query = query.strip()
     if "APPROX" not in query.upper():
         return None
+    # A WITHIN error-budget marker that reached the rewriter is a shape
+    # parse_within_marker rejected — copying it into the moment
+    # aggregate would emit invalid SQL (`FROM t WITHIN 2 PERCENT`);
+    # None here surfaces the clean guidance error instead.
+    wat = _scan_top_level(query, "WITHIN")
+    if wat != -1 and _WITHIN.match(query, wat):
+        return None
     # Leading CTEs (round 9): split the WITH prefix, rewrite the main
     # query, re-attach — splicing into the rewrite's own WITH when a
     # template renders one. The markers must live in the MAIN query: a
@@ -1036,10 +1043,12 @@ def parse_within_marker(
         [WHERE w] [GROUP BY g1, g2, ...] WITHIN e PERCENT
 
     Returns ``(table, agg, expr, alias, where, groups,
-    start_pct_or_None, error_pct, join_txt, order_by_groups)`` —
-    ``agg`` in {'SUM','AVG','COUNT'}, ``groups`` a (possibly empty)
-    list, ``order_by_groups`` True when a bare ``ORDER BY <group
-    prefix>`` tail was present — or None. The engine routes the shape to
+    start_pct_or_None, error_pct, join_txt, order_by_groups,
+    cte_prefix)`` — ``agg`` in {'SUM','AVG','COUNT'}, ``groups`` a
+    (possibly empty) list, ``order_by_groups`` True when a bare
+    ``ORDER BY <group prefix>`` tail was present, ``cte_prefix`` the
+    leading WITH-clause body (or None) whose names may serve as join
+    targets — or None. The engine routes the shape to
     plans/adaptive.py's escalation loop (fraction doubles until the
     realized CI half-width is within e% of the estimate — per WORST
     group when grouped); TABLESAMPLE, when present, sets the ladder's
@@ -1062,8 +1071,22 @@ def parse_within_marker(
     if not 0.0 < error_pct < 100.0:
         return None
     stripped = (query[: at] + query[m.end() :]).strip()
+    cte = None
+    join_tables: frozenset | None = None
+    if re.match(r"WITH\b", stripped, re.IGNORECASE):
+        split = _split_cte_prefix(stripped)
+        if split is None:
+            return None
+        cte, stripped = split
+        if (
+            _TABLESAMPLE.search(cte)
+            or re.search(r"\bAPPROX\s*\(", cte, re.IGNORECASE)
+            or re.search(r"(?i)\baqe_\w+\b", cte)
+        ):
+            return None
+        join_tables = frozenset(_cte_names(cte))
     shape = _parse_estimator_from_shape(
-        stripped, key_by_table, require_sample=False
+        stripped, key_by_table, join_tables, require_sample=False
     )
     if shape is None:
         return None
@@ -1093,7 +1116,7 @@ def parse_within_marker(
         return None
     return (
         table, agg, expr, alias, where, groups, pct, error_pct, join_txt,
-        order_by_groups,
+        order_by_groups, cte,
     )
 
 

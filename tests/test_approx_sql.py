@@ -412,7 +412,7 @@ def test_within_marker_parses_and_gates():
     )
     assert got == (
         "lineitem", "SUM", "l_extendedprice", "t", None, [], None, 2.0,
-        "", False,
+        "", False, None,
     )
     got = parse_within_marker(
         "SELECT l_returnflag, APPROX(SUM(l_quantity)) AS s FROM lineitem "
@@ -422,7 +422,7 @@ def test_within_marker_parses_and_gates():
     )
     assert got == (
         "lineitem", "SUM", "l_quantity", "s", "l_discount > 0",
-        ["l_returnflag"], 5.0, 1.5, "", False,
+        ["l_returnflag"], 5.0, 1.5, "", False, None,
     )
     # no marker → None
     assert parse_within_marker(
@@ -766,3 +766,34 @@ def test_explain_auto_reports_quantile_routing(engine_med):
         "FROM lineitem TABLESAMPLE (10 PERCENT)"
     )
     assert "order_stat_marker_ci" in ginfo["evidence"]["executes_via"]
+
+
+def test_within_marker_with_leading_cte(engine_med, duck_med):
+    """CTE + WITHIN: the prefix is split off, its names serve as join
+    targets, and the adaptive base frame is built under the prefix. A
+    CTE + WITHIN shape the parser rejects must fall to the guidance
+    error, never to invalid rewritten SQL."""
+    res = engine_med.run(
+        "WITH f_orders AS (SELECT o_orderkey FROM orders "
+        "WHERE o_orderstatus = 'F') "
+        "SELECT APPROX(SUM(l_extendedprice)) AS rev FROM lineitem "
+        "JOIN f_orders ON l_orderkey = o_orderkey WITHIN 2 PERCENT",
+        compare=True,
+    )
+    assert res.method == "adaptive_sql"
+    row = res.df.collect()[0]
+    half = (row["ci_upper"] - row["ci_lower"]) / 2.0
+    assert 100.0 * half / abs(row["rev"]) <= 2.0
+    exact = duck_med.execute(
+        "SELECT sum(l_extendedprice) FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"
+    ).fetchone()[0]
+    assert row["ci_lower"] <= float(exact) <= row["ci_upper"]
+    # an unparseable WITHIN shape raises the guidance error (the
+    # rewriter must never copy WITHIN into the moment aggregate)
+    with pytest.raises(ValueError, match="TABLESAMPLE"):
+        engine_med.run(
+            "WITH x AS (SELECT 1 AS one) "
+            "SELECT APPROX(MEDIAN(l_extendedprice)) AS m FROM lineitem "
+            "WITHIN 2 PERCENT"
+        )
