@@ -848,6 +848,69 @@ def _parse_estimator_from_shape(
     return fact, pct, join_txt, where, groups, tail, items
 
 
+def _split_having(query: str):
+    """Cut a top-level HAVING clause out of ``query``. Returns
+    ``(query_without_having, predicate_or_None)``, or None when a
+    HAVING keyword is present but the predicate is empty/misplaced."""
+    at = _scan_top_level(query, "HAVING")
+    if at == -1:
+        return query, None
+    end = len(query)
+    for kw in ("ORDER BY", "LIMIT"):
+        k = _scan_top_level(query, kw, at)
+        if k != -1:
+            end = min(end, k)
+    pred = query[at + len("HAVING") : end].strip()
+    if not pred:
+        return None
+    return (query[:at] + " " + query[end:]).strip(), pred
+
+
+def _map_having_predicate(pred: str, items: list) -> str | None:
+    """Rewrite a HAVING predicate over APPROX markers into a predicate
+    over the template's OUTPUT columns: each APPROX span must match a
+    SELECT-list item (same kind + expression text modulo whitespace)
+    and is replaced by that item's alias; bare aliases and template
+    readout columns pass through. Plain aggregates have no output
+    column to read → None (guidance error)."""
+
+    def _norm(s: str) -> str:
+        return " ".join(s.split()).lower()
+
+    lookup: dict[tuple, str] = {}
+    for it in items:
+        if it[0] == "approx":
+            lookup[("approx", it[1].upper(), _norm(it[2]))] = it[3]
+        elif it[0] == "ratio":
+            lookup[("ratio", _norm(it[1]), _norm(it[2]))] = it[3]
+        elif it[0] == "quantile":
+            lookup[("quantile", _norm(it[1]), repr(it[2]))] = it[3]
+        elif it[0] == "distinct":
+            lookup[("distinct", _norm(it[1]))] = it[2]
+    spans = _find_approx_spans(pred)
+    if re.search(r"\bAPPROX\s*\(", pred, re.IGNORECASE) and not spans:
+        return None  # malformed APPROX parens in the predicate
+    for start, end, span in reversed(spans):
+        parsed = _parse_select_item(span + " AS __h")
+        if parsed[0] == "approx":
+            key = ("approx", parsed[1].upper(), _norm(parsed[2]))
+        elif parsed[0] == "ratio":
+            key = ("ratio", _norm(parsed[1]), _norm(parsed[2]))
+        elif parsed[0] == "quantile":
+            key = ("quantile", _norm(parsed[1]), repr(parsed[2]))
+        elif parsed[0] == "distinct":
+            key = ("distinct", _norm(parsed[1]))
+        else:
+            return None
+        alias = lookup.get(key)
+        if alias is None:
+            return None  # HAVING estimate absent from the SELECT list
+        pred = pred[:start] + alias + pred[end:]
+    if re.search(r"\b(SUM|AVG|COUNT|MIN|MAX)\s*\(", pred, re.IGNORECASE):
+        return None
+    return pred
+
+
 def _rewrite_estimator_sql(
     query: str,
     kind: str,
@@ -860,12 +923,17 @@ def _rewrite_estimator_sql(
     """Render the portable model-assisted estimator SQL for ``SELECT
     [g,] APPROX(SUM(expr)) AS alias FROM t TABLESAMPLE (p PERCENT)
     [JOIN dim ON ...]* [WHERE w] [GROUP BY g] <marker> [ORDER BY ...]``
-    — HAVING, outer joins and multiple aggregates are outside the
-    estimator templates. The fact scan carries the sample predicate as
-    a derived table (Catalyst pushes it into the scan before any join
-    shuffle); the exact per-stratum counts / auxiliary totals come
-    from the UNSAMPLED join — well-defined because key-preserving
-    joins keep one output row per fact row."""
+    — outer joins and multiple aggregates are outside the estimator
+    templates; ``HAVING f(APPROX(...))`` becomes a WHERE over the
+    template's output columns (round 9). The fact scan carries the
+    sample predicate as a derived table (Catalyst pushes it into the
+    scan before any join shuffle); the exact per-stratum counts /
+    auxiliary totals come from the UNSAMPLED join — well-defined
+    because key-preserving joins keep one output row per fact row."""
+    hv = _split_having(query)
+    if hv is None:
+        return None
+    query, having = hv
     shape = _parse_estimator_from_shape(query, key_by_table, join_tables)
     if shape is None:
         return None
@@ -902,6 +970,11 @@ def _rewrite_estimator_sql(
         sql = _regaux_text(
             from_exact, from_sampled, expr, alias, groups, arg, where, z, rt
         )
+    if having is not None:
+        pred = _map_having_predicate(having, items)
+        if pred is None:
+            return None
+        sql = f"SELECT * FROM ({sql}) aqe_h WHERE {pred}"
     return f"{sql} {tail}" if tail else sql
 
 
@@ -915,7 +988,12 @@ def _rewrite_distinct_sql(
     WHERE) as one portable text: D̂ = d_obs + f1²/(2·f2), the
     abundance-based correction for the values the sample never saw.
     NULLs are excluded (COUNT(DISTINCT) semantics). Output:
-    (group,) alias, d_obs, f1, f2."""
+    (group,) alias, d_obs, f1, f2. ``HAVING`` over the estimate
+    becomes a WHERE over the output columns (round 9)."""
+    hv = _split_having(query)
+    if hv is None:
+        return None
+    query, having = hv
     shape = _parse_single_table_shape(query, key_by_table)
     if shape is None:
         return None
@@ -957,6 +1035,11 @@ SELECT {g_out}round(CAST(count(*) + {chao} AS DOUBLE), 2) AS {alias},
        CAST({f1} AS BIGINT) AS f1, CAST({f2} AS BIGINT) AS f2
 FROM aqe_f{g_grp}
 """.strip()
+    if having is not None:
+        pred = _map_having_predicate(having, items)
+        if pred is None:
+            return None
+        sql = f"SELECT * FROM ({sql}) aqe_h WHERE {pred}"
     return f"{sql} {tail}" if tail else sql
 
 
@@ -1225,7 +1308,12 @@ def _rewrite_quantile_sql(
     values, identical in both engines by construction. The rank
     arithmetic (ceil/floor over q·n) uses the SQL literal q, which BOTH
     engines type as DECIMAL — exact, so the chosen ranks can never
-    disagree."""
+    disagree. ``HAVING f(APPROX(MEDIAN/PERCENTILE(...)))`` becomes a
+    WHERE over the output columns (round 9)."""
+    hv = _split_having(query)
+    if hv is None:
+        return None
+    query, having = hv
     shape = _parse_single_table_shape(query, key_by_table)
     if shape is None:
         return None
@@ -1275,6 +1363,11 @@ SELECT {g_out}min(CASE WHEN rn = {point} THEN x END) AS {alias},
        CAST(max(n) AS BIGINT) AS n_samples
 FROM aqe_r{g_grp}
 """.strip()
+    if having is not None:
+        pred = _map_having_predicate(having, items)
+        if pred is None:
+            return None
+        sql = f"SELECT * FROM ({sql}) aqe_h WHERE {pred}"
     return f"{sql} {tail}" if tail else sql
 
 

@@ -3344,6 +3344,28 @@ _register(
     ),
 )
 
+# HAVING over the estimator templates (round 9, second batch): the
+# predicate becomes a WHERE over the template's OUTPUT columns —
+# marker re-statement, bare alias, and readout columns
+# (missing_strata etc.) all reachable.
+_APPROX_SQL_POSTSTRAT_HAVING = (
+    "SELECT l_linestatus, APPROX(SUM(l_extendedprice)) AS est "
+    "FROM lineitem TABLESAMPLE (10 PERCENT) "
+    "GROUP BY l_linestatus STRATIFY BY l_returnflag "
+    "HAVING APPROX(SUM(l_extendedprice)) > 0 AND missing_strata = 0 "
+    "ORDER BY l_linestatus"
+)
+_register(
+    "approx_sql_poststrat_having",
+    _mk_sql_rewrite_fn(
+        _APPROX_SQL_POSTSTRAT_HAVING,
+        {"est": 3, "ci_lower": 3, "ci_upper": 3},
+    ),
+    _rewrite_approx_sql(
+        _APPROX_SQL_POSTSTRAT_HAVING, dict(_CATALOG_TABLES), round_to=3
+    ),
+)
+
 # WITHIN over a star join (round 9, second batch): the budget marker
 # accepts the key-preserving join shape — each escalation rung's hash
 # predicate references only the fact key, so Catalyst pushes it through

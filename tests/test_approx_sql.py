@@ -797,3 +797,50 @@ def test_within_marker_with_leading_cte(engine_med, duck_med):
             "SELECT APPROX(MEDIAN(l_extendedprice)) AS m FROM lineitem "
             "WITHIN 2 PERCENT"
         )
+
+
+def test_having_over_estimator_templates(spark, engine_med, duck_med):
+    """Round 9 (second batch): HAVING over the poststrat/regaux/
+    quantile/distinct templates — predicate moves to a WHERE over the
+    template's output columns; marker re-statement, bare alias and
+    readout-column forms all work; same text on both engines."""
+    engine_med.catalog.refresh_views()
+    q = (
+        "SELECT l_linestatus, APPROX(SUM(l_extendedprice)) AS est "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_linestatus STRATIFY BY l_returnflag "
+        "HAVING APPROX(SUM(l_extendedprice)) > 0 AND missing_strata = 0 "
+        "ORDER BY l_linestatus"
+    )
+    out = rewrite_approx_sql(q, TABLES, round_to=3)
+    assert out is not None and "aqe_h WHERE est > 0" in out
+    assert_df_matches_sql(spark.sql(out), duck_med, out)
+    # quantile + HAVING by bare alias
+    q2 = (
+        "SELECT l_returnflag, "
+        "APPROX(PERCENTILE(l_extendedprice, 0.9)) AS p90 "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_returnflag HAVING p90 > 0 ORDER BY l_returnflag"
+    )
+    out2 = rewrite_approx_sql(q2, TABLES)
+    assert out2 is not None and "WHERE p90 > 0" in out2
+    assert_df_matches_sql(spark.sql(out2), duck_med, out2)
+    # distinct + HAVING re-stating the marker
+    q3 = (
+        "SELECT l_returnflag, APPROX(COUNT(DISTINCT l_partkey)) AS d "
+        "FROM lineitem TABLESAMPLE (20 PERCENT) "
+        "GROUP BY l_returnflag "
+        "HAVING APPROX(COUNT(DISTINCT l_partkey)) > 100 "
+        "ORDER BY l_returnflag"
+    )
+    out3 = rewrite_approx_sql(q3, TABLES)
+    assert out3 is not None and "WHERE d > 100" in out3
+    assert_df_matches_sql(spark.sql(out3), duck_med, out3)
+    # a plain aggregate in the predicate has no output column → guidance
+    assert rewrite_approx_sql(
+        "SELECT l_linestatus, APPROX(SUM(l_quantity)) AS s "
+        "FROM lineitem TABLESAMPLE (10 PERCENT) "
+        "GROUP BY l_linestatus STRATIFY BY l_returnflag "
+        "HAVING count(*) > 1",
+        TABLES,
+    ) is None
