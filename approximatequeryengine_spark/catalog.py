@@ -76,6 +76,13 @@ class Catalog:
     sources join the same temp-view namespace and (when given a
     ``key``) work with every sampling design and the APPROX dialect."""
 
+    # Which Catalog instance's views are currently registered on each
+    # session: {(applicationId, id(spark)): (id(catalog), sf_dir)}.
+    # Lets ``ensure_views`` skip the ~10 createOrReplaceTempView py4j
+    # round trips (measured ~0.1 s) that every per-query defensive
+    # refresh was paying even when the views were already ours.
+    _views_owner: dict[tuple[str, int], tuple[int, str]] = {}
+
     def __init__(self, spark: SparkSession, sf_dir: str, register_views: bool = True):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -83,6 +90,9 @@ class Catalog:
         self._extra_keys: dict[str, str] = {}
         if register_views:
             self.refresh_views()
+
+    def _session_key(self) -> tuple[str, int]:
+        return (self.spark.sparkContext.applicationId, id(self.spark))
 
     def refresh_views(self) -> None:
         """(Re-)register this catalog's tables as session temp views.
@@ -93,6 +103,17 @@ class Catalog:
         metadata-only operation)."""
         for name in self.table_names():
             self.table(name).createOrReplaceTempView(name)
+        Catalog._views_owner[self._session_key()] = (id(self), self.sf_dir)
+
+    def ensure_views(self) -> None:
+        """Refresh views only when another Catalog registered since.
+
+        The ownership record tracks refreshes through this class; code
+        that re-points a fixture view DIRECTLY via
+        ``createOrReplaceTempView`` must call ``refresh_views()`` (not
+        this) to re-assert — which is what such call sites already do."""
+        if Catalog._views_owner.get(self._session_key()) != (id(self), self.sf_dir):
+            self.refresh_views()
 
     def table_names(self) -> list[str]:
         names = []

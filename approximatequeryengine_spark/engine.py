@@ -473,7 +473,7 @@ class AQEngine:
                 )
             rewritten = rewrite_approx_sql(sql, keys, z=z)
             if rewritten is not None:
-                self.catalog.refresh_views()
+                self.catalog.ensure_views()
                 from approximatequeryengine_spark.frontend.approx_sql import (
                     parse_global_quantile_marker,
                 )
@@ -614,7 +614,7 @@ class AQEngine:
             # Full Spark SQL surface, exact.
             # Temp views are session-global; another catalog (different
             # sf_dir, same session) may have clobbered ours — re-assert.
-            self.catalog.refresh_views()
+            self.catalog.ensure_views()
             df = self.spark.sql(sql)
             return ApproxResult(df=df, method="spark_sql", status=ApproximationStatus.EXACT,
                                 computation_time=time.time() - t0)
@@ -1051,7 +1051,7 @@ class AQEngine:
             # pushes it through the (broadcast) dim joins into the
             # fact scan — identical to sampling-then-joining for the
             # key-preserving shapes the marker accepts.
-            self.catalog.refresh_views()
+            self.catalog.ensure_views()
             prefix = f"WITH {cte} " if cte else ""
             joins = f" {join_txt}" if join_txt else ""
             base = self.spark.sql(f"{prefix}SELECT * FROM {table}{joins}")
@@ -1094,7 +1094,7 @@ class AQEngine:
 
             twin = exact_twin_sql(sql)
             if twin is not None:
-                self.catalog.refresh_views()
+                self.catalog.ensure_views()
                 t1 = time.time()
                 exact_df = self.spark.sql(twin)
                 exact_rows = exact_df.collect()
@@ -1207,7 +1207,7 @@ class AQEngine:
         """Run the original query text through plain Spark SQL — for
         grammar shapes the dialect recognizes but has no estimator for,
         when no approximation was requested (the pre-widening behavior)."""
-        self.catalog.refresh_views()
+        self.catalog.ensure_views()
         df = self.spark.sql(spec.raw)
         return ApproxResult(
             df=df,
@@ -1230,7 +1230,7 @@ class AQEngine:
             )
         else:
             s_spec = SamplingSpec(design="none", key=self.catalog.unique_key(spec.table))
-        self.catalog.refresh_views()
+        self.catalog.ensure_views()
         # Execute via the grouped partition-parallel rank selection
         # (round 9) — the window text's per-group sort has parallelism
         # equal to the GROUP COUNT, a scale killer for few-group data.
@@ -1514,7 +1514,7 @@ class AQEngine:
             else spec.table
         )
         s_spec = self._sampling_spec(spec, "uniform_hash", fraction)
-        self.catalog.refresh_views()
+        self.catalog.ensure_views()
         rdf = self.spark.sql(
             chao1_sql(table_expr, spec.column, s_spec, group_col=group_col)
         )

@@ -136,6 +136,72 @@ def _ci_columns(
     ]
 
 
+def _sql_approx_aggregate(
+    sampled: DataFrame,
+    agg: AggSpec,
+    group_by: list[str],
+    z: float,
+    with_ci: bool,
+) -> DataFrame:
+    """String-expression twin of the Column path below for the common
+    (un-masked, sum/avg/count) case: the same moments, estimate and
+    margin formulas rendered as Spark SQL text. The Column construction
+    is ~200 py4j round trips per query build (measured ~0.15-0.25 s of
+    driver wall per approximate entry); this path is ~15. The parsed
+    expressions are identical — ``DOUBLE`` casts are written wherever
+    the Column path has a double ``F.lit``, so no decimal-literal
+    typing can creep in. Guide §4: the Python boundary includes the
+    driver's own chatter."""
+    D0 = "CAST(0.0 AS DOUBLE)"
+    D1 = "CAST(1.0 AS DOUBLE)"
+    x = f"CAST(({agg.column}) AS DOUBLE)" if agg.column else D1
+    p = P_COL
+    moments = [
+        f"COUNT({x}) AS __n",
+        f"SUM({x}) AS __s1",
+        f"SUM({x} * {x}) AS __s2",
+        f"SUM({x} * ({D1} / {p})) AS __ht_sum",
+        f"SUM({D1} / {p}) AS __ht_n",
+        f"SUM((({x} * {x}) * ({D1} - {p})) / ({p} * {p})) AS __vht",
+        f"AVG({p}) AS __p_avg",
+    ]
+    m = sampled.groupBy(*group_by).agg(*[F.expr(e) for e in moments])
+
+    var = (
+        "CASE WHEN __n >= 2 THEN greatest((__s2 - __s1 * __s1 / __n) "
+        f"/ (__n - {D1}), {D0}) ELSE {D0} END"
+    )
+    zs = f"CAST({z!r} AS DOUBLE)"
+    func = agg.func.lower()
+    if func == "avg":
+        est = "(__ht_sum / __ht_n)"
+        margin = f"({zs} * sqrt(({var}) / __n))"
+    elif func == "sum":
+        est = "__ht_sum"
+        margin = f"({zs} * sqrt(greatest(__vht, {D0})))"
+    else:  # count
+        est = "__ht_n"
+        margin = f"(({zs} * sqrt(__n * ({D1} - __p_avg))) / __p_avg)"
+    # n<2 gate + integer margin for SUM/COUNT — _ci_columns' exact chain.
+    margin = f"(CASE WHEN __n >= 2 THEN {margin} ELSE {D0} END)"
+    if func != "avg":
+        margin = (
+            f"(CASE WHEN {margin} > 0 THEN greatest(round({margin}, 0), {D1}) "
+            f"ELSE {D0} END)"
+        )
+    sel = list(group_by)
+    if with_ci:
+        sel += [
+            f"{est} AS `{agg.name()}`",
+            f"({est} - {margin}) AS ci_lower",
+            f"({est} + {margin}) AS ci_upper",
+        ]
+    else:
+        sel.append(f"{est} AS `{agg.name()}`")
+    sel.append("CAST(__n AS BIGINT) AS n_samples")
+    return m.selectExpr(*sel)
+
+
 def approx_aggregate(
     sampled: DataFrame,
     agg: AggSpec,
@@ -160,6 +226,8 @@ def approx_aggregate(
     on this to fold its missed-group guard into the rung job itself.
     """
     group_by = group_by or []
+    if mask is None and agg.func.lower() in ("sum", "avg", "count"):
+        return _sql_approx_aggregate(sampled, agg, group_by, z, with_ci)
     # F.expr: the measure may be an expression (e.g. price * discount),
     # not just a column name.
     x = F.expr(agg.column).cast("double") if agg.column else F.lit(1.0)

@@ -77,15 +77,43 @@ def _key_col(spec: SamplingSpec) -> Column:
     return F.expr(spec.key).cast("long")
 
 
+def _sql_lit(v) -> str:
+    """Render a Python literal as a Spark SQL literal (stratum values:
+    strings, numbers, None)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _key_hash_sql(spec: SamplingSpec) -> str:
+    """Spark-SQL text of ``portable_hash_col(_key_col(spec))`` — the
+    same arithmetic the DuckDB renderer emits, with the explicit
+    BIGINT cast the Column path applies to the key expression."""
+    return portable_hash_sql(f"CAST(({spec.key}) AS BIGINT)", salt=spec.salt)
+
+
 def apply_sampling(df: DataFrame, spec: SamplingSpec) -> DataFrame:
-    """Filter ``df`` down to the sample and attach ``__p``."""
+    """Filter ``df`` down to the sample and attach ``__p``.
+
+    The hash predicates are built as SQL TEXT (``df.filter(str)``)
+    rather than Column trees: the hash chain is ~40 py4j round trips
+    as Columns (measured ~25 ms per query build, paid at
+    DataFrame-construction time by every approximate entry) and ONE
+    parse call as text — the analyzed expressions are identical either
+    way (guide §4: the Python boundary includes the driver's own
+    chatter, not just executor-side UDFs)."""
     if spec.design == "none":
         return df.withColumn(P_COL, F.lit(1.0))
 
     if spec.design == "uniform_hash":
-        h = portable_hash_col(_key_col(spec), salt=spec.salt)
         thr = fraction_threshold(spec.fraction)
-        return df.filter(h < F.lit(thr)).withColumn(P_COL, F.lit(spec.fraction))
+        return df.filter(f"({_key_hash_sql(spec)}) < {thr}").withColumn(
+            P_COL, F.lit(spec.fraction)
+        )
 
     if spec.design == "bernoulli":
         return df.sample(withReplacement=False, fraction=spec.fraction, seed=spec.seed).withColumn(
@@ -107,35 +135,42 @@ def apply_sampling(df: DataFrame, spec: SamplingSpec) -> DataFrame:
         # compare against 1/step before trusting a systematic design on
         # a structured key.
         step = spec._step()
-        k = F.abs(_key_col(spec))
-        return df.filter(k % F.lit(step) == F.lit(spec.offset % step)).withColumn(
-            P_COL, F.lit(1.0 / step)
-        )
+        return df.filter(
+            f"(abs(CAST(({spec.key}) AS BIGINT)) % {step}) = {spec.offset % step}"
+        ).withColumn(P_COL, F.lit(1.0 / step))
 
     if spec.design == "block":
-        block_id = F.floor(F.abs(_key_col(spec)) / F.lit(spec.block_size))
-        h = portable_hash_col(block_id, salt=spec.salt)
+        block_sql = f"floor(abs(CAST(({spec.key}) AS BIGINT)) / {spec.block_size})"
+        h_sql = portable_hash_sql(block_sql, salt=spec.salt)
         thr = fraction_threshold(spec.fraction)
-        return df.filter(h < F.lit(thr)).withColumn(P_COL, F.lit(spec.fraction))
+        return df.filter(f"({h_sql}) < {thr}").withColumn(P_COL, F.lit(spec.fraction))
 
     if spec.design == "stratified":
         if not spec.stratum_col or not spec.strata_fractions:
             raise ValueError("stratified design needs stratum_col and strata_fractions")
-        h = portable_hash_col(_key_col(spec), salt=spec.salt)
         # CASE stratum WHEN v THEN thr_v ... ELSE default — a per-row
         # threshold; rows in un-listed strata fall back to `fraction`.
-        # eqNullSafe so NULL is a first-class stratum: an allocation
-        # derived by groupBy includes the NULL group, and a plain ==
-        # would silently re-route its rows to the default fraction
-        # (while a SQL oracle's equi-join would DROP them — the
-        # NULL-stratum divergence the poststrat review first hit).
-        thr: Column = F.lit(fraction_threshold(spec.fraction))
-        p: Column = F.lit(spec.fraction)
-        s = F.col(spec.stratum_col)
+        # `<=>` (eqNullSafe) so NULL is a first-class stratum: an
+        # allocation derived by groupBy includes the NULL group, and a
+        # plain == would silently re-route its rows to the default
+        # fraction (while a SQL oracle's equi-join would DROP them —
+        # the NULL-stratum divergence the poststrat review first hit).
+        thr_sql = str(fraction_threshold(spec.fraction))
+        p_sql = f"CAST({float(spec.fraction)!r} AS DOUBLE)"
+        s = spec.stratum_col
         for value, frac in spec.strata_fractions.items():
-            thr = F.when(s.eqNullSafe(F.lit(value)), F.lit(fraction_threshold(frac))).otherwise(thr)
-            p = F.when(s.eqNullSafe(F.lit(value)), F.lit(float(frac))).otherwise(p)
-        return df.filter(h < thr).withColumn(P_COL, p)
+            v = _sql_lit(value)
+            thr_sql = (
+                f"CASE WHEN ({s}) <=> {v} THEN {fraction_threshold(frac)} "
+                f"ELSE {thr_sql} END"
+            )
+            p_sql = (
+                f"CASE WHEN ({s}) <=> {v} THEN CAST({float(frac)!r} AS DOUBLE) "
+                f"ELSE {p_sql} END"
+            )
+        return df.filter(f"({_key_hash_sql(spec)}) < ({thr_sql})").withColumn(
+            P_COL, F.expr(p_sql)
+        )
 
     raise ValueError(f"unknown sampling design {spec.design!r}")
 

@@ -57,19 +57,23 @@ def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
         _CATALOGS[key] = Catalog(spark, sf_dir)
     else:
         # Another sf_dir's catalog may have re-pointed the session's
-        # temp views since we registered — re-assert ours.
-        _CATALOGS[key].refresh_views()
+        # temp views since we registered — re-assert ours. ensure_views
+        # is ownership-checked: the common single-catalog case skips
+        # the 10 per-table py4j round trips entirely.
+        _CATALOGS[key].ensure_views()
     return _CATALOGS[key]
 
 
 def _round_cols(df: DataFrame, spec: dict[str, int | None]) -> DataFrame:
+    # selectExpr text instead of per-column Column objects: one py4j
+    # round trip instead of 3-4 per column at query-build time.
     cols = []
     for c in df.columns:
         if c in spec and spec[c] is not None:
-            cols.append(F.round(F.col(c), spec[c]).alias(c))
+            cols.append(f"round(`{c}`, {spec[c]}) AS `{c}`")
         else:
-            cols.append(F.col(c))
-    return df.select(*cols)
+            cols.append(f"`{c}`")
+    return df.selectExpr(*cols)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

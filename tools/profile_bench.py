@@ -27,9 +27,10 @@ EVDIR = "/tmp/aqe_eventlogs"
 
 
 def main() -> None:
+    import shutil
+
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in glob.glob(os.path.join(EVDIR, "*")):
-        os.remove(f)
 
     from approximatequeryengine_spark import get_spark
     from approximatequeryengine_spark.workload import QUERIES
@@ -41,6 +42,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,7 +68,11 @@ def main() -> None:
     spark.stop()
 
     # --- parse the event log ---------------------------------------
-    logs = glob.glob(os.path.join(EVDIR, "*"))
+    logs = [
+        p
+        for p in glob.glob(os.path.join(EVDIR, "**"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
     jobs_by_q: dict[str, list[int]] = defaultdict(list)
     job_of_stage: dict[int, int] = {}
     q_of_job: dict[int, str] = {}
