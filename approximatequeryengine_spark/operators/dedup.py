@@ -223,6 +223,22 @@ def minhash_array_col(ints: Column) -> Column:
 _JAVA_WS = "".join(chr(c) for c in range(0x21))  # String.trim strips ≤ U+0020
 
 
+def _sig_fanout(docs: DataFrame) -> int:
+    """Partition count for the signature stage: size-proportional for
+    small corpora (fanning a 5000-doc fixture to every core pays more
+    per-task Python-worker round-trip than it buys — guide §2,
+    scale-adaptive partitioning), full default parallelism for large or
+    unknown-size inputs where the shingle/md5 kernel genuinely needs
+    the cores. ``weight=8``: the minhash kernel runs ~8× the per-byte
+    CPU of the light text expressions the quantum is calibrated for."""
+    from approximatequeryengine_spark.operators import parallelism_target
+
+    t = parallelism_target(docs, weight=8.0)
+    if t:
+        return t
+    return docs.sparkSession.sparkContext.defaultParallelism
+
+
 def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> DataFrame:
     """Arrow fast path: per-batch numpy minhash. Bit-identical to the
     expression path (same Java-regex tokenization ``[ \\t\\n\\x0b\\f\\r]+``,
@@ -403,7 +419,7 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"verify must be 'carry', 'join' or 'auto', got {verify!r}"
         )
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = _sig_fanout(docs)
     if use_arrow:
         sig_df = _minhash_sig_pandas(docs, shingle_size, n_parts)
     else:
@@ -562,7 +578,7 @@ def neardup_index_write(
     only for the (sparse) candidate set. Every incoming batch then
     joins its own O(batch) band table against the store instead of
     re-shingling the corpus."""
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = _sig_fanout(docs)
     sig = _minhash_sig_pandas(docs, shingle_size, n_parts)
     bands = sig.select("doc_id", F.explode(_band_key_col()).alias("bk")).select(
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id",
@@ -585,7 +601,7 @@ def neardup_index_query(
     is never re-shingled and its payload is read once per matched doc,
     not once per band. Batch-internal duplicates are out of scope here
     (run ``minhash_lsh_pairs`` on the batch for those)."""
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = _sig_fanout(new_docs)
     index_bands = spark.read.parquet(f"{path}/bands")
     index_sh = spark.read.parquet(f"{path}/shingles")
     sig = _minhash_sig_pandas(new_docs, shingle_size, n_parts)

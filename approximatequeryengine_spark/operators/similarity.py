@@ -95,19 +95,40 @@ def ann_bruteforce_topk(
     vector without an embedding has no direction, and keeping it would
     otherwise surface as NULL-cosine rows whose rank depends on each
     engine's NULL-ordering default."""
-    base = emb.filter(valid_vec_col(F.col("embedding"))).select(
-        F.col("vec_id"), _vec_double(F.col("embedding")).alias("v")
-    )
+    from approximatequeryengine_spark.functions.vector import dot, l2_norm
+    from approximatequeryengine_spark.operators import ensure_parallelism
+
+    # Norms are per-VECTOR quantities: compute them once on each side of
+    # the join (O(corpus + queries) fold evaluations) instead of inside
+    # cosine_sim per PAIR (O(corpus × queries) — 3× the interpreted
+    # higher-order-function work; norms were 2 of the 3 array folds per
+    # pair). The post-join projection references the norm as a column of
+    # the join inputs, so it is NOT re-inlined. Float-identical to
+    # cosine_sim: same fold producing the same norm doubles, same
+    # dot/(n_a·n_b) with the same zero-denominator NULL guard. The
+    # corpus side also fans out size-proportionally — a single input
+    # file must not serialize the scoring scan.
+    base = ensure_parallelism(
+        emb.filter(valid_vec_col(F.col("embedding"))), weight=4.0
+    ).select(
+        F.col("vec_id"),
+        _vec_double(F.col("embedding")).alias("v"),
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
     queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
+    denom = F.col("nq") * F.col("nv")
     scored = (
         base.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_sim(F.col("qv"), F.col("v")).alias("cos_sim"),
+            F.when(denom != F.lit(0.0), dot(F.col("qv"), F.col("v")) / denom).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -272,21 +272,41 @@ _sql_query(
     "ORDER BY revenue DESC, l_orderkey LIMIT 10",
 )
 # TPC-H Q5-style local supplier volume: 6-way join with the
-# c_nationkey = s_nationkey cross-dimension constraint. All four dims
-# broadcast (region/nation/customer/supplier at any SF); only
-# orders⋈lineitem shuffles — the plan AQE picks on local[32] and the
-# right shape at 100 TB.
+# c_nationkey = s_nationkey cross-dimension constraint. Round 9: the
+# comma-join spelling let Catalyst's heuristic order put the joined
+# (customer⋈orders) subtree on the stream side and BROADCAST the fact
+# (600k-row lineitem hash relation built on the driver — measured
+# ~2.4× slower, and the inverted shape at any scale). The Spark text
+# now spells the join chain fact-first (lineitem streams; every dim is
+# the build candidate), which JoinSelection resolves to 5 broadcast
+# joins locally and to shuffle joins at sizes where a build side stops
+# fitting — strategy stays size-adaptive, only the order is pinned
+# (guide §3.1). The oracle keeps the original comma-join text; inner
+# join order does not change the result.
 _sql_query(
     "tpch_q5_local_supplier_volume",
     "SELECT n_name, "
     "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
-    "FROM customer, orders, lineitem, supplier, nation, region "
-    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
-    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
-    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
-    "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
     "AND o_orderdate < TIMESTAMP '1997-01-01' "
     "GROUP BY n_name",
+    oracle=(
+        "SELECT n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
+    ),
 )
 # TPC-H Q14-style promo revenue share: the two-branch conditional
 # aggregate over a fact⋈dim join (part broadcasts at any SF; the only
