@@ -69,13 +69,67 @@ def predicted_lang_sql(text_expr: str) -> str:
     return expr
 
 
-def lang_id_confusion(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _predicted_lang_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Arrow fast path for language ID: stopword-hit argmax computed
+    once per row. Bit-identical to ``predicted_lang_col`` (same
+    ``_JAVA_WS`` strip + Java-``\\s+`` split, same per-token lower +
+    profile-set membership, same LANG_ORDER tie-break, NULL text →
+    'unknown' — the expression path's when-chain bottoms out at the
+    'unknown' literal because every score is NULL). Why: the argmax
+    when-chain re-inlines every per-language score (itself an
+    interpreted higher-order filter) into each branch and into the
+    greatest() — ~30 interpreted filter evaluations per document."""
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s
+    profiles = {lg: frozenset(ws) for lg, ws in LANG_PROFILES.items()}
+
+    def batches(it):
+        for pdf in it:
+            cols: dict[str, list] = {c: [] for c in extra_cols}
+            preds: list[str] = []
+            for row in zip(*(pdf[c] for c in extra_cols), pdf["text"]):
+                *extras, text = row
+                for c, v in zip(extra_cols, extras):
+                    cols[c].append(v)
+                if text is None:
+                    preds.append("unknown")
+                    continue
+                t = text.strip(_JAVA_WS)
+                low = [tk.lower() for tk in ws_re.split(t)] if t else []
+                counts = {
+                    lg: sum(1 for tk in low if tk in ws)
+                    for lg, ws in profiles.items()
+                }
+                mx = max(counts[lg] for lg in LANG_ORDER)
+                preds.append(
+                    next(lg for lg in LANG_ORDER if counts[lg] == mx)
+                    if mx > 0 else "unknown"
+                )
+            yield pd.DataFrame({**cols, "predicted": preds}, dtype=object)
+
+    in_schema = docs.select(*extra_cols).schema
+    extra_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+    schema = (extra_ddl + ", " if extra_ddl else "") + "predicted string"
+    return docs.select(*extra_cols, "text").mapInPandas(batches, schema=schema)
+
+
+def lang_id_confusion(
+    spark: SparkSession, docs: DataFrame, use_arrow: bool = True
+) -> DataFrame:
     """Predicted-vs-labeled language counts (the operator's primary
     correctness artifact — deterministic, oracle-checkable)."""
     docs = ensure_parallelism(docs)
+    if use_arrow:
+        per_doc = _predicted_lang_pandas(docs, ["lang"])
+    else:
+        per_doc = docs.select(
+            F.col("lang"), predicted_lang_col(F.col("text")).alias("predicted")
+        )
     return (
-        docs.select(F.col("lang"), predicted_lang_col(F.col("text")).alias("predicted"))
-        .groupBy("lang", "predicted")
+        per_doc.groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
@@ -154,10 +208,98 @@ def _quality_sql_parts(text: str = "text") -> dict[str, str]:
     }
 
 
-def quality_by_lang(spark: SparkSession, docs: DataFrame) -> DataFrame:
+_QUALITY_SIGNALS = (
+    "n_chars", "n_tokens", "alpha_ratio", "digit_ratio", "punct_ratio",
+    "stopword_ratio", "quality_score",
+)
+
+
+def _quality_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Arrow fast path for the per-document quality signals: one
+    vectorized kernel computing every signal ONCE per row. Bit-identical
+    to ``quality_columns`` (same Java-regex char classes, same
+    ``_JAVA_WS`` strip + ``\\s+`` split tokenization as the certified
+    ``_enrich_pandas``, same IEEE-double arithmetic in the same order;
+    NULL text keeps its row with all-NULL signals, exactly as the
+    expression path's NULL propagation) — pinned by
+    ``test_quality_arrow_matches_expression_path``.
+
+    Why it exists (guide §4.2): ``quality_columns`` returns independent
+    Column trees, and the score column re-inlines the ratio columns —
+    higher-order array expressions have no codegen, so the whole
+    projection drops to interpreted row-at-a-time eval with NO
+    common-subexpression elimination: the split ran ~4× and the
+    regexp_replace char-class strips ~6× per document (measured 5.8 s
+    of task CPU for a 5000-doc corpus). The kernel computes each
+    signal once; profiling puts the same work at ~0.4 s single-threaded.
+    """
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s
+    alpha_re = re.compile(r"[A-Za-z]")
+    digit_re = re.compile(r"[0-9]")
+    punct_re = re.compile(r"[^A-Za-z0-9 \t\n\x0b\f\r]")  # [^A-Za-z0-9\s], Java \s
+    en = frozenset(LANG_PROFILES["en"])
+
+    def batches(it):
+        for pdf in it:
+            cols: dict[str, list] = {c: [] for c in extra_cols}
+            sig: dict[str, list] = {c: [] for c in _QUALITY_SIGNALS}
+            for row in zip(*(pdf[c] for c in extra_cols), pdf["text"]):
+                *extras, text = row
+                for c, v in zip(extra_cols, extras):
+                    cols[c].append(v)
+                if text is None:
+                    for c in _QUALITY_SIGNALS:
+                        sig[c].append(None)
+                    continue
+                t = text.strip(_JAVA_WS)
+                toks = ws_re.split(t) if t else []
+                n_chars = len(text)
+                n_tokens = len(toks)
+                alpha = len(alpha_re.findall(text))
+                digit = len(digit_re.findall(text))
+                punct = len(punct_re.findall(text))
+                stop_hits = sum(1 for tk in toks if tk.lower() in en)
+                safe_chars = max(n_chars, 1)
+                safe_toks = max(n_tokens, 1)
+                alpha_ratio = alpha / safe_chars
+                punct_ratio = punct / safe_chars
+                stop_ratio = stop_hits / safe_toks
+                sig["n_chars"].append(n_chars)
+                sig["n_tokens"].append(n_tokens)
+                sig["alpha_ratio"].append(alpha_ratio)
+                sig["digit_ratio"].append(digit / safe_chars)
+                sig["punct_ratio"].append(punct_ratio)
+                sig["stopword_ratio"].append(stop_ratio)
+                sig["quality_score"].append(
+                    0.25 * alpha_ratio
+                    + 0.25 * min(1.0, n_tokens / 20.0)
+                    + 0.25 * (1.0 - punct_ratio)
+                    + 0.25 * min(1.0, stop_ratio * 5)
+                )
+            yield pd.DataFrame({**cols, **sig}, dtype=object)
+
+    in_schema = docs.select(*extra_cols).schema
+    extra_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+    schema = (extra_ddl + ", " if extra_ddl else "") + (
+        "n_chars int, n_tokens int, alpha_ratio double, digit_ratio double, "
+        "punct_ratio double, stopword_ratio double, quality_score double"
+    )
+    return docs.select(*extra_cols, "text").mapInPandas(batches, schema=schema)
+
+
+def quality_by_lang(
+    spark: SparkSession, docs: DataFrame, use_arrow: bool = True
+) -> DataFrame:
     docs = ensure_parallelism(docs)
-    cols = quality_columns(F.col("text"))
-    per_doc = docs.select(F.col("lang"), *[c.alias(n) for n, c in cols.items()])
+    if use_arrow:
+        per_doc = _quality_pandas(docs, ["lang"])
+    else:
+        cols = quality_columns(F.col("text"))
+        per_doc = docs.select(F.col("lang"), *[c.alias(n) for n, c in cols.items()])
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
@@ -621,14 +763,21 @@ FROM ranked WHERE rank <= {k} ORDER BY rank
 QUALITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
 
 
-def quality_threshold_sweep(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def quality_threshold_sweep(
+    spark: SparkSession, docs: DataFrame, use_arrow: bool = True
+) -> DataFrame:
     """Survival curve: ``(threshold, n_docs_kept, n_tokens_kept,
     pct_docs_kept)``, one row per candidate cutoff, one corpus scan."""
     docs = ensure_parallelism(docs)
-    cols = quality_columns(F.col("text"))
-    per_doc = docs.select(
-        cols["quality_score"].alias("score"), cols["n_tokens"].alias("nt")
-    )
+    if use_arrow:
+        per_doc = _quality_pandas(docs, []).select(
+            F.col("quality_score").alias("score"), F.col("n_tokens").alias("nt")
+        )
+    else:
+        cols = quality_columns(F.col("text"))
+        per_doc = docs.select(
+            cols["quality_score"].alias("score"), cols["n_tokens"].alias("nt")
+        )
     aggs = [F.count(F.lit(1)).alias("n_total")]
     for i, t in enumerate(QUALITY_THRESHOLDS):
         keep = F.col("score") >= F.lit(t)

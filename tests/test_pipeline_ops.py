@@ -226,6 +226,39 @@ def test_lang_id(spark, synth_docs):
     assert preds[7] == "unknown"
 
 
+def test_quality_arrow_matches_expression_path(spark, synth_docs):
+    """The Arrow quality/lang-ID kernels and the pure-JVM expression
+    paths must produce identical aggregates (bit-equal ratio/score
+    arithmetic, identical NULL propagation) on fixture documents plus
+    NULL/empty-text edge rows."""
+    from approximatequeryengine_spark.operators.text import (
+        lang_id_confusion,
+        quality_by_lang,
+        quality_threshold_sweep,
+    )
+
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(90001, None, "en", "s1", 0), (90002, "", None, "s1", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = fixture.select("doc_id", "text", "lang", "source").unionByName(
+        edge.select("doc_id", "text", "lang", "source")
+    )
+
+    def rows(df):
+        return sorted(
+            [tuple(r) for r in df.collect()],
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    for op in (quality_by_lang, lang_id_confusion, quality_threshold_sweep):
+        fast = rows(op(spark, docs, use_arrow=True))
+        slow = rows(op(spark, docs, use_arrow=False))
+        assert fast == slow, op.__name__
+        assert len(fast) > 0
+
+
 def test_quality_empty_doc(spark, synth_docs):
     cols = quality_columns(F.col("text"))
     row = (
