@@ -265,9 +265,21 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
     salts = (np.arange(N_HASHES, dtype=np.int64) * SALT_STRIDE)[None, :]
 
     def batches(it):
+        # Per-task memo: replicas (identical text) share one signature
+        # computation — in the replica-dense ingest corpora most rows
+        # skip the shingle+md5+minhash work. Capped at 64k entries so a
+        # task over all-distinct data stays memory-bounded (past the
+        # cap rows simply compute; no eviction churn).
+        memo: dict[str, tuple[list, list]] = {}
         for pdf in it:
             ids, shs, mhs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hit = memo.get(text)
+                if hit is not None:
+                    ids.append(doc_id)
+                    shs.append(hit[0])
+                    mhs.append(hit[1])
+                    continue
                 t = text.strip(_JAVA_WS)
                 toks = ws_re.split(t) if t else []
                 if len(toks) >= shingle_size:
@@ -290,9 +302,12 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
                 t2 = (t1 * MULT + OFFSET) % HASH_SPACE
                 h = ((t2 % M31) * MULT2 + 144) % HASH_SPACE
                 mh = h.min(axis=0) if len(sh) else np.full(N_HASHES, HASH_SPACE, dtype=np.int64)
+                mh_l = mh.tolist()
+                if len(memo) < 65536:
+                    memo[text] = (sh, mh_l)
                 ids.append(doc_id)
                 shs.append(sh)
-                mhs.append(mh.tolist())
+                mhs.append(mh_l)
             yield pd.DataFrame({"doc_id": ids, "sh": shs, "mh": mhs})
 
     # Trailing repartition = exchange barrier ABOVE the kernel: every

@@ -87,6 +87,9 @@ def _predicted_lang_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
     profiles = {lg: frozenset(ws) for lg, ws in LANG_PROFILES.items()}
 
     def batches(it):
+        # Per-task memo: identical texts share one prediction (replica-
+        # dense corpora); capped at 64k entries.
+        memo: dict[str, str] = {}
         for pdf in it:
             cols: dict[str, list] = {c: [] for c in extra_cols}
             preds: list[str] = []
@@ -97,6 +100,10 @@ def _predicted_lang_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
                 if text is None:
                     preds.append("unknown")
                     continue
+                hit = memo.get(text)
+                if hit is not None:
+                    preds.append(hit)
+                    continue
                 t = text.strip(_JAVA_WS)
                 low = [tk.lower() for tk in ws_re.split(t)] if t else []
                 counts = {
@@ -104,10 +111,13 @@ def _predicted_lang_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
                     for lg, ws in profiles.items()
                 }
                 mx = max(counts[lg] for lg in LANG_ORDER)
-                preds.append(
+                pred = (
                     next(lg for lg in LANG_ORDER if counts[lg] == mx)
                     if mx > 0 else "unknown"
                 )
+                if len(memo) < 65536:
+                    memo[text] = pred
+                preds.append(pred)
             yield pd.DataFrame({**cols, "predicted": preds}, dtype=object)
 
     in_schema = docs.select(*extra_cols).schema
@@ -244,6 +254,9 @@ def _quality_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
     en = frozenset(LANG_PROFILES["en"])
 
     def batches(it):
+        # Per-task memo: identical texts share one signal computation
+        # (replica-dense corpora); capped at 64k entries.
+        memo: dict[str, tuple] = {}
         for pdf in it:
             cols: dict[str, list] = {c: [] for c in extra_cols}
             sig: dict[str, list] = {c: [] for c in _QUALITY_SIGNALS}
@@ -254,6 +267,11 @@ def _quality_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
                 if text is None:
                     for c in _QUALITY_SIGNALS:
                         sig[c].append(None)
+                    continue
+                hit = memo.get(text)
+                if hit is not None:
+                    for c, v in zip(_QUALITY_SIGNALS, hit):
+                        sig[c].append(v)
                     continue
                 t = text.strip(_JAVA_WS)
                 toks = ws_re.split(t) if t else []
@@ -268,18 +286,22 @@ def _quality_pandas(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
                 alpha_ratio = alpha / safe_chars
                 punct_ratio = punct / safe_chars
                 stop_ratio = stop_hits / safe_toks
-                sig["n_chars"].append(n_chars)
-                sig["n_tokens"].append(n_tokens)
-                sig["alpha_ratio"].append(alpha_ratio)
-                sig["digit_ratio"].append(digit / safe_chars)
-                sig["punct_ratio"].append(punct_ratio)
-                sig["stopword_ratio"].append(stop_ratio)
-                sig["quality_score"].append(
+                vals = (
+                    n_chars,
+                    n_tokens,
+                    alpha_ratio,
+                    digit / safe_chars,
+                    punct_ratio,
+                    stop_ratio,
                     0.25 * alpha_ratio
                     + 0.25 * min(1.0, n_tokens / 20.0)
                     + 0.25 * (1.0 - punct_ratio)
-                    + 0.25 * min(1.0, stop_ratio * 5)
+                    + 0.25 * min(1.0, stop_ratio * 5),
                 )
+                if len(memo) < 65536:
+                    memo[text] = vals
+                for c, v in zip(_QUALITY_SIGNALS, vals):
+                    sig[c].append(v)
             yield pd.DataFrame({**cols, **sig}, dtype=object)
 
     in_schema = docs.select(*extra_cols).schema
@@ -431,12 +453,27 @@ def _enrich_pandas(docs: DataFrame, n_parts: int) -> DataFrame:
     profiles = {lg: frozenset(ws) for lg, ws in LANG_PROFILES.items()}
 
     def batches(it):
+        # Per-task memo: identical texts produce identical (keep, score,
+        # n_tokens, fp) — in replica-dense corpora (the ingest dedup
+        # case this pipeline exists for) most rows hit the memo and skip
+        # the tokenize/score/md5 work entirely. Capped so a task over
+        # all-distinct data holds at most 64k entries; past the cap rows
+        # just compute (no eviction churn).
+        memo: dict[str, tuple | None] = {}
         for pdf in it:
             ids, scores, ntoks, fps = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     # expression-path parity: NULL text -> NULL plang
                     # -> dropped by the en+quality filter
+                    continue
+                hit = memo.get(text, False)
+                if hit is not False:
+                    if hit is not None:
+                        ids.append(doc_id)
+                        scores.append(hit[0])
+                        ntoks.append(hit[1])
+                        fps.append(hit[2])
                     continue
                 t = text.strip(_JAVA_WS)
                 toks = ws_re.split(t) if t else []
@@ -447,6 +484,8 @@ def _enrich_pandas(docs: DataFrame, n_parts: int) -> DataFrame:
                 }
                 mx = max(counts[lg] for lg in LANG_ORDER)
                 if mx <= 0 or next(lg for lg in LANG_ORDER if counts[lg] == mx) != "en":
+                    if len(memo) < 65536:
+                        memo[text] = None
                     continue
                 n_chars = len(text)
                 n_tokens = len(toks)
@@ -462,17 +501,31 @@ def _enrich_pandas(docs: DataFrame, n_parts: int) -> DataFrame:
                     + 0.25 * min(1.0, (stop_hits / safe_toks) * 5)
                 )
                 if score < 0.5:
+                    if len(memo) < 65536:
+                        memo[text] = None
                     continue
                 canon = " ".join(sorted(set(toks)))
+                fp = hashlib.md5(canon.encode("utf-8")).hexdigest()
+                if len(memo) < 65536:
+                    memo[text] = (score, n_tokens, fp)
                 ids.append(doc_id)
                 scores.append(score)
                 ntoks.append(n_tokens)
-                fps.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
+                fps.append(fp)
             yield pd.DataFrame(
                 {"doc_id": ids, "score": scores, "n_tokens": ntoks, "fp": fps}
             )
 
-    return docs.repartition(n_parts, "doc_id").select("doc_id", "text").mapInPandas(
+    from approximatequeryengine_spark.operators import _num_partitions
+
+    slim = docs.select("doc_id", "text")
+    # Fan out only when the input is narrower than the size-derived
+    # target — repartitioning an already-parallel scan (the 100 TB
+    # case: thousands of splits) would pay a full payload shuffle for
+    # nothing (guide §2.4).
+    if n_parts > 1 and _num_partitions(slim) < n_parts:
+        slim = slim.repartition(n_parts, "doc_id")
+    return slim.mapInPandas(
         batches, schema="doc_id long, score double, n_tokens int, fp string"
     )
 
@@ -488,10 +541,18 @@ def corpus_clean_pipeline(
     ``use_arrow`` (default) computes the enrichment in a vectorized
     Arrow kernel (see ``_enrich_pandas``); the pure-JVM expression path
     computes identical values and is kept for equivalence testing."""
-    docs = ensure_parallelism(docs)
     if use_arrow:
-        enriched = _enrich_pandas(docs, docs.sparkSession.sparkContext.defaultParallelism)
+        from approximatequeryengine_spark.operators import parallelism_target
+
+        # Size-proportional kernel fan-out (guide §2): the old constant
+        # defaultParallelism fanned a 5000-doc corpus to 32 Python-worker
+        # round trips ON TOP of the ensure_parallelism shuffle — two full
+        # payload shuffles where at most one is needed.
+        t = parallelism_target(docs, weight=4.0)
+        n_parts = t if t else docs.sparkSession.sparkContext.defaultParallelism
+        enriched = _enrich_pandas(docs, n_parts)
     else:
+        docs = ensure_parallelism(docs)
         q = quality_columns(F.col("text"))
         fp = fingerprint_cols(F.col("text"))["fp_tokenset"]
         enriched = docs.select(

@@ -166,9 +166,14 @@ def _cap_kernel_parallelism(sampled: DataFrame) -> DataFrame:
     per 10k-row Arrow batch — measured: 8 partitions beat 32 by ~1.7×
     at sf0.1. Naturally-split inputs (the 100 TB case) keep their own
     partitioning untouched."""
+    from approximatequeryengine_spark.operators import _num_partitions
+
     sc = sampled.sparkSession.sparkContext
     target = min(8, sc.defaultParallelism)
-    if sampled.rdd.getNumPartitions() < target:
+    # _num_partitions probes the executed plan directly; df.rdd here
+    # forced a Python-side RDD lineage build (~0.1-0.2 s of driver time
+    # per invocation) just to read a partition count.
+    if _num_partitions(sampled) < target:
         return sampled.repartition(target)
     return sampled
 
