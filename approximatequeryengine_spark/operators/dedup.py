@@ -872,10 +872,78 @@ def simhash_sql(text: str = "text") -> str:
     )
 
 
-def simhash_summary(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _simhash32_pandas(docs: DataFrame) -> DataFrame:
+    """Arrow fast path for the 32-bit SimHash: per-doc signature in one
+    vectorized pass. Bit-identical to ``simhash_col`` (same ``_JAVA_WS``
+    strip + Java-``\\s+`` tokenization, same distinct-token md5-prefix
+    hash, same ``ones·2 > n`` majority; NULL and empty text → 0 — the
+    expression's per-bit ``otherwise(0)`` collapses the NULL lineage to
+    0, as does the oracle's per-term ``ELSE 0``) — pinned by
+    ``test_simhash_arrow_matches_expression``.
+    Why: ``simhash_col`` builds 32 separate interpreted array folds and
+    each re-evaluates the tokenize+md5 transform (higher-order
+    expressions get no codegen and interpreted projections do no
+    common-subexpression elimination) — tokenize+md5 ran ~32× per doc."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s
+    bitpos = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = np.int64(1) << bitpos
+
+    def batches(it):
+        memo: dict[str, int] = {}
+        for pdf in it:
+            srcs, sims = [], []
+            for source, text in zip(pdf["source"], pdf["text"]):
+                srcs.append(source)
+                if text is None:
+                    sims.append(0)
+                    continue
+                hit = memo.get(text)
+                if hit is not None:
+                    sims.append(hit)
+                    continue
+                t = text.strip(_JAVA_WS)
+                toks = list(dict.fromkeys(ws_re.split(t))) if t else []
+                n = len(toks)
+                if n == 0:
+                    sim = 0
+                else:
+                    hs = np.fromiter(
+                        (
+                            int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:8], 16)
+                            for tk in toks
+                        ),
+                        dtype=np.int64,
+                        count=n,
+                    )
+                    ones = ((hs[:, None] >> bitpos) & 1).sum(axis=0)
+                    sim = int((weights * (ones * 2 > n)).sum())
+                if len(memo) < 65536:
+                    memo[text] = sim
+                sims.append(sim)
+            yield pd.DataFrame({"source": srcs, "simhash": sims}, dtype=object)
+
+    return docs.select("source", "text").mapInPandas(
+        batches, schema="source string, simhash long"
+    )
+
+
+def simhash_summary(
+    spark: SparkSession, docs: DataFrame, use_arrow: bool = True
+) -> DataFrame:
     """Per-source SimHash diversity — collisions indicate near-dups."""
-    docs = ensure_parallelism(docs)
-    per_doc = docs.select(F.col("source"), simhash_col(F.col("text")).alias("simhash"))
+    docs = ensure_parallelism(docs, weight=4.0)
+    if use_arrow:
+        per_doc = _simhash32_pandas(docs)
+    else:
+        per_doc = docs.select(
+            F.col("source"), simhash_col(F.col("text")).alias("simhash")
+        )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("simhash").alias("n_distinct_simhash"),

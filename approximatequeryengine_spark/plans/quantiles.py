@@ -284,6 +284,57 @@ def order_stat_marker_ci(
     )
 
 
+def exact_interp_quantiles(
+    df: DataFrame, expr: str, qs: list[float]
+) -> list[float | None]:
+    """EXACT interpolated quantiles with ``percentile()`` semantics —
+    bit-identical to Spark's exact Percentile aggregate (pinned by
+    ``test_exact_interp_quantiles_matches_percentile``) — computed by
+    the partition-parallel rank selection instead of the built-in
+    aggregate.
+
+    Why: Spark's ``percentile()`` buffers a (value → count) map of the
+    ENTIRE column per partition and merges the maps into ONE final
+    aggregation buffer — on a mostly-distinct measure that is the whole
+    column through one task (and one task's memory), the same
+    single-point-of-serialization class as the retired global window
+    sort. Here each quantile needs only its two bracketing order
+    statistics: one count, one GK bracket, one bounded zone histogram —
+    every pass partition-parallel, the driver seeing an O(√n) synopsis.
+
+    Returns driver-side floats (callers embed them as literals and
+    round IN SPARK so round() semantics stay the engine's): for each q,
+    ``(higher - pos) * v_lo + (pos - lower) * v_hi`` at
+    ``pos = (n-1)·q`` — the exact interpolation formula and operand
+    order of ``Percentile.getPercentile``, evaluated in IEEE doubles
+    (Python floats are the same arithmetic). NULLs excluded, like the
+    aggregate; empty input yields all-None."""
+    nonnull = (
+        df.select(F.expr(expr).cast("double").alias("x"))
+        .where(F.col("x").isNotNull())
+    )
+    cdf = nonnull.agg(F.count(F.lit(1)).alias("n"))
+    _record_plan(cdf)
+    n = int(cdf.first()["n"])
+    if n == 0:
+        return [None] * len(qs)
+    positions = [(n - 1) * q for q in qs]
+    ranks = sorted(
+        {int(math.floor(p)) + 1 for p in positions}
+        | {int(math.ceil(p)) + 1 for p in positions}
+    )
+    got = _select_order_stats(nonnull, ranks, n, 0)
+    out: list[float | None] = []
+    for p in positions:
+        lower, higher = int(math.floor(p)), int(math.ceil(p))
+        v_lo = got[lower + 1]
+        if higher == lower:
+            out.append(v_lo)
+        else:
+            out.append((higher - p) * v_lo + (p - lower) * got[higher + 1])
+    return out
+
+
 def _grouped_select_order_stats(
     nonnull: DataFrame,
     ranks_by_group: dict,

@@ -87,7 +87,7 @@ def enriched_revenue_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    return run_to_memory_sink(agg, "complete").orderBy("c_mktsegment")
+    return run_to_memory_sink(agg, "complete", bounded_keys=True).orderBy("c_mktsegment")
 
 
 def enriched_revenue_sql() -> str:
@@ -236,7 +236,7 @@ def sampled_revenue_stream(
         F.sum(x / F.lit(p)).alias("s_est"),
         F.sum(x * x * F.lit(1.0 - p) / F.lit(p * p)).alias("s_vht"),
     )
-    sink = run_to_memory_sink(agg, "complete")
+    sink = run_to_memory_sink(agg, "complete", bounded_keys=True)
     est = F.col("s_est")
     vht = F.col("s_vht")
     margin = F.lit(Z_95) * F.sqrt(F.greatest(vht, F.lit(0.0)))
@@ -319,7 +319,7 @@ def poststrat_stream(
         F.sum(c).alias("sc"),
         F.sum(c * c).alias("sc2"),
     )
-    sink = run_to_memory_sink(moments, "complete")
+    sink = run_to_memory_sink(moments, "complete", bounded_keys=True)
     exact = (
         Catalog(spark, sf_dir)
         .table("events")
@@ -374,7 +374,7 @@ def countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = _with_idx(fan, CM_WIDTH)
     sketch_stream = cells.groupBy("row", "idx").agg(F.count(F.lit(1)).alias("cnt"))
-    sketch = run_to_memory_sink(sketch_stream, "complete")
+    sketch = run_to_memory_sink(sketch_stream, "complete", bounded_keys=True)
 
     # Probe the drained sketch with the exact top-20 (batch side), same
     # shape as countmin_topk_estimates but against the STREAMED counters.
@@ -429,7 +429,7 @@ def hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"), F.col("l_partkey").alias("k")
     )
     regs_stream = hll_registers(stream, "k", "grp")
-    regs = run_to_memory_sink(regs_stream, "complete")
+    regs = run_to_memory_sink(regs_stream, "complete", bounded_keys=True)
     return rollup_from_registers(regs)
 
 
@@ -452,7 +452,7 @@ def bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = table_stream(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    words_df = run_to_memory_sink(bloom_build_words(stream, "c_custkey"), "complete")
+    words_df = run_to_memory_sink(bloom_build_words(stream, "c_custkey"), "complete", bounded_keys=True)
     words = [(r["word_idx"], r["word"]) for r in words_df.collect()]
 
     cat = Catalog(spark, sf_dir, register_views=False)
@@ -504,7 +504,7 @@ def hist_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    hist = run_to_memory_sink(hist_stream, "complete")
+    hist = run_to_memory_sink(hist_stream, "complete", bounded_keys=True)
     return quantiles_from_hist(hist, float(mn), float(width), int(n), (0.5, 0.95, 0.99))
 
 
@@ -528,7 +528,7 @@ def ddsketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-compatible — so the stream uses the SAME definition as the
     # batch sketch: the drained-equals-batch identity is structural,
     # not a maintained-in-two-places convention.
-    buckets = run_to_memory_sink(ddsketch_buckets(stream, "l_extendedprice", alpha), "complete")
+    buckets = run_to_memory_sink(ddsketch_buckets(stream, "l_extendedprice", alpha), "complete", bounded_keys=True)
     return ddsketch_readout(buckets, alpha)
 
 
@@ -667,7 +667,7 @@ def ams_f2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k")
     )
     counters_stream = ams_f2_counters(stream, F.col("k"))
-    counters = run_to_memory_sink(counters_stream, "complete")
+    counters = run_to_memory_sink(counters_stream, "complete", bounded_keys=True)
     return ams_f2_readout(counters)
 
 
@@ -749,7 +749,7 @@ def lambda_serving_quantiles(
         .groupBy("g", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    drained = run_to_memory_sink(tail, "complete")
+    drained = run_to_memory_sink(tail, "complete", bounded_keys=True)
 
     merged = (
         store.unionByName(drained)
@@ -824,7 +824,7 @@ def anomaly_days_stream(spark: SparkSession, sf_dir: str, top: int = 3) -> DataF
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
-    drained = run_to_memory_sink(daily, "complete")
+    drained = run_to_memory_sink(daily, "complete", bounded_keys=True)
     # The readout self-joins the daily table with its own aggregate;
     # over a memory-sink VIEW both sides resolve to the same plan and
     # Spark fails attribute dedup (INTERNAL_ERROR: conflicting
@@ -862,7 +862,7 @@ def embedding_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    drained = run_to_memory_sink(by_label_stream, "complete")
+    drained = run_to_memory_sink(by_label_stream, "complete", bounded_keys=True)
     # The readout self-joins the drained state (label sums ⋈ corpus
     # sums); the memory-sink view exposes one set of attribute ids to
     # both sides, which Spark rejects as conflicting references — an

@@ -130,14 +130,31 @@ def running_estimates_stream(
         )
     )
     sink = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        refined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # Bounded-key state layout (see windowed.STREAM_STATE_PARTITIONS):
+    # the state is keyed on event_type — a handful of values — and
+    # per-key rows must reach one task regardless, so parallelism is
+    # key-bound by the algorithm; the conf default ran one state-store
+    # task per core per micro-batch, nearly all of them empty.
+    from approximatequeryengine_spark.streaming.windowed import (
+        STREAM_STATE_PARTITIONS,
     )
-    q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev), STREAM_STATE_PARTITIONS)),
+    )
+    try:
+        q = (
+            refined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 

@@ -65,18 +65,49 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(table_stream(spark, sf_dir, "events"), ["ts"])
 
 
-def run_to_memory_sink(df: DataFrame, output_mode: str) -> DataFrame:
+# State-store partition count for BOUNDED-key-domain streaming
+# aggregates. Stateful shuffle partitions are pinned per query at start
+# (offset-log metadata) and AQE never coalesces stateful exchanges, so
+# the conf default (one per core) runs one state-store task per core
+# per micro-batch even when the grouping key domain is a handful of
+# values (event_type, window×type, segment, stratum). For those
+# operators the useful parallelism is key-bound BY THE ALGORITHM (each
+# key's state lives on one task), and what crosses the state exchange
+# is either map-side-combined key partials (windowed aggs) or the rows
+# of ≤|keys| groups — sizing the layout to the key domain is
+# scale-independent. doc_id-keyed dedup streams (unbounded domain) keep
+# the session default.
+STREAM_STATE_PARTITIONS = int(os.environ.get("AQE_STREAM_STATE_PARTITIONS", "8"))
+
+
+def run_to_memory_sink(
+    df: DataFrame, output_mode: str, bounded_keys: bool = False
+) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a
-    uniquely named memory sink; return the sink as a batch DataFrame."""
+    uniquely named memory sink; return the sink as a batch DataFrame.
+    ``bounded_keys=True`` sizes the query's pinned state layout to
+    ``STREAM_STATE_PARTITIONS`` (see note above) for the duration of
+    the (synchronous) run."""
+    spark = df.sparkSession
     sink = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if bounded_keys:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(prev), STREAM_STATE_PARTITIONS)),
+        )
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if bounded_keys:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(sink)
 
 
@@ -101,7 +132,7 @@ def windowed_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory_sink(agg, "complete")
+    return run_to_memory_sink(agg, "complete", bounded_keys=True)
 
 
 def windowed_event_counts_sql() -> str:
@@ -164,7 +195,7 @@ def sliding_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory_sink(agg, "complete")
+    return run_to_memory_sink(agg, "complete", bounded_keys=True)
 
 
 def sliding_event_counts_sql() -> str:

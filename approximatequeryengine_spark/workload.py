@@ -166,11 +166,34 @@ _sql_query(
     "GROUP BY s_name",
 )
 # Exact interpolated median/quantiles (beyond the reference's SUM/AVG/COUNT).
-_sql_query(
+# Round 9: Spark's exact percentile() aggregate buffers a value→count
+# map of the whole column per partition and merges the maps into ONE
+# final buffer — on a mostly-distinct measure that is the entire column
+# through one task. Executed instead via the partition-parallel rank
+# selection (plans/quantiles.py::exact_interp_quantiles, bit-identical
+# interpolation — the old Spark text was
+# "SELECT round(percentile(l_extendedprice, 0.5), 4) …"); rounding
+# happens IN SPARK on the selected values so round() semantics stay the
+# engine's. The DuckDB oracle keeps its quantile_cont spelling.
+
+
+def _exact_quantiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from approximatequeryengine_spark.plans.quantiles import exact_interp_quantiles
+
+    cat = _catalog(spark, sf_dir)
+    med, p95 = exact_interp_quantiles(
+        cat.table("lineitem"), "l_extendedprice", [0.5, 0.95]
+    )
+    return spark.range(1).select(
+        F.round(F.lit(med).cast("double"), 4).alias("median_price"),
+        F.round(F.lit(p95).cast("double"), 4).alias("p95_price"),
+    )
+
+
+_register(
     "exact_quantiles",
-    "SELECT round(percentile(l_extendedprice, 0.5), 4) AS median_price, "
-    "round(percentile(l_extendedprice, 0.95), 4) AS p95_price FROM lineitem",
-    oracle="SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
+    _exact_quantiles_fn,
+    "SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
     "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price FROM lineitem",
 )
 _sql_query(
@@ -2330,10 +2353,15 @@ def _quantile_bakeoff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximatequeryengine_spark.plans.ddsketch import ddsketch_quantiles
     from approximatequeryengine_spark.plans.quantiles import approx_quantile_ci
 
+    from approximatequeryengine_spark.plans.quantiles import exact_interp_quantiles
+
     cat = _catalog(spark, sf_dir)
     li = cat.table("lineitem")
-    exact = li.agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("exact_p95")
+    # Round 9: partition-parallel exact p95 (see exact_quantiles) — the
+    # built-in percentile() merged the full value histogram in one task.
+    (p95,) = exact_interp_quantiles(li, "l_extendedprice", [0.95])
+    exact = spark.range(1).select(
+        F.round(F.lit(p95).cast("double"), 2).alias("exact_p95")
     )
     dd = ddsketch_quantiles(li, "l_extendedprice", qs=(0.95,)).select(
         F.round(F.col("est_q"), 2).alias("ddsketch_est")

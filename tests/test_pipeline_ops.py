@@ -226,6 +226,40 @@ def test_lang_id(spark, synth_docs):
     assert preds[7] == "unknown"
 
 
+def test_simhash_arrow_matches_expression(spark, synth_docs):
+    """The Arrow 32-bit SimHash kernel and the 32-fold expression path
+    must agree signature-for-signature (majority votes included) on
+    fixture + NULL/empty edge rows."""
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(90001, None, "s1"), (90002, "", "s2")],
+        "doc_id long, text string, source string",
+    )
+    docs = fixture.select("doc_id", "text", "source").unionByName(
+        edge.select("doc_id", "text", "source")
+    )
+    fast = {
+        tuple(r)
+        for r in dedup._simhash32_pandas(
+            docs.withColumnRenamed("doc_id", "source2").select(
+                F.col("source2").cast("string").alias("source"), "text"
+            )
+        ).collect()
+    }
+    slow = {
+        tuple(r)
+        for r in docs.select(
+            F.col("doc_id").cast("string").alias("source"),
+            dedup.simhash_col(F.col("text")).alias("simhash"),
+        ).collect()
+    }
+    assert fast == slow
+    # and the summary operator end-to-end
+    a = sorted(tuple(r) for r in dedup.simhash_summary(spark, docs, use_arrow=True).collect())
+    b = sorted(tuple(r) for r in dedup.simhash_summary(spark, docs, use_arrow=False).collect())
+    assert a == b and len(a) > 0
+
+
 def test_quality_arrow_matches_expression_path(spark, synth_docs):
     """The Arrow quality/lang-ID kernels and the pure-JVM expression
     paths must produce identical aggregates (bit-equal ratio/score

@@ -522,6 +522,46 @@ def test_global_quantile_no_single_task_sort(spark):
     assert any("hashpartitioning" in p for p in sink), sink[-1]
 
 
+def test_exact_interp_quantiles_matches_percentile(spark):
+    """Round 9: exact_quantiles executes via partition-parallel rank
+    selection; the values must be BIT-identical to Spark's exact
+    percentile() aggregate (same interpolation formula and operand
+    order), across odd/even counts, ties, single row, NULLs and empty
+    input — and on the real fixture measure."""
+    from approximatequeryengine_spark.plans import quantiles as qmod
+
+    cases = [
+        [1.5, 2.5, 3.25, 10.0, -4.75],          # odd n
+        [1.5, 2.5, 3.25, 10.0],                  # even n
+        [7.25, 7.25, 7.25, 7.25],                # all ties
+        [3.125],                                 # single row
+        [None, 2.5, None, 9.75, 0.125],          # NULLs excluded
+        [None, None],                            # all NULL -> NULL
+        [],                                      # empty -> NULL
+    ]
+    qs = [0.5, 0.95, 0.25, 0.9]
+    for vals in cases:
+        df = spark.createDataFrame(
+            [(v,) for v in vals] or [(None,)], "x double"
+        )
+        if not vals:
+            df = df.where("x IS NOT NULL")
+        got = qmod.exact_interp_quantiles(df, "x", qs)
+        want = df.selectExpr(
+            *[f"percentile(x, {q!r}) AS p{i}" for i, q in enumerate(qs)]
+        ).first()
+        for i in range(len(qs)):
+            assert got[i] == want[i], (vals, qs[i], got[i], want[i])
+    # real fixture measure: mostly-distinct doubles
+    fx = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_extendedprice")
+    got = qmod.exact_interp_quantiles(fx, "l_extendedprice", [0.5, 0.95])
+    want = fx.selectExpr(
+        "percentile(l_extendedprice, 0.5) AS a",
+        "percentile(l_extendedprice, 0.95) AS b",
+    ).first()
+    assert got[0] == want["a"] and got[1] == want["b"]
+
+
 def test_global_quantile_marker_routes_scale_safe(spark):
     """The GLOBAL APPROX(MEDIAN(...)) SQL marker must execute through
     the partition-parallel selection (order_stat_marker_ci), not the
