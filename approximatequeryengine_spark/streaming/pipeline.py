@@ -54,7 +54,11 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["user_id", "event_type", "w"])
     )
-    sink = run_to_memory_sink(deduped, "append")
+    sink = run_to_memory_sink(
+        deduped,
+        "append",
+        state_source=Catalog(spark, sf_dir, register_views=False).table("events"),
+    )
     return (
         sink.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
@@ -123,7 +127,11 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    sink = run_to_memory_sink(agg, "complete")
+    sink = run_to_memory_sink(
+        agg,
+        "complete",
+        state_source=Catalog(spark, sf_dir, register_views=False).table("events"),
+    )
     return (
         sink.groupBy("user_id")
         .agg(
@@ -172,7 +180,11 @@ def corpus_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("fp"))
     )
     deduped = stream.dropDuplicates(["lang", "fp"])
-    sink = run_to_memory_sink(deduped, "append")
+    sink = run_to_memory_sink(
+        deduped,
+        "append",
+        state_source=Catalog(spark, sf_dir, register_views=False).table("documents"),
+    )
     return (
         sink.groupBy("lang")
         .agg(
@@ -571,7 +583,6 @@ def interval_join_stream(
     if replay_batches:
         import tempfile
 
-        from approximatequeryengine_spark.catalog import Catalog
         from approximatequeryengine_spark.streaming.stateful import (
             split_events_for_replay,
         )
@@ -625,7 +636,11 @@ def interval_join_stream(
     pairs = purchases.join(clicks, cond, "inner").select(
         "purchase_id", F.col("p_user_id").alias("user_id"), "cts"
     )
-    sink = run_to_memory_sink(pairs, "append")
+    sink = run_to_memory_sink(
+        pairs,
+        "append",
+        state_source=Catalog(spark, sf_dir, register_views=False).table("events"),
+    )
     return (
         sink.groupBy("purchase_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
@@ -801,7 +816,11 @@ def merge_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("seq") == 0, cents)).alias("tc"),
         F.max(F.when(F.col("seq") == 1, cents)).alias("sc"),
     )
-    drained = run_to_memory_sink(state, "complete")
+    drained = run_to_memory_sink(
+        state,
+        "complete",
+        state_source=Catalog(spark, sf_dir, register_views=False).table("orders"),
+    )
     return merge_audit(drained)
 
 
