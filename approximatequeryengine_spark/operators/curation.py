@@ -144,8 +144,79 @@ EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 → held-out "benchmark" set
 CONTAM_NGRAM = 8
 
 
+def _shingle_hash_rows_pandas(docs: DataFrame, n: int) -> DataFrame:
+    """Arrow fast path for the contamination shingle-hash chain:
+    (doc_id, source, h) rows where ``h`` ranges over the DISTINCT
+    md5-prefix hashes of the document's word-``n``-gram shingles.
+    Bit-identical to ``explode(array_distinct(transform(
+    word_shingles_col(ws_tokens_col(text), n), str_hash32_col)))``:
+    same Java-``\\s+`` tokenization and ``String.trim`` strip as the
+    certified minhash/enrich kernels, same ``" ".join`` shingles with
+    the <n-token whole-text fallback (empty text → the ``''`` shingle,
+    matching the expression's ``concat_ws`` on an empty array), same
+    md5[:8] hash, NULL text → no rows (the expression path drops it
+    via NULL propagation at the explode). Pinned by
+    ``test_contamination_arrow_matches_expression``.
+    Why: the interpreted higher-order transform ran one md5 expression
+    tree per shingle with no codegen — measured 26.6 s of task CPU for
+    a 584 KB corpus (≈45 ms/KB); the kernel vectorizes the batch and
+    memoizes per task on the text value (replica-dense corpora skip
+    recomputation entirely)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    _java_ws = "".join(chr(c) for c in range(0x21))  # String.trim strips ≤ U+0020
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s
+
+    def batches(it):
+        memo: dict[str, list[int]] = {}
+        for pdf in it:
+            ids, srcs, hs = [], [], []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                hit = memo.get(text)
+                if hit is None:
+                    t = text.strip(_java_ws)
+                    toks = ws_re.split(t) if t else []
+                    if len(toks) >= n:
+                        sh = [
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        ]
+                    else:
+                        sh = [" ".join(toks)]
+                    hit = list(
+                        dict.fromkeys(
+                            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                            for s in sh
+                        )
+                    )
+                    if len(memo) < 65536:
+                        memo[text] = hit
+                for h in hit:
+                    ids.append(doc_id)
+                    srcs.append(source)
+                    hs.append(h)
+            yield pd.DataFrame({"doc_id": ids, "source": srcs, "h": hs})
+
+    return (
+        docs.select("doc_id", "source", "text")
+        # NULL text reaches no shingle row on the expression path
+        # (NULL propagates to the explode) — filter keeps the kernel
+        # equivalent instead of crashing on None.
+        .filter(F.col("text").isNotNull())
+        .mapInPandas(batches, schema="doc_id long, source string, h long")
+    )
+
+
 def contamination_screen(
-    spark: SparkSession, docs: DataFrame, n: int = CONTAM_NGRAM
+    spark: SparkSession,
+    docs: DataFrame,
+    n: int = CONTAM_NGRAM,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Decontamination accounting: a training document (``doc_id %
     EVAL_MOD != 0``) is *contaminated* if it shares ≥1 word-``n``-gram
@@ -156,18 +227,22 @@ def contamination_screen(
     (tiny vs the corpus) and broadcast; the train side explodes its
     shingles and LEFT SEMI joins — one scan of each side, no pairwise
     anything."""
-    docs = ensure_parallelism(docs)
-    toks = ws_tokens_col(F.col("text"))
-    sh = word_shingles_col(toks, n)
+    docs = ensure_parallelism(docs, weight=4.0)
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    hashed = docs.select(
-        F.col("doc_id"),
-        F.col("source"),
-        F.explode(F.array_distinct(F.transform(sh, str_hash32_col))).alias("h"),
-        # Exchange barrier: the md5-per-shingle chain is consumed by BOTH
-        # the eval and train branches — materialize it once through a
-        # shuffle instead of recomputing per subtree.
-    ).repartition(n_parts, "doc_id")
+    if use_arrow:
+        per_doc = _shingle_hash_rows_pandas(docs, n)
+    else:
+        toks = ws_tokens_col(F.col("text"))
+        sh = word_shingles_col(toks, n)
+        per_doc = docs.select(
+            F.col("doc_id"),
+            F.col("source"),
+            F.explode(F.array_distinct(F.transform(sh, str_hash32_col))).alias("h"),
+        )
+    # Exchange barrier: the shingle-hash chain is consumed by BOTH
+    # the eval and train branches — materialize it once through a
+    # shuffle instead of recomputing per subtree.
+    hashed = per_doc.repartition(n_parts, "doc_id")
     evald = (
         hashed.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
     )

@@ -28,6 +28,8 @@ both engines so the doubles agree bit-for-bit.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -278,6 +280,41 @@ def _hyperplane_bit_col(vec: Column, bit: int) -> Column:
         lambda acc, x: acc + x,
     )
     return F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+
+@lru_cache(maxsize=None)
+def _hyperplane_bit_expr(vec: str, bit: int) -> str:
+    """Spark-SQL text twin of :func:`_hyperplane_bit_col` — same slice
+    bounds, same left-to-right double fold, same sign literals (the
+    ``D`` suffix keeps them DOUBLE; a bare ``1.0`` would be DECIMAL in
+    Spark SQL). Exists because the Column builder creates ``DIM`` (64)
+    literal Columns per bit through py4j — measured as the dominant
+    cost of building the IVF/PQ plans (seconds of driver time per
+    query); one ``F.expr`` parse is one round trip, and the text is
+    lru-cached. Value equality with the Column path is pinned by
+    ``test_ivf_expr_builders_match_column_path``."""
+    signs = ", ".join(f"{float(_hyperplane_sign(bit, d))}D" for d in range(DIM))
+    ln = f"least(size({vec}), {DIM})"
+    proj = (
+        f"aggregate(zip_with(slice({vec}, 1, {ln}), "
+        f"slice(array({signs}), 1, {ln}), "
+        f"(a, s) -> CAST(a AS DOUBLE) * s), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        f"(CASE WHEN {proj} > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+@lru_cache(maxsize=None)
+def _ivf_cell_expr(vec: str, bits: int) -> str:
+    """The packed LSH-cell id as ONE Spark-SQL text (see
+    :func:`_hyperplane_bit_expr` for why text)."""
+    terms = " + ".join(
+        f"({_hyperplane_bit_expr(vec, b)} * CAST({2 ** b} AS BIGINT))"
+        for b in range(bits)
+    )
+    return f"CAST(({terms}) AS INT)"
 
 
 def _hyperplane_bit_sql(vec: str, bit: int) -> str:
@@ -533,10 +570,9 @@ def _ivf_assign(emb: DataFrame, n_centroids: int) -> DataFrame:
     base = emb.filter(valid_vec_col(F.col("embedding"))).select(
         F.col("vec_id"), _vec_double(F.col("embedding")).alias("v")
     )
-    cell = F.lit(0).cast("long")
-    for b in range(bits):
-        cell = cell + _hyperplane_bit_col(F.col("v"), b) * F.lit(2 ** b).cast("long")
-    return base.withColumn("cluster", cell.cast("int"))
+    # one F.expr parse instead of bits×DIM literal Columns (the py4j
+    # chatter dominated plan-build time; see _hyperplane_bit_expr)
+    return base.withColumn("cluster", F.expr(_ivf_cell_expr("v", bits)))
 
 
 def _ivf_centroids(assigned: DataFrame) -> DataFrame:
@@ -558,10 +594,18 @@ def _ivf_centroids(assigned: DataFrame) -> DataFrame:
 
 
 def _ivf_probes(
-    emb: DataFrame, centroids: DataFrame, n_queries: int, n_probe: int
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_queries: int,
+    n_probe: int,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Probe selection: each query's ``n_probe`` most cosine-similar
-    cells (ties → lower cell id). Returns (query_id, qv, cluster)."""
+    cells (ties → lower cell id). Returns (query_id, qv, cluster);
+    ``with_rank=True`` additionally keeps the probe rank ``prn`` —
+    because the order is TOTAL, the top-``m`` probes for any m ≤
+    n_probe are exactly the rows with ``prn <= m`` (what lets the
+    recall profile score all probe settings from one selection)."""
     queries = (
         emb.filter(valid_vec_col(F.col("embedding")))
         .select(F.col("vec_id"), _vec_double(F.col("embedding")).alias("v"))
@@ -569,7 +613,7 @@ def _ivf_probes(
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
-    return (
+    ranked = (
         queries.crossJoin(F.broadcast(centroids))
         .select(
             "query_id", "qv", "cluster",
@@ -577,8 +621,9 @@ def _ivf_probes(
         )
         .withColumn("prn", F.row_number().over(wp))
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", "cluster")
     )
+    cols = ["query_id", "qv", "cluster"] + (["prn"] if with_rank else [])
+    return ranked.select(*cols)
 
 
 def _ivf_rank(scored: DataFrame, k: int) -> DataFrame:
@@ -712,9 +757,16 @@ def ann_ivf_write_index(
     off disk (plan-gated via PartitionFilters in
     ``test_ivf_index_matches_in_memory_and_prunes_partitions``) — index
     construction cost is paid once, not per query batch."""
-    assigned = _ivf_assign(emb, n_centroids)
-    assigned.write.partitionBy("cluster").mode("overwrite").parquet(f"{path}/vectors")
-    _ivf_centroids(assigned).write.mode("overwrite").parquet(f"{path}/centroids")
+    # persist across the two writes: the assignment subtree otherwise
+    # re-runs per write job (synchronous builds, so unpersist is safe)
+    assigned = _ivf_assign(emb, n_centroids).persist()
+    try:
+        assigned.write.partitionBy("cluster").mode("overwrite").parquet(
+            f"{path}/vectors"
+        )
+        _ivf_centroids(assigned).write.mode("overwrite").parquet(f"{path}/centroids")
+    finally:
+        assigned.unpersist()
 
 
 def ann_ivf_query_index(
@@ -1391,6 +1443,38 @@ def _pq_sign(m: int, b: int, d: int) -> int:
     return _hyperplane_sign(PQ_BIT_BASE + m * PQ_BITS + b, d)
 
 
+@lru_cache(maxsize=None)
+def _pq_code_expr(sl: str, m: int) -> str:
+    """Spark-SQL text twin of :func:`_pq_code_col` (same fold, same
+    DOUBLE sign literals — see :func:`_hyperplane_bit_expr` for why
+    text). ``sl`` is the slice expression text."""
+    terms = []
+    for b in range(PQ_BITS):
+        signs = ", ".join(f"{float(_pq_sign(m, b, d))}D" for d in range(PQ_SUB))
+        proj = (
+            f"aggregate(zip_with({sl}, array({signs}), (a, s) -> a * s), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"((CASE WHEN {proj} > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END) * CAST({2 ** b} AS BIGINT))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@lru_cache(maxsize=None)
+def _pq_codes_expr(vec: str) -> str:
+    """The full M-code array as ONE Spark-SQL text."""
+    return (
+        "array("
+        + ", ".join(
+            _pq_code_expr(f"slice({vec}, {m * PQ_SUB + 1}, {PQ_SUB})", m)
+            for m in range(PQ_M)
+        )
+        + ")"
+    )
+
+
 def _pq_code_col(sl: Column, m: int) -> Column:
     """Subspace ``m`` code (0..2^PQ_BITS-1) of an 8-dim slice: PQ_BITS
     hyperplane-sign bits over the slice, signs from the portable hash
@@ -1424,19 +1508,32 @@ def _pq_centroids(base: DataFrame) -> DataFrame:
     """Train all M codebooks in ONE pass: explode each vector into its
     (m, code, slice) rows, then per-component means on the shared
     6-decimal grid. Returns (m, code, cvec) — at most M·2^PQ_BITS rows
-    (128 here), broadcastable at any corpus size."""
-    sub = base.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).cast("int").alias("m"),
-                    _pq_code_col(F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB), m).alias("code"),
-                    F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias("sl"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("s")
-    ).select("s.m", "s.code", F.posexplode("s.sl").alias("pos", "val"))
+    (128 here), broadcastable at any corpus size.
+
+    When ``base`` already carries the encoded ``codes`` column, the
+    (m, code) pairs come from it directly — no re-derivation of the
+    32 hyperplane folds (same values by construction: ``codes[m]`` IS
+    the subspace-m code of ``v``)."""
+    if "codes" in base.columns:
+        sub = base.select(
+            F.col("v"), F.posexplode("codes").alias("m", "code")
+        ).select(
+            "m",
+            "code",
+            F.posexplode(
+                F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB))
+            ).alias("pos", "val"),
+        )
+    else:
+        structs = ", ".join(
+            f"struct(CAST({m} AS INT) AS m, "
+            f"{_pq_code_expr(f'slice(v, {m * PQ_SUB + 1}, {PQ_SUB})', m)} AS code, "
+            f"slice(v, {m * PQ_SUB + 1}, {PQ_SUB}) AS sl)"
+            for m in range(PQ_M)
+        )
+        sub = base.select(
+            F.expr(f"explode(array({structs}))").alias("s")
+        ).select("s.m", "s.code", F.posexplode("s.sl").alias("pos", "val"))
     return (
         sub.groupBy("m", "code", "pos")
         .agg(F.round(F.avg("val"), 6).alias("mu"))
@@ -1462,13 +1559,9 @@ def _pq_encode(assigned: DataFrame) -> DataFrame:
     — the single encoding definition shared by the in-memory operator,
     the index builder, and the index append (codes are data-independent
     hyperplane signs, so batch encoding == full-corpus encoding)."""
-    return assigned.withColumn(
-        "codes",
-        F.array(*[
-            _pq_code_col(F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB), m)
-            for m in range(PQ_M)
-        ]),
-    )
+    # one F.expr parse instead of M×PQ_BITS×PQ_SUB literal Columns
+    # (py4j chatter; see _hyperplane_bit_expr)
+    return assigned.withColumn("codes", F.expr(_pq_codes_expr("v")))
 
 
 def _ivfpq_rank(
@@ -1605,11 +1698,19 @@ def ann_ivfpq_topk(
 
     Returns (query_id, neighbor_id, rank, cos_sim): exact cosine of the
     reranked top-k. Requires ``size(embedding) == DIM``."""
+    # Round 9: persist the encoded frame and derive codebook training
+    # and probe steering FROM it — assignment + the 32-fold interpreted
+    # PQ encode used to re-run in four plan subtrees (enc twice inside
+    # _ivfpq_rank, plus _pq_centroids and _ivf_centroids re-deriving
+    # from `assigned`), and the duplicated giant expression trees
+    # dominated driver planning time (wall ≫ task time, measured).
     assigned = _ivf_assign(emb, n_centroids)
-    enc = _pq_encode(assigned)
-    cent_pq = _pq_centroids(assigned.select("v"))
+    enc = _pq_encode(assigned).persist()
+    cent_pq = _pq_centroids(enc.select("v", "codes"))
     probes = _with_qnorm(
-        _ivf_probes(emb, _ivf_centroids(assigned), n_queries, n_probe)
+        _ivf_probes(
+            emb, _ivf_centroids(enc.select("cluster", "v")), n_queries, n_probe
+        )
     )
     return _ivfpq_rank(enc, probes, cent_pq, k, shortlist)
 
@@ -1631,14 +1732,23 @@ def ann_ivfpq_write_index(
     ``_pq_centroids`` definitions as :func:`ann_ivfpq_topk`, so index
     queries return exactly what the in-memory operator returns and the
     one DuckDB oracle certifies both paths."""
-    assigned = _ivf_assign(emb, n_centroids)
-    _pq_encode(assigned).write.partitionBy("cluster").mode("overwrite").parquet(
-        f"{path}/vectors"
-    )
-    _ivf_centroids(assigned).write.mode("overwrite").parquet(f"{path}/centroids")
-    _pq_centroids(assigned.select("v")).write.mode("overwrite").parquet(
-        f"{path}/pq_codebook"
-    )
+    # persist across the three writes: assignment + the 32-fold PQ
+    # encode otherwise re-run per write job (synchronous, so unpersist
+    # is safe). Centroids/codebook derive from the encoded frame — same
+    # rows, one cached scan.
+    enc = _pq_encode(_ivf_assign(emb, n_centroids)).persist()
+    try:
+        enc.write.partitionBy("cluster").mode("overwrite").parquet(
+            f"{path}/vectors"
+        )
+        _ivf_centroids(enc.select("cluster", "v")).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+        _pq_centroids(enc.select("v", "codes")).write.mode("overwrite").parquet(
+            f"{path}/pq_codebook"
+        )
+    finally:
+        enc.unpersist()
 
 
 def ann_ivfpq_query_index(
@@ -2293,10 +2403,38 @@ def ann_recall_profile(
         .select("query_id", "neighbor_id")
         .persist()
     )
+    # Round 9: every probe setting used to rebuild the ENTIRE IVF
+    # pipeline (assignment, centroid aggregate, probe window, cosine
+    # scan) as an independent subtree — 4× the index build and 4×
+    # the candidate cosines in one lazy union (32 jobs at sf0.1).
+    # The probe order is TOTAL (desc c_sim, asc cluster), so the
+    # top-m probes for m ≤ max are exactly ``prn <= m``: assignment,
+    # centroids, probe ranking and candidate COSINES are computed once
+    # at the largest setting and each branch filters by probe rank —
+    # bit-identical rows per setting, one shared scan. The scored
+    # frame persisted here is scalars only (ids, rank, cos_sim), no
+    # vector payloads.
+    max_probe = max(n_probes)
+    assigned = _ivf_assign(emb, n_centroids)
+    probes_all = _ivf_probes(
+        emb, _ivf_centroids(assigned), n_queries, max_probe, with_rank=True
+    )
+    scored_all = (
+        assigned.join(F.broadcast(probes_all), on="cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cluster"),
+            F.col("prn"),
+            cosine_sim(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .persist()
+    )
     out = None
     for np_ in n_probes:
-        ivf = ann_ivf_topk(
-            spark, emb, n_queries, k, n_centroids=n_centroids, n_probe=np_
+        ivf = _ivf_rank(
+            scored_all.filter(F.col("prn") <= np_).drop("prn"), k
         ).select(
             F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
         )

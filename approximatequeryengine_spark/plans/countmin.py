@@ -68,7 +68,12 @@ def countmin_sketch(
 ) -> DataFrame:
     """The sketch as a DataFrame of (row, idx, cnt) — ≤ depth·width rows,
     built in one map-side-combined aggregation."""
-    toks = ensure_parallelism(_tokens(docs))
+    # Fan out the DOCS, not the exploded tokens: the optimizer's size
+    # estimate is solid at the scan (the post-explode estimate is a
+    # guess that sized this to ~1 task — measured 6.5 s single-task at
+    # sf0.1). weight 16: tokenize + depth×avalanche-mix runs ~10 ms/KB
+    # of input, ~20× the quantum calibration's light-text rate.
+    toks = _tokens(ensure_parallelism(docs, weight=16.0))
     fan = toks.select(
         str_hash32_col(F.col("token")).alias("h"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
@@ -93,7 +98,7 @@ def countmin_topk_estimates(
     candidate list from any source (the sketch answers point queries);
     here it doubles as the accuracy report."""
     sketch = countmin_sketch(docs, depth, width)
-    toks = ensure_parallelism(_tokens(docs))
+    toks = _tokens(ensure_parallelism(docs, weight=16.0))
     top = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))

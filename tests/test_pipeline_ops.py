@@ -5,6 +5,7 @@ known duplicates/neighbors and assert the operators find them)."""
 import pytest
 from pyspark.sql import functions as F
 
+from approximatequeryengine_spark.functions import text as text_fns
 from approximatequeryengine_spark.operators import dedup, multimodal, similarity
 from approximatequeryengine_spark.operators.text import predicted_lang_col, quality_columns
 
@@ -342,6 +343,53 @@ def test_bruteforce_arrow_matches_expression_path(spark, engine):
     want = sorted(map(tuple, ann_bruteforce_topk(spark, emb).collect()))
     got = sorted(map(tuple, ann_bruteforce_topk_arrow(spark, emb).collect()))
     assert got == want and got
+
+
+def test_ivf_expr_builders_match_column_path(spark, engine, synth_emb):
+    """The SQL-text builders (_ivf_cell_expr / _pq_codes_expr — one
+    F.expr parse instead of hundreds of py4j literal Columns) must
+    reproduce the Column builders bit-for-bit: same slice bounds, same
+    DOUBLE sign literals, same left-to-right folds, same integer
+    packing. Checked on the fixture embeddings AND the short-vector
+    synth set (slice/least truncation path)."""
+    from approximatequeryengine_spark.operators.similarity import (
+        DIM,
+        PQ_M,
+        PQ_SUB,
+        _hyperplane_bit_col,
+        _ivf_cell_expr,
+        _pq_code_col,
+        _pq_codes_expr,
+        _vec_double,
+        valid_vec_col,
+    )
+
+    for emb in (engine.catalog.table("embeddings"), synth_emb):
+        base = emb.filter(valid_vec_col(F.col("embedding"))).select(
+            F.col("vec_id"), _vec_double(F.col("embedding")).alias("v")
+        )
+        cell_col = F.lit(0).cast("long")
+        for b in range(4):
+            cell_col = cell_col + _hyperplane_bit_col(F.col("v"), b) * F.lit(
+                2**b
+            ).cast("long")
+        codes_col = F.array(
+            *[
+                _pq_code_col(F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB), m)
+                for m in range(PQ_M)
+            ]
+        )
+        rows = base.select(
+            "vec_id",
+            cell_col.cast("int").alias("cell_a"),
+            F.expr(_ivf_cell_expr("v", 4)).alias("cell_b"),
+            codes_col.alias("codes_a"),
+            F.expr(_pq_codes_expr("v")).alias("codes_b"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["cell_a"] == r["cell_b"], r
+            assert list(r["codes_a"]) == list(r["codes_b"]), r
 
 
 def test_embedding_neardup_blocked(spark, synth_emb):
@@ -934,6 +982,61 @@ def test_contamination_flags_eval_duplicates(spark):
     }
     assert got["s1"] == (1, 1)
     assert got["s2"] == (1, 0)
+
+
+def test_contamination_arrow_matches_expression(spark, synth_docs):
+    """The shingle-hash Arrow kernel and the higher-order-expression
+    path must agree on the exploded hash rows (bit-equal md5-prefix
+    ints, same distinct collapse, same short-doc/empty/NULL handling)
+    and therefore on the final screen."""
+    from approximatequeryengine_spark.operators import curation
+
+    edge = spark.createDataFrame(
+        [
+            (97, None, "en", "s1", 0),        # NULL text → no shingle rows
+            (98, "", "en", "s1", 0),          # empty → the '' shingle
+            (99, "   ", "en", "s2", 3),       # whitespace-only → ''
+            (100, "two words", "en", "s2", 9) # < n tokens → whole text
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = synth_docs.unionByName(edge)
+    fast = sorted(
+        map(tuple, curation.contamination_screen(spark, docs).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            curation.contamination_screen(
+                spark, docs, use_arrow=False
+            ).collect(),
+        )
+    )
+    assert fast == slow and fast
+    # Pin the per-row hash stream itself, not just the aggregate.
+    kern = sorted(
+        map(
+            tuple,
+            curation._shingle_hash_rows_pandas(
+                docs, curation.CONTAM_NGRAM
+            ).collect(),
+        )
+    )
+    toks = text_fns.ws_tokens_col(F.col("text"))
+    sh = text_fns.word_shingles_col(toks, curation.CONTAM_NGRAM)
+    expr = sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.array_distinct(F.transform(sh, text_fns.str_hash32_col))
+                ).alias("h"),
+            ).collect(),
+        )
+    )
+    assert kern == expr and kern
 
 
 def test_repetition_scores_degenerate_text(spark):
