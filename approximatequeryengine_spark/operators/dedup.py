@@ -755,6 +755,16 @@ def dedup_connected_clusters(
         .withColumn("lbl", F.col("node"))
         .persist()
     )
+    # Convergence check via the label-sum invariant: hash-min labels
+    # are monotone NON-INCREASING per node, so the total label sum
+    # strictly decreases iff any node changed — one map-side-combined
+    # aggregate per round instead of the old full label-vs-label join
+    # (exactly the same stop round). DECIMAL(38,0): a BIGINT sum of
+    # doc-id labels overflows at web-scale node counts.
+    _lbl_sum = lambda frame: frame.agg(  # noqa: E731
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _lbl_sum(labels)  # also materializes the labels cache
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -770,18 +780,13 @@ def dedup_connected_clusters(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _lbl_sum(new_labels)  # materializes the round's cache
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # A silent exit here would split one component into several
         # clusters and diverge from the oracle's transitive closure with
@@ -1019,9 +1024,16 @@ def ngram_jaccard_pairs(
     if plan not in ("prefix", "sizeclass"):
         raise ValueError(f"plan must be 'prefix' or 'sizeclass', got {plan!r}")
     docs = ensure_parallelism(docs)
+    # Exchange barrier ABOVE the gram computation (the certified
+    # _minhash_sig_pandas pattern): tok, and the two verification
+    # sides ga/gb, all consume `grams` — without the barrier the
+    # interpreted char-ngram transform re-ran once per consumer
+    # (~1 s × 3 at sf0.1); with it every consumer reads the computed
+    # arrays from one shuffle (AQE ReusedExchange).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     grams = docs.select(
         F.col("source"), F.col("doc_id"), _char_ngrams(F.col("text"), n).alias("g")
-    )
+    ).repartition(n_parts, "doc_id")
 
     if plan == "sizeclass":
         blocked = grams.withColumn(
@@ -1489,13 +1501,24 @@ def editdist1_pairs(df: DataFrame, col: str) -> DataFrame:
     (near-identical keys/titles are a standard dirty-corpus signal).
     """
     names = df.select(F.col(col).alias("s")).filter(F.col("s").isNotNull()).distinct()
-    dels = names.select(
-        "s",
-        F.expr(
-            "explode(transform(sequence(1, length(s)), i -> struct("
-            "i AS i, concat(substring(s, 1, i - 1), substring(s, i + 1, 1000000)) AS v)))"
-        ).alias("d"),
-    ).select("s", F.col("d.i").alias("i"), F.col("d.v").alias("v"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # Exchange barrier above the deletion-variant explode (the
+    # certified _minhash_sig_pandas pattern): the variant table feeds
+    # THREE join inputs (both sides of the substitution self-join plus
+    # the indel probe) — without the barrier the interpreted
+    # per-character transform re-ran once per consumer; with it every
+    # consumer reads the variants from one shuffle (AQE ReusedExchange).
+    dels = (
+        names.select(
+            "s",
+            F.expr(
+                "explode(transform(sequence(1, length(s)), i -> struct("
+                "i AS i, concat(substring(s, 1, i - 1), substring(s, i + 1, 1000000)) AS v)))"
+            ).alias("d"),
+        )
+        .select("s", F.col("d.i").alias("i"), F.col("d.v").alias("v"))
+        .repartition(n_parts, "v")
+    )
     sub = (
         dels.alias("a")
         .join(

@@ -29,6 +29,14 @@ def profile_columns(spark: SparkSession, df: DataFrame) -> DataFrame:
     """One row per column: (column, n_rows, n_nulls, n_distinct,
     min_val, max_val) — min/max as doubles for numeric columns, NULL
     otherwise."""
+    from approximatequeryengine_spark.operators import ensure_parallelism
+
+    # The multi-distinct aggregate plans as Expand(×|distinct aggs|+1)
+    # + partial agg INSIDE the scan stage — on a single-file fixture
+    # scan that whole 12× blow-up ran in ONE task (measured 4.5 s
+    # straggler at sf0.1). Size-proportional fan-out; a no-op once the
+    # scanner itself splits the input (the 100 TB case).
+    df = ensure_parallelism(df, weight=4.0)
     cols = df.columns
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
