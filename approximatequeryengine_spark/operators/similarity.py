@@ -1997,10 +1997,20 @@ def semantic_dedup_cells(
     # sf10 corpus (200k rows, 2k distinct) this is 10,000× less
     # quadratic work; on all-distinct corpora it is one extra groupBy.
     # Row-level-rule equivalence is test-pinned.
+    from approximatequeryengine_spark.functions.vector import dot, l2_norm
+
     groups = assigned.groupBy("cluster", "v").agg(
         F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("gn")
     ).withColumn(
         "chunk", F.pmod(portable_hash_col(F.col("gid"), salt=7), F.lit(n_chunks)).cast("int")
+    ).withColumn(
+        # Norms are per-VECTOR quantities (the ann_bruteforce_topk
+        # lesson, round 9): hoisted to the group rows so the quadratic
+        # in-cell pair filter below runs ONE interpreted fold per pair
+        # (the dot) instead of three — float-identical to cosine_sim
+        # (same norm fold, same dot/(n_a·n_b), same zero-denominator
+        # NULL guard that no >= threshold predicate passes).
+        "nv", l2_norm(F.col("v"))
     )
     n_part = max(spark.sparkContext.defaultParallelism,
                  min(n_cells * n_chunks * (n_chunks + 1) // 2, 4096))
@@ -2010,16 +2020,22 @@ def semantic_dedup_cells(
     # DISTINCT below. greatest() orients the drop to the higher gid, so
     # keep-min semantics are identical to the unchunked join.
     a = groups.select(
-        F.col("cluster"), F.col("chunk").alias("ca"), F.col("gid").alias("id_a"), F.col("v").alias("va")
+        F.col("cluster"), F.col("chunk").alias("ca"), F.col("gid").alias("id_a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     ).withColumn("cb", F.explode(F.sequence(F.col("ca"), F.lit(n_chunks - 1))))
     b = groups.select(
-        F.col("cluster"), F.col("chunk").alias("cb"), F.col("gid").alias("id_b"), F.col("v").alias("vb")
+        F.col("cluster"), F.col("chunk").alias("cb"), F.col("gid").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     ).withColumn("ca", F.explode(F.sequence(F.lit(0), F.col("cb"))))
+    pair_denom = F.col("na") * F.col("nb")
+    pair_cos = F.when(
+        pair_denom != F.lit(0.0), dot(F.col("va"), F.col("vb")) / pair_denom
+    )
     dominated = (
         a.repartition(n_part, "cluster", "ca", "cb")
         .join(b.repartition(n_part, "cluster", "ca", "cb"), on=["cluster", "ca", "cb"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(cosine_sim(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .filter(pair_cos >= F.lit(threshold))
         .select("cluster", F.greatest("id_a", "id_b").alias("gid"))
         .distinct()
         .withColumn("dom", F.lit(True))
