@@ -172,6 +172,14 @@ def _shingle_hash_rows_pandas(docs: DataFrame, n: int) -> DataFrame:
 
     def batches(it):
         memo: dict[str, list[int]] = {}
+        # Bound the memo by stored-hash volume, not just entry count: a
+        # distinct-heavy split of large documents stores ~1 int per ~6
+        # input bytes (~28 B each in CPython), so an entry-count cap
+        # alone could hold multiples of the split size per concurrent
+        # task. Replica-dense corpora (the case the memo exists for)
+        # have small per-doc hash lists and never hit the budget.
+        memo_ints = 0
+        memo_int_budget = 1 << 20  # ~29 MB of boxed ints per task, max
         for pdf in it:
             ids, srcs, hs = [], [], []
             for doc_id, source, text in zip(
@@ -194,8 +202,9 @@ def _shingle_hash_rows_pandas(docs: DataFrame, n: int) -> DataFrame:
                             for s in sh
                         )
                     )
-                    if len(memo) < 65536:
+                    if len(memo) < 65536 and memo_ints + len(hit) <= memo_int_budget:
                         memo[text] = hit
+                        memo_ints += len(hit)
                 for h in hit:
                     ids.append(doc_id)
                     srcs.append(source)

@@ -267,10 +267,15 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
     def batches(it):
         # Per-task memo: replicas (identical text) share one signature
         # computation — in the replica-dense ingest corpora most rows
-        # skip the shingle+md5+minhash work. Capped at 64k entries so a
-        # task over all-distinct data stays memory-bounded (past the
-        # cap rows simply compute; no eviction churn).
+        # skip the shingle+md5+minhash work. Capped at 64k entries AND
+        # by stored shingle volume: each entry's shingle list holds
+        # every token ~shingle_size times, so on distinct-heavy splits
+        # of large documents an entry-count cap alone could pin several
+        # times the split size per concurrent task. Past either cap rows
+        # simply compute; no eviction churn.
         memo: dict[str, tuple[list, list]] = {}
+        memo_chars = 0
+        memo_char_budget = 1 << 24  # ~16M shingle chars per task, max
         for pdf in it:
             ids, shs, mhs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -303,8 +308,10 @@ def _minhash_sig_pandas(docs: DataFrame, shingle_size: int, n_parts: int) -> Dat
                 h = ((t2 % M31) * MULT2 + 144) % HASH_SPACE
                 mh = h.min(axis=0) if len(sh) else np.full(N_HASHES, HASH_SPACE, dtype=np.int64)
                 mh_l = mh.tolist()
-                if len(memo) < 65536:
+                sh_chars = sum(len(s) for s in sh)
+                if len(memo) < 65536 and memo_chars + sh_chars <= memo_char_budget:
                     memo[text] = (sh, mh_l)
+                    memo_chars += sh_chars
                 ids.append(doc_id)
                 shs.append(sh)
                 mhs.append(mh_l)

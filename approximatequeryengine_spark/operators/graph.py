@@ -40,10 +40,10 @@ shuffles, no quadratic term anywhere; each iteration is ONE join + one
 grouped sum shuffled on the destination token (degree is a per-source
 constant, pre-joined onto the edge set once; same key every step, so a
 production run would hash-partition ranks+weighted-edges once and reuse
-the layout); state is O(vocabulary). The edge cache is released before the
-top-k readout (k rows, bounded) is materialized first so long-lived
-sessions running many registry entries don't accumulate executor
-storage. The reference has no graph machinery at all.
+the layout); state is O(vocabulary). The k-row top-k readout is materialized first
+and the edge cache released before returning, so long-lived sessions
+running many registry entries don't accumulate executor storage. The
+reference has no graph machinery at all.
 """
 
 from __future__ import annotations

@@ -1938,12 +1938,76 @@ FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 
 
+def _dominated_groups_pandas(paired: DataFrame, threshold: float) -> DataFrame:
+    """Arrow kernel for the in-cell pair scoring (round 10): the
+    CPU-quadratic term of semantic dedup is |cell|² cosine dots, and the
+    interpreted ``zip_with``+``aggregate`` fold paid expression-tree
+    overhead per element per pair (the registry's most load-sensitive
+    row — 2.3 s idle / 18.8 s under load at sf0.1). This computes each
+    batch's dots with vectorized NumPy accumulating SEQUENTIALLY over
+    dimensions — the exact left-to-right float64 fold of ``aggregate``,
+    so cosines are bit-identical, not merely close (the
+    ``ann_bruteforce_topk_arrow`` fold-parity contract). Pinned by
+    ``test_semantic_dedup_arrow_matches_expression``.
+
+    Edge parity with the expression filter:
+    - zero denominator → expression cosine is NULL, which no
+      ``>= threshold`` passes → masked out here;
+    - unequal vector lengths → ``zip_with`` null-pads, the dot folds to
+      NULL, the pair is dropped → length-mismatched pairs masked out;
+    - NaN/Inf dims cannot reach here (``valid_vec_col`` at the shared
+      ``_ivf_assign`` chokepoint).
+    Emits only the dominated (cluster, gid) rows — the kernel output is
+    a tiny fraction of its quadratic input."""
+    import numpy as np
+    import pandas as pd
+
+    cluster_t = dict(paired.dtypes)["cluster"]
+
+    def kernel(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            la = np.fromiter((len(v) for v in pdf["va"]), dtype=np.int64, count=n)
+            lb = np.fromiter((len(v) for v in pdf["vb"]), dtype=np.int64, count=n)
+            denom = pdf["na"].to_numpy() * pdf["nb"].to_numpy()
+            keep = np.zeros(n, dtype=bool)
+            for ln in np.unique(la[la == lb]):
+                idx = np.nonzero((la == ln) & (lb == ln))[0]
+                va, vb = pdf["va"].to_numpy()[idx], pdf["vb"].to_numpy()[idx]
+                VA = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+                VB = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+                dotv = np.zeros(len(idx))
+                for d in range(int(ln)):  # sequential: fold-order parity
+                    dotv += VA[:, d] * VB[:, d]
+                dsub = denom[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dotv / dsub
+                keep[idx] = (dsub != 0.0) & (cos >= threshold)
+            if not keep.any():
+                continue
+            ida = pdf["id_a"].to_numpy()[keep]
+            idb = pdf["id_b"].to_numpy()[keep]
+            yield pd.DataFrame(
+                {
+                    "cluster": pdf["cluster"].to_numpy()[keep],
+                    "gid": np.maximum(ida, idb),
+                }
+            )
+
+    return paired.select(
+        "cluster", "id_a", "id_b", "va", "vb", "na", "nb"
+    ).mapInPandas(kernel, schema=f"cluster {cluster_t}, gid long")
+
+
 def semantic_dedup_cells(
     spark: SparkSession,
     emb: DataFrame,
     threshold: float = 0.35,
     n_cells: int = 16,
     n_chunks: int | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-cell semantic-dedup accounting: (cluster, n_docs, n_dropped,
     n_kept).
@@ -2027,19 +2091,26 @@ def semantic_dedup_cells(
         F.col("cluster"), F.col("chunk").alias("cb"), F.col("gid").alias("id_b"),
         F.col("v").alias("vb"), F.col("nv").alias("nb"),
     ).withColumn("ca", F.explode(F.sequence(F.lit(0), F.col("cb"))))
-    pair_denom = F.col("na") * F.col("nb")
-    pair_cos = F.when(
-        pair_denom != F.lit(0.0), dot(F.col("va"), F.col("vb")) / pair_denom
-    )
-    dominated = (
+    paired = (
         a.repartition(n_part, "cluster", "ca", "cb")
         .join(b.repartition(n_part, "cluster", "ca", "cb"), on=["cluster", "ca", "cb"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(pair_cos >= F.lit(threshold))
-        .select("cluster", F.greatest("id_a", "id_b").alias("gid"))
-        .distinct()
-        .withColumn("dom", F.lit(True))
     )
+    if use_arrow:
+        # Round 10: the quadratic pair scoring runs in a NumPy kernel
+        # (one MapInPandas node in the same stage as the join) instead
+        # of an interpreted fold per pair — see _dominated_groups_pandas
+        # for the bit-parity contract.
+        scored = _dominated_groups_pandas(paired, threshold)
+    else:
+        pair_denom = F.col("na") * F.col("nb")
+        pair_cos = F.when(
+            pair_denom != F.lit(0.0), dot(F.col("va"), F.col("vb")) / pair_denom
+        )
+        scored = paired.filter(pair_cos >= F.lit(threshold)).select(
+            "cluster", F.greatest("id_a", "id_b").alias("gid")
+        )
+    dominated = scored.distinct().withColumn("dom", F.lit(True))
     per_group = groups.join(dominated, on=["cluster", "gid"], how="left").select(
         "cluster",
         F.when(F.col("dom").isNotNull(), F.col("gn"))
@@ -2447,6 +2518,20 @@ def ann_recall_profile(
         )
         .persist()
     )
+    try:
+        out = _recall_rows(bf, scored_all, n_probes, k, n_centroids)
+        # The result is len(n_probes) rows; materialize it while the two
+        # caches are live, then release them — a lazily-returned frame
+        # would pin executor storage across registry entries (or silently
+        # recompute both subtrees per consumer after unpersist).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        bf.unpersist()
+        scored_all.unpersist()
+
+
+def _recall_rows(bf, scored_all, n_probes, k, n_centroids):
     out = None
     for np_ in n_probes:
         ivf = _ivf_rank(

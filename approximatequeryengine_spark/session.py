@@ -43,7 +43,7 @@ def get_spark(
         # start — a no-op when attaching to an existing session.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Runtime re-planning: partition coalescing, skew-join splitting,
@@ -71,7 +71,6 @@ def get_spark(
         # rejects; read as long and let the catalog cast to timestamp
         # (values are µs-aligned, so the cast is lossless).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )

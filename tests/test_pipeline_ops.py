@@ -1906,6 +1906,43 @@ def test_semantic_dedup_replica_collapse_matches_row_rule(spark):
     assert dropped <= len(rows) - 3 - 2  # 3 zeros + >=2 group minima
 
 
+def test_semantic_dedup_arrow_matches_expression(spark, engine):
+    """Round-10 equivalence twin: the NumPy pair-scoring kernel must
+    reproduce the interpreted-fold filter exactly — on the fixture
+    corpus AND on the edge frame (zero vectors → NULL cosine → kept;
+    unequal lengths → NULL-padded dot → pair never dominates; exact
+    replicas → collapse arithmetic unchanged)."""
+    emb = engine.catalog.table("embeddings")
+    fast = similarity.semantic_dedup_cells(spark, emb, use_arrow=True)
+    slow = similarity.semantic_dedup_cells(spark, emb, use_arrow=False)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    # plan gate: the quadratic filter runs in ONE Arrow kernel node
+    assert "MapInPandas" in fast._jdf.queryExecution().executedPlan().toString()
+
+    dim = 8
+    rows = [
+        (0, [1.0] * dim),           # replicas 0/1 → one survives
+        (1, [1.0] * dim),
+        (2, [0.0] * dim),           # zero vector: NaN cosine, never drops
+        (3, [1.0] * (dim // 2)),    # short vector: length-mismatched pairs
+        (4, [-1.0] * dim),
+        (5, [1.0] * (dim // 2)),    # short replica pair with id 3
+    ]
+    edge = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for t in (0.35, 0.9):
+        got = sorted(
+            map(tuple, similarity.semantic_dedup_cells(
+                spark, edge, threshold=t, n_cells=2, use_arrow=True
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, similarity.semantic_dedup_cells(
+                spark, edge, threshold=t, n_cells=2, use_arrow=False
+            ).collect())
+        )
+        assert got == want and got
+
+
 def test_semdedup_scaled_bits_ladder():
     """Integer cells∝corpus rule: smallest power-of-two grid holding
     ~SEMDEDUP_TARGET_CELL vectors per cell, clamped to [2^4, 2^10] —
