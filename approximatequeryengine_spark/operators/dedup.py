@@ -1036,7 +1036,16 @@ def ngram_jaccard_pairs(
     # sides ga/gb, all consume `grams` — without the barrier the
     # interpreted char-ngram transform re-ran once per consumer
     # (~1 s × 3 at sf0.1); with it every consumer reads the computed
-    # arrays from one shuffle (AQE ReusedExchange).
+    # arrays from one shuffle (AQE ReusedExchange). Round 10: the
+    # EXECUTED plan showed reuse engaging for only one of the three —
+    # column pruning gave ga/gb a 2-column subtree whose canonical form
+    # no longer matched the 3-column barrier exchange — so ga/gb below
+    # keep `source` live by joining on it (an equality that always
+    # holds: doc_id determines source), which makes all three consumer
+    # subtrees canonically identical. Verified: 2 ReusedExchange of the
+    # barrier in the final adaptive plan (an intra-query persist was
+    # measured as the alternative and LOST — cache write + eager
+    # materialization cost more than the two saved transforms).
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     grams = docs.select(
         F.col("source"), F.col("doc_id"), _char_ngrams(F.col("text"), n).alias("g")
@@ -1170,8 +1179,16 @@ def ngram_jaccard_pairs(
         )
         .select("source", "da", "db", "sza", "szb")
     )
-    ga = grams.select(F.col("doc_id").alias("da"), F.col("g").alias("g_a"))
-    gb = grams.select(F.col("doc_id").alias("db"), F.col("g").alias("g_b"))
+    # `source` in the join keys keeps all 3 columns live below the
+    # exchange → canonical match with the barrier → AQE reuse (see the
+    # barrier comment above). doc_id → source is functional, so the
+    # extra equality never drops a row.
+    ga = grams.select(
+        "source", F.col("doc_id").alias("da"), F.col("g").alias("g_a")
+    )
+    gb = grams.select(
+        "source", F.col("doc_id").alias("db"), F.col("g").alias("g_b")
+    )
     # Verify in two stages so the hot path runs ONE array op per
     # candidate. A naive `jaccard ≥ τ` filter here gets pushed into
     # the join condition with array_intersect inlined at EVERY
@@ -1193,7 +1210,7 @@ def ngram_jaccard_pairs(
         - 1.0
     )
     shell = (
-        cand.join(ga, "da").join(gb, "db").where(relaxed)
+        cand.join(ga, ["source", "da"]).join(gb, ["source", "db"]).where(relaxed)
         # barrier: rows per pair are identical, first() is deterministic
         .groupBy("source", "da", "db", "sza", "szb")
         .agg(F.first("g_a").alias("g_a"), F.first("g_b").alias("g_b"))
@@ -1515,6 +1532,11 @@ def editdist1_pairs(df: DataFrame, col: str) -> DataFrame:
     # the indel probe) — without the barrier the interpreted
     # per-character transform re-ran once per consumer; with it every
     # consumer reads the variants from one shuffle (AQE ReusedExchange).
+    # Round 10: the indel probe below references `i` with a trivially
+    # true predicate so column pruning cannot give it a 2-column
+    # subtree whose canonical form no longer matches the barrier
+    # exchange — the condition for ReusedExchange to engage (runtime-
+    # plan-verified; the ngram barrier had the same partial-reuse bug).
     dels = (
         names.select(
             "s",
@@ -1539,7 +1561,10 @@ def editdist1_pairs(df: DataFrame, col: str) -> DataFrame:
     indel = (
         dels.alias("a")
         .join(names.alias("n"), F.col("a.v") == F.col("n.s"))
-        .filter(F.col("a.s") != F.col("n.s"))
+        # i >= 1 holds for every deletion variant (i ranges over
+        # sequence(1, length)) — it exists only to keep `i` in this
+        # consumer's column set so the barrier exchange is reused
+        .filter((F.col("a.s") != F.col("n.s")) & (F.col("a.i") >= 1))
         .select(
             F.least(F.col("a.s"), F.col("n.s")).alias("sa"),
             F.greatest(F.col("a.s"), F.col("n.s")).alias("sb"),

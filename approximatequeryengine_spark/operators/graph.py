@@ -59,15 +59,82 @@ PR_TOPK = 20
 PR_WINDOW = 3  # co-occurrence = positions within 3 (TextRank-style)
 
 
-def _token_edges(docs: DataFrame, window: int = PR_WINDOW) -> DataFrame:
+def _token_pairs_pandas(docs: DataFrame, window: int) -> DataFrame:
+    """Arrow kernel for the sliding-window co-occurrence pair build
+    (round 10): the expression path exploded every token ``window``
+    more times into probe rows and SHUFFLED tokens×(window+1) string
+    rows through a (doc_id, pos) equi-join — the sf10 wall of the
+    pagerank entry. Here each task tokenizes its documents once
+    (space-only trim + Java-``\\s+`` split + per-token
+    lower as the certified text kernels), emits the window pairs in
+    both directions directly, and pre-deduplicates per task, so the
+    only shuffle left is the corpus-wide ``distinct`` over
+    already-thinned edge rows. A per-task text memo skips replica
+    documents outright (their pair sets are already in the task's
+    seen-set) — on the replica-dense scaling corpora that removes
+    ~99% of the tokenize+pair work. Pair-set equality with the
+    expression path is pinned by
+    ``test_token_edges_arrow_matches_expression``."""
+    import re
+
+    import pandas as pd
+
+    # ws_tokens_col parity: F.trim (like DuckDB trim) strips SPACES
+    # only — a tab-leading text keeps a leading '' token after the
+    # Java-\s+ split, and re.split reproduces that (including the
+    # trailing empty of limit=-1). Pinned by the edge frame in the twin
+    # test.
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def kernel(it):
+        seen: set = set()  # per-task pair dedup (distinct() still runs)
+        done: set = set()  # per-task text memo
+        for pdf in it:
+            srcs: list = []
+            dsts: list = []
+            for text in pdf["text"]:
+                if text is None or text in done:
+                    continue
+                if len(done) < 65536:
+                    done.add(text)
+                t = text.strip(" ")
+                toks = [tk.lower() for tk in ws_re.split(t)] if t else []
+                n_toks = len(toks)
+                for off in range(1, window + 1):
+                    for i in range(n_toks - off):
+                        a, b = toks[i], toks[i + off]
+                        if a == b:
+                            continue
+                        for p in ((a, b), (b, a)):
+                            if p not in seen:
+                                if len(seen) < (1 << 22):
+                                    seen.add(p)
+                                srcs.append(p[0])
+                                dsts.append(p[1])
+            if srcs:
+                yield pd.DataFrame({"src": srcs, "dst": dsts})
+
+    return docs.select("text").mapInPandas(kernel, "src string, dst string")
+
+
+def _token_edges(
+    docs: DataFrame, window: int = PR_WINDOW, use_arrow: bool = True
+) -> DataFrame:
     """Distinct directed sliding-window co-occurrence edges.
 
-    Each token probes its ``window`` successor positions via an
-    equi-join on (doc_id, pos): O(tokens × window) candidates, probes
-    past the end of a document simply find no match. Pairs are emitted
-    in both directions (undirected co-occurrence), self-loops dropped,
-    then deduplicated corpus-wide.
-    """
+    Each token pairs with its ``window`` successor positions:
+    O(tokens × window) candidates, probes past the end of a document
+    simply find no match. Pairs are emitted in both directions
+    (undirected co-occurrence), self-loops dropped, then deduplicated
+    corpus-wide. Default path: the per-task Arrow kernel above;
+    ``use_arrow=False`` keeps the expression path (posexplode + probe
+    explode + (doc_id, pos) equi-join) for the equivalence twin."""
+    if use_arrow:
+        from approximatequeryengine_spark.operators import ensure_parallelism
+
+        return _token_pairs_pandas(
+            ensure_parallelism(docs, weight=8.0), window
+        ).distinct()
     toks = docs.select(
         "doc_id",
         F.posexplode(

@@ -555,7 +555,63 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _ivf_assign(emb: DataFrame, n_centroids: int) -> DataFrame:
+def _assign_cells_pandas(base: DataFrame, bits: int) -> DataFrame:
+    """NumPy kernel for the per-vector LSH-cell assignment (round 10):
+    the interpreted hyperplane folds were the linear-term wall of every
+    assignment-heavy operator — ``bits × DIM`` lambda evaluations per
+    vector, measured 7.5 s for 200k vectors at 10 bits (sf10
+    semantic-cells, noop-sinked in isolation). Projections accumulate
+    SEQUENTIALLY over dimensions (the exact left-to-right double fold
+    of ``aggregate``), signs are the same ``_hyperplane_sign`` floats,
+    the bit test is the same strict ``> 0``, and vectors are sliced to
+    ``min(len, DIM)`` exactly as the expression's ``slice`` — so cell
+    ids are bit-identical. Pinned by
+    ``test_ivf_assign_arrow_matches_expression``."""
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(
+        [[_hyperplane_sign(b, d) for d in range(DIM)] for b in range(bits)],
+        dtype=np.float64,
+    )
+
+    def kernel(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            vals = pdf["v"].to_numpy()
+            lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+            cluster = np.zeros(n, dtype=np.int64)
+            for ln in np.unique(lens):
+                sel = np.nonzero(lens == ln)[0]
+                width = int(min(ln, DIM))
+                if not width:
+                    continue  # empty slice folds to 0.0 → all bits 0
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64)[:width] for v in vals[sel]]
+                )
+                for b in range(bits):
+                    proj = np.zeros(len(sel))
+                    for d in range(width):  # sequential: fold-order parity
+                        proj += V[:, d] * signs[b, d]
+                    cluster[sel] += (proj > 0).astype(np.int64) << b
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": vals,
+                    "cluster": cluster.astype(np.int32),
+                }
+            )
+
+    return base.mapInPandas(
+        kernel, schema="vec_id long, v array<double>, cluster int"
+    )
+
+
+def _ivf_assign(
+    emb: DataFrame, n_centroids: int, use_arrow: bool = True
+) -> DataFrame:
     """Deterministic LSH-cell assignment shared by every IVF surface
     (in-memory top-k, index write, index append): ``log2(n_centroids)``
     hyperplane-sign bits pack into the cell id. Extracted so the
@@ -570,6 +626,8 @@ def _ivf_assign(emb: DataFrame, n_centroids: int) -> DataFrame:
     base = emb.filter(valid_vec_col(F.col("embedding"))).select(
         F.col("vec_id"), _vec_double(F.col("embedding")).alias("v")
     )
+    if use_arrow:
+        return _assign_cells_pandas(base, bits)
     # one F.expr parse instead of bits×DIM literal Columns (the py4j
     # chatter dominated plan-build time; see _hyperplane_bit_expr)
     return base.withColumn("cluster", F.expr(_ivf_cell_expr("v", bits)))
@@ -2076,8 +2134,19 @@ def semantic_dedup_cells(
         # NULL guard that no >= threshold predicate passes).
         "nv", l2_norm(F.col("v"))
     )
-    n_part = max(spark.sparkContext.defaultParallelism,
-                 min(n_cells * n_chunks * (n_chunks + 1) // 2, 4096))
+    if use_arrow:
+        # Kernel path: the NumPy scoring cuts per-pair CPU ~2 orders of
+        # magnitude, so the partition count only needs to cover the
+        # cores — every partition is one Python-worker task invocation
+        # (~5-10 ms each), and sizing partitions to the CHUNK-PAIR KEY
+        # COUNT (1280 at sf0.1, 4096 at sf1) made task overhead the
+        # wall: measured 9.7 s vs 2.2 s expr at sf0.1. The key space
+        # still splits the largest cell's quadratic work; hashing many
+        # keys onto defaultParallelism partitions balances fine.
+        n_part = spark.sparkContext.defaultParallelism
+    else:
+        n_part = max(spark.sparkContext.defaultParallelism,
+                     min(n_cells * n_chunks * (n_chunks + 1) // 2, 4096))
     # a-side: chunk ca joins every cb >= ca; b-side mirrors with cb's
     # row emitting every ca <= cb — each cross-chunk pair meets exactly
     # once, diagonal (ca == cb) pairs meet twice and are folded by the

@@ -280,6 +280,27 @@ def test_countmin_overestimates_within_bound(engine, duck):
         assert r["cms_est"] <= r["exact_cnt"] + 3 * eps * total
 
 
+def test_countmin_arrow_matches_expression(engine):
+    """Round-10 equivalence twin: the NumPy partial-counter kernel must
+    reproduce the exploded expression chain's sketch bit for bit (same
+    avalanche mix, same floor-index arithmetic) — on the token sketch
+    AND the join-size sketches (negative-key abs path included)."""
+    from approximatequeryengine_spark.plans.countmin import (
+        cms_join_size,
+        countmin_sketch,
+    )
+
+    docs = engine.catalog.table("documents")
+    fast = sorted(map(tuple, countmin_sketch(docs, use_arrow=True).collect()))
+    slow = sorted(map(tuple, countmin_sketch(docs, use_arrow=False).collect()))
+    assert fast == slow and fast
+
+    li = engine.catalog.table("lineitem").select("l_partkey")
+    a = cms_join_size(li, li, "l_partkey", use_arrow=True).collect()
+    b = cms_join_size(li, li, "l_partkey", use_arrow=False).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_hist_quantiles_within_bin_width(engine, duck):
     """Grid-histogram quantile error is bounded by one bin width
     (max−min)/bins; estimates must land within that of the true

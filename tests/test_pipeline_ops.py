@@ -1906,6 +1906,39 @@ def test_semantic_dedup_replica_collapse_matches_row_rule(spark):
     assert dropped <= len(rows) - 3 - 2  # 3 zeros + >=2 group minima
 
 
+def test_ivf_assign_arrow_matches_expression(spark, engine):
+    """Round-10 equivalence twin: the NumPy hyperplane-projection kernel
+    must reproduce the interpreted fold's cell ids bit for bit — on the
+    fixture corpus (both bit widths the registry uses) and on the edge
+    frame (empty vector → cell 0, short vector → sliced fold, >DIM
+    vector → truncated at DIM, negative components)."""
+    from approximatequeryengine_spark.operators.similarity import _ivf_assign
+
+    emb = engine.catalog.table("embeddings")
+    for n_cells in (16, 128):
+        fast = sorted(
+            (r["vec_id"], r["cluster"], tuple(r["v"]))
+            for r in _ivf_assign(emb, n_cells, use_arrow=True).collect()
+        )
+        slow = sorted(
+            (r["vec_id"], r["cluster"], tuple(r["v"]))
+            for r in _ivf_assign(emb, n_cells, use_arrow=False).collect()
+        )
+        assert fast == slow and fast
+
+    rows = [(0, [1.0] * 64), (1, []), (2, [0.5] * 3), (3, [-1.0] * 80)]
+    edge = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in _ivf_assign(edge, 16, use_arrow=True).collect()
+    )
+    slow = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in _ivf_assign(edge, 16, use_arrow=False).collect()
+    )
+    assert fast == slow and fast
+
+
 def test_semantic_dedup_arrow_matches_expression(spark, engine):
     """Round-10 equivalence twin: the NumPy pair-scoring kernel must
     reproduce the interpreted-fold filter exactly — on the fixture
@@ -2432,6 +2465,36 @@ def test_pagerank_mass_conservation_and_hub_dominance(spark):
     assert len({r["pr"] for r in spokes}) == 1  # symmetric spokes tie
     total = sum(r["pr"] for r in got)
     assert 0.9 * PR_SCALE <= total <= PR_SCALE  # flooring only loses mass
+
+
+def test_token_edges_arrow_matches_expression(spark, engine):
+    """Round-10 equivalence twin: the per-task pair kernel must produce
+    the SAME distinct edge set as the posexplode + (doc_id, pos)
+    equi-join — on the fixture corpus and on the edge frame (NULL text,
+    whitespace-only text, single token, replica docs, self-loop
+    tokens)."""
+    from approximatequeryengine_spark.operators.graph import _token_edges
+
+    docs = engine.catalog.table("documents")
+    fast = sorted(map(tuple, _token_edges(docs, use_arrow=True).collect()))
+    slow = sorted(map(tuple, _token_edges(docs, use_arrow=False).collect()))
+    assert fast == slow and fast
+
+    rows = [
+        (0, "a b a c", "en", "s", 7),
+        (1, None, "en", "s", 0),
+        (2, "   ", "en", "s", 3),
+        (3, "solo", "en", "s", 4),
+        (4, "a b a c", "en", "s", 7),   # replica of doc 0
+        (5, "x x x", "en", "s", 5),     # self-loops only → no edges
+        (6, "\tTab  Mixed\ncase", "en", "s", 16),
+    ]
+    edge = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fast = sorted(map(tuple, _token_edges(edge, use_arrow=True).collect()))
+    slow = sorted(map(tuple, _token_edges(edge, use_arrow=False).collect()))
+    assert fast == slow and fast
 
 
 def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
