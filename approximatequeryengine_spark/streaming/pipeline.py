@@ -545,7 +545,28 @@ def ddsketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INTERVAL_JOIN_MINUTES = 60
-INTERVAL_JOIN_WATERMARK = "240 hours"  # replay drain: nothing dropped as late
+# Watermark delay for the interval-join replay (round 10 — replaces the
+# blanket-generous 240 h). The replay sources are TIME-ORDERED across
+# micro-batches (single-file fixture = one data batch;
+# split_events_for_replay slices by row_number() ORDER BY ts, so batch
+# k+1's min ts ≥ batch k's max ts), which makes ``interval + margin``
+# provably lossless:
+#   * nothing drops as late — batch k+1 rows have ts ≥ wm_k + delay;
+#   * no state a future row could match is evicted — a click evicts
+#     only when wm > cts + interval, and every future purchase has
+#     pts ≥ wm + delay > cts + interval ⇒ cts < pts − interval (out of
+#     range anyway); a purchase evicts only when wm passes pts, and
+#     every future click has cts ≥ wm + delay > pts (fails cts ≤ pts).
+# The emitted pair set is therefore EXACTLY the batch inner range join
+# (the DuckDB oracle), same as under the old 240 h delay — pinned by
+# test_stream_stream_interval_join_{matches_batch,across_micro_batches}.
+# What changes is the retained state: the old delay kept EVERY row in
+# state through the final no-data finalization batch, whose state
+# re-commit was the sf10 wall (state ∝ events); with the derived delay
+# the finalization batch evicts instead of re-committing the full map.
+# Production keeps the same rule: delay = join interval + the source's
+# max out-of-orderness (0 for these replays; the +60 min is margin).
+INTERVAL_JOIN_WATERMARK = f"{2 * INTERVAL_JOIN_MINUTES} minutes"
 
 
 def interval_join_stream(
