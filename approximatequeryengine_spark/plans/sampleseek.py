@@ -79,11 +79,19 @@ def sample_seek_range_sum(
     sel_est = overlap_rows / total_rows if total_rows else 0.0
     seek = sel_est <= seek_threshold
 
-    data = (
-        spark.read.parquet(f"{zonemap_path}/data")
-        .filter(F.col("__zone").isin(cells))
-        .filter(F.col("__key").between(F.lit(lo), F.lit(hi)))
-    )
+    # List ONLY the surviving zone directories (the zonemap consult
+    # shape shared with sources/zonemap.zonemap_range_sum).
+    from approximatequeryengine_spark.sources.arrow_write import _local_path
+
+    if cells and _local_path(f"{zonemap_path}/data") is not None:
+        data = spark.read.option("basePath", f"{zonemap_path}/data").parquet(
+            *[f"{zonemap_path}/data/__zone={c}" for c in cells]
+        )
+    else:
+        data = spark.read.parquet(f"{zonemap_path}/data").filter(
+            F.col("__zone").isin(cells)
+        )
+    data = data.filter(F.col("__key").between(F.lit(lo), F.lit(hi)))
     if seek:
         m = data.agg(
             F.count(F.lit(1)).cast("long").alias("n"),

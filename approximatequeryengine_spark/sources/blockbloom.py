@@ -113,25 +113,31 @@ def _layout(mn: int, mx: int, block_width: int, max_blocks: int) -> tuple[int, i
 def _probe_rows(base: DataFrame, m_bits: int, k: int) -> DataFrame:
     """(block, word, mask) probe rows for every non-null lookup key in
     ``base`` — THE probe arithmetic, shared by write and append so the
-    append == rebuild bitwise invariant cannot drift."""
-    src = base.filter(F.col("__lk").isNotNull())
-    probes = None
-    for salt in range(k):
-        hdf = with_avalanche_h(src, F.col("__lk"), F.lit(salt), h_col="__h")
-        # exact integer range-scaling: (h · m) div 2^32 < m, no floats
-        bit = F.expr(f"CAST((__h * {m_bits}) div {HASH_SPACE} AS BIGINT)")
-        p = hdf.select(F.col("__block"), bit.alias("__bit")).select(
-            F.col("__block"),
-            (F.col("__bit") / F.lit(32)).cast("long").alias("word"),
-            # shiftleft needs a literal shift in the Python API; the SQL
-            # form takes a column. Bit positions are < 32 so the mask
-            # stays < 2^32 — exact in BIGINT on both engines.
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").alias(
-                "mask"
-            ),
-        )
-        probes = p if probes is None else probes.unionAll(p)
-    return probes
+    append == rebuild bitwise invariant cannot drift.
+
+    ONE pass: the k salts explode as a column and the avalanche hash
+    runs once with the per-row salt (``with_avalanche_h`` takes a
+    Column salt) — the earlier k-way union of per-salt selects
+    re-scanned ``base`` k times for the identical row multiset
+    (guide §2.4: don't recompute a shared input per consumer)."""
+    src = base.filter(F.col("__lk").isNotNull()).select(
+        "__block",
+        "__lk",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__salt"),
+    )
+    hdf = with_avalanche_h(src, F.col("__lk"), F.col("__salt"), h_col="__h")
+    # exact integer range-scaling: (h · m) div 2^32 < m, no floats
+    bit = F.expr(f"CAST((__h * {m_bits}) div {HASH_SPACE} AS BIGINT)")
+    return hdf.select(F.col("__block"), bit.alias("__bit")).select(
+        F.col("__block"),
+        (F.col("__bit") / F.lit(32)).cast("long").alias("word"),
+        # shiftleft needs a literal shift in the Python API; the SQL
+        # form takes a column. Bit positions are < 32 so the mask
+        # stays < 2^32 — exact in BIGINT on both engines.
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
 
 
 def blockbloom_write(
@@ -171,11 +177,16 @@ def blockbloom_write(
     base = base.withColumn(
         "__block", F.floor((F.col("__ik") - F.lit(int(mn))) / F.lit(width)).cast("long")
     ).drop("__ik")
-    (
-        base.repartition("__block")
-        .write.partitionBy("__block")
-        .mode("overwrite")
-        .parquet(f"{path}/data")
+    # Commit-light block write + driver-side meta (sources/arrow_write):
+    # same directory layout, ~6× less wall for the many-small-files
+    # write at fixture scale (per-file writer/commit overhead, guide §6).
+    from approximatequeryengine_spark.sources.arrow_write import (
+        write_partitioned_parquet,
+        write_single_parquet,
+    )
+
+    write_partitioned_parquet(
+        base.repartition("__block"), f"{path}/data", "__block"
     )
     (
         _probe_rows(base, m_bits, k)
@@ -184,9 +195,12 @@ def blockbloom_write(
         .write.mode("overwrite")
         .parquet(f"{path}/bloom")
     )
-    spark.createDataFrame(
-        [(int(mn), width, m_bits)], "mn long, width long, m_bits long"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    write_single_parquet(
+        spark,
+        [(int(mn), width, m_bits)],
+        "mn long, width long, m_bits long",
+        f"{path}/meta",
+    )
 
 
 def blockbloom_append(
@@ -231,11 +245,12 @@ def blockbloom_append(
             f"blockbloom_append: {n_null} NULL ingest keys in the batch; "
             "the blocking key must be non-null"
         )
-    (
-        base.repartition("__block")
-        .write.partitionBy("__block")
-        .mode("append")
-        .parquet(f"{path}/data")
+    from approximatequeryengine_spark.sources.arrow_write import (
+        write_partitioned_parquet,
+    )
+
+    write_partitioned_parquet(
+        base.repartition("__block"), f"{path}/data", "__block", mode="append"
     )
     old = read_synopsis(spark, f"{path}/bloom").select(
         "__block", "word", F.col("bits").alias("mask")
@@ -290,11 +305,24 @@ def blockbloom_point_sum(
     )
     blocks_total = len(per_block)
     cells = sorted(int(r["__block"]) for r in per_block if r["n_hit"] == len(need))
-    data = (
-        spark.read.parquet(f"{path}/data")
-        .filter(F.col("__block").isin(cells))
-        .filter(F.col("__lk") == F.lit(key))
-    )
+    # List ONLY the surviving block directories (basePath keeps the
+    # partition column): the plain read lists every block dir up front
+    # — O(blocks_total) driver listing/footer work — before partition
+    # pruning even runs, which dominated the consult at 586 blocks
+    # (guide §6: file listing). Every cell in `cells` has a directory:
+    # a block appears in the bloom table only via its ingested rows.
+    from approximatequeryengine_spark.sources.arrow_write import _local_path
+
+    if cells and _local_path(f"{path}/data") is not None:
+        reader = spark.read.option("basePath", f"{path}/data")
+        data = reader.parquet(
+            *[f"{path}/data/__block={c}" for c in cells]
+        )
+    else:
+        data = spark.read.parquet(f"{path}/data").filter(
+            F.col("__block").isin(cells)
+        )
+    data = data.filter(F.col("__lk") == F.lit(key))
     return data.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum(value_cents.cast("long")) / F.lit(100.0), 2).alias("sum_value"),

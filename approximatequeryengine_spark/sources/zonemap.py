@@ -96,22 +96,38 @@ def zonemap_write(
         zoned = base.withColumn(
             "__zone", ((F.col("__key") - F.lit(mn)) / F.lit(width)).cast("long")
         )
-    (
-        zoned.repartition("__zone")
-        .sortWithinPartitions("__key")
-        .write.partitionBy("__zone")
-        .mode("overwrite")
-        .parquet(f"{path}/data")
+    from approximatequeryengine_spark.sources.arrow_write import (
+        write_partitioned_parquet,
+        write_single_parquet,
     )
-    (
+
+    # Commit-light partitioned write (sources/arrow_write): identical
+    # directory layout; the task-ordered Arrow batches preserve the
+    # sortWithinPartitions order, so row-group min/max stats stay tight.
+    write_partitioned_parquet(
+        zoned.repartition("__zone").sortWithinPartitions("__key"),
+        f"{path}/data",
+        "__zone",
+    )
+    # The zonemap is O(zones) rows — collect it and write driver-side
+    # instead of paying a second write job for a KB-scale table.
+    zm_rows = (
         zoned.groupBy("__zone")
         .agg(
             F.min("__key").alias("zmin"),
             F.max("__key").alias("zmax"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
-        .write.mode("overwrite")
-        .parquet(f"{path}/zonemap")
+        .collect()
+    )
+    write_single_parquet(
+        spark,
+        [
+            (int(r["__zone"]), int(r["zmin"]), int(r["zmax"]), int(r["n_rows"]))
+            for r in zm_rows
+        ],
+        "__zone long, zmin long, zmax long, n_rows long",
+        f"{path}/zonemap",
     )
 
 
@@ -136,11 +152,20 @@ def zonemap_range_sum(
     cells = sorted(
         int(r["__zone"]) for r in zm_rows if r["zmax"] >= lo and r["zmin"] <= hi
     )
-    data = (
-        spark.read.parquet(f"{path}/data")
-        .filter(F.col("__zone").isin(cells))
-        .filter(F.col("__key").between(F.lit(lo), F.lit(hi)))
-    )
+    # List ONLY the surviving zone directories (same consult shape as
+    # blockbloom/zorder): every selected zone has a directory — it is
+    # in the zonemap because its rows were written.
+    from approximatequeryengine_spark.sources.arrow_write import _local_path
+
+    if cells and _local_path(f"{path}/data") is not None:
+        data = spark.read.option("basePath", f"{path}/data").parquet(
+            *[f"{path}/data/__zone={c}" for c in cells]
+        )
+    else:
+        data = spark.read.parquet(f"{path}/data").filter(
+            F.col("__zone").isin(cells)
+        )
+    data = data.filter(F.col("__key").between(F.lit(lo), F.lit(hi)))
     return data.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum(value_cents.cast("long")) / F.lit(100.0), 2).alias("sum_value"),

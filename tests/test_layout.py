@@ -180,9 +180,14 @@ def test_zonemap_scan_is_partition_pruned(spark, engine, tmp_path):
     df = zonemap_range_sum(
         spark, path, 9862, 10226, F.floor(F.col("o_totalprice") * 100.0 + 0.5)
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "__zone" in plan.split("PartitionFilters", 1)[1][:400]
+    got = df.collect()[0]
+    assert 0 < got["zones_scanned"] < got["zones_total"]
+    # Since round 10 the consult lists the surviving directories
+    # directly (pruned zones are never listed), so the evidence is the
+    # scan's actual input files rather than a PartitionFilters entry.
+    dirs = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+    assert all(d.startswith("__zone=") for d in dirs)
+    assert len(dirs) == got["zones_scanned"]
 
 
 def test_zonemap_rejects_all_null_keys(spark):
@@ -375,17 +380,22 @@ def test_blockbloom_absent_key_returns_empty(spark, engine, tmp_path):
 
 
 def test_blockbloom_scan_is_partition_pruned(spark, engine, tmp_path):
-    """The point lookup must reach parquet with PartitionFilters on the
-    block column — directory pruning, not a full scan + filter."""
+    """The point lookup must touch ONLY the surviving block
+    directories — directory pruning, not a full scan + filter. Since
+    round 10 the consult lists the surviving directories directly
+    (pruned blocks are never even listed), so the evidence is the
+    scan's actual input files rather than a PartitionFilters entry."""
     from approximatequeryengine_spark.sources.blockbloom import blockbloom_point_sum
 
     _, path = _bloom_fixture(spark, engine, tmp_path)
     df = blockbloom_point_sum(
         spark, path, 42, F.floor(F.col("o_totalprice") * 100.0 + 0.5)
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "__block" in plan.split("PartitionFilters", 1)[1][:400]
+    got = df.collect()[0]
+    assert 0 < got["blocks_scanned"] < got["blocks_total"]
+    dirs = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+    assert all(d.startswith("__block=") for d in dirs)
+    assert len(dirs) == got["blocks_scanned"]
 
 
 # --- Z-order (Morton) 2-D clustering (sources/zorder.py) -------------------
@@ -476,9 +486,13 @@ def test_zorder_scan_is_partition_pruned(spark, engine, tmp_path):
         spark, path, 9100, 11700, 40, 119,
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5),
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert "__block" in plan.split("PartitionFilters", 1)[1][:400]
+    got = df.collect()[0]
+    assert 0 < got["blocks_scanned"] < got["blocks_total"]
+    # Directory-pruned by construction: the consult lists only the
+    # surviving block directories (see the blockbloom twin above).
+    dirs = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+    assert all(d.startswith("__block=") for d in dirs)
+    assert len(dirs) == got["blocks_scanned"]
 
 
 def test_blockbloom_append_equals_rebuild(spark, engine, tmp_path):
