@@ -216,25 +216,36 @@ def universe_join_pairs(
     p = float(fraction)
     keyed = events.filter(
         portable_hash_col(F.col("user_id"), UNIVERSE_SALT) < F.lit(thr)
-    )
-    left = (
-        keyed.filter(F.col("event_type") == left_type)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_l"))
-    )
-    right = (
-        keyed.filter(F.col("event_type") == right_type)
-        .groupBy("user_id")
+    ).filter(F.col("event_type").isin(left_type, right_type))
+    # ONE conditional grouped aggregate instead of two per-side
+    # aggregates + a self-join (round 10, guide §2.4): a key survives
+    # the inner join iff it has rows on BOTH sides, i.e. n_l > 0 AND
+    # n_r > 0 over the conditional counts — same n_l/n_r/cents_r
+    # values for every surviving key, so every downstream integer is
+    # unchanged (cents_r stays NULL when all right-side values are
+    # non-finite, exactly as the join path's sum). One shuffle per
+    # rung instead of three exchanges feeding a join.
+    is_l = F.col("event_type") == left_type
+    is_r = F.col("event_type") == right_type
+    per_key = (
+        keyed.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_r"),
+            F.count(F.when(is_l, 1)).cast("long").alias("n_l"),
+            F.count(F.when(is_r, 1)).cast("long").alias("n_r"),
             F.sum(
-                F.floor(finite_col(F.col("value")) * F.lit(100.0) + F.lit(0.5)).cast("long")
+                F.when(
+                    is_r,
+                    F.floor(
+                        finite_col(F.col("value")) * F.lit(100.0) + F.lit(0.5)
+                    ).cast("long"),
+                )
             ).alias("cents_r"),
         )
-    )
-    per_key = left.join(right, on="user_id").select(
-        (F.col("n_l") * F.col("n_r")).alias("t"),
-        (F.col("n_l") * F.col("cents_r")).alias("v"),
+        .filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
+        .select(
+            (F.col("n_l") * F.col("n_r")).alias("t"),
+            (F.col("n_l") * F.col("cents_r")).alias("v"),
+        )
     )
     est = F.round(F.sum("t") / F.lit(p), 0).cast("long")
     margin = F.round(

@@ -191,32 +191,33 @@ def split_events_for_replay(
     tagged = events.withColumn(
         "__b",
         F.floor((rn - F.lit(1)) * F.lit(n_batches) / F.lit(n)).cast("int"),
-    ).persist()  # n_batches filters below must not re-run the sort
-    try:
-        base_mtime = None
-        for i in range(n_batches):
-            stage = os.path.join(directory, f"__stage_{i}")
-            batch = tagged.filter(F.col("__b") == i).drop("__b")
-            batch.coalesce(1).write.mode("overwrite").parquet(stage)
-            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
-            path = os.path.join(directory, f"batch_{i:03d}.parquet")
-            if parts:
-                shutil.move(parts[0], path)
-            else:
-                # Empty micro-batch (n < n_batches, or the writer emitted
-                # no part file for an empty partition): the replay still
-                # needs a file at this slot — write a schema-only parquet.
-                import pyarrow.parquet as pq
+    )
+    # ONE partitioned write instead of persist + n_batches filtered
+    # coalesce(1) writes (round 10): the row_number window has already
+    # gathered everything into a single sorted partition, so the
+    # dynamic-partition writer emits exactly one file per __b value in
+    # the SAME deterministic (ts, event_id) order the per-batch
+    # coalesce(1) writes produced — n_batches+1 jobs become 2.
+    stage = os.path.join(directory, "__stage")
+    tagged.write.partitionBy("__b").mode("overwrite").parquet(stage)
+    base_mtime = None
+    for i in range(n_batches):
+        parts = glob.glob(os.path.join(stage, f"__b={i}", "part-*.parquet"))
+        path = os.path.join(directory, f"batch_{i:03d}.parquet")
+        if parts:
+            shutil.move(parts[0], path)
+        else:
+            # Empty micro-batch (n < n_batches): the replay still needs
+            # a file at this slot — write a schema-only parquet.
+            import pyarrow.parquet as pq
 
-                pq.write_table(batch.limit(0).toArrow(), path)
-            shutil.rmtree(stage)
-            # FileStreamSource orders by mtime with UNSPECIFIED tie
-            # order at its (ms) resolution — sub-ms consecutive writes
-            # could replay batches out of order. Pin strictly increasing
-            # mtimes (1 s apart) explicitly instead of trusting write
-            # latency.
-            if base_mtime is None:
-                base_mtime = os.stat(path).st_mtime
-            os.utime(path, (base_mtime + i, base_mtime + i))
-    finally:
-        tagged.unpersist()
+            pq.write_table(tagged.drop("__b").limit(0).toArrow(), path)
+        # FileStreamSource orders by mtime with UNSPECIFIED tie
+        # order at its (ms) resolution — sub-ms consecutive writes
+        # could replay batches out of order. Pin strictly increasing
+        # mtimes (1 s apart) explicitly instead of trusting write
+        # latency.
+        if base_mtime is None:
+            base_mtime = os.stat(path).st_mtime
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    shutil.rmtree(stage)
