@@ -2601,38 +2601,76 @@ def ann_recall_profile(
 
 
 def _recall_rows(bf, scored_all, n_probes, k, n_centroids):
-    out = None
-    for np_ in n_probes:
-        ivf = _ivf_rank(
-            scored_all.filter(F.col("prn") <= np_).drop("prn"), k
-        ).select(
-            F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    """All probe settings in ONE linear plan (round 10): the per-np
+    branches each re-ranked/joined/aggregated their nested candidate
+    subset and unioned — |n_probes| windows + joins + aggregates whose
+    AQE stage-jobs dominated the entry's wall (36 jobs at sf0.1 for
+    KB-scale data). Because the subsets are nested in prn, exploding
+    every candidate into the probe settings it belongs to and ranking
+    within (n_probe, query_id) — the SAME (desc cos_sim, asc
+    neighbor_id) total order ``_ivf_rank`` uses — produces the
+    identical per-setting top-k rows, so every downstream recall
+    number is unchanged."""
+    probe_lits = F.array(*[F.lit(int(x)) for x in n_probes])
+    topk = (
+        scored_all.select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.explode(F.filter(probe_lits, lambda m: F.col("prn") <= m)).alias(
+                "n_probe"
+            ),
         )
-        per_q = (
-            bf.join(
-                ivf,
-                (F.col("query_id") == F.col("q2"))
-                & (F.col("neighbor_id") == F.col("n2")),
-                "left",
-            )
-            .groupBy("query_id")
-            .agg(
-                (
-                    F.sum(F.when(F.col("n2").isNotNull(), 1).otherwise(0)).cast(
-                        "double"
-                    )
-                    / F.count(F.lit(1))
-                ).alias("r")
-            )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_probe", "query_id").orderBy(
+                    F.desc("cos_sim"), F.asc("neighbor_id")
+                )
+            ),
         )
-        row = per_q.agg(
-            F.lit(np_).cast("long").alias("n_probe"),
-            F.round(F.lit(np_ / n_centroids), 4).alias("scan_share"),
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("n_probe").alias("np2"),
+            F.col("query_id").alias("q2"),
+            F.col("neighbor_id").alias("n2"),
+        )
+    )
+    bfx = bf.select(
+        "query_id", "neighbor_id", F.explode(probe_lits).alias("n_probe")
+    )
+    per_q = (
+        bfx.join(
+            topk,
+            (F.col("n_probe") == F.col("np2"))
+            & (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("n_probe", "query_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("n2").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("r")
+        )
+    )
+    return (
+        per_q.groupBy("n_probe")
+        .agg(
             F.round(F.avg("r"), 6).alias("mean_recall"),
             F.round(F.min("r"), 6).alias("worst_recall"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("n_probe")
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.round(F.col("n_probe") / F.lit(float(n_centroids)), 4).alias(
+                "scan_share"
+            ),
+            "mean_recall",
+            "worst_recall",
+        )
+        .orderBy("n_probe")
+    )
 
 
 def ann_recall_profile_sql(

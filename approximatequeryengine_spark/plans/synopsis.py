@@ -57,6 +57,50 @@ from approximatequeryengine_spark.functions.hashing import (
 Z_95 = 1.959963984540054
 
 
+def _threshold(n_total: int, cap: int) -> int:
+    """The exact integer membership threshold — Python's ``//`` on
+    non-negative ints is the same ``div`` the Spark/DuckDB texts use."""
+    return HASH_SPACE if n_total <= cap else cap * HASH_SPACE // n_total
+
+
+def _literal_meta(spark: SparkSession, df: DataFrame, stratum: str, rows):
+    """A |strata|-row meta frame built from DRIVER data (the counts
+    were collected anyway): joining this literal frame lets the sample
+    write run WITHOUT re-evaluating the counts aggregate inside the
+    write job — the lazy meta subtree used to re-run per consumer."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[stratum],
+            StructField("n_total", LongType(), False),
+            StructField("threshold", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _write_meta(spark: SparkSession, meta: DataFrame, path: str) -> None:
+    """Persist the tiny meta table — driver-side parquet when the
+    stratum type allows (no Spark job), else the plain writer."""
+    from approximatequeryengine_spark.sources.arrow_write import (
+        write_single_parquet,
+    )
+
+    ddl_types = {"string": "string", "bigint": "long", "int": "int",
+                 "double": "double"}
+    dtypes = meta.dtypes
+    if all(t in ddl_types for _, t in dtypes):
+        write_single_parquet(
+            spark,
+            [tuple(r) for r in meta.collect()],
+            ", ".join(f"{c} {ddl_types[t]}" for c, t in dtypes),
+            path,
+        )
+    else:
+        meta.write.mode("overwrite").parquet(path)
+
+
 def synopsis_build(
     spark: SparkSession,
     df: DataFrame,
@@ -66,19 +110,32 @@ def synopsis_build(
     cap: int = 2048,
 ) -> None:
     """Persist ``path/sample`` (stratum-partitioned parquet) and
-    ``path/meta`` (stratum, n_total, threshold)."""
+    ``path/meta`` (stratum, n_total, threshold).
+
+    The counts aggregate is COLLECTED once (|strata| rows) and the
+    thresholds derived driver-side in exact integer arithmetic — the
+    earlier lazy meta frame re-ran the counts aggregate inside every
+    consumer job (existence probe, sample write, meta write: 3
+    evaluations), pure per-entry overhead at any scale (guide §5)."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    if not counts.take(1):
+    counts_rows = (
+        df.groupBy(stratum)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .collect()
+    )
+    if not counts_rows:
         # An empty partitioned parquet has no inferable schema, so a
         # later read would fail obscurely — fail loudly at build time.
         raise ValueError("synopsis_build: input has no rows")
-    meta = counts.withColumn(
-        "threshold",
-        F.when(F.col("n_total") <= cap, F.lit(HASH_SPACE).cast("long")).otherwise(
-            F.expr(f"CAST({cap} AS BIGINT) * CAST({HASH_SPACE} AS BIGINT) div n_total")
-        ),
+    meta = _literal_meta(
+        spark,
+        df,
+        stratum,
+        [
+            (r[stratum], int(r["n_total"]), _threshold(int(r["n_total"]), cap))
+            for r in counts_rows
+        ],
     )
     sample = (
         df.join(F.broadcast(meta), on=stratum)
@@ -86,7 +143,7 @@ def synopsis_build(
         .drop("n_total", "threshold")
     )
     sample.write.partitionBy(stratum).mode("overwrite").parquet(f"{path}/sample")
-    meta.write.mode("overwrite").parquet(f"{path}/meta")
+    _write_meta(spark, meta, f"{path}/meta")
 
 
 def synopsis_stratified_sum(
@@ -234,26 +291,23 @@ def synopsis_append(
     oracle re-derives from base ∪ batch — certifying the incremental
     path against the ground-truth derivation.
     """
-    old_meta = spark.read.parquet(f"{path}/meta").select(
-        F.col(stratum), F.col("n_total").alias("__n_old")
-    )
-    batch_counts = new_df.groupBy(stratum).agg(
-        F.count(F.lit(1)).cast("long").alias("__n_new")
-    )
-    counts = (
-        old_meta.join(batch_counts, on=stratum, how="full")
-        .select(
-            stratum,
-            (
-                F.coalesce("__n_old", F.lit(0)) + F.coalesce("__n_new", F.lit(0))
-            ).alias("n_total"),
-        )
-    )
-    meta = counts.withColumn(
-        "threshold",
-        F.when(F.col("n_total") <= cap, F.lit(HASH_SPACE).cast("long")).otherwise(
-            F.expr(f"CAST({cap} AS BIGINT) * CAST({HASH_SPACE} AS BIGINT) div n_total")
-        ),
+    # Collect the two tiny count tables (|strata| rows each) and merge
+    # driver-side — the earlier lazy full-outer-join meta re-ran the
+    # batch counts aggregate inside both write jobs (guide §5).
+    totals: dict = {}
+    for r in spark.read.parquet(f"{path}/meta").collect():
+        totals[r[stratum]] = int(r["n_total"])
+    for r in (
+        new_df.groupBy(stratum)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_new"))
+        .collect()
+    ):
+        totals[r[stratum]] = totals.get(r[stratum], 0) + int(r["__n_new"])
+    meta = _literal_meta(
+        spark,
+        new_df,
+        stratum,
+        [(g, n, _threshold(n, cap)) for g, n in totals.items()],
     )
     old_sample = spark.read.parquet(f"{path}/sample")
     # Evict + admit under the NEW thresholds. Columns must align for
@@ -268,7 +322,7 @@ def synopsis_append(
     )
     # Rewrite via a temp dir: the new sample reads from the old files.
     sample.write.partitionBy(stratum).mode("overwrite").parquet(f"{path}/sample_new")
-    meta.write.mode("overwrite").parquet(f"{path}/meta_new")
+    _write_meta(spark, meta, f"{path}/meta_new")
     import shutil
 
     shutil.rmtree(f"{path}/sample")
