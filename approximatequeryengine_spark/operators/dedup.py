@@ -1724,8 +1724,16 @@ def dedup_yield_curve(
     # verify='join': the loosest cutoff maximizes candidate density —
     # the regime where the keys-only plan wins (4.2× at sf10; see
     # minhash_lsh_pairs docstring). Identical pair output.
-    pairs = minhash_lsh_pairs(spark, docs, threshold=lo, verify="join").select(
-        "doc_a", "doc_b", "jaccard"
+    # Persisted (round 10): the pair-search subtree appears THREE
+    # times in the readout's one action (pa once, the sides union
+    # twice) and the differing parents defeat exchange reuse — the
+    # whole LSH search ran up to 3×. Intra-query persist with paired
+    # unpersist; the readout (|thresholds| rows) is materialized while
+    # the cache is live, per the repo's collect-then-release pattern.
+    pairs = (
+        minhash_lsh_pairs(spark, docs, threshold=lo, verify="join")
+        .select("doc_a", "doc_b", "jaccard")
+        .persist()
     )
     sides = pairs.select(F.col("doc_a").alias("d"), "jaccard").unionAll(
         pairs.select(F.col("doc_b").alias("d"), "jaccard")
@@ -1758,7 +1766,7 @@ def dedup_yield_curve(
             for i, t in enumerate(thresholds)
         ]
     )
-    return (
+    out = (
         wide.select(F.explode(rows).alias("r"), "n_docs")
         .select(
             F.col("r.threshold").alias("threshold"),
@@ -1770,6 +1778,11 @@ def dedup_yield_curve(
         )
         .orderBy("threshold")
     )
+    try:
+        collected = out.collect()
+        return spark.createDataFrame(collected, out.schema)
+    finally:
+        pairs.unpersist()
 
 
 def dedup_yield_curve_sql(

@@ -276,13 +276,27 @@ def cms_join_size(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    sl = sketch_of(left).withColumnRenamed("cnt", "cl")
-    sr = sketch_of(right).withColumnRenamed("cnt", "cr")
-    per_row = (
-        sl.join(sr, on=["row", "idx"])  # absent cells contribute 0
-        .groupBy("row")
-        .agg(F.sum(F.col("cl") * F.col("cr")).alias("ip"))
-    )
+    # Self-join fast path (round 10): when the caller passes the SAME
+    # frame for both sides (the F2/self-join entries do), the two
+    # sketches are identical and the (row, idx) cells are unique, so
+    # the equi-join is exactly the diagonal — Σ cnt² per row — and the
+    # sketch (and below, the key-count table) builds ONCE instead of
+    # twice. Identical integers by construction.
+    same = left is right
+    if same:
+        per_row = (
+            sketch_of(left)
+            .groupBy("row")
+            .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
+        )
+    else:
+        sl = sketch_of(left).withColumnRenamed("cnt", "cl")
+        sr = sketch_of(right).withColumnRenamed("cnt", "cr")
+        per_row = (
+            sl.join(sr, on=["row", "idx"])  # absent cells contribute 0
+            .groupBy("row")
+            .agg(F.sum(F.col("cl") * F.col("cr")).alias("ip"))
+        )
     # A sketch row where NO cell coincides must still contribute its
     # true inner product of 0 to the min — dropping it from the join
     # would inflate disjoint-key estimates past the documented bound.
@@ -294,11 +308,19 @@ def cms_join_size(
     # Exact side groups the RAW key (abs() is only for the hash; folding
     # -k onto k here would overstate the exact join size).
     lc = left.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
-    rc = right.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
-    exact = (
-        lc.join(rc, on="k")
-        .agg(F.sum(lc["c"] * rc["c"]).alias("exact_join_size"))
-    )
+    if same:
+        # Diagonal of the self equi-join; NULL keys never join, so
+        # they are excluded here exactly as the join would.
+        exact = (
+            lc.filter(F.col("k").isNotNull())
+            .agg(F.sum(F.col("c") * F.col("c")).alias("exact_join_size"))
+        )
+    else:
+        rc = right.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        exact = (
+            lc.join(rc, on="k")
+            .agg(F.sum(lc["c"] * rc["c"]).alias("exact_join_size"))
+        )
     return exact.crossJoin(est).select(
         F.coalesce(F.col("exact_join_size"), F.lit(0)).cast("long").alias("exact_join_size"),
         F.coalesce(F.col("cms_est"), F.lit(0)).cast("long").alias("cms_est"),

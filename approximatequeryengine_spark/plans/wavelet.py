@@ -65,84 +65,60 @@ def wavelet_range_counts(
     ``PREFIX_CUTOFFS``, answered from a B-term Haar synopsis — the
     selectivity-estimation workload wavelets were built for. Output:
     (cutoff_bucket, est_count, n_coeffs)."""
-    hist = (
+    hist_rows = (
         df.select(_bucket_col(F.col(value_col)).alias("j"))
         .groupBy("j")
         .agg(F.count(F.lit(1)).cast("double").alias("a"))
+        .collect()
     )
-    grid = spark.range(G).select(F.col("id").cast("long").alias("j"))
-    level = (
-        grid.join(hist, on="j", how="left")
-        .select("j", F.coalesce("a", F.lit(0.0)).alias("a"))
-    )
-    coef_frames = []
+    # Everything past the histogram is metadata-scale (≤ G=64 rows)
+    # and — per the module's determinism contract — EXACT dyadic
+    # arithmetic, so the pyramid/selection/reconstruction run on the
+    # driver with bit-identical doubles (round 10). The lazy-frame
+    # pipeline this replaces spelled 6 tiny level shuffles, a 6-way
+    # union whose branches each re-derived the pyramid chain, and two
+    # broadcast joins — ~15 AQE stage-jobs per call for 64 values
+    # (guide §5: the driver SHOULD do the O(synopsis) work; the one
+    # data-scale pass is the histogram aggregate above). The final
+    # round(·, 4) stays a Spark expression so the decimal rounding is
+    # the same engine implementation as before.
+    a = [0.0] * G
+    for r in hist_rows:
+        a[int(r["j"])] = float(r["a"])
+    level = a
+    coefs: list[tuple[int, int, float]] = []  # (lvl, i, d)
     for lvl in range(LEVELS, 0, -1):
-        paired = level.groupBy((F.col("j") / 2).cast("long").alias("j")).agg(
-            F.sum(F.when(F.col("j") % 2 == 0, F.col("a"))).alias("ae"),
-            F.sum(F.when(F.col("j") % 2 == 1, F.col("a"))).alias("ao"),
-        )
-        coef_frames.append(
-            paired.select(
-                F.lit(lvl).alias("lvl"),
-                F.col("j").alias("i"),
-                ((F.col("ae") - F.col("ao")) / 2).alias("d"),
-            )
-        )
-        level = paired.select(
-            "j", ((F.col("ae") + F.col("ao")) / 2).alias("a")
-        )
-    coefs = coef_frames[0]
-    for f in coef_frames[1:]:
-        coefs = coefs.unionByName(f)
-    kept = (
-        coefs.withColumn("w", F.abs("d") * F.pow(F.lit(2.0), F.lit(LEVELS + 1) - F.col("lvl")))
-        .orderBy(F.desc("w"), F.asc("lvl"), F.asc("i"))
-        .limit(b)
-        .select("lvl", "i", "d")
-    )
-    a00 = level.select(F.col("a").alias("a00"))  # 1 row: the overall average
+        nxt = []
+        for i in range(len(level) // 2):
+            ae, ao = level[2 * i], level[2 * i + 1]
+            coefs.append((lvl, i, (ae - ao) / 2))
+            nxt.append((ae + ao) / 2)
+        level = nxt
+    a00 = level[0]
+    kept = {
+        (lvl, i): d
+        for lvl, i, d in sorted(
+            coefs,
+            key=lambda t: (-abs(t[2]) * 2.0 ** (LEVELS + 1 - t[0]), t[0], t[1]),
+        )[:b]
+    }
     # Each bucket j consults its ancestor coefficient at every level:
     # index i = j >> (LEVELS+1-l), sign from bit (LEVELS-l) of j.
-    cand = grid.select(
-        "j",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(l).alias("lvl"),
-                    F.shiftright(F.col("j"), LEVELS + 1 - l).alias("i"),
-                    F.when(
-                        F.shiftright(F.col("j"), LEVELS - l) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)).alias("s"),
-                )
-                for l in range(1, LEVELS + 1)
-            ])
-        ).alias("c"),
-    ).select("j", "c.lvl", "c.i", "c.s")
-    recon = (
-        cand.join(F.broadcast(kept), on=["lvl", "i"])
-        .groupBy("j")
-        .agg(F.sum(F.col("s") * F.col("d")).alias("detail"))
-    )
-    est = (
-        grid.join(recon, on="j", how="left")
-        .crossJoin(F.broadcast(a00))
-        .select(
-            "j",
-            (F.col("a00") + F.coalesce(F.col("detail"), F.lit(0.0))).alias("c_hat"),
-        )
-    )
-    cutoffs = spark.createDataFrame(
-        [(int(t),) for t in PREFIX_CUTOFFS], "cutoff_bucket long"
-    )
-    return (
-        est.join(F.broadcast(cutoffs), F.col("j") < F.col("cutoff_bucket"))
-        .groupBy("cutoff_bucket")
-        .agg(F.sum("c_hat").alias("est_count"))
-        .select(
-            "cutoff_bucket",
-            F.round("est_count", 4).alias("est_count"),
-            F.lit(b).cast("long").alias("n_coeffs"),
-        )
+    c_hat = []
+    for j in range(G):
+        v = a00
+        for l in range(1, LEVELS + 1):
+            d = kept.get((l, j >> (LEVELS + 1 - l)))
+            if d is not None:
+                v += d if (j >> (LEVELS - l)) % 2 == 0 else -d
+        c_hat.append(v)
+    rows = [(int(t), float(sum(c_hat[:t])), b) for t in PREFIX_CUTOFFS]
+    return spark.createDataFrame(
+        rows, "cutoff_bucket long, est_raw double, n_coeffs long"
+    ).select(
+        "cutoff_bucket",
+        F.round("est_raw", 4).alias("est_count"),
+        F.col("n_coeffs"),
     )
 
 

@@ -372,6 +372,7 @@ def countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from approximatequeryengine_spark.plans.countmin import (
         CM_DEPTH,
         CM_WIDTH,
+        _sketch_partials_pandas,
         _with_idx,
         countmin_topk_estimates,
     )
@@ -380,12 +381,19 @@ def countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = stream.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
-    fan = toks.select(
-        str_hash32_col(F.col("token")).alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("row"),
+    # The NumPy partial-counter kernel serves the stream too (round 10,
+    # same argument as the AMS twin): it is a stateless per-partition
+    # projection emitting bounded (row, idx, cnt) partials, counters
+    # are linear, and the complete-mode SUM state accumulates partials
+    # across micro-batches exactly like the exploded per-token rows —
+    # the drained sketch is bit-identical (kernel parity pinned by
+    # test_countmin_arrow_matches_expression).
+    hashed = toks.select(str_hash32_col(F.col("token")).alias("h"))
+    sketch_stream = (
+        _sketch_partials_pandas(hashed, CM_DEPTH, CM_WIDTH)
+        .groupBy("row", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    cells = _with_idx(fan, CM_WIDTH)
-    sketch_stream = cells.groupBy("row", "idx").agg(F.count(F.lit(1)).alias("cnt"))
     sketch = run_to_memory_sink(sketch_stream, "complete", bounded_keys=True)
 
     # Probe the drained sketch with the exact top-20 (batch side), same
